@@ -1,0 +1,43 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** A named bundle of driver-checkable queries plus their DuckDB oracle SQL.
+  *
+  * Convention (driver contract): the comparator sorts columns by name and
+  * hash-compares values, so every computed column is aliased identically in
+  * the Spark query and the oracle SQL, and every query ends in a total
+  * ORDER BY so row order is deterministic in both engines.
+  */
+trait QueryPack {
+  def queries: Map[String, (SparkSession, String) => DataFrame]
+  def oracle: Map[String, String]
+}
+
+/** Shared helpers for cross-engine deterministic results.
+  *
+  * Floating-point aggregation order differs between Spark's partial/final
+  * hash aggregates and DuckDB's, so any SUM/AVG over doubles is computed in
+  * exact decimal arithmetic and only then cast back to double — both
+  * engines then produce bit-identical values. Per-row double arithmetic
+  * (IEEE 754) is deterministic and needs no such treatment.
+  */
+object QueryPack {
+  /** Order-independent exact sum of a double column: cast each value to
+    * DECIMAL(18,scale), sum exactly, cast the total back to double. */
+  def dsum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** SQL text of [[dsum]] for the DuckDB oracle. */
+  def dsumSql(expr: String, scale: Int = 4): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+
+  /** Exact decimal mean, returned as double (sum/count in double space). */
+  def davg(c: Column, scale: Int = 4): Column =
+    dsum(c, scale) / count(c).cast("double")
+
+  def davgSql(expr: String, scale: Int = 4): String =
+    s"(${dsumSql(expr, scale)} / CAST(count($expr) AS DOUBLE))"
+}

@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Local pre-check of the driver's DuckDB-oracle compare.
+
+Usage: python3 tools/compare_local.py <verify_out_dir> <sf_dir>
+
+Reads each <out>/<name> parquet result dumped by graft.Verify, runs the
+matching oracle SQL from <out>/oracle_sql.json in DuckDB against the
+testdata parquet tables, sorts columns by name and rows by all columns,
+and compares values exactly (mirrors the driver's described behavior).
+"""
+import json, math, sys
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    return repr(v)
+
+
+def frame(rows, cols):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(canon(r[i]) for i in idx) for r in rows]
+    return [cols[i] for i in idx], sorted(out)
+
+
+def main(outdir, sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+            gcols, grows = frame(got.fetchall(), got.columns)
+            exp = con.sql(sql)
+            ecols, erows = frame(exp.fetchall(), exp.columns)
+        except Exception as e:
+            print(f"FAIL {name}: error {e}")
+            n_fail += 1
+            continue
+        if gcols != ecols:
+            print(f"FAIL {name}: columns {gcols} != {ecols}")
+            n_fail += 1
+        elif len(grows) != len(erows):
+            print(f"FAIL {name}: rows {len(grows)} != {len(erows)}")
+            n_fail += 1
+        elif grows != erows:
+            bad = next(i for i, (a, b) in enumerate(zip(grows, erows)) if a != b)
+            print(f"FAIL {name}: first diff at sorted row {bad}:")
+            print(f"  spark : {grows[bad]}")
+            print(f"  duckdb: {erows[bad]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(grows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
