@@ -1,0 +1,257 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryPack._
+
+/** Aggregation-kind coverage (SURVEY.md §2.4 —
+  * cpp/include/cudf/aggregation.hpp:78-122, groupby.hpp:89).
+  *
+  * Spark's partial/final hash aggregates play the role of the reference's
+  * hash groupby; float-summing kinds go through the decimal-exact helpers
+  * so partial-aggregation order can't perturb results. Statistical kinds
+  * (M2/VARIANCE/STD/COVARIANCE/CORRELATION) are derived from exact moment
+  * sums so both engines compute bit-identical doubles.
+  */
+object Aggs extends QueryPack {
+
+  /** SUM/MIN/MAX/MEAN/COUNT_VALID/COUNT_ALL/SUM_OF_SQUARES/NUNIQUE. */
+  def aggBasic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(
+        dsum($"l_quantity", 2).as("sum_qty"),
+        min($"l_quantity").as("min_qty"),
+        max($"l_quantity").as("max_qty"),
+        davg($"l_quantity", 2).as("avg_qty"),
+        dsum($"l_quantity" * $"l_quantity", 4).as("sum_qty_sq"),
+        count($"l_quantity").as("n_valid"),
+        count(lit(1)).as("n_all"),
+        countDistinct($"l_suppkey").as("n_supp"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggBasicSql: String =
+    s"""SELECT l_returnflag,
+       |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+       |  min(l_quantity) AS min_qty,
+       |  max(l_quantity) AS max_qty,
+       |  ${davgSql("l_quantity", 2)} AS avg_qty,
+       |  ${dsumSql("l_quantity * l_quantity", 4)} AS sum_qty_sq,
+       |  count(l_quantity) AS n_valid,
+       |  count(*) AS n_all,
+       |  count(DISTINCT l_suppkey) AS n_supp
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** NUNIQUE / distinct-agg rewrite: multiple distinct aggs in one group. */
+  def aggDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).groupBy($"o_orderpriority")
+      .agg(countDistinct($"o_custkey").as("n_cust"),
+        countDistinct($"o_orderstatus").as("n_status"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggDistinctSql: String =
+    """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust,
+      |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** ARGMAX/ARGMIN (aggregation.hpp:96-97) → max_by/min_by. The ordering
+    * value is made unique (price scaled + rowkey) so arg ties cannot make
+    * the result nondeterministic across engines. */
+  def aggArgMinMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir).withColumn("price_uniq",
+      $"l_extendedprice" * 1000000.0 + $"l_orderkey" * 10.0 + $"l_linenumber")
+    li.groupBy($"l_returnflag")
+      .agg(expr("max_by(l_orderkey, price_uniq)").as("argmax_order"),
+        expr("min_by(l_orderkey, price_uniq)").as("argmin_order"),
+        max($"l_extendedprice").as("max_price"),
+        min($"l_extendedprice").as("min_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggArgMinMaxSql: String =
+    """SELECT l_returnflag,
+      |  arg_max(l_orderkey, l_extendedprice * 1000000.0 + l_orderkey * 10.0 + l_linenumber) AS argmax_order,
+      |  arg_min(l_orderkey, l_extendedprice * 1000000.0 + l_orderkey * 10.0 + l_linenumber) AS argmin_order,
+      |  max(l_extendedprice) AS max_price,
+      |  min(l_extendedprice) AS min_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ANY/ALL → bool_or/bool_and; BITWISE_AGG → bit_and/bit_or/bit_xor. */
+  def aggBoolBitwise(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).groupBy($"event_type")
+      .agg(expr("bool_and(value > 0)").as("all_pos"),
+        expr("bool_or(value > 400)").as("any_big"),
+        expr("bit_and(user_id)").as("band"),
+        expr("bit_or(user_id)").as("bor"),
+        expr("bit_xor(user_id)").as("bxor"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+  }
+
+  val aggBoolBitwiseSql: String =
+    """SELECT event_type, bool_and(value > 0) AS all_pos,
+      |  bool_or(value > 400) AS any_big,
+      |  bit_and(user_id) AS band, bit_or(user_id) AS bor,
+      |  bit_xor(user_id) AS bxor, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** M2/VARIANCE/STD/COVARIANCE/CORRELATION (aggregation.hpp:87-95,110-111)
+    * derived from exact decimal moment sums → identical doubles in both
+    * engines regardless of partial-aggregation order. */
+  def aggStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum($"l_quantity", 2).as("sx"),
+        dsum($"l_quantity" * $"l_quantity", 4).as("sxx"),
+        dsum($"l_extendedprice", 2).as("sy"),
+        dsum($"l_extendedprice" * $"l_extendedprice", 4).as("syy"),
+        dsum($"l_quantity" * $"l_extendedprice", 4).as("sxy"))
+      .select($"l_returnflag", $"n",
+        ($"sx" / $"n").as("mean_x"),
+        (($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("var_x"),
+        sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)).as("std_x"),
+        (($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)).as("covar_xy"),
+        ((($"sxy" - $"sx" * $"sy" / $"n") / ($"n" - 1)) /
+          (sqrt(($"sxx" - $"sx" * $"sx" / $"n") / ($"n" - 1)) *
+           sqrt(($"syy" - $"sy" * $"sy" / $"n") / ($"n" - 1)))).as("corr_xy"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggStatsSql: String = {
+    val sub =
+      s"""SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sx,
+         |  ${dsumSql("l_quantity * l_quantity", 4)} AS sxx,
+         |  ${dsumSql("l_extendedprice", 2)} AS sy,
+         |  ${dsumSql("l_extendedprice * l_extendedprice", 4)} AS syy,
+         |  ${dsumSql("l_quantity * l_extendedprice", 4)} AS sxy
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    s"""SELECT l_returnflag, n,
+       |  (sx / n) AS mean_x,
+       |  ((sxx - sx * sx / n) / (n - 1)) AS var_x,
+       |  sqrt((sxx - sx * sx / n) / (n - 1)) AS std_x,
+       |  ((sxy - sx * sy / n) / (n - 1)) AS covar_xy,
+       |  (((sxy - sx * sy / n) / (n - 1)) /
+       |    (sqrt((sxx - sx * sx / n) / (n - 1)) *
+       |     sqrt((syy - sy * sy / n) / (n - 1)))) AS corr_xy
+       |FROM ($sub) ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** MEDIAN/QUANTILE (aggregation.hpp:93-94) — exact interpolated
+    * percentile ≙ DuckDB quantile_cont; discrete ≙ quantile_disc. */
+  def aggPercentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).groupBy($"l_linestatus")
+      .agg(expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.25)").as("p25"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_extendedprice, array(0.5))[0]").as("p50_price"))
+      .orderBy($"l_linestatus")
+  }
+
+  val aggPercentilesSql: String =
+    """SELECT l_linestatus,
+      |  quantile_cont(l_quantity, 0.5) AS p50,
+      |  quantile_cont(l_quantity, 0.25) AS p25,
+      |  quantile_cont(l_quantity, 0.9) AS p90,
+      |  quantile_cont(l_extendedprice, 0.5) AS p50_price
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** COLLECT_LIST/COLLECT_SET (aggregation.hpp:101-102) — rendered as a
+    * sorted joined string so list ordering cannot differ across engines. */
+  def aggCollect(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).filter($"l_quantity" > 49.8)
+      .groupBy($"l_returnflag")
+      .agg(array_join(sort_array(collect_list($"l_orderkey")), ",").as("orders_list"),
+        array_join(sort_array(collect_set($"l_suppkey")), ",").as("supp_set"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggCollectSql: String =
+    """SELECT l_returnflag,
+      |  array_to_string(list_sort(list(l_orderkey)), ',') AS orders_list,
+      |  array_to_string(list_sort(list(DISTINCT l_suppkey)), ',') AS supp_set,
+      |  count(*) AS n
+      |FROM lineitem WHERE l_quantity > 49.8
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** ROLLUP — superset capability (absent in reference, SURVEY §2.4). */
+  def aggRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity", 2).as("sum_qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
+  val aggRollupSql: String =
+    s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+       |  ${dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** CUBE — superset capability. */
+  def aggCube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice", 2).as("sum_price"))
+      .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("o_orderpriority"))
+  }
+
+  val aggCubeSql: String =
+    s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       |  ${dsumSql("o_totalprice", 2)} AS sum_price
+       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+       |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** HISTOGRAM (aggregation.hpp:117) as explicit bin labeling — group by
+    * bin id; scales as a single hash aggregate. */
+  def aggHistogram(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy(floor($"l_quantity" / 10).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("lo"),
+        max($"l_quantity").as("hi"))
+      .orderBy($"bin")
+  }
+
+  val aggHistogramSql: String =
+    """SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS bin, count(*) AS n,
+      |  min(l_quantity) AS lo, max(l_quantity) AS hi
+      |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_basic" -> aggBasic,
+    "agg_distinct" -> aggDistinct,
+    "agg_argminmax" -> aggArgMinMax,
+    "agg_bool_bitwise" -> aggBoolBitwise,
+    "agg_stats" -> aggStats,
+    "agg_percentiles" -> aggPercentiles,
+    "agg_collect" -> aggCollect,
+    "agg_rollup" -> aggRollup,
+    "agg_cube" -> aggCube,
+    "agg_histogram" -> aggHistogram)
+
+  override def oracle: Map[String, String] = Map(
+    "agg_basic" -> aggBasicSql,
+    "agg_distinct" -> aggDistinctSql,
+    "agg_argminmax" -> aggArgMinMaxSql,
+    "agg_bool_bitwise" -> aggBoolBitwiseSql,
+    "agg_stats" -> aggStatsSql,
+    "agg_percentiles" -> aggPercentilesSql,
+    "agg_collect" -> aggCollectSql,
+    "agg_rollup" -> aggRollupSql,
+    "agg_cube" -> aggCubeSql,
+    "agg_histogram" -> aggHistogramSql)
+}

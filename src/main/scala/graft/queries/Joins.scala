@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryPack._
+
+/** Join-kind coverage (SURVEY.md §2.3 — headers under cpp/include/cudf/join).
+  *
+  * Each reference join kind is re-expressed as the Spark join type /
+  * condition shape that makes Catalyst pick the analogous physical plan:
+  * hash equi joins → Shuffled-Hash/SortMerge, conditional (AST) joins →
+  * BroadcastNestedLoop, mixed joins → equi keys + residual filter,
+  * filtered_join/mark_join → left_semi / left_anti, null-aware equality
+  * (null_equality::EQUAL) → `<=>`.
+  */
+object Joins extends QueryPack {
+
+  /** Hash inner equi join (join.hpp:162) — fact⋈dim, dim broadcast. */
+  def joinInner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter($"p_size" > 45)),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"l_linenumber", $"p_name", $"p_size",
+        $"l_extendedprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val joinInnerSql: String =
+    """SELECT l_orderkey, l_linenumber, p_name, p_size, l_extendedprice
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_size > 45
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Left outer join (join.hpp:203): orders kept even with no big lineitem. */
+  def joinLeft(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir).filter($"l_quantity" > 49)
+      .groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("n_big"), dsum($"l_quantity", 2).as("qty_big"))
+    Tables.orders(s, dir)
+      .join(big, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderkey", $"o_orderstatus", $"n_big", $"qty_big")
+      .orderBy($"o_orderkey")
+  }
+
+  val joinLeftSql: String =
+    s"""SELECT o_orderkey, o_orderstatus, n_big, qty_big
+       |FROM orders LEFT JOIN (
+       |  SELECT l_orderkey, count(*) AS n_big,
+       |         ${dsumSql("l_quantity", 2)} AS qty_big
+       |  FROM lineitem WHERE l_quantity > 49 GROUP BY l_orderkey
+       |) ON o_orderkey = l_orderkey
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Full outer join (join.hpp:244) on per-nation customer vs supplier counts. */
+  def joinFull(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir).groupBy($"c_nationkey")
+      .agg(count(lit(1)).as("n_cust"))
+    val p = Tables.supplier(s, dir).groupBy($"s_nationkey")
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(p, $"c_nationkey" === $"s_nationkey", "full")
+      .select(coalesce($"c_nationkey", $"s_nationkey").as("nationkey"),
+        $"n_cust", $"n_supp")
+      .orderBy($"nationkey")
+  }
+
+  val joinFullSql: String =
+    """SELECT coalesce(c_nationkey, s_nationkey) AS nationkey, n_cust, n_supp
+      |FROM (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1) c
+      |FULL JOIN (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) p
+      |  ON c_nationkey = s_nationkey
+      |ORDER BY nationkey""".stripMargin
+
+  /** Left semi join — filtered_join/mark_join (filtered_join.hpp:51). */
+  def joinSemi(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).filter($"l_quantity" > 49.5),
+        $"o_orderkey" === $"l_orderkey", "left_semi")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+  }
+
+  val joinSemiSql: String =
+    """SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity > 49.5)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Left anti join — NOT EXISTS via mark_join. */
+  def joinAnti(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).filter($"l_quantity" > 49.5),
+        $"o_orderkey" === $"l_orderkey", "left_anti")
+      .select($"o_orderkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val joinAntiSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+      |                  WHERE l_orderkey = o_orderkey AND l_quantity > 49.5)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Cross join (join.hpp:278) — bounded dims only; unbounded cross of
+    * facts would be a scale bug, so the API keeps it on dimensions. */
+  def joinCross(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+      .select($"r_name", $"n_name")
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val joinCrossSql: String =
+    """SELECT r_name, n_name FROM region CROSS JOIN nation
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** Conditional (non-equi, AST-predicate) join (conditional_join.hpp:72):
+    * pure inequality condition → BroadcastNestedLoopJoin. Supplier side is
+    * small and broadcast; at cluster scale this stays bounded because the
+    * broadcast side is a dimension. */
+  def joinNonEqui(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sup = Tables.supplier(s, dir)
+    Tables.customer(s, dir)
+      .join(broadcast(sup),
+        $"s_acctbal" > $"c_acctbal" - 0.5 && $"s_acctbal" < $"c_acctbal" + 0.5)
+      .select($"c_custkey", $"s_suppkey", $"c_acctbal", $"s_acctbal")
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  val joinNonEquiSql: String =
+    """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+      |FROM customer JOIN supplier
+      |  ON s_acctbal > c_acctbal - 0.5 AND s_acctbal < c_acctbal + 0.5
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
+  /** Mixed join (mixed_join.hpp:92): equi keys + residual inequality —
+    * Catalyst splits into hash-join keys plus post-join filter. */
+  def joinMixed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    Tables.lineitem(s, dir)
+      .join(o, $"l_orderkey" === $"o_orderkey" &&
+        $"l_extendedprice" > $"o_totalprice" * 0.5)
+      .select($"l_orderkey", $"l_linenumber", $"l_extendedprice", $"o_totalprice")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val joinMixedSql: String =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, o_totalprice
+      |FROM lineitem JOIN orders
+      |  ON l_orderkey = o_orderkey AND l_extendedprice > o_totalprice * 0.5
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Null-safe equality join (null_equality::EQUAL, join.hpp:162) via `<=>`
+    * ≙ DuckDB IS NOT DISTINCT FROM. Keys are nulled for one nation to
+    * exercise null-matches-null semantics. */
+  def joinNullSafe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, dir)
+      .withColumn("ck", expr("nullif(c_nationkey, 13)"))
+    val n = Tables.nation(s, dir)
+      .withColumn("nk", expr("nullif(n_nationkey, 13)"))
+    c.join(broadcast(n), $"ck" <=> $"nk")
+      .select($"c_custkey", $"n_name")
+      .orderBy($"c_custkey", $"n_name")
+  }
+
+  val joinNullSafeSql: String =
+    """SELECT c_custkey, n_name
+      |FROM (SELECT c_custkey, nullif(c_nationkey, 13) AS ck FROM customer) c
+      |JOIN (SELECT n_name, nullif(n_nationkey, 13) AS nk FROM nation) n
+      |  ON ck IS NOT DISTINCT FROM nk
+      |ORDER BY c_custkey, n_name""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_inner" -> joinInner,
+    "join_left" -> joinLeft,
+    "join_full" -> joinFull,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "join_cross" -> joinCross,
+    "join_nonequi" -> joinNonEqui,
+    "join_mixed" -> joinMixed,
+    "join_nullsafe" -> joinNullSafe)
+
+  override def oracle: Map[String, String] = Map(
+    "join_inner" -> joinInnerSql,
+    "join_left" -> joinLeftSql,
+    "join_full" -> joinFullSql,
+    "join_semi" -> joinSemiSql,
+    "join_anti" -> joinAntiSql,
+    "join_cross" -> joinCrossSql,
+    "join_nonequi" -> joinNonEquiSql,
+    "join_mixed" -> joinMixedSql,
+    "join_nullsafe" -> joinNullSafeSql)
+}

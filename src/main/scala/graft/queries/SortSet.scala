@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sort / limit / top-k / set-op / dedup coverage (SURVEY.md §2.6, §2.7 —
+  * cpp/include/cudf/sorting.hpp, stream_compaction.hpp, concatenate.hpp,
+  * merge.hpp).
+  *
+  * Global sorts ride Spark's RangePartitioner (sampled split points —
+  * same design as the reference's streaming/sort.py); top-k plans as
+  * TakeOrderedAndProject (no global sort at scale); keep-first dedup is
+  * the row_number()==1 pattern (stable_distinct, keep_first).
+  */
+object SortSet extends QueryPack {
+
+  /** Multi-key sort, per-key direction + null placement (sorting.hpp:44:
+    * column_order + null_order). */
+  def sortMultiNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir)
+      .withColumn("seg", expr("nullif(c_mktsegment, 'BUILDING')"))
+      .select($"c_custkey", $"seg", $"c_acctbal")
+      .orderBy(asc_nulls_first("seg"), desc("c_acctbal"), asc("c_custkey"))
+  }
+
+  val sortMultiNullsSql: String =
+    """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+      |FROM customer
+      |ORDER BY seg ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC""".stripMargin
+
+  /** Top-k: orderBy().limit(k) → TakeOrderedAndProject. */
+  def topK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(15)
+  }
+
+  val topKSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderpriority FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin
+
+  /** Slice: limit + offset (Slice IR, dsl/ir.py:3182; copying.hpp:496). */
+  def limitOffset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+      .offset(50)
+      .limit(100)
+  }
+
+  val limitOffsetSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM orders
+      |ORDER BY o_orderkey LIMIT 100 OFFSET 50""".stripMargin
+
+  /** Vertical concat keeping duplicates (concatenate.hpp:57, Union IR) —
+    * overlapping date slices so UNION ALL semantics are observable; the
+    * trailing sort doubles as merge-sorted (merge.hpp:97) semantics. */
+  def unionAll(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val a = Tables.orders(s, dir)
+      .filter($"o_orderdate" < lit("1995-07-01").cast("timestamp"))
+    val b = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1995-06-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1995-08-01").cast("timestamp"))
+    a.select($"o_orderkey", $"o_orderstatus")
+      .unionByName(b.select($"o_orderkey", $"o_orderstatus"))
+      .orderBy($"o_orderkey", $"o_orderstatus")
+  }
+
+  val unionAllSql: String =
+    """SELECT o_orderkey, o_orderstatus FROM (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |  UNION ALL
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1995-06-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1995-08-01 00:00:00')
+      |ORDER BY o_orderkey, o_orderstatus""".stripMargin
+
+  /** Relational INTERSECT (distinct) — superset vs reference (§2.7). */
+  def intersectKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_nationkey".as("nationkey"))
+      .intersect(Tables.supplier(s, dir).select($"s_nationkey".as("nationkey")))
+      .orderBy($"nationkey")
+  }
+
+  val intersectKeysSql: String =
+    """SELECT * FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT
+      |  SELECT s_nationkey AS nationkey FROM supplier)
+      |ORDER BY nationkey""".stripMargin
+
+  /** Relational EXCEPT (distinct). */
+  def exceptKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).select($"l_orderkey".as("orderkey"))
+      .except(Tables.orders(s, dir).filter($"o_totalprice" > 100000)
+        .select($"o_orderkey".as("orderkey")))
+      .orderBy($"orderkey")
+  }
+
+  val exceptKeysSql: String =
+    """SELECT * FROM (
+      |  SELECT l_orderkey AS orderkey FROM lineitem
+      |  EXCEPT
+      |  SELECT o_orderkey AS orderkey FROM orders WHERE o_totalprice > 100000)
+      |ORDER BY orderkey""".stripMargin
+
+  /** Row-level distinct (stream_compaction.hpp:321, keep-any). */
+  def distinctRows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_linestatus")
+      .distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val distinctRowsSql: String =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Keep-first dedup (stable_distinct keep_first, stream_compaction.hpp:383,
+    * Distinct IR dsl/ir.py:3004): first order per customer by date. */
+  def dedupKeepFirst(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate")
+      .orderBy($"o_custkey")
+  }
+
+  val dedupKeepFirstSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sort_multi_nulls" -> sortMultiNulls,
+    "topk" -> topK,
+    "limit_offset" -> limitOffset,
+    "set_union_all" -> unionAll,
+    "set_intersect" -> intersectKeys,
+    "set_except" -> exceptKeys,
+    "distinct_rows" -> distinctRows,
+    "dedup_keep_first" -> dedupKeepFirst)
+
+  override def oracle: Map[String, String] = Map(
+    "sort_multi_nulls" -> sortMultiNullsSql,
+    "topk" -> topKSql,
+    "limit_offset" -> limitOffsetSql,
+    "set_union_all" -> unionAllSql,
+    "set_intersect" -> intersectKeysSql,
+    "set_except" -> exceptKeysSql,
+    "distinct_rows" -> distinctRowsSql,
+    "dedup_keep_first" -> dedupKeepFirstSql)
+}

@@ -1,0 +1,190 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function coverage (SURVEY.md §2.5 — cpp/src/rolling,
+  * cpp/include/cudf/rolling.hpp; grouped scan/shift groupby.hpp:237,293).
+  *
+  * Grouped rolling ≙ Window.partitionBy.orderBy.rowsBetween; range frames
+  * ≙ rangeBetween; grouped shift ≙ lag/lead; grouped replace_nulls
+  * ffill/bfill ≙ last/first(ignoreNulls) over one-sided frames.
+  * Window order keys are total (tie-broken by a unique key) wherever the
+  * function value depends on row position, so results are deterministic.
+  */
+object Windows extends QueryPack {
+
+  /** ROW_NUMBER + per-group top-k (TOP_K agg kind, aggregation.hpp:120).
+    * At scale this is the shuffle-once pattern: partition by key, no
+    * global sort. */
+  def winTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+    Tables.lineitem(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"l_suppkey", $"rn", $"l_orderkey", $"l_extendedprice")
+      .orderBy($"l_suppkey", $"rn")
+  }
+
+  val winTopKSql: String =
+    """SELECT l_suppkey, rn, l_orderkey, l_extendedprice FROM (
+      |  SELECT l_suppkey, l_orderkey, l_extendedprice,
+      |    row_number() OVER (PARTITION BY l_suppkey
+      |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+      |  FROM lineitem)
+      |WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin
+
+  /** RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST/NTILE (sorting.hpp:222 rank
+    * methods + aggregation.hpp:100-106). Rank windows order by a
+    * tie-permitting key (values are tie-insensitive); ntile uses a total
+    * order since its value is position-dependent. */
+  def winRankFamily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ties = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+    val total = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        rank().over(ties).as("rnk"),
+        dense_rank().over(ties).as("drnk"),
+        percent_rank().over(ties).as("prnk"),
+        cume_dist().over(ties).as("cdist"),
+        ntile(4).over(total).as("quartile"))
+      .orderBy($"o_orderstatus", $"o_totalprice", $"o_orderkey")
+  }
+
+  val winRankFamilySql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  rank() OVER w AS rnk,
+      |  dense_rank() OVER w AS drnk,
+      |  percent_rank() OVER w AS prnk,
+      |  cume_dist() OVER w AS cdist,
+      |  ntile(4) OVER (PARTITION BY o_orderstatus
+      |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+      |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
+
+  /** LEAD/LAG + grouped shift (groupby.hpp:293) over event time. */
+  def winLeadLag(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"value",
+        lag($"value", 1).over(w).as("prev_v"),
+        lead($"value", 1).over(w).as("next_v"),
+        lag($"value", 2).over(w).as("shift2"),
+        ($"value" - lag($"value", 1).over(w)).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winLeadLagSql: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value, 1) OVER w AS prev_v,
+      |  lead(value, 1) OVER w AS next_v,
+      |  lag(value, 2) OVER w AS shift2,
+      |  value - lag(value, 1) OVER w AS delta
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Grouped cumulative scan (groupby.hpp:237) — running sum/min/max/count
+    * over an unbounded-preceding row frame; sum in exact decimal. */
+  def winRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+          .as("run_sum"),
+        min($"value").over(w).as("run_min"),
+        max($"value").over(w).as("run_max"),
+        count(lit(1)).over(w).as("run_n"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winRunningSql: String =
+    """SELECT user_id, event_id,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS run_sum,
+      |  min(value) OVER w AS run_min,
+      |  max(value) OVER w AS run_max,
+      |  count(*) OVER w AS run_n
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Range (value-based) frame (grouped_range_rolling_window,
+    * rolling.hpp:563): events within 100 ids preceding, per user. */
+  def winRangeFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rangeBetween(-100, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_in_range"),
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+          .as("sum_in_range"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winRangeFrameSql: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER w AS n_in_range,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_in_range
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Grouped replace_nulls ffill/bfill (replace.hpp:48 fill-policy;
+    * grouped scans) — last/first non-null over one-sided frames. */
+  def winFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nulled = Tables.events(s, dir)
+      .withColumn("v", when($"event_type" === "view", lit(null)).otherwise($"value"))
+    val back = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    nulled.select($"user_id", $"event_id", $"v",
+        last($"v", ignoreNulls = true).over(back).as("ffill"),
+        first($"v", ignoreNulls = true).over(fwd).as("bfill"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winFfillSql: String =
+    """SELECT user_id, event_id, v,
+      |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+      |  first_value(v IGNORE NULLS) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+      |FROM (SELECT user_id, event_id, ts,
+      |        CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      |      FROM events)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk" -> winTopK,
+    "win_rank_family" -> winRankFamily,
+    "win_lead_lag" -> winLeadLag,
+    "win_running" -> winRunning,
+    "win_range_frame" -> winRangeFrame,
+    "win_ffill" -> winFfill)
+
+  override def oracle: Map[String, String] = Map(
+    "win_topk" -> winTopKSql,
+    "win_rank_family" -> winRankFamilySql,
+    "win_lead_lag" -> winLeadLagSql,
+    "win_running" -> winRunningSql,
+    "win_range_frame" -> winRangeFrameSql,
+    "win_ffill" -> winFfillSql)
+}
