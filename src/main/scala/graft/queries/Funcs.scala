@@ -1,0 +1,315 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar function library coverage (SURVEY.md §2.8 — cpp/src/strings,
+  * cpp/include/cudf/datetime.hpp, binaryop.hpp, unary.hpp, replace.hpp,
+  * hashing.hpp, json/json.hpp).
+  *
+  * Everything here is a codegen'd built-in (`functions._` / `expr`),
+  * never a UDF, so expressions stay inside WholeStageCodegen. Cross-engine
+  * notes: Spark floor/ceil on double return LONG (oracle casts to match);
+  * Spark weekday = DuckDB isodow-1; Spark date_trunc returns TIMESTAMP
+  * while DuckDB returns DATE (oracle casts); `round` on binary doubles is
+  * engine-divergent (Spark rounds the decimal string) and is deliberately
+  * not oracle-checked.
+  */
+object Funcs extends QueryPack {
+
+  /** Case / substring / trim / pad / concat (strings/case.hpp:37,
+    * slice.hpp:100, strip.hpp:56, padding.hpp:50, combine.hpp:69). */
+  def strBasic(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey",
+        upper($"p_name").as("up"),
+        lower($"p_type").as("lo"),
+        substring($"p_name", 1, 6).as("sub"),
+        lpad($"p_size".cast("string"), 4, "0").as("padded"),
+        repeat(substring($"p_name", 1, 2), 2).as("rep"),
+        reverse($"p_name").as("rev"),
+        length($"p_name").as("len"),
+        concat_ws("|", $"p_brand", $"p_type").as("cw"),
+        trim(concat(lit("  "), $"p_name", lit("  "))).as("trm"))
+      .orderBy($"p_partkey")
+  }
+
+  val strBasicSql: String =
+    """SELECT p_partkey, upper(p_name) AS up, lower(p_type) AS lo,
+      |  substring(p_name, 1, 6) AS sub,
+      |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+      |  repeat(substring(p_name, 1, 2), 2) AS rep,
+      |  reverse(p_name) AS rev, length(p_name) AS len,
+      |  concat_ws('|', p_brand, p_type) AS cw,
+      |  trim('  ' || p_name || '  ') AS trm
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Find / membership predicates (strings/find.hpp:47-310). */
+  def strSearch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey",
+        instr($"p_name", "e").as("pos_e"),
+        $"p_name".startsWith("red").as("sw"),
+        $"p_name".endsWith("bolt").as("ew"),
+        $"p_name".contains("ring").as("ct"),
+        $"p_name".like("%gear%").as("lk"))
+      .orderBy($"p_partkey")
+  }
+
+  val strSearchSql: String =
+    """SELECT p_partkey, strpos(p_name, 'e') AS pos_e,
+      |  starts_with(p_name, 'red') AS sw,
+      |  ends_with(p_name, 'bolt') AS ew,
+      |  contains(p_name, 'ring') AS ct,
+      |  p_name LIKE '%gear%' AS lk
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Regex: extract / replace / match (strings/extract.hpp:54,
+    * replace_re.hpp, contains.hpp:50 — the reference ships its own regex
+    * engine; Spark's Java regex covers the same query surface). */
+  def strRegex(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id",
+        regexp_extract($"text", "^([a-z]+)", 1).as("first_word"),
+        regexp_replace(substring($"text", 1, 40), "[aeiou]", "*").as("no_vowel"),
+        $"text".rlike("join [a-z]+ filter").as("has_pat"))
+      .orderBy($"doc_id")
+  }
+
+  val strRegexSql: String =
+    """SELECT doc_id,
+      |  regexp_extract(text, '^([a-z]+)', 1) AS first_word,
+      |  regexp_replace(substring(text, 1, 40), '[aeiou]', '*', 'g') AS no_vowel,
+      |  regexp_matches(text, 'join [a-z]+ filter') AS has_pat
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Split + explode + word count (strings/split/split.hpp:47; the
+    * tokenize→count shape of nvtext/tokenize.hpp:51). */
+  def strSplitExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(explode(split($"text", " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"word")
+      .limit(20)
+  }
+
+  val strSplitExplodeSql: String =
+    """SELECT word, count(*) AS n FROM (
+      |  SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin
+
+  /** Edit distance (nvtext/edit_distance.hpp:52 → levenshtein built-in). */
+  def strDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey",
+        levenshtein($"p_name", $"p_type").as("lev_nt"),
+        levenshtein($"p_brand", lit("Brand#33")).as("lev_b33"))
+      .orderBy($"p_partkey")
+  }
+
+  val strDistanceSql: String =
+    """SELECT p_partkey, levenshtein(p_name, p_type) AS lev_nt,
+      |  levenshtein(p_brand, 'Brand#33') AS lev_b33
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Datetime component extraction on dates (datetime.hpp:57,96,228). */
+  def dtExtractDate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("mo"),
+        dayofmonth($"o_orderdate").as("d"),
+        quarter($"o_orderdate").as("q"),
+        dayofyear($"o_orderdate").as("doy"),
+        weekofyear($"o_orderdate").as("woy"),
+        weekday($"o_orderdate").as("dow"))
+      .orderBy($"o_orderkey")
+  }
+
+  val dtExtractDateSql: String =
+    """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS mo,
+      |  dayofmonth(o_orderdate) AS d, quarter(o_orderdate) AS q,
+      |  dayofyear(o_orderdate) AS doy, week(o_orderdate) AS woy,
+      |  isodow(o_orderdate) - 1 AS dow
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Time-of-day components on µs timestamps. */
+  def dtExtractTime(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select($"event_id",
+        hour($"ts").as("h"), minute($"ts").as("mi"), second($"ts").as("sec"))
+      .orderBy($"event_id")
+  }
+
+  val dtExtractTimeSql: String =
+    """SELECT event_id, hour(ts) AS h, minute(ts) AS mi,
+      |  CAST(second(ts) AS INT) AS sec
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Calendrical arithmetic: trunc / last_day / add_months / day diff
+    * (datetime.hpp:80,132,258; ceil/floor/round to precision →
+    * date_trunc family). */
+  def dtArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey",
+        date_trunc("month", $"o_orderdate").as("mo_start"),
+        date_trunc("week", $"o_orderdate").as("wk_start"),
+        last_day($"o_orderdate").as("mo_end"),
+        add_months($"o_orderdate", 3).as("plus3mo"),
+        datediff(lit("1998-01-01").cast("timestamp"), $"o_orderdate").as("days_to_98"))
+      .orderBy($"o_orderkey")
+  }
+
+  val dtArithSql: String =
+    """SELECT o_orderkey,
+      |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mo_start,
+      |  CAST(date_trunc('week', o_orderdate) AS TIMESTAMP) AS wk_start,
+      |  last_day(o_orderdate) AS mo_end,
+      |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3mo,
+      |  CAST(date_diff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS INT)
+      |    AS days_to_98
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Null utilities (replace.hpp:48-212): coalesce / nullif / greatest /
+    * least / clamp. */
+  def nullHandling(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.customer(s, dir).select($"c_custkey",
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+        coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("(none)")).as("seg_filled"),
+        greatest($"c_acctbal", lit(1000.0)).as("hi"),
+        least($"c_acctbal", lit(5000.0)).as("lo"),
+        greatest(least($"c_acctbal", lit(5000.0)), lit(500.0)).as("clamped"))
+      .orderBy($"c_custkey")
+  }
+
+  val nullHandlingSql: String =
+    """SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg,
+      |  coalesce(nullif(c_mktsegment, 'BUILDING'), '(none)') AS seg_filled,
+      |  greatest(c_acctbal, 1000.0) AS hi,
+      |  least(c_acctbal, 5000.0) AS lo,
+      |  greatest(least(c_acctbal, 5000.0), 500.0) AS clamped
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  /** Conditional select copy_if_else (copying.hpp:661) → CASE WHEN. */
+  def condCase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).select($"o_orderkey",
+        when($"o_totalprice" > 200000, "big")
+          .when($"o_totalprice" > 50000, "mid")
+          .otherwise("small").as("size_class"),
+        when($"o_orderstatus" === "F", lit(1)).otherwise(lit(0)).as("is_final"))
+      .orderBy($"o_orderkey")
+  }
+
+  val condCaseSql: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 200000 THEN 'big'
+      |       WHEN o_totalprice > 50000 THEN 'mid'
+      |       ELSE 'small' END AS size_class,
+      |  CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Binary/unary math ops (binaryop.hpp:30-84, unary.hpp:32-57):
+    * mod/pmod, floor/ceil, abs/sign, sqrt, shifts, bitwise and/or/xor,
+    * bit_count, bit_invert. */
+  def mathFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber",
+        ($"l_orderkey" % 7).as("m7"),
+        pmod(-$"l_orderkey", lit(7)).as("pm7"),
+        floor($"l_quantity").as("fl"),
+        ceil($"l_quantity").as("cl"),
+        abs($"l_discount" - 0.05).as("ab"),
+        signum($"l_discount" - 0.05).cast("int").as("sg"),
+        sqrt($"l_quantity").as("sq"),
+        shiftleft($"l_linenumber", 3).as("shl"),
+        shiftright($"l_suppkey", 2).as("shr"),
+        expr("l_suppkey & l_partkey").as("band"),
+        expr("l_suppkey | l_partkey").as("bor"),
+        expr("l_suppkey ^ l_partkey").as("bxor"),
+        bit_count($"l_suppkey").as("bcnt"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val mathFuncsSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  l_orderkey % 7 AS m7,
+      |  (((-l_orderkey) % 7) + 7) % 7 AS pm7,
+      |  CAST(floor(l_quantity) AS BIGINT) AS fl,
+      |  CAST(ceil(l_quantity) AS BIGINT) AS cl,
+      |  abs(l_discount - 0.05) AS ab,
+      |  CAST(sign(l_discount - 0.05) AS INT) AS sg,
+      |  sqrt(l_quantity) AS sq,
+      |  l_linenumber << 3 AS shl,
+      |  l_suppkey >> 2 AS shr,
+      |  l_suppkey & l_partkey AS band,
+      |  l_suppkey | l_partkey AS bor,
+      |  xor(l_suppkey, l_partkey) AS bxor,
+      |  CAST(bit_count(l_suppkey) AS INT) AS bcnt
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** Hashing (hashing.hpp:87-157): md5 / sha2-256 / hex. Spark's
+    * murmur3 `hash()` and `xxhash64` match the reference's kernels
+    * (hashing.hpp:53,176) but not DuckDB's, so they're library surface,
+    * not oracle columns. */
+  def hashFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey",
+        md5($"p_name").as("h_md5"),
+        sha2($"p_name", 256).as("h_sha256"),
+        hex($"p_partkey").as("key_hex"))
+      .orderBy($"p_partkey")
+  }
+
+  val hashFuncsSql: String =
+    """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256,
+      |  hex(p_partkey) AS key_hex
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** JSONPath extraction (json/json.hpp:27 get_json_object). */
+  def jsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir).select($"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast("int").as("k_int"))
+      .orderBy($"event_id")
+  }
+
+  val jsonFuncsSql: String =
+    """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+      |FROM events ORDER BY event_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_basic" -> strBasic,
+    "str_search" -> strSearch,
+    "str_regex" -> strRegex,
+    "str_split_explode" -> strSplitExplode,
+    "str_distance" -> strDistance,
+    "dt_extract_date" -> dtExtractDate,
+    "dt_extract_time" -> dtExtractTime,
+    "dt_arith" -> dtArith,
+    "null_handling" -> nullHandling,
+    "cond_case" -> condCase,
+    "math_funcs" -> mathFuncs,
+    "hash_funcs" -> hashFuncs,
+    "json_funcs" -> jsonFuncs)
+
+  override def oracle: Map[String, String] = Map(
+    "str_basic" -> strBasicSql,
+    "str_search" -> strSearchSql,
+    "str_regex" -> strRegexSql,
+    "str_split_explode" -> strSplitExplodeSql,
+    "str_distance" -> strDistanceSql,
+    "dt_extract_date" -> dtExtractDateSql,
+    "dt_extract_time" -> dtExtractTimeSql,
+    "dt_arith" -> dtArithSql,
+    "null_handling" -> nullHandlingSql,
+    "cond_case" -> condCaseSql,
+    "math_funcs" -> mathFuncsSql,
+    "hash_funcs" -> hashFuncsSql,
+    "json_funcs" -> jsonFuncsSql)
+}

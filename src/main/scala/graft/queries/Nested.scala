@@ -1,0 +1,166 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryPack._
+
+/** Nested-type (list/struct) + reshape coverage (SURVEY.md §2.9 —
+  * cpp/src/lists, explode.hpp, set_operations.hpp, filling.hpp,
+  * reshape.py melt/pivot).
+  *
+  * Per-row list ops run inside codegen (`functions._` higher-order
+  * functions), so they scale as a pure map stage — no shuffle.
+  */
+object Nested extends QueryPack {
+
+  /** List element access / size / contains / slice / sort / overlap /
+    * per-row set ops (extract.hpp, count_elements.hpp, contains.hpp,
+    * set_operations.hpp:52-163, sorting.hpp). */
+  def arrOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = array(lit("the"), lit("a"), lit("and"), lit("of"))
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        size($"toks").as("n_toks"),
+        size(array_distinct($"toks")).as("n_types"),
+        element_at($"toks", 1).as("first_tok"),
+        array_join(slice($"toks", 1, 5), " ").as("head5"),
+        array_contains($"toks", "join").as("has_join"),
+        arrays_overlap($"toks", array(lit("join"), lit("filter"))).as("ov"),
+        size(array_intersect($"toks", stop)).as("n_stop"),
+        size(array_union($"toks", stop)).as("n_union"),
+        size(array_except($"toks", stop)).as("n_rest"),
+        array_join(sort_array(array_distinct(slice($"toks", 1, 8))), ",").as("sorted8"))
+      .orderBy($"doc_id")
+  }
+
+  val arrOpsSql: String =
+    """SELECT doc_id,
+      |  len(toks) AS n_toks,
+      |  len(list_distinct(toks)) AS n_types,
+      |  toks[1] AS first_tok,
+      |  array_to_string(toks[1:5], ' ') AS head5,
+      |  list_contains(toks, 'join') AS has_join,
+      |  list_has_any(toks, ['join', 'filter']) AS ov,
+      |  len(list_intersect(toks, ['the','a','and','of'])) AS n_stop,
+      |  len(list_distinct(list_concat(toks, ['the','a','and','of']))) AS n_union,
+      |  len(list_filter(list_distinct(toks),
+      |      x -> NOT list_contains(['the','a','and','of'], x))) AS n_rest,
+      |  array_to_string(list_sort(list_distinct(toks[1:8])), ',') AS sorted8
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Higher-order lambdas: transform / filter / aggregate (the AST
+    * transform surface, transform.hpp:121, applied per list element). */
+  def arrLambda(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      .select($"doc_id",
+        expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").as("sum_len"),
+        size(expr("filter(toks, x -> length(x) > 4)")).as("n_long"),
+        array_join(expr("transform(slice(toks, 1, 3), x -> upper(x))"), " ")
+          .as("head3_upper"))
+      .orderBy($"doc_id")
+  }
+
+  val arrLambdaSql: String =
+    """SELECT doc_id,
+      |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS INT)
+      |    AS sum_len,
+      |  len(list_filter(toks, x -> length(x) > 4)) AS n_long,
+      |  array_to_string(list_transform(toks[1:3], x -> upper(x)), ' ')
+      |    AS head3_upper
+      |FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Sequence generation + explode (filling.hpp:173 sequence,
+    * explode.hpp:64 — posexplode covers explode_position). */
+  def seqExplode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.nation(s, dir)
+      .select($"n_nationkey",
+        posexplode(sequence(lit(1), $"n_nationkey" % 5 + 1)))
+      .withColumnRenamed("pos", "idx")
+      .withColumnRenamed("col", "v")
+      .orderBy($"n_nationkey", $"idx")
+  }
+
+  val seqExplodeSql: String =
+    """SELECT n_nationkey, CAST(u.v - 1 AS INT) AS idx, CAST(u.v AS INT) AS v
+      |FROM nation, unnest(generate_series(1, n_nationkey % 5 + 1)) AS u(v)
+      |ORDER BY n_nationkey, idx""".stripMargin
+
+  /** Pivot wide (reshape.py:1088): linestatus values to columns. */
+  def pivotWide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+      .orderBy($"l_returnflag")
+  }
+
+  val pivotWideSql: String =
+    """SELECT l_returnflag,
+      |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+      |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Unpivot / melt (reshape.py:610) back to long form. */
+  def unpivotLong(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag")
+      .agg(dsum($"l_quantity", 2).as("sum_qty"),
+        dsum($"l_extendedprice", 2).as("sum_price"))
+      .unpivot(Array($"l_returnflag"), Array($"sum_qty", $"sum_price"),
+        "metric", "val")
+      .orderBy($"l_returnflag", $"metric")
+  }
+
+  val unpivotLongSql: String =
+    s"""SELECT l_returnflag, metric, val FROM (
+       |  SELECT l_returnflag, 'sum_qty' AS metric,
+       |    ${dsumSql("l_quantity", 2)} AS val
+       |  FROM lineitem GROUP BY l_returnflag
+       |  UNION ALL
+       |  SELECT l_returnflag, 'sum_price' AS metric,
+       |    ${dsumSql("l_extendedprice", 2)} AS val
+       |  FROM lineitem GROUP BY l_returnflag)
+       |ORDER BY l_returnflag, metric""".stripMargin
+
+  /** Struct build + field access + struct ordering (cpp/src/structs):
+    * structs are first-class in Spark; sort by struct gives
+    * lexicographic field order. */
+  def structOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("st", struct($"o_orderstatus".as("a"), $"o_totalprice".as("b")))
+      .select($"o_orderkey", $"st.a".as("status"),
+        ($"st.b" * 2).as("dbl_price"))
+      .orderBy($"o_orderkey")
+  }
+
+  val structOpsSql: String =
+    """SELECT o_orderkey, o_orderstatus AS status, o_totalprice * 2 AS dbl_price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "arr_ops" -> arrOps,
+    "arr_lambda" -> arrLambda,
+    "seq_explode" -> seqExplode,
+    "pivot_wide" -> pivotWide,
+    "unpivot_long" -> unpivotLong,
+    "struct_ops" -> structOps)
+
+  override def oracle: Map[String, String] = Map(
+    "arr_ops" -> arrOpsSql,
+    "arr_lambda" -> arrLambdaSql,
+    "seq_explode" -> seqExplodeSql,
+    "pivot_wide" -> pivotWideSql,
+    "unpivot_long" -> unpivotLongSql,
+    "struct_ops" -> structOpsSql)
+}
