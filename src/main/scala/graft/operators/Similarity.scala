@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity search (north star: ANN over Array[Float]
+  * columns). Brute-force cosine top-k is the exact baseline; the
+  * LSH-bucketed variant (random-hyperplane signs) is the scale path.
+  *
+  * All vector math is double-cast element-wise lambdas inside codegen —
+  * float inputs are widened before multiply/accumulate so results are
+  * exact, deterministic doubles.
+  */
+object Similarity {
+
+  /** Dot product of two array<float/double> columns in double space
+    * (sequential left fold — deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Exact top-k neighbors for each query vector, brute force:
+    * broadcast the (small) query set against the corpus, compute cosine,
+    * take k per query via a window. At cluster scale the corpus stays
+    * partitioned; per-partition work is queries × rows — embarrassingly
+    * parallel, one shuffle for the final per-query top-k. */
+  def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
+  /** Random-hyperplane sign-bit bucket id: `bits` pseudo-hyperplanes
+    * whose components are derived from xxhash64(bit, dim) — deterministic,
+    * no stored model. Vectors in the same bucket are ANN candidates. */
+  def lshBucket(vecCol: String, bits: Int): Column =
+    expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, b) ->
+      acc | CASE WHEN aggregate(zip_with($vecCol,
+            transform(sequence(1, size($vecCol)),
+              i -> CAST(xxhash64(b, i) % 1000 AS DOUBLE) / 1000.0),
+            (x, h) -> CAST(x AS DOUBLE) * h),
+          CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v) > 0
+        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+
+  /** Approximate top-k: candidates restricted to same LSH bucket, then
+    * exact cosine + per-query top-k. Shuffle key is the bucket id, so
+    * cost scales with bucket occupancy, not corpus². Recall depends on
+    * bits (fewer bits → bigger buckets → higher recall, more compute). */
+  def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .withColumn("bucket", lshBucket("q_vec", bits))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+      .withColumn("bucket", lshBucket("n_vec", bits))
+    val scored = c.join(q, "bucket")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+}

@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{AsOfJoin, Sessionize}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryPack._
+
+/** Event-stream operators in batch form (SURVEY.md §2.10 — the reference
+  * has no event-time semantics; these are the superset capabilities:
+  * sessionization, tumbling windows, as-of join). The same plans run
+  * under Structured Streaming (readStream + withWatermark), covered by
+  * the streaming test suite.
+  */
+object EventOps extends QueryPack {
+
+  /** Gap-based sessionization (session_window analog): 30-minute gap. */
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    Sessionize.summarize(Tables.events(s, dir), "user_id", "ts", "value", 1800L)
+      .orderBy(col("user_id"), col("session_idx"))
+
+  val sessionizeSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, value,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts) AS gap_us
+      |  FROM events),
+      |f AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END AS nw
+      |  FROM g),
+      |x AS (
+      |  SELECT user_id, ts, value,
+      |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+      |  FROM f)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
+      |  max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM x GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
+  /** Tumbling 5-minute window aggregation (window(col, "5 minutes")
+    * analog, expressed as an integer window id so the oracle is exact). */
+  def tumbling(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 300000000").as("win_id"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy(col("win_id"), col("event_type"))
+
+  val tumblingSql: String =
+    s"""SELECT epoch_us(ts) // 300000000 AS win_id, event_type,
+       |  count(*) AS n, ${dsumSql("value", 2)} AS sum_value
+       |FROM events GROUP BY 1, 2 ORDER BY win_id, event_type""".stripMargin
+
+  /** As-of join: each purchase matched to the user's most recent prior
+    * signup (DuckDB ASOF JOIN is the oracle; our implementation is the
+    * single-shuffle union+window operator). */
+  def asofPrevSignup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val signups = ev.filter(col("event_type") === "signup")
+    AsOfJoin.asofPrev(purchases, signups, "user_id", "ts", "ts",
+        Seq("event_id", "ts"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_event_id"),
+        (unix_micros(col("ts")) - unix_micros(col("asof_ts"))).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofPrevSignupSql: String =
+    """SELECT e.event_id, e.user_id, p.event_id AS asof_event_id,
+      |  epoch_us(e.ts) - epoch_us(p.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') e
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') p
+      |  ON e.user_id = p.user_id AND e.ts >= p.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_sessionize" -> sessionize,
+    "events_tumbling" -> tumbling,
+    "events_asof_prev" -> asofPrevSignup)
+
+  override def oracle: Map[String, String] = Map(
+    "events_sessionize" -> sessionizeSql,
+    "events_tumbling" -> tumblingSql,
+    "events_asof_prev" -> asofPrevSignupSql)
+}

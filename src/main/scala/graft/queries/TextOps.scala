@@ -1,0 +1,203 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal, Similarity}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline operators over documents/embeddings (SURVEY.md
+  * §2.11 + north star: dedup, similarity search, text analysis,
+  * multimodal plumbing).
+  *
+  * The DuckDB token expression `string_split_regex(lower(trim(text)),
+  * '\s+')` mirrors [[graft.functions.TextFunctions.tokens]] exactly.
+  * MinHash/SimHash queries have no oracle (xxhash64 is engine-native);
+  * their ground truth is the exact-jaccard oracle query plus unit tests.
+  */
+object TextOps extends QueryPack {
+
+  private val toksSql = raw"string_split_regex(lower(trim(text)), '\s+')"
+
+  /** Exact dedup groups by content digest (north star: exact dedup). */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  val dedupExactSql: String =
+    """SELECT md5(text) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin
+
+  /** Bag-of-words fingerprint dedup groups. */
+  def dedupFingerprint(s: SparkSession, dir: String): DataFrame =
+    Dedup.fingerprintGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  val dedupFingerprintSql: String =
+    s"""SELECT md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp,
+       |  min(doc_id) AS keep_id, count(*) AS n_docs
+       |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Token statistics (tokenize counts + type/token ratio). */
+  def tokenStats(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    d.select(col("doc_id"),
+        size(col("toks")).as("n_tok"),
+        size(array_distinct(col("toks"))).as("n_types"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks"))).as("ttr"),
+        expr("aggregate(toks, 0, (acc, x) -> acc + length(x))").as("sum_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id, len(toks) AS n_tok, len(list_distinct(toks)) AS n_types,
+       |  CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr,
+       |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS INT)
+       |    AS sum_len
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Composite quality score (north star: quality scoring). */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), qualityScore("toks").as("quality"))
+      .orderBy(col("doc_id"))
+
+  val qualitySql: String =
+    s"""SELECT doc_id,
+       |  0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+       |  + 0.3 * (1.0 - CAST(len(list_filter(toks,
+       |      t -> list_contains(['the','a','and','of'], t))) AS DOUBLE) / len(toks))
+       |  + 0.3 * least((CAST(list_aggregate(list_transform(toks,
+       |      x -> length(x)), 'sum') AS DOUBLE) / len(toks)) / 10.0, 1.0)
+       |  AS quality
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Heuristic language id: per-profile stopword hits + argmax. */
+  def langid(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+    val scoreCols = langProfiles.map { case (l, ws) =>
+      hitCount(col("toks"), ws).as(s"s_$l")
+    }
+    d.select((col("doc_id") +: scoreCols :+ langId(col("toks")).as("lang_pred")): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val langidSql: String = {
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(toks, t -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], t)))"
+    val scores = langProfiles.map { case (l, ws) => s"${hits(ws)} AS s_$l" }
+    s"""SELECT doc_id, ${scores.mkString(", ")},
+       |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+       |       WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+       |       WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS lang_pred
+       |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Exact n-gram(1) Jaccard near-dup pairs via inverted token index,
+    * capped to a deterministic id range so the oracle's quadratic
+    * formulation stays cheap. */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairsExact(
+      Tables.documents(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val jaccardPairsSql: String =
+    s"""SELECT id_a, id_b, jac FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))) AS jac
+       |  FROM (SELECT doc_id, list_distinct($toksSql) AS toks
+       |        FROM documents WHERE doc_id < 150) a
+       |  JOIN (SELECT doc_id, list_distinct($toksSql) AS toks
+       |        FROM documents WHERE doc_id < 150) b ON a.doc_id < b.doc_id)
+       |WHERE jac >= 0.9 ORDER BY id_a, id_b""".stripMargin
+
+  /** MinHash+LSH near-dup pairs (the scale path) — no SQL oracle
+    * (engine-native xxhash64); rows-only check + unit tests. */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 8, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** SimHash near-dup pairs — rows-only check. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Multimodal plumbing: ingest text as binary payload, run the stub
+    * decoder (real codec is a drop-in; schema/partitioning are real). */
+  def multimodal(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeStub(
+        Multimodal.ingestFromText(Tables.documents(s, dir), "doc_id", "text"))
+      .select(col("media_id"), col("n_bytes"), col("fake_width"), col("fake_height"))
+      .orderBy(col("media_id"))
+
+  val multimodalSql: String =
+    """SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes,
+      |  ascii(substring(md5(text), 1, 1)) AS fake_width,
+      |  ascii(substring(md5(text), 2, 1)) AS fake_height
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  /** Brute-force cosine top-3 neighbors for the first 10 vectors —
+    * exact ANN baseline; all math in sequential double folds. */
+  def embedKnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnBrute(emb, emb.filter(col("vec_id") < 10), k = 3)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val embedKnnSql: String = {
+    val dp = "list_aggregate(list_transform(list_zip(%s, %s), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    val dqn = dp.format("q_vec", "n_vec")
+    val dqq = dp.format("q_vec", "q_vec")
+    val dnn = dp.format("n_vec", "n_vec")
+    s"""SELECT q_id, rank, n_id, sim FROM (
+       |  SELECT q_id, n_id, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      $dqn / (sqrt($dqq) * sqrt($dnn)) AS sim
+       |    FROM (SELECT vec_id, embedding AS q_vec FROM embeddings
+       |          WHERE vec_id < 10) q,
+       |         (SELECT vec_id, embedding AS n_vec FROM embeddings) c
+       |    WHERE q.vec_id != c.vec_id))
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** LSH-bucketed approximate KNN (the scale path) — rows-only check. */
+  def embedKnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), k = 3, bits = 4)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_dedup_exact" -> dedupExact,
+    "doc_dedup_fingerprint" -> dedupFingerprint,
+    "doc_token_stats" -> tokenStats,
+    "doc_quality" -> quality,
+    "doc_langid" -> langid,
+    "doc_jaccard_pairs" -> jaccardPairs,
+    "doc_minhash_pairs" -> minhashPairs,
+    "doc_simhash_pairs" -> simhashPairs,
+    "doc_multimodal" -> multimodal,
+    "embed_knn" -> embedKnn,
+    "embed_knn_lsh" -> embedKnnLsh)
+
+  override def oracle: Map[String, String] = Map(
+    "doc_dedup_exact" -> dedupExactSql,
+    "doc_dedup_fingerprint" -> dedupFingerprintSql,
+    "doc_token_stats" -> tokenStatsSql,
+    "doc_quality" -> qualitySql,
+    "doc_langid" -> langidSql,
+    "doc_jaccard_pairs" -> jaccardPairsSql,
+    "doc_multimodal" -> multimodalSql,
+    "embed_knn" -> embedKnnSql)
+}
