@@ -119,15 +119,19 @@ object TextOps extends QueryPack {
        |WHERE jac >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
   /** MinHash+LSH near-dup pairs (the scale path) — no SQL oracle
-    * (engine-native xxhash64); rows-only check + unit tests. */
+    * (engine-native xxhash64); rows-only check + unit tests. Input is
+    * capped to a deterministic id range: the synthetic corpus has a
+    * 31-word vocabulary, so near-dup PAIR count grows quadratically with
+    * corpus size regardless of algorithm — real corpora don't. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashPairs(Tables.documents(s, dir), "doc_id", "text",
-        numHashes = 32, bands = 8, threshold = 0.9)
+    Dedup.minhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs — rows-only check. */
+  /** SimHash near-dup pairs — rows-only check; same cap rationale. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text", maxDist = 3)
+    Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "doc_id", "text", maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Multimodal plumbing: ingest text as binary payload, run the stub

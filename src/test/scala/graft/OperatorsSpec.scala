@@ -1,0 +1,82 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{AsOfJoin, Sessionize, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofPrev attaches latest prior right row, inclusive at equality") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "t1"),
+      (1L, ts("2024-01-01 10:05:00"), "t2"),
+      (2L, ts("2024-01-01 09:00:00"), "t3")
+    ).toDF("key", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:59:00"), 100.0),
+      (1L, ts("2024-01-01 10:05:00"), 101.0), // equal ts -> matches t2
+      (2L, ts("2024-01-01 09:30:00"), 50.0)   // after t3 -> no match
+    ).toDF("key", "qt", "px")
+
+    val got = AsOfJoin.asofPrev(trades, quotes, "key", "t", "qt", Seq("px"))
+      .select($"trade", $"asof_px").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(got("t1").contains(100.0))
+    assert(got("t2").contains(101.0))   // inclusive <=
+    assert(got("t3").isEmpty)           // quote is after the trade
+  }
+
+  test("sessionize splits on gap and aggregates sessions") {
+    val ev = Seq(
+      (7L, ts("2024-01-01 00:00:00"), 1.0),
+      (7L, ts("2024-01-01 00:10:00"), 2.0),
+      (7L, ts("2024-01-01 01:10:00"), 3.0), // 60 min gap -> new session
+      (8L, ts("2024-01-01 05:00:00"), 4.0)
+    ).toDF("user_id", "ts", "value")
+    val got = Sessionize.summarize(ev, "user_id", "ts", "value", gapSeconds = 1800)
+      .orderBy("user_id", "session_idx").collect()
+    assert(got.length == 3)
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(0).getAs[Double]("sum_value") == 3.0)
+    assert(got(1).getAs[Long]("session_idx") == 1)
+    assert(got(1).getAs[Long]("duration_us") == 0L)
+  }
+
+  test("cosine: identical vectors 1.0, orthogonal 0.0") {
+    val df = Seq(
+      (Seq(1.0f, 0.0f), Seq(1.0f, 0.0f)),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 2.0f))
+    ).toDF("a", "b")
+    val sims = df.select(Similarity.cosine($"a", $"b")).as[Double].collect()
+    assert(sims(0) == 1.0)
+    assert(sims(1) == 0.0)
+  }
+
+  test("knnBrute ranks by similarity and excludes self") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnBrute(emb, emb.filter($"vec_id" === 0), k = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("n_id")).toSeq == Seq(1L, 2L))
+    assert(got(0).getAs[Int]("rank") == 1)
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("queries and oracleSql keys line up") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
+  }
+}

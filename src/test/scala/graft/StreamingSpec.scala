@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming coverage (SURVEY.md §2.10): event-time tumbling
+  * windows + watermark (superset of the reference, which has no
+  * event-time semantics) and bounded-key incremental aggregation
+  * (streaming_groupby parity, cpp/include/cudf/groupby.hpp:478) via the
+  * state store.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("tumbling event-time window agg over a stream matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+
+    val q = agg.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("win_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "a", 1.0),
+        (ts("2024-01-01 00:02:00"), "a", 2.0),
+        (ts("2024-01-01 00:06:00"), "a", 4.0),
+        (ts("2024-01-01 00:03:00"), "b", 8.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_type, n, v FROM win_out ORDER BY event_type, n")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      // window [00:00,00:05): a -> (2, 3.0), b -> (1, 8.0); [00:05,00:10): a -> (1, 4.0)
+      assert(rows.toSet == Set(("a", 1L, 4.0), ("a", 2L, 3.0), ("b", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("incremental grouped aggregation accumulates across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val counts = input.toDF().toDF("k", "v")
+      .groupBy($"k").agg(sum($"v").as("total"))
+
+    val q = counts.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sg_out").start()
+    try {
+      input.addData(("x", 1L), ("y", 2L))
+      q.processAllAvailable()
+      input.addData(("x", 10L))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT k, total FROM sg_out ORDER BY k")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got == Seq(("x", 11L), ("y", 2L)))
+    } finally q.stop()
+  }
+}
