@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions (SURVEY.md §2.12 + §7 step 6): the cases
+  * where the reference has an operator Spark lacks and composition is
+  * uglier than a native expression. Each follows the preference order
+  * from SURVEY §7: codegen'd UnaryExpression where hot,
+  * CodegenFallback where the kernel is a scalar Scala routine.
+  */
+
+/** normalize_nans_and_zeros (cpp/include/cudf/replace.hpp:282): maps
+  * -0.0 → +0.0 and any NaN → the canonical quiet NaN, so that
+  * aggregation/join key semantics are stable. Full codegen. */
+case class NormalizeNaNZero(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val d = v.asInstanceOf[Double]
+    if (d.isNaN) Double.NaN else if (d == 0.0) 0.0 else d
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = Double.isNaN($c) ? Double.NaN : (($c == 0.0d) ? 0.0d : $c);")
+  override protected def withNewChildInternal(c: Expression): NormalizeNaNZero =
+    copy(child = c)
+}
+
+/** Porter stemmer (cpp/include/nvtext/stemmer.hpp) — scalar kernel in
+  * Scala, CodegenFallback (stemming is branch-heavy; the win is avoiding
+  * a UDF's serialization boundary, not codegen fusion). */
+case class PorterStem(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(PorterStem.stem(v.toString))
+  override protected def withNewChildInternal(c: Expression): PorterStem =
+    copy(child = c)
+}
+
+object PorterStem {
+  // Classic Porter (1980) algorithm, steps 1a-5b, ASCII lower-case input.
+  private def isVowel(w: String, i: Int): Boolean = w.charAt(i) match {
+    case 'a' | 'e' | 'i' | 'o' | 'u' => true
+    case 'y' => i > 0 && !isVowel(w, i - 1)
+    case _ => false
+  }
+  /** m = number of VC sequences in the stem. */
+  private def measure(w: String): Int = {
+    var m = 0; var i = 0; val n = w.length
+    while (i < n && !isVowel(w, i)) i += 1
+    while (i < n) {
+      while (i < n && isVowel(w, i)) i += 1
+      if (i < n) { m += 1; while (i < n && !isVowel(w, i)) i += 1 }
+    }
+    m
+  }
+  private def hasVowel(w: String): Boolean = w.indices.exists(isVowel(w, _))
+  private def endsDoubleC(w: String): Boolean =
+    w.length >= 2 && w.last == w.charAt(w.length - 2) && !isVowel(w, w.length - 1)
+  /** *o: stem ends cvc where final c is not w, x or y. */
+  private def endsCvc(w: String): Boolean =
+    w.length >= 3 && !isVowel(w, w.length - 3) && isVowel(w, w.length - 2) &&
+      !isVowel(w, w.length - 1) && !"wxy".contains(w.last)
+
+  private def replace(w: String, suf: String, rep: String, minM: Int): Option[String] =
+    if (w.endsWith(suf)) {
+      val stem = w.dropRight(suf.length)
+      if (measure(stem) > minM) Some(stem + rep) else None
+    } else None
+
+  def stem(word: String): String = {
+    if (word.length <= 2) return word
+    var w = word
+    // Step 1a
+    if (w.endsWith("sses")) w = w.dropRight(2)
+    else if (w.endsWith("ies")) w = w.dropRight(2)
+    else if (!w.endsWith("ss") && w.endsWith("s")) w = w.dropRight(1)
+    // Step 1b
+    var extra = false
+    if (w.endsWith("eed")) { if (measure(w.dropRight(3)) > 0) w = w.dropRight(1) }
+    else if (w.endsWith("ed") && hasVowel(w.dropRight(2))) { w = w.dropRight(2); extra = true }
+    else if (w.endsWith("ing") && hasVowel(w.dropRight(3))) { w = w.dropRight(3); extra = true }
+    if (extra) {
+      if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w = w + "e"
+      else if (endsDoubleC(w) && !"lsz".contains(w.last)) w = w.dropRight(1)
+      else if (measure(w) == 1 && endsCvc(w)) w = w + "e"
+    }
+    // Step 1c
+    if (w.endsWith("y") && hasVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
+    // Step 2
+    val step2 = Seq("ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+      "anci" -> "ance", "izer" -> "ize", "abli" -> "able", "alli" -> "al",
+      "entli" -> "ent", "eli" -> "e", "ousli" -> "ous", "ization" -> "ize",
+      "ation" -> "ate", "ator" -> "ate", "alism" -> "al", "iveness" -> "ive",
+      "fulness" -> "ful", "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
+      "biliti" -> "ble")
+    step2.collectFirst { case (s, r) if replace(w, s, r, 0).isDefined =>
+      replace(w, s, r, 0).get }.foreach(w = _)
+    // Step 3
+    val step3 = Seq("icate" -> "ic", "ative" -> "", "alize" -> "al",
+      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
+    step3.collectFirst { case (s, r) if replace(w, s, r, 0).isDefined =>
+      replace(w, s, r, 0).get }.foreach(w = _)
+    // Step 4
+    val step4 = Seq("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+      "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+    step4.collectFirst {
+      case s if w.endsWith(s) && measure(w.dropRight(s.length)) > 1 &&
+        (s != "ion" || (w.length > s.length &&
+          "st".contains(w.charAt(w.length - s.length - 1)))) =>
+        w.dropRight(s.length)
+    }.foreach(w = _)
+    if (w.endsWith("ion") && measure(w.dropRight(3)) > 1 &&
+        w.length > 3 && "st".contains(w.charAt(w.length - 4)))
+      w = w.dropRight(3)
+    // Step 5a
+    if (w.endsWith("e")) {
+      val stem = w.dropRight(1)
+      val m = measure(stem)
+      if (m > 1 || (m == 1 && !endsCvc(stem))) w = stem
+    }
+    // Step 5b
+    if (measure(w) > 1 && endsDoubleC(w) && w.endsWith("l")) w = w.dropRight(1)
+    w
+  }
+}
+
+/** EWMA window aggregate (EWMA agg kind, cpp/include/cudf/
+  * aggregation.hpp:106; python/cudf/cudf/core/window/ewm.py):
+  * s_t = alpha*x_t + (1-alpha)*s_{t-1}, evaluated as a running window
+  * function over the frame order. DeclarativeAggregate → pure
+  * expressions, codegen-friendly. */
+case class Ewma(child: Expression, alpha: Double)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  private lazy val state = AttributeReference("ewma_state", DoubleType)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(state)
+  override lazy val initialValues: Seq[Expression] = Seq(Literal(null, DoubleType))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(state), Cast(child, DoubleType),
+      If(IsNull(child), state,
+        Add(Multiply(Literal(alpha), Cast(child, DoubleType)),
+          Multiply(Literal(1.0 - alpha), state)))))
+  override lazy val mergeExpressions: Seq[Expression] =
+    // Order-dependent: EWMA only merges trivially when one side is empty.
+    Seq(If(IsNull(state.right), state.left, state.right))
+  override lazy val evaluateExpression: Expression = state
+  override protected def withNewChildInternal(c: Expression): Ewma =
+    copy(child = c)
+}
+
+/** Column-API entry points for the custom expressions + SQL registration
+  * (spark.udf-style FunctionRegistry surface, SURVEY §2.12). */
+object GraftExpressions {
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+
+  def normalizeNanZero(c: Column): Column = column(NormalizeNaNZero(expression(c)))
+  def porterStem(c: Column): Column = column(PorterStem(expression(c)))
+  def ewma(c: Column, alpha: Double): Column =
+    column(Ewma(expression(c), alpha).toAggregateExpression())
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("normalize_nan_zero",
+      es => NormalizeNaNZero(es.head), "built-in")
+    reg.createOrReplaceTempFunction("porter_stem",
+      es => PorterStem(es.head), "built-in")
+  }
+}

@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.Tables
+import graft.sources.Io
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import QueryPack._
+
+/** Source/sink round-trip queries (SURVEY.md §2.1). Each query writes a
+  * deterministic slice to a scratch dir in the engine's own sink format,
+  * reads it back with the matching source (schema inference where the
+  * reference infers), and aggregates — so the oracle (which reads the
+  * original parquet) only matches if the round trip was lossless.
+  */
+object IoPack extends QueryPack {
+
+  private def scratch(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+
+  /** CSV write → read with dtype inference (csv.hpp:1350,1755). */
+  def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice", $"o_orderpriority")
+    Io.csvRoundTrip(slice, scratch("csv_orders"))
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice", 2).as("sum_price"),
+        min($"o_orderkey").as("min_key"), max($"o_orderpriority").as("max_prio"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val csvRoundTripSql: String =
+    s"""SELECT o_orderstatus, count(*) AS n,
+       |  ${dsumSql("o_totalprice", 2)} AS sum_price,
+       |  min(o_orderkey) AS min_key, max(o_orderpriority) AS max_prio
+       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** NDJSON write → schema read (json.hpp:926,1451). */
+  def jsonRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"event_type", $"value")
+    Io.jsonRoundTrip(slice, scratch("json_events"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value", 2).as("sum_value"),
+        max($"event_id").as("max_id"))
+      .orderBy($"event_type")
+  }
+
+  val jsonRoundTripSql: String =
+    s"""SELECT event_type, count(*) AS n, ${dsumSql("value", 2)} AS sum_value,
+       |  max(event_id) AS max_id
+       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** ORC write → read incl. timestamps (orc.hpp:464,1076). */
+  def orcRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_shipdate")
+    Io.orcRoundTrip(slice, scratch("orc_lineitem"))
+      .groupBy(year($"l_shipdate").as("ship_year"))
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity", 2).as("sum_qty"))
+      .orderBy($"ship_year")
+  }
+
+  val orcRoundTripSql: String =
+    s"""SELECT year(l_shipdate) AS ship_year, count(*) AS n,
+       |  ${dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin
+
+  /** Custom-delimiter text records (text/multibyte_split.hpp:37):
+    * write ';'-separated records, read with lineSep, aggregate lengths. */
+  def textDelim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch("text_nation")
+    Tables.nation(s, dir).orderBy($"n_nationkey")
+      .select(concat_ws(":", $"n_nationkey", $"n_name").as("value"))
+      .agg(concat_ws(";", collect_list($"value")).as("value"))
+      .coalesce(1).write.mode("overwrite").text(path)
+    // The text sink appends a final newline; strip it so record lengths
+    // reflect the delimited payload only.
+    Io.readTextDelim(s, path, ";")
+      .select(rtrim($"value", "\n").as("value"))
+      .agg(count(lit(1)).as("n_records"),
+        sum(length($"value")).as("total_chars"),
+        min(length($"value")).as("min_len"))
+  }
+
+  val textDelimSql: String =
+    """SELECT count(*) AS n_records,
+      |  sum(length(n_nationkey || ':' || n_name)) AS total_chars,
+      |  min(length(n_nationkey || ':' || n_name)) AS min_len
+      |FROM nation""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_csv_roundtrip" -> csvRoundTrip,
+    "io_json_roundtrip" -> jsonRoundTrip,
+    "io_orc_roundtrip" -> orcRoundTrip,
+    "io_text_delim" -> textDelim)
+
+  override def oracle: Map[String, String] = Map(
+    "io_csv_roundtrip" -> csvRoundTripSql,
+    "io_json_roundtrip" -> jsonRoundTripSql,
+    "io_orc_roundtrip" -> orcRoundTripSql,
+    "io_text_delim" -> textDelimSql)
+}

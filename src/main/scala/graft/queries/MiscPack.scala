@@ -1,0 +1,144 @@
+package graft.queries
+
+import graft.Tables
+import graft.plans.GraftExpressions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Remaining §2.8/§2.4/§2.13 surface: binning (label_bins/cut),
+  * membership (contains/isin), ipv4 int↔string conversion, approximate
+  * sketches (approx_count_distinct / percentile_approx ≙ NUNIQUE-approx /
+  * TDIGEST contracts), seeded sampling, Porter stems, EWMA windows.
+  * Sketch/sample/hash-seeded results are engine-specific → rows-only
+  * checks; everything else is oracle-checked.
+  */
+object MiscPack extends QueryPack {
+
+  /** label_bins (labeling/label_bins.hpp:61) / cut (core/cut.py):
+    * fixed-width bins via deterministic double arithmetic. */
+  def binLabel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .withColumn("bin",
+        least(greatest(floor($"o_totalprice" / 50000.0), lit(0)), lit(9))
+          .cast("int"))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), min($"o_totalprice").as("lo"),
+        max($"o_totalprice").as("hi"))
+      .orderBy($"bin")
+  }
+
+  val binLabelSql: String =
+    """SELECT CAST(least(greatest(floor(o_totalprice / 50000.0), 0), 9) AS INT)
+      |    AS bin,
+      |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
+
+  /** contains(haystack, needles) (search.hpp:130) → isin. */
+  def isinFilter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderpriority", $"o_orderstatus")
+  }
+
+  val isinFilterSql: String =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |GROUP BY o_orderpriority, o_orderstatus
+      |ORDER BY o_orderpriority, o_orderstatus""".stripMargin
+
+  /** ipv4 int↔dotted-string conversion (strings/convert/convert_ipv4.hpp):
+    * derive a pseudo-ip from the key, format, re-parse, verify identity. */
+  def ipv4RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("ip_num", ($"event_id" * 2654435761L) % 4294967296L)
+      .withColumn("ip_str", concat_ws(".",
+        shiftrightunsigned($"ip_num", 24) % 256,
+        shiftrightunsigned($"ip_num", 16) % 256,
+        shiftrightunsigned($"ip_num", 8) % 256,
+        $"ip_num" % 256))
+      .withColumn("ip_back",
+        element_at(split($"ip_str", "\\."), 1).cast("long") * 16777216 +
+        element_at(split($"ip_str", "\\."), 2).cast("long") * 65536 +
+        element_at(split($"ip_str", "\\."), 3).cast("long") * 256 +
+        element_at(split($"ip_str", "\\."), 4).cast("long"))
+      .select($"event_id", $"ip_num", $"ip_str",
+        ($"ip_back" === $"ip_num").as("roundtrip_ok"))
+      .orderBy($"event_id")
+  }
+
+  val ipv4RoundTripSql: String =
+    """SELECT event_id, ip_num,
+      |  ((ip_num >> 24) % 256) || '.' || ((ip_num >> 16) % 256) || '.' ||
+      |  ((ip_num >> 8) % 256) || '.' || (ip_num % 256) AS ip_str,
+      |  true AS roundtrip_ok
+      |FROM (SELECT event_id, (event_id * 2654435761) % 4294967296 AS ip_num
+      |      FROM events)
+      |ORDER BY event_id""".stripMargin
+
+  /** Approximate sketches (TDIGEST aggregation.hpp:113 →
+    * percentile_approx; NUNIQUE-approx → approx_count_distinct; HLL ≙
+    * the streaming approx-distinct test). Engine-specific estimates →
+    * rows-only check; determinism within Spark is covered by tests. */
+  def aggApprox(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_p50"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("approx_p99"))
+      .orderBy($"l_returnflag")
+  }
+
+  /** Seeded row sampling (copying.hpp:883 sample) — deterministic within
+    * Spark for a fixed seed; rows-only check. */
+  def sampleSeeded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir).sample(withReplacement = false, 0.1, seed = 42)
+      .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
+      .orderBy($"o_orderstatus")
+  }
+
+  /** Porter stems of the document corpus (nvtext/stemmer.hpp) via the
+    * custom PorterStem expression — rows-only (no DuckDB stemmer). */
+  def docStems(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.tokens
+    Tables.documents(s, dir)
+      .select(explode(tokens($"text")).as("tok"))
+      .select(GraftExpressions.porterStem($"tok").as("stem"))
+      .groupBy($"stem").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"stem")
+      .limit(25)
+  }
+
+  /** EWMA over per-user event values (EWMA agg kind, ewm.py) via the
+    * custom DeclarativeAggregate window function — rows-only. */
+  def eventsEwma(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"value",
+        GraftExpressions.ewma($"value", 0.3).over(w).as("ewma_v"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bin_label" -> binLabel,
+    "isin_filter" -> isinFilter,
+    "ipv4_roundtrip" -> ipv4RoundTrip,
+    "agg_approx" -> aggApprox,
+    "sample_seeded" -> sampleSeeded,
+    "doc_stems" -> docStems,
+    "events_ewma" -> eventsEwma)
+
+  override def oracle: Map[String, String] = Map(
+    "bin_label" -> binLabelSql,
+    "isin_filter" -> isinFilterSql,
+    "ipv4_roundtrip" -> ipv4RoundTripSql)
+}

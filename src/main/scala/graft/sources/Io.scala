@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink coverage (SURVEY.md §2.1 — cpp/src/io, the reference's
+  * largest subsystem). Spark's built-in readers provide the same option
+  * surface: dtype inference (csv.hpp:1350 dtype options ≙ inferSchema),
+  * per-row JSON diagnostics (json.hpp:1021 ≙ PERMISSIVE +
+  * columnNameOfCorruptRecord), byte-range chunking (≙ file splits /
+  * maxPartitionBytes), and predicate pushdown in parquet/orc footers.
+  *
+  * Avro (avro.hpp:217) maps to the `spark-avro` data source, which is
+  * not on this environment's classpath — documented gap, not a design
+  * gap. Kafka (custreamz) maps to readStream.format("kafka"), same note.
+  */
+object Io {
+
+  /** CSV sink + source round trip. Doubles survive exactly: Spark writes
+    * shortest-round-trip decimal strings. */
+  def csvRoundTrip(df: DataFrame, path: String, inferSchema: Boolean = true): DataFrame = {
+    df.write.mode("overwrite").option("header", "true").csv(path)
+    val r = df.sparkSession.read.option("header", "true")
+    (if (inferSchema) r.option("inferSchema", "true")
+     else r.schema(df.schema)).csv(path)
+  }
+
+  /** NDJSON (json-lines) sink + source round trip (json.hpp:926,1451). */
+  def jsonRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").json(path)
+    df.sparkSession.read.schema(df.schema).json(path)
+  }
+
+  /** ORC sink + source round trip (orc.hpp:464,1076). */
+  def orcRoundTrip(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").orc(path)
+    df.sparkSession.read.orc(path)
+  }
+
+  /** PERMISSIVE NDJSON read with per-row diagnostics (json.hpp:1021
+    * read_json_with_diagnostics ≙ columnNameOfCorruptRecord). */
+  def readJsonPermissive(spark: SparkSession, schema: StructType,
+      path: String): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", "string"))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Delimited text chunker (text/multibyte_split.hpp:37): custom record
+    * separator via lineSep; each record becomes one row. */
+  def readTextDelim(spark: SparkSession, path: String, delim: String): DataFrame =
+    spark.read.option("lineSep", delim).text(path)
+}

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark 4's Column↔Expression conversion, which is
+  * private[sql] (the standard extension-library shim pattern). Kept to
+  * exactly two forwarders so the engine's custom Catalyst expressions
+  * (graft.plans) can expose a public Column API.
+  */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.Io
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+class IoSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft_$name").toString + "/out"
+
+  test("csv round trip preserves ints, strings, and doubles exactly") {
+    val df = Seq((1L, "a,b", 1.25), (2L, "c\"d", 0.1), (3L, "", -2.5e-10))
+      .toDF("k", "s", "v")
+    val back = Io.csvRoundTrip(df, tmp("csv"), inferSchema = true)
+      .orderBy("k").collect()
+    // inferSchema narrows small ints to IntegerType — value-compare.
+    assert(back.map(_.getAs[Number](0).longValue).toSeq == Seq(1L, 2L, 3L))
+    assert(back(0).getString(1) == "a,b" && back(1).getString(1) == "c\"d")
+    assert(back.map(_.getDouble(2)).toSeq == Seq(1.25, 0.1, -2.5e-10))
+  }
+
+  test("json PERMISSIVE mode captures corrupt records per-row") {
+    val dir = Files.createTempDirectory("graft_ndjson")
+    val file = dir.resolve("data.json")
+    Files.writeString(file,
+      """{"k": 1, "s": "ok"}
+        |{"k": BROKEN
+        |{"k": 3, "s": "fine"}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("s", StringType)))
+    // Spark disallows querying only the corrupt-record column from a raw
+    // file scan — cache the parsed result first (documented behavior).
+    val got = Io.readJsonPermissive(spark, schema, file.toString).cache()
+    assert(got.count() == 3)
+    assert(got.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(got.filter(col("_corrupt_record").isNull).count() == 2)
+  }
+
+  test("orc round trip preserves timestamps") {
+    val df = Seq((1L, java.sql.Timestamp.valueOf("1996-02-29 13:14:15.123456")))
+      .toDF("k", "t")
+    val back = Io.orcRoundTrip(df, tmp("orc")).collect()
+    assert(back(0).getTimestamp(1) ==
+      java.sql.Timestamp.valueOf("1996-02-29 13:14:15.123456"))
+  }
+
+  test("custom-delimiter text read splits records on the delimiter") {
+    val dir = Files.createTempDirectory("graft_text")
+    val file = dir.resolve("recs.txt")
+    Files.writeString(file, "alpha;beta;gamma")
+    val got = Io.readTextDelim(spark, file.toString, ";")
+      .as[String].collect().sorted
+    assert(got.toSeq == Seq("alpha", "beta", "gamma"))
+  }
+}
