@@ -1,0 +1,35 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Reshape façades (SURVEY.md §2.9 — reshape.py melt/pivot/crosstab/
+  * get_dummies, transpose.hpp:39).
+  */
+object Reshape {
+
+  /** get_dummies / one_hot_encode (reshape.py:784, transform.hpp:384):
+    * one indicator column per category value. Values must be enumerated
+    * (or discovered first) — at scale pass them explicitly to avoid a
+    * discovery pass. */
+  def oneHot(df: DataFrame, col0: String, values: Seq[String]): DataFrame =
+    values.foldLeft(df) { (d, v) =>
+      d.withColumn(s"${col0}_$v", when(col(col0) === v, 1).otherwise(0))
+    }
+
+  /** crosstab (reshape.py:1543) — counts of a × b. Thin façade over
+    * stat.crosstab (groupBy+pivot underneath). */
+  def crosstab(df: DataFrame, a: String, b: String): DataFrame =
+    df.stat.crosstab(a, b)
+
+  /** transpose (transpose.hpp:39) — rows↔columns for a BOUNDED frame
+    * (the reference's transpose is also a full-materialization op; at
+    * scale this only makes sense on small aggregated outputs).
+    * Implemented as unpivot → pivot on the given id column. */
+  def transpose(df: DataFrame, idCol: String): DataFrame = {
+    val valueCols = df.columns.filterNot(_ == idCol)
+    val long = df.unpivot(Array(col(idCol)),
+      valueCols.map(c => col(c).cast("double")), "metric", "val")
+    long.groupBy(col("metric")).pivot(idCol).agg(first(col("val")))
+  }
+}

@@ -148,7 +148,43 @@ object Nested extends QueryPack {
     """SELECT o_orderkey, o_orderstatus AS status, o_totalprice * 2 AS dbl_price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** get_dummies / one_hot_encode (reshape.py:784, transform.hpp:384). */
+  def oneHot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Reshape.oneHot(Tables.orders(s, dir),
+        "o_orderstatus", Seq("F", "O", "P"))
+      .groupBy($"o_orderpriority")
+      .agg(sum($"o_orderstatus_F").as("n_f"),
+        sum($"o_orderstatus_O").as("n_o"),
+        sum($"o_orderstatus_P").as("n_p"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val oneHotSql: String =
+    """SELECT o_orderpriority,
+      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** crosstab (reshape.py:1543) via stat.crosstab. */
+  def crosstabQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Reshape.crosstab(Tables.lineitem(s, dir),
+        "l_returnflag", "l_linestatus")
+      .orderBy($"l_returnflag_l_linestatus")
+  }
+
+  val crosstabSql: String =
+    """SELECT l_returnflag AS l_returnflag_l_linestatus,
+      |  count(*) FILTER (WHERE l_linestatus = 'F') AS F,
+      |  count(*) FILTER (WHERE l_linestatus = 'O') AS O
+      |FROM lineitem GROUP BY l_returnflag
+      |ORDER BY l_returnflag_l_linestatus""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "reshape_onehot" -> oneHot,
+    "reshape_crosstab" -> crosstabQ,
     "arr_ops" -> arrOps,
     "arr_lambda" -> arrLambda,
     "seq_explode" -> seqExplode,
@@ -157,6 +193,8 @@ object Nested extends QueryPack {
     "struct_ops" -> structOps)
 
   override def oracle: Map[String, String] = Map(
+    "reshape_onehot" -> oneHotSql,
+    "reshape_crosstab" -> crosstabSql,
     "arr_ops" -> arrOpsSql,
     "arr_lambda" -> arrLambdaSql,
     "seq_explode" -> seqExplodeSql,

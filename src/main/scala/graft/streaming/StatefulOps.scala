@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Incremental per-key aggregation over a stream — parity with the
+  * reference's `streaming_groupby` (cpp/include/cudf/groupby.hpp:478-520:
+  * persistent hash table, batchwise feed, bounded state).
+  *
+  * Spark mapping: flatMapGroupsWithState with explicit GroupState — the
+  * state store is the persistent hash table and micro-batches are the
+  * feeds. The reference bounds state with a hard max_distinct_keys cap
+  * (it errors past the cap); the idiomatic Spark bound is state
+  * EVICTION — processing-time timeout (here) or event-time watermark —
+  * which keeps state finite on unbounded key domains instead of failing.
+  */
+object StatefulOps {
+
+  case class KeyAgg(key: String, count: Long, sum: Double)
+
+  implicit private val stateEnc: Encoder[(Long, Double)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+  implicit private val outEnc: Encoder[KeyAgg] = Encoders.product[KeyAgg]
+
+  /** Running (count, sum) per key across micro-batches. If
+    * `ttlMillis > 0`, idle keys are evicted after the TTL (bounded
+    * state); an evicted key restarts from zero on its next event. */
+  def runningAgg(grouped: KeyValueGroupedDataset[String, (String, Double)],
+      ttlMillis: Long = 0L): Dataset[KeyAgg] = {
+    val timeout = if (ttlMillis > 0) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    grouped.flatMapGroupsWithState[(Long, Double), KeyAgg](
+      OutputMode.Update(), timeout) {
+      case (key, rows, state: GroupState[(Long, Double)]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          val (c0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var c = c0; var s = s0
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
+          Iterator.single(KeyAgg(key, c, s))
+        }
+    }
+  }
+}

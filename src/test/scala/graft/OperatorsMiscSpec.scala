@@ -1,0 +1,69 @@
+package graft
+
+import graft.functions.Udfs
+import graft.operators.{Reshape, Salting}
+import graft.streaming.StatefulOps
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class OperatorsMiscSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ProductAgg and GeoMeanAgg via SQL udaf registration") {
+    Udfs.register(spark)
+    Seq(("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 5.0))
+      .toDF("k", "v").createOrReplaceTempView("t")
+    val got = spark.sql(
+      "SELECT k, product_agg(v) AS p, geomean_agg(v) AS g FROM t GROUP BY k ORDER BY k")
+      .collect()
+    assert(got(0).getDouble(1) == 24.0)
+    assert(math.abs(got(0).getDouble(2) - math.pow(24.0, 1.0 / 3)) < 1e-12)
+    assert(got(1).getDouble(1) == 5.0)
+  }
+
+  test("saltedJoin matches plain join results") {
+    val fact = Seq((1, "x1"), (1, "x2"), (1, "x3"), (2, "y")).toDF("k", "payload")
+    val dim = Seq((1, "one"), (2, "two"), (3, "three")).toDF("k", "name")
+    val plain = fact.join(dim, "k").select("k", "payload", "name")
+      .collect().map(_.toSeq).toSet
+    val salted = Salting.saltedJoin(fact, dim, "k", n = 4)
+      .select("k", "payload", "name").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("oneHot produces indicator columns") {
+    val got = Reshape.oneHot(Seq("a", "b", "a").toDF("c"), "c", Seq("a", "b"))
+      .agg(sum($"c_a"), sum($"c_b")).head()
+    assert(got.getLong(0) == 2L && got.getLong(1) == 1L)
+  }
+
+  test("transpose flips a bounded frame") {
+    val df = Seq(("r1", 1.0, 2.0), ("r2", 3.0, 4.0)).toDF("id", "m1", "m2")
+    val t = Reshape.transpose(df, "id").orderBy("metric").collect()
+    assert(t.map(_.getString(0)).toSeq == Seq("m1", "m2"))
+    assert(t(0).getDouble(1) == 1.0 && t(0).getDouble(2) == 3.0)
+    assert(t(1).getDouble(1) == 2.0 && t(1).getDouble(2) == 4.0)
+  }
+
+  test("stateful runningAgg accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val grouped = input.toDS().groupByKey(_._1)
+    val out = StatefulOps.runningAgg(grouped)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    try {
+      input.addData(("k1", 1.0), ("k1", 2.0), ("k2", 10.0))
+      q.processAllAvailable()
+      input.addData(("k1", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        """SELECT key, max(count) AS c, max(sum) AS s
+          |FROM state_out GROUP BY key ORDER BY key""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq == Seq(("k1", 3L, 7.0), ("k2", 1L, 10.0)))
+    } finally q.stop()
+  }
+}
