@@ -22,6 +22,12 @@ object TextFunctions {
   /** Whitespace normalizer (nvtext/normalize.hpp). */
   def normalizeWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
 
+  /** BPE-style pretokenizer (north star "BPE-ish regex"; the regex split
+    * that precedes merge-table lookup in byte_pair_encoding.hpp): runs of
+    * letters, runs of digits, or single non-space symbols. */
+  def bpeRegexTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+
   /** Token count (tokenize.hpp count_tokens). */
   def tokenCount(c: Column): Column = size(tokens(c))
 

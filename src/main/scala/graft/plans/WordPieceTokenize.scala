@@ -1,0 +1,59 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** WordPiece subword tokenizer (cpp/include/nvtext/wordpiece_tokenize.hpp;
+  * byte_pair_encoding.hpp is the same query surface): greedy
+  * longest-match-first against a vocabulary, continuation pieces prefixed
+  * "##", unknown words → [UNK].
+  *
+  * The vocabulary ships inside the expression (task-serialized once per
+  * executor, like the reference's device-resident vocab). For very large
+  * vocabs prefer a broadcast variable + mapPartitions; at typical subword
+  * vocab sizes (30-50k strings) expression capture is fine.
+  */
+case class WordPieceTokenize(child: Expression, vocab: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val vocabSet: Set[String] = vocab.toSet
+  @transient private lazy val maxLen: Int =
+    if (vocab.isEmpty) 0 else vocab.map(_.stripPrefix("##").length).max
+
+  private def tokenizeWord(word: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    while (start < word.length) {
+      var end = math.min(word.length, start + maxLen)
+      var piece: String = null
+      while (end > start && piece == null) {
+        val cand = (if (start > 0) "##" else "") + word.substring(start, end)
+        if (vocabSet.contains(cand)) piece = cand else end -= 1
+      }
+      if (piece == null) return Seq("[UNK]")
+      out += piece
+      start = end
+    }
+    out.toSeq
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val pieces = words.flatMap(tokenizeWord)
+    new GenericArrayData(pieces.map(UTF8String.fromString(_)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordPieceTokenize =
+    copy(child = c)
+}
+
+object WordPieceTokenize {
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+  def apply(c: Column, vocab: Seq[String]): Column =
+    column(WordPieceTokenize(expression(c), vocab))
+}

@@ -117,7 +117,9 @@ object MiscPack extends QueryPack {
   }
 
   /** EWMA over per-user event values (EWMA agg kind, ewm.py) via the
-    * custom DeclarativeAggregate window function — rows-only. */
+    * custom DeclarativeAggregate window function. Oracle: DuckDB
+    * list_reduce folds left with first-element init — identical
+    * recurrence, bit-identical doubles. */
   def eventsEwma(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
@@ -128,7 +130,31 @@ object MiscPack extends QueryPack {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Scalar subquery (uncorrelated) — superset vs reference (SURVEY §4.1:
+    * polars/cudf never see subqueries; Catalyst plans them natively).
+    * Spark side expresses it as a broadcast cross join of the 1-row
+    * exact-decimal average. */
+  def subqueryScalar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import QueryPack._
+    val avgDf = Tables.orders(s, dir).agg(davg($"o_totalprice", 2).as("avg_price"))
+    Tables.orders(s, dir).crossJoin(broadcast(avgDf))
+      .filter($"o_totalprice" > $"avg_price")
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n_above"), min($"o_totalprice").as("min_above"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val subqueryScalarSql: String = {
+    import QueryPack._
+    s"""SELECT o_orderstatus, count(*) AS n_above, min(o_totalprice) AS min_above
+       |FROM orders
+       |WHERE o_totalprice > (SELECT ${davgSql("o_totalprice", 2)} FROM orders)
+       |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
     "isin_filter" -> isinFilter,
     "ipv4_roundtrip" -> ipv4RoundTrip,
@@ -137,8 +163,19 @@ object MiscPack extends QueryPack {
     "doc_stems" -> docStems,
     "events_ewma" -> eventsEwma)
 
+  val eventsEwmaSql: String =
+    """SELECT user_id, event_id, value,
+      |  list_reduce(list(value) OVER w,
+      |    (acc, x) -> 0.3 * x + (1.0 - 0.3) * acc) AS ewma_v
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   override def oracle: Map[String, String] = Map(
+    "subquery_scalar" -> subqueryScalarSql,
     "bin_label" -> binLabelSql,
     "isin_filter" -> isinFilterSql,
-    "ipv4_roundtrip" -> ipv4RoundTripSql)
+    "ipv4_roundtrip" -> ipv4RoundTripSql,
+    "events_ewma" -> eventsEwmaSql)
 }

@@ -182,7 +182,42 @@ object TextOps extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;
+    * north star "BPE-ish regex" token counting). */
+  def bpeTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("bpe", bpeRegexTokens(col("text")))
+      .select(col("doc_id"), size(col("bpe")).as("n_bpe"),
+        array_join(slice(col("bpe"), 1, 5), " ").as("head5"))
+      .orderBy(col("doc_id"))
+
+  val bpeTokensSql: String =
+    raw"""SELECT doc_id, len(bpe) AS n_bpe,
+         |  array_to_string(bpe[1:5], ' ') AS head5
+         |FROM (SELECT doc_id,
+         |        regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS bpe
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+
+  /** WordPiece subword tokenization via the custom broadcast-vocab
+    * expression — rows-only (no DuckDB analog); exactness via unit tests. */
+  def wordpiece(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Seq(
+      "th", "##e", "jo", "##in", "fil", "##ter", "sc", "##an", "mer", "##ge",
+      "so", "##rt", "da", "##ta", "gro", "##up", "quer", "##y", "ro", "##w",
+      "fa", "##st", "slo", "##w", "ke", "##y", "or", "##der", "ha", "##sh",
+      "a", "the", "and", "of")
+    Tables.documents(s, dir)
+      .select(explode(
+        graft.plans.WordPieceTokenize(col("text"), vocab)).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(25)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_bpe_tokens" -> bpeTokens,
+    "doc_wordpiece" -> wordpiece,
     "doc_dedup_exact" -> dedupExact,
     "doc_dedup_fingerprint" -> dedupFingerprint,
     "doc_token_stats" -> tokenStats,
@@ -196,6 +231,7 @@ object TextOps extends QueryPack {
     "embed_knn_lsh" -> embedKnnLsh)
 
   override def oracle: Map[String, String] = Map(
+    "doc_bpe_tokens" -> bpeTokensSql,
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,
     "doc_token_stats" -> tokenStatsSql,

@@ -158,7 +158,140 @@ object Tpch extends QueryPack {
        |ORDER BY revenue DESC, c_custkey
        |LIMIT 20""".stripMargin
 
+  /** Q4 analog: priority counts of orders having a late-shipped item —
+    * correlated EXISTS becomes a mixed-condition left-semi join. */
+  def q4(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+              $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+    ord.join(Tables.lineitem(s, dir),
+        $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate",
+        "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q4Sql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Q12 analog: per linestatus, high- vs low-priority line counts in a
+    * ship-year — conditional aggregation over a fact-fact join. */
+  def q12(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hi = $"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH"
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-01-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1998-01-01").cast("timestamp"))
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_linestatus")
+      .agg(sum(when(hi, 1).otherwise(0)).as("high_line_count"),
+        sum(when(!hi, 1).otherwise(0)).as("low_line_count"))
+      .orderBy($"l_linestatus")
+  }
+
+  val q12Sql: String =
+    """SELECT l_linestatus,
+      |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS high_line_count,
+      |  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |      THEN 1 ELSE 0 END) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Q14 analog: promo revenue percentage — two exact-decimal sums whose
+    * double quotient is engine-identical. */
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
+              $"l_shipdate" < lit("1997-07-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .agg((lit(100.0) *
+        dsum(when($"p_type" === "ECONOMY",
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0), 6) /
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6))
+        .as("promo_revenue_pct"))
+  }
+
+  val q14Sql: String =
+    s"""SELECT 100.0 *
+       |  ${dsumSql("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END", 6)} /
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)}
+       |  AS promo_revenue_pct
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+       |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin
+
+  /** Q18 analog: large-volume orders — HAVING on a grouped sum, joined
+    * back to customers, top 20. */
+  def q18(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(dsum($"l_quantity", 2).as("total_qty"))
+      .filter($"total_qty" > 150)
+    big.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        $"o_totalprice", $"total_qty")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  val q18Sql: String =
+    s"""SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+       |FROM (SELECT l_orderkey, ${dsumSql("l_quantity", 2)} AS total_qty
+       |      FROM lineitem GROUP BY l_orderkey) big
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |WHERE total_qty > 150
+       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin
+
+  /** Q19 analog: disjunctive brand/size/quantity predicates — Catalyst
+    * pushes the common join key and keeps the OR as a residual. */
+  def q19(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cond =
+      ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+        $"l_quantity".between(1, 11)) ||
+      ($"p_brand" === "Brand#2" && $"p_size".between(1, 25) &&
+        $"l_quantity".between(10, 20)) ||
+      ($"p_brand" === "Brand#3" && $"p_size".between(1, 50) &&
+        $"l_quantity".between(20, 30))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .filter(cond)
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       |       AND l_quantity BETWEEN 1 AND 11)
+       |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+       |       AND l_quantity BETWEEN 10 AND 20)
+       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+       |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_order_priority" -> q4,
+    "q12_shipping_priority_class" -> q12,
+    "q14_promo_revenue" -> q14,
+    "q18_large_orders" -> q18,
+    "q19_disjunctive_filter" -> q19,
     "q1_pricing_summary" -> q1,
     "q3_shipping_priority" -> q3,
     "q5_local_supplier_volume" -> q5,
@@ -166,6 +299,11 @@ object Tpch extends QueryPack {
     "q10_returned_items" -> q10)
 
   override def oracle: Map[String, String] = Map(
+    "q4_order_priority" -> q4Sql,
+    "q12_shipping_priority_class" -> q12Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q18_large_orders" -> q18Sql,
+    "q19_disjunctive_filter" -> q19Sql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier_volume" -> q5Sql,

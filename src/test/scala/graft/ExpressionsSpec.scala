@@ -42,6 +42,15 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == "run")
   }
 
+  test("WordPieceTokenize: greedy longest match, ## continuations, [UNK]") {
+    import graft.plans.WordPieceTokenize
+    val vocab = Seq("un", "##aff", "##able", "aff", "the")
+    val got = Seq("the unaffable zzz").toDF("s")
+      .select(WordPieceTokenize($"s", vocab).as("p"))
+      .as[Seq[String]].head()
+    assert(got == Seq("the", "un", "##aff", "##able", "[UNK]"))
+  }
+
   test("ewma window matches hand computation") {
     val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0))
       .toDF("k", "i", "v")
