@@ -55,17 +55,18 @@ object Dedup {
     * oracle-checkable ground truth. */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
+    // Set sizes ride along through the explode so the pair aggregation
+    // needs no join back to a sizes table (saves two shuffles).
     val toks = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
-    val sizes = toks.select(col("id"), size(col("toks")).as("n"))
-    val inv = toks.select(col("id"), explode(col("toks")).as("tok"))
+    val inv = toks.select(col("id"), size(col("toks")).as("n"),
+      explode(col("toks")).as("tok"))
     val pairs = inv.as("a").join(inv.as("b"),
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
     pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b"), "id_b")
       .withColumn("jac", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jac") >= threshold)

@@ -153,7 +153,34 @@ object MiscPack extends QueryPack {
        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   }
 
+  /** Fixed-point arithmetic (SURVEY §1.2 DECIMAL32/64/128 →
+    * DecimalType): double→decimal casts, scale-adding multiply, exact
+    * sum, rendered as strings (scale-preserving in both engines).
+    * Decimal→decimal scale REDUCTION is excluded: Spark rounds half-up,
+    * DuckDB half-even — documented divergence. */
+  def decimalArith(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(s, dir)
+      .withColumn("price_dec", $"l_extendedprice".cast(DecimalType(12, 2)))
+      .withColumn("disc_dec", $"l_discount".cast(DecimalType(8, 6)))
+      .groupBy($"l_returnflag")
+      .agg(sum($"price_dec" * $"disc_dec").cast("string").as("disc_amt"),
+        max($"price_dec").cast("string").as("max_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val decimalArithSql: String =
+    """SELECT l_returnflag,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |           CAST(l_discount AS DECIMAL(8,6))) AS VARCHAR) AS disc_amt,
+      |  CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS max_price,
+      |  count(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
     "isin_filter" -> isinFilter,
@@ -173,6 +200,7 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "decimal_arith" -> decimalArithSql,
     "subquery_scalar" -> subqueryScalarSql,
     "bin_label" -> binLabelSql,
     "isin_filter" -> isinFilterSql,

@@ -46,6 +46,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window groups events by inactivity gap on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val sessions = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n"), sum($"value").as("v"))
+
+    val q = sessions.writeStream.outputMode(OutputMode.Complete())
+      .format("memory").queryName("sess_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 7L, 1.0),
+        (ts("2024-01-01 00:10:00"), 7L, 2.0),   // same session (gap 10m)
+        (ts("2024-01-01 01:10:00"), 7L, 4.0))   // gap 60m -> new session
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n, v FROM sess_out ORDER BY n")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq((1L, 4.0), (2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("incremental grouped aggregation accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
