@@ -24,18 +24,57 @@ object AsOfJoin {
     *                output prefixed with `asof_`.
     */
   def asofPrev(left: DataFrame, right: DataFrame, key: String,
-      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame =
+    asofPrev(left, right, key, leftTime, rightTime, payload, toleranceMicros = 0L)
+
+  /** As [[asofPrev]], with an optional tolerance: matches farther back
+    * than `toleranceMicros` are nulled out (pandas merge_asof tolerance
+    * semantics). 0 = unbounded. The matched right timestamp is always
+    * carried as `asof___t` for gap computations. */
+  def asofPrev(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String],
+      toleranceMicros: Long): DataFrame = {
     val r = right.select(
       (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
+        unix_micros(col(rightTime)).as("asof___t") +:
         payload.map(c => col(c).as(s"asof_$c"))): _*)
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at equal times → inclusive <=.
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", last(col(s"asof_$c"), ignoreNulls = true).over(w))
+    val carried = ("asof___t" +: payload.map(c => s"asof_$c")).foldLeft(unioned) {
+      (df, name) =>
+        df.withColumn(name, last(col(name), ignoreNulls = true).over(w))
     }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
+    val inTol =
+      if (toleranceMicros <= 0) carried
+      else {
+        val stale = unix_micros(col("__t")) - col("asof___t") > toleranceMicros
+        payload.foldLeft(carried) { (df, c) =>
+          df.withColumn(s"asof_$c",
+            when(stale, lit(null)).otherwise(col(s"asof_$c")))
+        }.withColumn("asof___t", when(stale, lit(null)).otherwise(col("asof___t")))
+      }
+    inTol.filter(col("__side") === 1).drop("__t", "__side")
+  }
+
+  /** Forward as-of: earliest right row with rightTime >= leftTime
+    * (merge_asof direction='forward') — same single-shuffle pattern with
+    * a following-frame `first`. */
+  def asofNext(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    val r = right.select(
+      (col(key) +: col(rightTime).as("__t") +: lit(1).as("__side") +:
+        payload.map(c => col(c).as(s"asof_$c"))): _*)
+    val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Left rows sort before right rows at equal times → inclusive >=.
+    val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val filled = payload.foldLeft(unioned) { (df, c) =>
+      df.withColumn(s"asof_$c", first(col(s"asof_$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 0).drop("__t", "__side")
   }
 }

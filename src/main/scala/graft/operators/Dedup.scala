@@ -96,6 +96,40 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Collapse near-dup PAIRS into clusters: connected components via
+    * iterative min-label propagation. Each round, every id adopts the
+    * minimum label among itself and its neighbors; converges in
+    * O(log(max component diameter)) rounds — the standard
+    * large-graph-on-Spark pattern (bounded iterative joins, checkpointed,
+    * no driver-side adjacency). Returns (id, cluster) where cluster is
+    * the minimum id of the component. */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2"))
+        .agg(min(col("cluster")).as("nbr_min"))
+      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"))
+        .cache()
+      val changes = updated.as("u").join(labels.as("l"), "id")
+        .filter(col("u.cluster") =!= col("l.cluster")).count()
+      labels = updated
+      converged = changes == 0
+      i += 1
+    }
+    labels
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
     * 4×16-bit band buckets (pigeonhole: any pair within distance 3 shares
     * at least one of 4 bands) then exact Hamming verification. */

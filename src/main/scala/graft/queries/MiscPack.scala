@@ -179,7 +179,47 @@ object MiscPack extends QueryPack {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** lower/upper_bound searchsorted (search.hpp:62,104) with explicit
+    * edges via codegen'd list scan — oracle mirrors the same lambda. */
+  def searchSorted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NumericFunctions
+    val edges = Seq(0.0, 10.0, 20.0, 30.0, 40.0, 51.0)
+    Tables.lineitem(s, dir)
+      .withColumn("bin", NumericFunctions.labelBins($"l_quantity", edges))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("lo"),
+        max($"l_quantity").as("hi"))
+      .orderBy($"bin")
+  }
+
+  val searchSortedSql: String =
+    """SELECT bin, count(*) AS n, min(l_quantity) AS lo, max(l_quantity) AS hi
+      |FROM (SELECT l_quantity,
+      |        CASE WHEN idx < 0 OR idx >= 5 THEN -1 ELSE idx END AS bin
+      |      FROM (SELECT l_quantity,
+      |              len(list_filter([0.0, 10.0, 20.0, 30.0, 40.0, 51.0],
+      |                  b -> b <= l_quantity)) - 1 AS idx
+      |            FROM lineitem))
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** t-digest quantiles via the custom TypedImperativeAggregate
+    * (TDIGEST/MERGE_TDIGEST parity) — sketch estimates are
+    * implementation-specific → rows-only; accuracy vs exact percentile
+    * is asserted in ExpressionsSpec. */
+  def tdigestQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.TDigestQuantile
+    Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(TDigestQuantile.of($"l_extendedprice", 0.5).as("td_p50"),
+        TDigestQuantile.of($"l_extendedprice", 0.99).as("td_p99"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "search_sorted" -> searchSorted,
+    "agg_tdigest" -> tdigestQuantiles,
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
@@ -200,6 +240,7 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "search_sorted" -> searchSortedSql,
     "decimal_arith" -> decimalArithSql,
     "subquery_scalar" -> subqueryScalarSql,
     "bin_label" -> binLabelSql,

@@ -51,6 +51,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == Seq("the", "un", "##aff", "##able", "[UNK]"))
   }
 
+  test("TDigestQuantile tracks exact percentiles within tolerance") {
+    import graft.plans.TDigestQuantile
+    val df = (1 to 10000).map(i => (i % 7, i.toDouble)).toDF("g", "v")
+    val got = df.groupBy($"g")
+      .agg(TDigestQuantile.of($"v", 0.5, 100).as("td"),
+        expr("percentile(v, 0.5)").as("exact"))
+      .select(abs($"td" - $"exact") / $"exact").as[Double].collect()
+    assert(got.forall(_ < 0.02), s"relative errors: ${got.toSeq}")
+  }
+
+  test("TDigest sketch merge equals single-pass digest quantiles (approx)") {
+    import graft.plans.TDigest
+    val a = new TDigest(100); val b = new TDigest(100); val all = new TDigest(100)
+    (1 to 5000).foreach { i => a.add(i); all.add(i) }
+    (5001 to 10000).foreach { i => b.add(i); all.add(i) }
+    a.merge(b)
+    Seq(0.1, 0.5, 0.9).foreach { q =>
+      assert(math.abs(a.quantile(q) - all.quantile(q)) / 10000 < 0.02)
+      assert(math.abs(a.quantile(q) - q * 10000) / 10000 < 0.02)
+    }
+  }
+
+  test("searchSorted/labelBins match hand expectations") {
+    import graft.functions.NumericFunctions._
+    val df = Seq(-1.0, 0.0, 5.0, 10.0, 45.0, 60.0).toDF("v")
+    val got = df.select(labelBins($"v", Seq(0.0, 10.0, 20.0, 30.0, 40.0, 51.0)))
+      .as[Int].collect()
+    assert(got.toSeq == Seq(-1, 0, 0, 1, 4, -1))
+  }
+
   test("ewma window matches hand computation") {
     val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0))
       .toDF("k", "i", "v")

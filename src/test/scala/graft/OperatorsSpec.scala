@@ -32,6 +32,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("t3").isEmpty)           // quote is after the trade
   }
 
+  test("asofPrev tolerance nulls stale matches; asofNext matches forward") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:00"), "t1")).toDF("key", "t", "trade")
+    val quotes = Seq((1L, ts("2024-01-01 08:00:00"), 99.0),
+      (1L, ts("2024-01-01 10:30:00"), 101.0)).toDF("key", "qt", "px")
+    // prior quote is 2h old; 30-minute tolerance nulls it
+    val tol = AsOfJoin.asofPrev(trades, quotes, "key", "t", "qt", Seq("px"),
+      toleranceMicros = 30L * 60 * 1000000)
+    assert(tol.select("asof_px").head().isNullAt(0))
+    // forward direction finds the 10:30 quote
+    val fwd = AsOfJoin.asofNext(trades, quotes, "key", "t", "qt", Seq("px"))
+    assert(fwd.select("asof_px").head().getDouble(0) == 101.0)
+  }
+
+  test("nearDupClusters finds connected components of pair graph") {
+    import graft.operators.Dedup
+    // components: {1,2,3} via 1-2, 2-3; {10,11}; singleton edges only
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("sessionize splits on gap and aggregates sessions") {
     val ev = Seq(
       (7L, ts("2024-01-01 00:00:00"), 1.0),
