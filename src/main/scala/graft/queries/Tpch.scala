@@ -286,7 +286,114 @@ object Tpch extends QueryPack {
        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 
+  /** Q9 analog (NDS-H benchmark set): product-type profit by nation and
+    * order year. The schema has no partsupp, so supply cost is proxied by
+    * p_retailprice — the plan shape (3 fact/dim joins + 2-key agg) is the
+    * point. */
+  def q9(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter($"p_name".contains("o"))),
+        $"l_partkey" === $"p_partkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", year($"o_orderdate").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") -
+        $"p_retailprice" * $"l_quantity", 4).as("sum_profit"))
+      .orderBy($"n_name", $"o_year".desc)
+  }
+
+  val q9Sql: String =
+    s"""SELECT n_name, year(o_orderdate) AS o_year,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount) - p_retailprice * l_quantity", 4)}
+       |    AS sum_profit
+       |FROM lineitem, part, supplier, orders, nation
+       |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+       |  AND l_orderkey = o_orderkey AND s_nationkey = n_nationkey
+       |  AND contains(p_name, 'o')
+       |GROUP BY n_name, year(o_orderdate)
+       |ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** Q13 analog: customer distribution — left join, per-customer order
+    * count, then a count-of-counts histogram. */
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(!$"o_orderpriority".startsWith("5")),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+    perCust.groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND NOT starts_with(o_orderpriority, '5')
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q17 analog: small-quantity-order revenue — the classic correlated
+    * avg subquery, expressed as its scalable decorrelated form (per-part
+    * aggregate + join; Catalyst's DecorrelateInnerQuery produces the same
+    * shape from the SQL). */
+  def q17(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val perPart = li.groupBy($"l_partkey".as("pk"))
+      .agg((davg($"l_quantity", 2) * 0.5).as("half_avg_qty"))
+    li.join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")),
+        $"l_partkey" === $"p_partkey")
+      .join(perPart, $"l_partkey" === $"pk")
+      .filter($"l_quantity" < $"half_avg_qty")
+      .agg((dsum($"l_extendedprice", 2) / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n"))
+  }
+
+  val q17Sql: String =
+    s"""SELECT ${dsumSql("l_extendedprice", 2)} / 7.0 AS avg_yearly,
+       |  count(*) AS n
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |JOIN (SELECT l_partkey AS pk,
+       |        ${davgSql("l_quantity", 2)} * 0.5 AS half_avg_qty
+       |      FROM lineitem GROUP BY l_partkey) ON l_partkey = pk
+       |WHERE p_brand = 'Brand#3' AND l_quantity < half_avg_qty""".stripMargin
+
+  /** Q22 analog: global-sales-opportunity — acctbal above the positive
+    * average (scalar subquery) for customers with no orders (anti join),
+    * grouped by a derived country code. */
+  def q22(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, dir)
+    val avgBal = cust.filter($"c_acctbal" > 0.0)
+      .agg(davg($"c_acctbal", 2).as("avg_bal"))
+    cust.crossJoin(broadcast(avgBal))
+      .filter($"c_acctbal" > $"avg_bal")
+      .join(Tables.orders(s, dir), $"c_custkey" === $"o_custkey", "left_anti")
+      .groupBy(($"c_nationkey" % 10).as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"), dsum($"c_acctbal", 2).as("totacctbal"))
+      .orderBy($"cntrycode")
+  }
+
+  val q22Sql: String =
+    s"""SELECT c_nationkey % 10 AS cntrycode, count(*) AS numcust,
+       |  ${dsumSql("c_acctbal", 2)} AS totacctbal
+       |FROM customer
+       |WHERE c_acctbal > (SELECT ${davgSql("c_acctbal", 2)}
+       |                   FROM customer WHERE c_acctbal > 0.0)
+       |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+       |GROUP BY c_nationkey % 10 ORDER BY cntrycode""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_product_profit" -> q9,
+    "q13_customer_distribution" -> q13,
+    "q17_small_qty_revenue" -> q17,
+    "q22_global_sales_opportunity" -> q22,
     "q4_order_priority" -> q4,
     "q12_shipping_priority_class" -> q12,
     "q14_promo_revenue" -> q14,
@@ -299,6 +406,10 @@ object Tpch extends QueryPack {
     "q10_returned_items" -> q10)
 
   override def oracle: Map[String, String] = Map(
+    "q9_product_profit" -> q9Sql,
+    "q13_customer_distribution" -> q13Sql,
+    "q17_small_qty_revenue" -> q17Sql,
+    "q22_global_sales_opportunity" -> q22Sql,
     "q4_order_priority" -> q4Sql,
     "q12_shipping_priority_class" -> q12Sql,
     "q14_promo_revenue" -> q14Sql,
