@@ -84,14 +84,19 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"),
         array_distinct(tokens(col(textCol))).as("toks"))
       .withColumn("sig", minhashSig("toks", numHashes))
-    val banded = docs.select(col("id"), col("toks"),
+    // Band rows carry ONLY (id, band): the bucket self-join shuffles ids,
+    // never token arrays (bands× lighter shuffle at corpus scale).
+    val banded = docs.select(col("id"),
       explode(minhashBands("sig", bands, rows)).as("band"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.toks").as("toks_a"), col("b.toks").as("toks_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
+    val toks = docs.select(col("id"), col("toks"))
+    cand
+      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
+      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
