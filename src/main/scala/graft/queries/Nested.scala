@@ -182,7 +182,36 @@ object Nested extends QueryPack {
       |FROM lineitem GROUP BY l_returnflag
       |ORDER BY l_returnflag_l_linestatus""".stripMargin
 
+  /** MapType ops — native superset (SURVEY §1.2: cudf has no map type;
+    * Spark-RAPIDS models maps as list<struct>). Builds a status→count map
+    * per priority, then extracts/inspects it; the oracle computes the
+    * same values relationally, proving the map path's semantics. */
+  def mapOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderpriority", $"o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"o_orderpriority")
+      .agg(map_from_entries(collect_list(struct($"o_orderstatus", $"n")))
+        .as("m"))
+      .select($"o_orderpriority",
+        coalesce(element_at($"m", "F"), lit(0L)).as("n_f"),
+        coalesce(element_at($"m", "O"), lit(0L)).as("n_o"),
+        size($"m").as("n_keys"),
+        array_join(sort_array(map_keys($"m")), ",").as("statuses"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val mapOpsSql: String =
+    """SELECT o_orderpriority,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+      |  CAST(count(DISTINCT o_orderstatus) AS INT) AS n_keys,
+      |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "map_ops" -> mapOps,
     "reshape_onehot" -> oneHot,
     "reshape_crosstab" -> crosstabQ,
     "arr_ops" -> arrOps,
@@ -193,6 +222,7 @@ object Nested extends QueryPack {
     "struct_ops" -> structOps)
 
   override def oracle: Map[String, String] = Map(
+    "map_ops" -> mapOpsSql,
     "reshape_onehot" -> oneHotSql,
     "reshape_crosstab" -> crosstabSql,
     "arr_ops" -> arrOpsSql,
