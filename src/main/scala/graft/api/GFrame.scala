@@ -1,0 +1,121 @@
+package graft.api
+
+import graft.operators.{Dedup, Reshape}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** GFrame — the cudf-classic-style fluent façade (SURVEY.md §7(a):
+  * "a thin, well-typed façade over DataFrame"). Method names mirror the
+  * reference's eager DataFrame API (python/cudf/cudf/core/dataframe.py)
+  * so a reference user can port call sites mechanically; every method is
+  * a pure plan transformation — laziness, optimization, and execution
+  * stay Catalyst's (the reference itself moved this way with
+  * cudf-polars, SURVEY §3.2).
+  *
+  * Only operations whose semantics translate 1:1 are exposed; pandas
+  * row-label/index semantics are deliberately dropped (SURVEY §7 "hard
+  * bits": positional/named columns only).
+  */
+final case class GFrame(df: DataFrame) {
+
+  // ---- projection / filtering (dataframe.py select/mask semantics) ----
+  def select(cols: String*): GFrame = GFrame(df.select(cols.map(col): _*))
+  def assign(name: String, c: Column): GFrame = GFrame(df.withColumn(name, c))
+  def rename(mapping: (String, String)*): GFrame =
+    GFrame(mapping.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) })
+  def drop(cols: String*): GFrame = GFrame(df.drop(cols: _*))
+  def query(cond: Column): GFrame = GFrame(df.filter(cond))
+  def query(sqlCond: String): GFrame = GFrame(df.filter(sqlCond))
+  def astype(colName: String, to: String): GFrame =
+    GFrame(df.withColumn(colName, col(colName).cast(to)))
+
+  // ---- ordering / slicing ----
+  def sortValues(by: String, ascending: Boolean = true): GFrame =
+    GFrame(df.orderBy(if (ascending) col(by).asc else col(by).desc))
+  def head(n: Int): GFrame = GFrame(df.limit(n))
+  def nlargest(n: Int, by: String): GFrame =
+    GFrame(df.orderBy(col(by).desc).limit(n))
+  def nsmallest(n: Int, by: String): GFrame =
+    GFrame(df.orderBy(col(by).asc).limit(n))
+
+  // ---- joins (core/join/join.py merge) ----
+  def merge(other: GFrame, on: Seq[String], how: String = "inner"): GFrame =
+    GFrame(df.join(other.df, on, how))
+
+  // ---- groupby (core/groupby/groupby.py) ----
+  def groupby(keys: String*): GGroupBy = GGroupBy(df, keys)
+
+  // ---- dedup / nulls (stream_compaction, replace.hpp) ----
+  def dropDuplicates(subset: String*): GFrame =
+    GFrame(if (subset.isEmpty) df.dropDuplicates() else df.dropDuplicates(subset))
+  def dropDuplicatesKeepFirst(subset: Seq[String], orderBy: String): GFrame = {
+    val w = Window.partitionBy(subset.map(col): _*).orderBy(col(orderBy))
+    GFrame(df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn"))
+  }
+  def fillna(value: Any, subset: Seq[String] = Nil): GFrame = {
+    val cols = if (subset.isEmpty) df.columns.toSeq else subset
+    GFrame(value match {
+      case d: Double => df.na.fill(d, cols)
+      case l: Long => df.na.fill(l, cols)
+      case i: Int => df.na.fill(i.toLong, cols)
+      case s: String => df.na.fill(s, cols)
+      case other => throw new IllegalArgumentException(s"fillna: $other")
+    })
+  }
+  def dropna(subset: String*): GFrame =
+    GFrame(if (subset.isEmpty) df.na.drop() else df.na.drop(subset))
+
+  // ---- reshape (core/reshape.py) ----
+  def melt(idVars: Seq[String], valueVars: Seq[String]): GFrame =
+    GFrame(df.unpivot(idVars.map(col).toArray, valueVars.map(col).toArray,
+      "variable", "value"))
+  def pivotTable(index: String, columns: String, values: String,
+      aggfunc: String = "sum"): GFrame =
+    GFrame(df.groupBy(col(index)).pivot(columns)
+      .agg(expr(s"$aggfunc($values)")))
+  def getDummies(colName: String, values: Seq[String]): GFrame =
+    GFrame(Reshape.oneHot(df, colName, values))
+
+  // ---- stats / inspection ----
+  def valueCounts(colName: String): GFrame =
+    GFrame(df.groupBy(col(colName)).agg(count(lit(1)).as("count"))
+      .orderBy(col("count").desc, col(colName)))
+  def describe(cols: String*): GFrame = GFrame(df.describe(cols: _*))
+
+  // ---- text/LLM pipeline shortcuts (north star ops as one-liners) ----
+  def dedupExact(idCol: String, textCol: String): GFrame =
+    GFrame(Dedup.exactSurvivors(df, idCol, textCol))
+  def nearDupPairs(idCol: String, textCol: String, threshold: Double): GFrame =
+    GFrame(Dedup.minhashPairs(df, idCol, textCol, threshold = threshold))
+
+  // ---- escape hatch ----
+  def toDF: DataFrame = df
+}
+
+/** Grouped frame: agg with the reference's (column -> aggname) dict shape. */
+final case class GGroupBy(df: DataFrame, keys: Seq[String]) {
+  def agg(specs: (String, String)*): GFrame = {
+    val aggCols = specs.map { case (c, fn) =>
+      expr(s"$fn($c)").as(s"${c}_$fn")
+    }
+    GFrame(df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*))
+  }
+  def count(): GFrame =
+    GFrame(df.groupBy(keys.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
+}
+
+object GFrame {
+  def readParquet(spark: SparkSession, path: String): GFrame =
+    GFrame(spark.read.parquet(path))
+  def readCsv(spark: SparkSession, path: String): GFrame =
+    GFrame(spark.read.option("header", "true").option("inferSchema", "true").csv(path))
+  def readJson(spark: SparkSession, path: String): GFrame =
+    GFrame(spark.read.json(path))
+  def readOrc(spark: SparkSession, path: String): GFrame =
+    GFrame(spark.read.orc(path))
+  def concat(frames: Seq[GFrame]): GFrame =
+    GFrame(frames.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)))
+}

@@ -1,0 +1,67 @@
+package graft
+
+import graft.api.GFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GFrameSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def orders = GFrame(Seq(
+    (1L, "F", 100.0, 10L), (2L, "O", 250.0, 10L),
+    (3L, "F", 50.0, 11L), (4L, "P", 300.0, 12L)
+  ).toDF("key", "status", "price", "cust"))
+
+  test("select / assign / rename / query / astype chain") {
+    val got = orders
+      .select("key", "status", "price")
+      .assign("double_price", col("price") * 2)
+      .rename("status" -> "st")
+      .query(col("st") === "F")
+      .astype("key", "int")
+      .toDF.orderBy("key").collect()
+    assert(got.length == 2)
+    assert(got(0).getInt(0) == 1 && got(0).getDouble(3) == 200.0)
+  }
+
+  test("merge + groupby agg dict shape") {
+    val cust = GFrame(Seq((10L, "alice"), (11L, "bob")).toDF("cust", "name"))
+    val got = orders.merge(cust, Seq("cust"), "inner")
+      .groupby("name").agg("price" -> "sum", "key" -> "count")
+      .toDF.orderBy("name").collect()
+    assert(got(0).getString(0) == "alice" && got(0).getDouble(1) == 350.0)
+    assert(got(1).getString(0) == "bob" && got(1).getLong(2) == 1L)
+  }
+
+  test("nlargest / valueCounts / dropDuplicatesKeepFirst") {
+    assert(orders.nlargest(1, "price").toDF.head().getLong(0) == 4L)
+    val vc = orders.valueCounts("status").toDF.collect()
+    assert(vc(0).getString(0) == "F" && vc(0).getLong(1) == 2L)
+    val kept = orders.dropDuplicatesKeepFirst(Seq("cust"), "key")
+      .toDF.select("key").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("melt / pivotTable round shapes") {
+    val melted = orders.melt(Seq("key"), Seq("price")).toDF
+    assert(melted.columns.toSeq == Seq("key", "variable", "value"))
+    assert(melted.count() == 4)
+    val pt = orders.pivotTable("cust", "status", "price").toDF
+    assert(pt.columns.contains("F") && pt.columns.contains("O"))
+  }
+
+  test("fillna / dropna") {
+    val withNull = GFrame(Seq((1L, Some(2.0)), (2L, None))
+      .toDF("k", "v"))
+    assert(withNull.fillna(0.0).toDF.na.drop().count() == 2)
+    assert(withNull.dropna().toDF.count() == 1)
+  }
+
+  test("concat unions by name with missing columns") {
+    val a = GFrame(Seq((1L, "x")).toDF("k", "s"))
+    val b = GFrame(Seq((2L, 5.0)).toDF("k", "v"))
+    val got = GFrame.concat(Seq(a, b)).toDF
+    assert(got.count() == 2 && got.columns.toSet == Set("k", "s", "v"))
+  }
+}

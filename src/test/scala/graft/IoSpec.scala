@@ -51,6 +51,18 @@ class IoSpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("1996-02-29 13:14:15.123456"))
   }
 
+  test("partitionBy write enables partition pruning on read") {
+    val dir = tmp("hivepart")
+    Seq((1L, "F"), (2L, "O"), (3L, "F")).toDF("k", "status")
+      .write.partitionBy("status").parquet(dir)
+    val read = spark.read.parquet(dir).filter(col("status") === "F")
+    assert(read.count() == 2)
+    val plan = read.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("isnotnull(status"), "partition filter not applied")
+  }
+
   test("custom-delimiter text read splits records on the delimiter") {
     val dir = Files.createTempDirectory("graft_text")
     val file = dir.resolve("recs.txt")
