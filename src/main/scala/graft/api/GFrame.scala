@@ -78,6 +78,24 @@ final case class GFrame(df: DataFrame) {
   def getDummies(colName: String, values: Seq[String]): GFrame =
     GFrame(Reshape.oneHot(df, colName, values))
 
+  // ---- grouped time-series helpers (core/window, groupby scan/shift/
+  //      diff/pct_change/cumsum — SURVEY §2.4 grouped scans) ----
+  private def orderedWin(part: Seq[String], order: String) =
+    Window.partitionBy(part.map(col): _*).orderBy(col(order))
+  def cumsum(valueCol: String, partitionBy: Seq[String], orderBy: String): GFrame =
+    GFrame(df.withColumn(s"${valueCol}_cumsum",
+      sum(col(valueCol)).over(orderedWin(partitionBy, orderBy)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+  def diff(valueCol: String, partitionBy: Seq[String], orderBy: String): GFrame =
+    GFrame(df.withColumn(s"${valueCol}_diff",
+      col(valueCol) - lag(col(valueCol), 1).over(orderedWin(partitionBy, orderBy))))
+  def pctChange(valueCol: String, partitionBy: Seq[String], orderBy: String): GFrame = {
+    val prev = lag(col(valueCol), 1).over(orderedWin(partitionBy, orderBy))
+    GFrame(df.withColumn(s"${valueCol}_pct_change", (col(valueCol) - prev) / prev))
+  }
+  def clip(valueCol: String, lo: Double, hi: Double): GFrame =
+    GFrame(df.withColumn(valueCol, greatest(least(col(valueCol), lit(hi)), lit(lo))))
+
   // ---- stats / inspection ----
   def valueCounts(colName: String): GFrame =
     GFrame(df.groupBy(col(colName)).agg(count(lit(1)).as("count"))

@@ -78,12 +78,51 @@ object EventOps extends QueryPack {
       |  ON e.user_id = p.user_id AND e.ts >= p.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** Conversion funnel: per user, first signup then first subsequent
+    * purchase — the sequence-detection batch analog (streaming version is
+    * flatMapGroupsWithState). Gap stats via exact integer micros. */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("signup_us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", unix_micros($"ts").as("purchase_us"))
+    val conv = signups.join(purchases, Seq("user_id"), "left")
+      .filter($"purchase_us".isNull || $"purchase_us" >= $"signup_us")
+      .groupBy($"user_id", $"signup_us")
+      .agg(min($"purchase_us").as("first_purchase_us"))
+    conv.agg(
+      count(lit(1)).as("n_signup_users"),
+      count($"first_purchase_us").as("n_converted"),
+      (count($"first_purchase_us").cast("double") / count(lit(1))).as("conv_rate"),
+      sum($"first_purchase_us" - $"signup_us").as("total_gap_us"))
+  }
+
+  val funnelSql: String =
+    """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
+      |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |p AS (SELECT user_id, epoch_us(ts) AS purchase_us
+      |      FROM events WHERE event_type = 'purchase'),
+      |conv AS (
+      |  SELECT s.user_id, signup_us, min(purchase_us) AS first_purchase_us
+      |  FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |  WHERE purchase_us IS NULL OR purchase_us >= signup_us
+      |  GROUP BY s.user_id, signup_us)
+      |SELECT count(*) AS n_signup_users,
+      |  count(first_purchase_us) AS n_converted,
+      |  CAST(count(first_purchase_us) AS DOUBLE) / count(*) AS conv_rate,
+      |  sum(first_purchase_us - signup_us) AS total_gap_us
+      |FROM conv""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_funnel" -> funnel,
     "events_sessionize" -> sessionize,
     "events_tumbling" -> tumbling,
     "events_asof_prev" -> asofPrevSignup)
 
   override def oracle: Map[String, String] = Map(
+    "events_funnel" -> funnelSql,
     "events_sessionize" -> sessionizeSql,
     "events_tumbling" -> tumblingSql,
     "events_asof_prev" -> asofPrevSignupSql)

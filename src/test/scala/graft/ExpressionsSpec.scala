@@ -35,6 +35,24 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("GraftExtensions installs SQL functions in a fresh session") {
+    import org.apache.spark.sql.SparkSession
+    val base = spark // ensure context exists
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder().master("local[2]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.plans.GraftExtensions)
+        .getOrCreate()
+      val got = s2.sql("SELECT porter_stem('running') AS s").collect()(0).getString(0)
+      assert(got == "run")
+    } finally {
+      SparkSession.setActiveSession(base)
+      SparkSession.setDefaultSession(base)
+    }
+  }
+
   test("porter_stem registered as SQL function") {
     GraftExpressions.register(spark)
     val got = spark.sql("SELECT porter_stem('running') AS s")

@@ -58,6 +58,22 @@ class GFrameSpec extends AnyFunSuite {
     assert(withNull.dropna().toDF.count() == 1)
   }
 
+  test("cumsum / diff / pctChange / clip window helpers") {
+    val ts = GFrame(Seq((1L, 1, 10.0), (1L, 2, 30.0), (1L, 3, 15.0))
+      .toDF("u", "i", "v"))
+    val got = ts.cumsum("v", Seq("u"), "i")
+      .diff("v", Seq("u"), "i")
+      .pctChange("v", Seq("u"), "i")
+      .toDF.orderBy("i").collect()
+    assert(got.map(_.getDouble(3)).toSeq == Seq(10.0, 40.0, 55.0))
+    assert(got(1).getDouble(4) == 20.0)              // diff
+    assert(got(1).getDouble(5) == 2.0)               // pct_change
+    assert(got(0).isNullAt(4) && got(0).isNullAt(5)) // first row has no prev
+    val clipped = ts.clip("v", 12.0, 20.0).toDF
+      .select("v").as[Double].collect().sorted
+    assert(clipped.toSeq == Seq(12.0, 15.0, 20.0))
+  }
+
   test("concat unions by name with missing columns") {
     val a = GFrame(Seq((1L, "x")).toDF("k", "s"))
     val b = GFrame(Seq((2L, 5.0)).toDF("k", "v"))
