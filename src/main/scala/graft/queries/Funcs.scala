@@ -274,13 +274,15 @@ object Funcs extends QueryPack {
     import s.implicits._
     Tables.events(s, dir).select($"event_id",
         get_json_object($"props", "$.k").as("k_str"),
-        get_json_object($"props", "$.k").cast("int").as("k_int"))
+        get_json_object($"props", "$.k").cast("int").as("k_int"),
+        from_json($"props", lit("k INT")).getField("k").as("k_typed"))
       .orderBy($"event_id")
   }
 
   val jsonFuncsSql: String =
     """SELECT event_id, json_extract_string(props, '$.k') AS k_str,
-      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
       |FROM events ORDER BY event_id""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -217,7 +217,30 @@ object MiscPack extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Categorical encode / factorize (transform.hpp:351 `encode`,
+    * DICTIONARY32 analog §1.2): dense integer codes by value order via
+    * dense_rank — deterministic, join-free. */
+  def encodeFactorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Scalable shape: rank only the DISTINCT values (small dictionary,
+    // single partition is fine), broadcast-join codes back to the fact —
+    // never a global window over the full table.
+    val codes = Tables.part(s, dir).select($"p_brand").distinct()
+      .withColumn("brand_code",
+        (dense_rank().over(Window.orderBy($"p_brand")) - 1).cast("int"))
+    Tables.part(s, dir)
+      .join(broadcast(codes), "p_brand")
+      .select($"p_partkey", $"p_brand", $"brand_code")
+      .orderBy($"p_partkey")
+  }
+
+  val encodeFactorizeSql: String =
+    """SELECT p_partkey, p_brand,
+      |  CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS INT) AS brand_code
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "encode_factorize" -> encodeFactorize,
     "search_sorted" -> searchSorted,
     "agg_tdigest" -> tdigestQuantiles,
     "decimal_arith" -> decimalArith,
@@ -240,6 +263,7 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "encode_factorize" -> encodeFactorizeSql,
     "search_sorted" -> searchSortedSql,
     "decimal_arith" -> decimalArithSql,
     "subquery_scalar" -> subqueryScalarSql,
