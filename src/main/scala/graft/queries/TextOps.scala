@@ -215,7 +215,23 @@ object TextOps extends QueryPack {
       .limit(25)
   }
 
+  /** True BPE (merge-table loop, byte_pair_encoding.hpp) over the corpus
+    * with a fixed merge table — rows-only (no DuckDB analog); algorithm
+    * exactness covered by ExpressionsSpec. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val merges = Seq(
+      "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "in" -> "g",
+      "s" -> "c", "sc" -> "a", "sca" -> "n", "j" -> "o", "jo" -> "i",
+      "joi" -> "n", "d" -> "a", "da" -> "t", "dat" -> "a")
+    Tables.documents(s, dir)
+      .select(explode(graft.plans.BpeEncode(col("text"), merges)).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(25)
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_bpe_merges" -> bpeMerges,
     "doc_bpe_tokens" -> bpeTokens,
     "doc_wordpiece" -> wordpiece,
     "doc_dedup_exact" -> dedupExact,

@@ -69,6 +69,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == Seq("the", "un", "##aff", "##able", "[UNK]"))
   }
 
+  test("BpeEncode applies merges in rank order (classic lower->low+er)") {
+    import graft.plans.BpeEncode
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r", "low" -> "er")
+    val got = Seq("lower low newer").toDF("s")
+      .select(BpeEncode($"s", merges)).as[Seq[String]].head()
+    assert(got == Seq("lower", "low", "n", "e", "w", "er"))
+  }
+
+  test("BpeEncode with no applicable merges returns characters") {
+    import graft.plans.BpeEncode
+    val got = Seq("xyz").toDF("s")
+      .select(BpeEncode($"s", Seq("a" -> "b"))).as[Seq[String]].head()
+    assert(got == Seq("x", "y", "z"))
+  }
+
   test("TDigestQuantile tracks exact percentiles within tolerance") {
     import graft.plans.TDigestQuantile
     val df = (1 to 10000).map(i => (i % 7, i.toDouble)).toDF("g", "v")

@@ -69,6 +69,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: clicks within 10 min of impression") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "30 minutes")
+    val clk = clicks.toDF().toDF("ad_id", "clk_ts")
+      .withWatermark("clk_ts", "30 minutes")
+    val q = imp.join(clk, Seq("ad_id"))
+      .filter($"clk_ts" >= $"imp_ts" &&
+        $"clk_ts" <= $"imp_ts" + expr("INTERVAL 10 MINUTES"))
+      .writeStream.format("memory").queryName("ssj_out").start()
+    try {
+      impressions.addData((1L, ts("2024-01-01 00:00:00")),
+        (2L, ts("2024-01-01 00:00:00")))
+      clicks.addData((1L, ts("2024-01-01 00:05:00")),   // within window
+        (2L, ts("2024-01-01 00:20:00")))                // too late
+      q.processAllAvailable()
+      val got = spark.sql("SELECT ad_id FROM ssj_out").as[Long].collect()
+      assert(got.toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("incremental grouped aggregation accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
