@@ -25,5 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("normalize_nan_zero"),
       info("normalize_nan_zero", "normalize_nan_zero(col)"),
       (es: Seq[Expression]) => NormalizeNaNZero(es.head)))
+    e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }

@@ -1,0 +1,104 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.graftshim.ColumnBridge
+
+/** Point-in-interval range join as a FULL custom-operator stack
+  * (SURVEY.md §7 preference (c): LogicalPlan + SparkStrategy + SparkPlan,
+  * registered via extraStrategies / SparkSessionExtensions).
+  *
+  * Semantics: left row joins every right row with lo <= value < hi.
+  * Spark's built-in planning for this predicate shape is a nested-loop
+  * join (O(|L|·|R|) comparisons); this operator broadcasts the interval
+  * table sorted by lo and probes with a per-row binary search —
+  * O(|L|·log|R| + matches) with the right side dimension-sized, the same
+  * regime the reference's conditional join targets
+  * (cpp/include/cudf/join/conditional_join.hpp:72).
+  *
+  * Production note: candidate pruning is by lo only (scan up to the
+  * upper bound); an interval tree would prune by hi too. The point here
+  * is the end-to-end extension stack, kept readable.
+  */
+case class RangeJoin(left: LogicalPlan, right: LogicalPlan,
+    value: Expression, lo: Expression, hi: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      l: LogicalPlan, r: LogicalPlan): RangeJoin = copy(left = l, right = r)
+}
+
+case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
+    value: Expression, lo: Expression, hi: Expression) extends BinaryExecNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      l: SparkPlan, r: SparkPlan): SparkPlan = copy(left = l, right = r)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val loB = BindReferences.bindReference(lo, right.output)
+    val hiB = BindReferences.bindReference(hi, right.output)
+    // Build side: collect + sort by lo, broadcast (dimension-sized).
+    val intervals = right.executeCollect().map { r =>
+      (loB.eval(r).asInstanceOf[Number].doubleValue(),
+        hiB.eval(r).asInstanceOf[Number].doubleValue(), r.copy())
+    }.sortBy(_._1)
+    val bc = sparkContext.broadcast(intervals)
+    val out = output
+    val leftOut = left.output
+    val valueExpr = value
+    left.execute().mapPartitions { iter =>
+      val vB = BindReferences.bindReference(valueExpr, leftOut)
+      val joined = new JoinedRow
+      val proj = UnsafeProjection.create(out, out)
+      val ivs = bc.value
+      iter.flatMap { lrow =>
+        val v0 = vB.eval(lrow)
+        if (v0 == null) Iterator.empty
+        else {
+          val v = v0.asInstanceOf[Number].doubleValue()
+          // binary search: first index with lo > v
+          var a = 0; var b = ivs.length
+          while (a < b) {
+            val m = (a + b) >>> 1
+            if (ivs(m)._1 <= v) a = m + 1 else b = m
+          }
+          val upper = a
+          (0 until upper).iterator
+            .filter(i => ivs(i)._2 > v)
+            .map(i => proj(joined(lrow, ivs(i)._3)))
+        }
+      }
+    }
+  }
+}
+
+object RangeJoinStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case RangeJoin(l, r, v, lo, hi) =>
+      RangeJoinExec(planLater(l), planLater(r), v, lo, hi) :: Nil
+    case _ => Nil
+  }
+}
+
+object RangeJoin {
+  /** Column-name API: left's `valueCol` probed against right's
+    * [loCol, hiCol) intervals. Installs the strategy on first use. */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+      valueCol: String, loCol: String, hiCol: String): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ RangeJoinStrategy
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    ColumnBridge.ofRows(spark,
+      RangeJoin(lPlan, rPlan, attr(lPlan, valueCol),
+        attr(rPlan, loCol), attr(rPlan, hiCol)))
+  }
+}

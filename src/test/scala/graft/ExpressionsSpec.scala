@@ -69,6 +69,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(got == Seq("the", "un", "##aff", "##able", "[UNK]"))
   }
 
+  test("RangeJoin custom operator matches the built-in join result") {
+    import graft.plans.RangeJoin
+    val facts = Seq((1L, 5.0), (2L, 15.0), (3L, 25.0), (4L, 9.99), (5L, 10.0))
+      .toDF("k", "v")
+    val bins = Seq(("low", 0.0, 10.0), ("mid", 10.0, 20.0))
+      .toDF("label", "lo", "hi")
+    val custom = RangeJoin.rangeJoin(facts, bins, "v", "lo", "hi")
+      .select("k", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val builtin = facts.join(bins, $"v" >= $"lo" && $"v" < $"hi")
+      .select("k", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(custom == builtin)
+    assert(custom == Set((1L, "low"), (4L, "low"), (5L, "mid"), (2L, "mid")))
+    // physical plan actually uses the custom exec (nodeName drops "Exec")
+    val exec = RangeJoin.rangeJoin(facts, bins, "v", "lo", "hi")
+      .queryExecution.executedPlan
+    assert(exec.collectFirst { case e: graft.plans.RangeJoinExec => e }.isDefined,
+      exec.toString)
+  }
+
   test("BpeEncode applies merges in rank order (classic lower->low+er)") {
     import graft.plans.BpeEncode
     val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r", "low" -> "er")
