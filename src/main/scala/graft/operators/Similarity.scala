@@ -58,6 +58,52 @@ object Similarity {
           CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v) > 0
         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
 
+  /** IVF-style ANN: a deterministic centroid subset partitions the
+    * corpus into cells (assignment = argmax cosine to centroid); queries
+    * probe their `nprobe` nearest cells and brute-force within them.
+    * This is the inverted-file architecture (coarse quantizer + posting
+    * lists) with a hash-free deterministic "training" step: centroids
+    * are the vectors whose id ≡ 0 (mod corpusSize/nCells) — no stored
+    * model, reproducible across runs.
+    *
+    * Scale: cell assignment is a broadcast map stage; the probe join
+    * shuffles on cell id, so cost ∝ cell occupancy × queries, not
+    * corpus². Recall grows with nprobe. */
+  def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
+      nprobe: Int = 2, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val n = corpus.count()
+    val step = math.max(1L, n / nCells)
+    val centroids = corpus.filter(col(idCol) % step === 0)
+      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
+    // corpus rows → single nearest cell
+    val assignW = Window.partitionBy(col("n_id"))
+      .orderBy(col("c_sim").desc, col("cell_id"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(assignW))
+      .filter(col("c_rank") === 1)
+      .select(col("cell_id"), col("n_id"), col("n_vec"))
+    // queries → nprobe nearest cells
+    val probeW = Window.partitionBy(col("q_id"))
+      .orderBy(col("c_sim").desc, col("cell_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("q_vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(probeW))
+      .filter(col("c_rank") <= nprobe)
+      .select(col("cell_id"), col("q_id"), col("q_vec"))
+    val scored = assigned.join(probes, "cell_id")
+      .filter(col("q_id") =!= col("n_id"))
+      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
+  }
+
   /** Approximate top-k: candidates restricted to same LSH bucket, then
     * exact cosine + per-query top-k. Shuffle key is the bucket id, so
     * cost scales with bucket occupancy, not corpus². Recall depends on

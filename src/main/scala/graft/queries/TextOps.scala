@@ -182,6 +182,14 @@ object TextOps extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** IVF coarse-quantizer ANN (inverted-file architecture) — rows-only. */
+  def embedKnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), k = 3,
+        nCells = 16, nprobe = 2)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;
     * north star "BPE-ish regex" token counting). */
   def bpeTokens(s: SparkSession, dir: String): DataFrame =
@@ -244,7 +252,8 @@ object TextOps extends QueryPack {
     "doc_simhash_pairs" -> simhashPairs,
     "doc_multimodal" -> multimodal,
     "embed_knn" -> embedKnn,
-    "embed_knn_lsh" -> embedKnnLsh)
+    "embed_knn_lsh" -> embedKnnLsh,
+    "embed_knn_ivf" -> embedKnnIvf)
 
   override def oracle: Map[String, String] = Map(
     "doc_bpe_tokens" -> bpeTokensSql,

@@ -92,6 +92,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getAs[Int]("rank") == 1)
   }
 
+  test("knnIvf recall vs brute force on real embeddings") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.knnBrute(emb, queries, k = 5))
+    val ivf = pairs(Similarity.knnIvf(emb, queries, k = 5, nCells = 4, nprobe = 2))
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    assert(ivf.subsetOf(ivf ++ exact))
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
