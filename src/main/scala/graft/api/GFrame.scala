@@ -108,8 +108,42 @@ final case class GFrame(df: DataFrame) {
   def nearDupPairs(idCol: String, textCol: String, threshold: Double): GFrame =
     GFrame(Dedup.minhashPairs(df, idCol, textCol, threshold = threshold))
 
+  // ---- accessor namespaces (cudf Series .str / .dt accessors,
+  //      python/cudf/cudf/core/column/string.py, temporal.py) ----
+  def str(colName: String): GStrOps = GStrOps(this, colName)
+  def dt(colName: String): GDtOps = GDtOps(this, colName)
+
   // ---- escape hatch ----
   def toDF: DataFrame = df
+}
+
+/** String accessor: each method adds `<col>_<op>` (or a named) column. */
+final case class GStrOps(gf: GFrame, c: String) {
+  private def add(suffix: String, expr: Column): GFrame =
+    gf.assign(s"${c}_$suffix", expr)
+  def lower(): GFrame = add("lower", org.apache.spark.sql.functions.lower(col(c)))
+  def upper(): GFrame = add("upper", org.apache.spark.sql.functions.upper(col(c)))
+  def len(): GFrame = add("len", length(col(c)))
+  def strip(): GFrame = add("strip", trim(col(c)))
+  def contains(pat: String): GFrame = add("contains", col(c).contains(pat))
+  def startswith(p: String): GFrame = add("startswith", col(c).startsWith(p))
+  def replace(from: String, to: String): GFrame =
+    add("replace", org.apache.spark.sql.functions.replace(col(c), lit(from), lit(to)))
+  def slice(start: Int, len: Int): GFrame = add("slice", substring(col(c), start, len))
+  def split(sep: String): GFrame =
+    add("split", org.apache.spark.sql.functions.split(col(c), java.util.regex.Pattern.quote(sep)))
+}
+
+/** Datetime accessor (datetime.hpp extraction/floor surface). */
+final case class GDtOps(gf: GFrame, c: String) {
+  private def add(suffix: String, expr: Column): GFrame =
+    gf.assign(s"${c}_$suffix", expr)
+  def year(): GFrame = add("year", org.apache.spark.sql.functions.year(col(c)))
+  def month(): GFrame = add("month", org.apache.spark.sql.functions.month(col(c)))
+  def day(): GFrame = add("day", dayofmonth(col(c)))
+  def hour(): GFrame = add("hour", org.apache.spark.sql.functions.hour(col(c)))
+  def floor(unit: String): GFrame = add(s"floor_$unit", date_trunc(unit, col(c)))
+  def dayofweek(): GFrame = add("dayofweek", weekday(col(c)))
 }
 
 /** Grouped frame: agg with the reference's (column -> aggname) dict shape. */

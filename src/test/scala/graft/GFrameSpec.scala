@@ -74,6 +74,21 @@ class GFrameSpec extends AnyFunSuite {
     assert(clipped.toSeq == Seq(12.0, 15.0, 20.0))
   }
 
+  test("str and dt accessor namespaces") {
+    import java.sql.Timestamp
+    val gf = GFrame(Seq(("  Hello World  ", Timestamp.valueOf("1996-02-29 13:05:00")))
+      .toDF("s", "t"))
+    val out = gf.str("s").strip().str("s").lower().str("s").contains("World")
+      .dt("t").year().dt("t").floor("month")
+      .toDF.head()
+    assert(out.getAs[String]("s_strip") == "Hello World")
+    assert(out.getAs[String]("s_lower") == "  hello world  ")
+    assert(out.getAs[Boolean]("s_contains"))
+    assert(out.getAs[Int]("t_year") == 1996)
+    assert(out.getAs[Timestamp]("t_floor_month") ==
+      Timestamp.valueOf("1996-02-01 00:00:00"))
+  }
+
   test("concat unions by name with missing columns") {
     val a = GFrame(Seq((1L, "x")).toDF("k", "s"))
     val b = GFrame(Seq((2L, 5.0)).toDF("k", "v"))

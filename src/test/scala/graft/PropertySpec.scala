@@ -88,6 +88,59 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("asofPrev matches a brute-force reference on random event sets") {
+    import graft.operators.AsOfJoin
+    // keys 0-2, times 0-20 (duplicates likely), payload = right row id
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(sec * 1000)
+    val ev = Gen.listOfN(12, Gen.zip(Gen.choose(0L, 2L), Gen.choose(0L, 20L)))
+    forAll(Gen.zip(ev, ev), n = 12) { case (ls, rs) =>
+      whenever(ls.nonEmpty && rs.nonEmpty) {
+        val left = ls.zipWithIndex.map { case ((k, t), i) => (k, ts(t), i.toLong) }
+          .toDF("key", "t", "lid")
+        val right = rs.zipWithIndex.map { case ((k, t), i) => (k, ts(t), i.toLong) }
+          .toDF("key", "rt", "rid")
+        val got = AsOfJoin.asofPrev(left, right, "key", "t", "rt", Seq("rt"))
+          .select($"lid", $"asof_rt").collect()
+          .map(r => r.getLong(0) ->
+            (if (r.isNullAt(1)) None else Some(r.getTimestamp(1).getTime / 1000)))
+          .toMap
+        ls.zipWithIndex.foreach { case ((k, t), i) =>
+          // reference: max right time <= t for the key (payload value = rt)
+          val want = rs.filter(r => r._1 == k && r._2 <= t).map(_._2)
+            .sorted.lastOption
+          assert(got(i.toLong) == want,
+            s"left=($k,$t) got=${got(i.toLong)} want=$want")
+        }
+      }
+    }
+  }
+
+  test("sessionize matches a brute-force reference on random gaps") {
+    import graft.operators.Sessionize
+    import java.sql.Timestamp
+    val ev = Gen.listOfN(10, Gen.zip(Gen.choose(0L, 1L), Gen.choose(0L, 10000L)))
+    forAll(ev, n = 12) { rows =>
+      whenever(rows.nonEmpty && rows.map(r => (r._1, r._2)).distinct.size == rows.size) {
+        val df = rows.map { case (u, s) =>
+          (u, new Timestamp(s * 1000), 1.0)
+        }.toDF("user_id", "ts", "value")
+        val got = Sessionize.assign(df, "user_id", "ts", gapSeconds = 30)
+          .select($"user_id", unix_micros($"ts"), $"session_idx").collect()
+          .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        // brute force: per user, sorted times; new session when gap > 30s
+        rows.groupBy(_._1).foreach { case (u, urows) =>
+          val times = urows.map(_._2).sorted
+          var idx = 0L
+          times.zipWithIndex.foreach { case (t, i) =>
+            if (i > 0 && (t - times(i - 1)) > 30) idx += 1
+            assert(got((u, t * 1000000L)) == idx, s"user=$u t=$t")
+          }
+        }
+      }
+    }
+  }
+
   test("minhash signature entries are element-wise <= any member token hash") {
     val word = Gen.oneOf("p", "q", "r", "s", "t")
     forAll(Gen.nonEmptyListOf(word).map(_.distinct)) { toks =>
