@@ -22,6 +22,53 @@ object StatefulOps {
     Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
   implicit private val outEnc: Encoder[KeyAgg] = Encoders.product[KeyAgg]
 
+  case class SessionOut(user: Long, start_us: Long, end_us: Long,
+    n_events: Long, sum_value: Double)
+
+  implicit private val sessStateEnc: Encoder[(Long, Long, Long, Double)] =
+    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+      Encoders.scalaLong, Encoders.scalaDouble)
+  implicit private val sessOutEnc: Encoder[SessionOut] =
+    Encoders.product[SessionOut]
+
+  /** Event-time sessionization with timeout EMISSION: a session closes
+    * and is emitted once the watermark passes its end + gap — the
+    * streaming counterpart of [[graft.operators.Sessionize]] (batch) and
+    * of session_window, but with explicit state so arbitrary session
+    * payloads can be accumulated. Rows are (user, eventTime, value); the
+    * event-time column must be the one carrying the stream's watermark
+    * (Spark requires it to flow into the stateful operator). */
+  def sessionizeStream(
+      grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, java.sql.Timestamp, Double)],
+      gapMillis: Long): Dataset[SessionOut] = {
+    grouped.flatMapGroupsWithState[(Long, Long, Long, Double), SessionOut](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      case (user, rows, state: GroupState[(Long, Long, Long, Double)]) =>
+        if (state.hasTimedOut) {
+          val (start, end, n, sum) = state.get
+          state.remove()
+          Iterator.single(SessionOut(user, start, end, n, sum))
+        } else {
+          var (start, end, n, sum) =
+            state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L, 0.0))
+          var closed = List.empty[SessionOut]
+          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
+            val tUs = t.getTime * 1000
+            if (n > 0 && tUs - end > gapMillis * 1000) {
+              closed ::= SessionOut(user, start, end, n, sum)
+              start = tUs; end = tUs; n = 1L; sum = v
+            } else {
+              start = math.min(start, tUs); end = math.max(end, tUs)
+              n += 1; sum += v
+            }
+          }
+          state.update((start, end, n, sum))
+          state.setTimeoutTimestamp(end / 1000 + gapMillis)
+          closed.reverseIterator
+        }
+    }
+  }
+
   /** Running (count, sum) per key across micro-batches. If
     * `ttlMillis > 0`, idle keys are evicted after the TTL (bounded
     * state); an evicted key restarts from zero on its next event. */

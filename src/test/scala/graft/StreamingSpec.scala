@@ -18,6 +18,35 @@ class StreamingSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("event-time timeout emits closed sessions when the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val withWm = input.toDF().toDF("user", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+    val grouped = withWm
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+    val sessions = graft.streaming.StatefulOps
+      .sessionizeStream(grouped, gapMillis = 30L * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("evt_sess_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past user 1's session end + gap
+      input.addData((2L, ts("2024-01-01 03:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 03:00:01"), 1.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user, n_events, sum_value FROM evt_sess_out WHERE user = 1")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((1L, 2L, 3.0)), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("tumbling event-time window agg over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
