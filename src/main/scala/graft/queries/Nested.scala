@@ -210,7 +210,65 @@ object Nested extends QueryPack {
       |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Nested list-of-lists + flatten (lists are recursively nestable,
+    * lists_column_view.hpp:54; combine.hpp concat): char-bigrams per
+    * token → flatten → count. */
+  def flattenNested(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split($"text", " "))
+      // NOTE: Spark's sequence(1, 0) yields a DESCENDING [1, 0] rather
+      // than empty, so 1-char tokens would emit bogus grams — keep only
+      // true bigrams.
+      .withColumn("grams", expr(
+        """filter(flatten(transform(toks, t ->
+             transform(sequence(1, greatest(length(t) - 1, 1)),
+                       i -> substring(t, i, 2)))),
+                  g -> length(g) = 2)"""))
+      .select($"doc_id", size($"grams").as("n_grams"),
+        array_join(slice($"grams", 1, 6), ",").as("head6"),
+        size(array_distinct($"grams")).as("n_distinct"))
+      .orderBy($"doc_id")
+  }
+
+  val flattenNestedSql: String =
+    """SELECT doc_id, len(grams) AS n_grams,
+      |  array_to_string(grams[1:6], ',') AS head6,
+      |  len(list_distinct(grams)) AS n_distinct
+      |FROM (SELECT doc_id,
+      |        flatten(list_transform(string_split(text, ' '), t ->
+      |          list_transform(generate_series(1, greatest(length(t) - 1, 0)),
+      |                         i -> substring(t, CAST(i AS INT), 2)))) AS grams
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+
+  /** GROUPING SETS + grouping() markers (superset; Catalyst-native). */
+  def groupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
+    s.sql("""
+      SELECT o_orderstatus, o_orderpriority,
+        CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+        count(*) AS n
+      FROM orders_gs
+      GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+        o_orderpriority NULLS FIRST""")
+  }
+
+  val groupingSetsSql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+      |  count(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY g_status, g_prio, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "flatten_nested" -> flattenNested,
+    "agg_grouping_sets" -> groupingSets,
     "map_ops" -> mapOps,
     "reshape_onehot" -> oneHot,
     "reshape_crosstab" -> crosstabQ,
@@ -222,6 +280,8 @@ object Nested extends QueryPack {
     "struct_ops" -> structOps)
 
   override def oracle: Map[String, String] = Map(
+    "flatten_nested" -> flattenNestedSql,
+    "agg_grouping_sets" -> groupingSetsSql,
     "map_ops" -> mapOpsSql,
     "reshape_onehot" -> oneHotSql,
     "reshape_crosstab" -> crosstabSql,

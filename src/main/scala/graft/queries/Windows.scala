@@ -172,7 +172,34 @@ object Windows extends QueryPack {
       |      FROM events)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** NTH_ELEMENT (aggregation.hpp:99) as a window nth_value + first/last
+    * over an explicit full frame (frame text identical in both engines). */
+  def winNth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val full = Window.partitionBy($"o_orderstatus")
+      .orderBy($"o_totalprice", $"o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        nth_value($"o_orderkey", 3).over(full).as("third_cheapest"),
+        first($"o_orderkey").over(full).as("cheapest"),
+        last($"o_orderkey").over(full).as("priciest"))
+      .orderBy($"o_orderstatus", $"o_totalprice", $"o_orderkey")
+  }
+
+  val winNthSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  nth_value(o_orderkey, 3) OVER w AS third_cheapest,
+      |  first_value(o_orderkey) OVER w AS cheapest,
+      |  last_value(o_orderkey) OVER w AS priciest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderstatus
+      |             ORDER BY o_totalprice, o_orderkey
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_nth_value" -> winNth,
     "win_topk" -> winTopK,
     "win_rank_family" -> winRankFamily,
     "win_lead_lag" -> winLeadLag,
@@ -181,6 +208,7 @@ object Windows extends QueryPack {
     "win_ffill" -> winFfill)
 
   override def oracle: Map[String, String] = Map(
+    "win_nth_value" -> winNthSql,
     "win_topk" -> winTopKSql,
     "win_rank_family" -> winRankFamilySql,
     "win_lead_lag" -> winLeadLagSql,
