@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import QueryPack._
+
+/** TPC-DS-shaped reporting queries (the reference benchmarks PDS-DS,
+  * python/cudf_polars/.../pdsds.py) adapted to the available star
+  * schema: windows over aggregates, CASE-heavy channel classification,
+  * and consecutive-period retention — the composite shapes DS adds over
+  * H. Window sums over unordered frames go through decimal so partition
+  * row order cannot perturb doubles.
+  */
+object TpcDs extends QueryPack {
+
+  /** Top-3 customers per nation by revenue with revenue share —
+    * aggregate → window rank + windowed share ratio. */
+  def dsSalesRanking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_custkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("cust_rev"))
+    val part = Window.partitionBy($"n_name")
+    val rankW = part.orderBy($"cust_rev".desc, $"c_custkey")
+    rev
+      .withColumn("rnk", row_number().over(rankW))
+      .withColumn("nation_rev",
+        sum($"cust_rev".cast(DecimalType(28, 6))).over(part).cast("double"))
+      .filter($"rnk" <= 3)
+      .select($"n_name", $"rnk", $"c_custkey", $"cust_rev",
+        ($"cust_rev" / $"nation_rev").as("rev_share"))
+      .orderBy($"n_name", $"rnk")
+  }
+
+  val dsSalesRankingSql: String =
+    s"""SELECT n_name, rnk, c_custkey, cust_rev, cust_rev / nation_rev AS rev_share
+       |FROM (
+       |  SELECT n_name, c_custkey, cust_rev,
+       |    row_number() OVER (PARTITION BY n_name
+       |      ORDER BY cust_rev DESC, c_custkey) AS rnk,
+       |    CAST(sum(CAST(cust_rev AS DECIMAL(28,6)))
+       |      OVER (PARTITION BY n_name) AS DOUBLE) AS nation_rev
+       |  FROM (
+       |    SELECT n_name, c_custkey,
+       |      ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS cust_rev
+       |    FROM lineitem
+       |    JOIN orders ON l_orderkey = o_orderkey
+       |    JOIN customer ON o_custkey = c_custkey
+       |    JOIN nation ON c_nationkey = n_nationkey
+       |    GROUP BY n_name, c_custkey))
+       |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin
+
+  /** Channel report: CASE classification × order year, counts + revenue
+    * + average order value (exact decimal). */
+  def dsChannelReport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val channel =
+      when($"o_orderpriority".isin("1-URGENT", "2-HIGH") &&
+        $"o_orderstatus" === "O", "express_open")
+      .when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), "express_done")
+      .when($"o_orderstatus" === "O", "standard_open")
+      .otherwise("standard_done")
+    Tables.orders(s, dir)
+      .groupBy(channel.as("channel"), year($"o_orderdate").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice", 2).as("revenue"),
+        davg($"o_totalprice", 2).as("avg_order_value"))
+      .orderBy($"channel", $"o_year")
+  }
+
+  val dsChannelReportSql: String =
+    s"""SELECT CASE
+       |    WHEN o_orderpriority IN ('1-URGENT','2-HIGH') AND o_orderstatus = 'O'
+       |      THEN 'express_open'
+       |    WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'express_done'
+       |    WHEN o_orderstatus = 'O' THEN 'standard_open'
+       |    ELSE 'standard_done' END AS channel,
+       |  year(o_orderdate) AS o_year,
+       |  count(*) AS n_orders,
+       |  ${dsumSql("o_totalprice", 2)} AS revenue,
+       |  ${davgSql("o_totalprice", 2)} AS avg_order_value
+       |FROM orders GROUP BY 1, 2 ORDER BY channel, o_year""".stripMargin
+
+  /** Repeat customers: ordered in N consecutive years (distinct years →
+    * lag window → consecutive-run detection). */
+  def dsRepeatCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val years = Tables.orders(s, dir)
+      .select($"o_custkey", year($"o_orderdate").as("y")).distinct()
+    val w = Window.partitionBy($"o_custkey").orderBy($"y")
+    years
+      .withColumn("prev_y", lag($"y", 1).over(w))
+      .withColumn("consec", when($"y" - $"prev_y" === 1, 1).otherwise(0))
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_years"), sum($"consec").as("n_consecutive"))
+      .filter($"n_consecutive" >= 2)
+      .orderBy($"o_custkey")
+  }
+
+  val dsRepeatCustomersSql: String =
+    """SELECT o_custkey, count(*) AS n_years, sum(consec) AS n_consecutive
+      |FROM (
+      |  SELECT o_custkey, y,
+      |    CASE WHEN y - lag(y, 1) OVER (PARTITION BY o_custkey ORDER BY y) = 1
+      |         THEN 1 ELSE 0 END AS consec
+      |  FROM (SELECT DISTINCT o_custkey, year(o_orderdate) AS y FROM orders))
+      |GROUP BY o_custkey HAVING sum(consec) >= 2
+      |ORDER BY o_custkey""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_sales_ranking" -> dsSalesRanking,
+    "ds_channel_report" -> dsChannelReport,
+    "ds_repeat_customers" -> dsRepeatCustomers)
+
+  override def oracle: Map[String, String] = Map(
+    "ds_sales_ranking" -> dsSalesRankingSql,
+    "ds_channel_report" -> dsChannelReportSql,
+    "ds_repeat_customers" -> dsRepeatCustomersSql)
+}
