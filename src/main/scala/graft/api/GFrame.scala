@@ -95,6 +95,16 @@ final case class GFrame(df: DataFrame) {
   }
   def clip(valueCol: String, lo: Double, hi: Double): GFrame =
     GFrame(df.withColumn(valueCol, greatest(least(col(valueCol), lit(hi)), lit(lo))))
+  /** rolling(n).mean/min/max analog (rolling_window, rolling.hpp:194):
+    * trailing n-row frame per group; min_periods=1 semantics. */
+  def rolling(valueCol: String, n: Int, partitionBy: Seq[String],
+      orderBy: String): GFrame = {
+    val w = orderedWin(partitionBy, orderBy).rowsBetween(-(n - 1), Window.currentRow)
+    GFrame(df
+      .withColumn(s"${valueCol}_roll_mean", avg(col(valueCol)).over(w))
+      .withColumn(s"${valueCol}_roll_min", min(col(valueCol)).over(w))
+      .withColumn(s"${valueCol}_roll_max", max(col(valueCol)).over(w)))
+  }
 
   // ---- stats / inspection ----
   def valueCounts(colName: String): GFrame =

@@ -143,6 +143,31 @@ object Windows extends QueryPack {
       |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Time-based trailing range frame (grouped_range_rolling_window over
+    * event time, rolling.hpp:563): events in the trailing hour per user,
+    * ordered by epoch micros so the range arithmetic is integer-exact. */
+  def winTimeRange(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+      .rangeBetween(-3600000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_last_hour"),
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+          .as("sum_last_hour"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winTimeRangeSql: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER w AS n_last_hour,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    AS sum_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Grouped replace_nulls ffill/bfill (replace.hpp:48 fill-policy;
     * grouped scans) — last/first non-null over one-sided frames. */
   def winFfill(s: SparkSession, dir: String): DataFrame = {
@@ -205,6 +230,7 @@ object Windows extends QueryPack {
     "win_lead_lag" -> winLeadLag,
     "win_running" -> winRunning,
     "win_range_frame" -> winRangeFrame,
+    "win_time_range" -> winTimeRange,
     "win_ffill" -> winFfill)
 
   override def oracle: Map[String, String] = Map(
@@ -214,5 +240,6 @@ object Windows extends QueryPack {
     "win_lead_lag" -> winLeadLagSql,
     "win_running" -> winRunningSql,
     "win_range_frame" -> winRangeFrameSql,
+    "win_time_range" -> winTimeRangeSql,
     "win_ffill" -> winFfillSql)
 }

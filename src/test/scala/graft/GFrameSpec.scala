@@ -74,6 +74,14 @@ class GFrameSpec extends AnyFunSuite {
     assert(clipped.toSeq == Seq(12.0, 15.0, 20.0))
   }
 
+  test("rolling trailing-frame mean/min/max") {
+    val ts = GFrame(Seq((1L, 1, 10.0), (1L, 2, 30.0), (1L, 3, 20.0))
+      .toDF("u", "i", "v"))
+    val got = ts.rolling("v", 2, Seq("u"), "i").toDF.orderBy("i").collect()
+    assert(got.map(_.getDouble(3)).toSeq == Seq(10.0, 20.0, 25.0)) // means
+    assert(got(2).getDouble(4) == 20.0 && got(2).getDouble(5) == 30.0)
+  }
+
   test("str and dt accessor namespaces") {
     import java.sql.Timestamp
     val gf = GFrame(Seq(("  Hello World  ", Timestamp.valueOf("1996-02-29 13:05:00")))
