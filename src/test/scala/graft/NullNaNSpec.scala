@@ -72,6 +72,23 @@ class NullNaNSpec extends AnyFunSuite {
     assert(df.select(explode_outer($"a")).count() == 3)
   }
 
+  test("unicode multi-byte strings: length/substr/upper/reverse/split (§B.5)") {
+    val df = Seq("héllo wörld", "日本語 テスト", "emoji 🚀 test").toDF("s")
+    val got = df.select(length($"s"), substring($"s", 1, 5), upper($"s"),
+      reverse($"s"), size(split($"s", " "))).collect()
+    // length counts characters (code points for BMP; surrogate pairs = 2)
+    assert(got(0).getInt(0) == 11)
+    assert(got(0).getString(1) == "héllo")
+    assert(got(0).getString(2) == "HÉLLO WÖRLD")
+    assert(got(1).getInt(0) == 7)
+    assert(got(1).getString(1) == "日本語 テ")
+    assert(got(1).getString(3) == "トステ 語本日")
+    assert(got.map(_.getInt(4)).toSeq == Seq(2, 2, 3))
+    // byte length differs from char length for multi-byte text
+    val bytes = df.select(octet_length($"s")).collect().map(_.getInt(0))
+    assert(bytes(0) == 13 && bytes(1) > 7)
+  }
+
   test("decimal(38) arithmetic keeps exactness at max precision") {
     val df = Seq("99999999999999999999999999999999999.99")
       .toDF("s").select($"s".cast("decimal(37,2)").as("d"))
