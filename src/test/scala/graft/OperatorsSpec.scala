@@ -113,4 +113,15 @@ class OperatorsSpec extends AnyFunSuite {
     val o = SparkEntry.oracleSql.keySet
     assert(o.subsetOf(q), s"oracle keys without queries: ${o.diff(q)}")
   }
+
+  test("query names are unique across packs (toMap would silently drop dups)") {
+    val packs = Seq(queries.Tpch, queries.Tpch2, queries.TpcDs, queries.Joins,
+      queries.Aggs, queries.Windows, queries.SortSet, queries.Funcs,
+      queries.Nested, queries.TextOps, queries.EventOps, queries.IoPack,
+      queries.MiscPack)
+    val all = packs.flatMap(_.queries.keys)
+    val dups = all.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
+    assert(all.size == SparkEntry.queries.size)
+  }
 }
