@@ -36,7 +36,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Round-1 driver recorded `parsed: null`: sbt's default fork output
+    // strategy prefixed the line with "[info] ", breaking json.loads.
+    // build.sbt now sets `run / outputStrategy := StdoutOutput` so this
+    // println reaches the real stdout bare; bench.json is a file-based
+    // fallback pickup.
+    println(line)
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -31,8 +31,8 @@ object EventOps extends QueryPack {
       |  FROM g),
       |x AS (
       |  SELECT user_id, ts, value,
-      |    sum(nw) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_idx
+      |    CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) - 1 AS session_idx
       |  FROM f)
       |SELECT user_id, session_idx, count(*) AS n_events,
       |  min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us,
@@ -112,7 +112,7 @@ object EventOps extends QueryPack {
       |SELECT count(*) AS n_signup_users,
       |  count(first_purchase_us) AS n_converted,
       |  CAST(count(first_purchase_us) AS DOUBLE) / count(*) AS conv_rate,
-      |  sum(first_purchase_us - signup_us) AS total_gap_us
+      |  CAST(sum(first_purchase_us - signup_us) AS BIGINT) AS total_gap_us
       |FROM conv""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

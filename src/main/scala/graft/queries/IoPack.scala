@@ -88,7 +88,7 @@ object IoPack extends QueryPack {
 
   val textDelimSql: String =
     """SELECT count(*) AS n_records,
-      |  sum(length(n_nationkey || ':' || n_name)) AS total_chars,
+      |  CAST(sum(length(n_nationkey || ':' || n_name)) AS BIGINT) AS total_chars,
       |  min(length(n_nationkey || ':' || n_name)) AS min_len
       |FROM nation""".stripMargin
 

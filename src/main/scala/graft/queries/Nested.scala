@@ -162,9 +162,9 @@ object Nested extends QueryPack {
 
   val oneHotSql: String =
     """SELECT o_orderpriority,
-      |  sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-      |  sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-      |  sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+      |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** crosstab (reshape.py:1543) via stat.crosstab. */

@@ -104,7 +104,8 @@ object TpcDs extends QueryPack {
   }
 
   val dsRepeatCustomersSql: String =
-    """SELECT o_custkey, count(*) AS n_years, sum(consec) AS n_consecutive
+    """SELECT o_custkey, count(*) AS n_years,
+      |  CAST(sum(consec) AS BIGINT) AS n_consecutive
       |FROM (
       |  SELECT o_custkey, y,
       |    CASE WHEN y - lag(y, 1) OVER (PARTITION BY o_custkey ORDER BY y) = 1

