@@ -41,9 +41,14 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
     val loB = BindReferences.bindReference(lo, right.output)
     val hiB = BindReferences.bindReference(hi, right.output)
     // Build side: collect + sort by lo, broadcast (dimension-sized).
-    val intervals = right.executeCollect().map { r =>
-      (loB.eval(r).asInstanceOf[Number].doubleValue(),
-        hiB.eval(r).asInstanceOf[Number].doubleValue(), r.copy())
+    // Rows with a null bound can never satisfy lo <= v < hi (SQL
+    // comparisons with null are false), so drop them at build.
+    val intervals = right.executeCollect().flatMap { r =>
+      val lo0 = loB.eval(r)
+      val hi0 = hiB.eval(r)
+      if (lo0 == null || hi0 == null) None
+      else Some((lo0.asInstanceOf[Number].doubleValue(),
+        hi0.asInstanceOf[Number].doubleValue(), r.copy()))
     }.sortBy(_._1)
     val bc = sparkContext.broadcast(intervals)
     val out = output
@@ -97,8 +102,14 @@ object RangeJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output}"))
+    def numeric(a: Attribute): Attribute = {
+      if (!a.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+        throw new IllegalArgumentException(
+          s"rangeJoin column ${a.name} must be numeric, got ${a.dataType}")
+      a
+    }
     ColumnBridge.ofRows(spark,
-      RangeJoin(lPlan, rPlan, attr(lPlan, valueCol),
-        attr(rPlan, loCol), attr(rPlan, hiCol)))
+      RangeJoin(lPlan, rPlan, numeric(attr(lPlan, valueCol)),
+        numeric(attr(rPlan, loCol)), numeric(attr(rPlan, hiCol))))
   }
 }

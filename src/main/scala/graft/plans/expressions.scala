@@ -150,8 +150,16 @@ case class Ewma(child: Expression, alpha: Double)
         Add(Multiply(Literal(alpha), Cast(child, DoubleType)),
           Multiply(Literal(1.0 - alpha), state)))))
   override lazy val mergeExpressions: Seq[Expression] =
-    // Order-dependent: EWMA only merges trivially when one side is empty.
-    Seq(If(IsNull(state.right), state.left, state.right))
+    // EWMA is order-dependent and has NO correct partial-aggregate merge:
+    // merging two non-empty states loses the interleaving. Window frames
+    // never merge buffers (single sequential pass per frame), so the
+    // public API only exposes this over a WindowSpec (GraftExpressions
+    // .ewma requires one). Raise if a groupBy/agg plan ever merges.
+    Seq(If(IsNull(state.right), state.left,
+      If(IsNull(state.left), state.right,
+        Cast(new RaiseError(Literal("graft.ewma: partial-aggregate merge "
+          + "is undefined for order-dependent EWMA; use it over a window, "
+          + "not in groupBy/agg")), DoubleType))))
   override lazy val evaluateExpression: Expression = state
   override protected def withNewChildInternal(c: Expression): Ewma =
     copy(child = c)
@@ -164,8 +172,12 @@ object GraftExpressions {
 
   def normalizeNanZero(c: Column): Column = column(NormalizeNaNZero(expression(c)))
   def porterStem(c: Column): Column = column(PorterStem(expression(c)))
-  def ewma(c: Column, alpha: Double): Column =
-    column(Ewma(expression(c), alpha).toAggregateExpression())
+  /** EWMA is order-dependent, so it is only sound as a running window
+    * function (frames evaluate sequentially; partial-agg merge would be
+    * wrong) — the WindowSpec is therefore part of the signature. */
+  def ewma(c: Column, alpha: Double,
+      over: org.apache.spark.sql.expressions.WindowSpec): Column =
+    column(Ewma(expression(c), alpha).toAggregateExpression()).over(over)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

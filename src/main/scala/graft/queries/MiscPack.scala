@@ -126,7 +126,7 @@ object MiscPack extends QueryPack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select($"user_id", $"event_id", $"value",
-        GraftExpressions.ewma($"value", 0.3).over(w).as("ewma_v"))
+        GraftExpressions.ewma($"value", 0.3, w).as("ewma_v"))
       .orderBy($"user_id", $"event_id")
   }
 

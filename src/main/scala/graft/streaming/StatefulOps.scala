@@ -51,8 +51,13 @@ object StatefulOps {
         } else {
           var (start, end, n, sum) =
             state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L, 0.0))
+          val wmMs = state.getCurrentWatermarkMs()
           var closed = List.empty[SessionOut]
-          rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t, v) =>
+          // Drop rows at/behind the watermark: Spark only guarantees
+          // delivery above it, and folding them in would extend an open
+          // session backwards in time (or re-open an emitted one).
+          rows.toSeq.sortBy(_._2.getTime)
+            .iterator.filter(_._2.getTime > wmMs).foreach { case (_, t, v) =>
             val tUs = t.getTime * 1000
             if (n > 0 && tUs - end > gapMillis * 1000) {
               closed ::= SessionOut(user, start, end, n, sum)
@@ -62,8 +67,13 @@ object StatefulOps {
               n += 1; sum += v
             }
           }
-          state.update((start, end, n, sum))
-          state.setTimeoutTimestamp(end / 1000 + gapMillis)
+          if (n > 0) {
+            state.update((start, end, n, sum))
+            // EventTimeTimeout rejects timestamps <= current watermark;
+            // clamp so a backlogged batch can't kill the query.
+            state.setTimeoutTimestamp(
+              math.max(end / 1000 + gapMillis, wmMs + 1))
+          }
           closed.reverseIterator
         }
     }

@@ -88,6 +88,38 @@ class ExpressionsSpec extends AnyFunSuite {
       exec.toString)
   }
 
+  test("RangeJoin drops null interval bounds and rejects non-numeric cols") {
+    import graft.plans.RangeJoin
+    val facts = Seq((1L, 5.0), (2L, 15.0)).toDF("k", "v")
+    val bins = Seq(("low", Some(0.0), Some(10.0)),
+        ("bad_lo", None, Some(99.0)), ("bad_hi", Some(0.0), None))
+      .toDF("label", "lo", "hi")
+    val got = RangeJoin.rangeJoin(facts, bins, "v", "lo", "hi")
+      .select("k", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "low")), "null-bounded intervals must not match")
+    val strBins = Seq(("x", "a", "b")).toDF("label", "lo", "hi")
+    intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(facts, strBins, "v", "lo", "hi")
+    }
+  }
+
+  test("ewma merge path raises instead of silently merging partial states") {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import graft.plans.Ewma
+    // Bypass the WindowSpec-requiring API to simulate a user planting the
+    // aggregate in groupBy/agg, where partial-merge would be wrong.
+    val df = (1 to 100).map(i => (i % 2, i.toDouble)).toDF("k", "v")
+      .repartition(4)
+    val agg = ColumnBridge.column(
+      Ewma(ColumnBridge.expression($"v"), 0.5).toAggregateExpression())
+    val ex = intercept[Exception] {
+      df.groupBy($"k").agg(agg.as("e")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("ewma")), ex.toString)
+  }
+
   test("BpeEncode applies merges in rank order (classic lower->low+er)") {
     import graft.plans.BpeEncode
     val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r", "low" -> "er")
@@ -138,7 +170,7 @@ class ExpressionsSpec extends AnyFunSuite {
       .toDF("k", "i", "v")
     val w = Window.partitionBy($"k").orderBy($"i")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val got = df.select(GraftExpressions.ewma($"v", 0.5).over(w))
+    val got = df.select(GraftExpressions.ewma($"v", 0.5, w))
       .as[Double].collect()
     assert(got.toSeq == Seq(10.0, 15.0, 22.5)) // 0.5*20+0.5*10, 0.5*30+0.5*15
   }
