@@ -102,18 +102,23 @@ object Dedup {
   }
 
   /** Collapse near-dup PAIRS into clusters: connected components via
-    * iterative min-label propagation. Each round, every id adopts the
-    * minimum label among itself and its neighbors; converges in
-    * O(log(max component diameter)) rounds — the standard
-    * large-graph-on-Spark pattern (bounded iterative joins, checkpointed,
-    * no driver-side adjacency). Returns (id, cluster) where cluster is
-    * the minimum id of the component. */
-  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    * min-label propagation PLUS pointer jumping. Each round every id
+    * adopts the minimum label among itself and its neighbors, then
+    * labels are compressed through themselves (label := label(label)),
+    * which doubles the propagation distance per round → O(log diameter)
+    * rounds, not O(diameter). Lineage is truncated with an eager
+    * localCheckpoint each round and superseded label frames are
+    * unpersisted, so plan size and executor storage stay constant over
+    * iterations. Returns ((id, cluster), converged); cluster is the
+    * minimum id of the component. */
+  def nearDupClustersWithStatus(pairs: DataFrame,
+      maxIter: Int = 10): (DataFrame, Boolean) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .cache()
+      .localCheckpoint() // eager: computed once, lineage cut, stays cached
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -121,17 +126,37 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nbr_min"))
-      val updated = labels.join(neighborMin, labels("id") === col("id2"), "left")
+      val propagated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-        .cache()
-      val changes = updated.as("u").join(labels.as("l"), "id")
-        .filter(col("u.cluster") =!= col("l.cluster")).count()
-      labels = updated
-      converged = changes == 0
+      // Pointer jumping: labels are themselves ids, so re-resolving each
+      // label through the label table halves the remaining path length.
+      val jumped = propagated.as("x")
+        .join(propagated.select(col("id").as("jid"), col("cluster").as("jc")),
+          col("x.cluster") === col("jid"), "left")
+        .select(col("x.id").as("id"),
+          coalesce(col("jc"), col("x.cluster")).as("cluster"))
+        .localCheckpoint()
+      converged = jumped.as("u").join(labels.as("l"), "id")
+        .filter(col("u.cluster") =!= col("l.cluster")).isEmpty
+      labels.unpersist()
+      labels = jumped
       i += 1
     }
+    edges.unpersist()
+    (labels, converged)
+  }
+
+  /** [[nearDupClustersWithStatus]] that FAILS on non-convergence instead
+    * of silently returning partial clusters (a component whose log-
+    * diameter exceeds maxIter would otherwise be split). */
+  def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
+    val (labels, converged) = nearDupClustersWithStatus(pairs, maxIter)
+    require(converged,
+      s"nearDupClusters: label propagation did not converge in $maxIter " +
+        "rounds — raise maxIter (rounds needed ~ log2 of the largest " +
+        "component's diameter)")
     labels
   }
 

@@ -17,10 +17,18 @@ object Reshape {
       d.withColumn(s"${col0}_$v", when(col(col0) === v, 1).otherwise(0))
     }
 
-  /** crosstab (reshape.py:1543) — counts of a × b. Thin façade over
-    * stat.crosstab (groupBy+pivot underneath). */
-  def crosstab(df: DataFrame, a: String, b: String): DataFrame =
-    df.stat.crosstab(a, b)
+  /** crosstab (reshape.py:1543) — counts of a × b with the b-values
+    * enumerated explicitly, like [[oneHot]]. `stat.crosstab` was rejected
+    * here: it materializes the distinct-value matrix on the driver, a
+    * driver-OOM at 100 TB with high-cardinality columns. With explicit
+    * values this is one hash-shuffled groupBy + a codegen'd pivot —
+    * fully distributed, column count fixed up front. */
+  def crosstab(df: DataFrame, a: String, b: String,
+      bValues: Seq[String]): DataFrame =
+    df.groupBy(col(a).cast("string").as(s"${a}_$b"))
+      .pivot(b, bValues)
+      .count()
+      .na.fill(0L, bValues)
 
   /** transpose (transpose.hpp:39) — rows↔columns for a BOUNDED frame
     * (the reference's transpose is also a full-materialization op; at

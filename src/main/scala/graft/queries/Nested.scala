@@ -167,11 +167,12 @@ object Nested extends QueryPack {
       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** crosstab (reshape.py:1543) via stat.crosstab. */
+  /** crosstab (reshape.py:1543) — explicit-values groupBy+pivot (no
+    * driver-side distinct matrix). */
   def crosstabQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.operators.Reshape.crosstab(Tables.lineitem(s, dir),
-        "l_returnflag", "l_linestatus")
+        "l_returnflag", "l_linestatus", Seq("F", "O"))
       .orderBy($"l_returnflag_l_linestatus")
   }
 

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryPack._
 
@@ -152,22 +153,31 @@ object Tpch2 extends QueryPack {
 
   /** Q21 analog: suppliers who kept orders waiting — "late" emulated as
     * shipdate > orderdate + 60 days (schema has no commit/receipt dates).
-    * Exercises the exists/not-exists double semi/anti join shape. */
+    *
+    * The textbook EXISTS/NOT-EXISTS form probes the fact join three times
+    * (base + semi + anti → three lineitem scans at 100×). Here both
+    * quantifiers are derived from per-order window counts over ONE pass:
+    * another-supplier-exists ⟺ order has more lines than this supplier's;
+    * no-other-late-supplier ⟺ all the order's late lines are this
+    * supplier's. Both window specs cluster on l_orderkey, so Catalyst
+    * plans one exchange + one extra sort — single scan, single shuffle. */
   def q21(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
+    val wO = Window.partitionBy($"l_orderkey")
+    val wOS = Window.partitionBy($"l_orderkey", $"l_suppkey")
+    val isLate = when(datediff($"l_shipdate", $"o_orderdate") > 60, 1L)
+      .otherwise(0L)
+    Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir).filter($"o_orderstatus" === "F"),
         $"l_orderkey" === $"o_orderkey")
-      .withColumn("late", datediff($"l_shipdate", $"o_orderdate") > 60)
-    val l1 = li.filter($"late")
-      .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
-    val others = li.select($"l_orderkey".as("ok2"), $"l_suppkey".as("sk2"))
-    val lateOthers = li.filter($"late")
-      .select($"l_orderkey".as("ok3"), $"l_suppkey".as("sk3"))
-    l1
-      .join(others, $"ok" === $"ok2" && $"sk" =!= $"sk2", "left_semi")
-      .join(lateOthers, $"ok" === $"ok3" && $"sk" =!= $"sk3", "left_anti")
-      .join(broadcast(Tables.supplier(s, dir)), $"sk" === $"s_suppkey")
+      .select($"l_orderkey", $"l_suppkey", isLate.as("late"))
+      .withColumn("ord_lines", count(lit(1)).over(wO))
+      .withColumn("ord_late", sum($"late").over(wO))
+      .withColumn("supp_lines", count(lit(1)).over(wOS))
+      .withColumn("supp_late", sum($"late").over(wOS))
+      .filter($"late" === 1L && $"ord_lines" > $"supp_lines" &&
+        $"ord_late" === $"supp_late")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name")

@@ -54,6 +54,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("nearDupClusters converges on a path longer than maxIter (pointer jumping)") {
+    import graft.operators.Dedup
+    // Path graph 0-1-2-...-40: diameter 40 >> maxIter 8. Plain one-hop
+    // min-label propagation would need 40 rounds; pointer jumping needs
+    // ~log2(40).
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labels, converged) = Dedup.nearDupClustersWithStatus(pairs, maxIter = 8)
+    assert(converged, "pointer jumping must converge in ~log2(diameter) rounds")
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 41 && got.values.forall(_ == 0L))
+  }
+
+  test("nearDupClusters surfaces non-convergence instead of mis-clustering") {
+    import graft.operators.Dedup
+    val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (_, converged) = Dedup.nearDupClustersWithStatus(pairs, maxIter = 1)
+    assert(!converged)
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupClusters(pairs, maxIter = 1)
+    }
+  }
+
   test("sessionize splits on gap and aggregates sessions") {
     val ev = Seq(
       (7L, ts("2024-01-01 00:00:00"), 1.0),
