@@ -19,8 +19,26 @@ object TextFunctions {
   /** Whitespace tokenizer (nvtext/tokenize.hpp:51), lower-cased. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
-  /** Whitespace normalizer (nvtext/normalize.hpp). */
-  def normalizeWs(c: Column): Column = regexp_replace(trim(c), "\\s+", " ")
+  /** Whitespace normalizer (nvtext/normalize.hpp normalize_spaces).
+    * Squeeze runs FIRST, then trim: Spark's trim only strips spaces, so
+    * trimming first would leave a trailing "\n" to become " "
+    * (reference example: "  c  d\n" → "c d"). */
+  def normalizeWs(c: Column): Column = trim(regexp_replace(c, "\\s+", " "))
+
+  /** Unicode NFC composition (character_normalizer half,
+    * normalize.hpp:51; DuckDB `nfc_normalize` is the oracle analog). */
+  def nfc(c: Column): Column = graft.plans.UnicodeNormalize.nfc(c)
+
+  /** Accent stripping: NFD-decompose then drop combining marks (Mn) —
+    * the reference couples this with lower-casing (normalize.hpp:70). */
+  def stripAccents(c: Column): Column =
+    regexp_replace(graft.plans.UnicodeNormalize(c, "NFD"), "\\p{Mn}", "")
+
+  /** Full character normalization for dedup/tokenize pipelines:
+    * NFC → lower → de-accent → whitespace squeeze. The punctuation/CJK
+    * padding variant is [[graft.plans.CharacterNormalize]]. */
+  def normalizeText(c: Column): Column =
+    normalizeWs(stripAccents(lower(nfc(c))))
 
   /** BPE-style pretokenizer (north star "BPE-ish regex"; the regex split
     * that precedes merge-table lookup in byte_pair_encoding.hpp): runs of

@@ -25,9 +25,11 @@ object Dedup {
     df.groupBy(md5(col(textCol)).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Exact dedup with whitespace/case normalization first. */
+  /** Exact dedup after full text normalization (NFC → lower → de-accent
+    * → whitespace squeeze): the form every real dedup pipeline hashes,
+    * so byte-level encoding variants of the same text collapse. */
   def normalizedGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(md5(lower(normalizeWs(col(textCol)))).as("digest"))
+    df.groupBy(md5(normalizeText(col(textCol))).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Bag-of-words fingerprint dedup: documents with the same distinct

@@ -38,6 +38,33 @@ object TextOps extends QueryPack {
        |  min(doc_id) AS keep_id, count(*) AS n_docs
        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  /** Unicode character normalization (normalize.hpp:51-90): NFC compose,
+    * lower, strip accents, squeeze whitespace. DuckDB's nfc_normalize +
+    * strip_accents make the whole pipeline oracle-checkable. */
+  def normalize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.normalizeText(col("text")).as("norm"))
+      .orderBy(col("doc_id"))
+
+  val normalizeSql: String =
+    raw"""SELECT doc_id,
+         |  trim(regexp_replace(strip_accents(lower(nfc_normalize(text))),
+         |    '\s+', ' ', 'g')) AS norm
+         |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup on the NORMALIZED text — the form real pipelines hash
+    * (north star: dedup correctness depends on normalizing first). */
+  def dedupNormalized(s: SparkSession, dir: String): DataFrame =
+    Dedup.normalizedGroups(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("keep_id"))
+
+  val dedupNormalizedSql: String =
+    raw"""SELECT md5(trim(regexp_replace(strip_accents(lower(nfc_normalize(text))),
+         |    '\s+', ' ', 'g'))) AS digest,
+         |  min(doc_id) AS keep_id, count(*) AS n_dups
+         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
   /** Token statistics (tokenize counts + type/token ratio). */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
@@ -223,6 +250,52 @@ object TextOps extends QueryPack {
       .limit(25)
   }
 
+  /** Vocabulary tokenization (nvtext/tokenize.hpp:228 tokenize_with_
+    * vocabulary): corpus-derived vocabulary (distinct tokens of length
+    * ≥ 3, ids by sorted order), documents mapped to id arrays via the
+    * broadcast-join path; shorter tokens fall to default_id = -1. */
+  def tokenIds(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val vocab = graft.operators.VocabTokenize
+      .buildVocabulary(docs, "text", minTokenLength = 3)
+    graft.operators.VocabTokenize
+      .tokenizeWithVocabularyJoin(docs, "doc_id", "text", vocab)
+      .select(col("doc_id"), col("ids"),
+        size(filter(col("ids"), x => x === -1)).as("n_unk"),
+        size(col("ids")).as("n_ids"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenIdsSql: String =
+    s"""WITH docs AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |tok AS (SELECT doc_id, unnest(toks) AS tok,
+       |               generate_subscripts(toks, 1) AS pos FROM docs),
+       |vocab AS (SELECT tok,
+       |    CAST(row_number() OVER (ORDER BY tok) - 1 AS INT) AS id
+       |  FROM (SELECT DISTINCT tok FROM tok WHERE length(tok) >= 3)),
+       |mapped AS (
+       |  SELECT doc_id, list(CAST(coalesce(v.id, -1) AS INT) ORDER BY t.pos) AS ids
+       |  FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, ids, len(list_filter(ids, x -> x = -1)) AS n_unk,
+       |  len(ids) AS n_ids
+       |FROM mapped ORDER BY doc_id""".stripMargin
+
+  /** Detokenize (nvtext/tokenize.hpp:216): inverse of tokenization —
+    * position-exploded tokens re-assembled per doc in input order.
+    * Round-trip property: detokenize(tokenize(x)) = ws-normalized x. */
+  def detok(s: SparkSession, dir: String): DataFrame = {
+    val exploded = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    graft.operators.VocabTokenize
+      .detokenize(exploded, "tok", "doc_id", "pos", " ")
+      .orderBy(col("doc_id"))
+  }
+
+  val detokSql: String =
+    s"""SELECT doc_id, array_to_string($toksSql, ' ') AS text
+       |FROM documents ORDER BY doc_id""".stripMargin
+
   /** True BPE (merge-table loop, byte_pair_encoding.hpp) over the corpus
     * with a fixed merge table — rows-only (no DuckDB analog); algorithm
     * exactness covered by ExpressionsSpec. */
@@ -241,9 +314,13 @@ object TextOps extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_bpe_merges" -> bpeMerges,
     "doc_bpe_tokens" -> bpeTokens,
+    "doc_token_ids" -> tokenIds,
+    "doc_detok" -> detok,
     "doc_wordpiece" -> wordpiece,
     "doc_dedup_exact" -> dedupExact,
     "doc_dedup_fingerprint" -> dedupFingerprint,
+    "doc_dedup_normalized" -> dedupNormalized,
+    "doc_normalize" -> normalize,
     "doc_token_stats" -> tokenStats,
     "doc_quality" -> quality,
     "doc_langid" -> langid,
@@ -257,8 +334,12 @@ object TextOps extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "doc_bpe_tokens" -> bpeTokensSql,
+    "doc_token_ids" -> tokenIdsSql,
+    "doc_detok" -> detokSql,
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,
+    "doc_dedup_normalized" -> dedupNormalizedSql,
+    "doc_normalize" -> normalizeSql,
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality" -> qualitySql,
     "doc_langid" -> langidSql,

@@ -62,4 +62,97 @@ class TextFunctionsSpec extends AnyFunSuite {
       .select(tokenNgrams("toks", 2)).as[Seq[String]].head()
     assert(got == Seq("a_b", "b_c"))
   }
+
+  test("tokenizeWithVocabulary maps tokens to vocab row indices, unknowns to default") {
+    import graft.operators.VocabTokenize
+    val vocab = Seq("and", "cat", "hat", "the")
+    val got = Seq("the cat and the zebra").toDF("text")
+      .select(VocabTokenize.tokenizeWithVocabulary($"text", vocab).as("ids"))
+      .as[Seq[Int]].head()
+    assert(got == Seq(3, 1, 0, 3, -1))
+  }
+
+  test("tokenizeWithVocabularyJoin matches the map-literal path") {
+    import graft.operators.VocabTokenize
+    val docs = Seq((0L, "the cat and the zebra"), (1L, "hat the")).toDF("doc_id", "text")
+    val vocabDf = Seq(("and", 0), ("cat", 1), ("hat", 2), ("the", 3))
+      .toDF("tok", "id")
+    val viaJoin = VocabTokenize
+      .tokenizeWithVocabularyJoin(docs, "doc_id", "text", vocabDf)
+      .orderBy($"doc_id").as[(Long, Seq[Int])].collect().toSeq
+    assert(viaJoin == Seq(0L -> Seq(3, 1, 0, 3, -1), 1L -> Seq(2, 3)))
+    val viaMap = docs.select($"doc_id",
+        VocabTokenize.tokenizeWithVocabulary($"text",
+          Seq("and", "cat", "hat", "the")).as("ids"))
+      .orderBy($"doc_id").as[(Long, Seq[Int])].collect().toSeq
+    assert(viaJoin == viaMap)
+  }
+
+  test("detokenize reproduces the reference's tokenize.hpp examples") {
+    import graft.operators.VocabTokenize
+    // nvtext/tokenize.hpp:190-199: s=[hello,world,one,two,three]
+    val toks = Seq(("hello", 0), ("world", 1), ("one", 2), ("two", 3), ("three", 4))
+    def run(rowIdx: Seq[Int]): Map[Int, String] = {
+      val df = toks.zip(rowIdx).map { case ((t, pos), r) => (t, r, pos) }
+        .toDF("tok", "row_idx", "pos")
+      VocabTokenize.detokenize(df, "tok", "row_idx", "pos")
+        .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    }
+    assert(run(Seq(0, 0, 1, 1, 1)) ==
+      Map(0 -> "hello world", 1 -> "one two three"))
+    assert(run(Seq(0, 2, 1, 1, 0)) ==
+      Map(0 -> "hello three", 1 -> "one two", 2 -> "world"))
+  }
+
+  test("UnicodeNormalize NFC composes decomposed sequences") {
+    import graft.plans.UnicodeNormalize
+    // "é" as e + COMBINING ACUTE (NFD) must compose to U+00E9 (NFC)
+    val decomposed = "Café"
+    val got = Seq(decomposed).toDF("s")
+      .select(UnicodeNormalize.nfc($"s")).as[String].head()
+    assert(got == "Café")
+    assert(got.length == 4 && decomposed.length == 5)
+  }
+
+  test("normalizeText lowers, de-accents, squeezes whitespace") {
+    val got = Seq("  Café  du\t MONDE Über\n").toDF("s")
+      .select(normalizeText($"s")).as[String].head()
+    assert(got == "cafe du monde uber")
+    // NFD input collapses to the same normalized form (dedup property)
+    val nfd = Seq("Café du MONDE Über").toDF("s")
+      .select(normalizeText($"s")).as[String].head()
+    assert(nfd == got)
+  }
+
+  test("CharacterNormalize pads punctuation/CJK, strips controls, protects special tokens") {
+    import graft.plans.CharacterNormalize
+    val got = Seq("Hello, world! 你好").toDF("s")
+      .select(CharacterNormalize($"s", doLowerCase = true)).as[String].head()
+    assert(got == "hello ,  world !   你  好 ")
+    val tok = Seq("a [MASK] b [NOPE] c").toDF("s")
+      .select(CharacterNormalize($"s", doLowerCase = true,
+        specialTokens = Seq("[MASK]"))).as[String].head()
+    // [MASK] survives verbatim; [NOPE] is not protected so brackets pad
+    assert(tok.contains(" [MASK] "))
+    assert(tok.contains(" [ nope ] "))
+  }
+
+  test("WordPiece and BPE emit vocab ids via idsFor composition") {
+    import graft.operators.VocabTokenize
+    import graft.plans.{BpeEncode, WordPieceTokenize}
+    val wpVocab = Seq("un", "##aff", "##able", "aff", "the")
+    val wp = Seq("the unaffable zzz").toDF("s")
+      .select(VocabTokenize.idsFor(
+        WordPieceTokenize($"s", wpVocab), wpVocab).as("ids"))
+      .as[Seq[Int]].head()
+    // pieces: the, un, ##aff, ##able, [UNK] -> ids 4, 0, 1, 2, -1
+    assert(wp == Seq(4, 0, 1, 2, -1))
+    val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r", "low" -> "er")
+    val bpeVocab = Seq("er", "low", "lower", "n", "e", "w")
+    val bpe = Seq("lower low newer").toDF("s")
+      .select(VocabTokenize.idsFor(BpeEncode($"s", merges), bpeVocab).as("ids"))
+      .as[Seq[Int]].head()
+    // pieces: lower, low, n, e, w, er -> ids 2, 1, 3, 4, 5, 0
+    assert(bpe == Seq(2, 1, 3, 4, 5, 0))
+  }
 }
