@@ -78,6 +78,27 @@ object TextFunctions {
     expr(s"transform(sequence(0, ${k - 1}), " +
       s"i -> array_min(transform($toksCol, t -> xxhash64(t, i))))")
 
+  /** Word n-gram shingles for order-sensitive near-dup detection
+    * (nvtext/minhash.hpp:156 minhash_ngrams operates on ngrams of
+    * tokens). Documents shorter than n tokens fall back to one shingle
+    * of the whole document, so no doc hashes to an empty set. */
+  def shingles(toksCol: String, n: Int): Column =
+    when(size(col(toksCol)) >= n, array_distinct(tokenNgrams(toksCol, n)))
+      .otherwise(array(array_join(col(toksCol), "_")))
+
+  /** MinHash signature over word n-gram shingles (minhash_ngrams,
+    * nvtext/minhash.hpp:156). Unlike [[minhashSig]] over the distinct
+    * token SET, this is order-sensitive: permuted documents get
+    * different shingles, the standard formulation for document near-dup
+    * detection. */
+  def minhashNgramSig(toksCol: String, n: Int, k: Int): Column =
+    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
+      s"CASE WHEN size($toksCol) >= $n THEN array_distinct(" +
+      s"  transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 0)), " +
+      s"    j -> array_join(slice($toksCol, j, $n), '_'))) " +
+      s"ELSE array(array_join($toksCol, '_')) END, " +
+      s"t -> xxhash64(t, i))))")
+
   /** LSH band keys for a minhash signature column: hash of each band's
     * slice of the signature, tagged with the band index. Docs sharing
     * any band key are near-dup candidates. */

@@ -103,6 +103,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** MinHash+LSH near-dup pairs over word n-gram SHINGLES
+    * (minhash_ngrams, nvtext/minhash.hpp:156) — order-sensitive: a
+    * permutation of the same tokens is NOT a near-dup here, unlike
+    * [[minhashPairs]]' distinct-token-set formulation. Same 100 TB
+    * shape: band keys shuffle ids only; exact shingle-Jaccard verify
+    * joins the shingle arrays back per candidate pair. */
+  def minhashNgramPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val rows = numHashes / bands
+    val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .withColumn("sh", shingles("toks", n))
+      .withColumn("sig", minhashSig("sh", numHashes))
+    val banded = docs.select(col("id"),
+      explode(minhashBands("sig", bands, rows)).as("band"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sh = docs.select(col("id"), col("sh"))
+    cand
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
   /** Collapse near-dup PAIRS into clusters: connected components via
     * min-label propagation PLUS pointer jumping. Each round every id
     * adopts the minimum label among itself and its neighbors, then

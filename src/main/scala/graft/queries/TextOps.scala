@@ -155,11 +155,30 @@ object TextOps extends QueryPack {
         "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Shingle (word-3-gram) MinHash near-dup pairs (minhash_ngrams,
+    * nvtext/minhash.hpp:156) — order-sensitive variant; rows-only
+    * (engine-native xxhash64), recall covered by DedupSpec. */
+  def minhashNgramPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNgramPairs(Tables.documents(s, dir).filter(col("doc_id") < 1000),
+        "doc_id", "text", n = 3, numHashes = 32, bands = 8, threshold = 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** SimHash near-dup pairs — rows-only check; same cap rationale. */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 1000),
         "doc_id", "text", maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Exact duplicated substrings (resolve_duplicates,
+    * nvtext/deduplicate.hpp:66) at chunk granularity — rows-only (no
+    * tractable SQL analog); exactness covered by DedupSpec's planted-
+    * duplicate tests. Deterministic: range-partitioned chunks on doc_id,
+    * sorted output. */
+  def substringDups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstringDedup.resolveDuplicates(
+        Tables.documents(s, dir).filter(col("doc_id") < 30),
+        "doc_id", "text", minWidth = 25, chunks = 4)
+      .orderBy(col("dup_text"))
 
   /** Multimodal plumbing: ingest text as binary payload, run the stub
     * decoder (real codec is a drop-in; schema/partitioning are real). */
@@ -326,7 +345,9 @@ object TextOps extends QueryPack {
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
     "doc_minhash_pairs" -> minhashPairs,
+    "doc_minhash_ngram_pairs" -> minhashNgramPairs,
     "doc_simhash_pairs" -> simhashPairs,
+    "doc_substring_dups" -> substringDups,
     "doc_multimodal" -> multimodal,
     "embed_knn" -> embedKnn,
     "embed_knn_lsh" -> embedKnnLsh,

@@ -55,10 +55,77 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("minhashNgramPairs is order-sensitive and has recall 1.0 vs exact shingle jaccard") {
+    val pairs = Dedup.minhashNgramPairs(docs, "doc_id", "text",
+        n = 2, numHashes = 32, bands = 8, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // identical text -> identical shingles -> identical signature
+    assert(pairs.contains((0L, 1L)) && pairs((0L, 1L)) == 1.0)
+    // PERMUTED tokens share no word bigrams: must NOT pair (the
+    // distinction vs token-set minhashPairs, which pairs 0-2)
+    assert(!pairs.contains((0L, 2L)) && !pairs.contains((1L, 2L)))
+
+    // recall 1.0: every exact-shingle-jaccard pair >= threshold is found
+    def sh2(t: String): Set[String] =
+      t.split("\\s+").sliding(2).map(_.mkString("_")).toSet
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val exact = for {
+      a <- texts.keys.toSeq; b <- texts.keys.toSeq if a < b
+      ja = sh2(texts(a)); jb = sh2(texts(b))
+      j = ja.intersect(jb).size.toDouble / ja.union(jb).size
+      if j >= 0.99
+    } yield (a, b)
+    exact.foreach { p => assert(pairs.contains(p), s"missed exact pair $p") }
+  }
+
   test("simhashPairs reports hamming distance 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((0L, 1L)) == 0)
     assert(pairs((0L, 2L)) == 0)
+  }
+
+  test("suffixArray and lcpArray match the classic banana example") {
+    import graft.operators.SubstringDedup
+    val sa = SubstringDedup.suffixArray("banana")
+    assert(sa.toSeq == Seq(5, 3, 1, 0, 4, 2))
+    val lcp = SubstringDedup.lcpArray("banana", sa)
+    assert(lcp.toSeq == Seq(0, 1, 3, 0, 0, 2))
+  }
+
+  test("resolveDuplicates finds planted cross-doc duplicate substrings") {
+    import graft.operators.SubstringDedup
+    val phrase = "the boiled frog sat on a sunny rock today"
+    val planted = Seq(
+      (0L, s"alpha beta $phrase gamma delta epsilon filler"),
+      (1L, s"unrelated preamble words $phrase plus a suffix"),
+      (2L, "completely different content sharing nothing with the others zz")
+    ).toDF("doc_id", "text")
+    val dups = SubstringDedup
+      .resolveDuplicates(planted, "doc_id", "text", minWidth = 20, chunks = 1)
+      .as[String].collect()
+    assert(dups.exists(_.contains(phrase)), dups.mkString("; "))
+    // nothing from the non-duplicated doc
+    assert(!dups.exists(_.contains("completely different")))
+  }
+
+  test("resolveDuplicatesPair emits only cross-corpus duplicates") {
+    import graft.operators.SubstringDedup
+    val shared = "contaminated evaluation sentence appearing in train"
+    val trainOnly = "train internal duplicate that repeats in train zz"
+    val train = Seq(
+      (0L, s"intro $trainOnly middle $trainOnly outro"),
+      (1L, s"some training text with $shared inside")
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (10L, s"eval doc also contains $shared verbatim")
+    ).toDF("doc_id", "text")
+    val dups = SubstringDedup
+      .resolveDuplicatesPair(train, eval, "doc_id", "text",
+        minWidth = 20, chunks = 1)
+      .as[String].collect()
+    assert(dups.exists(_.contains(shared)), dups.mkString("; "))
+    assert(!dups.exists(_.contains(trainOnly)),
+      "train-internal dup must not emit in pair mode: " + dups.mkString("; "))
   }
 }
