@@ -126,6 +126,43 @@ object TextFunctions {
     inter / (size(array_distinct(a)) + size(array_distinct(b)) - inter)
   }
 
+  /** Greedy text wrap at `width` characters (strings/wrap.hpp:57):
+    * whitespace at each wrap point becomes a newline, words are never
+    * split. Pure regexp_replace → codegen'd, and the same pattern is
+    * expressible in DuckDB for oracle checking. */
+  def wrap(c: Column, width: Int): Column =
+    rtrim(regexp_replace(c, s"(\\S.{0,${width - 1}})(\\s+|$$)", "$1\n"), "\n")
+
+  /** Positions of each target within the string (strings/find_multiple
+    * .hpp:46): 0-based first occurrence, -1 if absent. */
+  def findMultiple(c: Column, targets: Seq[String]): Column =
+    array(targets.map(t => (instr(c, t) - 1).as(t)): _*)
+
+  /** 3-way split on the FIRST occurrence of `sep` (cudf strings
+    * partition, python/cudf str.partition): struct(head, sep, tail);
+    * when `sep` is absent → (whole, "", ""). */
+  def strPartition(c: Column, sep: String): Column = {
+    val pos = instr(c, sep)
+    when(pos > 0, struct(
+        substring_index(c, sep, 1).as("head"),
+        lit(sep).as("sep"),
+        expr_substr_after(c, sep).as("tail")))
+      .otherwise(struct(c.as("head"), lit("").as("sep"), lit("").as("tail")))
+  }
+  private def expr_substr_after(c: Column, sep: String): Column =
+    c.substr(instr(c, sep) + sep.length, length(c))
+
+  /** Fused tokenize → n-grams (nvtext/ngrams_tokenize.hpp:80): one call
+    * from raw text to joined token n-grams. Guarded: Spark's sequence(1,
+    * 0) DESCENDS, so short docs return an empty array explicitly. */
+  def ngramsTokenize(c: Column, n: Int, sep: String = "_"): Column = {
+    val toks = split(lower(trim(c)), "\\s+")
+    when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => array_join(slice(toks, i, lit(n)), sep)))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** Language-profile stopword sets for the n-gram-free heuristic
     * language identifier. Marker words are checked with multiplicity. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

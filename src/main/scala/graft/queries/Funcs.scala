@@ -285,7 +285,45 @@ object Funcs extends QueryPack {
       |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** String-API long tail: wrap (strings/wrap.hpp:57), find_multiple
+    * (find_multiple.hpp:46), partition (cudf str.partition), fused
+    * ngrams_tokenize (nvtext/ngrams_tokenize.hpp:80). URL encode/decode
+    * (strings/convert/convert_urls.hpp) is unit-tested instead: DuckDB
+    * 1.0 has no url_encode, so it cannot join this oracle query. */
+  def strExtra(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions._
+    val part3 = strPartition($"p_name", " ")
+    Tables.part(s, dir).select($"p_partkey",
+        wrap($"p_name", 12).as("wrapped"),
+        findMultiple($"p_name", Seq("a", "ol")).as("fm"),
+        part3.getField("head").as("part_head"),
+        part3.getField("tail").as("part_tail"),
+        ngramsTokenize($"p_name", 2).as("ng2"))
+      .orderBy($"p_partkey")
+  }
+
+  val strExtraSql: String =
+    raw"""SELECT p_partkey,
+         |  rtrim(regexp_replace(p_name, '(\S.{0,11})(\s+|$$)',
+         |    '\1' || chr(10), 'g'), chr(10)) AS wrapped,
+         |  [strpos(p_name, 'a') - 1, strpos(p_name, 'ol') - 1] AS fm,
+         |  CASE WHEN strpos(p_name, ' ') > 0
+         |       THEN substring(p_name, 1, strpos(p_name, ' ') - 1)
+         |       ELSE p_name END AS part_head,
+         |  CASE WHEN strpos(p_name, ' ') > 0
+         |       THEN substring(p_name, strpos(p_name, ' ') + 1)
+         |       ELSE '' END AS part_tail,
+         |  CASE WHEN len(toks) >= 2 THEN list_transform(
+         |         generate_series(1, len(toks) - 1),
+         |         i -> array_to_string(toks[i:i+1], '_'))
+         |       ELSE CAST([] AS VARCHAR[]) END AS ng2
+         |FROM (SELECT *, string_split_regex(lower(trim(p_name)), '\s+') AS toks
+         |      FROM part)
+         |ORDER BY p_partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_extra" -> strExtra,
     "str_basic" -> strBasic,
     "str_search" -> strSearch,
     "str_regex" -> strRegex,
@@ -301,6 +339,7 @@ object Funcs extends QueryPack {
     "json_funcs" -> jsonFuncs)
 
   override def oracle: Map[String, String] = Map(
+    "str_extra" -> strExtraSql,
     "str_basic" -> strBasicSql,
     "str_search" -> strSearchSql,
     "str_regex" -> strRegexSql,

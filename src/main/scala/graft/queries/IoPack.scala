@@ -68,6 +68,24 @@ object IoPack extends QueryPack {
        |  ${dsumSql("l_quantity", 2)} AS sum_qty
        |FROM lineitem GROUP BY 1 ORDER BY ship_year""".stripMargin
 
+  /** Avro write → read (avro.hpp:217) over the Hadoop-format bridge
+    * (sources/Avro.scala): primitive columns, nullable unions. */
+  def avroRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+    graft.sources.Avro.roundTrip(slice, scratch("avro_customer"))
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal", 2).as("sum_bal"),
+        min($"c_custkey").as("min_key"), max($"c_name").as("max_name"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val avroRoundTripSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n, ${dsumSql("c_acctbal", 2)} AS sum_bal,
+       |  min(c_custkey) AS min_key, max(c_name) AS max_name
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Custom-delimiter text records (text/multibyte_split.hpp:37):
     * write ';'-separated records, read with lineSep, aggregate lengths. */
   def textDelim(s: SparkSession, dir: String): DataFrame = {
@@ -96,11 +114,13 @@ object IoPack extends QueryPack {
     "io_csv_roundtrip" -> csvRoundTrip,
     "io_json_roundtrip" -> jsonRoundTrip,
     "io_orc_roundtrip" -> orcRoundTrip,
+    "io_avro_roundtrip" -> avroRoundTrip,
     "io_text_delim" -> textDelim)
 
   override def oracle: Map[String, String] = Map(
     "io_csv_roundtrip" -> csvRoundTripSql,
     "io_json_roundtrip" -> jsonRoundTripSql,
     "io_orc_roundtrip" -> orcRoundTripSql,
+    "io_avro_roundtrip" -> avroRoundTripSql,
     "io_text_delim" -> textDelimSql)
 }

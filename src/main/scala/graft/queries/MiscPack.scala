@@ -239,7 +239,32 @@ object MiscPack extends QueryPack {
       |  CAST(dense_rank() OVER (ORDER BY p_brand) - 1 AS INT) AS brand_code
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** is_sorted (cudf/sorting.hpp is_sorted): is each column ordered
+    * under the o_orderkey sort? Window-lag formulation so it is oracle-
+    * checkable; the scale formulation (per-partition summaries folded on
+    * the driver, no global window) is [[graft.operators.SortCheck]]. */
+  def isSortedQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_orderkey")
+    Tables.orders(s, dir)
+      .select(
+        ($"o_orderkey" >=
+          coalesce(lag($"o_orderkey", 1).over(w), $"o_orderkey")).as("ok_key"),
+        ($"o_totalprice" >=
+          coalesce(lag($"o_totalprice", 1).over(w), $"o_totalprice")).as("ok_price"))
+      .agg(min($"ok_key").as("key_sorted"), min($"ok_price").as("price_sorted"))
+  }
+
+  val isSortedSql: String =
+    """SELECT min(ok_key) AS key_sorted, min(ok_price) AS price_sorted FROM (
+      |  SELECT o_orderkey >= coalesce(
+      |      lag(o_orderkey) OVER (ORDER BY o_orderkey), o_orderkey) AS ok_key,
+      |    o_totalprice >= coalesce(
+      |      lag(o_totalprice) OVER (ORDER BY o_orderkey), o_totalprice) AS ok_price
+      |  FROM orders)""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "is_sorted_check" -> isSortedQ,
     "encode_factorize" -> encodeFactorize,
     "search_sorted" -> searchSorted,
     "agg_tdigest" -> tdigestQuantiles,
@@ -263,6 +288,7 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "is_sorted_check" -> isSortedSql,
     "encode_factorize" -> encodeFactorizeSql,
     "search_sorted" -> searchSortedSql,
     "decimal_arith" -> decimalArithSql,

@@ -143,6 +143,32 @@ object Windows extends QueryPack {
       |             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** OPEN-interval range frame (rolling.hpp:119 window_bounds — the
+    * reference's open/closed endpoint flag): the open interval
+    * (current−101, current) over integer event ids is realized as the
+    * CLOSED frame [current−100, current−1] — the ±1 boundary adjustment
+    * SURVEY §2.5 calls out; both engines express only closed frames. */
+  def winRangeOpen(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rangeBetween(-100, -1)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id",
+        count(lit(1)).over(w).as("n_open"),
+        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+          .as("sum_open"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winRangeOpenSql: String =
+    """SELECT user_id, event_id,
+      |  count(*) OVER w AS n_open,
+      |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_open
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id
+      |             RANGE BETWEEN 100 PRECEDING AND 1 PRECEDING)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Time-based trailing range frame (grouped_range_rolling_window over
     * event time, rolling.hpp:563): events in the trailing hour per user,
     * ordered by epoch micros so the range arithmetic is integer-exact. */
@@ -230,6 +256,7 @@ object Windows extends QueryPack {
     "win_lead_lag" -> winLeadLag,
     "win_running" -> winRunning,
     "win_range_frame" -> winRangeFrame,
+    "win_range_open" -> winRangeOpen,
     "win_time_range" -> winTimeRange,
     "win_ffill" -> winFfill)
 
@@ -240,6 +267,7 @@ object Windows extends QueryPack {
     "win_lead_lag" -> winLeadLagSql,
     "win_running" -> winRunningSql,
     "win_range_frame" -> winRangeFrameSql,
+    "win_range_open" -> winRangeOpenSql,
     "win_time_range" -> winTimeRangeSql,
     "win_ffill" -> winFfillSql)
 }

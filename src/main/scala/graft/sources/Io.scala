@@ -10,9 +10,11 @@ import org.apache.spark.sql.types.StructType
   * columnNameOfCorruptRecord), byte-range chunking (≙ file splits /
   * maxPartitionBytes), and predicate pushdown in parquet/orc footers.
   *
-  * Avro (avro.hpp:217) maps to the `spark-avro` data source, which is
-  * not on this environment's classpath — documented gap, not a design
-  * gap. Kafka (custreamz) maps to readStream.format("kafka"), same note.
+  * Avro (avro.hpp:217): the `spark-avro` DataSource module is absent
+  * from this offline classpath, so [[Avro]] implements read/write over
+  * the Hadoop-format bridge with the avro core + avro-mapred jars that
+  * ARE present. Kafka (custreamz) maps to readStream.format("kafka");
+  * no broker in this environment — exercised via MemoryStream.
   */
 object Io {
 

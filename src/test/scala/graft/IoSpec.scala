@@ -51,6 +51,37 @@ class IoSpec extends AnyFunSuite {
       java.sql.Timestamp.valueOf("1996-02-29 13:14:15.123456"))
   }
 
+  test("avro round trip preserves primitives and nulls over the Hadoop bridge") {
+    import graft.sources.Avro
+    val df = Seq(
+      (1L, Some("alpha"), Some(1.25), true),
+      (2L, None, Some(-2.5e-10), false),
+      (3L, Some("gamma"), None, true)
+    ).toDF("k", "s", "v", "b")
+    val back = Avro.roundTrip(df, tmp("avro")).orderBy("k").collect()
+    assert(back.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(back(0).getString(1) == "alpha" && back(1).isNullAt(1))
+    assert(back(0).getDouble(2) == 1.25 && back(2).isNullAt(2))
+    assert(back.map(_.getBoolean(3)).toSeq == Seq(true, false, true))
+    // overwrite semantics: second write replaces, not appends
+    val again = Avro.roundTrip(df, tmp("avro2"))
+    assert(again.count() == 3)
+  }
+
+  test("arrow interop round trip preserves rows (to_arrow/from_arrow)") {
+    import org.apache.spark.sql.graftshim.ArrowBridge
+    val df = Seq((1L, "a", 1.5, true), (2L, "b", -0.25, false),
+        (3L, null.asInstanceOf[String], 2.0, true))
+      .toDF("k", "s", "v", "b")
+    val back = ArrowBridge.roundTrip(df).orderBy("k").collect()
+    assert(back.toSeq == df.orderBy("k").collect().toSeq)
+    // driver-side handoff path (external Arrow consumer shape)
+    val batches = ArrowBridge.toDriverBatches(df)
+    assert(batches.nonEmpty && batches.forall(_.nonEmpty))
+    val back2 = ArrowBridge.fromDriverBatches(spark, batches, df.schema.json)
+    assert(back2.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+  }
+
   test("partitionBy write enables partition pruning on read") {
     val dir = tmp("hivepart")
     Seq((1L, "F"), (2L, "O"), (3L, "F")).toDF("k", "status")

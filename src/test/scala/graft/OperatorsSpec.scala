@@ -126,6 +126,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(ivf.subsetOf(ivf ++ exact))
   }
 
+  test("SortCheck.isSorted folds per-partition summaries correctly") {
+    import graft.operators.SortCheck
+    val sorted = spark.range(0, 1000).toDF("x").repartitionByRange(4, $"x")
+    assert(SortCheck.isSorted(sorted, "x"))
+    val unsorted = spark.range(0, 1000)
+      .select((col("id") * 37 % 1000).as("x")).repartitionByRange(4, $"x")
+    // range partitions are ordered but rows inside each are not
+    assert(!SortCheck.isSorted(unsorted, "x"))
+    // locally sorted but boundaries out of order: descending range parts
+    val revBounds = spark.range(0, 100).toDF("x")
+      .repartitionByRange(2, col("x").desc).sortWithinPartitions("x")
+    assert(!SortCheck.isSorted(revBounds, "x"))
+  }
+
+  test("ANSI mode surfaces integer SUM overflow instead of wrapping (SUM_OVERFLOW)") {
+    val df = Seq(Long.MaxValue, 1L).toDF("x")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val ex = intercept[Exception] { df.agg(sum($"x")).collect() }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(m =>
+        m.toLowerCase.contains("overflow") || m.contains("ARITHMETIC")),
+        ex.toString)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    // default (non-ANSI) mode: Spark wraps like the reference's plain SUM
+    val wrapped = df.agg(sum($"x")).as[Long].head()
+    assert(wrapped == Long.MinValue)
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -104,6 +104,53 @@ class TextFunctionsSpec extends AnyFunSuite {
       Map(0 -> "hello three", 1 -> "one two", 2 -> "world"))
   }
 
+  test("wrap breaks at whitespace within width, never splits words") {
+    val got = Seq("the quick brown fox jumps").toDF("s")
+      .select(wrap($"s", 10)).as[String].head()
+    assert(got == "the quick\nbrown fox\njumps")
+    // line longer than width stays whole (words are not split)
+    val long = Seq("extraordinarily big").toDF("s")
+      .select(wrap($"s", 5)).as[String].head()
+    assert(long == "extraordinarily\nbig")
+  }
+
+  test("findMultiple returns 0-based positions, -1 when absent") {
+    val got = Seq("hello world").toDF("s")
+      .select(findMultiple($"s", Seq("world", "o", "zzz"))).as[Seq[Int]].head()
+    assert(got == Seq(6, 4, -1))
+  }
+
+  test("strPartition splits on first separator; absent sep yields empty tail") {
+    val got = Seq("a-b-c", "nodash").toDF("s")
+      .select(strPartition($"s", "-").as("p"))
+      .select($"p.head", $"p.sep", $"p.tail")
+      .as[(String, String, String)].collect()
+    assert(got(0) == (("a", "-", "b-c")))
+    assert(got(1) == (("nodash", "", "")))
+  }
+
+  test("url encode/decode round trip and parse_url components") {
+    val got = Seq("a b&c=d/é").toDF("s")
+      .select(url_encode($"s").as("e"),
+        url_decode(url_encode($"s")).as("rt"),
+        parse_url(lit("https://host.example:8080/p/q?x=1#f"), lit("HOST")).as("h"),
+        parse_url(lit("https://host.example:8080/p/q?x=1#f"), lit("PATH")).as("p"),
+        parse_url(lit("https://host.example:8080/p/q?x=1"), lit("QUERY"), lit("x")).as("qx"))
+      .as[(String, String, String, String, String)].head()
+    assert(got._1 == "a+b%26c%3Dd%2F%C3%A9")
+    assert(got._2 == "a b&c=d/é")
+    assert(got._3 == "host.example" && got._4 == "/p/q" && got._5 == "1")
+  }
+
+  test("ngramsTokenize fuses tokenize and ngrams; short docs yield empty") {
+    val got = Seq("The Quick  brown fox").toDF("s")
+      .select(ngramsTokenize($"s", 2)).as[Seq[String]].head()
+    assert(got == Seq("the_quick", "quick_brown", "brown_fox"))
+    val short = Seq("single").toDF("s")
+      .select(ngramsTokenize($"s", 2)).as[Seq[String]].head()
+    assert(short == Seq.empty)
+  }
+
   test("UnicodeNormalize NFC composes decomposed sequences") {
     import graft.plans.UnicodeNormalize
     // "é" as e + COMBINING ACUTE (NFD) must compose to U+00E9 (NFC)
