@@ -163,6 +163,17 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Named character-type predicates (strings/char_types/char_types.hpp
+    * all_characters_of_type): whole-string class tests. Anchored \A..\z
+    * patterns work identically in Java regex and DuckDB's RE2. */
+  def isAlpha(c: Column): Column = c.rlike("\\A\\p{L}+\\z")
+  def isDigit(c: Column): Column = c.rlike("\\A\\p{Nd}+\\z")
+  def isAlnum(c: Column): Column = c.rlike("\\A[\\p{L}\\p{Nd}]+\\z")
+  def isSpaceStr(c: Column): Column = c.rlike("\\A\\s+\\z")
+  /** All cased characters upper/lower (cudf is_upper/is_lower). */
+  def isUpperStr(c: Column): Column = c === upper(c)
+  def isLowerStr(c: Column): Column = c === lower(c)
+
   /** Language-profile stopword sets for the n-gram-free heuristic
     * language identifier. Marker words are checked with multiplicity. */
   val langProfiles: Seq[(String, Seq[String])] = Seq(

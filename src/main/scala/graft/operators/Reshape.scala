@@ -30,6 +30,14 @@ object Reshape {
       .count()
       .na.fill(0L, bValues)
 
+  /** interleave_columns (cudf/reshape.hpp:51): columns a,b,… become one
+    * column with values alternating row-wise (a₀,b₀,a₁,b₁,…). The
+    * explicit (row id, position) keys keep the interleaving order
+    * deterministic under any partitioning. */
+  def interleave(df: DataFrame, idCol: String, cols: Seq[String]): DataFrame =
+    df.select(col(idCol),
+        posexplode(array(cols.map(col): _*)).as(Seq("pos", "value")))
+
   /** transpose (transpose.hpp:39) — rows↔columns for a BOUNDED frame
     * (the reference's transpose is also a full-materialization op; at
     * scale this only makes sense on small aggregated outputs).

@@ -172,6 +172,57 @@ object Funcs extends QueryPack {
       |    AS days_to_98
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Char-type predicates (strings/char_types.hpp
+    * all_characters_of_type): whole-string class tests via anchored
+    * patterns that parse identically in Java regex and DuckDB RE2. */
+  def strChartypes(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey",
+        isAlpha($"p_brand").as("brand_alpha"),
+        isDigit($"p_size".cast("string")).as("size_digit"),
+        isAlnum(regexp_replace($"p_name", "\\s", "")).as("name_alnum"),
+        isSpaceStr($"p_name").as("name_space"),
+        isUpperStr($"p_brand").as("brand_upper"),
+        isLowerStr($"p_name").as("name_lower"))
+      .orderBy($"p_partkey")
+  }
+
+  val strChartypesSql: String =
+    raw"""SELECT p_partkey,
+         |  regexp_matches(p_brand, '\A[a-zA-Z]+\z') AS brand_alpha,
+         |  regexp_matches(CAST(p_size AS VARCHAR), '\A[0-9]+\z') AS size_digit,
+         |  regexp_matches(regexp_replace(p_name, '\s', '', 'g'),
+         |    '\A[a-zA-Z0-9]+\z') AS name_alnum,
+         |  regexp_matches(p_name, '\A\s+\z') AS name_space,
+         |  p_brand = upper(p_brand) AS brand_upper,
+         |  p_name = lower(p_name) AS name_lower
+         |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Calendar predicates + month sequences (datetime.hpp:278
+    * is_leap_year, days_in_month:292, calendrical_month_sequence:376). */
+  def dtCalendar(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val feb = last_day(make_date(year($"o_orderdate"), lit(2), lit(1)))
+    Tables.orders(s, dir).select($"o_orderkey",
+        (dayofmonth(feb) === 29).as("is_leap"),
+        dayofmonth(last_day($"o_orderdate")).as("days_in_mo"),
+        sequence(trunc($"o_orderdate", "month"),
+          add_months(trunc($"o_orderdate", "month"), 3),
+          expr("interval 1 month")).as("mo_seq"))
+      .orderBy($"o_orderkey")
+  }
+
+  val dtCalendarSql: String =
+    """SELECT o_orderkey,
+      |  dayofmonth(last_day(make_date(year(o_orderdate), 2, 1))) = 29 AS is_leap,
+      |  dayofmonth(last_day(o_orderdate)) AS days_in_mo,
+      |  list_transform(generate_series(
+      |      CAST(date_trunc('month', o_orderdate) AS DATE),
+      |      CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 3 MONTH,
+      |      INTERVAL 1 MONTH), x -> CAST(x AS DATE)) AS mo_seq
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Null utilities (replace.hpp:48-212): coalesce / nullif / greatest /
     * least / clamp. */
   def nullHandling(s: SparkSession, dir: String): DataFrame = {
@@ -324,6 +375,8 @@ object Funcs extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_extra" -> strExtra,
+    "str_chartypes" -> strChartypes,
+    "dt_calendar" -> dtCalendar,
     "str_basic" -> strBasic,
     "str_search" -> strSearch,
     "str_regex" -> strRegex,
@@ -340,6 +393,8 @@ object Funcs extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "str_extra" -> strExtraSql,
+    "str_chartypes" -> strChartypesSql,
+    "dt_calendar" -> dtCalendarSql,
     "str_basic" -> strBasicSql,
     "str_search" -> strSearchSql,
     "str_regex" -> strRegexSql,

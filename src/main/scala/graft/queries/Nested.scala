@@ -167,6 +167,21 @@ object Nested extends QueryPack {
       |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** interleave_columns (reshape.hpp:51): one column from alternating
+    * row-wise values of several columns. */
+  def interleaveQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Reshape.interleave(
+        Tables.region(s, dir).withColumn("r_name_upper", upper($"r_name")),
+        "r_regionkey", Seq("r_name", "r_name_upper"))
+      .orderBy($"r_regionkey", $"pos")
+  }
+
+  val interleaveSql: String =
+    """SELECT r_regionkey, unnest([0, 1]) AS pos,
+      |  unnest([r_name, upper(r_name)]) AS value
+      |FROM region ORDER BY r_regionkey, pos""".stripMargin
+
   /** crosstab (reshape.py:1543) — explicit-values groupBy+pivot (no
     * driver-side distinct matrix). */
   def crosstabQ(s: SparkSession, dir: String): DataFrame = {
@@ -273,6 +288,7 @@ object Nested extends QueryPack {
     "map_ops" -> mapOps,
     "reshape_onehot" -> oneHot,
     "reshape_crosstab" -> crosstabQ,
+    "reshape_interleave" -> interleaveQ,
     "arr_ops" -> arrOps,
     "arr_lambda" -> arrLambda,
     "seq_explode" -> seqExplode,
@@ -286,6 +302,7 @@ object Nested extends QueryPack {
     "map_ops" -> mapOpsSql,
     "reshape_onehot" -> oneHotSql,
     "reshape_crosstab" -> crosstabSql,
+    "reshape_interleave" -> interleaveSql,
     "arr_ops" -> arrOpsSql,
     "arr_lambda" -> arrLambdaSql,
     "seq_explode" -> seqExplodeSql,
