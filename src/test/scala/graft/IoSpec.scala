@@ -68,6 +68,22 @@ class IoSpec extends AnyFunSuite {
     assert(again.count() == 3)
   }
 
+  test("graft-avro DataSource V2 reads with schema inference and column pruning") {
+    import graft.sources.Avro
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -0.25), (3L, "gamma", 2.0))
+      .toDF("k", "s", "v")
+    val path = tmp("avro_v2")
+    Avro.write(df, path)
+    val back = spark.read.format("graft-avro").load(path)
+    assert(back.schema.fieldNames.toSeq == Seq("k", "s", "v"))
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+    // column pruning reaches the scan: ReadSchema shows only (k)
+    val pruned = back.select("k")
+    val scanDesc = pruned.queryExecution.executedPlan.toString
+    assert(scanDesc.contains("ReadSchema: struct<k:bigint>"), scanDesc)
+    assert(pruned.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("arrow interop round trip preserves rows (to_arrow/from_arrow)") {
     import org.apache.spark.sql.graftshim.ArrowBridge
     val df = Seq((1L, "a", 1.5, true), (2L, "b", -0.25, false),
