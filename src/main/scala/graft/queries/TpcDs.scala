@@ -20,12 +20,21 @@ object TpcDs extends QueryPack {
     * aggregate → window rank + windowed share ratio. */
   def dsSalesRanking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val rev = Tables.lineitem(s, dir)
+    // Pre-aggregate revenue per ORDER before the fact-fact join: the
+    // order-key shuffle then carries ~|orders| rows instead of
+    // |lineitem|, and the (nation, cust) regroup shrinks the same way.
+    // Decimal sums are exact and associative, so two-level summing is
+    // bit-identical to the single groupBy the oracle runs.
+    val ordRev = Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(18, 6))).as("ord_rev"))
+    val rev = ordRev
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"c_custkey")
-      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("cust_rev"))
+      .agg(sum($"ord_rev").cast("double").as("cust_rev"))
     val part = Window.partitionBy($"n_name")
     val rankW = part.orderBy($"cust_rev".desc, $"c_custkey")
     rev
