@@ -38,6 +38,16 @@ object Reshape {
     df.select(col(idCol),
         posexplode(array(cols.map(col): _*)).as(Seq("pos", "value")))
 
+  /** tile (cudf/reshape.hpp:77): repeat the whole table `count` times.
+    * Cross join with a range — distributed, no data movement beyond the
+    * broadcasted tiny range side. */
+  def tile(df: DataFrame, count: Int): DataFrame = {
+    require(count >= 0, "tile count must be >= 0")
+    df.crossJoin(broadcast(
+      df.sparkSession.range(count.toLong).select(col("id").as("__tile"))))
+      .drop("__tile")
+  }
+
   /** transpose (transpose.hpp:39) — rows↔columns for a BOUNDED frame
     * (the reference's transpose is also a full-materialization op; at
     * scale this only makes sense on small aggregated outputs).

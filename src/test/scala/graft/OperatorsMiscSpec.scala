@@ -47,6 +47,15 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(t(1).getDouble(1) == 2.0 && t(1).getDouble(2) == 4.0)
   }
 
+  test("tile repeats the whole table count times") {
+    val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val t3 = Reshape.tile(df, 3)
+    assert(t3.count() == 6)
+    assert(t3.groupBy("k").count().orderBy("k")
+      .collect().map(_.getLong(1)).toSeq == Seq(3L, 3L))
+    assert(Reshape.tile(df, 0).count() == 0)
+  }
+
   test("stateful runningAgg accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
