@@ -141,6 +141,42 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("suffixArray equals naive sorted suffixes; lcp equals naive common prefix") {
+    import graft.operators.SubstringDedup
+    val gen = Gen.chooseNum(0, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    forAll(gen) { s =>
+      val sa = SubstringDedup.suffixArray(s).toSeq
+      val naive = s.indices.sortBy(i => s.substring(i))
+      assert(sa == naive, s"input=$s")
+      if (s.nonEmpty) {
+        val lcp = SubstringDedup.lcpArray(s, sa.toArray)
+        (1 until s.length).foreach { i =>
+          val (a, b) = (s.substring(sa(i - 1)), s.substring(sa(i)))
+          val want = a.zip(b).takeWhile { case (x, y) => x == y }.size
+          assert(lcp(i) == want, s"input=$s i=$i")
+        }
+      }
+    }
+  }
+
+  test("wrap never splits words and every line fits width unless one word exceeds it") {
+    import graft.functions.TextFunctions
+    val word = Gen.chooseNum(1, 14).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+    forAll(Gen.nonEmptyListOf(word).map(_.mkString(" ")), n = 15) { text =>
+      val w = 10
+      val wrapped = Seq(text).toDF("s")
+        .select(TextFunctions.wrap($"s", w)).as[String].head()
+      // same words in the same order
+      assert(wrapped.split("[\\s\n]+").toSeq == text.split("\\s+").toSeq)
+      // each line within width, unless it is a single oversized word
+      wrapped.split("\n").foreach { line =>
+        assert(line.length <= w || !line.contains(" "), s"line=$line")
+      }
+    }
+  }
+
   test("minhash signature entries are element-wise <= any member token hash") {
     val word = Gen.oneOf("p", "q", "r", "s", "t")
     forAll(Gen.nonEmptyListOf(word).map(_.distinct)) { toks =>

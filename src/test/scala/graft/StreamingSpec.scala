@@ -47,6 +47,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("late rows behind the watermark don't kill or stretch sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val withWm = input.toDF().toDF("user", "ts", "value")
+      .withWatermark("ts", "1 minute")
+    val grouped = withWm.as[(Long, Timestamp, Double)].groupByKey(_._1)
+    val sessions = graft.streaming.StatefulOps
+      .sessionizeStream(grouped, gapMillis = 10L * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("evt_late_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // advance watermark far ahead (12:00 - 1min) via another user
+      input.addData((2L, ts("2024-01-01 12:00:00"), 5.0))
+      q.processAllAvailable()
+      // a VERY late row for user 1 (09:00, behind watermark): before the
+      // clamp fix this batch threw from setTimeoutTimestamp; the row must
+      // also not re-open or extend the already-emitted session
+      input.addData((1L, ts("2024-01-01 09:00:00"), 99.0))
+      q.processAllAvailable()
+      input.addData((3L, ts("2024-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT n_events, sum_value FROM evt_late_out WHERE user = 1")
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.toSeq == Seq((1L, 1.0)), s"got ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("tumbling event-time window agg over a stream matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
