@@ -117,6 +117,25 @@ final case class GFrame(df: DataFrame) {
     GFrame(Dedup.exactSurvivors(df, idCol, textCol))
   def nearDupPairs(idCol: String, textCol: String, threshold: Double): GFrame =
     GFrame(Dedup.minhashPairs(df, idCol, textCol, threshold = threshold))
+  /** Order-sensitive near-dup pairs over word n-gram shingles
+    * (minhash_ngrams). */
+  def nearDupPairsNgrams(idCol: String, textCol: String, n: Int = 3,
+      threshold: Double = 0.8): GFrame =
+    GFrame(Dedup.minhashNgramPairs(df, idCol, textCol, n, threshold = threshold))
+  /** Unicode-normalize a text column in place (NFC → lower → de-accent →
+    * ws squeeze) — run before any dedup hash. */
+  def normalizeText(textCol: String): GFrame =
+    GFrame(df.withColumn(textCol,
+      graft.functions.TextFunctions.normalizeText(col(textCol))))
+  /** Token ids against a fixed vocabulary (tokenize_with_vocabulary). */
+  def tokenizeIds(textCol: String, vocab: Seq[String],
+      defaultId: Int = -1): GFrame =
+    GFrame(df.withColumn(s"${textCol}_ids",
+      graft.operators.VocabTokenize.tokenizeWithVocabulary(
+        col(textCol), vocab, defaultId)))
+  def tile(count: Int): GFrame = GFrame(Reshape.tile(df, count))
+  def interleave(idCol: String, cols: Seq[String]): GFrame =
+    GFrame(Reshape.interleave(df, idCol, cols))
 
   // ---- accessor namespaces (cudf Series .str / .dt accessors,
   //      python/cudf/cudf/core/column/string.py, temporal.py) ----
@@ -142,6 +161,17 @@ final case class GStrOps(gf: GFrame, c: String) {
   def slice(start: Int, len: Int): GFrame = add("slice", substring(col(c), start, len))
   def split(sep: String): GFrame =
     add("split", org.apache.spark.sql.functions.split(col(c), java.util.regex.Pattern.quote(sep)))
+  def wrap(width: Int): GFrame =
+    add("wrap", graft.functions.TextFunctions.wrap(col(c), width))
+  def partition(sep: String): GFrame =
+    add("partition", graft.functions.TextFunctions.strPartition(col(c), sep))
+  def findMultiple(targets: Seq[String]): GFrame =
+    add("find", graft.functions.TextFunctions.findMultiple(col(c), targets))
+  def normalize(): GFrame =
+    add("norm", graft.functions.TextFunctions.normalizeText(col(c)))
+  def isalpha(): GFrame = add("isalpha", graft.functions.TextFunctions.isAlpha(col(c)))
+  def isdigit(): GFrame = add("isdigit", graft.functions.TextFunctions.isDigit(col(c)))
+  def isalnum(): GFrame = add("isalnum", graft.functions.TextFunctions.isAlnum(col(c)))
 }
 
 /** Datetime accessor (datetime.hpp extraction/floor surface). */

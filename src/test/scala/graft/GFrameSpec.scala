@@ -103,4 +103,25 @@ class GFrameSpec extends AnyFunSuite {
     val got = GFrame.concat(Seq(a, b)).toDF
     assert(got.count() == 2 && got.columns.toSet == Set("k", "s", "v"))
   }
+
+  test("round-2 façade additions: normalizeText, tokenizeIds, tile, str extras") {
+    val gf = GFrame(Seq((1L, "The  Quick fox"), (2L, "CAFÉ time"))
+      .toDF("id", "text"))
+    val norm = gf.normalizeText("text").toDF
+      .orderBy("id").collect().map(_.getString(1))
+    assert(norm.toSeq == Seq("the quick fox", "cafe time"))
+    val ids = gf.normalizeText("text")
+      .tokenizeIds("text", Seq("fox", "quick", "the")).toDF
+      .orderBy("id").collect().map(_.getSeq[Int](2))
+    assert(ids(0) == Seq(2, 1, 0) && ids(1) == Seq(-1, -1))
+    assert(gf.tile(2).toDF.count() == 4)
+    val s = GFrame(Seq(Tuple1("a-b c")).toDF("s"))
+      .str("s").wrap(3)
+      .str("s").partition("-")
+      .str("s").isalpha()
+      .toDF.head()
+    assert(s.getAs[String]("s_wrap") == "a-b\nc")
+    assert(s.getAs[org.apache.spark.sql.Row]("s_partition").getString(0) == "a")
+    assert(!s.getAs[Boolean]("s_isalpha"))
+  }
 }
