@@ -44,4 +44,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan("join_semi").contains("LeftSemi"))
     assert(plan("join_anti").contains("LeftAnti"))
   }
+
+  test("q21 window form scans lineitem exactly once") {
+    val p = plan("q21_suppliers_waiting")
+    // formatted mode: each scan's detail block has one Location line
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"EXISTS/NOT-EXISTS must come from one window pass, got $lineitemScans scans:\n$p")
+  }
+
+  test("q21 windows reuse the join exchange (no extra shuffle for wOS)") {
+    val p = plan("q21_suppliers_waiting")
+    // exchanges: lineitem->join, orders->join, supplier broadcast,
+    // groupBy s_name, final sort. The (orderkey, suppkey) window must NOT
+    // add a sixth.
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 5, s"unexpected extra exchange:\n$p")
+  }
+
+  test("graft-avro DSv2 and vocab join keep their scan/broadcast shapes") {
+    val p = plan("doc_token_ids")
+    assert(p.contains("BroadcastHashJoin"),
+      "vocab resolution must broadcast, not shuffle")
+  }
 }
