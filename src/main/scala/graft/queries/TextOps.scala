@@ -169,6 +169,52 @@ object TextOps extends QueryPack {
         "doc_id", "text", maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** TF-IDF over the corpus (north star: text analysis). The gate runs
+    * the rational-idf variant (N/df — exact arithmetic); the standard
+    * ln-idf is the operator default, unit-tested (libm excluded from
+    * oracles by policy). */
+  def tfidfQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.tfidf(
+        Tables.documents(s, dir).filter(col("doc_id") < 100),
+        "doc_id", "text", logIdf = false)
+      .orderBy(col("doc"), col("term"))
+
+  val tfidfSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc, term, count(*) AS tf FROM (
+       |    SELECT doc_id AS doc, unnest($toksSql) AS term
+       |    FROM documents WHERE doc_id < 100)
+       |  GROUP BY doc, term),
+       |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs
+       |      FROM documents WHERE doc_id < 100)
+       |SELECT doc, term, tf, df_t,
+       |  tf * (CAST(n_docs AS DOUBLE) / df_t) AS tfidf
+       |FROM tf JOIN dfreq USING (term), n
+       |ORDER BY doc, term""".stripMargin
+
+  /** Fixed-token-window chunking with overlap (LLM pre-tokenization
+    * chunking; chunkSize 40, overlap 5). */
+  def chunksQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.chunkDocuments(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 40, overlap = 5)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  val chunksSql: String =
+    s"""SELECT doc_id, chunk_idx, chunk_text,
+       |  len(string_split(chunk_text, ' ')) AS n_tokens
+       |FROM (
+       |  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+       |    unnest(chunks) AS chunk_text
+       |  FROM (
+       |    SELECT doc_id, list_transform(
+       |      generate_series(1, greatest(len(toks) - 40, 0) + 35, 35),
+       |      s -> array_to_string(toks[s:s+39], ' ')) AS chunks
+       |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+       |WHERE chunk_text != ''
+       |ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** Exact duplicated substrings (resolve_duplicates,
     * nvtext/deduplicate.hpp:66) at chunk granularity — rows-only (no
     * tractable SQL analog); exactness covered by DedupSpec's planted-
@@ -335,6 +381,8 @@ object TextOps extends QueryPack {
     "doc_bpe_tokens" -> bpeTokens,
     "doc_token_ids" -> tokenIds,
     "doc_detok" -> detok,
+    "doc_tfidf" -> tfidfQ,
+    "doc_chunks" -> chunksQ,
     "doc_wordpiece" -> wordpiece,
     "doc_dedup_exact" -> dedupExact,
     "doc_dedup_fingerprint" -> dedupFingerprint,
@@ -357,6 +405,8 @@ object TextOps extends QueryPack {
     "doc_bpe_tokens" -> bpeTokensSql,
     "doc_token_ids" -> tokenIdsSql,
     "doc_detok" -> detokSql,
+    "doc_tfidf" -> tfidfSql,
+    "doc_chunks" -> chunksSql,
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,
     "doc_dedup_normalized" -> dedupNormalizedSql,

@@ -47,6 +47,37 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(t(1).getDouble(1) == 2.0 && t(1).getDouble(2) == 4.0)
   }
 
+  test("tfidf matches hand computation (log idf) on a tiny corpus") {
+    import graft.operators.TextPipeline
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextPipeline.tfidf(docs, "doc_id", "text", logIdf = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // N=2; df(a)=2, df(b)=1, df(c)=1
+    assert(got((1L, "a")) == ((2L, 2L, 2.0 * math.log(1.0))))
+    assert(got((1L, "b")) == ((1L, 1L, 1.0 * math.log(2.0))))
+    assert(got((2L, "c")) == ((1L, 1L, 1.0 * math.log(2.0))))
+  }
+
+  test("chunkDocuments covers every token with the right stride and overlap") {
+    import graft.operators.TextPipeline
+    val text = (1 to 11).map(i => s"t$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, "x y")).toDF("doc_id", "text")
+    val got = TextPipeline.chunkDocuments(docs, "doc_id", "text",
+        chunkSize = 4, overlap = 1)
+      .orderBy("doc_id", "chunk_idx")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getInt(3)))
+    val d1 = got.filter(_._1 == 1L).map(c => (c._3, c._4)).toSeq
+    // stride 3: starts 1,4,7,10 → [t1..t4],[t4..t7],[t7..t10],[t10,t11]
+    assert(d1 == Seq(("t1 t2 t3 t4", 4), ("t4 t5 t6 t7", 4),
+      ("t7 t8 t9 t10", 4), ("t10 t11", 2)), d1.toString)
+    // short doc → one chunk
+    assert(got.filter(_._1 == 2L).map(_._3).toSeq == Seq("x y"))
+    // every token appears in at least one chunk
+    val covered = d1.flatMap(_._1.split(" ")).toSet
+    assert(covered == (1 to 11).map(i => s"t$i").toSet)
+  }
+
   test("tile repeats the whole table count times") {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val t3 = Reshape.tile(df, 3)
