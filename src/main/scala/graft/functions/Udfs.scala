@@ -41,6 +41,39 @@ object Udfs {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Element-wise mean of equal-length double vectors — the centroid
+    * update of k-means (Similarity.kmeans). Partial buffers are one
+    * (sum-vector, count) per group per partition, so the shuffle carries
+    * k×dim doubles per partition, never the corpus. */
+  object VectorAvgAgg
+      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    override def zero: (Array[Double], Long) = (Array.empty, 0L)
+    override def reduce(b: (Array[Double], Long),
+        a: Seq[Double]): (Array[Double], Long) = {
+      val s = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+      var i = 0
+      while (i < a.length) { s(i) += a(i); i += 1 }
+      (s, b._2 + 1)
+    }
+    override def merge(a: (Array[Double], Long),
+        b: (Array[Double], Long)): (Array[Double], Long) = {
+      if (a._1.isEmpty) b
+      else if (b._1.isEmpty) a
+      else {
+        var i = 0
+        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+    }
+    override def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+    import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+    override def bufferEncoder: Encoder[(Array[Double], Long)] =
+      ExpressionEncoder[(Array[Double], Long)]()
+    override def outputEncoder: Encoder[Seq[Double]] =
+      ExpressionEncoder[Seq[Double]]()
+  }
+
   /** Registers the UDAFs for SQL use (spark.udf surface). */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("product_agg", udaf(ProductAgg))

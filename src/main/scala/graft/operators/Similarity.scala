@@ -58,26 +58,67 @@ object Similarity {
           CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v) > 0
         THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
 
-  /** IVF-style ANN: a deterministic centroid subset partitions the
-    * corpus into cells (assignment = argmax cosine to centroid); queries
-    * probe their `nprobe` nearest cells and brute-force within them.
-    * This is the inverted-file architecture (coarse quantizer + posting
-    * lists) with a hash-free deterministic "training" step: centroids
-    * are the vectors whose id ≡ 0 (mod corpusSize/nCells) — no stored
-    * model, reproducible across runs.
+  /** Lloyd k-means coarse quantizer trainer. Centroids are the MODEL —
+    * k×dim doubles, driver-sized by definition (exactly what the
+    * reference's IVF training produces); each iteration is one broadcast
+    * assignment map stage + one groupBy whose partial buffers are
+    * (sum-vector, count) per cell per partition (VectorAvgAgg), so
+    * shuffle volume is k×dim×partitions, never the corpus. Deterministic:
+    * seeds are the nCells corpus rows with the smallest xxhash64(id) —
+    * no count(), no RNG. Returns (cell_id, c_vec). */
+  def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(col(idCol).as("n_id"),
+      transform(col(vecCol), _.cast("double")).as("n_vec"))
+    var centroids = vecs
+      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(nCells)
+      .select(col("n_vec").as("c_vec"))
+      .collect().map(_.getSeq[Double](0)).zipWithIndex
+    val vecAvg = udaf(graft.functions.Udfs.VectorAvgAgg)
+    var i = 0
+    while (i < iters) {
+      val cDf = broadcast(centroids.toSeq
+        .toDF("c_vec", "cell_id").select(col("cell_id"), col("c_vec")))
+      val assignW = Window.partitionBy(col("n_id"))
+        .orderBy(col("c_sim").desc, col("cell_id"))
+      val updated = vecs.crossJoin(cDf)
+        .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
+        .withColumn("c_rank", row_number().over(assignW))
+        .filter(col("c_rank") === 1)
+        .groupBy(col("cell_id"))
+        .agg(vecAvg(col("n_vec")).as("c_vec"))
+        .collect().map(r => (r.getSeq[Double](1), r.getInt(0)))
+      // keep unmoved seeds for cells that lost all members
+      val byCell = updated.map { case (v, id) => id -> v }.toMap
+      centroids = centroids.map { case (v, id) => (byCell.getOrElse(id, v), id) }
+      i += 1
+    }
+    centroids.toSeq.toDF("c_vec", "cell_id")
+      .select(col("cell_id"), col("c_vec"))
+  }
+
+  /** IVF-style ANN: centroids partition the corpus into cells
+    * (assignment = argmax cosine to centroid); queries probe their
+    * `nprobe` nearest cells and brute-force within them — the
+    * inverted-file architecture (coarse quantizer + posting lists).
+    * Default quantizer: the nCells corpus vectors with smallest
+    * xxhash64(id) (deterministic, single limit pass, no count()); pass
+    * `centroids = Some(kmeansCentroids(...))` for trained cells.
     *
     * Scale: cell assignment is a broadcast map stage; the probe join
     * shuffles on cell id, so cost ∝ cell occupancy × queries, not
     * corpus². Recall grows with nprobe. */
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
       nprobe: Int = 2, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      centroids0: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val n = corpus.count()
-    val step = math.max(1L, n / nCells)
-    val centroids = corpus.filter(col(idCol) % step === 0)
-      .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))
+    val centroids = centroids0.getOrElse(
+      corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
     // corpus rows → single nearest cell
     val assignW = Window.partitionBy(col("n_id"))
       .orderBy(col("c_sim").desc, col("cell_id"))

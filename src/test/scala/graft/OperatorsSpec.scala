@@ -124,6 +124,26 @@ class OperatorsSpec extends AnyFunSuite {
     val recall = (exact intersect ivf).size.toDouble / exact.size
     assert(recall >= 0.5, s"IVF recall too low: $recall")
     assert(ivf.subsetOf(ivf ++ exact))
+    // trained quantizer: k-means centroids should not hurt recall
+    val trained = Similarity.kmeansCentroids(emb, nCells = 4, iters = 2)
+    val ivfK = pairs(Similarity.knnIvf(emb, queries, k = 5, nCells = 4,
+      nprobe = 2, centroids0 = Some(trained)))
+    val recallK = (exact intersect ivfK).size.toDouble / exact.size
+    assert(recallK >= 0.5, s"kmeans-IVF recall too low: $recallK")
+  }
+
+  test("kmeansCentroids recovers two well-separated clusters") {
+    import graft.operators.Similarity
+    // 2-D points: cluster A around (1, 0), cluster B around (0, 1)
+    val pts = ((0 until 20).map(i => (i.toLong, Seq(1.0, 0.02 * i))) ++
+               (20 until 40).map(i => (i.toLong, Seq(0.02 * (i - 20), 1.0))))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(pts, nCells = 2, iters = 4)
+      .collect().map(_.getSeq[Double](1))
+    assert(cents.length == 2)
+    // one centroid dominated by x, the other by y (cosine clusters)
+    val xDom = cents.count(c => c(0) > c(1))
+    assert(xDom == 1, cents.map(_.mkString("(", ",", ")")).mkString(" "))
   }
 
   test("SortCheck.isSorted folds per-partition summaries correctly") {
