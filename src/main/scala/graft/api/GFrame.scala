@@ -136,6 +136,13 @@ final case class GFrame(df: DataFrame) {
   def tile(count: Int): GFrame = GFrame(Reshape.tile(df, count))
   def interleave(idCol: String, cols: Seq[String]): GFrame =
     GFrame(Reshape.interleave(df, idCol, cols))
+  /** Fixed-token-window chunking with overlap (LLM pre-tokenization). */
+  def chunk(idCol: String, textCol: String, chunkSize: Int,
+      overlap: Int = 0): GFrame =
+    GFrame(graft.operators.TextPipeline.chunkDocuments(
+      df, idCol, textCol, chunkSize, overlap))
+  def tfidf(idCol: String, textCol: String): GFrame =
+    GFrame(graft.operators.TextPipeline.tfidf(df, idCol, textCol))
 
   // ---- accessor namespaces (cudf Series .str / .dt accessors,
   //      python/cudf/cudf/core/column/string.py, temporal.py) ----
