@@ -153,6 +153,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatch sink writes each micro-batch to parquet (custom sink surface)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_fes").toString + "/out"
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("k", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(dir)
+      }.start()
+    try {
+      input.addData((1L, 1.0), (2L, 2.0))
+      q.processAllAvailable()
+      input.addData((3L, 3.0))
+      q.processAllAvailable()
+      val got = spark.read.parquet(dir)
+      assert(got.count() == 3)
+      assert(got.select("batch_id").distinct().count() == 2)
+      assert(got.agg(sum($"v")).as[Double].head() == 6.0)
+    } finally q.stop()
+  }
+
   test("incremental grouped aggregation accumulates across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
