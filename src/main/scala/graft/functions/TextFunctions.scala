@@ -75,8 +75,12 @@ object TextFunctions {
     * values over the token array, one per seed. Returns array<long>
     * of length k. */
   def minhashSig(toksCol: String, k: Int): Column =
-    expr(s"transform(sequence(0, ${k - 1}), " +
-      s"i -> array_min(transform($toksCol, t -> xxhash64(t, i))))")
+    minhashSigOf(col(toksCol), k)
+
+  /** [[minhashSig]] over an arbitrary array-of-strings Column. */
+  def minhashSigOf(toks: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(toks, t => xxhash64(t, i))))
 
   /** Word n-gram shingles for order-sensitive near-dup detection
     * (nvtext/minhash.hpp:156 minhash_ngrams operates on ngrams of
@@ -87,17 +91,13 @@ object TextFunctions {
       .otherwise(array(array_join(col(toksCol), "_")))
 
   /** MinHash signature over word n-gram shingles (minhash_ngrams,
-    * nvtext/minhash.hpp:156). Unlike [[minhashSig]] over the distinct
-    * token SET, this is order-sensitive: permuted documents get
-    * different shingles, the standard formulation for document near-dup
-    * detection. */
+    * nvtext/minhash.hpp:156) — [[minhashSigOf]] composed over
+    * [[shingles]], so the shingle definition lives in exactly one place.
+    * Unlike [[minhashSig]] over the distinct token SET, this is
+    * order-sensitive: permuted documents get different shingles, the
+    * standard formulation for document near-dup detection. */
   def minhashNgramSig(toksCol: String, n: Int, k: Int): Column =
-    expr(s"transform(sequence(0, ${k - 1}), i -> array_min(transform(" +
-      s"CASE WHEN size($toksCol) >= $n THEN array_distinct(" +
-      s"  transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 0)), " +
-      s"    j -> array_join(slice($toksCol, j, $n), '_'))) " +
-      s"ELSE array(array_join($toksCol, '_')) END, " +
-      s"t -> xxhash64(t, i))))")
+    minhashSigOf(shingles(toksCol, n), k)
 
   /** LSH band keys for a minhash signature column: hash of each band's
     * slice of the signature, tagged with the band index. Docs sharing

@@ -70,8 +70,9 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // cache: the seed pass plus every Lloyd iteration re-reads this
     val vecs = corpus.select(col(idCol).as("n_id"),
-      transform(col(vecCol), _.cast("double")).as("n_vec"))
+      transform(col(vecCol), _.cast("double")).as("n_vec")).cache()
     var centroids = vecs
       .orderBy(xxhash64(col("n_id")), col("n_id")).limit(nCells)
       .select(col("n_vec").as("c_vec"))
@@ -95,6 +96,7 @@ object Similarity {
       centroids = centroids.map { case (v, id) => (byCell.getOrElse(id, v), id) }
       i += 1
     }
+    vecs.unpersist()
     centroids.toSeq.toDF("c_vec", "cell_id")
       .select(col("cell_id"), col("c_vec"))
   }

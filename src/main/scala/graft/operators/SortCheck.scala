@@ -1,31 +1,40 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
 
 /** is_sorted (cpp/include/cudf/sorting.hpp is_sorted): does the frame's
   * current row order satisfy the given key order?
   *
   * Distributed formulation — no global sort, no single-partition window:
-  * each partition reports (index, locally-sorted, first-key, last-key)
+  * each partition reports (index, locally-sorted, bounds, null presence)
   * from one mapPartitions pass, and the driver folds the per-partition
   * summaries (numPartitions rows, not data rows) checking local
-  * sortedness plus boundary order between consecutive partitions. This
-  * is the same split the reference's multi-block GPU scan performs.
+  * sortedness, boundary order across NON-EMPTY partitions, and global
+  * nulls-first placement. This is the same split the reference's
+  * multi-block GPU scan performs.
   */
 object SortCheck {
 
-  /** True iff `keyCol` (cast to double for comparison) is non-decreasing
-    * in the DataFrame's CURRENT row/partition order. */
+  /** True iff `keyCol` is non-decreasing (nulls first) in the
+    * DataFrame's CURRENT row/partition order. Numeric keys only —
+    * matching RangeJoin, non-numeric columns are rejected up front
+    * rather than silently casting to null. */
   def isSorted(df: DataFrame, keyCol: String): Boolean = {
+    val field = df.schema(keyCol)
+    require(field.dataType.isInstanceOf[NumericType],
+      s"isSorted key $keyCol must be numeric, got ${field.dataType}")
     val summaries = df.select(col(keyCol).cast("double"))
       .rdd.mapPartitionsWithIndex { (idx, it) =>
         var first = 0.0
         var last = 0.0
         var seen = false
+        var hasNull = false
         var ok = true
         it.foreach { r =>
           if (r.isNullAt(0)) {
+            hasNull = true
             // nulls-first ordering: a null after any value breaks order
             if (seen) ok = false
           } else {
@@ -35,14 +44,24 @@ object SortCheck {
             last = v
           }
         }
-        Iterator.single((idx, ok,
-          if (seen) Some(first) else None, if (seen) Some(last) else None))
+        Iterator.single((idx, ok, seen, first, last, hasNull))
       }.collect().sortBy(_._1)
-    summaries.forall(_._2) &&
-      summaries.sliding(2).forall {
-        case Array((_, _, _, Some(prevLast)), (_, _, Some(nextFirst), _)) =>
-          prevLast <= nextFirst
-        case _ => true
+    if (!summaries.forall(_._2)) return false
+    // nulls-first across partitions: no null may appear after any value
+    var valueSeen = false
+    summaries.foreach { case (_, _, seen, _, _, hasNull) =>
+      if (hasNull && valueSeen) return false
+      if (seen) valueSeen = true
+    }
+    // boundary order over NON-EMPTY partitions only (empty or all-null
+    // partitions must not break the comparison chain)
+    var prevLast: Option[Double] = None
+    summaries.foreach { case (_, _, seen, first, last, _) =>
+      if (seen) {
+        if (prevLast.exists(_ > first)) return false
+        prevLast = Some(last)
       }
+    }
+    true
   }
 }

@@ -40,19 +40,23 @@ object VocabTokenize {
       defaultId: Int = -1): Column =
     idsFor(tokens(text), vocab, defaultId)
 
-  /** Large-vocab path: `vocabDf` is (token STRING, id INT); tokens of
+  /** Large-vocab path: `vocabDf`'s first column is the token, second the
+    * id (taken POSITIONALLY, so callers' column names — including ones
+    * that collide with `idCol`, like "id" — never matter). Tokens of
     * `textCol` are position-exploded, id-resolved via broadcast join,
     * and re-assembled in token order. Returns (idCol, ids ARRAY<INT>).
     * One broadcast, one shuffle (the per-doc regroup). */
   def tokenizeWithVocabularyJoin(df: DataFrame, idCol: String, textCol: String,
       vocabDf: DataFrame, defaultId: Int = -1): DataFrame = {
-    val exploded = df
-      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val vocab = vocabDf.select(
+      col(vocabDf.columns(0)).as("__tok"), col(vocabDf.columns(1)).as("__vid"))
+    val exploded = df.select(col(idCol),
+      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
     exploded
-      .join(broadcast(vocabDf), Seq("tok"), "left")
+      .join(broadcast(vocab), Seq("__tok"), "left")
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("pos"),
-        coalesce(col("id"), lit(defaultId)).as("tid")))).as("ps"))
+      .agg(array_sort(collect_list(struct(col("__pos"),
+        coalesce(col("__vid"), lit(defaultId)).as("tid")))).as("ps"))
       .select(col(idCol), transform(col("ps"), p => p("tid")).as("ids"))
   }
 

@@ -105,28 +105,29 @@ case class CharacterNormalize(child: Expression, doLowerCase: Boolean,
   override def nullSafeEval(v: Any): Any = {
     val text = v.toString
     val sb = new java.lang.StringBuilder(text.length + 16)
+    // Process WHOLE segments between special tokens (one lowercase+NFD
+    // pass per segment, not per code point — this is a per-row map stage
+    // on the 100 TB text path).
     var i = 0
+    var segStart = 0
     while (i < text.length) {
       // Special-token protection: "[TOK]" at this position passes through
       // unpadded (reference: no padding after '[' / before ']').
-      val hit =
+      val tok =
         if (text.charAt(i) == '[') {
           val end = text.indexOf(']', i)
           if (end > i && special.contains(text.substring(i, end + 1)))
-            Some(text.substring(i, end + 1))
-          else None
-        } else None
-      hit match {
-        case Some(tok) =>
-          sb.append(' ').append(tok).append(' ')
-          i += tok.length
-        case None =>
-          // Advance one code point through the normal pipeline.
-          val cp = text.codePointAt(i)
-          normalizeSegment(new String(Character.toChars(cp)), sb)
-          i += Character.charCount(cp)
-      }
+            text.substring(i, end + 1)
+          else null
+        } else null
+      if (tok != null) {
+        if (segStart < i) normalizeSegment(text.substring(segStart, i), sb)
+        sb.append(' ').append(tok).append(' ')
+        i += tok.length
+        segStart = i
+      } else i += 1
     }
+    if (segStart < text.length) normalizeSegment(text.substring(segStart), sb)
     UTF8String.fromString(sb.toString)
   }
 

@@ -28,14 +28,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SupportsPushDownRequiredColumns prunes the deserialized columns so a
   * 2-column projection never materializes the full record. */
 class AvroDataSource extends TableProvider with DataSourceRegister {
-  override def shortName(): String = "graft-avro"
+  import AvroDataSource.{hadoopConf, listAvroFiles}
 
-  private def files(path: String): Seq[FileStatus] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p).toSeq
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".avro"))
-  }
+  override def shortName(): String = "graft-avro"
 
   private def sparkType(s: org.apache.avro.Schema): DataType = {
     import org.apache.avro.Schema.Type._
@@ -58,9 +53,10 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
     require(path != null, "graft-avro requires a path")
-    val first = files(path).headOption.getOrElse(
+    val conf = hadoopConf()
+    val first = listAvroFiles(path, conf).headOption.getOrElse(
       throw new IllegalArgumentException(s"no .avro files under $path"))
-    val fs = first.getPath.getFileSystem(new Configuration())
+    val fs = first.getPath.getFileSystem(conf)
     val in = fs.open(first.getPath)
     try {
       val stream = new DataFileStream[GenericRecord](in,
@@ -76,6 +72,27 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     AvroV2Table(properties.get("path"), schema)
+}
+
+object AvroDataSource {
+  /** The active session's Hadoop conf (credentials, fs bindings) — the
+    * bare `new Configuration()` this replaced would break any FS whose
+    * access depends on session config (s3a, kerberized HDFS). */
+  private[sources] def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+
+  /** Single definition of "which files make up the table" — shared by
+    * schema inference and partition planning so they can never disagree.
+    * Name-sorted for deterministic partition order. */
+  private[sources] def listAvroFiles(path: String,
+      conf: Configuration): Seq[FileStatus] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    fs.listStatus(p).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".avro"))
+      .sortBy(_.getPath.getName)
+  }
 }
 
 case class AvroV2Table(path: String, tableSchema: StructType)
@@ -105,26 +122,33 @@ case class AvroScan(path: String, fullSchema: StructType,
   override def description(): String =
     s"graft-avro $path, ReadSchema: ${required.catalogString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
-    fs.listStatus(p)
-      .filter(f => f.isFile && f.getPath.getName.endsWith(".avro"))
-      .sortBy(_.getPath.getName)
+  override def planInputPartitions(): Array[InputPartition] =
+    AvroDataSource.listAvroFiles(path, AvroDataSource.hadoopConf())
       .map(f => AvroFilePartition(f.getPath.toString): InputPartition)
-  }
+      .toArray
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    AvroReaderFactory(required.fields.map(_.name))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Session Hadoop conf, serialized to the executors as plain pairs
+    // (Configuration itself is not serializable).
+    val conf = AvroDataSource.hadoopConf()
+    val props = conf.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toMap
+    AvroReaderFactory(required.fields.map(_.name), props)
+  }
 }
 
-case class AvroReaderFactory(columns: Array[String])
-    extends PartitionReaderFactory {
+case class AvroReaderFactory(columns: Array[String],
+    confProps: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
     new PartitionReader[InternalRow] {
+      private val conf = {
+        val c = new Configuration(false)
+        confProps.foreach { case (k, v) => c.set(k, v) }
+        c
+      }
       private val p = new Path(file)
-      private val in = p.getFileSystem(new Configuration()).open(p)
+      private val in = p.getFileSystem(conf).open(p)
       private val stream = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       // resolve pruned column → record field index once per partition

@@ -160,6 +160,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!SortCheck.isSorted(revBounds, "x"))
   }
 
+  test("SortCheck: empty partitions don't break the boundary chain; non-numeric rejected") {
+    import graft.operators.SortCheck
+    // partitions [[10], [], [5]]: the empty middle partition must not
+    // hide the 10 > 5 boundary violation
+    val rdd = spark.sparkContext.makeRDD(
+      Seq(Seq(10L), Seq.empty[Long], Seq(5L)), 3)
+      .mapPartitions(_.flatten)
+    val bad = spark.createDataFrame(rdd.map(org.apache.spark.sql.Row(_)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType))))
+    assert(!SortCheck.isSorted(bad, "x"))
+    // same shape but ordered -> sorted
+    val okRdd = spark.sparkContext.makeRDD(
+      Seq(Seq(5L), Seq.empty[Long], Seq(10L)), 3).mapPartitions(_.flatten)
+    val ok = spark.createDataFrame(okRdd.map(org.apache.spark.sql.Row(_)),
+      bad.schema)
+    assert(SortCheck.isSorted(ok, "x"))
+    // a null in a later partition after values violates nulls-first
+    val nullRdd = spark.sparkContext.makeRDD(
+      Seq(Seq[Any](1L, 2L), Seq[Any](null, 3L)), 2).mapPartitions(_.flatten)
+    val withNull = spark.createDataFrame(
+      nullRdd.map(org.apache.spark.sql.Row(_)), bad.schema)
+    assert(!SortCheck.isSorted(withNull, "x"))
+    intercept[IllegalArgumentException] {
+      SortCheck.isSorted(Seq("a", "b").toDF("s"), "s")
+    }
+  }
+
   test("ANSI mode surfaces integer SUM overflow instead of wrapping (SUM_OVERFLOW)") {
     val df = Seq(Long.MaxValue, 1L).toDF("x")
     spark.conf.set("spark.sql.ansi.enabled", "true")
