@@ -87,9 +87,15 @@ object Dedup {
         array_distinct(tokens(col(textCol))).as("toks"))
       .withColumn("sig", minhashSig("toks", numHashes))
     // Band rows carry ONLY (id, band): the bucket self-join shuffles ids,
-    // never token arrays (bands× lighter shuffle at corpus scale).
+    // never token arrays (bands× lighter shuffle at corpus scale). The
+    // explicit repartition on band gives both self-join sides the SAME
+    // canonical exchange, so AQE materializes the signature computation
+    // once and reuses the stage — without it the small-input plan
+    // broadcasts one side and computes every minhash twice (and a
+    // broadcast banded corpus would not survive 100 TB anyway).
     val banded = docs.select(col("id"),
-      explode(minhashBands("sig", bands, rows)).as("band"))
+        explode(minhashBands("sig", bands, rows)).as("band"))
+      .repartition(col("band"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -117,7 +123,8 @@ object Dedup {
       .withColumn("sh", shingles("toks", n))
       .withColumn("sig", minhashSig("sh", numHashes))
     val banded = docs.select(col("id"),
-      explode(minhashBands("sig", bands, rows)).as("band"))
+        explode(minhashBands("sig", bands, rows)).as("band"))
+      .repartition(col("band")) // same reuse rationale as minhashPairs
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
