@@ -32,6 +32,10 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-avro"
 
+  // Writes (and schema-supplied reads) pass the query schema straight to
+  // getTable instead of forcing inference on a possibly-absent directory.
+  override def supportsExternalMetadata(): Boolean = true
+
   private def sparkType(s: org.apache.avro.Schema): DataType = {
     import org.apache.avro.Schema.Type._
     s.getType match {
@@ -54,6 +58,11 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     val path = options.get("path")
     require(path != null, "graft-avro requires a path")
     val conf = hadoopConf()
+    // Writes resolve the table before the directory exists; the batch
+    // write takes its schema from LogicalWriteInfo, so an empty schema
+    // here is correct for a not-yet-created table.
+    if (!new Path(path).getFileSystem(conf).exists(new Path(path)))
+      return new StructType()
     val first = listAvroFiles(path, conf).headOption.getOrElse(
       throw new IllegalArgumentException(s"no .avro files under $path"))
     val fs = first.getPath.getFileSystem(conf)
@@ -74,7 +83,121 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
     AvroV2Table(properties.get("path"), schema)
 }
 
+/** DSv2 write stack: WriteBuilder → BatchWrite → DataWriterFactory →
+  * per-task DataWriter. Each task writes one Avro container file to a
+  * temp name; commit renames committed task files into place — the
+  * standard two-phase output pattern, no driver data movement. */
+class AvroWriteBuilder(path: String, schema: StructType)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        AvroBatchWrite(path, schema, doTruncate,
+          AvroDataSource.hadoopConf().iterator().asScala
+            .map(e => e.getKey -> e.getValue).toMap)
+    }
+}
+
+case class AvroTaskCommit(tempFile: String)
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+case class AvroBatchWrite(path: String, schema: StructType,
+    truncate: Boolean, confProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    AvroWriterFactory(path, schema.json, confProps)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = AvroDataSource.confFromProps(confProps)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(conf)
+    // staging dir is a SIBLING of the target so a truncate cannot wipe
+    // the committed task files before they are renamed into place
+    if (truncate && fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(dir)
+    messages.foreach { case AvroTaskCommit(tmp) =>
+      val t = new Path(tmp)
+      fs.rename(t, new Path(dir, t.getName))
+    }
+    fs.delete(AvroBatchWrite.stagingDir(path), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = AvroDataSource.confFromProps(confProps)
+    val staging = AvroBatchWrite.stagingDir(path)
+    val fs = staging.getFileSystem(conf)
+    if (fs.exists(staging)) fs.delete(staging, true)
+  }
+}
+
+object AvroBatchWrite {
+  private[sources] def stagingDir(path: String): Path =
+    new Path(path.stripSuffix("/") + "__graft_staging")
+}
+
+case class AvroWriterFactory(path: String, schemaJson: String,
+    confProps: Map[String, String])
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
+    val sparkSchema =
+      DataType.fromJson(schemaJson).asInstanceOf[StructType]
+    new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+      private val conf = AvroDataSource.confFromProps(confProps)
+      private val avro = Avro.avroSchema(sparkSchema)
+      private val tmp = new Path(AvroBatchWrite.stagingDir(path),
+        s"part-$partitionId-$taskId.avro")
+      private val fs = tmp.getFileSystem(conf)
+      private val out = { fs.mkdirs(tmp.getParent); fs.create(tmp, true) }
+      private val writer =
+        new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avro))
+          .create(avro, out)
+      private val fields = sparkSchema.fields
+      override def write(row: InternalRow): Unit = {
+        val rec = new org.apache.avro.generic.GenericData.Record(avro)
+        var i = 0
+        while (i < fields.length) {
+          rec.put(i,
+            if (row.isNullAt(i)) null
+            else fields(i).dataType match {
+              case StringType => row.getUTF8String(i).toString
+              case IntegerType => row.getInt(i)
+              case LongType => row.getLong(i)
+              case FloatType => row.getFloat(i)
+              case DoubleType => row.getDouble(i)
+              case BooleanType => row.getBoolean(i)
+              case other => throw new IllegalArgumentException(s"$other")
+            })
+          i += 1
+        }
+        writer.append(rec)
+      }
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        writer.close()
+        AvroTaskCommit(tmp.toString)
+      }
+      override def abort(): Unit = { writer.close(); fs.delete(tmp, false) }
+      override def close(): Unit = ()
+    }
+  }
+}
+
 object AvroDataSource {
+  private[sources] def confFromProps(props: Map[String, String]): Configuration = {
+    val c = new Configuration(false)
+    props.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** The active session's Hadoop conf (credentials, fs bindings) — the
     * bare `new Configuration()` this replaced would break any FS whose
     * access depends on session config (s3a, kerberized HDFS). */
@@ -96,13 +219,19 @@ object AvroDataSource {
 }
 
 case class AvroV2Table(path: String, tableSchema: StructType)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-avro:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroScanBuilder(path, tableSchema)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new AvroWriteBuilder(path, info.schema())
 }
 
 class AvroScanBuilder(path: String, fullSchema: StructType)
@@ -142,11 +271,7 @@ case class AvroReaderFactory(columns: Array[String],
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
     new PartitionReader[InternalRow] {
-      private val conf = {
-        val c = new Configuration(false)
-        confProps.foreach { case (k, v) => c.set(k, v) }
-        c
-      }
+      private val conf = AvroDataSource.confFromProps(confProps)
       private val p = new Path(file)
       private val in = p.getFileSystem(conf).open(p)
       private val stream = new DataFileStream[GenericRecord](in,

@@ -84,6 +84,19 @@ class IoSpec extends AnyFunSuite {
     assert(pruned.as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("graft-avro DSv2 write path: df.write.format round-trips with overwrite") {
+    val df = Seq((1L, "a", 1.5), (2L, "b", -0.25)).toDF("k", "s", "v")
+    val path = tmp("avro_v2_w")
+    df.write.format("graft-avro").mode("overwrite").save(path)
+    val back = spark.read.format("graft-avro").load(path)
+    assert(back.orderBy("k").collect().toSeq == df.orderBy("k").collect().toSeq)
+    // overwrite replaces, not appends
+    val df2 = Seq((9L, "z", 0.0)).toDF("k", "s", "v")
+    df2.write.format("graft-avro").mode("overwrite").save(path)
+    val back2 = spark.read.format("graft-avro").load(path)
+    assert(back2.collect().toSeq == df2.collect().toSeq)
+  }
+
   test("arrow interop round trip preserves rows (to_arrow/from_arrow)") {
     import org.apache.spark.sql.graftshim.ArrowBridge
     val df = Seq((1L, "a", 1.5, true), (2L, "b", -0.25, false),
