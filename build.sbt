@@ -15,6 +15,10 @@ run / fork := true
 // default LoggedOutput prefixes every line with "[info] ", which broke
 // the driver's json.loads of Bench's metric line (BENCH_r01 parsed:null).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Round-2 driver STILL recorded parsed:null: the metric JSON printed
+// bare, but sbt's "[success] Total time ..." summary followed it as the
+// final stdout line. Suppress it so Bench's JSON is the last line.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types._
 
 /** is_sorted (cpp/include/cudf/sorting.hpp is_sorted): does the frame's
   * current row order satisfy the given key order?
@@ -17,7 +17,28 @@ import org.apache.spark.sql.types.NumericType
   */
 object SortCheck {
 
-  /** True iff `keyCol` is non-decreasing (nulls first) in the
+  /** Comparator in the key's NATIVE type: casting longs/decimals to
+    * double would collapse adjacent distinct values above 2^53 (an
+    * unsorted frame could report sorted), and `last > v` on doubles is
+    * false for NaN (frames with NaN would always pass). Floats/doubles
+    * use java.lang.{Float,Double}.compare, which orders NaN greater
+    * than every value — Spark's own ordering. */
+  private def comparator(dt: DataType): (Any, Any) => Int = dt match {
+    case FloatType =>
+      (a, b) => java.lang.Float.compare(
+        a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case DoubleType =>
+      (a, b) => java.lang.Double.compare(
+        a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case _: DecimalType =>
+      (a, b) => a.asInstanceOf[java.math.BigDecimal]
+        .compareTo(b.asInstanceOf[java.math.BigDecimal])
+    case _ => // byte / short / int / long: exact in a long
+      (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[Number].longValue, b.asInstanceOf[Number].longValue)
+  }
+
+  /** True iff `keyCol` is non-decreasing (nulls first, NaN last) in the
     * DataFrame's CURRENT row/partition order. Numeric keys only —
     * matching RangeJoin, non-numeric columns are rejected up front
     * rather than silently casting to null. */
@@ -25,10 +46,11 @@ object SortCheck {
     val field = df.schema(keyCol)
     require(field.dataType.isInstanceOf[NumericType],
       s"isSorted key $keyCol must be numeric, got ${field.dataType}")
-    val summaries = df.select(col(keyCol).cast("double"))
+    val cmp = comparator(field.dataType)
+    val summaries = df.select(col(keyCol))
       .rdd.mapPartitionsWithIndex { (idx, it) =>
-        var first = 0.0
-        var last = 0.0
+        var first: Any = null
+        var last: Any = null
         var seen = false
         var hasNull = false
         var ok = true
@@ -38,8 +60,8 @@ object SortCheck {
             // nulls-first ordering: a null after any value breaks order
             if (seen) ok = false
           } else {
-            val v = r.getDouble(0)
-            if (seen && last > v) ok = false
+            val v = r.get(0)
+            if (seen && cmp(last, v) > 0) ok = false
             if (!seen) { first = v; seen = true }
             last = v
           }
@@ -55,10 +77,10 @@ object SortCheck {
     }
     // boundary order over NON-EMPTY partitions only (empty or all-null
     // partitions must not break the comparison chain)
-    var prevLast: Option[Double] = None
+    var prevLast: Option[Any] = None
     summaries.foreach { case (_, _, seen, first, last, _) =>
       if (seen) {
-        if (prevLast.exists(_ > first)) return false
+        if (prevLast.exists(cmp(_, first) > 0)) return false
         prevLast = Some(last)
       }
     }

@@ -45,18 +45,29 @@ object VocabTokenize {
     * that collide with `idCol`, like "id" — never matter). Tokens of
     * `textCol` are position-exploded, id-resolved via broadcast join,
     * and re-assembled in token order. Returns (idCol, ids ARRAY<INT>).
-    * One broadcast, one shuffle (the per-doc regroup). */
+    * One broadcast, one shuffle (the per-doc regroup).
+    *
+    * `idCol` values must be UNIQUE: the per-doc regroup is a groupBy on
+    * it, so duplicate ids would silently merge into one ids array (the
+    * reference's tokenize_with_vocabulary is positional and cannot
+    * collide). Null/empty text yields an EMPTY ids array, matching the
+    * reference's row-per-input contract, not a dropped row. */
   def tokenizeWithVocabularyJoin(df: DataFrame, idCol: String, textCol: String,
       vocabDf: DataFrame, defaultId: Int = -1): DataFrame = {
     val vocab = vocabDf.select(
       col(vocabDf.columns(0)).as("__tok"), col(vocabDf.columns(1)).as("__vid"))
+    // posexplode_outer keeps null/empty-text rows (as a single row with
+    // null __pos/__tok) so they surface as empty arrays downstream
     val exploded = df.select(col(idCol),
-      posexplode(tokens(col(textCol))).as(Seq("__pos", "__tok")))
+      posexplode_outer(tokens(col(textCol))).as(Seq("__pos", "__tok")))
     exploded
       .join(broadcast(vocab), Seq("__tok"), "left")
       .groupBy(col(idCol))
-      .agg(array_sort(collect_list(struct(col("__pos"),
-        coalesce(col("__vid"), lit(defaultId)).as("tid")))).as("ps"))
+      // collect_list drops null entries, so the null-__pos placeholder
+      // row contributes nothing and its doc keeps ids = []
+      .agg(array_sort(collect_list(when(col("__pos").isNotNull,
+        struct(col("__pos"),
+          coalesce(col("__vid"), lit(defaultId)).as("tid"))))).as("ps"))
       .select(col(idCol), transform(col("ps"), p => p("tid")).as("ids"))
   }
 

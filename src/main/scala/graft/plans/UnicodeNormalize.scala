@@ -83,11 +83,29 @@ case class CharacterNormalize(child: Expression, doLowerCase: Boolean,
     }
   }
 
+  private def stripMarks(s: String): String = {
+    // Code-point iteration: a per-Char filter would misclassify
+    // supplementary-plane combining marks (surrogate halves are not
+    // marks individually).
+    val out = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        out.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    out.toString
+  }
+
   private def normalizeSegment(seg: String, sb: java.lang.StringBuilder): Unit = {
     val s =
       if (doLowerCase)
-        Normalizer.normalize(seg.toLowerCase, Normalizer.Form.NFD)
-          .filter(ch => Character.getType(ch) != Character.NON_SPACING_MARK)
+        // Locale.ROOT: the default locale would turn 'I' into dotless
+        // 'ı' on a Turkish-locale executor, diverging from the
+        // reference's locale-independent BERT normalizer
+        stripMarks(Normalizer.normalize(
+          seg.toLowerCase(java.util.Locale.ROOT), Normalizer.Form.NFD))
       else seg
     var i = 0
     while (i < s.length) {

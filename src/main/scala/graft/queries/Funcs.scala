@@ -207,9 +207,12 @@ object Funcs extends QueryPack {
     Tables.orders(s, dir).select($"o_orderkey",
         (dayofmonth(feb) === 29).as("is_leap"),
         dayofmonth(last_day($"o_orderdate")).as("days_in_mo"),
-        sequence(trunc($"o_orderdate", "month"),
-          add_months(trunc($"o_orderdate", "month"), 3),
-          expr("interval 1 month")).as("mo_seq"))
+        // joined to one string: the driver's pandas comparator cannot
+        // hash raw array cells
+        array_join(
+          sequence(trunc($"o_orderdate", "month"),
+            add_months(trunc($"o_orderdate", "month"), 3),
+            expr("interval 1 month")).cast("array<string>"), ",").as("mo_seq"))
       .orderBy($"o_orderkey")
   }
 
@@ -217,10 +220,10 @@ object Funcs extends QueryPack {
     """SELECT o_orderkey,
       |  dayofmonth(last_day(make_date(year(o_orderdate), 2, 1))) = 29 AS is_leap,
       |  dayofmonth(last_day(o_orderdate)) AS days_in_mo,
-      |  list_transform(generate_series(
+      |  array_to_string(list_transform(generate_series(
       |      CAST(date_trunc('month', o_orderdate) AS DATE),
       |      CAST(date_trunc('month', o_orderdate) AS DATE) + INTERVAL 3 MONTH,
-      |      INTERVAL 1 MONTH), x -> CAST(x AS DATE)) AS mo_seq
+      |      INTERVAL 1 MONTH), x -> CAST(CAST(x AS DATE) AS VARCHAR)), ',') AS mo_seq
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   /** Null utilities (replace.hpp:48-212): coalesce / nullif / greatest /
@@ -347,10 +350,13 @@ object Funcs extends QueryPack {
     val part3 = strPartition($"p_name", " ")
     Tables.part(s, dir).select($"p_partkey",
         wrap($"p_name", 12).as("wrapped"),
-        findMultiple($"p_name", Seq("a", "ol")).as("fm"),
+        // arrays joined to strings: the driver's pandas comparator
+        // cannot hash raw array cells
+        array_join(findMultiple($"p_name", Seq("a", "ol"))
+          .cast("array<string>"), ",").as("fm"),
         part3.getField("head").as("part_head"),
         part3.getField("tail").as("part_tail"),
-        ngramsTokenize($"p_name", 2).as("ng2"))
+        array_join(ngramsTokenize($"p_name", 2), " ").as("ng2"))
       .orderBy($"p_partkey")
   }
 
@@ -358,17 +364,18 @@ object Funcs extends QueryPack {
     raw"""SELECT p_partkey,
          |  rtrim(regexp_replace(p_name, '(\S.{0,11})(\s+|$$)',
          |    '\1' || chr(10), 'g'), chr(10)) AS wrapped,
-         |  [strpos(p_name, 'a') - 1, strpos(p_name, 'ol') - 1] AS fm,
+         |  array_to_string([strpos(p_name, 'a') - 1, strpos(p_name, 'ol') - 1],
+         |    ',') AS fm,
          |  CASE WHEN strpos(p_name, ' ') > 0
          |       THEN substring(p_name, 1, strpos(p_name, ' ') - 1)
          |       ELSE p_name END AS part_head,
          |  CASE WHEN strpos(p_name, ' ') > 0
          |       THEN substring(p_name, strpos(p_name, ' ') + 1)
          |       ELSE '' END AS part_tail,
-         |  CASE WHEN len(toks) >= 2 THEN list_transform(
+         |  CASE WHEN len(toks) >= 2 THEN array_to_string(list_transform(
          |         generate_series(1, len(toks) - 1),
-         |         i -> array_to_string(toks[i:i+1], '_'))
-         |       ELSE CAST([] AS VARCHAR[]) END AS ng2
+         |         i -> array_to_string(toks[i:i+1], '_')), ' ')
+         |       ELSE '' END AS ng2
          |FROM (SELECT *, string_split_regex(lower(trim(p_name)), '\s+') AS toks
          |      FROM part)
          |ORDER BY p_partkey""".stripMargin

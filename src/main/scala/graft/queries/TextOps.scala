@@ -223,7 +223,10 @@ object TextOps extends QueryPack {
   def substringDups(s: SparkSession, dir: String): DataFrame =
     graft.operators.SubstringDedup.resolveDuplicates(
         Tables.documents(s, dir).filter(col("doc_id") < 30),
-        "doc_id", "text", minWidth = 25, chunks = 4)
+        // minWidth 15 / 2 chunks: sf0.01's corpus has almost no ≥25-char
+        // repeats in this slice, and 4-way chunking split the few that
+        // exist across chunk boundaries (0 rows in round 2's verify run)
+        "doc_id", "text", minWidth = 15, chunks = 2)
       .orderBy(col("dup_text"))
 
   /** Multimodal plumbing: ingest text as binary payload, run the stub
@@ -325,7 +328,10 @@ object TextOps extends QueryPack {
       .buildVocabulary(docs, "text", minTokenLength = 3)
     graft.operators.VocabTokenize
       .tokenizeWithVocabularyJoin(docs, "doc_id", "text", vocab)
-      .select(col("doc_id"), col("ids"),
+      // ids rendered as a space-joined string: the driver's comparator
+      // sorts result columns with pandas, which cannot hash raw arrays
+      .select(col("doc_id"),
+        array_join(col("ids").cast("array<string>"), " ").as("ids"),
         size(filter(col("ids"), x => x === -1)).as("n_unk"),
         size(col("ids")).as("n_ids"))
       .orderBy(col("doc_id"))
@@ -341,7 +347,8 @@ object TextOps extends QueryPack {
        |mapped AS (
        |  SELECT doc_id, list(CAST(coalesce(v.id, -1) AS INT) ORDER BY t.pos) AS ids
        |  FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY doc_id)
-       |SELECT doc_id, ids, len(list_filter(ids, x -> x = -1)) AS n_unk,
+       |SELECT doc_id, array_to_string(ids, ' ') AS ids,
+       |  len(list_filter(ids, x -> x = -1)) AS n_unk,
        |  len(ids) AS n_ids
        |FROM mapped ORDER BY doc_id""".stripMargin
 

@@ -123,9 +123,17 @@ case class AvroBatchWrite(path: String, schema: StructType,
     // the committed task files before they are renamed into place
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
+    // Task file names are only unique within one application; an epoch
+    // suffix keeps appends from prior jobs from colliding (a collision
+    // would make rename return false and silently drop the partition).
+    val epoch = java.util.UUID.randomUUID().toString.take(8)
     messages.foreach { case AvroTaskCommit(tmp) =>
       val t = new Path(tmp)
-      fs.rename(t, new Path(dir, t.getName))
+      val dest = new Path(dir,
+        t.getName.stripSuffix(".avro") + s"-$epoch.avro")
+      if (!fs.rename(t, dest))
+        throw new java.io.IOException(
+          s"graft-avro commit rename failed: $t -> $dest")
     }
     fs.delete(AvroBatchWrite.stagingDir(path), true)
   }

@@ -53,11 +53,12 @@ object StatefulOps {
             state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L, 0.0))
           val wmMs = state.getCurrentWatermarkMs()
           var closed = List.empty[SessionOut]
-          // Drop rows at/behind the watermark: Spark only guarantees
-          // delivery above it, and folding them in would extend an open
-          // session backwards in time (or re-open an emitted one).
+          // Drop only rows STRICTLY behind the watermark: Spark delivers
+          // rows at eventTime == watermark (it drops strictly-older
+          // ones), so filtering those too would silently lose boundary
+          // events from sessions.
           rows.toSeq.sortBy(_._2.getTime)
-            .iterator.filter(_._2.getTime > wmMs).foreach { case (_, t, v) =>
+            .iterator.filter(_._2.getTime >= wmMs).foreach { case (_, t, v) =>
             val tUs = t.getTime * 1000
             if (n > 0 && tUs - end > gapMillis * 1000) {
               closed ::= SessionOut(user, start, end, n, sum)
