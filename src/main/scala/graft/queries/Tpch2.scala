@@ -6,10 +6,11 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryPack._
 
-/** Second TPC-H analog pack: q7/q8/q15/q16/q21 (with q1-q22 across both
-  * packs, all TPC-H shapes are covered except q2/q11/q20, which require
-  * the partsupp table absent from this schema). Columns missing from the
-  * driver schema (commitdate/receiptdate, comments) are replaced by
+/** Second TPC-H analog pack: q7/q8/q15/q16/q21 (q2/q11/q20, which need
+  * the partsupp table absent from this schema, live in [[Tpch3]] over a
+  * lineitem-derived part-supplier relation — all 22 TPC-H shapes are
+  * covered across the three packs). Columns missing from the driver
+  * schema (commitdate/receiptdate, comments) are replaced by
   * deterministic analogs, keeping the PLAN SHAPE (the thing being
   * tested) intact.
   */

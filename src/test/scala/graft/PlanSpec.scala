@@ -68,4 +68,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       "vocab resolution must broadcast, not shuffle")
   }
+
+  test("q2 decorrelates the per-part min into one window, dims broadcast") {
+    val p = plan("q2_min_cost_supplier")
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"correlated-min must be one window pass, got $lineitemScans scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+  }
+
+  test("q11 threshold branch reuses the per-part aggregate exchange") {
+    // both the detail rows and the global-threshold scalar fold the SAME
+    // per-part aggregate subtree; the static plan shows two lineitem
+    // scans, but AQE's stage cache dedups the identical exchanges at
+    // runtime — so assert on the FINAL adaptive plan, post-execution
+    val df = SparkEntry.queries("q11_important_stock")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"))
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      s"threshold must reuse the per-part agg exchange, not re-scan:\n$p")
+  }
+
+  test("q20 plans the supplier filter as a left-semi join") {
+    val p = plan("q20_potential_promotion")
+    assert(p.contains("LeftSemi"), "supplier EXISTS must be a semi join")
+  }
 }
