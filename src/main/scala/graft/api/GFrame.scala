@@ -1,6 +1,6 @@
 package graft.api
 
-import graft.operators.{Dedup, Reshape}
+import graft.operators.{Dedup, Reshape, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -119,6 +119,9 @@ final case class GFrame(df: DataFrame) {
     GFrame(Dedup.minhashPairs(df, idCol, textCol, threshold = threshold))
   /** Order-sensitive near-dup pairs over word n-gram shingles
     * (minhash_ngrams). */
+  def nearDupPairsEmbedding(idCol: String, vecCol: String,
+      threshold: Double): GFrame =
+    GFrame(Similarity.cosineNearDupPairs(df, idCol, vecCol, threshold))
   def nearDupPairsNgrams(idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8): GFrame =
     GFrame(Dedup.minhashNgramPairs(df, idCol, textCol, n, threshold = threshold))

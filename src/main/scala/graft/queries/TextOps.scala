@@ -285,6 +285,35 @@ object TextOps extends QueryPack {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** Embedding-cosine near-dup pairs, exact all-pairs form (the north
+    * star's fifth dedup method). Threshold 0.4: the synthetic embeddings
+    * are near-orthogonal (max pairwise cosine ≈ 0.51), so a production
+    * 0.95 cut would be vacuously empty here; the operator is identical
+    * either way. */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairsExact(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val embedNearDupSql: String = {
+    val dp = "list_aggregate(list_transform(list_zip(%s, %s), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    s"""SELECT id_a, id_b, sim FROM (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    ${dp.format("a.embedding", "b.embedding")} /
+       |      (sqrt(${dp.format("a.embedding", "a.embedding")}) *
+       |       sqrt(${dp.format("b.embedding", "b.embedding")})) AS sim
+       |  FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+       |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Multi-table sign-LSH near-dup pairs (the scale path for
+    * [[embedNearDup]]) — rows-only; recall vs exact in OperatorsSpec. */
+  def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupPairs(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;
     * north star "BPE-ish regex" token counting). */
   def bpeTokens(s: SparkSession, dir: String): DataFrame =
@@ -406,7 +435,9 @@ object TextOps extends QueryPack {
     "doc_multimodal" -> multimodal,
     "embed_knn" -> embedKnn,
     "embed_knn_lsh" -> embedKnnLsh,
-    "embed_knn_ivf" -> embedKnnIvf)
+    "embed_knn_ivf" -> embedKnnIvf,
+    "embed_neardup" -> embedNearDup,
+    "embed_neardup_lsh" -> embedNearDupLsh)
 
   override def oracle: Map[String, String] = Map(
     "doc_bpe_tokens" -> bpeTokensSql,
@@ -423,5 +454,6 @@ object TextOps extends QueryPack {
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
     "doc_multimodal" -> multimodalSql,
-    "embed_knn" -> embedKnnSql)
+    "embed_knn" -> embedKnnSql,
+    "embed_neardup" -> embedNearDupSql)
 }

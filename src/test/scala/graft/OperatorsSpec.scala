@@ -132,6 +132,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recallK >= 0.5, s"kmeans-IVF recall too low: $recallK")
   }
 
+  test("cosineNearDupPairs recall vs exact all-pairs (multi-table LSH)") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val exact = pairs(Similarity.cosineNearDupPairsExact(
+      emb, "vec_id", "embedding", threshold = 0.4))
+    val lsh = pairs(Similarity.cosineNearDupPairs(
+      emb, "vec_id", "embedding", threshold = 0.4))
+    assert(exact.nonEmpty, "fixture must contain near-dup pairs")
+    // precision 1.0 by construction (exact cosine verify) ...
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+    // ... recall bounded by OR-amplified collision probability; at this
+    // corpus's sim range the 12-table/3-bit default clears 0.5 —
+    // deterministic (hash-derived hyperplanes), so no flake
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH near-dup recall too low: $recall")
+  }
+
   test("kmeansCentroids recovers two well-separated clusters") {
     import graft.operators.Similarity
     // 2-D points: cluster A around (1, 0), cluster B around (0, 1)
