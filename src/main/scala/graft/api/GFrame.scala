@@ -34,6 +34,11 @@ final case class GFrame(df: DataFrame) {
   def sortValues(by: String, ascending: Boolean = true): GFrame =
     GFrame(df.orderBy(if (ascending) col(by).asc else col(by).desc))
   def head(n: Int): GFrame = GFrame(df.limit(n))
+  /** Positional row slice [start, end) in the frame's CURRENT order —
+    * cudf's iloc. Like the reference (and pandas), only meaningful after
+    * an explicit sort; plans as GlobalLimit+offset, not a full collect. */
+  def iloc(start: Int, end: Int): GFrame =
+    GFrame(df.offset(start).limit(end - start))
   def nlargest(n: Int, by: String): GFrame =
     GFrame(df.orderBy(col(by).desc).limit(n))
   def nsmallest(n: Int, by: String): GFrame =
@@ -192,8 +197,31 @@ final case class GDtOps(gf: GFrame, c: String) {
   def month(): GFrame = add("month", org.apache.spark.sql.functions.month(col(c)))
   def day(): GFrame = add("day", dayofmonth(col(c)))
   def hour(): GFrame = add("hour", org.apache.spark.sql.functions.hour(col(c)))
+  def minute(): GFrame = add("minute", org.apache.spark.sql.functions.minute(col(c)))
+  def second(): GFrame = add("second", org.apache.spark.sql.functions.second(col(c)))
+  def quarter(): GFrame = add("quarter", org.apache.spark.sql.functions.quarter(col(c)))
+  def dayofyear(): GFrame = add("dayofyear", org.apache.spark.sql.functions.dayofyear(col(c)))
   def floor(unit: String): GFrame = add(s"floor_$unit", date_trunc(unit, col(c)))
+  /** Ceiling to `unit`: floor, then bump by one unit when truncation
+    * moved the value (datetime.hpp ceil family). */
+  def ceil(unit: String): GFrame = {
+    val fl = date_trunc(unit, col(c))
+    add(s"ceil_$unit",
+      when(fl === col(c), fl).otherwise(fl + expr(s"INTERVAL 1 $unit")))
+  }
+  def round(unit: String): GFrame = {
+    val fl = date_trunc(unit, col(c))
+    val next = fl + expr(s"INTERVAL 1 $unit")
+    add(s"round_$unit",
+      when(col(c).cast("long") - fl.cast("long") <
+           next.cast("long") - col(c).cast("long"), fl).otherwise(next))
+  }
   def dayofweek(): GFrame = add("dayofweek", weekday(col(c)))
+  def isLeapYear(): GFrame = add("is_leap",
+    dayofmonth(last_day(make_date(org.apache.spark.sql.functions.year(col(c)),
+      lit(2), lit(1)))) === 29)
+  def daysInMonth(): GFrame = add("days_in_mo", dayofmonth(last_day(col(c))))
+  def lastDay(): GFrame = add("last_day", last_day(col(c)))
 }
 
 /** Grouped frame: agg with the reference's (column -> aggname) dict shape. */

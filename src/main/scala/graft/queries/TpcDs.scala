@@ -123,13 +123,47 @@ object TpcDs extends QueryPack {
       |GROUP BY o_custkey HAVING sum(consec) >= 2
       |ORDER BY o_custkey""".stripMargin
 
+  /** Returns-style anti-join chain (TPC-DS Q16/Q94 shape: "shipped and
+    * never returned"): 1997 customers whose orders contain NO returned
+    * lineitems, with ≥ 2 such clean orders. The NOT EXISTS is a
+    * LEFT ANTI join against the distinct returned-order keys — both
+    * sides shuffle once on orderkey; the distinct pre-shrinks the
+    * returns side before the join (same one-shuffle reasoning as
+    * ds_sales_ranking's order-level pre-aggregate). */
+  def dsNoReturns(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val returned = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey").distinct()
+    Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === 1997)
+      .join(returned, $"o_orderkey" === $"l_orderkey", "left_anti")
+      .groupBy($"o_custkey")
+      .agg(count(lit(1)).as("n_clean_orders"),
+        dsum($"o_totalprice", 2).as("clean_total"))
+      .filter($"n_clean_orders" >= 2)
+      .orderBy($"o_custkey")
+  }
+
+  val dsNoReturnsSql: String =
+    s"""SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_clean_orders,
+       |  ${dsumSql("o_totalprice", 2)} AS clean_total
+       |FROM orders
+       |WHERE year(o_orderdate) = 1997
+       |  AND NOT EXISTS (SELECT 1 FROM lineitem
+       |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+       |GROUP BY o_custkey HAVING count(*) >= 2
+       |ORDER BY o_custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_sales_ranking" -> dsSalesRanking,
     "ds_channel_report" -> dsChannelReport,
-    "ds_repeat_customers" -> dsRepeatCustomers)
+    "ds_repeat_customers" -> dsRepeatCustomers,
+    "ds_no_returns" -> dsNoReturns)
 
   override def oracle: Map[String, String] = Map(
     "ds_sales_ranking" -> dsSalesRankingSql,
     "ds_channel_report" -> dsChannelReportSql,
-    "ds_repeat_customers" -> dsRepeatCustomersSql)
+    "ds_repeat_customers" -> dsRepeatCustomersSql,
+    "ds_no_returns" -> dsNoReturnsSql)
 }

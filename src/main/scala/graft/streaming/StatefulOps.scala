@@ -103,4 +103,21 @@ object StatefulOps {
         }
     }
   }
+
+  /** Streaming exact dedup — the streaming counterpart of
+    * [[graft.operators.Dedup.exactSurvivors]]: the first row per key
+    * survives, later duplicates are dropped, and per-key dedup state is
+    * evicted once the watermark passes `delay` (so state is bounded by
+    * the dup-arrival horizon, not the stream's lifetime — the property
+    * that makes streaming ingest dedup viable at 100 TB/day).
+    *
+    * Built on dropDuplicatesWithinWatermark: unlike plain
+    * dropDuplicates, the event-time column does NOT need to be part of
+    * the key — two occurrences with different timestamps still dedup,
+    * which is what content-digest keys need. */
+  def streamingDedup(df: org.apache.spark.sql.DataFrame,
+      eventTimeCol: String, delay: String,
+      keys: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keys)
 }

@@ -97,6 +97,34 @@ class GFrameSpec extends AnyFunSuite {
       Timestamp.valueOf("1996-02-01 00:00:00"))
   }
 
+  test("round-3 façade additions: iloc, dt ceil/round/calendar family") {
+    import java.sql.Timestamp
+    val gf = GFrame(Seq(
+        (1L, Timestamp.valueOf("1996-02-29 13:05:40")),
+        (2L, Timestamp.valueOf("1997-07-01 00:00:00")),
+        (3L, Timestamp.valueOf("1997-07-15 23:59:59")))
+      .toDF("id", "t"))
+    val sliced = gf.sortValues("id").iloc(1, 3).toDF
+      .collect().map(_.getAs[Long]("id"))
+    assert(sliced.toSeq == Seq(2L, 3L))
+    val out = gf.dt("t").ceil("hour").dt("t").round("hour")
+      .dt("t").isLeapYear().dt("t").daysInMonth()
+      .dt("t").quarter().dt("t").minute()
+      .toDF.orderBy($"id").head()
+    assert(out.getAs[Timestamp]("t_ceil_hour") ==
+      Timestamp.valueOf("1996-02-29 14:00:00"))
+    assert(out.getAs[Timestamp]("t_round_hour") ==
+      Timestamp.valueOf("1996-02-29 13:00:00"))
+    assert(out.getAs[Boolean]("t_is_leap"))
+    assert(out.getAs[Int]("t_days_in_mo") == 29)
+    assert(out.getAs[Int]("t_quarter") == 1)
+    assert(out.getAs[Int]("t_minute") == 5)
+    // exact-boundary ceil stays put
+    val mid = gf.dt("t").ceil("hour").toDF.orderBy($"id")
+      .collect()(1).getAs[Timestamp]("t_ceil_hour")
+    assert(mid == Timestamp.valueOf("1997-07-01 00:00:00"))
+  }
+
   test("concat unions by name with missing columns") {
     val a = GFrame(Seq((1L, "x")).toDF("k", "s"))
     val b = GFrame(Seq((2L, 5.0)).toDF("k", "v"))

@@ -153,6 +153,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingDedup drops cross-batch duplicates within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val deduped = graft.streaming.StatefulOps.streamingDedup(
+      input.toDF().toDF("ts", "digest", "value"), "ts", "10 minutes",
+      Seq("digest"))
+
+    val q = deduped.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), "d1", 1.0),
+        (ts("2024-01-01 00:02:00"), "d2", 2.0),
+        (ts("2024-01-01 00:03:00"), "d1", 3.0)) // same-batch dup
+      q.processAllAvailable()
+      // cross-batch dup at a DIFFERENT event time still dedups (the
+      // event-time column is not part of the key)
+      input.addData((ts("2024-01-01 00:05:00"), "d1", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT digest, value FROM dedup_out ORDER BY digest")
+        .collect().map(r => (r.getString(0), r.getDouble(1)))
+      assert(rows.toSeq == Seq(("d1", 1.0), ("d2", 2.0)),
+        s"first occurrence per digest must survive, got ${rows.toSeq}")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes each micro-batch to parquet (custom sink surface)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
