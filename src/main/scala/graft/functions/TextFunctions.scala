@@ -101,19 +101,30 @@ object TextFunctions {
 
   /** LSH band keys for a minhash signature column: hash of each band's
     * slice of the signature, tagged with the band index. Docs sharing
-    * any band key are near-dup candidates. */
+    * any band key are near-dup candidates. Compositional form kept for
+    * the signature-API surface; the DEDUP PIPELINE uses the fused
+    * [[minhashBandKeys]] (this form re-inlines the signature expression
+    * into every band's slice after projection collapse). */
   def minhashBands(sigCol: String, bands: Int, rowsPerBand: Int): Column =
     expr(s"transform(sequence(0, ${bands - 1}), " +
       s"b -> concat(b, ':', xxhash64(array_join(" +
       s"slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), ','))))")
 
+  /** Fused tokens → minhash signature → band keys, one kernel pass
+    * (graft.plans.MinHashBandKeys) — the hot path of minhash LSH. */
+  def minhashBandKeys(toks: Column, numHashes: Int, bands: Int): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    column(graft.plans.MinHashBandKeys(expression(toks), numHashes, bands))
+  }
+
   /** 64-bit SimHash over the token array: per bit, sign of the sum of
-    * ±1 votes from each token's xxhash64 bit. */
-  def simhash64(toksCol: String): Column =
-    expr(s"""aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, b) ->
-      acc | CASE WHEN aggregate($toksCol, CAST(0 AS BIGINT), (a2, t) ->
-          a2 + CASE WHEN ((xxhash64(t) >> b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+    * ±1 votes from each token's xxhash64 bit — fused one-pass kernel
+    * (graft.plans.SimHash64; bit-identical to the compositional
+    * aggregate-over-bits form it replaced, ~60× less per-row work). */
+  def simhash64(toksCol: String): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    column(graft.plans.SimHash64(expression(col(toksCol))))
+  }
 
   /** Hamming distance between two simhash columns. */
   def hammingDist(a: Column, b: Column): Column =

@@ -82,10 +82,8 @@ object Dedup {
     * threshold's candidate density. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
     val docs = df.select(col(idCol).as("id"),
-        array_distinct(tokens(col(textCol))).as("toks"))
-      .withColumn("sig", minhashSig("toks", numHashes))
+      array_distinct(tokens(col(textCol))).as("toks"))
     // Band rows carry ONLY (id, band): the bucket self-join shuffles ids,
     // never token arrays (bands× lighter shuffle at corpus scale). The
     // explicit repartition on band gives both self-join sides the SAME
@@ -93,8 +91,9 @@ object Dedup {
     // once and reuses the stage — without it the small-input plan
     // broadcasts one side and computes every minhash twice (and a
     // broadcast banded corpus would not survive 100 TB anyway).
+    // Signature + band keys come from the fused one-pass kernel.
     val banded = docs.select(col("id"),
-        explode(minhashBands("sig", bands, rows)).as("band"))
+        explode(minhashBandKeys(col("toks"), numHashes, bands)).as("band"))
       .repartition(col("band"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))
@@ -118,12 +117,10 @@ object Dedup {
   def minhashNgramPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val rows = numHashes / bands
     val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("sh", shingles("toks", n))
-      .withColumn("sig", minhashSig("sh", numHashes))
     val banded = docs.select(col("id"),
-        explode(minhashBands("sig", bands, rows)).as("band"))
+        explode(minhashBandKeys(col("sh"), numHashes, bands)).as("band"))
       .repartition(col("band")) // same reuse rationale as minhashPairs
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.id") < col("b.id"))

@@ -15,15 +15,21 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Dot product of two array<float/double> columns in double space
-    * (sequential left fold — deterministic). */
+    * (sequential element-order fold — deterministic, same IEEE result
+    * as the HOF `aggregate(zip_with(..))` formulation and as DuckDB's
+    * list fold, but a codegen'd primitive loop: ~50× less per-pair
+    * overhead, which dominates all-pairs similarity work). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.plans.GraftExpressions.dotProduct(a, b)
 
   /** L2 norm. */
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity. */
+  /** Cosine similarity. Pair operators below do NOT call this in their
+    * pair loops — they precompute sqrt(dot(v,v)) once per VECTOR and
+    * divide by the norm product, which is the same floating-point
+    * arithmetic as this expression (dot, two sqrts, multiply, divide in
+    * the same order) at a third of the dot products. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2norm(a) * l2norm(b))
 
@@ -34,11 +40,14 @@ object Similarity {
     * parallel, one shuffle for the final per-query top-k. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      l2norm(col(vecCol)).as("q_norm"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      l2norm(col(vecCol)).as("n_norm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -46,17 +55,36 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
-  /** Random-hyperplane sign-bit bucket id: `bits` pseudo-hyperplanes
-    * whose components are derived from xxhash64(bit, dim) — deterministic,
-    * no stored model. Vectors in the same bucket are ANN candidates. */
+  /** Sign-LSH hyperplanes are MATERIALIZED PLAN LITERALS (seeded PRNG,
+    * deterministic — the stored "model" is k×MaxLshDims doubles, driver-
+    * sized by definition), so each sign bit is one codegen'd DotProduct
+    * against a literal array instead of an interpreted per-element HOF
+    * chain — the same ~50× per-row win as the dot itself. DotProduct
+    * truncates to the shorter array, so any vector dim ≤ MaxLshDims
+    * works with the same planes. */
+  private final val MaxLshDims = 1024
+  private def hyperplane(plane: Int): Seq[Double] = {
+    val rng = new java.util.Random(0x9E3779B97F4A7CL ^ plane.toLong)
+    Seq.fill(MaxLshDims)(rng.nextDouble() * 2 - 1)
+  }
+  private def signBit(vec: Column, plane: Int, bit: Int): Column =
+    when(dot(vec, typedlit(hyperplane(plane))) > 0, lit(1L << bit))
+      .otherwise(lit(0L))
+
+  /** Random-hyperplane sign-bit bucket id: `bits` literal hyperplanes;
+    * vectors in the same bucket are ANN candidates. */
   def lshBucket(vecCol: String, bits: Int): Column =
-    expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, b) ->
-      acc | CASE WHEN aggregate(zip_with($vecCol,
-            transform(sequence(1, size($vecCol)),
-              i -> CAST(xxhash64(b, i) % 1000 AS DOUBLE) / 1000.0),
-            (x, h) -> CAST(x AS DOUBLE) * h),
-          CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v) > 0
-        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
+    (0 until bits).map(b => signBit(col(vecCol), b, b)).reduce(_ + _)
+
+  /** All `tables` bucket ids of a vector as array<struct<t,bucket>> —
+    * table t uses planes t*bits .. t*bits+bits-1, so tables are
+    * independent hashes; explode to get one (vector, table) row each. */
+  private def lshTableBuckets(vec: Column, bits: Int, tables: Int): Column =
+    array((0 until tables).map { t =>
+      struct(lit(t).as("t"),
+        (0 until bits).map(b => signBit(vec, t * bits + b, b))
+          .reduce(_ + _).as("bucket"))
+    }: _*)
 
   /** Lloyd k-means coarse quantizer trainer. Centroids are the MODEL —
     * k×dim doubles, driver-sized by definition (exactly what the
@@ -153,13 +181,16 @@ object Similarity {
     * bits (fewer bits → bigger buckets → higher recall, more compute). */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        l2norm(col(vecCol)).as("q_norm"))
       .withColumn("bucket", lshBucket("q_vec", bits))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+        l2norm(col(vecCol)).as("n_norm"))
       .withColumn("bucket", lshBucket("n_vec", bits))
     val scored = c.join(q, "bucket")
       .filter(col("q_id") =!= col("n_id"))
-      .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
+      .withColumn("sim",
+        dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -167,28 +198,24 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
 
-  /** Sign-LSH bucket for multi-TABLE hashing: table `tableCol`'s bucket
-    * uses hyperplanes `tableCol*bits .. tableCol*bits + bits-1`, so each
-    * table is an independent `bits`-bit hash of the same vector. */
-  private def lshBucketAt(vecCol: String, tableCol: String, bits: Int): Column =
-    expr(s"""aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, b) ->
-      acc | CASE WHEN aggregate(zip_with($vecCol,
-            transform(sequence(1, size($vecCol)),
-              i -> CAST(xxhash64($tableCol * $bits + b, i) % 1000 AS DOUBLE) / 1000.0),
-            (x, h) -> CAST(x AS DOUBLE) * h),
-          CAST(0.0 AS DOUBLE), (a2, v) -> a2 + v) > 0
-        THEN shiftleft(CAST(1 AS BIGINT), b) ELSE CAST(0 AS BIGINT) END)""")
-
   /** Embedding-cosine near-dup PAIRS, exact: every (id_a < id_b) pair
     * with cosine ≥ threshold, by all-pairs comparison. Quadratic in the
     * input — the oracle ground truth for [[cosineNearDupPairs]], only
-    * for bounded inputs (same positioning as Dedup.jaccardPairsExact). */
+    * for bounded inputs (same positioning as Dedup.jaccardPairsExact).
+    * Norms are computed once per VECTOR before the pair join (identical
+    * arithmetic to per-pair cosine, 3× fewer dots), and the streamed
+    * side is repartitioned so the nested-loop pair evaluation
+    * parallelizes instead of running on the file's single split. */
   def cosineNearDupPairsExact(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"),
+        l2norm(col(vecCol)).as("norm_a"))
+      .repartition(col("id_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"),
+      l2norm(col(vecCol)).as("norm_b"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -206,20 +233,23 @@ object Similarity {
     * candidate, ∝ candidate count, not corpus². */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 3, tables: Int = 12): DataFrame = {
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2norm(col(vecCol)).as("norm"))
     val banded = vecs
-      .withColumn("t", explode(sequence(lit(0), lit(tables - 1))))
-      .withColumn("bucket", lshBucketAt("vec", "t", bits))
-      .select(col("id"), struct(col("t"), col("bucket")).as("tb"))
+      .select(col("id"),
+        explode(lshTableBuckets(col("vec"), bits, tables)).as("tb"))
       .repartition(col("tb"))
     val cand = banded.as("a").join(banded.as("b"),
         col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
-      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
-      .withColumn("sim", cosine(col("vec_a"), col("vec_b")))
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), "id_b")
+      .withColumn("sim",
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }

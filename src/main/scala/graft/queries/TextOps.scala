@@ -308,10 +308,15 @@ object TextOps extends QueryPack {
   }
 
   /** Multi-table sign-LSH near-dup pairs (the scale path for
-    * [[embedNearDup]]) — rows-only; recall vs exact in OperatorsSpec. */
+    * [[embedNearDup]]) — rows-only; recall vs exact in OperatorsSpec.
+    * 4 bits × 8 tables here (vs the 3×12 default): at this corpus's
+    * unusually low 0.4 threshold, wider buckets would admit most of the
+    * all-pairs space as candidates — more bits prune harder, more
+    * tables would buy recall production thresholds don't need. */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
-        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4)
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4,
+        bits = 4, tables = 8)
       .orderBy(col("id_a"), col("id_b"))
 
   /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;

@@ -104,6 +104,59 @@ object StatefulOps {
     }
   }
 
+  /** One tagged event of an as-of stream pair: side "L" (reference
+    * stream, e.g. quotes) or "R" (probe stream, e.g. trades). */
+  case class AsOfIn(key: Long, ts: java.sql.Timestamp, side: String,
+    value: Double)
+
+  /** Probe event joined to the latest reference event at-or-before it;
+    * left_* are None when no reference event has arrived yet. */
+  case class AsOfOut(key: Long, right_ts_us: Long, right_value: Double,
+    left_ts_us: Option[Long], left_value: Option[Double])
+
+  implicit private val asofOutEnc: Encoder[AsOfOut] =
+    Encoders.product[AsOfOut]
+
+  /** Streaming AS-OF join — the streaming counterpart of
+    * [[graft.operators.AsOfJoin]]: each "R" event is joined to the most
+    * recent "L" event at or before it. Feed it the UNION of both
+    * streams tagged with `side`, grouped by key: state per key is ONE
+    * (ts, value) tuple — the latest reference event — so state size is
+    * |keys| × 16 bytes regardless of stream length (with optional
+    * processing-time TTL eviction on top, like [[runningAgg]]).
+    *
+    * Batch rows are processed in event-time order, so an L and a
+    * later R in the same micro-batch match. Cross-batch ORDER is only
+    * as good as the watermark: an L arriving after an R it should have
+    * matched (late, out of order across batches) updates state for
+    * FUTURE probes but cannot retro-match — the documented append-mode
+    * tradeoff (the batch operator is the exact formulation). */
+  def asofJoinStream(grouped: KeyValueGroupedDataset[Long, AsOfIn],
+      ttlMillis: Long = 0L): Dataset[AsOfOut] = {
+    val timeout = if (ttlMillis > 0) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    grouped.flatMapGroupsWithState[(Long, Double), AsOfOut](
+      OutputMode.Append(), timeout) {
+      case (key, rows, state: GroupState[(Long, Double)]) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          var last = state.getOption
+          val out = List.newBuilder[AsOfOut]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+            val tUs = r.ts.getTime * 1000
+            if (r.side == "L") last = Some((tUs, r.value))
+            else out += AsOfOut(key, tUs, r.value,
+              last.map(_._1), last.map(_._2))
+          }
+          last.foreach(state.update)
+          if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
+          out.result().iterator
+        }
+    }
+  }
+
   /** Streaming exact dedup — the streaming counterpart of
     * [[graft.operators.Dedup.exactSurvivors]]: the first row per key
     * survives, later duplicates are dropped, and per-key dedup state is

@@ -35,6 +35,33 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("DotProduct matches the interpreted HOF fold bit-for-bit") {
+    val df = Seq(
+        (Seq(1.5f, -2.25f, 0.5f), Seq(4.0f, 0.125f, -8.0f)),
+        (Seq(0.1f, 0.2f, 0.3f), Seq(0.7f, 0.8f, 0.9f)))
+      .toDF("a", "b")
+    val hof = df.select(
+      aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)).as[Double].collect()
+    val gen = df.select(GraftExpressions.dotProduct($"a", $"b"))
+      .as[Double].collect()
+    // exact equality: both are sequential element-order double folds
+    assert(gen.toSeq == hof.toSeq)
+    // null array -> null; null element -> null
+    val nulls = Seq(
+        (Seq[java.lang.Double](1.0, null), Seq[java.lang.Double](1.0, 2.0)),
+        (null, Seq[java.lang.Double](1.0)))
+      .toDF("a", "b")
+      .select(GraftExpressions.dotProduct($"a", $"b").as("d"))
+      .collect().map(_.isNullAt(0))
+    assert(nulls.toSeq == Seq(true, true))
+    // SQL registration
+    GraftExpressions.register(spark)
+    val viaSql = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .selectExpr("dot_product(a, b)").as[Double].head()
+    assert(viaSql == 11.0)
+  }
+
   test("GraftExtensions installs SQL functions in a fresh session") {
     import org.apache.spark.sql.SparkSession
     val base = spark // ensure context exists

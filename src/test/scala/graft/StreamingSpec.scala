@@ -153,6 +153,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream matches probes to the latest reference event") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.AsOfIn
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val joined = StatefulOps.asofJoinStream(
+      input.toDS()
+        .map(r => AsOfIn(r._1, r._2, r._3, r._4))
+        .groupByKey(_.key))
+
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("asof_out").start()
+    try {
+      input.addData(
+        (1L, ts("2024-01-01 00:00:30"), "R", 10.0), // before any L -> None
+        (1L, ts("2024-01-01 00:01:00"), "L", 100.0),
+        (1L, ts("2024-01-01 00:02:00"), "R", 20.0)) // same-batch L match
+      q.processAllAvailable()
+      input.addData(
+        (1L, ts("2024-01-01 00:05:00"), "R", 30.0)) // cross-batch state match
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT right_value, left_value FROM asof_out ORDER BY right_ts_us")
+        .collect().map(r =>
+          (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      assert(rows.toSeq == Seq(
+        (10.0, None), (20.0, Some(100.0)), (30.0, Some(100.0))))
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
