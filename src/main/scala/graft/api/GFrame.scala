@@ -149,6 +149,12 @@ final case class GFrame(df: DataFrame) {
       overlap: Int = 0): GFrame =
     GFrame(graft.operators.TextPipeline.chunkDocuments(
       df, idCol, textCol, chunkSize, overlap))
+  def redactPii(textCol: String): GFrame =
+    GFrame(graft.operators.TextPipeline.redactPii(df, textCol))
+  def packSequences(idCol: String, textCol: String, budgetTokens: Int,
+      groups: Int = 32): GFrame =
+    GFrame(graft.operators.TextPipeline.packSequences(df, idCol, textCol,
+      budgetTokens, groups))
   def tfidf(idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.tfidf(df, idCol, textCol))
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions.tokens
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-statistics operators for training-data pipelines (north star:
@@ -57,5 +58,54 @@ object TextPipeline {
           .as(Seq("chunk_idx", "chunk_text")))
       .filter(col("chunk_text") =!= "")
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+  }
+
+  /** PII patterns scrubbed by [[redactPii]], applied in this order.
+    * Deliberately dialect-portable regex (no lookarounds, no \b) so the
+    * DuckDB oracle applies the IDENTICAL patterns. */
+  private[graft] val PiiPatterns: Seq[(String, String)] = Seq(
+    // emails before phones: an email's digits must not half-match
+    raw"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}" -> "<EMAIL>",
+    raw"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}" -> "<IP>",
+    raw"\+?[0-9][0-9()\-\. ]{7,}[0-9]" -> "<PHONE>")
+
+  /** PII redaction — the standard scrub pass of a training-data
+    * pipeline: emails, IPv4s, and phone-shaped digit runs are replaced
+    * with typed placeholders. Pure chained regexp_replace map stage
+    * (codegen, zero shuffle, linear in corpus bytes). Pattern-based
+    * redaction is a floor, not a guarantee — compose with domain
+    * filters for anything regulated. */
+  def redactPii(df: DataFrame, textCol: String,
+      outCol: String = "redacted"): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col(textCol)) {
+      case (c, (pat, rep)) => regexp_replace(c, pat, rep)
+    }
+    df.withColumn(outCol, scrubbed)
+  }
+
+  /** Sequence packing: assign fixed-order documents to token-budget
+    * bins — the batching step that turns a deduped corpus into training
+    * sequences. Bin id = floor(tokens-before-this-doc / budget) within
+    * a hash-derived pack group, i.e. documents may straddle a budget
+    * boundary and the straddle is accounted to the earlier bin (the
+    * standard streaming-packing formulation; exact first-fit is
+    * inherently sequential and would serialize the corpus).
+    *
+    * Scale: one window per pack group — groups are hash buckets
+    * (`doc_id % groups`), so the sort parallelizes across groups and no
+    * global single-partition window exists. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, groups: Int = 32): DataFrame = {
+    require(budgetTokens > 0 && groups > 0, "need positive budget/groups")
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+    df.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"),
+        pmod(col(idCol), lit(groups)).as("pack_group"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens"))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("bin",
+        floor(col("tokens_before").cast("double") / budgetTokens).cast("long"))
+      .select(col(idCol), col("pack_group"), col("bin"), col("n_tokens"),
+        col("tokens_before"))
   }
 }

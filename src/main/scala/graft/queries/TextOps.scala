@@ -229,6 +229,59 @@ object TextOps extends QueryPack {
         "doc_id", "text", minWidth = 15, chunks = 2)
       .orderBy(col("dup_text"))
 
+  /** PII redaction (training-data scrub pass). The synthetic corpus
+    * contains no PII, so each doc is salted with a deterministic email /
+    * IP / phone before scrubbing — the oracle applies the IDENTICAL
+    * patterns (both engines share [[TextPipeline.PiiPatterns]], which is
+    * dialect-portable regex by construction). */
+  def redactPii(s: SparkSession, dir: String): DataFrame = {
+    val salted = Tables.documents(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail.example or 10.0."),
+        pmod(col("doc_id"), lit(256)), lit(".7 or call +1 (555) 123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
+        .as("text2"))
+    graft.operators.TextPipeline.redactPii(salted, "text2")
+      .select(col("doc_id"), col("redacted"))
+      .orderBy(col("doc_id"))
+  }
+
+  val redactPiiSql: String = {
+    // DuckDB single-quoted literals are escape-free: the pattern strings
+    // embed verbatim (they contain no quotes by construction)
+    val inner = graft.operators.TextPipeline.PiiPatterns.foldLeft("text2") {
+      case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
+    }
+    s"""SELECT doc_id, $inner AS redacted
+       |FROM (SELECT doc_id, text || ' contact user' || doc_id ||
+       |        '@mail.example or 10.0.' || (doc_id % 256) ||
+       |        '.7 or call +1 (555) 123-' ||
+       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+       |      FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Sequence packing: documents → token-budget bins, windows
+    * parallelized across hash-derived pack groups. */
+  def packBins(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.packSequences(
+        Tables.documents(s, dir), "doc_id", "text",
+        budgetTokens = 200, groups = 8)
+      .orderBy(col("doc_id"))
+
+  val packBinsSql: String =
+    s"""SELECT doc_id, pack_group,
+       |  CAST(floor(CAST(tokens_before AS DOUBLE) / 200) AS BIGINT) AS bin,
+       |  n_tokens, tokens_before
+       |FROM (
+       |  SELECT doc_id, doc_id % 8 AS pack_group,
+       |    CAST(len(toks) AS INT) AS n_tokens,
+       |    CAST(coalesce(sum(len(toks)) OVER (PARTITION BY doc_id % 8
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+       |  FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+
   /** Multimodal plumbing: ingest text as binary payload, run the stub
     * decoder (real codec is a drop-in; schema/partitioning are real). */
   def multimodal(s: SparkSession, dir: String): DataFrame =
@@ -437,6 +490,8 @@ object TextOps extends QueryPack {
     "doc_minhash_ngram_pairs" -> minhashNgramPairs,
     "doc_simhash_pairs" -> simhashPairs,
     "doc_substring_dups" -> substringDups,
+    "doc_redact_pii" -> redactPii,
+    "doc_pack_bins" -> packBins,
     "doc_multimodal" -> multimodal,
     "embed_knn" -> embedKnn,
     "embed_knn_lsh" -> embedKnnLsh,
@@ -458,6 +513,8 @@ object TextOps extends QueryPack {
     "doc_quality" -> qualitySql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
+    "doc_redact_pii" -> redactPiiSql,
+    "doc_pack_bins" -> packBinsSql,
     "doc_multimodal" -> multimodalSql,
     "embed_knn" -> embedKnnSql,
     "embed_neardup" -> embedNearDupSql)

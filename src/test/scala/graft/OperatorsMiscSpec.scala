@@ -78,6 +78,39 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(covered == (1 to 11).map(i => s"t$i").toSet)
   }
 
+  test("redactPii scrubs emails, ips, and phone runs; leaves text intact") {
+    import graft.operators.TextPipeline
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@sub.example.org today"),
+      (2L, "server 192.168.001.12 rebooted"),
+      (3L, "call +1 (555) 123-4567 now"),
+      (4L, "clean text with digits 42 and 2024 stays")).toDF("doc_id", "text")
+    val got = TextPipeline.redactPii(docs, "text")
+      .orderBy("doc_id").collect().map(_.getString(2))
+    assert(got(0) == "mail me at <EMAIL> today")
+    assert(got(1) == "server <IP> rebooted")
+    assert(got(2) == "call <PHONE> now")
+    assert(got(3) == "clean text with digits 42 and 2024 stays")
+  }
+
+  test("packSequences bins respect the budget with straddle accounting") {
+    import graft.operators.TextPipeline
+    // one pack group (groups=1), budget 5 tokens; docs of 3,3,3 tokens:
+    // tokens_before 0,3,6 → bins 0,0,1 (doc 2 straddles into bin 0)
+    val docs = Seq((0L, "a b c"), (1L, "d e f"), (2L, "g h i"))
+      .toDF("doc_id", "text")
+    val got = TextPipeline.packSequences(docs, "doc_id", "text",
+        budgetTokens = 5, groups = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(4)))
+    assert(got.toSeq == Seq((0L, 0L, 0L), (1L, 0L, 3L), (2L, 1L, 6L)))
+    // groups partition the corpus: same docs, 3 groups → each alone, bin 0
+    val spread = TextPipeline.packSequences(docs, "doc_id", "text",
+        budgetTokens = 5, groups = 3)
+      .collect().map(r => r.getLong(2)).distinct
+    assert(spread.toSeq == Seq(0L))
+  }
+
   test("tile repeats the whole table count times") {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val t3 = Reshape.tile(df, 3)
