@@ -122,11 +122,13 @@ final case class GFrame(df: DataFrame) {
     GFrame(Dedup.exactSurvivors(df, idCol, textCol))
   def nearDupPairs(idCol: String, textCol: String, threshold: Double): GFrame =
     GFrame(Dedup.minhashPairs(df, idCol, textCol, threshold = threshold))
-  /** Order-sensitive near-dup pairs over word n-gram shingles
-    * (minhash_ngrams). */
+  /** Embedding-cosine near-dup pairs via multi-table sign-LSH +
+    * exact-cosine verify (Similarity.cosineNearDupPairs). */
   def nearDupPairsEmbedding(idCol: String, vecCol: String,
       threshold: Double): GFrame =
     GFrame(Similarity.cosineNearDupPairs(df, idCol, vecCol, threshold))
+  /** Order-sensitive near-dup pairs over word n-gram shingles
+    * (minhash_ngrams). */
   def nearDupPairsNgrams(idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8): GFrame =
     GFrame(Dedup.minhashNgramPairs(df, idCol, textCol, n, threshold = threshold))
@@ -208,19 +210,27 @@ final case class GDtOps(gf: GFrame, c: String) {
   def quarter(): GFrame = add("quarter", org.apache.spark.sql.functions.quarter(col(c)))
   def dayofyear(): GFrame = add("dayofyear", org.apache.spark.sql.functions.dayofyear(col(c)))
   def floor(unit: String): GFrame = add(s"floor_$unit", date_trunc(unit, col(c)))
+  // date_trunc accepts units (quarter) that are not interval-literal
+  // units; translate so floor/ceil/round accept the same unit set
+  private def oneUnit(unit: String): Column = unit.toLowerCase match {
+    case "quarter" => expr("INTERVAL 3 month")
+    case u => expr(s"INTERVAL 1 $u")
+  }
   /** Ceiling to `unit`: floor, then bump by one unit when truncation
     * moved the value (datetime.hpp ceil family). */
   def ceil(unit: String): GFrame = {
     val fl = date_trunc(unit, col(c))
     add(s"ceil_$unit",
-      when(fl === col(c), fl).otherwise(fl + expr(s"INTERVAL 1 $unit")))
+      when(fl === col(c), fl).otherwise(fl + oneUnit(unit)))
   }
   def round(unit: String): GFrame = {
     val fl = date_trunc(unit, col(c))
-    val next = fl + expr(s"INTERVAL 1 $unit")
+    val next = fl + oneUnit(unit)
+    // distances in MICROSECONDS: a seconds-granularity cast would
+    // truncate sub-second inputs and turn round() into floor()
     add(s"round_$unit",
-      when(col(c).cast("long") - fl.cast("long") <
-           next.cast("long") - col(c).cast("long"), fl).otherwise(next))
+      when(unix_micros(col(c)) - unix_micros(fl) <
+           unix_micros(next) - unix_micros(col(c)), fl).otherwise(next))
   }
   def dayofweek(): GFrame = add("dayofweek", weekday(col(c)))
   def isLeapYear(): GFrame = add("is_leap",

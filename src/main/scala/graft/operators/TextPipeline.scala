@@ -97,6 +97,12 @@ object TextPipeline {
   def packSequences(df: DataFrame, idCol: String, textCol: String,
       budgetTokens: Int, groups: Int = 32): DataFrame = {
     require(budgetTokens > 0 && groups > 0, "need positive budget/groups")
+    // pmod on a non-numeric id would cast to null and collapse the whole
+    // corpus into ONE null pack group (a single global window partition)
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"packSequences id $idCol must be numeric, got " +
+        df.schema(idCol).dataType)
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
     df.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"),
         pmod(col(idCol), lit(groups)).as("pack_group"))

@@ -181,6 +181,11 @@ case class Ewma(child: Expression, alpha: Double)
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = DoubleType
+  // Can return null on a null ELEMENT even when both array children are
+  // non-nullable (e.g. CreateArray of nullable columns) — without this
+  // override codegen would never declare isNull and the emitted
+  // `isNull = true` fails to compile.
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType

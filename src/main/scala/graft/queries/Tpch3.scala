@@ -145,7 +145,8 @@ object Tpch3 extends QueryPack {
       .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_5")),
         $"s_nationkey" === $"n_nationkey")
       .select($"s_suppkey", $"s_name", $"s_acctbal")
-      .orderBy($"s_name")
+      // s_suppkey appended for a TOTAL order (names could collide)
+      .orderBy($"s_name", $"s_suppkey")
   }
 
   val q20Sql: String =
@@ -161,7 +162,7 @@ object Tpch3 extends QueryPack {
        |  JOIN part ON ps_partkey = p_partkey AND p_name LIKE 'small%'
        |  JOIN shipped ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
        |  WHERE ps_availqty > 0.5 * qty_1997)
-       |ORDER BY s_name""".stripMargin
+       |ORDER BY s_name, s_suppkey""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q2_min_cost_supplier" -> q2,

@@ -144,7 +144,12 @@ object StatefulOps {
         } else {
           var last = state.getOption
           val out = List.newBuilder[AsOfOut]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { r =>
+          // tie-break equal timestamps L-before-R so an equal-ts
+          // reference deterministically matches its probe ("at or
+          // before" includes "at"); iterator order after the shuffle
+          // is otherwise arbitrary
+          rows.toSeq.sortBy(r =>
+            (r.ts.getTime, if (r.side == "L") 0 else 1)).foreach { r =>
             val tUs = r.ts.getTime * 1000
             if (r.side == "L") last = Some((tUs, r.value))
             else out += AsOfOut(key, tUs, r.value,

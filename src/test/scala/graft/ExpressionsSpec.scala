@@ -55,6 +55,13 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(GraftExpressions.dotProduct($"a", $"b").as("d"))
       .collect().map(_.isNullAt(0))
     assert(nulls.toSeq == Seq(true, true))
+    // null ELEMENT inside NON-NULLABLE array children (CreateArray):
+    // locks the nullable override — without it codegen never declares
+    // isNull and the emitted assignment fails to compile
+    val ca = Seq((Some(1.0), 2.0), (None, 3.0)).toDF("x", "y")
+      .select(GraftExpressions.dotProduct(array($"x"), array($"y")).as("d"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(ca.toSeq == Seq(Some(2.0), None))
     // SQL registration
     GraftExpressions.register(spark)
     val viaSql = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")

@@ -123,6 +123,17 @@ class GFrameSpec extends AnyFunSuite {
     val mid = gf.dt("t").ceil("hour").toDF.orderBy($"id")
       .collect()(1).getAs[Timestamp]("t_ceil_hour")
     assert(mid == Timestamp.valueOf("1997-07-01 00:00:00"))
+    // sub-second rounding must compare in microseconds (a seconds cast
+    // would floor 40.7s to 40 and never round up), and quarter needs
+    // the 3-month interval translation
+    val frac = GFrame(Seq((1L, Timestamp.valueOf("1996-02-29 13:05:40.7")))
+      .toDF("id", "t"))
+    assert(frac.dt("t").round("second").toDF.head()
+      .getAs[Timestamp]("t_round_second") ==
+      Timestamp.valueOf("1996-02-29 13:05:41"))
+    assert(frac.dt("t").ceil("quarter").toDF.head()
+      .getAs[Timestamp]("t_ceil_quarter") ==
+      Timestamp.valueOf("1996-04-01 00:00:00"))
   }
 
   test("concat unions by name with missing columns") {
