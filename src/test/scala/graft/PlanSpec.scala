@@ -95,4 +95,16 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q20_potential_promotion")
     assert(p.contains("LeftSemi"), "supplier EXISTS must be a semi join")
   }
+
+  test("ds_no_returns plans NOT EXISTS as a left-anti join") {
+    val p = plan("ds_no_returns")
+    assert(p.contains("LeftAnti"), "returned-order exclusion must be anti join")
+  }
+
+  test("packSequences windows across pack groups, not one global partition") {
+    val df = graft.operators.TextPipeline.packSequences(
+      graft.Tables.documents(spark, dir), "doc_id", "text", 200, groups = 8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pack_group"), "window must partition by pack_group")
+  }
 }

@@ -190,4 +190,52 @@ class PropertySpec extends AnyFunSuite {
       assert(sig.head == h0.min) // seed-0 row is the min over seed-0 hashes
     }
   }
+
+  test("DotProduct equals the interpreted HOF fold on random float arrays") {
+    import graft.plans.GraftExpressions
+    val fGen = Gen.chooseNum(-100f, 100f)
+    val arrGen = for {
+      n <- Gen.chooseNum(0, 40)
+      a <- Gen.listOfN(n, fGen)
+      b <- Gen.listOfN(n, fGen)
+    } yield (a, b)
+    forAll(arrGen, n = 15) { case (a, b) =>
+      val df = Seq((a, b)).toDF("a", "b")
+      val hof = df.select(
+        aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, v) => acc + v)).as[Double].head()
+      val gen = df.select(GraftExpressions.dotProduct($"a", $"b"))
+        .as[Double].head()
+      // bit-identical: both are element-order sequential double folds
+      assert(java.lang.Double.doubleToLongBits(gen) ==
+        java.lang.Double.doubleToLongBits(hof), s"$gen != $hof for $a · $b")
+    }
+  }
+
+  test("packSequences: every doc binned once, bins nondecreasing, cumsum exact") {
+    import graft.operators.TextPipeline
+    val docGen = Gen.chooseNum(1, 12)
+    forAll(Gen.nonEmptyListOf(docGen), n = 8) { lens =>
+      val docs = lens.zipWithIndex.map { case (len, i) =>
+        (i.toLong, (1 to len).map(t => s"w$t").mkString(" "))
+      }.toDF("doc_id", "text")
+      val out = TextPipeline.packSequences(docs, "doc_id", "text",
+          budgetTokens = 10, groups = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getInt(3), r.getLong(4)))
+      assert(out.length == lens.length, "every doc exactly once")
+      out.groupBy(_._2).foreach { case (_, g) =>
+        val sorted = g.sortBy(_._1)
+        // tokens_before is the exact running sum within the group
+        var cum = 0L
+        sorted.foreach { case (_, _, bin, n, before) =>
+          assert(before == cum)
+          assert(bin == cum / 10)
+          cum += n
+        }
+        // bins never decrease in doc order
+        assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+      }
+    }
+  }
 }
