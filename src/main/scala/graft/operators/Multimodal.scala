@@ -48,4 +48,47 @@ object Multimodal {
       posexplode(sequence(lit(0), col(nFramesCol) - 1, lit(everyK))))
       .withColumnRenamed("pos", "sample_idx")
       .withColumnRenamed("col", "frame_idx")
+
+  /** BATCHED decode + feature extraction: mapPartitions accumulates
+    * payloads into batches of `batchSize` and hands each WHOLE BATCH to
+    * the codec — the Scala analog of mapInPandas' Arrow-batch contract.
+    * In-JVM there is no serialization boundary, but the batch shape is
+    * the part that matters at scale: a real JNI/GPU codec amortizes its
+    * per-call overhead across the batch, and this function is the
+    * drop-in point (replace `stubDecodeBatch` only; ids, ordering, and
+    * output schema are the contract).
+    *
+    * Output: (media_id, n_bytes, feature ARRAY<FLOAT>) — the feature
+    * column plugs directly into Similarity.{knnBrute,cosineNearDupPairs}
+    * for multimodal near-dup / retrieval. The stub "feature" is the
+    * payload's MD5 bytes scaled to [0,1): deterministic, length-8,
+    * content-keyed (identical payloads ⇒ identical features ⇒ cosine 1). */
+  def decodeFeaturesBatched(df: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // ONE codec invocation per batch — the swap-in point
+          val feats = stubDecodeBatch(batch.map(_._2))
+          batch.iterator.zip(feats.iterator).map { case ((id, p), f) =>
+            (id, if (p == null) 0 else p.length, f)
+          }
+        }
+      }
+      .toDF("media_id", "n_bytes", "feature")
+  }
+
+  /** The stubbed batch codec ??? — a real implementation decodes/resizes
+    * the batch in one native call. Deterministic fake: 8 floats from the
+    * payload's MD5. */
+  private def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    payloads.map { p =>
+      md.reset()
+      val d = md.digest(if (p == null) Array.emptyByteArray else p)
+      d.take(8).map(b => java.lang.Byte.toUnsignedInt(b) / 255.0f)
+    }
+  }
 }

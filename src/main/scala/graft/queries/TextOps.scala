@@ -296,6 +296,19 @@ object TextOps extends QueryPack {
       |  ascii(substring(md5(text), 2, 1)) AS fake_height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Multimodal retrieval composition: ingest → BATCHED stub decode →
+    * digest-derived features → exact cosine top-3. Rows-only by the
+    * hash policy (features come from MD5 bytes); batch-invariance and
+    * determinism are unit-tested in OperatorsMiscSpec. */
+  def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.ingestFromText(
+      Tables.documents(s, dir), "doc_id", "text")
+    val feats = Multimodal.decodeFeaturesBatched(media)
+    Similarity.knnBrute(feats, feats.filter(col("media_id") < 10), k = 3,
+        idCol = "media_id", vecCol = "feature")
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Brute-force cosine top-3 neighbors for the first 10 vectors —
     * exact ANN baseline; all math in sequential double folds. */
   def embedKnn(s: SparkSession, dir: String): DataFrame = {
@@ -493,6 +506,7 @@ object TextOps extends QueryPack {
     "doc_redact_pii" -> redactPii,
     "doc_pack_bins" -> packBins,
     "doc_multimodal" -> multimodal,
+    "doc_multimodal_embed" -> multimodalEmbed,
     "embed_knn" -> embedKnn,
     "embed_knn_lsh" -> embedKnnLsh,
     "embed_knn_ivf" -> embedKnnIvf,

@@ -111,6 +111,23 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(spread.toSeq == Seq(0L))
   }
 
+  test("decodeFeaturesBatched is batch-size invariant and content-keyed") {
+    import graft.operators.Multimodal
+    val docs = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.ingestFromText(docs, "doc_id", "text")
+    def rows(batch: Int) = Multimodal.decodeFeaturesBatched(media, batch)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(_._1)
+    val b1 = rows(1)
+    // batch size must not change results — that's the codec contract
+    assert(b1.toSeq == rows(64).toSeq)
+    assert(b1.forall(_._3.length == 8))
+    // identical payloads => identical features; different => different
+    assert(b1(0)._3 == b1(1)._3)
+    assert(b1(0)._3 != b1(2)._3)
+  }
+
   test("tile repeats the whole table count times") {
     val df = Seq((1, "a"), (2, "b")).toDF("k", "v")
     val t3 = Reshape.tile(df, 3)
