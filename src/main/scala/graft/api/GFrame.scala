@@ -251,6 +251,11 @@ final case class GGroupBy(df: DataFrame, keys: Seq[String]) {
   def count(): GFrame =
     GFrame(df.groupBy(keys.map(col): _*)
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("count")))
+  /** pandas groupby().transform: the per-group aggregate broadcast back
+    * onto every row — one window, no join back to the input. */
+  def transform(colName: String, fn: String): GFrame =
+    GFrame(df.withColumn(s"${colName}_$fn",
+      expr(s"$fn($colName)").over(Window.partitionBy(keys.map(col): _*))))
 }
 
 object GFrame {

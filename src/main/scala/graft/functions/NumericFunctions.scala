@@ -17,6 +17,45 @@ object NumericFunctions {
 
   /** label_bins with explicit edges: bin i covers [edge_i, edge_i+1),
     * -1 outside (reference returns null label outside bins). */
+  /** Quantile of a SORTED array column under one of the reference's
+    * five interpolation strategies (cudf/quantiles.hpp interpolation:
+    * LOWER / HIGHER / NEAREST / MIDPOINT / LINEAR). pos = q·(n−1);
+    * NEAREST uses floor(pos+0.5) so both engines round identically.
+    * All index math is exact doubles over exact element values, so the
+    * same formula text in DuckDB hash-matches. */
+  def quantileSorted(sorted: Column, q: Double, mode: String): Column = {
+    val n = size(sorted)
+    val pos = lit(q) * (n.cast("double") - 1)
+    val lo = element_at(sorted, (floor(pos) + 1).cast("int"))
+    val hi = element_at(sorted, (ceil(pos) + 1).cast("int"))
+    mode match {
+      case "lower" => lo
+      case "higher" => hi
+      case "nearest" => element_at(sorted, (floor(pos + 0.5) + 1).cast("int"))
+      case "midpoint" => (lo + hi) / 2
+      case "linear" => lo + (pos - floor(pos)) * (hi - lo)
+      case other => throw new IllegalArgumentException(
+        s"unknown interpolation $other")
+    }
+  }
+
+  /** DuckDB SQL mirror of [[quantileSorted]] over a sorted-list column
+    * expression — identical formula text, identical arithmetic. */
+  def quantileSortedSql(sortedExpr: String, q: Double, mode: String): String = {
+    val pos = s"($q * (CAST(len($sortedExpr) AS DOUBLE) - 1))"
+    val lo = s"$sortedExpr[CAST(floor($pos) + 1 AS INT)]"
+    val hi = s"$sortedExpr[CAST(ceil($pos) + 1 AS INT)]"
+    mode match {
+      case "lower" => lo
+      case "higher" => hi
+      case "nearest" => s"$sortedExpr[CAST(floor($pos + 0.5) + 1 AS INT)]"
+      case "midpoint" => s"(($lo + $hi) / 2)"
+      case "linear" => s"($lo + ($pos - floor($pos)) * ($hi - $lo))"
+      case other => throw new IllegalArgumentException(
+        s"unknown interpolation $other")
+    }
+  }
+
   def labelBins(v: Column, edges: Seq[Double]): Column = {
     val idx = searchSorted(v, edges) - 1
     when(idx < 0 || idx >= edges.length - 1, lit(-1)).otherwise(idx)

@@ -165,6 +165,37 @@ object Aggs extends QueryPack {
       |  quantile_cont(l_extendedprice, 0.5) AS p50_price
       |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
 
+  /** All five reference interpolation strategies (quantiles.hpp
+    * interpolation: LOWER/HIGHER/NEAREST/MIDPOINT/LINEAR — Spark's
+    * built-in percentile is LINEAR only): per-group sorted array +
+    * exact index arithmetic shared formula-for-formula with the oracle.
+    * Sorted-array collection is bounded per group (same restriction as
+    * the reference's sort-based quantile path). */
+  def aggQuantileModes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.NumericFunctions.quantileSorted
+    val sorted = Tables.lineitem(s, dir).groupBy($"l_linestatus")
+      .agg(array_sort(collect_list($"l_quantity")).as("qs"))
+    val modes = Seq("lower", "higher", "nearest", "midpoint", "linear")
+    sorted.select(
+        $"l_linestatus" +:
+          modes.map(m => quantileSorted($"qs", 0.37, m).as(s"q37_$m")): _*)
+      .orderBy($"l_linestatus")
+  }
+
+  val aggQuantileModesSql: String = {
+    import graft.functions.NumericFunctions.quantileSortedSql
+    val modes = Seq("lower", "higher", "nearest", "midpoint", "linear")
+    val cols = modes.map(m =>
+      s"  ${quantileSortedSql("qs", 0.37, m)} AS q37_$m").mkString(",\n")
+    s"""SELECT l_linestatus,
+       |$cols
+       |FROM (SELECT l_linestatus,
+       |        list_sort(list(l_quantity)) AS qs
+       |      FROM lineitem GROUP BY l_linestatus)
+       |ORDER BY l_linestatus""".stripMargin
+  }
+
   /** COLLECT_LIST/COLLECT_SET (aggregation.hpp:101-102) — rendered as a
     * sorted joined string so list ordering cannot differ across engines. */
   def aggCollect(s: SparkSession, dir: String): DataFrame = {
@@ -238,6 +269,7 @@ object Aggs extends QueryPack {
     "agg_bool_bitwise" -> aggBoolBitwise,
     "agg_stats" -> aggStats,
     "agg_percentiles" -> aggPercentiles,
+    "agg_quantile_modes" -> aggQuantileModes,
     "agg_collect" -> aggCollect,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -250,6 +282,7 @@ object Aggs extends QueryPack {
     "agg_bool_bitwise" -> aggBoolBitwiseSql,
     "agg_stats" -> aggStatsSql,
     "agg_percentiles" -> aggPercentilesSql,
+    "agg_quantile_modes" -> aggQuantileModesSql,
     "agg_collect" -> aggCollectSql,
     "agg_rollup" -> aggRollupSql,
     "agg_cube" -> aggCubeSql,

@@ -136,6 +136,15 @@ class GFrameSpec extends AnyFunSuite {
       Timestamp.valueOf("1996-04-01 00:00:00"))
   }
 
+  test("groupby transform broadcasts the group aggregate onto rows") {
+    val gf = GFrame(Seq(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      .toDF("k", "v"))
+    val out = gf.groupby("k").transform("v", "avg").toDF
+      .orderBy($"k", $"v").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(("a", 1.0, 2.0), ("a", 3.0, 2.0), ("b", 10.0, 10.0)))
+  }
+
   test("concat unions by name with missing columns") {
     val a = GFrame(Seq((1L, "x")).toDF("k", "s"))
     val b = GFrame(Seq((2L, 5.0)).toDF("k", "v"))
