@@ -151,8 +151,12 @@ object TextOps extends QueryPack {
     * 31-word vocabulary, so near-dup PAIR count grows quadratically with
     * corpus size regardless of algorithm — real corpora don't. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    // bands=4 (rows=8) sharpens the S-curve for the 0.9 threshold: on
+    // this 31-word-vocab corpus the 8×4 banding admits 66% of ALL pairs
+    // as candidates (verify cost ~3×); 4×8 admits ~4% at recall ≈0.89
+    // for true 0.9-pairs — the standard banding-parameter tradeoff
     Dedup.minhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 1000),
-        "doc_id", "text", numHashes = 32, bands = 8, threshold = 0.9)
+        "doc_id", "text", numHashes = 32, bands = 4, threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
   /** Shingle (word-3-gram) MinHash near-dup pairs (minhash_ngrams,
