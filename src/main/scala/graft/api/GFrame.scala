@@ -254,8 +254,9 @@ final case class GGroupBy(df: DataFrame, keys: Seq[String]) {
   /** pandas groupby().transform: the per-group aggregate broadcast back
     * onto every row — one window, no join back to the input. */
   def transform(colName: String, fn: String): GFrame =
+    // backticks: any column name works, matching the col()-based API
     GFrame(df.withColumn(s"${colName}_$fn",
-      expr(s"$fn($colName)").over(Window.partitionBy(keys.map(col): _*))))
+      expr(s"$fn(`$colName`)").over(Window.partitionBy(keys.map(col): _*))))
 }
 
 object GFrame {

@@ -28,7 +28,7 @@ object NumericFunctions {
     val pos = lit(q) * (n.cast("double") - 1)
     val lo = element_at(sorted, (floor(pos) + 1).cast("int"))
     val hi = element_at(sorted, (ceil(pos) + 1).cast("int"))
-    mode match {
+    val res = mode match {
       case "lower" => lo
       case "higher" => hi
       case "nearest" => element_at(sorted, (floor(pos + 0.5) + 1).cast("int"))
@@ -37,6 +37,9 @@ object NumericFunctions {
       case other => throw new IllegalArgumentException(
         s"unknown interpolation $other")
     }
+    // empty array (all-null group): index 0 would THROW in Spark while
+    // the SQL mirror returns NULL — make both sides NULL explicitly
+    when(n === 0, lit(null)).otherwise(res)
   }
 
   /** DuckDB SQL mirror of [[quantileSorted]] over a sorted-list column
@@ -45,7 +48,7 @@ object NumericFunctions {
     val pos = s"($q * (CAST(len($sortedExpr) AS DOUBLE) - 1))"
     val lo = s"$sortedExpr[CAST(floor($pos) + 1 AS INT)]"
     val hi = s"$sortedExpr[CAST(ceil($pos) + 1 AS INT)]"
-    mode match {
+    val res = mode match {
       case "lower" => lo
       case "higher" => hi
       case "nearest" => s"$sortedExpr[CAST(floor($pos + 0.5) + 1 AS INT)]"
@@ -54,6 +57,7 @@ object NumericFunctions {
       case other => throw new IllegalArgumentException(
         s"unknown interpolation $other")
     }
+    s"(CASE WHEN len($sortedExpr) = 0 THEN NULL ELSE $res END)"
   }
 
   def labelBins(v: Column, edges: Seq[Double]): Column = {

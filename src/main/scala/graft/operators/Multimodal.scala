@@ -9,10 +9,12 @@ import org.apache.spark.sql.types._
   * Media is modeled as opaque `binary` payload columns plus a typed
   * metadata struct — the Spark-side schema, partitioning, and batch
   * shape are real; the actual codec step is STUBBED with a deterministic
-  * fake (this container has no image/audio native libs). Swapping the
-  * stub for a real decoder is a drop-in change to [[decodeStub]] only:
-  * at scale that step becomes a vectorized Arrow/Pandas UDF or a
-  * mapPartitions over a JNI codec, keyed by the same schema.
+  * fake (this container has no image/audio native libs). Swapping in a
+  * real decoder is a drop-in change at exactly TWO points: the per-row
+  * [[decodeStub]] and the batched [[stubDecodeBatch]] (behind
+  * [[decodeFeaturesBatched]]) — at scale that step becomes a vectorized
+  * Arrow UDF or a mapPartitions over a JNI codec, keyed by the same
+  * schema.
   */
 object Multimodal {
 

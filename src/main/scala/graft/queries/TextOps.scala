@@ -307,8 +307,13 @@ object TextOps extends QueryPack {
   def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.ingestFromText(
       Tables.documents(s, dir), "doc_id", "text")
-    val feats = Multimodal.decodeFeaturesBatched(media)
-    Similarity.knnBrute(feats, feats.filter(col("media_id") < 10), k = 3,
+    // filter BEFORE the decode: mapPartitions is a typed barrier, so a
+    // post-decode filter would run the (real, expensive) codec over the
+    // whole corpus to keep 10 query rows
+    val queryFeats = Multimodal.decodeFeaturesBatched(
+      media.filter(col("media_id") < 10))
+    val corpusFeats = Multimodal.decodeFeaturesBatched(media)
+    Similarity.knnBrute(corpusFeats, queryFeats, k = 3,
         idCol = "media_id", vecCol = "feature")
       .orderBy(col("q_id"), col("rank"))
   }
