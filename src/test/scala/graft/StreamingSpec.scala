@@ -175,12 +175,19 @@ class StreamingSpec extends AnyFunSuite {
       input.addData(
         (1L, ts("2024-01-01 00:05:00"), "R", 30.0)) // cross-batch state match
       q.processAllAvailable()
+      // equal-timestamp L and R in ONE batch: the L-before-R tie-break
+      // makes "at or before" include "at", deterministically
+      input.addData(
+        (1L, ts("2024-01-01 00:09:00"), "R", 40.0),
+        (1L, ts("2024-01-01 00:09:00"), "L", 900.0))
+      q.processAllAvailable()
       val rows = spark.sql(
         "SELECT right_value, left_value FROM asof_out ORDER BY right_ts_us")
         .collect().map(r =>
           (r.getDouble(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
       assert(rows.toSeq == Seq(
-        (10.0, None), (20.0, Some(100.0)), (30.0, Some(100.0))))
+        (10.0, None), (20.0, Some(100.0)), (30.0, Some(100.0)),
+        (40.0, Some(900.0))))
     } finally q.stop()
   }
 
