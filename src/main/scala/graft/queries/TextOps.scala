@@ -233,6 +233,20 @@ object TextOps extends QueryPack {
         "doc_id", "text", minWidth = 15, chunks = 2)
       .orderBy(col("dup_text"))
 
+  /** Train/eval CONTAMINATION detection (resolve_duplicates_pair,
+    * nvtext/deduplicate.hpp:95): substrings appearing in BOTH corpora —
+    * here the even/odd doc_id halves stand in for train and eval sets.
+    * Rows-only (no tractable SQL analog); cross-source exactness is
+    * covered by DedupSpec's planted-duplicate tests. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 60)
+    graft.operators.SubstringDedup.resolveDuplicatesPair(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", minWidth = 15, chunks = 2)
+      .orderBy(col("dup_text"))
+  }
+
   /** PII redaction (training-data scrub pass). The synthetic corpus
     * contains no PII, so each doc is salted with a deterministic email /
     * IP / phone before scrubbing — the oracle applies the IDENTICAL
@@ -512,6 +526,7 @@ object TextOps extends QueryPack {
     "doc_minhash_ngram_pairs" -> minhashNgramPairs,
     "doc_simhash_pairs" -> simhashPairs,
     "doc_substring_dups" -> substringDups,
+    "doc_contamination" -> contamination,
     "doc_redact_pii" -> redactPii,
     "doc_pack_bins" -> packBins,
     "doc_multimodal" -> multimodal,
