@@ -233,6 +233,71 @@ object TextOps extends QueryPack {
         "doc_id", "text", minWidth = 15, chunks = 2)
       .orderBy(col("dup_text"))
 
+  /** END-TO-END curation pipeline — the flagship composition: score →
+    * language filter → quality filter → normalized exact dedup (keep
+    * first) → token-budget packing, all in one plan (three shuffles:
+    * dedup window, pack window, final sort). Every stage reuses an
+    * independently oracle-proven building block, and the composed
+    * oracle mirrors them stage for stage. */
+  def curation(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("quality", qualityScore("toks"))
+      .withColumn("lang", langId(col("toks")))
+      .filter(col("lang") === "en" && col("quality") >= 0.5)
+    val w = Window.partitionBy(md5(normalizeText(col("text"))))
+      .orderBy(col("doc_id"))
+    val survivors = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+    val pw = Window.partitionBy(col("pack_group")).orderBy(col("doc_id"))
+    survivors.select(col("doc_id"), col("quality"),
+        size(col("toks")).as("n_tokens"),
+        pmod(col("doc_id"), lit(4)).as("pack_group"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens"))
+          .over(pw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("pack_group"),
+        floor(col("tokens_before").cast("double") / 100).cast("long").as("bin"))
+      .orderBy(col("doc_id"))
+  }
+
+  val curationSql: String = {
+    def hits(ws: Seq[String]) =
+      s"len(list_filter(toks, t -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], t)))"
+    val scores = langProfiles.map { case (l, ws) => s"${hits(ws)} AS s_$l" }
+    raw"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |scored AS (
+         |  SELECT doc_id, text, toks,
+         |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+         |    + 0.3 * (1.0 - CAST(len(list_filter(toks,
+         |        t -> list_contains(['the','a','and','of'], t))) AS DOUBLE) / len(toks))
+         |    + 0.3 * least((CAST(list_aggregate(list_transform(toks,
+         |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)) / 10.0, 1.0) AS quality,
+         |    ${scores.mkString(", ")},
+         |    CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+         |         WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+         |         WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+         |         WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang
+         |  FROM t),
+         |kept AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5),
+         |surv AS (SELECT doc_id, quality, toks FROM (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY md5(trim(regexp_replace(strip_accents(lower(
+         |      nfc_normalize(text))), '\s+', ' ', 'g')))
+         |    ORDER BY doc_id) AS rn FROM kept) WHERE rn = 1),
+         |packed AS (SELECT doc_id, quality, CAST(len(toks) AS INT) AS n_tokens,
+         |    doc_id % 4 AS pack_group,
+         |    CAST(coalesce(sum(len(toks)) OVER (PARTITION BY doc_id % 4
+         |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0) AS BIGINT) AS tokens_before
+         |  FROM surv)
+         |SELECT doc_id, quality, n_tokens, pack_group,
+         |  CAST(floor(CAST(tokens_before AS DOUBLE) / 100) AS BIGINT) AS bin
+         |FROM packed ORDER BY doc_id""".stripMargin
+  }
+
   /** Train/eval CONTAMINATION detection (resolve_duplicates_pair,
     * nvtext/deduplicate.hpp:95): substrings appearing in BOTH corpora —
     * here the even/odd doc_id halves stand in for train and eval sets.
@@ -527,6 +592,7 @@ object TextOps extends QueryPack {
     "doc_simhash_pairs" -> simhashPairs,
     "doc_substring_dups" -> substringDups,
     "doc_contamination" -> contamination,
+    "doc_curation" -> curation,
     "doc_redact_pii" -> redactPii,
     "doc_pack_bins" -> packBins,
     "doc_multimodal" -> multimodal,
@@ -551,6 +617,7 @@ object TextOps extends QueryPack {
     "doc_quality" -> qualitySql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
+    "doc_curation" -> curationSql,
     "doc_redact_pii" -> redactPiiSql,
     "doc_pack_bins" -> packBinsSql,
     "doc_multimodal" -> multimodalSql,
