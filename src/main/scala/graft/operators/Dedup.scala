@@ -46,6 +46,17 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[exactSurvivors]] on the NORMALIZED digest (NFC → lower →
+    * de-accent → ws squeeze), so byte-level encoding variants of the
+    * same text collapse to one survivor. */
+  def normalizedSurvivors(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val w = Window.partitionBy(md5(normalizeText(col(textCol))))
+      .orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** All document pairs with distinct-token Jaccard ≥ threshold, computed
     * EXACTLY via an inverted token index: explode distinct tokens, self-
     * join on token (any pair with jaccard > 0 shares ≥1 token, so there

@@ -136,9 +136,33 @@ object SubstringDedup {
     import spark.implicits._
     val texts: Dataset[String] = df
       .repartitionByRange(chunks, col(idCol))
+      .sortWithinPartitions(col(idCol)) // fixed concatenation order
       .select(col(textCol)).as[String]
     texts.mapPartitions(it =>
         chunkDuplicates(it.map((_, 0)).toSeq, minWidth, crossSourceOnly = false))
+      .toDF("dup_text")
+      .distinct()
+  }
+
+  /** [[resolveDuplicatesPair]] over ONE tagged input: `srcCol` (int)
+    * marks each document's corpus; only substrings whose suffix-array
+    * adjacencies span different sources emit. Single scan of the input.
+    * The within-partition sort fixes the concatenation order — without
+    * it the cross-source adjacency test could flip between runs when
+    * equal doc-final suffixes straddle the sources (shuffle-fetch order
+    * is otherwise arbitrary). */
+  def resolveDuplicatesTagged(df: DataFrame, idCol: String, textCol: String,
+      srcCol: String, minWidth: Int, chunks: Int = 16): DataFrame = {
+    require(minWidth > 8, "min_width must be > 8 (deduplicate.hpp:90)")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df
+      .repartitionByRange(chunks, col(idCol))
+      .sortWithinPartitions(col(idCol))
+      .select(col(textCol).cast("string"), col(srcCol).cast("int"))
+      .as[(String, Int)]
+    rows.mapPartitions(it =>
+        chunkDuplicates(it.toSeq, minWidth, crossSourceOnly = true))
       .toDF("dup_text")
       .distinct()
   }
@@ -149,18 +173,9 @@ object SubstringDedup {
     * co-range-partitioned on id, and scanned in one suffix array per
     * chunk; only cross-source adjacencies emit. */
   def resolveDuplicatesPair(df1: DataFrame, df2: DataFrame, idCol: String,
-      textCol: String, minWidth: Int, chunks: Int = 16): DataFrame = {
-    require(minWidth > 8, "min_width must be > 8 (deduplicate.hpp:90)")
-    val spark = df1.sparkSession
-    import spark.implicits._
-    val tagged = df1.select(col(idCol), col(textCol), lit(0).as("src"))
-      .union(df2.select(col(idCol), col(textCol), lit(1).as("src")))
-    val rows = tagged
-      .repartitionByRange(chunks, col(idCol))
-      .select(col(textCol).cast("string"), col("src")).as[(String, Int)]
-    rows.mapPartitions(it =>
-        chunkDuplicates(it.toSeq, minWidth, crossSourceOnly = true))
-      .toDF("dup_text")
-      .distinct()
-  }
+      textCol: String, minWidth: Int, chunks: Int = 16): DataFrame =
+    resolveDuplicatesTagged(
+      df1.select(col(idCol), col(textCol), lit(0).as("__src"))
+        .union(df2.select(col(idCol), col(textCol), lit(1).as("__src"))),
+      idCol, textCol, "__src", minWidth, chunks)
 }

@@ -95,23 +95,31 @@ object TextPipeline {
     * (`doc_id % groups`), so the sort parallelizes across groups and no
     * global single-partition window exists. */
   def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Int, groups: Int = 32): DataFrame =
+    packByTokens(
+      df.select(col(idCol), size(tokens(col(textCol))).as("n_tokens")),
+      idCol, "n_tokens", budgetTokens, groups)
+      .select(col(idCol), col("pack_group"), col("bin"), col("n_tokens"),
+        col("tokens_before"))
+
+  /** [[packSequences]] over a PRECOMPUTED token-count column — the
+    * composable core (extra input columns carry through), adding
+    * pack_group / tokens_before / bin. */
+  def packByTokens(df: DataFrame, idCol: String, nTokensCol: String,
       budgetTokens: Int, groups: Int = 32): DataFrame = {
     require(budgetTokens > 0 && groups > 0, "need positive budget/groups")
     // pmod on a non-numeric id would cast to null and collapse the whole
     // corpus into ONE null pack group (a single global window partition)
     require(df.schema(idCol).dataType
         .isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"packSequences id $idCol must be numeric, got " +
+      s"packByTokens id $idCol must be numeric, got " +
         df.schema(idCol).dataType)
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
-    df.select(col(idCol), size(tokens(col(textCol))).as("n_tokens"),
-        pmod(col(idCol), lit(groups)).as("pack_group"))
+    df.withColumn("pack_group", pmod(col(idCol), lit(groups)))
       .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens"))
+        coalesce(sum(col(nTokensCol))
           .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("bin",
         floor(col("tokens_before").cast("double") / budgetTokens).cast("long"))
-      .select(col(idCol), col("pack_group"), col("bin"), col("n_tokens"),
-        col("tokens_before"))
   }
 }

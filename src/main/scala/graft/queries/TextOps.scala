@@ -91,13 +91,19 @@ object TextOps extends QueryPack {
       .select(col("doc_id"), qualityScore("toks").as("quality"))
       .orderBy(col("doc_id"))
 
+  /** Shared SQL fragment for the quality formula over a `toks` list
+    * column — used by BOTH doc_quality and the composed doc_curation
+    * oracle so the two can never drift. */
+  private val qualityExprSql: String =
+    """0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+      |  + 0.3 * (1.0 - CAST(len(list_filter(toks,
+      |      t -> list_contains(['the','a','and','of'], t))) AS DOUBLE) / len(toks))
+      |  + 0.3 * least((CAST(list_aggregate(list_transform(toks,
+      |      x -> length(x)), 'sum') AS DOUBLE) / len(toks)) / 10.0, 1.0)""".stripMargin
+
   val qualitySql: String =
     s"""SELECT doc_id,
-       |  0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-       |  + 0.3 * (1.0 - CAST(len(list_filter(toks,
-       |      t -> list_contains(['the','a','and','of'], t))) AS DOUBLE) / len(toks))
-       |  + 0.3 * least((CAST(list_aggregate(list_transform(toks,
-       |      x -> length(x)), 'sum') AS DOUBLE) / len(toks)) / 10.0, 1.0)
+       |  $qualityExprSql
        |  AS quality
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
@@ -112,19 +118,26 @@ object TextOps extends QueryPack {
       .orderBy(col("doc_id"))
   }
 
-  val langidSql: String = {
+  /** Shared SQL fragments for language id (score columns + argmax CASE
+    * over their `s_<lang>` lateral aliases) — used by BOTH doc_langid
+    * and the composed doc_curation oracle. */
+  private val langScoresSql: String = {
     def hits(ws: Seq[String]) =
       s"len(list_filter(toks, t -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], t)))"
-    val scores = langProfiles.map { case (l, ws) => s"${hits(ws)} AS s_$l" }
-    s"""SELECT doc_id, ${scores.mkString(", ")},
-       |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
-       |       WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
-       |       WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
-       |       WHEN s_fr >= s_zh THEN 'fr'
-       |       ELSE 'zh' END AS lang_pred
+    langProfiles.map { case (l, ws) => s"${hits(ws)} AS s_$l" }.mkString(", ")
+  }
+  private val langCaseSql: String =
+    """CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
+      |       WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
+      |       WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
+      |       WHEN s_fr >= s_zh THEN 'fr'
+      |       ELSE 'zh' END""".stripMargin
+
+  val langidSql: String =
+    s"""SELECT doc_id, $langScoresSql,
+       |  $langCaseSql AS lang_pred
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Exact n-gram(1) Jaccard near-dup pairs via inverted token index,
     * capped to a deterministic id range so the oracle's quadratic
@@ -240,46 +253,28 @@ object TextOps extends QueryPack {
     * independently oracle-proven building block, and the composed
     * oracle mirrors them stage for stage. */
   def curation(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(s, dir)
       .withColumn("toks", tokens(col("text")))
       .withColumn("quality", qualityScore("toks"))
       .withColumn("lang", langId(col("toks")))
       .filter(col("lang") === "en" && col("quality") >= 0.5)
-    val w = Window.partitionBy(md5(normalizeText(col("text"))))
-      .orderBy(col("doc_id"))
-    val survivors = scored.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-    val pw = Window.partitionBy(col("pack_group")).orderBy(col("doc_id"))
-    survivors.select(col("doc_id"), col("quality"),
-        size(col("toks")).as("n_tokens"),
-        pmod(col("doc_id"), lit(4)).as("pack_group"))
-      .withColumn("tokens_before",
-        coalesce(sum(col("n_tokens"))
-          .over(pw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val survivors = Dedup.normalizedSurvivors(scored, "doc_id", "text")
+    graft.operators.TextPipeline.packByTokens(
+        survivors.select(col("doc_id"), col("quality"),
+          size(col("toks")).as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 100, groups = 4)
       .select(col("doc_id"), col("quality"), col("n_tokens"),
-        col("pack_group"),
-        floor(col("tokens_before").cast("double") / 100).cast("long").as("bin"))
+        col("pack_group"), col("bin"))
       .orderBy(col("doc_id"))
   }
 
   val curationSql: String = {
-    def hits(ws: Seq[String]) =
-      s"len(list_filter(toks, t -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], t)))"
-    val scores = langProfiles.map { case (l, ws) => s"${hits(ws)} AS s_$l" }
     raw"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
          |scored AS (
          |  SELECT doc_id, text, toks,
-         |    0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
-         |    + 0.3 * (1.0 - CAST(len(list_filter(toks,
-         |        t -> list_contains(['the','a','and','of'], t))) AS DOUBLE) / len(toks))
-         |    + 0.3 * least((CAST(list_aggregate(list_transform(toks,
-         |        x -> length(x)), 'sum') AS DOUBLE) / len(toks)) / 10.0, 1.0) AS quality,
-         |    ${scores.mkString(", ")},
-         |    CASE WHEN s_en >= greatest(s_es, s_de, s_fr, s_zh) THEN 'en'
-         |         WHEN s_es >= greatest(s_de, s_fr, s_zh) THEN 'es'
-         |         WHEN s_de >= greatest(s_fr, s_zh) THEN 'de'
-         |         WHEN s_fr >= s_zh THEN 'fr' ELSE 'zh' END AS lang
+         |    $qualityExprSql AS quality,
+         |    $langScoresSql,
+         |    $langCaseSql AS lang
          |  FROM t),
          |kept AS (SELECT * FROM scored WHERE lang = 'en' AND quality >= 0.5),
          |surv AS (SELECT doc_id, quality, toks FROM (
@@ -303,14 +298,14 @@ object TextOps extends QueryPack {
     * here the even/odd doc_id halves stand in for train and eval sets.
     * Rows-only (no tractable SQL analog); cross-source exactness is
     * covered by DedupSpec's planted-duplicate tests. */
-  def contamination(s: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(s, dir).filter(col("doc_id") < 60)
-    graft.operators.SubstringDedup.resolveDuplicatesPair(
-        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
-        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
-        "doc_id", "text", minWidth = 15, chunks = 2)
+  def contamination(s: SparkSession, dir: String): DataFrame =
+    // tagged single-scan form: filtering even/odd into two frames and
+    // unioning them would scan documents twice
+    graft.operators.SubstringDedup.resolveDuplicatesTagged(
+        Tables.documents(s, dir).filter(col("doc_id") < 60)
+          .withColumn("src", pmod(col("doc_id"), lit(2))),
+        "doc_id", "text", "src", minWidth = 15, chunks = 2)
       .orderBy(col("dup_text"))
-  }
 
   /** PII redaction (training-data scrub pass). The synthetic corpus
     * contains no PII, so each doc is salted with a deterministic email /
