@@ -33,19 +33,24 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double) = f"$v%.3f"
+    def jmap(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // metric line out of that tail (rounds 1-3 recorded `parsed: null`
+    // because the full 143-query map made the line ~5 KB — the tail began
+    // mid-line). Print a compact line (headline TPC-H queries only,
+    // 3-decimal values, < 1 KB) and write the full per-query map to
+    // bench.json for inspection.
+    val headline = results.filter(_._1.matches("q\\d+_.*"))
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    // Round-1 driver recorded `parsed: null`: sbt's default fork output
-    // strategy prefixed the line with "[info] ", breaking json.loads.
-    // build.sbt now sets `run / outputStrategy := StdoutOutput` so this
-    // println reaches the real stdout bare; bench.json is a file-based
-    // fallback pickup.
-    println(line)
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${jmap(headline)},"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
-      (line + "\n").getBytes("UTF-8"))
+      (full + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }
