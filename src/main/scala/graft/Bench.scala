@@ -28,7 +28,13 @@ object Bench {
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=<regex>: time just the matching queries (local
+    // iteration aid; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(_.pattern.matcher(n).matches())
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

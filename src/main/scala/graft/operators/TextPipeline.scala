@@ -47,17 +47,26 @@ object TextPipeline {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
     val stride = chunkSize - overlap
-    val toks = tokens(col(textCol))
+    // Tokenize ONCE per document, then explode the start positions and
+    // slice per chunk. Building chunk_text inside a transform() lambda
+    // would re-split the whole document per window (HigherOrderFunctions
+    // are interpreted, not codegen'd) — O(windows × doc_len) instead of
+    // O(doc_len + chunks × chunkSize).
+    //
     // start positions 1, 1+stride, ... covering every token once;
     // last window starts at or before (size - chunkSize) + stride
     val starts = sequence(lit(1),
-      greatest(size(toks) - chunkSize, lit(0)) + lit(stride), lit(stride))
-    df.select(col(idCol),
-        posexplode(transform(starts,
-          s => array_join(slice(toks, s, lit(chunkSize)), " ")))
-          .as(Seq("chunk_idx", "chunk_text")))
+      greatest(col("_toks_sz") - chunkSize, lit(0)) + lit(stride),
+      lit(stride))
+    df.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_toks_sz", size(col("_toks")))
+      .select(col(idCol), col("_toks"),
+        posexplode(starts).as(Seq("chunk_idx", "_start")))
+      .withColumn("chunk_text",
+        array_join(slice(col("_toks"), col("_start"), lit(chunkSize)), " "))
       .filter(col("chunk_text") =!= "")
       .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+      .drop("_toks", "_start")
   }
 
   /** PII patterns scrubbed by [[redactPii]], applied in this order.
