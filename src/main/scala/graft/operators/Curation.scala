@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly operators for training-data pipelines (north star:
+  * the sampling / splitting / survivor-selection stages that sit between
+  * dedup and sequence packing at 100 TB).
+  *
+  * Every decision here is a pure function of (seed, key) — no RNG state,
+  * no driver action — so results are reproducible across runs, engines,
+  * and cluster sizes, and every stage is a codegen'd map or a single
+  * keyed shuffle. Extends the reference's surface (rapidsai/cudf ships
+  * `sample`, cpp/include/cudf/copying.hpp, but no seeded split/mixture
+  * machinery); semantics follow standard corpus-curation practice.
+  */
+object Curation {
+
+  /** Deterministic unit-interval weight in [0,1) from (seed, key): the
+    * first 15 hex chars of md5("seed|key") read as a 60-bit integer,
+    * divided by 2^60. A pure per-row map (codegen, zero shuffle) that is
+    * engine-portable — DuckDB computes the identical double as
+    * `('0x' || substring(md5(seed || '|' || key), 1, 15))::BIGINT
+    * / 9.223372036854776e18`-style arithmetic — unlike xxhash64/rand,
+    * so sampling decisions can be oracle-checked and survive re-runs. */
+  def hashUnit(key: Column, seed: String): Column =
+    conv(substring(md5(concat_ws("|", lit(seed), key.cast("string"))),
+        1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0) // 2^60
+
+  /** Deterministic train/val/test split: label each row by where its
+    * [[hashUnit]] falls among cumulative upper bounds, e.g.
+    * `Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)`. Rows hash to
+    * the same split on every run and on any cluster layout — the
+    * property that keeps eval sets uncontaminated when the corpus is
+    * rebuilt. Zero shuffle. */
+  def assignSplit(df: DataFrame, idCol: String, seed: String,
+      cuts: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
+      "cuts must be cumulative upper bounds ending at >= 1.0")
+    val u = hashUnit(col(idCol), seed)
+    val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, upper), rest) => when(u < upper, name).otherwise(rest)
+    }
+    df.withColumn(outCol, label)
+  }
+
+  /** At most `k` rows per group, chosen deterministically (by
+    * [[hashUnit]] of the id, id as tie-break) — the domain-balancing /
+    * per-source-quota stage. One shuffle keyed on the group column;
+    * group sizes bound partition memory, skewed groups stream through
+    * the window's running row_number without buffering. */
+  def sampleByGroup(df: DataFrame, groupCol: String, idCol: String,
+      k: Int, seed: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(hashUnit(col(idCol), seed), col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= k)
+      .drop("_rn")
+  }
+
+  /** Weighted mixture sampling: keep a row iff its [[hashUnit]] is below
+    * the weight of its source, e.g. `Map("en" -> 0.9, "zh" -> 0.25)` —
+    * the corpus-mixing stage that rebalances sources before training.
+    * Unlisted sources default to `defaultWeight`. Zero shuffle; expected
+    * kept fraction per source equals its weight. */
+  def mixCorpora(df: DataFrame, sourceCol: String, idCol: String,
+      weights: Map[String, Double], seed: String,
+      defaultWeight: Double = 0.0): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight): Column) {
+      case (rest, (name, frac)) =>
+        when(col(sourceCol) === name, lit(frac)).otherwise(rest)
+    }
+    df.filter(hashUnit(col(idCol), seed) < w)
+  }
+
+  /** Quality-ranked dedup survivor selection: within each duplicate
+    * group (`keyCol`), keep the row with the highest score (lowest id on
+    * ties) — "keep the best copy", vs Dedup.exactSurvivors' "keep the
+    * first". One shuffle keyed on the digest; same single-window shape
+    * as the other survivor ops. */
+  def survivorsByScore(df: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Deterministic global shuffle: a stable pseudo-random sort key per
+    * row. Writing `df.orderBy("shuffle_key", idCol)` range-partitions on
+    * the key (Spark samples split points), so the "shuffle" is a single
+    * distributed sort — the standard way to randomize example order for
+    * training without a driver-side permutation. */
+  def shuffleKey(df: DataFrame, idCol: String, seed: String,
+      outCol: String = "shuffle_key"): DataFrame =
+    df.withColumn(outCol, hashUnit(col(idCol), seed))
+}

@@ -69,6 +69,54 @@ object TextPipeline {
       .drop("_toks", "_start")
   }
 
+  /** Per-document n-gram repetition metrics — the Gopher-style
+    * repetitiousness filters (Rae et al. 2021 §A1.1): fraction of
+    * duplicate n-grams and the share of the most frequent n-gram.
+    * Boilerplate and degenerate generations score high on both.
+    *
+    * Shape: explode → count per (doc, gram) → fold to per-doc stats —
+    * two shuffles, both keyed on doc (+gram), never pair-shaped, so it
+    * scales like word-count. Docs shorter than n tokens keep a row with
+    * zero counts (left join back to the id spine). */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2): DataFrame = {
+    // tokenNgrams takes a column NAME usable in a SQL lambda; alias the
+    // tokenized text first so the expression sees a real column. Guard
+    // docs with < n tokens: Spark's sequence(1, 0) is the DESCENDING
+    // [1, 0] and slice(_, 0, _) throws, so short docs must short-circuit
+    // to an empty gram list (explode then drops them; the spine join
+    // below restores the row with zero counts).
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol),
+        explode(when(size(col("_toks")) >= n,
+            graft.functions.TextFunctions.tokenNgrams("_toks", n))
+          .otherwise(array().cast("array<string>")))
+          .as("gram"))
+    val perGram = grams
+      .groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDoc = perGram.groupBy(col(idCol)).agg(
+      sum(col("cnt")).as("total_ngrams"),
+      count(lit(1)).as("distinct_ngrams"),
+      max(col("cnt")).as("top_cnt"))
+    df.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("total_ngrams"), lit(0L)).as("total_ngrams"),
+        coalesce(col("distinct_ngrams"), lit(0L)).as("distinct_ngrams"),
+        coalesce(col("top_cnt"), lit(0L)).as("top_cnt"))
+      .withColumn("dup_frac",
+        when(col("total_ngrams") > 0,
+          lit(1.0) - col("distinct_ngrams").cast("double") /
+            col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+      .withColumn("top_frac",
+        when(col("total_ngrams") > 0,
+          col("top_cnt").cast("double") / col("total_ngrams").cast("double"))
+          .otherwise(lit(0.0)))
+  }
+
   /** PII patterns scrubbed by [[redactPii]], applied in this order.
     * Deliberately dialect-portable regex (no lookarounds, no \b) so the
     * DuckDB oracle applies the IDENTICAL patterns. */

@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Curation, TextPipeline}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-assembly stages (graft.operators.Curation +
+  * TextPipeline.repetitionStats): deterministic split / per-group quota
+  * sampling / weighted mixture / quality-ranked survivors / repetition
+  * metrics / global shuffle. All decisions derive from the portable
+  * md5-based [[Curation.hashUnit]], so every query here is fully
+  * DuckDB-oracle-checkable — including the "random" ones.
+  */
+object CurationPack extends QueryPack {
+
+  /** Oracle SQL for Curation.hashUnit(key, seed): same md5 → first 15
+    * hex chars → 60-bit int → /2^60 pipeline, so both engines compute
+    * bit-identical doubles. */
+  private def uSql(keyExpr: String, seed: String): String =
+    s"(('0x' || substring(md5('$seed|' || CAST($keyExpr AS VARCHAR)), 1, 15))" +
+      "::BIGINT::DOUBLE / 1152921504606846976.0)"
+
+  private val toksSql = raw"string_split_regex(lower(trim(text)), '\s+')"
+
+  // -- deterministic train/val/test split ----------------------------------
+
+  def split(s: SparkSession, dir: String): DataFrame =
+    Curation.assignSplit(Tables.documents(s, dir), "doc_id", "graft",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val splitSql: String =
+    s"""SELECT doc_id,
+       |  CASE WHEN u < 0.8 THEN 'train'
+       |       WHEN u < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, ${uSql("doc_id", "graft")} AS u FROM documents)
+       |ORDER BY doc_id""".stripMargin
+
+  // -- per-source quota sampling -------------------------------------------
+
+  def sampleGroup(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleByGroup(Tables.documents(s, dir), "source", "doc_id",
+        k = 5, seed = "graft")
+      .select(col("source"), col("doc_id"))
+      .orderBy(col("source"), col("doc_id"))
+
+  val sampleGroupSql: String =
+    s"""SELECT source, doc_id FROM (
+       |  SELECT source, doc_id,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY ${uSql("doc_id", "graft")}, doc_id) AS rn
+       |  FROM documents)
+       |WHERE rn <= 5 ORDER BY source, doc_id""".stripMargin
+
+  // -- weighted corpus mixture ---------------------------------------------
+
+  private val mixWeights =
+    Seq("en" -> 0.9, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.5, "zh" -> 0.25)
+
+  def mixture(s: SparkSession, dir: String): DataFrame =
+    Curation.mixCorpora(Tables.documents(s, dir), "lang", "doc_id",
+        mixWeights.toMap, seed = "mix")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val mixtureSql: String = {
+    val cases = mixWeights
+      .map { case (l, w) => s"WHEN '$l' THEN $w" }.mkString(" ")
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE ${uSql("doc_id", "mix")} < CASE lang $cases ELSE 0.0 END
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // -- quality-ranked dedup survivors --------------------------------------
+
+  /** Keep the LONGEST copy per bag-of-words fingerprint group (vs
+    * dedup_keep_first's first copy): the "best of cluster" selection. */
+  def survivors(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.documents(s, dir).select(
+      col("doc_id"), col("n_chars"),
+      md5(array_join(sort_array(array_distinct(
+        graft.functions.TextFunctions.tokens(col("text")))), " ")).as("fp"))
+    Curation.survivorsByScore(keyed, "fp", "doc_id", "n_chars")
+      .select(col("doc_id"), col("fp"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val survivorsSql: String =
+    s"""SELECT doc_id, fp, n_chars FROM (
+       |  SELECT doc_id, fp, n_chars,
+       |    row_number() OVER (PARTITION BY fp
+       |      ORDER BY n_chars DESC, doc_id) AS rn
+       |  FROM (SELECT doc_id, n_chars,
+       |    md5(array_to_string(list_sort(list_distinct($toksSql)), ' ')) AS fp
+       |  FROM documents))
+       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  // -- Gopher-style repetition metrics -------------------------------------
+
+  def repetition(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.repetitionStats(Tables.documents(s, dir), "doc_id", "text",
+        n = 2)
+      .orderBy(col("doc_id"))
+
+  val repetitionSql: String =
+    s"""SELECT d.doc_id,
+       |  CAST(coalesce(g.total_ngrams, 0) AS BIGINT) AS total_ngrams,
+       |  CAST(coalesce(g.distinct_ngrams, 0) AS BIGINT) AS distinct_ngrams,
+       |  CAST(coalesce(g.top_cnt, 0) AS BIGINT) AS top_cnt,
+       |  CASE WHEN coalesce(g.total_ngrams, 0) > 0
+       |    THEN 1.0 - CAST(g.distinct_ngrams AS DOUBLE)
+       |      / CAST(g.total_ngrams AS DOUBLE)
+       |    ELSE 0.0 END AS dup_frac,
+       |  CASE WHEN coalesce(g.total_ngrams, 0) > 0
+       |    THEN CAST(g.top_cnt AS DOUBLE) / CAST(g.total_ngrams AS DOUBLE)
+       |    ELSE 0.0 END AS top_frac
+       |FROM documents d LEFT JOIN (
+       |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS total_ngrams,
+       |    CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       |    CAST(max(cnt) AS BIGINT) AS top_cnt
+       |  FROM (
+       |    SELECT doc_id, gram, count(*) AS cnt FROM (
+       |      SELECT doc_id, unnest(list_transform(
+       |        generate_series(1, greatest(len(toks) - 1, 0)),
+       |        i -> array_to_string(toks[i:i+1], '_'))) AS gram
+       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
+       |    GROUP BY doc_id, gram)
+       |  GROUP BY doc_id) g USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // -- deterministic global shuffle ----------------------------------------
+
+  def shuffle(s: SparkSession, dir: String): DataFrame =
+    Curation.shuffleKey(Tables.documents(s, dir), "doc_id", "epoch0")
+      .select(col("doc_id"), col("shuffle_key"))
+      .orderBy(col("shuffle_key"), col("doc_id"))
+
+  val shuffleSql: String =
+    s"""SELECT doc_id, ${uSql("doc_id", "epoch0")} AS shuffle_key
+       |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_split" -> split,
+    "corpus_sample_group" -> sampleGroup,
+    "corpus_mixture" -> mixture,
+    "corpus_survivors" -> survivors,
+    "corpus_shuffle" -> shuffle,
+    "doc_repetition" -> repetition)
+
+  override def oracle: Map[String, String] = Map(
+    "corpus_split" -> splitSql,
+    "corpus_sample_group" -> sampleGroupSql,
+    "corpus_mixture" -> mixtureSql,
+    "corpus_survivors" -> survivorsSql,
+    "corpus_shuffle" -> shuffleSql,
+    "doc_repetition" -> repetitionSql)
+}

@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.{Curation, TextPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs = (0L until 400L).map(i => (i, s"g${i % 7}")).toDF("id", "g")
+
+  test("assignSplit labels every row, deterministically, near the cuts") {
+    val cuts = Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)
+    val a = Curation.assignSplit(docs, "id", "s1", cuts)
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 400)
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    // hash split is unbiased: 400 rows at 80/10/10 should land within wide bounds
+    assert(counts("train") > 280 && counts("train") < 360)
+    // deterministic: identical rerun, and disjoint relabel under a new seed
+    val b = Curation.assignSplit(docs, "id", "s1", cuts)
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    val c = Curation.assignSplit(docs, "id", "s2", cuts)
+    assert(c.except(a).count() > 0) // some rows moved under the new seed
+  }
+
+  test("sampleByGroup returns at most k per group, deterministically") {
+    val s = Curation.sampleByGroup(docs, "g", "id", k = 10, seed = "q")
+    val per = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(per.values.forall(_ == 10)) // every group has >= 10 of 400/7 rows
+    val again = Curation.sampleByGroup(docs, "g", "id", k = 10, seed = "q")
+    assert(s.except(again).isEmpty && again.except(s).isEmpty)
+    // a group smaller than k survives whole
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Curation.sampleByGroup(tiny, "g", "id", 10, "q").count() == 3)
+  }
+
+  test("mixCorpora keeps ~weight per source and drops unlisted sources") {
+    val m = Curation.mixCorpora(docs, "g", "id",
+      Map("g0" -> 1.0, "g1" -> 0.5, "g2" -> 0.0), seed = "w")
+    val per = m.groupBy("g").count().as[(String, Long)].collect().toMap
+    val g0 = docs.filter($"g" === "g0").count()
+    assert(per("g0") == g0)                   // weight 1.0 keeps all
+    assert(!per.contains("g2"))               // weight 0.0 drops all
+    assert(per.keySet.subsetOf(Set("g0", "g1"))) // default weight drops g3..g6
+    val g1 = docs.filter($"g" === "g1").count().toDouble
+    assert(per("g1") > g1 * 0.25 && per("g1") < g1 * 0.75)
+  }
+
+  test("survivorsByScore keeps the max score, lowest id on ties") {
+    val d = Seq(
+      (1L, "k1", 5.0), (2L, "k1", 9.0), (3L, "k1", 9.0),
+      (4L, "k2", 1.0)
+    ).toDF("id", "k", "score")
+    val got = Curation.survivorsByScore(d, "k", "id", "score")
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(2L, 4L)) // id 2 beats tie with id 3; k2 keeps its only row
+  }
+
+  test("shuffleKey is a stable pseudo-random permutation key") {
+    val k1 = Curation.shuffleKey(docs, "id", "e0").select("id", "shuffle_key")
+    val k2 = Curation.shuffleKey(docs, "id", "e0").select("id", "shuffle_key")
+    assert(k1.except(k2).isEmpty)
+    // all keys in [0,1), essentially all distinct
+    val keys = k1.select("shuffle_key").as[Double].collect()
+    assert(keys.forall(v => v >= 0.0 && v < 1.0))
+    assert(keys.distinct.length > 395)
+    // a different seed produces a different ordering
+    val o1 = k1.orderBy("shuffle_key").select("id").as[Long].collect().toSeq
+    val o3 = Curation.shuffleKey(docs, "id", "e1")
+      .orderBy("shuffle_key").select("id").as[Long].collect().toSeq
+    assert(o1 != o3)
+  }
+
+  test("repetitionStats computes Gopher-style duplicate-ngram fractions") {
+    val d = Seq(
+      (1L, "a b a b a"),  // bigrams: a_b, b_a, a_b, b_a -> 4 total, 2 distinct
+      (2L, "x y z"),      // 2 total, 2 distinct
+      (3L, "solo")        // < 2 tokens -> zero counts, fractions 0.0
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.repetitionStats(d, "doc_id", "text", n = 2)
+      .orderBy("doc_id")
+      .select("total_ngrams", "distinct_ngrams", "top_cnt", "dup_frac", "top_frac")
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(got(0) == ((4L, 2L, 2L, 0.5, 0.5)))
+    assert(got(1) == ((2L, 2L, 1L, 0.0, 0.5)))
+    assert(got(2) == ((0L, 0L, 0L, 0.0, 0.0)))
+  }
+}
