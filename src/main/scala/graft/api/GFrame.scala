@@ -160,6 +160,33 @@ final case class GFrame(df: DataFrame) {
   def tfidf(idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.tfidf(df, idCol, textCol))
 
+  // ---- corpus assembly (graft.operators.Curation) ----
+  /** Deterministic train/val/test split; cuts are cumulative upper
+    * bounds, e.g. Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0). */
+  def trainTestSplit(idCol: String, seed: String,
+      cuts: Seq[(String, Double)]): GFrame =
+    GFrame(graft.operators.Curation.assignSplit(df, idCol, seed, cuts))
+  /** At most k rows per group, chosen by stable hash of the id. */
+  def sampleByGroup(groupCol: String, idCol: String, k: Int,
+      seed: String): GFrame =
+    GFrame(graft.operators.Curation.sampleByGroup(df, groupCol, idCol, k, seed))
+  /** Weighted mixture sampling: keep fraction weights(source) per source. */
+  def mixCorpora(sourceCol: String, idCol: String,
+      weights: Map[String, Double], seed: String): GFrame =
+    GFrame(graft.operators.Curation.mixCorpora(df, sourceCol, idCol,
+      weights, seed))
+  /** Highest-score survivor per duplicate group. */
+  def survivorsByScore(keyCol: String, idCol: String,
+      scoreCol: String): GFrame =
+    GFrame(graft.operators.Curation.survivorsByScore(df, keyCol, idCol,
+      scoreCol))
+  /** Stable pseudo-random sort key; orderBy it for a seeded shuffle. */
+  def shuffleKey(idCol: String, seed: String): GFrame =
+    GFrame(graft.operators.Curation.shuffleKey(df, idCol, seed))
+  /** Gopher-style duplicate-ngram fractions per document. */
+  def repetitionStats(idCol: String, textCol: String, n: Int = 2): GFrame =
+    GFrame(graft.operators.TextPipeline.repetitionStats(df, idCol, textCol, n))
+
   // ---- accessor namespaces (cudf Series .str / .dt accessors,
   //      python/cudf/cudf/core/column/string.py, temporal.py) ----
   def str(colName: String): GStrOps = GStrOps(this, colName)

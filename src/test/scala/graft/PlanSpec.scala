@@ -107,4 +107,27 @@ class PlanSpec extends AnyFunSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("pack_group"), "window must partition by pack_group")
   }
+
+  test("assignSplit and mixCorpora are zero-shuffle map stages") {
+    import graft.operators.Curation
+    val docs = graft.Tables.documents(spark, dir)
+    val split = Curation.assignSplit(docs, "doc_id", "s",
+      Seq("train" -> 0.8, "test" -> 1.0))
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"),
+      "hash split must not shuffle")
+    val mix = Curation.mixCorpora(docs, "lang", "doc_id",
+      Map("en" -> 0.5), seed = "m")
+    assert(!mix.queryExecution.executedPlan.toString.contains("Exchange"),
+      "mixture filter must not shuffle")
+  }
+
+  test("sampleByGroup shuffles once, keyed on the group column") {
+    val df = graft.operators.Curation.sampleByGroup(
+      graft.Tables.documents(spark, dir), "source", "doc_id", 5, "q")
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(_.trim.startsWith("+- Exchange"))
+    assert(p.contains("hashpartitioning(source"),
+      s"window must partition by the group column:\n$p")
+    assert(exchanges <= 1, s"expected a single group-keyed shuffle:\n$p")
+  }
 }

@@ -260,4 +260,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == Seq(("x", 11L), ("y", 2L)))
     } finally q.stop()
   }
+
+  test("curation split + mixture run unchanged on a stream (zero-shuffle maps)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    // the same stateless Curation stages used in batch apply per micro-batch:
+    // ingest-time corpus assembly (split assignment + source mixing)
+    val curated = graft.operators.Curation.mixCorpora(
+      graft.operators.Curation.assignSplit(
+        input.toDF().toDF("doc_id", "source"),
+        "doc_id", "s", Seq("train" -> 0.5, "test" -> 1.0)),
+      "source", "doc_id", Map("keep" -> 1.0), seed = "m")
+
+    val q = curated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("cur_out").start()
+    try {
+      input.addData((0L until 100L).map(i =>
+        (i, if (i % 2 == 0) "keep" else "drop")): _*)
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, split FROM cur_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.length == 50 && got.forall(_._1 % 2 == 0)) // mixture kept 'keep' only
+      // split labels match the batch assignment exactly (same hash, same seed)
+      val batch = graft.operators.Curation.assignSplit(
+          (0L until 100L).filter(_ % 2 == 0).toDF("doc_id"),
+          "doc_id", "s", Seq("train" -> 0.5, "test" -> 1.0))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+      assert(got.forall { case (id, sp) => batch(id) == sp })
+    } finally q.stop()
+  }
 }
