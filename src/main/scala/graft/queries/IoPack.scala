@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.sources.Io
+import graft.sources.{Io, Layout}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import QueryPack._
@@ -110,17 +110,71 @@ object IoPack extends QueryPack {
       |  min(length(n_nationkey || ':' || n_name)) AS min_len
       |FROM nation""".stripMargin
 
+  /** Bucketed co-located join (partitioning.hpp hash_partition persisted
+    * to storage): both sides pre-bucketed on the join key into the same
+    * bucket count, so the fact-fact sort-merge join plans with ZERO
+    * join-side shuffle exchanges — the decisive layout at 100 TB, where
+    * re-shuffling lineitem per query is the dominant cost. Guarded by
+    * PlanSpec ("bucketed join"). The oracle joins the raw parquet: the
+    * result must be layout-independent. */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .filter($"l_shipdate".between("1997-01-01", "1997-03-31"))
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = Tables.orders(s, dir).select($"o_orderkey", $"o_orderpriority")
+    val bl = Layout.writeBucketed(li, "graft_bkt_lineitem",
+      scratch("bkt_lineitem"), 8, "l_orderkey")
+    val bo = Layout.writeBucketed(ord, "graft_bkt_orders",
+      scratch("bkt_orders"), 8, "o_orderkey")
+    bl.hint("merge").join(bo, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val bucketedJoinSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_shipdate BETWEEN DATE '1997-01-01' AND DATE '1997-03-31'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Hive-style partitioned layout + partition pruning: events written
+    * one directory per event_type; the filtered read lists only the
+    * matching directory (driver-side pruning, no data-file footers
+    * touched — PartitionFilters in the scan, guarded by PlanSpec). */
+  def partitionPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select($"event_id", $"user_id", $"value", $"event_type")
+    Layout.writePartitioned(ev, scratch("part_events"), Seq("event_type"))
+      .filter($"event_type" === "click")
+      .agg(count(lit(1)).as("n"), dsum($"value", 2).as("sum_value"),
+        min($"event_id").as("min_id"), max($"event_id").as("max_id"))
+  }
+
+  val partitionPruneSql: String =
+    s"""SELECT count(*) AS n, ${dsumSql("value", 2)} AS sum_value,
+       |  min(event_id) AS min_id, max(event_id) AS max_id
+       |FROM events WHERE event_type = 'click'""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_roundtrip" -> csvRoundTrip,
     "io_json_roundtrip" -> jsonRoundTrip,
     "io_orc_roundtrip" -> orcRoundTrip,
     "io_avro_roundtrip" -> avroRoundTrip,
-    "io_text_delim" -> textDelim)
+    "io_text_delim" -> textDelim,
+    "io_bucketed_join" -> bucketedJoin,
+    "io_partition_prune" -> partitionPrune)
 
   override def oracle: Map[String, String] = Map(
     "io_csv_roundtrip" -> csvRoundTripSql,
     "io_json_roundtrip" -> jsonRoundTripSql,
     "io_orc_roundtrip" -> orcRoundTripSql,
     "io_avro_roundtrip" -> avroRoundTripSql,
-    "io_text_delim" -> textDelimSql)
+    "io_text_delim" -> textDelimSql,
+    "io_bucketed_join" -> bucketedJoinSql,
+    "io_partition_prune" -> partitionPruneSql)
 }

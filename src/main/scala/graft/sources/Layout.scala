@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Storage-layout operators: the two levers that remove work from every
+  * downstream query at cluster scale (SURVEY.md §2.13, SCALING.md).
+  *
+  * - **Bucketing** (≙ the reference's hash_partition + pack persisted to
+  *   storage, partitioning.hpp): both join sides pre-hashed into the
+  *   same bucket count on the join key, so a fact-fact join runs with
+  *   ZERO shuffle exchanges — at 100 TB this turns the nightly
+  *   lineitem⋈orders re-shuffle into a map-side merge of co-located
+  *   files. `sortBy` additionally persists bucket-local order so the
+  *   sort-merge join needs no per-task sort.
+  * - **Partitioned layout** (hive-style `partitionBy` directories):
+  *   partition pruning happens in the driver's file listing, before any
+  *   task launches — a predicate on the partition column reads only the
+  *   matching directories (visible as PartitionFilters in the scan).
+  */
+object Layout {
+
+  /** Write `df` as a bucketed (and optionally bucket-sorted) parquet
+    * table at `path`, registered as external table `table`. Joins
+    * between tables bucketed on the same key with the same `buckets`
+    * count plan with no Exchange on either side. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+                    buckets: Int, key: String,
+                    sorted: Boolean = true): DataFrame = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    // repartition on the bucket key into exactly `buckets` partitions:
+    // Spark's bucket id and HashPartitioning use the same murmur3 pmod,
+    // so each task holds exactly one bucket → one file per bucket, which
+    // lets the scan report the persisted sort order (no per-task re-sort
+    // in front of the merge join).
+    val w = df.repartition(buckets, df(key))
+      .write.mode("overwrite").format("parquet")
+      .option("path", path).bucketBy(buckets, key)
+    (if (sorted) w.sortBy(key) else w).saveAsTable(table)
+    s.table(table)
+  }
+
+  /** Hive-style partitioned parquet layout: one directory per value of
+    * `partCols`. Reads that filter on a partition column list only the
+    * matching directories (driver-side pruning, no footer reads). */
+  def writePartitioned(df: DataFrame, path: String,
+                       partCols: Seq[String]): DataFrame = {
+    df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+}

@@ -121,6 +121,30 @@ class PlanSpec extends AnyFunSuite {
       "mixture filter must not shuffle")
   }
 
+  test("bucketed join: co-located scans, no join-side exchange") {
+    val df = SparkEntry.queries("io_bucketed_join")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan not bucket-aware:\n$p")
+    // exchanges above the join (5-row groupBy + final sort) are fine;
+    // the join subtree itself (printed below the SortMergeJoin line)
+    // must consume the persisted bucket partitioning directly
+    val belowJoin = p.substring(p.indexOf("SortMergeJoin"))
+    assert(!belowJoin.contains("Exchange"),
+      s"bucketed join must not shuffle its inputs:\n$p")
+  }
+
+  test("partitioned layout: predicate prunes directories at the driver") {
+    val df = SparkEntry.queries("io_partition_prune")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters"), s"no partition pruning:\n$p")
+    assert(p.replaceAll("\\s+", " ").matches(
+      ".*PartitionFilters: \\[[^\\]]*event_type[^\\]]*\\].*"),
+      s"event_type filter must land in PartitionFilters:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type)"),
+      "partition predicate must not fall through to data filters")
+  }
+
   test("sampleByGroup shuffles once, keyed on the group column") {
     val df = graft.operators.Curation.sampleByGroup(
       graft.Tables.documents(spark, dir), "source", "doc_id", 5, "q")
