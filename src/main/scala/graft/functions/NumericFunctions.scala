@@ -15,6 +15,18 @@ object NumericFunctions {
   def searchSorted(v: Column, boundaries: Seq[Double]): Column =
     size(filter(array(boundaries.map(lit): _*), b => b <= v))
 
+  /** Equal-frequency quantile binning (pandas/cudf qcut): bin i is
+    * (q_{i-1}, q_i] with interpolated cut points from the data itself.
+    * Distributed two-phase form — ONE aggregate computes the k−1 cut
+    * points (exact interpolated percentile, a few doubles), which
+    * broadcast to a per-row codegen'd scan; no global sort, no ntile
+    * single-partition window. Value-equal rows always share a bin
+    * (unlike rank-based ntile), matching the reference's label
+    * semantics. */
+  def qcutBin(v: Column, cuts: Column): Column =
+    lit(1) + aggregate(cuts, lit(0),
+      (acc, c) => acc + when(c < v, 1).otherwise(0))
+
   /** label_bins with explicit edges: bin i covers [edge_i, edge_i+1),
     * -1 outside (reference returns null label outside bins). */
   /** Quantile of a SORTED array column under one of the reference's

@@ -35,6 +35,38 @@ object MiscPack extends QueryPack {
       |  count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
       |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** qcut / equal-frequency quantile binning: cut points from ONE exact
+    * percentile aggregate, broadcast to a codegen'd per-row bin label
+    * (functions/NumericFunctions.qcutBin) — the scalable form of the
+    * reference's rank-then-slice quartile recipe. l_quantity is
+    * integer-valued, so the interpolated cuts land strictly between
+    * data values and the Spark/DuckDB label comparison is immune to
+    * last-ulp interpolation differences. */
+  def binQcut(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val cuts = li.agg(
+      expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("__cuts"))
+    li.select($"l_quantity")
+      .crossJoin(broadcast(cuts))
+      .withColumn("q_bin",
+        graft.functions.NumericFunctions.qcutBin($"l_quantity", $"__cuts"))
+      .groupBy($"q_bin")
+      .agg(count(lit(1)).as("n"), min($"l_quantity").as("lo"),
+        max($"l_quantity").as("hi"))
+      .orderBy($"q_bin")
+  }
+
+  val binQcutSql: String =
+    """SELECT q_bin, count(*) AS n, min(l_quantity) AS lo, max(l_quantity) AS hi
+      |FROM (
+      |  SELECT 1 + len(list_filter(cuts, c -> c < l_quantity)) AS q_bin,
+      |    l_quantity
+      |  FROM lineitem CROSS JOIN (
+      |    SELECT quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS cuts
+      |    FROM lineitem))
+      |GROUP BY q_bin ORDER BY q_bin""".stripMargin
+
   /** contains(haystack, needles) (search.hpp:130) → isin. */
   def isinFilter(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -271,6 +303,7 @@ object MiscPack extends QueryPack {
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
+    "bin_qcut" -> binQcut,
     "isin_filter" -> isinFilter,
     "ipv4_roundtrip" -> ipv4RoundTrip,
     "agg_approx" -> aggApprox,
@@ -294,6 +327,7 @@ object MiscPack extends QueryPack {
     "decimal_arith" -> decimalArithSql,
     "subquery_scalar" -> subqueryScalarSql,
     "bin_label" -> binLabelSql,
+    "bin_qcut" -> binQcutSql,
     "isin_filter" -> isinFilterSql,
     "ipv4_roundtrip" -> ipv4RoundTripSql,
     "events_ewma" -> eventsEwmaSql)

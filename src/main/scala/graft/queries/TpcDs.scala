@@ -155,14 +155,108 @@ object TpcDs extends QueryPack {
        |GROUP BY o_custkey HAVING count(*) >= 2
        |ORDER BY o_custkey""".stripMargin
 
+  /** Year-over-year growth (DS Q74/Q11 shape): yearly aggregate →
+    * lag window → growth ratio. The window runs over the AGGREGATE
+    * (|years| rows, one per year), not the fact table — the unpartitioned
+    * frame is a few rows regardless of input scale. */
+  def dsYoyGrowth(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"o_year")
+    Tables.orders(s, dir)
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice", 2).as("revenue"))
+      .withColumn("prev_revenue", lag($"revenue", 1).over(w))
+      .withColumn("yoy_growth", $"revenue" / $"prev_revenue" - 1.0)
+      .orderBy($"o_year")
+  }
+
+  val dsYoyGrowthSql: String =
+    s"""SELECT o_year, n_orders, revenue, prev_revenue,
+       |  revenue / prev_revenue - 1.0 AS yoy_growth
+       |FROM (
+       |  SELECT o_year, n_orders, revenue,
+       |    lag(revenue, 1) OVER (ORDER BY o_year) AS prev_revenue
+       |  FROM (
+       |    SELECT year(o_orderdate) AS o_year, count(*) AS n_orders,
+       |      ${dsumSql("o_totalprice", 2)} AS revenue
+       |    FROM orders GROUP BY 1))
+       |ORDER BY o_year""".stripMargin
+
+  /** Multi-band conditional counts in ONE scan (DS Q88 shape: eight
+    * independent COUNT(*) FILTER bands folded into a single aggregate
+    * instead of eight self-joined subqueries — 1 scan + 1 one-row
+    * reduction at any scale). */
+  def dsMultiBand(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def band(lo: Double, hi: Double) =
+      count(when($"l_quantity" >= lo && $"l_quantity" < hi, true))
+    Tables.lineitem(s, dir).agg(
+      band(1, 7).as("b1"), band(7, 13).as("b2"),
+      band(13, 19).as("b3"), band(19, 25).as("b4"),
+      band(25, 31).as("b5"), band(31, 37).as("b6"),
+      band(37, 43).as("b7"), band(43, 51).as("b8"))
+  }
+
+  val dsMultiBandSql: String =
+    """SELECT
+      |  count(*) FILTER (l_quantity >= 1 AND l_quantity < 7) AS b1,
+      |  count(*) FILTER (l_quantity >= 7 AND l_quantity < 13) AS b2,
+      |  count(*) FILTER (l_quantity >= 13 AND l_quantity < 19) AS b3,
+      |  count(*) FILTER (l_quantity >= 19 AND l_quantity < 25) AS b4,
+      |  count(*) FILTER (l_quantity >= 25 AND l_quantity < 31) AS b5,
+      |  count(*) FILTER (l_quantity >= 31 AND l_quantity < 37) AS b6,
+      |  count(*) FILTER (l_quantity >= 37 AND l_quantity < 43) AS b7,
+      |  count(*) FILTER (l_quantity >= 43 AND l_quantity < 51) AS b8
+      |FROM lineitem""".stripMargin
+
+  /** Cohort retention: first-order year per customer (cohort), fraction
+    * ordering again the NEXT year. Distinct (customer, year) pairs
+    * shrink the fact input first; the cohort join is key-equi on
+    * custkey — one shuffle each side, at most one match per row. */
+  def dsCohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val yrs = Tables.orders(s, dir)
+      .select($"o_custkey", year($"o_orderdate").as("y")).distinct()
+    val cohort = yrs.groupBy($"o_custkey").agg(min($"y").as("cohort_y"))
+    val next = yrs.select($"o_custkey".as("n_custkey"), $"y".as("next_y"))
+    cohort
+      .join(next, $"o_custkey" === $"n_custkey" &&
+        $"next_y" === $"cohort_y" + 1, "left")
+      .groupBy($"cohort_y")
+      .agg(count(lit(1)).as("n_cohort"), count($"next_y").as("n_retained"))
+      .withColumn("retention", $"n_retained" / $"n_cohort")
+      .orderBy($"cohort_y")
+  }
+
+  val dsCohortRetentionSql: String =
+    """SELECT cohort_y, count(*) AS n_cohort,
+      |  count(next_y) AS n_retained,
+      |  count(next_y) / count(*) AS retention
+      |FROM (
+      |  SELECT c.o_custkey, c.cohort_y, n.y AS next_y
+      |  FROM (
+      |    SELECT o_custkey, min(y) AS cohort_y
+      |    FROM (SELECT DISTINCT o_custkey, year(o_orderdate) AS y FROM orders)
+      |    GROUP BY o_custkey) c
+      |  LEFT JOIN (SELECT DISTINCT o_custkey, year(o_orderdate) AS y
+      |             FROM orders) n
+      |    ON n.o_custkey = c.o_custkey AND n.y = c.cohort_y + 1)
+      |GROUP BY cohort_y ORDER BY cohort_y""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_sales_ranking" -> dsSalesRanking,
+    "ds_yoy_growth" -> dsYoyGrowth,
+    "ds_multi_band" -> dsMultiBand,
+    "ds_cohort_retention" -> dsCohortRetention,
     "ds_channel_report" -> dsChannelReport,
     "ds_repeat_customers" -> dsRepeatCustomers,
     "ds_no_returns" -> dsNoReturns)
 
   override def oracle: Map[String, String] = Map(
     "ds_sales_ranking" -> dsSalesRankingSql,
+    "ds_yoy_growth" -> dsYoyGrowthSql,
+    "ds_multi_band" -> dsMultiBandSql,
+    "ds_cohort_retention" -> dsCohortRetentionSql,
     "ds_channel_report" -> dsChannelReportSql,
     "ds_repeat_customers" -> dsRepeatCustomersSql,
     "ds_no_returns" -> dsNoReturnsSql)

@@ -70,6 +70,49 @@ object Windows extends QueryPack {
       |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
       |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
 
+  /** Full rank-method surface (sorting.hpp:222 rank_method FIRST /
+    * AVERAGE / MIN / MAX / DENSE + rank_percentage): min = SQL rank,
+    * dense = dense_rank, first = row_number over a total order,
+    * max = min + (ties in the same value group) − 1, average =
+    * (min + max) / 2, pct = average / partition size — each derived
+    * from the same two window shuffles, no extra passes. */
+  def winRankMethods(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val part = Window.partitionBy($"o_orderstatus")
+    val ties = part.orderBy($"o_totalprice")
+    val total = part.orderBy($"o_totalprice", $"o_orderkey")
+    val sameVal = Window.partitionBy($"o_orderstatus", $"o_totalprice")
+    Tables.orders(s, dir)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        rank().over(ties).as("rank_min"),
+        (rank().over(ties) + count(lit(1)).over(sameVal) - 1).as("rank_max"),
+        dense_rank().over(ties).as("rank_dense"),
+        row_number().over(total).as("rank_first"),
+        count(lit(1)).over(part).as("__n"))
+      .withColumn("rank_avg", ($"rank_min" + $"rank_max") / 2.0)
+      .withColumn("rank_pct", $"rank_avg" / $"__n")
+      .drop("__n")
+      .orderBy($"o_orderstatus", $"o_totalprice", $"o_orderkey")
+  }
+
+  val winRankMethodsSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |  rank_min, rank_max, rank_dense, rank_first,
+      |  (rank_min + rank_max) / 2.0 AS rank_avg,
+      |  (rank_min + rank_max) / 2.0 / n_part AS rank_pct
+      |FROM (
+      |  SELECT o_orderkey, o_orderstatus, o_totalprice,
+      |    rank() OVER w AS rank_min,
+      |    rank() OVER w + count(*) OVER (PARTITION BY o_orderstatus,
+      |      o_totalprice) - 1 AS rank_max,
+      |    dense_rank() OVER w AS rank_dense,
+      |    row_number() OVER (PARTITION BY o_orderstatus
+      |      ORDER BY o_totalprice, o_orderkey) AS rank_first,
+      |    count(*) OVER (PARTITION BY o_orderstatus) AS n_part
+      |  FROM orders
+      |  WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice))
+      |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
+
   /** LEAD/LAG + grouped shift (groupby.hpp:293) over event time. */
   def winLeadLag(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -253,6 +296,7 @@ object Windows extends QueryPack {
     "win_nth_value" -> winNth,
     "win_topk" -> winTopK,
     "win_rank_family" -> winRankFamily,
+    "win_rank_methods" -> winRankMethods,
     "win_lead_lag" -> winLeadLag,
     "win_running" -> winRunning,
     "win_range_frame" -> winRangeFrame,
@@ -264,6 +308,7 @@ object Windows extends QueryPack {
     "win_nth_value" -> winNthSql,
     "win_topk" -> winTopKSql,
     "win_rank_family" -> winRankFamilySql,
+    "win_rank_methods" -> winRankMethodsSql,
     "win_lead_lag" -> winLeadLagSql,
     "win_running" -> winRunningSql,
     "win_range_frame" -> winRangeFrameSql,
