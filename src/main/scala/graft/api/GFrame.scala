@@ -111,6 +111,45 @@ final case class GFrame(df: DataFrame) {
       .withColumn(s"${valueCol}_roll_max", max(col(valueCol)).over(w)))
   }
 
+  /** Series.rank (dataframe.py rank; sorting.hpp:222 rank_method):
+    * method ∈ min | max | dense | first | average, optional pct.
+    * `by` partitions the ranking (grouped rank); empty `by` ranks the
+    * whole frame — a single-partition window, fine for post-aggregate
+    * frames, not for raw facts (use `by` there). */
+  def rank(valueCol: String, method: String = "average",
+           pct: Boolean = false, by: Seq[String] = Nil): GFrame = {
+    val part = if (by.isEmpty) Window.partitionBy()
+               else Window.partitionBy(by.map(col): _*)
+    val ties = part.orderBy(col(valueCol))
+    val sameVal = if (by.isEmpty) Window.partitionBy(col(valueCol))
+                  else Window.partitionBy((by.map(col) :+ col(valueCol)): _*)
+    val minR = org.apache.spark.sql.functions.rank().over(ties)
+    val maxR = minR + count(lit(1)).over(sameVal) - 1
+    val r: Column = method match {
+      case "min" => minR
+      case "max" => maxR
+      case "dense" => dense_rank().over(ties)
+      case "first" => row_number().over(ties)
+      case "average" => (minR + maxR) / 2.0
+      case other => throw new IllegalArgumentException(s"rank method $other")
+    }
+    val out = if (pct) r / count(lit(1)).over(part) else r
+    GFrame(df.withColumn(s"${valueCol}_rank", out))
+  }
+
+  /** qcut (equal-frequency quantile bins, k bins labeled 1..k): one
+    * exact percentile aggregate broadcast into a per-row label —
+    * no global sort (see functions/NumericFunctions.qcutBin). */
+  def qcut(valueCol: String, k: Int): GFrame = {
+    val ps = (1 until k).map(i => i.toDouble / k)
+    val cuts = df.agg(expr(
+      s"percentile($valueCol, array(${ps.mkString("D, ")}D))").as("__cuts"))
+    GFrame(df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_qbin",
+        graft.functions.NumericFunctions.qcutBin(col(valueCol), col("__cuts")))
+      .drop("__cuts"))
+  }
+
   // ---- stats / inspection ----
   def valueCounts(colName: String): GFrame =
     GFrame(df.groupBy(col(colName)).agg(count(lit(1)).as("count"))

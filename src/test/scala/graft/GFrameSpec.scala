@@ -172,4 +172,37 @@ class GFrameSpec extends AnyFunSuite {
     assert(s.getAs[org.apache.spark.sql.Row]("s_partition").getString(0) == "a")
     assert(!s.getAs[Boolean]("s_isalpha"))
   }
+
+  test("rank methods match pandas semantics on ties") {
+    // values 10, 20, 20, 30 → pandas ranks:
+    //   min: 1,2,2,4  max: 1,3,3,4  dense: 1,2,2,3  average: 1,2.5,2.5,4
+    val gf = GFrame(Seq((1, 10.0), (2, 20.0), (3, 20.0), (4, 30.0))
+      .toDF("id", "v"))
+    def ranks(m: String): Seq[Double] =
+      gf.rank("v", method = m).toDF.orderBy("id").collect()
+        .map(r => r.get(2) match {
+          case i: Int => i.toDouble
+          case l: Long => l.toDouble
+          case d: Double => d
+        }).toSeq
+    assert(ranks("min") == Seq(1, 2, 2, 4))
+    assert(ranks("max") == Seq(1, 3, 3, 4))
+    assert(ranks("dense") == Seq(1, 2, 2, 3))
+    assert(ranks("average") == Seq(1.0, 2.5, 2.5, 4.0))
+    val pct = gf.rank("v", method = "average", pct = true).toDF
+      .orderBy("id").collect().map(_.getDouble(2)).toSeq
+    assert(pct == Seq(0.25, 0.625, 0.625, 1.0))
+  }
+
+  test("qcut assigns equal-frequency bins without a global sort") {
+    val gf = GFrame((1 to 100).map(i => (i, i.toDouble)).toDF("id", "v"))
+    val binned = gf.qcut("v", 4).toDF
+    val sizes = binned.groupBy("v_qbin").count()
+      .orderBy("v_qbin").collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(sizes.toSeq == Seq((1, 25L), (2, 25L), (3, 25L), (4, 25L)))
+    // no Exchange from a single-partition ntile window: the only wide
+    // node allowed is the broadcast of the 1-row cut aggregate
+    val p = binned.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"qcut must not use a window:\n$p")
+  }
 }
