@@ -192,6 +192,10 @@ final case class GFrame(df: DataFrame) {
       df, idCol, textCol, chunkSize, overlap))
   def redactPii(textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.redactPii(df, textCol))
+  def bertEncode(idCol: String, textCol: String, vocab: Seq[String],
+      maxLen: Int): GFrame =
+    GFrame(graft.operators.TextPipeline.bertEncode(df, idCol, textCol,
+      vocab, maxLen))
   def packSequences(idCol: String, textCol: String, budgetTokens: Int,
       groups: Int = 32): GFrame =
     GFrame(graft.operators.TextPipeline.packSequences(df, idCol, textCol,

@@ -140,6 +140,38 @@ object TextPipeline {
     df.withColumn(outCol, scrubbed)
   }
 
+  /** Fused BERT-style encode: normalize → WordPiece → vocab ids →
+    * truncate to maxLen−2 → wrap in [CLS]/[SEP] → pad with [PAD] to a
+    * fixed maxLen, plus the matching attention mask — the whole
+    * model-input prep (the reference composes normalize.hpp +
+    * wordpiece_tokenize.hpp the same way) in ONE map stage. Ids are
+    * vocab positions, so "[CLS]"/"[SEP]"/"[PAD]"/"[UNK]" must appear in
+    * `vocab` exactly like a BERT vocab file. Pure per-row expressions:
+    * no shuffle, no UDF boundary beyond the tokenizer expression. */
+  def bertEncode(df: DataFrame, idCol: String, textCol: String,
+      vocab: Seq[String], maxLen: Int): DataFrame = {
+    val specials = Seq("[CLS]", "[SEP]", "[PAD]", "[UNK]")
+    val missing = specials.filterNot(vocab.contains)
+    require(missing.isEmpty, s"vocab lacks special tokens: $missing")
+    require(maxLen >= 2, "maxLen must fit [CLS] and [SEP]")
+    val Seq(cls, sep, pad, unk) = specials.map(vocab.indexOf)
+    val pieces = graft.plans.WordPieceTokenize(
+      graft.plans.CharacterNormalize(col(textCol)), vocab)
+    val body = slice(
+      graft.operators.VocabTokenize.idsFor(pieces, vocab, defaultId = unk),
+      1, maxLen - 2)
+    val ids = concat(array(lit(cls)), body, array(lit(sep)))
+    val n = size(ids)
+    df.select(col(idCol),
+        ids.as("__ids"), n.as("__n"))
+      .select(col(idCol),
+        concat(col("__ids"),
+          array_repeat(lit(pad), lit(maxLen) - col("__n"))).as("input_ids"),
+        concat(array_repeat(lit(1), col("__n")),
+          array_repeat(lit(0), lit(maxLen) - col("__n")))
+          .as("attention_mask"))
+  }
+
   /** Sequence packing: assign fixed-order documents to token-budget
     * bins — the batching step that turns a deduped corpus into training
     * sequences. Bin id = floor(tokens-before-this-doc / budget) within

@@ -501,6 +501,28 @@ object TextOps extends QueryPack {
       .limit(25)
   }
 
+  /** Fused BERT-style model-input prep (TextPipeline.bertEncode:
+    * normalize → WordPiece → ids → [CLS]/[SEP] wrap → pad + attention
+    * mask) — rows-only (custom tokenizer expression has no DuckDB
+    * analog); exactness locked by the fixture test in
+    * OperatorsMiscSpec. Arrays rendered as joined strings for the
+    * driver's pandas-based comparator. */
+  def bertEncodeQ(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]",
+      "th", "##e", "jo", "##in", "fil", "##ter", "sc", "##an", "mer", "##ge",
+      "so", "##rt", "da", "##ta", "gro", "##up", "quer", "##y", "ro", "##w",
+      "fa", "##st", "slo", "ke", "or", "##der", "ha", "##sh",
+      "a", "the", "and", "of")
+    graft.operators.TextPipeline.bertEncode(
+        Tables.documents(s, dir), "doc_id", "text", vocab, maxLen = 48)
+      .select(col("doc_id"),
+        array_join(col("input_ids").cast("array<string>"), " ")
+          .as("input_ids"),
+        array_join(col("attention_mask").cast("array<string>"), " ")
+          .as("attention_mask"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Vocabulary tokenization (nvtext/tokenize.hpp:228 tokenize_with_
     * vocabulary): corpus-derived vocabulary (distinct tokens of length
     * ≥ 3, ids by sorted order), documents mapped to id arrays via the
@@ -574,6 +596,7 @@ object TextOps extends QueryPack {
     "doc_tfidf" -> tfidfQ,
     "doc_chunks" -> chunksQ,
     "doc_wordpiece" -> wordpiece,
+    "doc_bert_encode" -> bertEncodeQ,
     "doc_dedup_exact" -> dedupExact,
     "doc_dedup_fingerprint" -> dedupFingerprint,
     "doc_dedup_normalized" -> dedupNormalized,

@@ -137,6 +137,27 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(Reshape.tile(df, 0).count() == 0)
   }
 
+  test("bertEncode produces padded ids + attention mask per fixture") {
+    import spark.implicits._
+    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]", "he", "##llo", "hi")
+    val df = Seq((1L, "Hello hi zzz"), (2L, "")).toDF("doc_id", "text")
+    val got = graft.operators.TextPipeline
+      .bertEncode(df, "doc_id", "text", vocab, maxLen = 8)
+      .orderBy("doc_id").collect()
+    // "Hello hi zzz" → he ##llo hi [UNK] → [CLS] 4 5 6 1 [SEP] + 2×[PAD]
+    assert(got(0).getSeq[Int](1) == Seq(2, 4, 5, 6, 1, 3, 0, 0))
+    assert(got(0).getSeq[Int](2) == Seq(1, 1, 1, 1, 1, 1, 0, 0))
+    // empty text → just [CLS] [SEP] + pads
+    assert(got(1).getSeq[Int](1) == Seq(2, 3, 0, 0, 0, 0, 0, 0))
+    assert(got(1).getSeq[Int](2) == Seq(1, 1, 0, 0, 0, 0, 0, 0))
+    // truncation: body clipped to maxLen−2, mask all ones
+    val tr = graft.operators.TextPipeline
+      .bertEncode(df.filter($"doc_id" === 1), "doc_id", "text", vocab, 4)
+      .head()
+    assert(tr.getSeq[Int](1) == Seq(2, 4, 5, 3))
+    assert(tr.getSeq[Int](2) == Seq(1, 1, 1, 1))
+  }
+
   test("stateful runningAgg accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
