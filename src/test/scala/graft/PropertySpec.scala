@@ -238,4 +238,47 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("rank methods: bounds, tie consistency, and average-rank identity") {
+    val gen = Gen.nonEmptyListOf(Gen.choose(0, 9).map(_.toDouble))
+    forAll(gen, n = 12) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      val gf = graft.api.GFrame(df)
+      def ranks(m: String): Map[Int, Double] =
+        gf.rank("v", method = m).toDF.collect()
+          .map(r => r.getInt(0) -> (r.get(2) match {
+            case i: Int => i.toDouble
+            case l: Long => l.toDouble
+            case d: Double => d
+          })).toMap
+      val (mn, mx, av) = (ranks("min"), ranks("max"), ranks("average"))
+      val n = vs.size
+      // average of average-ranks over the whole frame is always (n+1)/2
+      assert(math.abs(av.values.sum / n - (n + 1) / 2.0) < 1e-9)
+      vs.indices.foreach { i =>
+        assert(mn(i) >= 1 && mx(i) <= n && mn(i) <= mx(i))
+        assert(av(i) == (mn(i) + mx(i)) / 2.0)
+        // equal values share every rank flavor
+        vs.indices.foreach { j =>
+          if (vs(i) == vs(j)) assert(mn(i) == mn(j) && mx(i) == mx(j))
+        }
+      }
+    }
+  }
+
+  test("qcut: labels are monotone in value and cover 1..k") {
+    val gen = Gen.listOfN(40, Gen.choose(0, 100).map(_.toDouble))
+      .suchThat(_.nonEmpty)
+    forAll(gen, n = 10) { vs =>
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("id", "v")
+      val out = graft.api.GFrame(df).qcut("v", 4).toDF
+        .collect().map(r => (r.getDouble(1), r.getInt(2)))
+      out.foreach { case (_, b) => assert(b >= 1 && b <= 4) }
+      // label is a non-decreasing function of the value
+      val byVal = out.sortBy(_._1)
+      assert(byVal.map(_._2).toSeq == byVal.map(_._2).sorted.toSeq)
+      // equal values share a bin
+      out.groupBy(_._1).values.foreach(g => assert(g.map(_._2).distinct.size == 1))
+    }
+  }
 }
