@@ -15,8 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // SPARK_GRAFT_ONLY=<regex>: dump/compare just the matching queries
+    // (local iteration aid; the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = SparkEntry.queries.filter { case (n, _) =>
+      only.forall(_.pattern.matcher(n).matches())
+    }
     var failed = List.empty[String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -24,7 +30,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    println(s"[verify] ${SparkEntry.queries.size - failed.size} dumped, " +
+    println(s"[verify] ${selected.size - failed.size} dumped, " +
       s"${failed.size} failed${if (failed.nonEmpty) failed.mkString(": ", ", ", "") else ""}")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -39,6 +45,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => selected.contains(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

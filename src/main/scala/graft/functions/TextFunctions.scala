@@ -163,6 +163,32 @@ object TextFunctions {
   private def expr_substr_after(c: Column, sep: String): Column =
     c.substr(instr(c, sep) + sep.length, length(c))
 
+  /** Seconds (non-negative BIGINT) → "D days HH:MM:SS" duration string
+    * (strings/convert/convert_durations.hpp to_durations, %D days
+    * %H:%M:%S format); the day component is omitted when zero, matching
+    * the reference's %D day-first rendering convention. Pure built-in
+    * composition → codegen'd, oracle-expressible. */
+  def formatDuration(secs: Column): Column = {
+    val d = floor(secs / 86400).cast("long")
+    val hms = concat_ws(":",
+      lpad(floor(secs % 86400 / 3600).cast("long").cast("string"), 2, "0"),
+      lpad(floor(secs % 3600 / 60).cast("long").cast("string"), 2, "0"),
+      lpad((secs % 60).cast("long").cast("string"), 2, "0"))
+    when(d > 0, concat(d.cast("string"), lit(" days "), hms)).otherwise(hms)
+  }
+
+  /** Inverse of [[formatDuration]]: "D days HH:MM:SS" or "HH:MM:SS" →
+    * total seconds BIGINT (convert_durations.hpp from_durations). */
+  def parseDuration(s: Column): Column = {
+    val days = when(s.contains(" days "),
+      substring_index(s, " days ", 1).cast("long")).otherwise(lit(0L))
+    val hms = when(s.contains(" days "), substring_index(s, " days ", -1))
+      .otherwise(s)
+    val p = split(hms, ":")
+    days * 86400 + element_at(p, 1).cast("long") * 3600 +
+      element_at(p, 2).cast("long") * 60 + element_at(p, 3).cast("long")
+  }
+
   /** Fused tokenize → n-grams (nvtext/ngrams_tokenize.hpp:80): one call
     * from raw text to joined token n-grams. Guarded: Spark's sequence(1,
     * 0) DESCENDS, so short docs return an empty array explicitly. */

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryPack._
 
@@ -262,7 +263,91 @@ object Aggs extends QueryPack {
       |  min(l_quantity) AS lo, max(l_quantity) AS hi
       |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** SKEW / KURTOSIS (python/cudf Series.skew/kurtosis;
+    * cpp/src/reductions) from exact decimal raw-moment sums. Built-in
+    * `skewness`/`kurtosis` are not oracle-comparable (DuckDB applies
+    * sample-correction factors, Spark population formulas; both fold
+    * doubles in partial-agg order) — deriving from exact sums with the
+    * formula text written identically in both engines gives
+    * bit-identical doubles, the same technique as [[aggStats]].
+    * pow() is avoided (libm-divergent): x^1.5 is m2 * sqrt(m2). */
+  def aggSkewKurt(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum($"l_quantity", 2).as("sx"),
+        dsum($"l_quantity" * $"l_quantity", 2).as("sxx"),
+        dsum($"l_quantity" * $"l_quantity" * $"l_quantity", 2).as("sxxx"),
+        dsum($"l_quantity" * $"l_quantity" * $"l_quantity" * $"l_quantity", 2)
+          .as("sxxxx"))
+    val mean = $"sx" / $"n"
+    val m2 = $"sxx" / $"n" - mean * mean
+    val m3 = $"sxxx" / $"n" - lit(3.0) * mean * ($"sxx" / $"n") +
+      lit(2.0) * mean * mean * mean
+    val m4 = $"sxxxx" / $"n" - lit(4.0) * mean * ($"sxxx" / $"n") +
+      lit(6.0) * mean * mean * ($"sxx" / $"n") -
+      lit(3.0) * mean * mean * mean * mean
+    m.select($"l_returnflag", $"n",
+        (m3 / (m2 * sqrt(m2))).as("skew_pop"),
+        (m4 / (m2 * m2) - lit(3.0)).as("kurt_excess"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggSkewKurtSql: String = {
+    val sub =
+      s"""SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+         |  ${dsumSql("l_quantity", 2)} AS sx,
+         |  ${dsumSql("l_quantity * l_quantity", 2)} AS sxx,
+         |  ${dsumSql("l_quantity * l_quantity * l_quantity", 2)} AS sxxx,
+         |  ${dsumSql("l_quantity * l_quantity * l_quantity * l_quantity", 2)} AS sxxxx
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+    // formula text mirrors the Column expressions exactly (same
+    // association order) so IEEE evaluation is step-identical
+    s"""SELECT l_returnflag, n,
+       |  ((sxxx / n - 3.0 * (sx / n) * (sxx / n)
+       |      + 2.0 * (sx / n) * (sx / n) * (sx / n))
+       |    / ((sxx / n - (sx / n) * (sx / n))
+       |       * sqrt(sxx / n - (sx / n) * (sx / n)))) AS skew_pop,
+       |  ((sxxxx / n - 4.0 * (sx / n) * (sxxx / n)
+       |      + 6.0 * (sx / n) * (sx / n) * (sxx / n)
+       |      - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
+       |    / ((sxx / n - (sx / n) * (sx / n))
+       |       * (sxx / n - (sx / n) * (sx / n))) - 3.0) AS kurt_excess
+       |FROM ($sub) ORDER BY l_returnflag""".stripMargin
+  }
+
+  /** MODE (python/cudf Series.mode) with deterministic tie-break
+    * (smallest value wins): count per (group, value), then one
+    * row_number window — two group-keyed shuffles, no global sort.
+    * DuckDB's mode() breaks ties by first-seen order (engine-specific),
+    * so both engines run the explicit count+rank formulation. */
+  def aggMode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val counts = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_quantity")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy($"l_returnflag")
+      .orderBy($"cnt".desc, $"l_quantity")
+    counts.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"l_returnflag", $"l_quantity".as("mode_val"),
+        $"cnt".as("mode_n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggModeSql: String =
+    """SELECT l_returnflag, l_quantity AS mode_val, cnt AS mode_n
+      |FROM (
+      |  SELECT l_returnflag, l_quantity, cnt,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY cnt DESC, l_quantity) AS rn
+      |  FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt
+      |        FROM lineitem GROUP BY 1, 2))
+      |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_skew_kurt" -> aggSkewKurt,
+    "agg_mode" -> aggMode,
     "agg_basic" -> aggBasic,
     "agg_distinct" -> aggDistinct,
     "agg_argminmax" -> aggArgMinMax,
@@ -276,6 +361,8 @@ object Aggs extends QueryPack {
     "agg_histogram" -> aggHistogram)
 
   override def oracle: Map[String, String] = Map(
+    "agg_skew_kurt" -> aggSkewKurtSql,
+    "agg_mode" -> aggModeSql,
     "agg_basic" -> aggBasicSql,
     "agg_distinct" -> aggDistinctSql,
     "agg_argminmax" -> aggArgMinMaxSql,

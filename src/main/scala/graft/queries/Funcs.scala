@@ -380,7 +380,50 @@ object Funcs extends QueryPack {
          |      FROM part)
          |ORDER BY p_partkey""".stripMargin
 
+  /** Duration ↔ string conversions (strings/convert/convert_durations
+    * .hpp to_durations/from_durations, "%D days %H:%M:%S"): synthetic
+    * second counts spanning both the bare-HMS and day-component forms,
+    * formatted then parsed back (round-trip equality is part of the
+    * hash check). All built-ins → one codegen'd map stage. */
+  def strDurations(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions._
+    val dur = ($"event_id" * 7919 % 200000).cast("long")
+    Tables.events(s, dir).select($"event_id", dur.as("dur_sec"),
+        formatDuration(dur).as("dur_str"),
+        parseDuration(formatDuration(dur)).as("rt_sec"))
+      .orderBy($"event_id")
+  }
+
+  val strDurationsSql: String = {
+    // same arithmetic text as formatDuration/parseDuration; DuckDB's
+    // split_part stands in for Spark's substring_index (same results)
+    val sec = "((event_id * 7919) % 200000)"
+    val hms = s"lpad(CAST(CAST(floor($sec % 86400 / 3600) AS BIGINT) AS VARCHAR), 2, '0')" +
+      s" || ':' || lpad(CAST(CAST(floor($sec % 3600 / 60) AS BIGINT) AS VARCHAR), 2, '0')" +
+      s" || ':' || lpad(CAST(($sec % 60) AS VARCHAR), 2, '0')"
+    val dstr = s"CASE WHEN CAST(floor($sec / 86400) AS BIGINT) > 0 " +
+      s"THEN CAST(CAST(floor($sec / 86400) AS BIGINT) AS VARCHAR) || ' days ' || $hms " +
+      s"ELSE $hms END"
+    s"""SELECT event_id, CAST($sec AS BIGINT) AS dur_sec, dur_str,
+       |  (CASE WHEN contains(dur_str, ' days ')
+       |        THEN CAST(split_part(dur_str, ' days ', 1) AS BIGINT) ELSE 0 END)
+       |    * 86400
+       |  + CAST(split_part(CASE WHEN contains(dur_str, ' days ')
+       |      THEN split_part(dur_str, ' days ', 2) ELSE dur_str END,
+       |      ':', 1) AS BIGINT) * 3600
+       |  + CAST(split_part(CASE WHEN contains(dur_str, ' days ')
+       |      THEN split_part(dur_str, ' days ', 2) ELSE dur_str END,
+       |      ':', 2) AS BIGINT) * 60
+       |  + CAST(split_part(CASE WHEN contains(dur_str, ' days ')
+       |      THEN split_part(dur_str, ' days ', 2) ELSE dur_str END,
+       |      ':', 3) AS BIGINT) AS rt_sec
+       |FROM (SELECT event_id, $dstr AS dur_str FROM events)
+       |ORDER BY event_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_durations" -> strDurations,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
     "dt_calendar" -> dtCalendar,
@@ -399,6 +442,7 @@ object Funcs extends QueryPack {
     "json_funcs" -> jsonFuncs)
 
   override def oracle: Map[String, String] = Map(
+    "str_durations" -> strDurationsSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,
     "dt_calendar" -> dtCalendarSql,

@@ -243,7 +243,98 @@ object TpcDs extends QueryPack {
       |    ON n.o_custkey = c.o_custkey AND n.y = c.cohort_y + 1)
       |GROUP BY cohort_y ORDER BY cohort_y""".stripMargin
 
+  /** Rollup ranking (DS Q67 shape): revenue at (type, brand), per-type
+    * subtotal, and grand total in ONE rollup pass, then top-3 brands
+    * ranked inside each type at the detail level. The rollup is a
+    * single shuffle on the grouping-set keys; the rank window runs over
+    * the AGGREGATE (|types|×|brands| rows), never the fact table.
+    * Levels are derived with CASE on the rollup NULLs (p_type/p_brand
+    * are non-null by schema) — portable where engine GROUPING() output
+    * conventions are not. */
+  def dsRollupRanking(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rolled = Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .rollup($"p_type", $"p_brand")
+      .agg(dsum($"l_extendedprice", 2).as("revenue"))
+      .withColumn("lvl",
+        when($"p_type".isNull, 2).when($"p_brand".isNull, 1).otherwise(0))
+    val w = Window.partitionBy($"lvl", $"p_type")
+      .orderBy($"revenue".desc, $"p_brand")
+    rolled.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"lvl", $"p_type", $"p_brand", $"revenue", $"rk")
+      .orderBy($"lvl", asc_nulls_first("p_type"), $"rk")
+  }
+
+  val dsRollupRankingSql: String =
+    s"""SELECT lvl, p_type, p_brand, revenue, rk
+       |FROM (
+       |  SELECT lvl, p_type, p_brand, revenue,
+       |    row_number() OVER (PARTITION BY lvl, p_type
+       |      ORDER BY revenue DESC, p_brand) AS rk
+       |  FROM (
+       |    SELECT CASE WHEN p_type IS NULL THEN 2
+       |                WHEN p_brand IS NULL THEN 1 ELSE 0 END AS lvl,
+       |      p_type, p_brand,
+       |      ${dsumSql("l_extendedprice", 2)} AS revenue
+       |    FROM lineitem JOIN part ON l_partkey = p_partkey
+       |    GROUP BY ROLLUP (p_type, p_brand)))
+       |WHERE rk <= 3
+       |ORDER BY lvl, p_type ASC NULLS FIRST, rk""".stripMargin
+
+  /** Cumulative-series comparison (DS Q51 shape): monthly revenue of
+    * two channels aggregated in one scan (conditional sums), running
+    * cumulative per channel via a window over the |months|-row
+    * aggregate, months where the express channel's cumulative revenue
+    * outruns 0.6x standard's. Cumsums go through decimal so the window
+    * fold is order-exact. */
+  def dsCumulativeCompare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("mo"))
+      .agg(
+        dsum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"),
+          $"o_totalprice").otherwise(lit(0.0)), 2).as("express_rev"),
+        dsum(when(!$"o_orderpriority".isin("1-URGENT", "2-HIGH"),
+          $"o_totalprice").otherwise(lit(0.0)), 2).as("standard_rev"))
+    val w = Window.orderBy($"mo")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly
+      .withColumn("cum_express",
+        sum($"express_rev".cast(DecimalType(28, 6))).over(w).cast("double"))
+      .withColumn("cum_standard",
+        sum($"standard_rev".cast(DecimalType(28, 6))).over(w).cast("double"))
+      .filter($"cum_express" > $"cum_standard" * 0.6)
+      .select($"mo", $"cum_express", $"cum_standard",
+        ($"cum_express" - $"cum_standard").as("lead_amt"))
+      .orderBy($"mo")
+  }
+
+  val dsCumulativeCompareSql: String =
+    s"""SELECT mo, cum_express, cum_standard,
+       |  cum_express - cum_standard AS lead_amt
+       |FROM (
+       |  SELECT mo,
+       |    CAST(sum(CAST(express_rev AS DECIMAL(28,6)))
+       |      OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS DOUBLE) AS cum_express,
+       |    CAST(sum(CAST(standard_rev AS DECIMAL(28,6)))
+       |      OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS DOUBLE) AS cum_standard
+       |  FROM (
+       |    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
+       |      ${dsumSql("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +
+                "THEN o_totalprice ELSE 0.0 END", 2)} AS express_rev,
+       |      ${dsumSql("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') " +
+                "THEN o_totalprice ELSE 0.0 END", 2)} AS standard_rev
+       |    FROM orders GROUP BY 1))
+       |WHERE cum_express > cum_standard * 0.6
+       |ORDER BY mo""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_rollup_ranking" -> dsRollupRanking,
+    "ds_cumulative_compare" -> dsCumulativeCompare,
     "ds_sales_ranking" -> dsSalesRanking,
     "ds_yoy_growth" -> dsYoyGrowth,
     "ds_multi_band" -> dsMultiBand,
@@ -253,6 +344,8 @@ object TpcDs extends QueryPack {
     "ds_no_returns" -> dsNoReturns)
 
   override def oracle: Map[String, String] = Map(
+    "ds_rollup_ranking" -> dsRollupRankingSql,
+    "ds_cumulative_compare" -> dsCumulativeCompareSql,
     "ds_sales_ranking" -> dsSalesRankingSql,
     "ds_yoy_growth" -> dsYoyGrowthSql,
     "ds_multi_band" -> dsMultiBandSql,
