@@ -27,6 +27,21 @@ object Bench {
     // query doesn't absorb cold-start (classloading, Janino, shuffle init).
     try SparkEntry.entry(spark).count()
     catch { case _: Throwable => () }
+    // Warm the bench-SF tables themselves: the first query to touch a
+    // large parquet column (documents.text ≈ the whole table) otherwise
+    // absorbs its cold read — measured 6.5 s cold vs 0.67 s warm for the
+    // same query at sf0.1 — and the per-query numbers stop reflecting
+    // plan cost. A full-column count per table is steady-state priming,
+    // not work the timed queries skip.
+    import org.apache.spark.sql.functions.{col, length, size}
+    def warm(f: => Long): Unit = try { f; () } catch { case _: Throwable => () }
+    warm(spark.read.parquet(s"$sfDir/lineitem.parquet").count())
+    warm(spark.read.parquet(s"$sfDir/orders.parquet").count())
+    warm(spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(length(col("text")).as("n")).filter(col("n") >= 0).count())
+    warm(spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(size(col("embedding")).as("d")).filter(col("d") >= 0).count())
+    warm(spark.read.parquet(s"$sfDir/events.parquet").count())
 
     // SPARK_GRAFT_ONLY=<regex>: time just the matching queries (local
     // iteration aid; the driver never sets it).
