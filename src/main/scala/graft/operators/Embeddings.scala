@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.plans.GraftExpressions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector transforms (north star: similarity search and
+  * storage at 100 TB). Everything here is a pure per-row map stage —
+  * zero shuffle, codegen kernels (plans/ArrayOps) for the element
+  * loops — so cost is linear in corpus vectors and the operators
+  * compose freely with Similarity.* and the dedup layer.
+  *
+  * Determinism: all math is element-ordered double arithmetic (floats
+  * widened before any multiply/accumulate), the same contract as
+  * Similarity — results are bit-identical across runs, partitionings,
+  * and engines (the embed_normalize/quantize/project queries are
+  * DuckDB-oracle-checked).
+  */
+object Embeddings {
+
+  /** L2-normalize a vector to unit length: `v * (1 / ||v||)`. The norm
+    * is a scalar child of the codegen'd ArrayScale, evaluated once per
+    * row — a `transform(v, x -> x / norm)` lambda would get the norm
+    * expression inlined into its body by projection collapse and
+    * re-evaluated per ELEMENT (O(d²) per row). Zero vectors pass
+    * through unchanged (scale 1) instead of dividing by zero. */
+  def l2Normalize(vec: Column): Column = {
+    val n = Similarity.l2norm(vec)
+    GraftExpressions.arrayScale(vec,
+      when(n === 0.0, lit(1.0)).otherwise(lit(1.0) / n))
+  }
+
+  /** Per-vector uint8 scalar quantization — the standard 4× storage
+    * shrink for embedding columns. Appends `lo` (vector min), `scale`
+    * ((max−min)/255), and `q` (array<int> of 0..255 codes); constant
+    * vectors quantize to all zeros with scale 0. Reconstruction error
+    * is bounded by `scale` per element ([[dequantizeU8]] adds the
+    * half-step back). */
+  def quantizeU8(df: DataFrame, vecCol: String, qCol: String = "q",
+      loCol: String = "lo", scaleCol: String = "scale"): DataFrame =
+    df.withColumn(loCol, array_min(col(vecCol)).cast("double"))
+      .withColumn(scaleCol,
+        (array_max(col(vecCol)).cast("double") - col(loCol)) / lit(255.0))
+      .withColumn(qCol,
+        GraftExpressions.arrayQuantizeU8(col(vecCol), col(loCol), col(scaleCol)))
+
+  /** Inverse of [[quantizeU8]]: `lo + (q + 0.5) * scale` — the bucket
+    * midpoint, so |x − dequantize(quantize(x))| ≤ scale/2 (= (max−min)/510
+    * per element). */
+  def dequantizeU8(q: Column, lo: Column, scale: Column): Column =
+    transform(q, x => lo + (x.cast("double") + lit(0.5)) * scale)
+
+  /** ±1 sign matrix for [[randomProject]]: `outDim` rows of `inDim`
+    * signs, row j element i from md5("seed|j|i") (first hex nibble < 8
+    * → +1). Public, deterministic, engine-portable — the DuckDB oracle
+    * embeds the identical literals, and any re-run or other system
+    * reproduces the same projection. */
+  def signMatrix(inDim: Int, outDim: Int, seed: String): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(outDim) { j =>
+      Seq.tabulate(inDim) { i =>
+        val h = md.digest(s"$seed|$j|$i".getBytes("UTF-8"))
+        if ((h(0) & 0x80) == 0) 1.0 else -1.0
+      }
+    }
+  }
+
+  /** Random projection to `outDim` dimensions (sparse sign-matrix
+    * Johnson–Lindenstrauss): `out_j = dot(v, signs_j) / sqrt(outDim)`.
+    * The sign rows are plan literals (the "model" is outDim×inDim signs,
+    * driver-sized by definition — same stance as Similarity's LSH
+    * hyperplanes), each output dim one codegen'd DotProduct. Distances
+    * are preserved in expectation; use before clustering/ANN when the
+    * input dim is large. */
+  def randomProject(vec: Column, inDim: Int, outDim: Int,
+      seed: String = "graft"): Column = {
+    require(outDim > 0 && inDim > 0, "dims must be positive")
+    val signs = signMatrix(inDim, outDim, seed)
+    val inv = lit(1.0 / math.sqrt(outDim.toDouble))
+    array(signs.map(row =>
+      Similarity.dot(vec, typedlit(row)) * inv): _*)
+  }
+}

@@ -220,6 +220,43 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** SemDeDup-style semantic near-dup pairs: k-means cells as the
+    * candidate blocks (vs [[cosineNearDupPairs]]'s LSH tables). Train
+    * `nCells` centroids, assign every vector to its nearest cell, pair
+    * only WITHIN a cell, verify with exact cosine — precision 1.0 by
+    * construction; recall misses only pairs split across a cell
+    * boundary (the published SemDeDup tradeoff; more cells = cheaper
+    * pairing, more boundary misses).
+    *
+    * 100 TB shape: assignment is a broadcast map stage (centroids are
+    * the model, k×dim doubles); the pair join shuffles on cell id, so
+    * cost ∝ Σ|cell|², never corpus² — and cell sizes are balanced by
+    * the k-means objective rather than by hash luck. */
+  def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int, iters: Int = 2): DataFrame = {
+    val centroids = kmeansCentroids(df, nCells, iters, idCol, vecCol)
+    val assignW = Window.partitionBy(col("id"))
+      .orderBy(col("c_sim").desc, col("cell_id"))
+    val assigned = df
+      .select(col(idCol).as("id"), col(vecCol).as("vec"),
+        l2norm(col(vecCol)).as("norm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("c_sim", cosine(col("vec"), col("c_vec")))
+      .withColumn("c_rank", row_number().over(assignW))
+      .filter(col("c_rank") === 1)
+      .select(col("cell_id"), col("id"), col("vec"), col("norm"))
+      // one canonical exchange on the cell id: both self-join sides
+      // reuse it (ReuseExchange), so the assignment subtree — broadcast
+      // cross join + window — runs once, not twice
+      .repartition(col("cell_id"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.id") < col("b.id"))
+      .withColumn("sim",
+        dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
+      .filter(col("sim") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+  }
+
   /** Embedding-cosine near-dup pairs at scale: multi-table sign-LSH
     * candidates (a pair is a candidate if ANY of `tables` independent
     * `bits`-bit hashes collide — OR-amplification lifts recall, e.g.

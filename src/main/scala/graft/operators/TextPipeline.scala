@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions.tokens
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -115,6 +115,81 @@ object TextPipeline {
         when(col("total_ngrams") > 0,
           col("top_cnt").cast("double") / col("total_ngrams").cast("double"))
           .otherwise(lit(0.0)))
+  }
+
+  /** Per-position bigram structs of a token array, empty for docs with
+    * < 2 tokens (sequence(1, 0) would be the DESCENDING [1, 0] — same
+    * guard as repetitionStats). */
+  private def bigrams(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** CCNet-style n-gram language-model quality score: train an add-k
+    * smoothed bigram model on `ref`, score every `df` document by its
+    * mean per-bigram probability `(c(w1,w2)+k) / (c(w1)+k·V)` plus its
+    * out-of-vocabulary token rate. Low score / high OOV = text unlike
+    * the reference corpus — the standard perplexity-bucket filter for
+    * training-data curation, with counts instead of a neural LM.
+    *
+    * `logProb = false` (default) keeps the score as the mean
+    * probability — rational arithmetic end-to-end, decimal-exact
+    * summation, so the result is engine-portable and DuckDB-oracle-
+    * checkable. `true` scores mean ln p (the conventional log form;
+    * libm ln is excluded from oracles by policy, unit-tested instead).
+    *
+    * Scale shape: model training is two token-keyed groupBys over the
+    * reference (vocabulary-bounded output); scoring joins the doc
+    * bigram stream against the model tables (AQE broadcasts them when
+    * the vocab is small) and regroups per doc. No driver-side model
+    * materialization — the "model" stays a DataFrame pair, so a 100 TB
+    * reference corpus trains with the same plan. */
+  def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, k: Double = 1.0,
+      logProb: Boolean = false): DataFrame = {
+    require(k > 0, "add-k smoothing needs k > 0")
+    val refToks = ref.select(explode(tokens(col(refTextCol))).as("w1"))
+    val uni = refToks.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v_size"))
+    val refBig = ref
+      .select(explode(bigrams(tokens(col(refTextCol)))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c2"))
+    val docBig = df
+      .select(col(idCol), explode(bigrams(tokens(col(textCol)))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val p = (coalesce(col("c2"), lit(0L)) + lit(k)) /
+      (coalesce(col("c1"), lit(0L)) + lit(k) * col("v_size"))
+    val scored = docBig
+      .join(refBig, Seq("w1", "w2"), "left")
+      .join(uni, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        // decimal-exact sum → mean: partial-agg order can't perturb the
+        // double result (same contract as QueryPack.dsum)
+        (sum((if (logProb) log(p) else p)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double") / count(lit(1)).cast("double")).as("lm_score"))
+    val oov = df
+      .select(col(idCol), explode(tokens(col(textCol))).as("w1"))
+      .join(uni, Seq("w1"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_oov"))
+    df.select(col(idCol))
+      .join(oov, Seq(idCol), "left")
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .otherwise(lit(0.0)).as("oov_rate"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("lm_score"))
   }
 
   /** PII patterns scrubbed by [[redactPii]], applied in this order.

@@ -358,6 +358,10 @@ object GraftExpressions {
   def porterStem(c: Column): Column = column(PorterStem(expression(c)))
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def arrayScale(a: Column, s: Column): Column =
+    column(ArrayScale(expression(a), expression(s)))
+  def arrayQuantizeU8(a: Column, lo: Column, scale: Column): Column =
+    column(ArrayQuantizeU8(expression(a), expression(lo), expression(scale)))
   /** EWMA is order-dependent, so it is only sound as a running window
     * function (frames evaluate sequentially; partial-agg merge would be
     * wrong) — the WindowSpec is therefore part of the signature. */

@@ -131,6 +131,59 @@ object CurationPack extends QueryPack {
        |  GROUP BY doc_id) g USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // -- n-gram LM quality score ---------------------------------------------
+
+  /** CCNet-style bigram-LM quality score: model trained on the first
+    * half of the corpus (doc_id < 250·SF-scaled is deliberately a fixed
+    * id cut so OOV and unseen-bigram paths are exercised), every doc
+    * scored by mean smoothed bigram probability + OOV rate. Rational-
+    * arithmetic mode → fully oracle-checkable. */
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    TextPipeline.ngramLmScore(
+        Tables.documents(s, dir), "doc_id", "text",
+        ref = Tables.documents(s, dir).filter(col("doc_id") < 250),
+        refTextCol = "text", k = 1.0)
+      .orderBy(col("doc_id"))
+
+  val lmScoreSql: String = {
+    val bigramsOf = (rel: String) =>
+      s"""SELECT doc_id, u.w1 AS w1, u.w2 AS w2 FROM (
+         |  SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len(t) - 1, 0)),
+         |    i -> {'w1': t[i], 'w2': t[i+1]})) AS u FROM $rel) z""".stripMargin
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |reft AS (SELECT doc_id, t FROM toks WHERE doc_id < 250),
+       |uni AS (SELECT w1, count(*) AS c1 FROM
+       |  (SELECT unnest(t) AS w1 FROM reft) z GROUP BY w1),
+       |vsz AS (SELECT count(*) AS v_size FROM uni),
+       |big AS (SELECT w1, w2, count(*) AS c2 FROM (
+       |  ${bigramsOf("reft")}) rb GROUP BY w1, w2),
+       |docbg AS (${bigramsOf("toks")}),
+       |bg AS (SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(CAST(((coalesce(c2, 0) + 1.0) /
+       |      (coalesce(c1, 0) + 1.0 * v_size)) AS DECIMAL(18,12)))
+       |      AS DOUBLE) / CAST(count(*) AS DOUBLE) AS lm_score
+       |  FROM docbg LEFT JOIN big USING (w1, w2)
+       |    LEFT JOIN uni USING (w1) CROSS JOIN vsz
+       |  GROUP BY doc_id),
+       |un AS (SELECT doc_id, count(*) AS n_tokens,
+       |    sum(CASE WHEN c1 IS NULL THEN 1 ELSE 0 END) AS n_oov
+       |  FROM (SELECT doc_id, unnest(t) AS w1 FROM toks) z
+       |    LEFT JOIN uni USING (w1)
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(un.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(coalesce(un.n_oov, 0) AS BIGINT) AS n_oov,
+       |  CASE WHEN coalesce(un.n_tokens, 0) > 0
+       |    THEN CAST(un.n_oov AS DOUBLE) / CAST(un.n_tokens AS DOUBLE)
+       |    ELSE 0.0 END AS oov_rate,
+       |  CAST(coalesce(bg.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       |  bg.lm_score AS lm_score
+       |FROM documents d LEFT JOIN un USING (doc_id)
+       |  LEFT JOIN bg USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   // -- deterministic global shuffle ----------------------------------------
 
   def shuffle(s: SparkSession, dir: String): DataFrame =
@@ -148,7 +201,8 @@ object CurationPack extends QueryPack {
     "corpus_mixture" -> mixture,
     "corpus_survivors" -> survivors,
     "corpus_shuffle" -> shuffle,
-    "doc_repetition" -> repetition)
+    "doc_repetition" -> repetition,
+    "doc_lm_score" -> lmScore)
 
   override def oracle: Map[String, String] = Map(
     "corpus_split" -> splitSql,
@@ -156,5 +210,6 @@ object CurationPack extends QueryPack {
     "corpus_mixture" -> mixtureSql,
     "corpus_survivors" -> survivorsSql,
     "corpus_shuffle" -> shuffleSql,
-    "doc_repetition" -> repetitionSql)
+    "doc_repetition" -> repetitionSql,
+    "doc_lm_score" -> lmScoreSql)
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Dedup, Embeddings, Multimodal, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -468,6 +468,91 @@ object TextOps extends QueryPack {
         bits = 4, tables = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** DuckDB double-space dot product of two list expressions — the
+    * sequential-fold form that matches graft.plans.DotProduct bit for
+    * bit (same pattern as embedKnnSql). */
+  private def dpSql(a: String, b: String): String =
+    s"list_aggregate(list_transform(list_zip($a, $b), " +
+      s"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+
+  /** L2-normalized unit vectors + norms (north star: embedding
+    * preprocessing). Pure codegen map stage (plans/ArrayScale), zero
+    * shuffle; oracle-checked because both engines fold the same
+    * element-ordered double arithmetic. */
+  def embedNormalize(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        Similarity.l2norm(col("embedding")).as("norm"),
+        Embeddings.l2Normalize(col("embedding")).as("unit"))
+      .orderBy(col("vec_id"))
+
+  val embedNormalizeSql: String =
+    s"""SELECT vec_id, sqrt(dnn) AS norm,
+       |  list_transform(embedding,
+       |    x -> CAST(x AS DOUBLE) * (1.0 / sqrt(dnn))) AS unit
+       |FROM (SELECT vec_id, embedding,
+       |        ${dpSql("embedding", "embedding")} AS dnn
+       |      FROM embeddings)
+       |ORDER BY vec_id""".stripMargin
+
+  /** Per-vector uint8 scalar quantization (north star: 4× embedding
+    * storage shrink). Codegen kernel (plans/ArrayQuantizeU8), zero
+    * shuffle; floor/clamp arithmetic is IEEE-exact so the codes are
+    * oracle-checkable. */
+  def embedQuantize(s: SparkSession, dir: String): DataFrame =
+    Embeddings.quantizeU8(Tables.embeddings(s, dir), "embedding",
+        scaleCol = "qscale")
+      .select(col("vec_id"), col("lo"), col("qscale"), col("q"))
+      .orderBy(col("vec_id"))
+
+  val embedQuantizeSql: String =
+    """SELECT vec_id, lo, qscale,
+      |  CASE WHEN qscale = 0 THEN list_transform(embedding, x -> 0)
+      |    ELSE list_transform(embedding, x -> CAST(least(greatest(
+      |      floor((CAST(x AS DOUBLE) - lo) / qscale), 0), 255) AS INT))
+      |  END AS q
+      |FROM (SELECT vec_id, embedding,
+      |        CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
+      |        (CAST(list_aggregate(embedding, 'max') AS DOUBLE) -
+      |         CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0
+      |          AS qscale
+      |      FROM embeddings)
+      |ORDER BY vec_id""".stripMargin
+
+  /** Sign-matrix random projection 64 → 16 dims (Johnson–Lindenstrauss
+    * dimensionality reduction before clustering/ANN). The md5-derived
+    * sign matrix is a plan literal on the Spark side and the IDENTICAL
+    * literal list in the oracle SQL — the projection is engine-portable
+    * by construction. */
+  def embedProject(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"),
+        Embeddings.randomProject(col("embedding"), inDim = 64, outDim = 16,
+          seed = "graft").as("proj"))
+      .orderBy(col("vec_id"))
+
+  val embedProjectSql: String = {
+    val dims = Embeddings.signMatrix(inDim = 64, outDim = 16, seed = "graft")
+      .map { row =>
+        val signs = row.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ",", "]")
+        s"${dpSql("embedding", signs)} * 0.25"
+      }
+    s"""SELECT vec_id,
+       |  [${dims.mkString(",\n   ")}] AS proj
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  /** SemDeDup-style semantic near-dup pairs: k-means cells as candidate
+    * blocks + exact-cosine verify — rows-only (k-means seeds are
+    * xxhash64-derived; no SQL analog), recall vs the exact all-pairs
+    * oracle covered in OperatorsSpec. Same 0.4 threshold rationale as
+    * embed_neardup. */
+  def embedSemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", threshold = 0.4, nCells = 8, iters = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
   /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;
     * north star "BPE-ish regex" token counting). */
   def bpeTokens(s: SparkSession, dir: String): DataFrame =
@@ -619,7 +704,11 @@ object TextOps extends QueryPack {
     "embed_knn_lsh" -> embedKnnLsh,
     "embed_knn_ivf" -> embedKnnIvf,
     "embed_neardup" -> embedNearDup,
-    "embed_neardup_lsh" -> embedNearDupLsh)
+    "embed_neardup_lsh" -> embedNearDupLsh,
+    "embed_normalize" -> embedNormalize,
+    "embed_quantize" -> embedQuantize,
+    "embed_project" -> embedProject,
+    "embed_semdedup" -> embedSemDedup)
 
   override def oracle: Map[String, String] = Map(
     "doc_bpe_tokens" -> bpeTokensSql,
@@ -640,5 +729,8 @@ object TextOps extends QueryPack {
     "doc_pack_bins" -> packBinsSql,
     "doc_multimodal" -> multimodalSql,
     "embed_knn" -> embedKnnSql,
-    "embed_neardup" -> embedNearDupSql)
+    "embed_neardup" -> embedNearDupSql,
+    "embed_normalize" -> embedNormalizeSql,
+    "embed_quantize" -> embedQuantizeSql,
+    "embed_project" -> embedProjectSql)
 }

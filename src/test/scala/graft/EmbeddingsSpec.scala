@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Embeddings, Similarity, TextPipeline}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class EmbeddingsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (0L, Array(3.0f, 4.0f, 0.0f)),
+    (1L, Array(0.0f, 0.0f, 0.0f)),     // zero vector
+    (2L, Array(-1.0f, 2.0f, -2.0f)),
+    (3L, Array(5.0f, 5.0f, 5.0f))      // constant vector
+  ).toDF("vec_id", "embedding")
+
+  test("l2Normalize yields unit vectors; zero vector passes through") {
+    val got = vecs
+      .select($"vec_id", Embeddings.l2Normalize($"embedding").as("u"))
+      .withColumn("n", Similarity.l2norm($"u"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Double](1), r.getDouble(2)))
+      .toMap
+    assert(math.abs(got(0L)._2 - 1.0) < 1e-12)
+    // x * (1/norm), not x / norm — one ulp apart on some elements
+    got(0L)._1.zip(Seq(0.6, 0.8, 0.0)).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-15)
+    }
+    assert(got(1L)._1 == Seq(0.0, 0.0, 0.0)) // not NaN
+    assert(math.abs(got(2L)._2 - 1.0) < 1e-12)
+  }
+
+  test("quantizeU8 codes are 0..255; dequantize error <= scale/2; constant vec -> zeros") {
+    val q = Embeddings.quantizeU8(vecs, "embedding")
+      .withColumn("back", Embeddings.dequantizeU8($"q", $"lo", $"scale"))
+    val rows = q.select($"vec_id", $"embedding", $"q", $"back", $"scale")
+      .collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](1).map(_.toDouble)
+      val codes = r.getSeq[Int](2)
+      val back = r.getSeq[Double](3)
+      val scale = r.getDouble(4)
+      assert(codes.forall(c => c >= 0 && c <= 255))
+      orig.zip(back).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= scale / 2 + 1e-12,
+          s"vec ${r.getLong(0)}: $x vs $y at scale $scale")
+      }
+    }
+    val const = rows.find(_.getLong(0) == 3L).get
+    assert(const.getSeq[Int](2).forall(_ == 0))
+    assert(const.getDouble(4) == 0.0)
+  }
+
+  test("quantizeU8 maps min->0 and max->255") {
+    val r = Embeddings.quantizeU8(
+        Seq((0L, Array(1.0f, 3.0f, 2.0f))).toDF("vec_id", "embedding"),
+        "embedding")
+      .select($"q").head.getSeq[Int](0)
+    assert(r == Seq(0, 255, 127))
+  }
+
+  test("randomProject is deterministic, seed-sensitive, and linear") {
+    val a = Array.tabulate(8)(i => (i + 1).toFloat)
+    val df = Seq((0L, a), (1L, a.map(_ * 2))).toDF("vec_id", "embedding")
+    val p = df.select($"vec_id",
+        Embeddings.randomProject($"embedding", 8, 4, "s1").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // same input, same seed -> identical on re-evaluation
+    val p2 = df.filter($"vec_id" === 0)
+      .select(Embeddings.randomProject($"embedding", 8, 4, "s1"))
+      .head.getSeq[Double](0)
+    assert(p(0L) == p2)
+    // projection is linear: P(2v) = 2 P(v) exactly (doubling is exact in fp)
+    assert(p(1L) == p(0L).map(_ * 2))
+    // a different seed gives a different matrix
+    val other = df.filter($"vec_id" === 0)
+      .select(Embeddings.randomProject($"embedding", 8, 4, "s2"))
+      .head.getSeq[Double](0)
+    assert(other != p(0L))
+    // sign matrix is ±1 only, correct shape
+    val m = Embeddings.signMatrix(8, 4, "s1")
+    assert(m.size == 4 && m.forall(_.size == 8))
+    assert(m.flatten.forall(v => v == 1.0 || v == -1.0))
+  }
+
+  test("semanticDedupPairs finds planted near-dups with exact precision") {
+    val rng = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(16)(rng.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = (0 until 40).map(i => (i.toLong, unit()))
+    // plant 5 near-dups: tiny perturbations of existing vectors
+    val dups = (0 until 5).map { i =>
+      val src = base(i)._2
+      (100L + i, src.map(x => x + (rng.nextGaussian() * 0.01).toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val exact = Similarity
+      .cosineNearDupPairsExact(df, "vec_id", "embedding", threshold = 0.95)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val sem = Similarity
+      .semanticDedupPairs(df, "vec_id", "embedding", threshold = 0.95,
+        nCells = 4, iters = 2)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 5)
+    // precision 1.0 by construction (exact verify)
+    assert(sem.subsetOf(exact))
+    // near-identical vectors land in the same k-means cell: full recall here
+    assert(sem == exact)
+  }
+
+  test("ngramLmScore matches hand-computed smoothed bigram means") {
+    val ref = Seq((0L, "a b a"), (1L, "b a")).toDF("id", "text")
+    val docs = Seq((10L, "a b c"), (11L, "a"), (12L, "")).toDF("id", "text")
+    // model: uni c(a)=3, c(b)=2; V=2
+    // bigrams: (a,b)=1, (b,a)=2
+    val got = TextPipeline.ngramLmScore(docs, "id", "text", ref, "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          Option(r.get(5)).map(_.asInstanceOf[Double]))).toMap
+    // doc 10 "a b c": tokens 3, oov 1 (c); bigrams (a,b) p=(1+1)/(3+2)=0.4
+    // and (b,c) p=(0+1)/(2+2)=0.25 -> mean 0.325
+    val (nt10, noov10, oov10, nb10, s10) = got(10L)
+    assert(nt10 == 3 && noov10 == 1 && nb10 == 2)
+    assert(math.abs(oov10 - 1.0 / 3) < 1e-12)
+    assert(s10.exists(v => math.abs(v - 0.325) < 1e-9))
+    // doc 11 "a": one token, no bigrams -> null score
+    val (nt11, noov11, _, nb11, s11) = got(11L)
+    assert(nt11 == 1 && noov11 == 0 && nb11 == 0 && s11.isEmpty)
+    // doc 12 "": tokens("") is [""], an OOV token
+    val (nt12, noov12, _, _, _) = got(12L)
+    assert(nt12 == 1 && noov12 == 1)
+  }
+
+  test("ngramLmScore logProb mode returns mean ln p") {
+    val ref = Seq((0L, "a b a"), (1L, "b a")).toDF("id", "text")
+    val docs = Seq((10L, "a b c")).toDF("id", "text")
+    val s = TextPipeline
+      .ngramLmScore(docs, "id", "text", ref, "text", logProb = true)
+      .select($"lm_score").head.getDouble(0)
+    val expected = (math.log(0.4) + math.log(0.25)) / 2
+    assert(math.abs(s - expected) < 1e-6)
+  }
+}
