@@ -68,18 +68,20 @@ object Dedup {
     * oracle-checkable ground truth. */
   def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    // Set sizes ride along through the explode so the pair aggregation
-    // needs no join back to a sizes table (saves two shuffles).
+    // Set sizes ride along inside the posting-list structs so the pair
+    // aggregation needs no join back to a sizes table; one row per
+    // shared token per pair, so count(*) per pair IS the intersection
+    // size (PostingLists runs the tokenize subtree once — the former
+    // inverted-index self-join evaluated it per join side).
     val toks = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
-    val inv = toks.select(col("id"), size(col("toks")).as("n"),
+    val inv = toks.select(
+      struct(col("id"), size(col("toks")).as("n")).as("p"),
       explode(col("toks")).as("tok"))
-    val pairs = inv.as("a").join(inv.as("b"),
-        col("a.tok") === col("b.tok") && col("a.id") < col("b.id"))
+    PostingLists.candidatePairs(inv, "p", "tok")
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"),
         first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
-    pairs
       .withColumn("jac", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jac") >= threshold)
@@ -87,7 +89,7 @@ object Dedup {
   }
 
   /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
-    * signature → band keys → bucket self-join → distinct pairs → verify.
+    * signature → band keys → bucket posting lists → pairs → verify.
     * This is the 100 TB path: shuffle fan-out is numBands per doc and
     * buckets are hash-distributed; no quadratic blow-up below the
     * threshold's candidate density. */
@@ -95,20 +97,15 @@ object Dedup {
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
     val docs = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
-    // Band rows carry ONLY (id, band): the bucket self-join shuffles ids,
-    // never token arrays (bands× lighter shuffle at corpus scale). The
-    // explicit repartition on band gives both self-join sides the SAME
-    // canonical exchange, so AQE materializes the signature computation
-    // once and reuses the stage — without it the small-input plan
-    // broadcasts one side and computes every minhash twice (and a
-    // broadcast banded corpus would not survive 100 TB anyway).
-    // Signature + band keys come from the fused one-pass kernel.
+    // Band rows carry ONLY (id, band): the bucket shuffle moves ids,
+    // never token arrays (bands× lighter at corpus scale), and the
+    // posting-list pair generation runs the fused signature kernel
+    // exactly once (see PostingLists for why the former bucket
+    // self-join computed it twice).
     val banded = docs.select(col("id"),
-        explode(minhashBandKeys(col("toks"), numHashes, bands)).as("band"))
-      .repartition(col("band"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      explode(minhashBandKeys(col("toks"), numHashes, bands)).as("band"))
+    val cand = PostingLists.candidatePairs(banded, "id", "band")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val toks = docs.select(col("id"), col("toks"))
     cand
@@ -131,12 +128,10 @@ object Dedup {
     val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("sh", shingles("toks", n))
     val banded = docs.select(col("id"),
-        explode(minhashBandKeys(col("sh"), numHashes, bands)).as("band"))
-      .repartition(col("band")) // same reuse rationale as minhashPairs
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      explode(minhashBandKeys(col("sh"), numHashes, bands)).as("band"))
+    val cand = PostingLists.candidatePairs(banded, "id", "band")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .dropDuplicates("id_a", "id_b") // same single-pass shape as minhashPairs
     val sh = docs.select(col("id"), col("sh"))
     cand
       .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -213,11 +208,12 @@ object Dedup {
     require(maxDist <= 3, "4-band pigeonhole covers Hamming distance <= 3")
     val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("sh", simhash64("toks"))
-    val banded = docs.select(col("id"), col("sh"),
+    // the 64-bit signature rides inside the posting-list struct, so the
+    // Hamming verify needs no join back (and the simhash computes once)
+    val banded = docs.select(struct(col("id"), col("sh")).as("p"),
       explode(expr("transform(sequence(0, 3), " +
         "b -> concat(b, ':', (sh >> (b * 16)) & 65535))")).as("band"))
-    banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.id") < col("b.id"))
+    PostingLists.candidatePairs(banded, "p", "band")
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")

@@ -229,32 +229,36 @@ object Similarity {
     * pairing, more boundary misses).
     *
     * 100 TB shape: assignment is a broadcast map stage (centroids are
-    * the model, k×dim doubles); the pair join shuffles on cell id, so
-    * cost ∝ Σ|cell|², never corpus² — and cell sizes are balanced by
-    * the k-means objective rather than by hash luck. */
+    * the model, k×dim doubles) that runs ONCE — cell posting lists
+    * generate the pairs (see PostingLists), so pair cost is ∝ Σ|cell|²,
+    * never corpus², and cell sizes are balanced by the k-means
+    * objective rather than by hash luck. Cells are disjoint, so no
+    * cross-key pair dedup is needed; the verify joins vectors back by
+    * id (a plain scan + norm, not the assignment subtree). */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int, iters: Int = 2): DataFrame = {
     val centroids = kmeansCentroids(df, nCells, iters, idCol, vecCol)
     val assignW = Window.partitionBy(col("id"))
       .orderBy(col("c_sim").desc, col("cell_id"))
     val assigned = df
-      .select(col(idCol).as("id"), col(vecCol).as("vec"),
-        l2norm(col(vecCol)).as("norm"))
+      .select(col(idCol).as("id"), col(vecCol).as("vec"))
       .crossJoin(broadcast(centroids))
       .withColumn("c_sim", cosine(col("vec"), col("c_vec")))
       .withColumn("c_rank", row_number().over(assignW))
       .filter(col("c_rank") === 1)
-      .select(col("cell_id"), col("id"), col("vec"), col("norm"))
-      // one canonical exchange on the cell id: both self-join sides
-      // reuse it (ReuseExchange), so the assignment subtree — broadcast
-      // cross join + window — runs once, not twice
-      .repartition(col("cell_id"))
-    assigned.as("a").join(assigned.as("b"),
-        col("a.cell_id") === col("b.cell_id") && col("a.id") < col("b.id"))
+      .select(col("id"), col("cell_id"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+      l2norm(col(vecCol)).as("norm"))
+    PostingLists.candidatePairs(assigned, "id", "cell_id")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
+        col("norm").as("norm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
+        col("norm").as("norm_b")), "id_b")
       .withColumn("sim",
-        dot(col("a.vec"), col("b.vec")) / (col("a.norm") * col("b.norm")))
+        dot(col("vec_a"), col("vec_b")) / (col("norm_a") * col("norm_b")))
       .filter(col("sim") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("sim"))
+      .select(col("id_a"), col("id_b"), col("sim"))
   }
 
   /** Embedding-cosine near-dup pairs at scale: multi-table sign-LSH
@@ -263,22 +267,20 @@ object Similarity {
     * p=0.87/bit at sim 0.9 gives 1-(1-0.87³)¹² ≈ 0.9998), then exact
     * cosine verification, so precision is 1.0 by construction.
     *
-    * Same 100 TB shape as Dedup.minhashPairs: the bucket self-join
-    * shuffles (id, table, bucket) triples only — never vectors — and
-    * the explicit repartition gives both join sides one canonical
-    * exchange for AQE stage reuse. Verification joins vectors back per
+    * Same 100 TB shape as Dedup.minhashPairs: the bucket shuffle moves
+    * (id, table, bucket) triples only — never vectors — and the
+    * posting-list pair generation computes the sign bits once (the
+    * former bucket self-join evaluated every hyperplane dot per join
+    * side; see PostingLists). Verification joins vectors back per
     * candidate, ∝ candidate count, not corpus². */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bits: Int = 3, tables: Int = 12): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2norm(col(vecCol)).as("norm"))
-    val banded = vecs
-      .select(col("id"),
-        explode(lshTableBuckets(col("vec"), bits, tables)).as("tb"))
-      .repartition(col("tb"))
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.tb") === col("b.tb") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val banded = vecs.select(col("id"),
+      explode(lshTableBuckets(col("vec"), bits, tables)).as("tb"))
+    val cand = PostingLists.candidatePairs(banded, "id", "tb")
+      .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),

@@ -154,4 +154,48 @@ class PlanSpec extends AnyFunSuite {
       s"window must partition by the group column:\n$p")
     assert(exchanges <= 1, s"expected a single group-keyed shuffle:\n$p")
   }
+
+  test("embedding map ops are shuffle-free up to the final order-by") {
+    import graft.operators.Embeddings
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.embeddings(spark, dir)
+    val composed = Embeddings.quantizeU8(
+      emb.withColumn("unit", Embeddings.l2Normalize(col("embedding")))
+        .withColumn("proj",
+          Embeddings.randomProject(col("embedding"), 64, 16)), "embedding")
+    assert(!composed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "normalize/quantize/project must stay a pure map stage")
+  }
+
+  test("semanticDedupPairs computes the cell assignment exactly once") {
+    val df = graft.operators.Similarity.semanticDedupPairs(
+      graft.Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, nCells = 4, iters = 1)
+    // posting-list pair generation: the assignment subtree (broadcast
+    // cross join vs centroids + per-vector window) must appear once —
+    // the former bucket self-join planned it per join side (ReuseExchange
+    // verifiably does NOT fire across deduplicated self-join branches)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"assignment subtree must run once:\n$p")
+  }
+
+  test("minhashPairs computes the signature kernel exactly once") {
+    val df = graft.operators.Dedup.minhashPairs(
+      graft.Tables.documents(spark, dir), "doc_id", "text",
+      numHashes = 16, bands = 4, threshold = 0.8)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("minhashbandkeys")) == 1,
+      s"fused minhash kernel must be planned once:\n$p")
+  }
+
+  test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
+    val docs = graft.Tables.documents(spark, dir)
+    val scored = graft.operators.TextPipeline.ngramLmScore(
+      docs, "doc_id", "text", docs, "text")
+    val p = scored.queryExecution.executedPlan.toString
+    // the 1-row vocab aggregate must broadcast, not shuffle-join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"vocab size must ride a broadcast:\n$p")
+  }
 }
