@@ -229,6 +229,31 @@ final case class GFrame(df: DataFrame) {
   /** Gopher-style duplicate-ngram fractions per document. */
   def repetitionStats(idCol: String, textCol: String, n: Int = 2): GFrame =
     GFrame(graft.operators.TextPipeline.repetitionStats(df, idCol, textCol, n))
+  /** CCNet-style bigram-LM quality score + OOV rate vs a reference
+    * corpus (this frame is scored; `ref` trains the model). */
+  def lmScore(idCol: String, textCol: String, ref: GFrame,
+      refTextCol: String, k: Double = 1.0): GFrame =
+    GFrame(graft.operators.TextPipeline.ngramLmScore(df, idCol, textCol,
+      ref.toDF, refTextCol, k))
+  /** L2-normalize an embedding column into `outCol` (unit vectors). */
+  def normalizeEmbedding(vecCol: String,
+      outCol: String = "unit"): GFrame =
+    GFrame(df.withColumn(outCol,
+      graft.operators.Embeddings.l2Normalize(col(vecCol))))
+  /** uint8-quantize an embedding column (adds q/lo/scale columns). */
+  def quantizeEmbedding(vecCol: String): GFrame =
+    GFrame(graft.operators.Embeddings.quantizeU8(df, vecCol))
+  /** Sign-matrix random projection of an embedding column to outDim. */
+  def projectEmbedding(vecCol: String, inDim: Int, outDim: Int,
+      seed: String = "graft", outCol: String = "proj"): GFrame =
+    GFrame(df.withColumn(outCol,
+      graft.operators.Embeddings.randomProject(col(vecCol), inDim, outDim,
+        seed)))
+  /** SemDeDup-style semantic near-dup pairs (k-means cell blocking). */
+  def semanticDedupPairs(idCol: String, vecCol: String, threshold: Double,
+      nCells: Int): GFrame =
+    GFrame(graft.operators.Similarity.semanticDedupPairs(df, idCol, vecCol,
+      threshold, nCells))
 
   // ---- accessor namespaces (cudf Series .str / .dt accessors,
   //      python/cudf/cudf/core/column/string.py, temporal.py) ----

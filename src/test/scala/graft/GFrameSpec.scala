@@ -205,4 +205,20 @@ class GFrameSpec extends AnyFunSuite {
     val p = binned.queryExecution.executedPlan.toString
     assert(!p.contains("Window"), s"qcut must not use a window:\n$p")
   }
+
+  test("embedding and lm-score facades delegate to the operators") {
+    val emb = GFrame(Seq((0L, Array(3.0f, 4.0f)), (1L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val unit = emb.normalizeEmbedding("embedding").toDF
+      .orderBy("vec_id").collect().map(_.getSeq[Double](2))
+    assert(math.abs(unit(0).map(x => x * x).sum - 1.0) < 1e-12)
+    val q = emb.quantizeEmbedding("embedding").toDF
+    assert(Seq("lo", "scale", "q").forall(q.columns.contains))
+    val proj = emb.projectEmbedding("embedding", inDim = 2, outDim = 3).toDF
+    assert(proj.select("proj").head.getSeq[Double](0).size == 3)
+    val docs = GFrame(Seq((1L, "a b"), (2L, "c d")).toDF("id", "text"))
+    val scored = docs.lmScore("id", "text", docs, "text").toDF
+    assert(scored.count() == 2 &&
+      Seq("oov_rate", "lm_score", "n_bigrams").forall(scored.columns.contains))
+  }
 }
