@@ -254,6 +254,10 @@ final case class GFrame(df: DataFrame) {
       nCells: Int): GFrame =
     GFrame(graft.operators.Similarity.semanticDedupPairs(df, idCol, vecCol,
       threshold, nCells))
+  /** Incremental ingest: this frame's rows deduped against an already-
+    * ingested corpus (exact digests) and within itself (keep-first). */
+  def dedupAgainst(corpus: GFrame, idCol: String, textCol: String): GFrame =
+    GFrame(graft.operators.Dedup.dedupDelta(corpus.toDF, df, idCol, textCol))
 
   // ---- accessor namespaces (cudf Series .str / .dt accessors,
   //      python/cudf/cudf/core/column/string.py, temporal.py) ----

@@ -200,6 +200,59 @@ object Dedup {
     labels
   }
 
+  /** Incremental (delta) dedup, exact path: rows of `delta` that
+    * survive against an already-ingested `corpus` — drops (a) exact
+    * duplicates of any corpus doc (left-anti on content digest; the
+    * corpus side reduces to DISTINCT digests, so the join probe carries
+    * 16 bytes/doc, never text) and (b) later copies within the delta
+    * itself (keep-first window). Both wide ops key on the uniformly
+    * distributed digest. This is the snapshot-over-snapshot ingest
+    * shape: the corpus digest set is exactly the state a production
+    * pipeline persists between crawls (streaming twin:
+    * streaming/StatefulOps.streamingDedup). */
+  def dedupDelta(corpus: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val corpusDigests = corpus
+      .select(md5(col(textCol)).as("__digest")).distinct()
+    val w = Window.partitionBy(col("__digest")).orderBy(col(idCol))
+    delta.withColumn("__digest", md5(col(textCol)))
+      .join(corpusDigests, Seq("__digest"), "left_anti")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "__digest")
+  }
+
+  /** Incremental NEAR-dup screen: delta docs with a minhash-band
+    * collision in the corpus, verified by exact Jaccard ≥ threshold.
+    * Returns (delta_id, corpus_id, jac) — feed the surviving delta ids
+    * through an anti-join to admit only novel documents. Band keys join
+    * ACROSS the two corpora (each side's signature kernel runs once —
+    * no self-join), shuffling (id, band) pairs only; the corpus band
+    * index is recomputable or persistable as a table. */
+  def nearDupDeltaPairs(corpus: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    def banded(df: DataFrame, side: String) = {
+      val docs = df.select(col(idCol).as(s"id_$side"),
+        array_distinct(tokens(col(textCol))).as(s"toks_$side"))
+      docs.select(col(s"id_$side"),
+        explode(minhashBandKeys(col(s"toks_$side"), numHashes, bands))
+          .as("band"))
+    }
+    val cand = banded(delta, "d").join(banded(corpus, "c"), "band")
+      .select(col("id_d"), col("id_c"))
+      .dropDuplicates("id_d", "id_c")
+    val dToks = delta.select(col(idCol).as("id_d"),
+      array_distinct(tokens(col(textCol))).as("toks_d"))
+    val cToks = corpus.select(col(idCol).as("id_c"),
+      array_distinct(tokens(col(textCol))).as("toks_c"))
+    cand.join(dToks, "id_d").join(cToks, "id_c")
+      .withColumn("jac", jaccard(col("toks_d"), col("toks_c")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_d").as("delta_id"), col("id_c").as("corpus_id"),
+        col("jac"))
+  }
+
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
     * 4×16-bit band buckets (pigeonhole: any pair within distance 3 shares
     * at least one of 4 bands) then exact Hamming verification. */

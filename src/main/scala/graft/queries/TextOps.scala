@@ -468,6 +468,38 @@ object TextOps extends QueryPack {
         bits = 4, tables = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Incremental ingest dedup (north star: snapshot-over-snapshot): the
+    * second half of the corpus deduped against the already-ingested
+    * first half, exact-digest path. */
+  def dedupDelta(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.dedupDelta(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val dedupDeltaSql: String =
+    """SELECT doc_id, n_chars FROM (
+      |  SELECT doc_id, n_chars, row_number() OVER (
+      |    PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |  FROM documents d
+      |  WHERE doc_id >= 250 AND NOT EXISTS (
+      |    SELECT 1 FROM documents c
+      |    WHERE c.doc_id < 250 AND md5(c.text) = md5(d.text)))
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** Near-dup screen of the delta against the ingested corpus
+    * (minhash-band collision + exact-Jaccard verify) — rows-only
+    * (engine-native xxhash64); planted-dup recall in DedupSpec. */
+  def dedupDeltaNear(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.nearDupDeltaPairs(docs.filter(col("doc_id") < 250),
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 400),
+        "doc_id", "text", numHashes = 32, bands = 4, threshold = 0.9)
+      .orderBy(col("delta_id"), col("corpus_id"))
+  }
+
   /** DuckDB double-space dot product of two list expressions — the
     * sequential-fold form that matches graft.plans.DotProduct bit for
     * bit (same pattern as embedKnnSql). */
@@ -708,7 +740,9 @@ object TextOps extends QueryPack {
     "embed_normalize" -> embedNormalize,
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
-    "embed_semdedup" -> embedSemDedup)
+    "embed_semdedup" -> embedSemDedup,
+    "doc_dedup_delta" -> dedupDelta,
+    "doc_dedup_delta_near" -> dedupDeltaNear)
 
   override def oracle: Map[String, String] = Map(
     "doc_bpe_tokens" -> bpeTokensSql,
@@ -732,5 +766,6 @@ object TextOps extends QueryPack {
     "embed_neardup" -> embedNearDupSql,
     "embed_normalize" -> embedNormalizeSql,
     "embed_quantize" -> embedQuantizeSql,
-    "embed_project" -> embedProjectSql)
+    "embed_project" -> embedProjectSql,
+    "doc_dedup_delta" -> dedupDeltaSql)
 }

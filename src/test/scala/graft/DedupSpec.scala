@@ -78,6 +78,34 @@ class DedupSpec extends AnyFunSuite {
     exact.foreach { p => assert(pairs.contains(p), s"missed exact pair $p") }
   }
 
+  test("dedupDelta drops corpus dups and keeps first within the delta") {
+    val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "seen before"),   // exact dup of corpus 0 -> dropped
+      (11L, "brand new"),     // survives
+      (12L, "brand new"),     // later in-delta copy of 11 -> dropped
+      (13L, "another novel")  // survives
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupDelta(corpus, delta, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(got.toSeq == Seq(11L, 13L))
+  }
+
+  test("nearDupDeltaPairs finds planted cross-corpus near-dups only") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five")).toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta gamma delta epsilon"), // identical to corpus 0
+      (11L, "six seven eight nine ten"),       // novel
+      (12L, "one two three four five")         // identical to corpus 1
+    ).toDF("doc_id", "text")
+    val got = Dedup.nearDupDeltaPairs(corpus, delta, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.9)
+      .select("delta_id", "corpus_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 0L), (12L, 1L)))
+  }
+
   test("simhashPairs reports hamming distance 0 for identical docs") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
