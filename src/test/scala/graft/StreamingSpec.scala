@@ -290,4 +290,46 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.forall { case (id, sp) => batch(id) == sp })
     } finally q.stop()
   }
+
+  test("streaming ingest curation: redact -> quality-filter -> dedup in one query") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    // the batch curation stages compose unchanged on a stream: PII
+    // redaction + quality scoring are stateless maps, exact dedup is the
+    // watermark-bounded stateful stage
+    val scored = graft.operators.TextPipeline.redactPii(
+        input.toDF().toDF("ts", "doc_id", "text"), "text")
+      .withColumn("toks", graft.functions.TextFunctions.tokens(col("redacted")))
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore("toks"))
+      // real curation gates on length AND composite quality: TTR alone
+      // rates a one-word doc highly
+      .filter(size(col("toks")) >= 5 && col("quality") >= 0.3)
+      .withColumn("digest", md5(col("redacted")))
+    val curated = graft.streaming.StatefulOps.streamingDedup(
+      scored, "ts", "10 minutes", Seq("digest"))
+
+    val q = curated.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stream_cur_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:01:00"), 1L,
+          "a perfectly reasonable document with enough words to pass"),
+        (ts("2024-01-01 00:02:00"), 2L, "x"), // fails the quality floor
+        (ts("2024-01-01 00:03:00"), 3L,
+          "email me at a@b.com and a perfectly reasonable document too"))
+      q.processAllAvailable()
+      // cross-batch exact dup of doc 1 (post-redaction digest) drops
+      input.addData((ts("2024-01-01 00:04:00"), 4L,
+        "a perfectly reasonable document with enough words to pass"))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, redacted FROM stream_cur_out ORDER BY doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.map(_._1).toSeq == Seq(1L, 3L),
+        s"expected docs 1 and 3 to survive, got ${got.toSeq}")
+      assert(got.find(_._1 == 3L).get._2.contains("<EMAIL>"),
+        "PII must be redacted before hashing")
+    } finally q.stop()
+  }
 }
