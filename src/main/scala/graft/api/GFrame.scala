@@ -100,6 +100,14 @@ final case class GFrame(df: DataFrame) {
   }
   def clip(valueCol: String, lo: Double, hi: Double): GFrame =
     GFrame(df.withColumn(valueCol, greatest(least(col(valueCol), lit(hi)), lit(lo))))
+  /** Series.interpolate (pandas method='index'): linear fill of nulls
+    * along `axisCol` per partition; leading nulls stay null, trailing
+    * nulls forward-fill. */
+  def interpolate(valueCol: String, axisCol: String,
+      partitionBy: Seq[String]): GFrame =
+    GFrame(graft.operators.Interpolate.linear(df, valueCol, axisCol,
+      partitionBy))
+
   /** rolling(n).mean/min/max analog (rolling_window, rolling.hpp:194):
     * trailing n-row frame per group; min_periods=1 semantics. */
   def rolling(valueCol: String, n: Int, partitionBy: Seq[String],

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Linear interpolation of nulls (cudf Series/DataFrame.interpolate,
+  * python/cudf/cudf/core/indexed_frame.py interpolate; pandas
+  * method='index'): each null takes the straight-line value between its
+  * nearest non-null neighbors along a numeric axis column. Leading
+  * nulls stay null and trailing nulls forward-fill, matching pandas.
+  *
+  * One window shuffle (the partition keys); the four neighbor lookups
+  * share the same two one-sided frames the ffill/bfill operators use,
+  * so Spark evaluates them in a single Window node pair. For pandas
+  * method='linear' (equally-spaced) semantics, pass a row_number as the
+  * axis.
+  */
+object Interpolate {
+
+  def linear(df: DataFrame, valueCol: String, axisCol: String,
+      partitionCols: Seq[String],
+      outCol: String = "interp"): DataFrame = {
+    val parts = partitionCols.map(col)
+    val back = Window.partitionBy(parts: _*).orderBy(col(axisCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(parts: _*).orderBy(col(axisCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val x = col(axisCol).cast("double")
+    df
+      .withColumn("__pv", last(v, ignoreNulls = true).over(back).cast("double"))
+      .withColumn("__px",
+        last(when(v.isNotNull, x), ignoreNulls = true).over(back))
+      .withColumn("__nv", first(v, ignoreNulls = true).over(fwd).cast("double"))
+      .withColumn("__nx",
+        first(when(v.isNotNull, x), ignoreNulls = true).over(fwd))
+      .withColumn(outCol,
+        when(v.isNotNull, v.cast("double"))
+          .when(col("__pv").isNull, lit(null).cast("double")) // leading
+          .when(col("__nv").isNull, col("__pv"))              // trailing
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (x - col("__px")) / (col("__nx") - col("__px"))))
+      .drop("__pv", "__px", "__nv", "__nx")
+  }
+}

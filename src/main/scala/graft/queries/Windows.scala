@@ -237,6 +237,43 @@ object Windows extends QueryPack {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Linear null interpolation (cudf Series.interpolate, pandas
+    * method='index') along the event_id axis per user — straight-line
+    * value between nearest non-null neighbors; leading nulls stay null,
+    * trailing nulls forward-fill. */
+  def winInterpolate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val nulled = Tables.events(s, dir)
+      .withColumn("v", when($"event_type" === "view", lit(null)).otherwise($"value"))
+    graft.operators.Interpolate.linear(nulled, "v", "event_id",
+        Seq("user_id"), outCol = "v_interp")
+      .select($"user_id", $"event_id", $"v", $"v_interp")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winInterpolateSql: String =
+    """SELECT user_id, event_id, v,
+      |  CASE WHEN v IS NOT NULL THEN CAST(v AS DOUBLE)
+      |       WHEN pv IS NULL THEN NULL
+      |       WHEN nv IS NULL THEN pv
+      |       ELSE pv + (nv - pv) * (x - px) / (nx - px) END AS v_interp
+      |FROM (
+      |  SELECT user_id, event_id, v, CAST(event_id AS DOUBLE) AS x,
+      |    CAST(last_value(v IGNORE NULLS) OVER back AS DOUBLE) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL
+      |      THEN CAST(event_id AS DOUBLE) END IGNORE NULLS) OVER back AS px,
+      |    CAST(first_value(v IGNORE NULLS) OVER fwd AS DOUBLE) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL
+      |      THEN CAST(event_id AS DOUBLE) END IGNORE NULLS) OVER fwd AS nx
+      |  FROM (SELECT user_id, event_id,
+      |          CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+      |        FROM events)
+      |  WINDOW back AS (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  fwd AS (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Grouped replace_nulls ffill/bfill (replace.hpp:48 fill-policy;
     * grouped scans) — last/first non-null over one-sided frames. */
   def winFfill(s: SparkSession, dir: String): DataFrame = {
@@ -302,7 +339,8 @@ object Windows extends QueryPack {
     "win_range_frame" -> winRangeFrame,
     "win_range_open" -> winRangeOpen,
     "win_time_range" -> winTimeRange,
-    "win_ffill" -> winFfill)
+    "win_ffill" -> winFfill,
+    "win_interpolate" -> winInterpolate)
 
   override def oracle: Map[String, String] = Map(
     "win_nth_value" -> winNthSql,
@@ -314,5 +352,6 @@ object Windows extends QueryPack {
     "win_range_frame" -> winRangeFrameSql,
     "win_range_open" -> winRangeOpenSql,
     "win_time_range" -> winTimeRangeSql,
-    "win_ffill" -> winFfillSql)
+    "win_ffill" -> winFfillSql,
+    "win_interpolate" -> winInterpolateSql)
 }

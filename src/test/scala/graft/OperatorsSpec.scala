@@ -12,6 +12,26 @@ class OperatorsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("Interpolate.linear fills interior nulls, ffills trailing, keeps leading null") {
+    val df = Seq[(Long, Int, Option[Double])](
+      (1L, 0, None),            // leading null -> stays null
+      (1L, 1, Some(1.0)),
+      (1L, 2, None),            // interior -> 2.0
+      (1L, 3, Some(3.0)),
+      (1L, 5, None),            // trailing -> ffill 3.0
+      (2L, 1, Some(10.0)),
+      (2L, 4, None),            // interior, uneven axis: 10 + 20*(3/8) = 17.5
+      (2L, 9, Some(30.0))
+    ).toDF("g", "x", "v")
+    val got = graft.operators.Interpolate.linear(df, "v", "x", Seq("g"))
+      .orderBy($"g", $"x").collect()
+      .map(r => (r.getLong(0), r.getInt(1), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, 0, None), (1L, 1, Some(1.0)), (1L, 2, Some(2.0)),
+      (1L, 3, Some(3.0)), (1L, 5, Some(3.0)),
+      (2L, 1, Some(10.0)), (2L, 4, Some(17.5)), (2L, 9, Some(30.0))))
+  }
+
   test("asofPrev attaches latest prior right row, inclusive at equality") {
     val trades = Seq(
       (1L, ts("2024-01-01 10:00:00"), "t1"),
