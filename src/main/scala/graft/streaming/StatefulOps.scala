@@ -1,7 +1,9 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoder, Encoders, KeyValueGroupedDataset}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues,
+  TTLConfig, ValueState}
 
 /** Incremental per-key aggregation over a stream — parity with the
   * reference's `streaming_groupby` (cpp/include/cudf/groupby.hpp:478-520:
@@ -79,6 +81,75 @@ object StatefulOps {
         }
     }
   }
+
+  /** [[sessionizeStream]] on the transformWithState API (Spark 4.x's
+    * successor to flatMapGroupsWithState): typed ValueState + explicit
+    * event-time TIMERS instead of a per-key timeout timestamp, and the
+    * RocksDB state-store provider required by the API gives
+    * changelog-checkpointed, memory-bounded state — the configuration
+    * SCALING.md prescribes for 100 TB streaming anyway.
+    *
+    * Timer protocol: every batch re-registers the single timer at
+    * session end + gap (stale timers are deleted); an expired timer
+    * closes the session only if it is still quiet (expiry ≥ end + gap) —
+    * a timer raced by a session-extending event is simply ignored. */
+  class SessionProcessor(gapMillis: Long) extends StatefulProcessor[
+      Long, (Long, java.sql.Timestamp, Double), SessionOut] {
+    @transient private var session: ValueState[(Long, Long, Long, Double)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState("session", sessStateEnc, TTLConfig.NONE)
+
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var (start, end, n, sum) =
+        if (session.exists) session.get
+        else (Long.MaxValue, Long.MinValue, 0L, 0.0)
+      val wmMs = timerValues.getCurrentWatermarkInMs
+      var closed = List.empty[SessionOut]
+      // same late-row contract as sessionizeStream: only rows STRICTLY
+      // behind the watermark are dropped
+      rows.toSeq.sortBy(_._2.getTime)
+        .iterator.filter(_._2.getTime >= wmMs).foreach { case (_, t, v) =>
+        val tUs = t.getTime * 1000
+        if (n > 0 && tUs - end > gapMillis * 1000) {
+          closed ::= SessionOut(user, start, end, n, sum)
+          start = tUs; end = tUs; n = 1L; sum = v
+        } else {
+          start = math.min(start, tUs); end = math.max(end, tUs)
+          n += 1; sum += v
+        }
+      }
+      if (n > 0) {
+        session.update((start, end, n, sum))
+        getHandle.listTimers().foreach(t =>
+          getHandle.deleteTimer(t.asInstanceOf[Long]))
+        getHandle.registerTimer(
+          math.max(end / 1000 + gapMillis, wmMs + 1))
+      }
+      closed.reverseIterator
+    }
+
+    override def handleExpiredTimer(user: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
+      if (!session.exists) return Iterator.empty
+      val (start, end, n, sum) = session.get
+      if (expiredTimerInfo.getExpiryTimeInMs >= end / 1000 + gapMillis) {
+        session.clear()
+        Iterator.single(SessionOut(user, start, end, n, sum))
+      } else Iterator.empty // raced by a session-extending event
+    }
+  }
+
+  /** Run [[SessionProcessor]] over a watermarked grouped stream.
+    * Requires the RocksDB state-store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def sessionizeStreamTws(
+      grouped: KeyValueGroupedDataset[Long, (Long, java.sql.Timestamp, Double)],
+      gapMillis: Long): Dataset[SessionOut] =
+    grouped.transformWithState(new SessionProcessor(gapMillis),
+      TimeMode.EventTime(), OutputMode.Append())
 
   /** Running (count, sum) per key across micro-batches. If
     * `ttlMillis > 0`, idle keys are evicted after the TTL (bounded

@@ -291,6 +291,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState sessionizer matches the fMGWS one (RocksDB state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val grouped = input.toDF().toDF("user", "ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, Timestamp, Double)]
+      .groupByKey(_._1)
+    val sessions = graft.streaming.StatefulOps
+      .sessionizeStreamTws(grouped, gapMillis = 30L * 60 * 1000)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("tws_sess_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:00:00"), 1.0),
+        (1L, ts("2024-01-01 00:10:00"), 2.0))
+      q.processAllAvailable()
+      // same user, new session after the 30-min gap
+      input.addData((1L, ts("2024-01-01 02:00:00"), 5.0))
+      q.processAllAvailable()
+      // watermark far ahead closes everything via timers
+      input.addData((2L, ts("2024-01-01 06:00:00"), 9.0))
+      q.processAllAvailable()
+      input.addData((2L, ts("2024-01-01 06:00:01"), 1.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT user, n_events, sum_value FROM tws_sess_out WHERE user = 1 " +
+          "ORDER BY sum_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got.toSeq == Seq((1L, 2L, 3.0), (1L, 1L, 5.0)),
+        s"expected both user-1 sessions closed, got ${got.toSeq}")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming ingest curation: redact -> quality-filter -> dedup in one query") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
