@@ -231,6 +231,9 @@ final case class GFrame(df: DataFrame) {
       scoreCol: String): GFrame =
     GFrame(graft.operators.Curation.survivorsByScore(df, keyCol, idCol,
       scoreCol))
+  /** Tukey IQR outlier fence on a numeric column (k=1.5 default). */
+  def filterOutliers(valueCol: String, k: Double = 1.5): GFrame =
+    GFrame(graft.operators.Curation.filterOutliersIqr(df, valueCol, k))
   /** Stable pseudo-random sort key; orderBy it for a seeded shuffle. */
   def shuffleKey(idCol: String, seed: String): GFrame =
     GFrame(graft.operators.Curation.shuffleKey(df, idCol, seed))

@@ -131,6 +131,41 @@ object CurationPack extends QueryPack {
        |  GROUP BY doc_id) g USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // -- robust outlier fence ------------------------------------------------
+
+  /** Tukey IQR fence on document length (the standard curation length
+    * filter): one exact-percentile aggregate broadcast into a map-stage
+    * filter. */
+  def outlierFilter(s: SparkSession, dir: String): DataFrame =
+    Curation.filterOutliersIqr(Tables.documents(s, dir), "n_chars", k = 1.5)
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val outlierFilterSql: String =
+    """SELECT doc_id, n_chars
+      |FROM documents, (SELECT quantile_cont(n_chars, 0.25) AS q1,
+      |                        quantile_cont(n_chars, 0.75) AS q3
+      |                 FROM documents) b
+      |WHERE CAST(n_chars AS DOUBLE) >= q1 - 1.5 * (q3 - q1)
+      |  AND CAST(n_chars AS DOUBLE) <= q3 + 1.5 * (q3 - q1)
+      |ORDER BY doc_id""".stripMargin
+
+  // -- near-dup clusters ----------------------------------------------------
+
+  /** MinHash pairs → connected components (pointer-jumping label
+    * propagation) → cluster roster — the pair-to-cluster collapse every
+    * dedup pipeline ends with. Rows-only (xxhash64 banding upstream);
+    * convergence + long-path correctness covered in OperatorsSpec. */
+  def neardupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Dedup.minhashPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 1000),
+      "doc_id", "text", numHashes = 32, bands = 4, threshold = 0.9)
+    graft.operators.Dedup.nearDupClusters(pairs, maxIter = 10)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
+      .orderBy(col("cluster"))
+  }
+
   // -- n-gram LM quality score ---------------------------------------------
 
   /** CCNet-style bigram-LM quality score: model trained on the first
@@ -202,7 +237,9 @@ object CurationPack extends QueryPack {
     "corpus_survivors" -> survivors,
     "corpus_shuffle" -> shuffle,
     "doc_repetition" -> repetition,
-    "doc_lm_score" -> lmScore)
+    "doc_lm_score" -> lmScore,
+    "outlier_filter" -> outlierFilter,
+    "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
     "corpus_split" -> splitSql,
@@ -211,5 +248,6 @@ object CurationPack extends QueryPack {
     "corpus_survivors" -> survivorsSql,
     "corpus_shuffle" -> shuffleSql,
     "doc_repetition" -> repetitionSql,
-    "doc_lm_score" -> lmScoreSql)
+    "doc_lm_score" -> lmScoreSql,
+    "outlier_filter" -> outlierFilterSql)
 }

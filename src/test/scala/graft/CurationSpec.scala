@@ -87,4 +87,18 @@ class CurationSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 2L, 1L, 0.0, 0.5)))
     assert(got(2) == ((0L, 0L, 0L, 0.0, 0.0)))
   }
+
+  test("filterOutliersIqr keeps the body and drops Tukey-fence outliers") {
+    // sorted values -200,1..9,50: q1 = 2.5, q3 = 7.5, iqr = 5
+    // k=1.5 fence [-5, 15] keeps only the body
+    val d = ((1 to 9).map(i => (i.toLong, i)) ++
+      Seq((100L, 50), (101L, -200))).toDF("id", "v")
+    val kept = graft.operators.Curation.filterOutliersIqr(d, "v")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == (1L to 9L))
+    // k=12 fence [-57.5, 67.5] re-admits 50, still drops -200
+    val wide = graft.operators.Curation.filterOutliersIqr(d, "v", k = 12)
+      .select("id").as[Long].collect().sorted
+    assert(wide.contains(100L) && !wide.contains(101L))
+  }
 }
