@@ -127,6 +127,30 @@ object SortSet extends QueryPack {
     """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** CONSECUTIVE-duplicate removal (cudf `unique`,
+    * stream_compaction.hpp:248 — std::unique semantics, distinct from
+    * `distinct`): collapse each run of equal event_type per user in
+    * event order to its first row. One window shuffle on the user key;
+    * the run-start predicate is a single lag comparison. */
+  def uniqueConsecutive(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_type", lag($"event_type", 1).over(w))
+      .filter($"prev_type".isNull || $"prev_type" =!= $"event_type")
+      .select($"user_id", $"event_id", $"event_type")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val uniqueConsecutiveSql: String =
+    """SELECT user_id, event_id, event_type FROM (
+      |  SELECT user_id, event_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev_type
+      |  FROM events)
+      |WHERE prev_type IS NULL OR prev_type <> event_type
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Keep-first dedup (stable_distinct keep_first, stream_compaction.hpp:383,
     * Distinct IR dsl/ir.py:3004): first order per customer by date. */
   def dedupKeepFirst(s: SparkSession, dir: String): DataFrame = {
@@ -155,7 +179,8 @@ object SortSet extends QueryPack {
     "set_intersect" -> intersectKeys,
     "set_except" -> exceptKeys,
     "distinct_rows" -> distinctRows,
-    "dedup_keep_first" -> dedupKeepFirst)
+    "dedup_keep_first" -> dedupKeepFirst,
+    "unique_consecutive" -> uniqueConsecutive)
 
   override def oracle: Map[String, String] = Map(
     "sort_multi_nulls" -> sortMultiNullsSql,
@@ -165,5 +190,6 @@ object SortSet extends QueryPack {
     "set_intersect" -> intersectKeysSql,
     "set_except" -> exceptKeysSql,
     "distinct_rows" -> distinctRowsSql,
-    "dedup_keep_first" -> dedupKeepFirstSql)
+    "dedup_keep_first" -> dedupKeepFirstSql,
+    "unique_consecutive" -> uniqueConsecutiveSql)
 }
