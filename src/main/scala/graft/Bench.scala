@@ -31,17 +31,20 @@ object Bench {
     // large parquet column (documents.text ≈ the whole table) otherwise
     // absorbs its cold read — measured 6.5 s cold vs 0.67 s warm for the
     // same query at sf0.1 — and the per-query numbers stop reflecting
-    // plan cost. A full-column count per table is steady-state priming,
-    // not work the timed queries skip.
-    import org.apache.spark.sql.functions.{col, length, size}
-    def warm(f: => Long): Unit = try { f; () } catch { case _: Throwable => () }
-    warm(spark.read.parquet(s"$sfDir/lineitem.parquet").count())
-    warm(spark.read.parquet(s"$sfDir/orders.parquet").count())
-    warm(spark.read.parquet(s"$sfDir/documents.parquet")
-      .select(length(col("text")).as("n")).filter(col("n") >= 0).count())
-    warm(spark.read.parquet(s"$sfDir/embeddings.parquet")
-      .select(size(col("embedding")).as("d")).filter(col("d") >= 0).count())
-    warm(spark.read.parquet(s"$sfDir/events.parquet").count())
+    // plan cost. One count(col) PER COLUMN forces every column chunk
+    // through the reader (a bare count() is answered from row-group
+    // metadata and reads nothing; hash(*) would reject map columns),
+    // so this is steady-state priming for the whole table.
+    import org.apache.spark.sql.functions.{col, count}
+    def warmTable(name: String): Unit =
+      try {
+        val df = spark.read.parquet(s"$sfDir/$name.parquet")
+        val counts = df.columns.map(c => count(col(c)).as(c))
+        df.agg(counts.head, counts.tail: _*).collect()
+        ()
+      } catch { case _: Throwable => () }
+    Seq("lineitem", "orders", "customer", "part", "supplier",
+      "documents", "embeddings", "events").foreach(warmTable)
 
     // SPARK_GRAFT_ONLY=<regex>: time just the matching queries (local
     // iteration aid; the driver never sets it).

@@ -94,13 +94,21 @@ object Curation {
     * the key (Spark samples split points), so the "shuffle" is a single
     * distributed sort — the standard way to randomize example order for
     * training without a driver-side permutation. */
+  def shuffleKey(df: DataFrame, idCol: String, seed: String,
+      outCol: String = "shuffle_key"): DataFrame =
+    df.withColumn(outCol, hashUnit(col(idCol), seed))
+
   /** Robust (IQR) outlier filter — the standard length/score fence of a
     * curation pipeline: keep rows with
     * `q1 − k·IQR ≤ value ≤ q3 + k·IQR` (k = 1.5 is Tukey's fence).
     * Exact interpolated percentiles (deterministic, engine-portable —
     * same contract as agg_percentiles), computed in ONE 1-row aggregate
     * that broadcasts into a codegen'd filter: no sort, no window, one
-    * aggregation pass + one map pass over the data. */
+    * aggregation pass + one map pass over the data.
+    *
+    * Rows with a NULL value are dropped (they are excluded from the
+    * percentiles and fail the fence comparison) — SQL filter semantics,
+    * same as the oracle; fillna first to keep them. */
   def filterOutliersIqr(df: DataFrame, valueCol: String,
       k: Double = 1.5): DataFrame = {
     val v = col(valueCol).cast("double")
@@ -112,8 +120,4 @@ object Curation {
         v <= col("__q3") + lit(k) * (col("__q3") - col("__q1")))
       .drop("__q1", "__q3")
   }
-
-  def shuffleKey(df: DataFrame, idCol: String, seed: String,
-      outCol: String = "shuffle_key"): DataFrame =
-    df.withColumn(outCol, hashUnit(col(idCol), seed))
 }

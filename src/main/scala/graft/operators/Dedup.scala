@@ -79,6 +79,7 @@ object Dedup {
       struct(col("id"), size(col("toks")).as("n")).as("p"),
       explode(col("toks")).as("tok"))
     PostingLists.candidatePairs(inv, "p", "tok")
+      .filter(col("a.id") =!= col("b.id")) // struct ids: no self-pairs
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"),
         first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
@@ -267,6 +268,7 @@ object Dedup {
       explode(expr("transform(sequence(0, 3), " +
         "b -> concat(b, ':', (sh >> (b * 16)) & 65535))")).as("band"))
     PostingLists.candidatePairs(banded, "p", "band")
+      .filter(col("a.id") =!= col("b.id")) // struct ids: no self-pairs
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
       .dropDuplicates("id_a", "id_b")

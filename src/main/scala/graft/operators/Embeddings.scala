@@ -77,7 +77,13 @@ object Embeddings {
     require(outDim > 0 && inDim > 0, "dims must be positive")
     val signs = signMatrix(inDim, outDim, seed)
     val inv = lit(1.0 / math.sqrt(outDim.toDouble))
-    array(signs.map(row =>
+    val proj = array(signs.map(row =>
       Similarity.dot(vec, typedlit(row)) * inv): _*)
+    // DotProduct silently truncates to the shorter array, which would
+    // make a dimension mismatch produce quietly-wrong projections —
+    // fail loudly instead
+    when(size(vec) === inDim, proj).otherwise(raise_error(concat(
+      lit(s"randomProject: expected $inDim-dim vector, got "),
+      size(vec).cast("string"))))
   }
 }

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   * so Spark evaluates them in a single Window node pair. For pandas
   * method='linear' (equally-spaced) semantics, pass a row_number as the
   * axis.
+  *
+  * The axis must be UNIQUE within each partition: a null row sharing
+  * its axis value with its neighbors divides by zero (NULL out, and
+  * engine-divergent vs the oracle), and ties make the frame order
+  * nondeterministic — same precondition as pandas' monotonic index.
   */
 object Interpolate {
 

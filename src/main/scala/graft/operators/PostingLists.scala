@@ -37,7 +37,13 @@ private[operators] object PostingLists {
     * is lexicographic, so sorting and a < b still order by id. One row
     * per (key, pair): callers dedup across keys when keys overlap
     * (bands/tables) and aggregate when the per-key multiplicity is the
-    * signal (shared-token counts). */
+    * signal (shared-token counts).
+    *
+    * Duplicate id VALUES (dirty input) sort adjacent; the a ≠ b filter
+    * drops the resulting self-pairs, matching the strict `a.id < b.id`
+    * of the join formulation this replaces. Struct ids that share the
+    * id field but differ in payload are the callers' concern — the two
+    * struct callers filter unpacked ids. */
   def candidatePairs(keyed: DataFrame, idCol: String,
       keyCol: String): DataFrame =
     keyed
@@ -47,4 +53,5 @@ private[operators] object PostingLists {
       .select(col("a"),
         explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
           .as("b"))
+      .filter(col("a") =!= col("b"))
 }

@@ -520,8 +520,11 @@ object TextOps extends QueryPack {
 
   val embedNormalizeSql: String =
     s"""SELECT vec_id, sqrt(dnn) AS norm,
-       |  list_transform(embedding,
-       |    x -> CAST(x AS DOUBLE) * (1.0 / sqrt(dnn))) AS unit
+       |  CASE WHEN dnn = 0
+       |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+       |    ELSE list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * (1.0 / sqrt(dnn)))
+       |  END AS unit
        |FROM (SELECT vec_id, embedding,
        |        ${dpSql("embedding", "embedding")} AS dnn
        |      FROM embeddings)

@@ -33,6 +33,37 @@ object StatefulOps {
   implicit private val sessOutEnc: Encoder[SessionOut] =
     Encoders.product[SessionOut]
 
+  /** The shared session fold of [[sessionizeStream]] (fMGWS) and
+    * [[SessionProcessor]] (transformWithState) — one definition so the
+    * two APIs provably agree. Drops only rows STRICTLY behind the
+    * watermark (Spark delivers rows at eventTime == watermark, dropping
+    * strictly-older ones; filtering those too would silently lose
+    * boundary events), splits on gaps, accumulates (start, end, n, sum)
+    * in event-time MICROS. Returns the updated open-session state
+    * (n == 0 if no rows survived and none existed) plus the sessions
+    * closed by gap splits, in order. */
+  private def foldSession(user: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Double)],
+      state0: (Long, Long, Long, Double), wmMs: Long,
+      gapMillis: Long): ((Long, Long, Long, Double), List[SessionOut]) = {
+    var (start, end, n, sum) = state0
+    var closed = List.empty[SessionOut]
+    rows.toSeq.sortBy(_._2.getTime)
+      .iterator.filter(_._2.getTime >= wmMs).foreach { case (_, t, v) =>
+      val tUs = t.getTime * 1000
+      if (n > 0 && tUs - end > gapMillis * 1000) {
+        closed ::= SessionOut(user, start, end, n, sum)
+        start = tUs; end = tUs; n = 1L; sum = v
+      } else {
+        start = math.min(start, tUs); end = math.max(end, tUs)
+        n += 1; sum += v
+      }
+    }
+    ((start, end, n, sum), closed.reverse)
+  }
+
+  private val EmptySession = (Long.MaxValue, Long.MinValue, 0L, 0.0)
+
   /** Event-time sessionization with timeout EMISSION: a session closes
     * and is emitted once the watermark passes its end + gap — the
     * streaming counterpart of [[graft.operators.Sessionize]] (batch) and
@@ -51,33 +82,17 @@ object StatefulOps {
           state.remove()
           Iterator.single(SessionOut(user, start, end, n, sum))
         } else {
-          var (start, end, n, sum) =
-            state.getOption.getOrElse((Long.MaxValue, Long.MinValue, 0L, 0.0))
           val wmMs = state.getCurrentWatermarkMs()
-          var closed = List.empty[SessionOut]
-          // Drop only rows STRICTLY behind the watermark: Spark delivers
-          // rows at eventTime == watermark (it drops strictly-older
-          // ones), so filtering those too would silently lose boundary
-          // events from sessions.
-          rows.toSeq.sortBy(_._2.getTime)
-            .iterator.filter(_._2.getTime >= wmMs).foreach { case (_, t, v) =>
-            val tUs = t.getTime * 1000
-            if (n > 0 && tUs - end > gapMillis * 1000) {
-              closed ::= SessionOut(user, start, end, n, sum)
-              start = tUs; end = tUs; n = 1L; sum = v
-            } else {
-              start = math.min(start, tUs); end = math.max(end, tUs)
-              n += 1; sum += v
-            }
-          }
-          if (n > 0) {
-            state.update((start, end, n, sum))
+          val (updated, closed) = foldSession(user, rows,
+            state.getOption.getOrElse(EmptySession), wmMs, gapMillis)
+          if (updated._3 > 0) {
+            state.update(updated)
             // EventTimeTimeout rejects timestamps <= current watermark;
             // clamp so a backlogged batch can't kill the query.
             state.setTimeoutTimestamp(
-              math.max(end / 1000 + gapMillis, wmMs + 1))
+              math.max(updated._2 / 1000 + gapMillis, wmMs + 1))
           }
-          closed.reverseIterator
+          closed.iterator
         }
     }
   }
@@ -103,32 +118,17 @@ object StatefulOps {
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, java.sql.Timestamp, Double)],
         timerValues: TimerValues): Iterator[SessionOut] = {
-      var (start, end, n, sum) =
-        if (session.exists) session.get
-        else (Long.MaxValue, Long.MinValue, 0L, 0.0)
       val wmMs = timerValues.getCurrentWatermarkInMs
-      var closed = List.empty[SessionOut]
-      // same late-row contract as sessionizeStream: only rows STRICTLY
-      // behind the watermark are dropped
-      rows.toSeq.sortBy(_._2.getTime)
-        .iterator.filter(_._2.getTime >= wmMs).foreach { case (_, t, v) =>
-        val tUs = t.getTime * 1000
-        if (n > 0 && tUs - end > gapMillis * 1000) {
-          closed ::= SessionOut(user, start, end, n, sum)
-          start = tUs; end = tUs; n = 1L; sum = v
-        } else {
-          start = math.min(start, tUs); end = math.max(end, tUs)
-          n += 1; sum += v
-        }
-      }
-      if (n > 0) {
-        session.update((start, end, n, sum))
+      val (updated, closed) = foldSession(user, rows,
+        if (session.exists) session.get else EmptySession, wmMs, gapMillis)
+      if (updated._3 > 0) {
+        session.update(updated)
         getHandle.listTimers().foreach(t =>
           getHandle.deleteTimer(t.asInstanceOf[Long]))
         getHandle.registerTimer(
-          math.max(end / 1000 + gapMillis, wmMs + 1))
+          math.max(updated._2 / 1000 + gapMillis, wmMs + 1))
       }
-      closed.reverseIterator
+      closed.iterator
     }
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,

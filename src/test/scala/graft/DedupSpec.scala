@@ -78,6 +78,26 @@ class DedupSpec extends AnyFunSuite {
     exact.foreach { p => assert(pairs.contains(p), s"missed exact pair $p") }
   }
 
+  test("duplicate ids (dirty input) never produce self-pairs") {
+    // two rows share id 7 with different texts — the strict a.id < b.id
+    // of the old join formulation must survive the posting-list rewrite
+    val dirty = Seq(
+      (7L, "alpha beta gamma"),
+      (7L, "alpha beta delta"),
+      (8L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val jac = Dedup.jaccardPairsExact(dirty, "doc_id", "text", threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(jac.forall { case (a, b) => a != b }, s"self-pair in $jac")
+    val sim = Dedup.simhashPairs(dirty, "doc_id", "text", maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(sim.forall { case (a, b) => a != b }, s"self-pair in $sim")
+    val mh = Dedup.minhashPairs(dirty, "doc_id", "text",
+        numHashes = 16, bands = 4, threshold = 0.1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(mh.forall { case (a, b) => a != b }, s"self-pair in $mh")
+  }
+
   test("dedupDelta drops corpus dups and keeps first within the delta") {
     val corpus = Seq((0L, "seen before"), (1L, "also seen")).toDF("doc_id", "text")
     val delta = Seq(
