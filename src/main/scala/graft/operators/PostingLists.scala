@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
   * buckets small; the explode streams them rather than materializing
   * n² in memory.
   */
-private[operators] object PostingLists {
+private[graft] object PostingLists {
 
   /** All (a < b) pairs of `idCol` values sharing a `keyCol` value, as
     * columns `a`/`b` of the id's type. `idCol` may be a struct whose

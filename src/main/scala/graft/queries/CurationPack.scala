@@ -150,6 +150,56 @@ object CurationPack extends QueryPack {
       |  AND CAST(n_chars AS DOUBLE) <= q3 + 1.5 * (q3 - q1)
       |ORDER BY doc_id""".stripMargin
 
+  // -- end-to-end corpus build ----------------------------------------------
+
+  /** The whole corpus build as ONE declarative plan: token-count floor
+    * (map) → IQR length fence (1-row percentile aggregate broadcast
+    * into a map filter) → normalized exact-dedup survivors (one digest
+    * window shuffle) → split assignment + epoch shuffle key (maps) —
+    * two wide operators end to end, every stage independently
+    * oracle-proven elsewhere, here verified COMPOSED. */
+  def corpusBuild(s: SparkSession, dir: String): DataFrame = {
+    val floored = Tables.documents(s, dir)
+      .withColumn("n_words",
+        size(graft.functions.TextFunctions.tokens(col("text"))))
+      .filter(col("n_words") >= 5)
+    val fenced = Curation.filterOutliersIqr(floored, "n_chars", k = 1.5)
+    val survivors = graft.operators.Dedup
+      .normalizedSurvivors(fenced, "doc_id", "text")
+    Curation.assignSplit(survivors, "doc_id", "graft",
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+      .withColumn("shuffle_key", Curation.hashUnit(col("doc_id"), "epoch0"))
+      .select(col("doc_id"), col("n_words"), col("n_chars"), col("split"),
+        col("shuffle_key"))
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusBuildSql: String = {
+    val normDigest = raw"md5(trim(regexp_replace(strip_accents(lower(" +
+      raw"nfc_normalize(text))), '\s+', ' ', 'g')))"
+    s"""WITH floored AS (
+       |  SELECT doc_id, n_chars, text, len($toksSql) AS n_words
+       |  FROM documents WHERE len($toksSql) >= 5),
+       |b AS (SELECT quantile_cont(n_chars, 0.25) AS q1,
+       |             quantile_cont(n_chars, 0.75) AS q3 FROM floored),
+       |fenced AS (
+       |  SELECT doc_id, n_chars, text, n_words FROM floored, b
+       |  WHERE CAST(n_chars AS DOUBLE) >= q1 - 1.5 * (q3 - q1)
+       |    AND CAST(n_chars AS DOUBLE) <= q3 + 1.5 * (q3 - q1)),
+       |surv AS (
+       |  SELECT doc_id, n_chars, n_words FROM (
+       |    SELECT doc_id, n_chars, n_words, row_number() OVER (
+       |      PARTITION BY $normDigest ORDER BY doc_id) AS rn
+       |    FROM fenced) z WHERE rn = 1)
+       |SELECT doc_id, n_words, n_chars,
+       |  CASE WHEN u < 0.8 THEN 'train'
+       |       WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+       |  ${uSql("doc_id", "epoch0")} AS shuffle_key
+       |FROM (SELECT doc_id, n_chars, n_words,
+       |        ${uSql("doc_id", "graft")} AS u FROM surv) y
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // -- near-dup clusters ----------------------------------------------------
 
   /** MinHash pairs → connected components (pointer-jumping label
@@ -239,6 +289,7 @@ object CurationPack extends QueryPack {
     "doc_repetition" -> repetition,
     "doc_lm_score" -> lmScore,
     "outlier_filter" -> outlierFilter,
+    "corpus_build" -> corpusBuild,
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
@@ -249,5 +300,6 @@ object CurationPack extends QueryPack {
     "corpus_shuffle" -> shuffleSql,
     "doc_repetition" -> repetitionSql,
     "doc_lm_score" -> lmScoreSql,
-    "outlier_filter" -> outlierFilterSql)
+    "outlier_filter" -> outlierFilterSql,
+    "corpus_build" -> corpusBuildSql)
 }

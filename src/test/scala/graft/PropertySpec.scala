@@ -281,4 +281,23 @@ class PropertySpec extends AnyFunSuite {
       out.groupBy(_._1).values.foreach(g => assert(g.map(_._2).distinct.size == 1))
     }
   }
+
+  test("posting-list pair generation equals the self-join formulation") {
+    val gen = Gen.listOfN(20,
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 4)))
+    forAll(gen, n = 10) { rows =>
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "k")
+        val got = graft.operators.PostingLists.candidatePairs(df, "id", "k")
+          .select($"a", $"b").as[(Long, Long)].collect()
+        // reference semantics: the strict a.id < b.id bucket self-join
+        val want = df.as("x").join(df.as("y"),
+            $"x.k" === $"y.k" && $"x.id" < $"y.id")
+          .select($"x.id", $"y.id").as[(Long, Long)].collect()
+        // one row per (key, pair) on both sides — compare as multisets
+        assert(got.sorted.toSeq == want.sorted.toSeq,
+          s"posting lists diverged from join on $rows")
+      }
+    }
+  }
 }
