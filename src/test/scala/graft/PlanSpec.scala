@@ -189,6 +189,26 @@ class PlanSpec extends AnyFunSuite {
       s"fused minhash kernel must be planned once:\n$p")
   }
 
+  test("no gated query scans a full fact-table schema (column pruning sweep)") {
+    // every parquet scan in every query must prune: reading l_comment
+    // AND l_shipmode (or o_comment AND o_clerk, or all five event
+    // columns) means the whole table went through the reader
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, dir).queryExecution
+          .explainString(org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted"))
+        val wide = p.linesIterator.filter(_.contains("ReadSchema")).exists { l =>
+          (l.contains("l_comment") && l.contains("l_shipmode")) ||
+          (l.contains("o_comment") && l.contains("o_clerk")) ||
+          (l.contains("props") && l.contains("event_type") &&
+            l.contains("value") && l.contains("user_id") && l.contains("ts"))
+        }
+        if (wide) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"unpruned scans in: $offenders")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
