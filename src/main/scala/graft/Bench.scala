@@ -68,8 +68,10 @@ object Bench {
     // 3-decimal values, < 1 KB) and write the full per-query map to
     // bench.json for inspection.
     val headline = results.filter(_._1.matches("q\\d+_.*"))
+    // tpch_sec: the q1-q22 subtotal — a stable cross-round comparison
+    // while the total query count keeps growing round over round
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${jmap(headline)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"tpch_sec":${fmt(headline.map(_._2).sum)},"queries":${jmap(headline)},"sf":"$sfDir"}"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
