@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Multi-column statistics in ONE aggregation pass (cudf DataFrame.corr,
+  * python/cudf dataframe.py corr; the reference computes per-pair
+  * reductions — here all k(k+1)/2 moment sums ride in a single
+  * partial-aggregate, so the data is read once regardless of how many
+  * column pairs are requested).
+  *
+  * Determinism: every sum runs in exact decimal (the QueryPack.dsum
+  * contract) and per-row products are IEEE doubles, so the derived
+  * Pearson coefficients are bit-identical across runs, partitionings,
+  * and engines — the corr matrix is DuckDB-oracle-checkable.
+  */
+object Stats {
+
+  private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Pairwise Pearson correlation of `cols` as rows (col_a, col_b, corr)
+    * for col_a < col_b, from one aggregation over the input. */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val n = count(lit(1)).cast("double").as("__n")
+    val sums = cols.map(c => dsum(col(c), 6).as(s"__s_$c"))
+    val prods = for {
+      i <- cols.indices; j <- i until cols.size
+    } yield dsum(col(cols(i)) * col(cols(j)), 8).as(s"__p_${i}_$j")
+    val m = df.agg(n, (sums ++ prods): _*)
+    def cov(i: Int, j: Int) = {
+      val (a, b) = (math.min(i, j), math.max(i, j))
+      col("__n") * col(s"__p_${a}_$b") -
+        col(s"__s_${cols(i)}") * col(s"__s_${cols(j)}")
+    }
+    val rows = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield struct(lit(cols(i)).as("col_a"), lit(cols(j)).as("col_b"),
+      (cov(i, j) / (sqrt(cov(i, i)) * sqrt(cov(j, j)))).as("corr"))
+    m.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
+        col("r.corr").as("corr"))
+  }
+}

@@ -345,7 +345,40 @@ object Aggs extends QueryPack {
       |        FROM lineitem GROUP BY 1, 2))
       |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin
 
+  /** Pairwise Pearson correlation MATRIX (cudf DataFrame.corr) in one
+    * aggregation pass — all k(k+1)/2 moment sums from a single read. */
+  private val corrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  def aggCorrMatrix(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.corrMatrix(Tables.lineitem(s, dir), corrCols)
+      .orderBy(col("col_a"), col("col_b"))
+
+  val aggCorrMatrixSql: String = {
+    val k = corrCols.size
+    def s(i: Int) =
+      s"CAST(sum(CAST(${corrCols(i)} AS DECIMAL(28,6))) AS DOUBLE)"
+    def p(i: Int, j: Int) =
+      s"CAST(sum(CAST((${corrCols(i)} * ${corrCols(j)}) AS DECIMAL(28,8))) AS DOUBLE)"
+    val moments =
+      (Seq("CAST(count(*) AS DOUBLE) AS n") ++
+        corrCols.indices.map(i => s"${s(i)} AS s$i") ++
+        (for { i <- 0 until k; j <- i until k } yield s"${p(i, j)} AS p${i}_$j"))
+        .mkString(",\n    ")
+    def cov(i: Int, j: Int) = s"(n * p${math.min(i, j)}_${math.max(i, j)} - s$i * s$j)"
+    val rows = (for { i <- 0 until k; j <- (i + 1) until k } yield
+      s"""SELECT '${corrCols(i)}' AS col_a, '${corrCols(j)}' AS col_b,
+         |  ${cov(i, j)} / (sqrt(${cov(i, i)}) * sqrt(${cov(j, j)})) AS corr
+         |FROM m""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH m AS (SELECT
+       |    $moments
+       |  FROM lineitem)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_matrix" -> aggCorrMatrix,
     "agg_skew_kurt" -> aggSkewKurt,
     "agg_mode" -> aggMode,
     "agg_basic" -> aggBasic,
@@ -361,6 +394,7 @@ object Aggs extends QueryPack {
     "agg_histogram" -> aggHistogram)
 
   override def oracle: Map[String, String] = Map(
+    "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_skew_kurt" -> aggSkewKurtSql,
     "agg_mode" -> aggModeSql,
     "agg_basic" -> aggBasicSql,

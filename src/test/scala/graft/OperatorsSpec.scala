@@ -12,6 +12,21 @@ class OperatorsSpec extends AnyFunSuite {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  test("Stats.corrMatrix matches closed-form Pearson on a small frame") {
+    val df = Seq((1.0, 2.0, 5.0), (2.0, 4.0, 4.0), (3.0, 6.0, 3.0),
+      (4.0, 8.0, 2.0)).toDF("x", "y", "z")
+    val got = graft.operators.Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(math.abs(got(("x", "y")) - 1.0) < 1e-12)   // y = 2x
+    assert(math.abs(got(("x", "z")) + 1.0) < 1e-12)   // z = 6 - x
+    assert(math.abs(got(("y", "z")) + 1.0) < 1e-12)
+    // one aggregation pass: a single scan feeds all pairs
+    val p = graft.operators.Stats.corrMatrix(df, Seq("x", "y", "z"))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("LocalTableScan")) <= 1)
+  }
+
   test("Interpolate.linear fills interior nulls, ffills trailing, keeps leading null") {
     val df = Seq[(Long, Int, Option[Double])](
       (1L, 0, None),            // leading null -> stays null
