@@ -123,6 +123,31 @@ class IoSpec extends AnyFunSuite {
       plan.contains("isnotnull(status"), "partition filter not applied")
   }
 
+  test("dynamic partition overwrite replaces only the written partitions") {
+    val dir = tmp("dynpart")
+    Seq((1L, "a"), (2L, "b"), (3L, "b")).toDF("k", "p")
+      .write.partitionBy("p").parquet(dir)
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      // overwrite ONLY partition p=b; p=a must survive (static mode would
+      // wipe the whole table root first — the snapshot-refresh footgun)
+      Seq((9L, "b")).toDF("k", "p")
+        .write.mode("overwrite").partitionBy("p").parquet(dir)
+      val got = spark.read.parquet(dir).orderBy("k")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(got.toSeq == Seq((1L, "a"), (9L, "b")),
+        s"expected a-partition kept, b-partition replaced; got ${got.toSeq}")
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None =>
+          spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+  }
+
   test("custom-delimiter text read splits records on the delimiter") {
     val dir = Files.createTempDirectory("graft_text")
     val file = dir.resolve("recs.txt")
