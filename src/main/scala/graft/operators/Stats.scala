@@ -21,7 +21,13 @@ object Stats {
     sum(c.cast(DecimalType(28, scale))).cast("double")
 
   /** Pairwise Pearson correlation of `cols` as rows (col_a, col_b, corr)
-    * for col_a < col_b, from one aggregation over the input. */
+    * for col_a < col_b, from one aggregation over the input.
+    *
+    * Columns must be non-null: `n` is count(*), so a null in any column
+    * would bias that column's moments (drop or impute first — cudf's
+    * corr makes the same pairwise-complete assumption only row-wise).
+    * A constant column yields NaN correlations (zero variance), same as
+    * the reference. */
   def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     val n = count(lit(1)).cast("double").as("__n")
