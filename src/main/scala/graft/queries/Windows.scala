@@ -237,6 +237,45 @@ object Windows extends QueryPack {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Rolling VARIANCE/STD over a 5-row frame (rolling.hpp window
+    * aggregations beyond sum/mean): moment sums in exact decimal inside
+    * the frame, variance derived per row; single-row frames yield NULL
+    * (no sample variance), matching both engines explicitly. */
+  def winRollingStd(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, Window.currentRow)
+    val sx = sum($"value".cast(DecimalType(18, 6))).over(w).cast("double")
+    val sxx = sum(($"value" * $"value").cast(DecimalType(18, 6))).over(w)
+      .cast("double")
+    val n = count(lit(1)).over(w).cast("double")
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", n.as("roll_n"),
+        (sx / n).as("roll_mean"),
+        when(n > 1, (sxx - sx * sx / n) / (n - lit(1.0)))
+          .otherwise(lit(null).cast("double")).as("roll_var"),
+        when(n > 1, sqrt((sxx - sx * sx / n) / (n - lit(1.0))))
+          .otherwise(lit(null).cast("double")).as("roll_std"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winRollingStdSql: String =
+    """SELECT user_id, event_id, roll_n, sx / roll_n AS roll_mean,
+      |  CASE WHEN roll_n > 1
+      |    THEN (sxx - sx * sx / roll_n) / (roll_n - 1.0) END AS roll_var,
+      |  CASE WHEN roll_n > 1
+      |    THEN sqrt((sxx - sx * sx / roll_n) / (roll_n - 1.0)) END AS roll_std
+      |FROM (
+      |  SELECT user_id, event_id,
+      |    CAST(count(*) OVER w AS DOUBLE) AS roll_n,
+      |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
+      |    CAST(sum(CAST((value * value) AS DECIMAL(18,6))) OVER w
+      |      AS DOUBLE) AS sxx
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Linear null interpolation (cudf Series.interpolate, pandas
     * method='index') along the event_id axis per user — straight-line
     * value between nearest non-null neighbors; leading nulls stay null,
@@ -340,7 +379,8 @@ object Windows extends QueryPack {
     "win_range_open" -> winRangeOpen,
     "win_time_range" -> winTimeRange,
     "win_ffill" -> winFfill,
-    "win_interpolate" -> winInterpolate)
+    "win_interpolate" -> winInterpolate,
+    "win_rolling_std" -> winRollingStd)
 
   override def oracle: Map[String, String] = Map(
     "win_nth_value" -> winNthSql,
@@ -353,5 +393,6 @@ object Windows extends QueryPack {
     "win_range_open" -> winRangeOpenSql,
     "win_time_range" -> winTimeRangeSql,
     "win_ffill" -> winFfillSql,
-    "win_interpolate" -> winInterpolateSql)
+    "win_interpolate" -> winInterpolateSql,
+    "win_rolling_std" -> winRollingStdSql)
 }
