@@ -120,4 +120,20 @@ object Curation {
         v <= col("__q3") + lit(k) * (col("__q3") - col("__q1")))
       .drop("__q1", "__q3")
   }
+
+  /** Winsorize: CLAMP values to the [lo, hi] quantiles instead of
+    * dropping rows (the alternative to [[filterOutliersIqr]] when row
+    * count must be preserved). Same shape: one exact-percentile 1-row
+    * aggregate broadcast into a codegen clamp. */
+  def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
+      hi: Double = 0.99, outCol: String = "winsorized"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val bounds = df.agg(
+      expr(s"percentile($valueCol, $lo)").as("__lo"),
+      expr(s"percentile($valueCol, $hi)").as("__hi"))
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        greatest(least(col(valueCol).cast("double"), col("__hi")), col("__lo")))
+      .drop("__lo", "__hi")
+  }
 }

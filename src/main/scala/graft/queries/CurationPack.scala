@@ -150,6 +150,22 @@ object CurationPack extends QueryPack {
       |  AND CAST(n_chars AS DOUBLE) <= q3 + 1.5 * (q3 - q1)
       |ORDER BY doc_id""".stripMargin
 
+  /** Winsorize document length at the 5th/95th percentiles — the
+    * row-preserving alternative to the IQR fence. */
+  def winsorizeQ(s: SparkSession, dir: String): DataFrame =
+    Curation.winsorize(Tables.documents(s, dir), "n_chars",
+        lo = 0.05, hi = 0.95, outCol = "n_chars_w")
+      .select(col("doc_id"), col("n_chars"), col("n_chars_w"))
+      .orderBy(col("doc_id"))
+
+  val winsorizeSql: String =
+    """SELECT doc_id, n_chars,
+      |  greatest(least(CAST(n_chars AS DOUBLE), hi), lo) AS n_chars_w
+      |FROM documents, (SELECT quantile_cont(n_chars, 0.05) AS lo,
+      |                        quantile_cont(n_chars, 0.95) AS hi
+      |                 FROM documents) b
+      |ORDER BY doc_id""".stripMargin
+
   // -- end-to-end corpus build ----------------------------------------------
 
   /** The whole corpus build as ONE declarative plan: token-count floor
@@ -289,6 +305,7 @@ object CurationPack extends QueryPack {
     "doc_repetition" -> repetition,
     "doc_lm_score" -> lmScore,
     "outlier_filter" -> outlierFilter,
+    "outlier_winsorize" -> winsorizeQ,
     "corpus_build" -> corpusBuild,
     "doc_neardup_clusters" -> neardupClusters)
 
@@ -301,5 +318,6 @@ object CurationPack extends QueryPack {
     "doc_repetition" -> repetitionSql,
     "doc_lm_score" -> lmScoreSql,
     "outlier_filter" -> outlierFilterSql,
+    "outlier_winsorize" -> winsorizeSql,
     "corpus_build" -> corpusBuildSql)
 }

@@ -237,6 +237,29 @@ object Windows extends QueryPack {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Cumulative MAX/MIN scans (aggregation.hpp scan_type::INCLUSIVE
+    * with MAX/MIN — the grouped scan family beyond cumsum). Comparisons
+    * only, so no float-order caveats. */
+  def winScanMinMax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"value",
+        max($"value").over(w).as("cum_max"),
+        min($"value").over(w).as("cum_min"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winScanMinMaxSql: String =
+    """SELECT user_id, event_id, value,
+      |  max(value) OVER w AS cum_max,
+      |  min(value) OVER w AS cum_min
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Rolling VARIANCE/STD over a 5-row frame (rolling.hpp window
     * aggregations beyond sum/mean): moment sums in exact decimal inside
     * the frame, variance derived per row; single-row frames yield NULL
@@ -380,7 +403,8 @@ object Windows extends QueryPack {
     "win_time_range" -> winTimeRange,
     "win_ffill" -> winFfill,
     "win_interpolate" -> winInterpolate,
-    "win_rolling_std" -> winRollingStd)
+    "win_rolling_std" -> winRollingStd,
+    "win_scan_minmax" -> winScanMinMax)
 
   override def oracle: Map[String, String] = Map(
     "win_nth_value" -> winNthSql,
@@ -394,5 +418,6 @@ object Windows extends QueryPack {
     "win_time_range" -> winTimeRangeSql,
     "win_ffill" -> winFfillSql,
     "win_interpolate" -> winInterpolateSql,
-    "win_rolling_std" -> winRollingStdSql)
+    "win_rolling_std" -> winRollingStdSql,
+    "win_scan_minmax" -> winScanMinMaxSql)
 }
