@@ -121,6 +121,20 @@ object Curation {
       .drop("__q1", "__q3")
   }
 
+  /** Median absolute deviation — the robust scale estimate behind
+    * modified-z-score outlier rules (|x − median| / MAD > 3.5): exact
+    * median, then exact median of absolute deviations. Two percentile
+    * aggregates (the first broadcast into the deviation map stage),
+    * both deterministic and engine-portable. Returns one row
+    * (median, mad). */
+  def mad(df: DataFrame, valueCol: String): DataFrame = {
+    val med = df.agg(expr(s"percentile($valueCol, 0.5)").as("median"))
+    df.crossJoin(broadcast(med))
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("median")))
+      .agg(first(col("median")).as("median"),
+        expr("percentile(__dev, 0.5)").as("mad"))
+  }
+
   /** Winsorize: CLAMP values to the [lo, hi] quantiles instead of
     * dropping rows (the alternative to [[filterOutliersIqr]] when row
     * count must be preserved). Same shape: one exact-percentile 1-row

@@ -150,6 +150,17 @@ object CurationPack extends QueryPack {
       |  AND CAST(n_chars AS DOUBLE) <= q3 + 1.5 * (q3 - q1)
       |ORDER BY doc_id""".stripMargin
 
+  /** Median absolute deviation of document length (robust scale for
+    * modified-z outlier rules). */
+  def madQ(s: SparkSession, dir: String): DataFrame =
+    Curation.mad(Tables.documents(s, dir), "n_chars")
+
+  val madSql: String =
+    """SELECT first(m) AS median,
+      |  quantile_cont(abs(CAST(n_chars AS DOUBLE) - m), 0.5) AS mad
+      |FROM documents, (SELECT quantile_cont(n_chars, 0.5) AS m
+      |                 FROM documents) b""".stripMargin
+
   /** Winsorize document length at the 5th/95th percentiles — the
     * row-preserving alternative to the IQR fence. */
   def winsorizeQ(s: SparkSession, dir: String): DataFrame =
@@ -306,6 +317,7 @@ object CurationPack extends QueryPack {
     "doc_lm_score" -> lmScore,
     "outlier_filter" -> outlierFilter,
     "outlier_winsorize" -> winsorizeQ,
+    "outlier_mad" -> madQ,
     "corpus_build" -> corpusBuild,
     "doc_neardup_clusters" -> neardupClusters)
 
@@ -319,5 +331,6 @@ object CurationPack extends QueryPack {
     "doc_lm_score" -> lmScoreSql,
     "outlier_filter" -> outlierFilterSql,
     "outlier_winsorize" -> winsorizeSql,
+    "outlier_mad" -> madSql,
     "corpus_build" -> corpusBuildSql)
 }
