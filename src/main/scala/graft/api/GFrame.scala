@@ -234,6 +234,13 @@ final case class GFrame(df: DataFrame) {
   /** Tukey IQR outlier fence on a numeric column (k=1.5 default). */
   def filterOutliers(valueCol: String, k: Double = 1.5): GFrame =
     GFrame(graft.operators.Curation.filterOutliersIqr(df, valueCol, k))
+  /** Clamp a numeric column to its [lo, hi] quantiles (row-preserving). */
+  def winsorize(valueCol: String, lo: Double = 0.01,
+      hi: Double = 0.99): GFrame =
+    GFrame(graft.operators.Curation.winsorize(df, valueCol, lo, hi))
+  /** One-row (median, mad) of a numeric column. */
+  def mad(valueCol: String): GFrame =
+    GFrame(graft.operators.Curation.mad(df, valueCol))
   /** Stable pseudo-random sort key; orderBy it for a seeded shuffle. */
   def shuffleKey(idCol: String, seed: String): GFrame =
     GFrame(graft.operators.Curation.shuffleKey(df, idCol, seed))

@@ -101,4 +101,16 @@ class CurationSpec extends AnyFunSuite {
       .select("id").as[Long].collect().sorted
     assert(wide.contains(100L) && !wide.contains(101L))
   }
+
+  test("winsorize clamps to quantiles; mad matches hand computation") {
+    val d = (1 to 10).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    // p10 = 1.9, p90 = 9.1 (interpolated): ends clamp, middle unchanged
+    val w = graft.operators.Curation.winsorize(d, "v", lo = 0.1, hi = 0.9)
+      .orderBy("id").select("winsorized").as[Double].collect()
+    assert(w.head == 1.9 && w.last == 9.1 && w(4) == 5.0)
+    assert(w.length == 10) // row-preserving
+    // median of 1..10 = 5.5; |x - 5.5| = 4.5,3.5,...,0.5,0.5,...,4.5 -> mad 2.5
+    val m = graft.operators.Curation.mad(d, "v").head
+    assert(m.getDouble(0) == 5.5 && m.getDouble(1) == 2.5)
+  }
 }
