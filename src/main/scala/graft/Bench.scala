@@ -73,7 +73,7 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"tpch_sec":${fmt(headline.map(_._2).sum)},"queries":${jmap(headline)},"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"tpch_sec":${fmt(headline.map(_._2).sum)},"queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)

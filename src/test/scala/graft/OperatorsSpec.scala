@@ -25,6 +25,12 @@ class OperatorsSpec extends AnyFunSuite {
     val p = graft.operators.Stats.corrMatrix(df, Seq("x", "y", "z"))
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("LocalTableScan")) <= 1)
+    // fast mode agrees with exact mode to double tolerance
+    val fast = graft.operators.Stats.corrMatrix(df, Seq("x", "y", "z"),
+        exact = false)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    got.foreach { case (k, v) => assert(math.abs(fast(k) - v) < 1e-9) }
   }
 
   test("Interpolate.linear fills interior nulls, ffills trailing, keeps leading null") {
