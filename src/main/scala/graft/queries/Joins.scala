@@ -178,7 +178,32 @@ object Joins extends QueryPack {
       |  ON ck IS NOT DISTINCT FROM nk
       |ORDER BY c_custkey, n_name""".stripMargin
 
+  /** Mark join (join/mark_join.hpp): EXISTS materialized as a BOOLEAN
+    * COLUMN on every left row — distinct from semi/anti, which FILTER.
+    * Formulation: distinct build keys flagged true, left join, coalesce
+    * false — the build side is distinct-key-sized, so the probe join
+    * carries one boolean per key, and no row is dropped. */
+  def joinMark(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val returned = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey").distinct()
+      .withColumn("__m", lit(true))
+    Tables.orders(s, dir)
+      .join(returned, $"o_orderkey" === $"l_orderkey", "left")
+      .select($"o_orderkey", coalesce($"__m", lit(false)).as("has_return"))
+      .orderBy($"o_orderkey")
+  }
+
+  val joinMarkSql: String =
+    """SELECT o_orderkey,
+      |  EXISTS (SELECT 1 FROM lineitem
+      |          WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      |    AS has_return
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_mark" -> joinMark,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
     "join_full" -> joinFull,
@@ -190,6 +215,7 @@ object Joins extends QueryPack {
     "join_nullsafe" -> joinNullSafe)
 
   override def oracle: Map[String, String] = Map(
+    "join_mark" -> joinMarkSql,
     "join_inner" -> joinInnerSql,
     "join_left" -> joinLeftSql,
     "join_full" -> joinFullSql,
