@@ -70,10 +70,10 @@ object Bench {
     val headline = results.filter(_._1.matches("q\\d+_.*"))
     // tpch_sec: the q1-q22 subtotal — a stable cross-round comparison
     // while the total query count keeps growing round over round
-    val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"tpch_sec":${fmt(headline.map(_._2).sum)},"queries":${jmap(headline)},"sf":"$sfDir"}"""
-    val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},"tpch_sec":${fmt(headline.map(_._2).sum)},"queries":${jmap(results)},"sf":"$sfDir"}"""
+    val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
+      s""","n":${results.size},"tpch_sec":${fmt(headline.map(_._2).sum)}"""
+    val line = s"""$prefix,"queries":${jmap(headline)},"sf":"$sfDir"}"""
+    val full = s"""$prefix,"queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)

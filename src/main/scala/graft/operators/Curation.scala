@@ -138,7 +138,9 @@ object Curation {
   /** Winsorize: CLAMP values to the [lo, hi] quantiles instead of
     * dropping rows (the alternative to [[filterOutliersIqr]] when row
     * count must be preserved). Same shape: one exact-percentile 1-row
-    * aggregate broadcast into a codegen clamp. */
+    * aggregate broadcast into a codegen clamp. NULL values stay NULL —
+    * least/greatest skip nulls, so without the guard a missing datum
+    * would be fabricated as the upper bound. */
   def winsorize(df: DataFrame, valueCol: String, lo: Double = 0.01,
       hi: Double = 0.99, outCol: String = "winsorized"): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
@@ -147,7 +149,9 @@ object Curation {
       expr(s"percentile($valueCol, $hi)").as("__hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(outCol,
-        greatest(least(col(valueCol).cast("double"), col("__hi")), col("__lo")))
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(greatest(
+            least(col(valueCol).cast("double"), col("__hi")), col("__lo"))))
       .drop("__lo", "__hi")
   }
 }

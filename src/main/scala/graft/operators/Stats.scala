@@ -17,13 +17,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Stats {
 
-  // precision 18 keeps the per-row cast on Spark's Long-backed Decimal
-  // fast path (precision > 18 boxes a BigDecimal per row per column —
-  // measured 10× slower on this aggregate); with scale 6 that leaves
-  // 12 integer digits of per-row headroom, and the SUM itself widens to
-  // precision 28 internally so group totals don't overflow
+  // precision 38 (the max): per-row products square the input
+  // magnitude, and a narrower cast would overflow to NULL under
+  // non-ANSI Spark and be silently DROPPED from the moment sums while
+  // count(*) still counts the row — garbage correlations, no error.
+  // 38,6 holds products up to 1e32. Profiled: decimal precision does
+  // not change aggregation cost (the decimal path itself is ~10× a
+  // plain double sum either way — that is the exact-mode price).
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(c.cast(DecimalType(38, scale))).cast("double")
 
   /** Pairwise Pearson correlation of `cols` as rows (col_a, col_b, corr)
     * for col_a < col_b, from one aggregation over the input.
@@ -38,7 +40,12 @@ object Stats {
     * in exact decimal — bit-identical across runs/engines but ~10× the
     * aggregation cost of plain double sums (measured ~400 ns/row/agg).
     * `exact = false` sums doubles: same one-pass plan, full speed,
-    * reproducible only up to partial-aggregation order (last-ulp). */
+    * reproducible only up to partial-aggregation order (last-ulp).
+    *
+    * Exact-mode range: products quantize at 6 decimal places, so
+    * columns whose pairwise products fall below ~1e-5 should be
+    * rescaled first (cov(i,i) could quantize to ≤ 0 → NaN); the upper
+    * bound is 1e32 per product. */
   def corrMatrix(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, "need at least two columns")

@@ -357,9 +357,9 @@ object Aggs extends QueryPack {
   val aggCorrMatrixSql: String = {
     val k = corrCols.size
     def s(i: Int) =
-      s"CAST(sum(CAST(${corrCols(i)} AS DECIMAL(18,6))) AS DOUBLE)"
+      s"CAST(sum(CAST(${corrCols(i)} AS DECIMAL(38,6))) AS DOUBLE)"
     def p(i: Int, j: Int) =
-      s"CAST(sum(CAST((${corrCols(i)} * ${corrCols(j)}) AS DECIMAL(18,6))) AS DOUBLE)"
+      s"CAST(sum(CAST((${corrCols(i)} * ${corrCols(j)}) AS DECIMAL(38,6))) AS DOUBLE)"
     val moments =
       (Seq("CAST(count(*) AS DOUBLE) AS n") ++
         corrCols.indices.map(i => s"${s(i)} AS s$i") ++

@@ -193,9 +193,10 @@ object CurationPack extends QueryPack {
     val fenced = Curation.filterOutliersIqr(floored, "n_chars", k = 1.5)
     val survivors = graft.operators.Dedup
       .normalizedSurvivors(fenced, "doc_id", "text")
-    Curation.assignSplit(survivors, "doc_id", "graft",
-        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
-      .withColumn("shuffle_key", Curation.hashUnit(col("doc_id"), "epoch0"))
+    Curation.shuffleKey(
+        Curation.assignSplit(survivors, "doc_id", "graft",
+          Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)),
+        "doc_id", "epoch0")
       .select(col("doc_id"), col("n_words"), col("n_chars"), col("split"),
         col("shuffle_key"))
       .orderBy(col("doc_id"))

@@ -268,8 +268,8 @@ object Windows extends QueryPack {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(-4, Window.currentRow)
-    val sx = sum($"value".cast(DecimalType(18, 6))).over(w).cast("double")
-    val sxx = sum(($"value" * $"value").cast(DecimalType(18, 6))).over(w)
+    val sx = sum($"value".cast(DecimalType(38, 6))).over(w).cast("double")
+    val sxx = sum(($"value" * $"value").cast(DecimalType(38, 6))).over(w)
       .cast("double")
     val n = count(lit(1)).over(w).cast("double")
     Tables.events(s, dir)
@@ -291,8 +291,8 @@ object Windows extends QueryPack {
       |FROM (
       |  SELECT user_id, event_id,
       |    CAST(count(*) OVER w AS DOUBLE) AS roll_n,
-      |    CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS sx,
-      |    CAST(sum(CAST((value * value) AS DECIMAL(18,6))) OVER w
+      |    CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+      |    CAST(sum(CAST((value * value) AS DECIMAL(38,6))) OVER w
       |      AS DOUBLE) AS sxx
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id

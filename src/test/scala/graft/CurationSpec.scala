@@ -112,5 +112,11 @@ class CurationSpec extends AnyFunSuite {
     // median of 1..10 = 5.5; |x - 5.5| = 4.5,3.5,...,0.5,0.5,...,4.5 -> mad 2.5
     val m = graft.operators.Curation.mad(d, "v").head
     assert(m.getDouble(0) == 5.5 && m.getDouble(1) == 2.5)
+    // a NULL value stays NULL (least/greatest would fabricate the bound)
+    val withNull = (Seq((0L, Option.empty[Double])) ++
+      (1 to 10).map(i => (i.toLong, Some(i.toDouble)))).toDF("id", "v")
+    val nw = graft.operators.Curation.winsorize(withNull, "v")
+      .filter($"id" === 0).select("winsorized").head
+    assert(nw.isNullAt(0))
   }
 }
