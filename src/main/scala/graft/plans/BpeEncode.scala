@@ -50,7 +50,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val words = v.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = v.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val pieces = words.toSeq.flatMap(encodeWord)
     new GenericArrayData(pieces.map(UTF8String.fromString(_)))
   }

@@ -16,7 +16,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[GraftExtensions].getName, name)
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "", "", "", "built-in")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier("porter_stem"),
@@ -25,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("normalize_nan_zero"),
       info("normalize_nan_zero", "normalize_nan_zero(col)"),
       (es: Seq[Expression]) => NormalizeNaNZero(es.head)))
+    // keep parity with GraftExpressions.register: every SQL-surface
+    // function is available through the extensions path too
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(arr_a, arr_b)"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
     e.injectPlannerStrategy(_ => RangeJoinStrategy)
   }
 }

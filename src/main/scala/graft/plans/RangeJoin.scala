@@ -47,8 +47,8 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
       val lo0 = loB.eval(r)
       val hi0 = hiB.eval(r)
       if (lo0 == null || hi0 == null) None
-      else Some((lo0.asInstanceOf[Number].doubleValue(),
-        hi0.asInstanceOf[Number].doubleValue(), r.copy()))
+      else Some((RangeJoinExec.toDouble(lo0), RangeJoinExec.toDouble(hi0),
+        r.copy()))
     }.sortBy(_._1)
     val bc = sparkContext.broadcast(intervals)
     val out = output
@@ -63,7 +63,7 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
         val v0 = vB.eval(lrow)
         if (v0 == null) Iterator.empty
         else {
-          val v = v0.asInstanceOf[Number].doubleValue()
+          val v = RangeJoinExec.toDouble(v0)
           // binary search: first index with lo > v
           var a = 0; var b = ivs.length
           while (a < b) {
@@ -77,6 +77,19 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
         }
       }
     }
+  }
+}
+
+object RangeJoinExec {
+  /** Numeric-to-double for the comparison space. Decimal is NOT a
+    * java.lang.Number in Spark, so a bare Number cast would crash on
+    * DECIMAL columns (TPC-H money). Caveat (documented): comparisons
+    * run in double space, so integral keys beyond 2^53 can land on the
+    * wrong side of a bound — keep range keys within double precision
+    * (timestamps-as-micros at current epochs are fine: ~2^51). */
+  def toDouble(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: java.lang.Number => n.doubleValue()
   }
 }
 

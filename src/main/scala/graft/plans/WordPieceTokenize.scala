@@ -43,7 +43,7 @@ case class WordPieceTokenize(child: Expression, vocab: Seq[String])
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val words = v.toString.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val words = v.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
     val pieces = words.flatMap(tokenizeWord)
     new GenericArrayData(pieces.map(UTF8String.fromString(_)))
   }

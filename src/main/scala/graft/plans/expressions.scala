@@ -20,6 +20,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * aggregation/join key semantics are stable. Full codegen. */
 case class NormalizeNaNZero(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      .TypeCheckFailure(
+        s"normalize_nan_zero needs DOUBLE, got ${child.dataType} " +
+          "(cast explicitly — the interpreted and codegen paths would " +
+          "otherwise disagree on implicit widening)")
   override def nullSafeEval(v: Any): Any = {
     val d = v.asInstanceOf[Double]
     if (d.isNaN) Double.NaN else if (d == 0.0) 0.0 else d
@@ -75,6 +84,18 @@ object PorterStem {
       if (measure(stem) > minM) Some(stem + rep) else None
     } else None
 
+  private val Step2 = Seq("ational" -> "ate", "tional" -> "tion",
+    "enci" -> "ence", "anci" -> "ance", "izer" -> "ize", "abli" -> "able",
+    "alli" -> "al", "entli" -> "ent", "eli" -> "e", "ousli" -> "ous",
+    "ization" -> "ize", "ation" -> "ate", "ator" -> "ate", "alism" -> "al",
+    "iveness" -> "ive", "fulness" -> "ful", "ousness" -> "ous",
+    "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+  private val Step3 = Seq("icate" -> "ic", "ative" -> "", "alize" -> "al",
+    "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
+  private val Step4 = Seq("al", "ance", "ence", "er", "ic", "able", "ible",
+    "ant", "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous",
+    "ive", "ize")
+
   def stem(word: String): String = {
     if (word.length <= 2) return word
     var w = word
@@ -94,32 +115,23 @@ object PorterStem {
     }
     // Step 1c
     if (w.endsWith("y") && hasVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
-    // Step 2
-    val step2 = Seq("ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
-      "anci" -> "ance", "izer" -> "ize", "abli" -> "able", "alli" -> "al",
-      "entli" -> "ent", "eli" -> "e", "ousli" -> "ous", "ization" -> "ize",
-      "ation" -> "ate", "ator" -> "ate", "alism" -> "al", "iveness" -> "ive",
-      "fulness" -> "ful", "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive",
-      "biliti" -> "ble")
-    step2.collectFirst { case (s, r) if replace(w, s, r, 0).isDefined =>
-      replace(w, s, r, 0).get }.foreach(w = _)
+    // Step 2 (tables are object-level vals — stem() runs once per TOKEN
+    // on the corpus hot path, so no per-call Seq building)
+    Step2.iterator.map { case (s, r) => replace(w, s, r, 0) }
+      .collectFirst { case Some(x) => x }.foreach(w = _)
     // Step 3
-    val step3 = Seq("icate" -> "ic", "ative" -> "", "alize" -> "al",
-      "iciti" -> "ic", "ical" -> "ic", "ful" -> "", "ness" -> "")
-    step3.collectFirst { case (s, r) if replace(w, s, r, 0).isDefined =>
-      replace(w, s, r, 0).get }.foreach(w = _)
-    // Step 4
-    val step4 = Seq("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
-      "ement", "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
-    step4.collectFirst {
+    Step3.iterator.map { case (s, r) => replace(w, s, r, 0) }
+      .collectFirst { case Some(x) => x }.foreach(w = _)
+    // Step 4 — ONE rule fires per step (classic Porter); "ion" sits in
+    // the list with its s/t-precedence condition rather than as a
+    // second pass, which would wrongly strip two suffixes
+    // ("professional" -> "profess" instead of "profession")
+    Step4.collectFirst {
       case s if w.endsWith(s) && measure(w.dropRight(s.length)) > 1 &&
         (s != "ion" || (w.length > s.length &&
           "st".contains(w.charAt(w.length - s.length - 1)))) =>
         w.dropRight(s.length)
     }.foreach(w = _)
-    if (w.endsWith("ion") && measure(w.dropRight(3)) > 1 &&
-        w.length > 3 && "st".contains(w.charAt(w.length - 4)))
-      w = w.dropRight(3)
     // Step 5a
     if (w.endsWith("e")) {
       val stem = w.dropRight(1)
@@ -150,16 +162,15 @@ case class Ewma(child: Expression, alpha: Double)
         Add(Multiply(Literal(alpha), Cast(child, DoubleType)),
           Multiply(Literal(1.0 - alpha), state)))))
   override lazy val mergeExpressions: Seq[Expression] =
-    // EWMA is order-dependent and has NO correct partial-aggregate merge:
-    // merging two non-empty states loses the interleaving. Window frames
-    // never merge buffers (single sequential pass per frame), so the
-    // public API only exposes this over a WindowSpec (GraftExpressions
-    // .ewma requires one). Raise if a groupBy/agg plan ever merges.
-    Seq(If(IsNull(state.right), state.left,
-      If(IsNull(state.left), state.right,
-        Cast(new RaiseError(Literal("graft.ewma: partial-aggregate merge "
-          + "is undefined for order-dependent EWMA; use it over a window, "
-          + "not in groupBy/agg")), DoubleType))))
+    // EWMA is order-dependent and has NO correct partial-aggregate merge.
+    // Window frames never merge buffers (single sequential pass per
+    // frame), so the public API only exposes this over a WindowSpec
+    // (GraftExpressions.ewma requires one). Raise on ANY merge — a
+    // null-tolerant merge would let a single-partition groupBy/agg
+    // return a silently scan-order-dependent result instead of erroring.
+    Seq(Cast(new RaiseError(Literal("graft.ewma: partial-aggregate merge "
+      + "is undefined for order-dependent EWMA; use it over a window, "
+      + "not in groupBy/agg")), DoubleType))
   override lazy val evaluateExpression: Expression = state
   override protected def withNewChildInternal(c: Expression): Ewma =
     copy(child = c)
@@ -269,8 +280,18 @@ case class DotProduct(left: Expression, right: Expression)
 case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  require(numHashes % bands == 0, "numHashes must divide into bands")
+  require(bands > 0 && numHashes > 0 && numHashes % bands == 0,
+    s"need bands > 0 and bands | numHashes, got $numHashes/$bands")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"minhash_band_keys needs ARRAY<STRING>, got $other")
+    }
 
   override def nullSafeEval(v: Any): Any = {
     import org.apache.spark.sql.catalyst.expressions.XXH64
@@ -317,6 +338,15 @@ case class SimHash64(child: Expression)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(s"simhash64 needs ARRAY<STRING>, got $other")
+    }
 
   override def nullSafeEval(v: Any): Any = {
     import org.apache.spark.sql.catalyst.expressions.XXH64

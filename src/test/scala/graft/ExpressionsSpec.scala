@@ -29,7 +29,9 @@ class ExpressionsSpec extends AnyFunSuite {
       "feed" -> "feed", "agreed" -> "agre", "plastered" -> "plaster",
       "motoring" -> "motor", "sing" -> "sing", "happy" -> "happi",
       "relational" -> "relat", "conditional" -> "condit",
-      "hopeful" -> "hope", "goodness" -> "good")
+      "hopeful" -> "hope", "goodness" -> "good",
+      // step 4 fires ONE rule: no al-then-ion double strip
+      "professional" -> "profession", "adoption" -> "adopt")
     cases.foreach { case (in, want) =>
       assert(PorterStem.stem(in) == want, s"stem($in)")
     }
