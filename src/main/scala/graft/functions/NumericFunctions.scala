@@ -13,6 +13,9 @@ object NumericFunctions {
     * per-row scan, no join. For boundary lists too large to inline,
     * broadcast-join against a boundaries table instead. */
   def searchSorted(v: Column, boundaries: Seq[Double]): Column =
+    // null v: every b <= null is null -> filtered -> position 0, the
+    // same on both engines (DuckDB list_filter drops null predicates
+    // identically); labelBins adds the null->null guard on top
     size(filter(array(boundaries.map(lit): _*), b => b <= v))
 
   /** Equal-frequency quantile binning (pandas/cudf qcut): bin i is
@@ -24,8 +27,12 @@ object NumericFunctions {
     * (unlike rank-based ntile), matching the reference's label
     * semantics. */
   def qcutBin(v: Column, cuts: Column): Column =
-    lit(1) + aggregate(cuts, lit(0),
-      (acc, c) => acc + when(c < v, 1).otherwise(0))
+    // null values stay null (pandas/cudf qcut propagates NaN/null);
+    // without the guard, `c < null` is null -> otherwise(0) and every
+    // null row would silently land in bin 1
+    when(v.isNull, lit(null).cast("int"))
+      .otherwise(lit(1) + aggregate(cuts, lit(0),
+        (acc, c) => acc + when(c < v, 1).otherwise(0)))
 
   /** label_bins with explicit edges: bin i covers [edge_i, edge_i+1),
     * -1 outside (reference returns null label outside bins). */
@@ -74,6 +81,11 @@ object NumericFunctions {
 
   def labelBins(v: Column, edges: Seq[Double]): Column = {
     val idx = searchSorted(v, edges) - 1
-    when(idx < 0 || idx >= edges.length - 1, lit(-1)).otherwise(idx)
+    // null input -> null label (cudf label_bins), NOT -1: conflating a
+    // missing measurement with a genuinely out-of-range one corrupts
+    // every downstream group-by on the bin label
+    when(v.isNull, lit(null).cast("int"))
+      .otherwise(when(idx < 0 || idx >= edges.length - 1, lit(-1))
+        .otherwise(idx))
   }
 }

@@ -16,7 +16,12 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** Whitespace tokenizer (nvtext/tokenize.hpp:51), lower-cased. */
+  /** Whitespace tokenizer (nvtext/tokenize.hpp:51), lower-cased.
+    * CONTRACT: an empty/whitespace-only string yields [""] — one empty
+    * token — because split("", ...) does; the DuckDB oracle mirror
+    * (string_split_regex) behaves identically, which is what keeps the
+    * token-derived queries hash-equal. Callers needing nvtext's
+    * count_tokens = 0 semantics filter empties explicitly. */
   def tokens(c: Column): Column = split(lower(trim(c)), "\\s+")
 
   /** Whitespace normalizer (nvtext/normalize.hpp normalize_spaces).
@@ -60,16 +65,25 @@ object TextFunctions {
     md5(array_join(sort_array(array_distinct(tokens(c))), " "))
 
   /** Character n-grams of a string column (generate_ngrams.hpp:115).
-    * Takes a column NAME (used inside a SQL lambda). */
+    * Takes a column NAME (used inside a SQL lambda). Strings shorter
+    * than n yield an EMPTY array — without the guard, Spark's
+    * sequence(1, 0) is the DESCENDING [1, 0] and position 0 emits a
+    * bogus whole-string gram. */
   def charNgrams(strCol: String, n: Int): Column =
-    expr(s"transform(sequence(1, greatest(length($strCol) - ${n - 1}, 0)), " +
-      s"i -> substring($strCol, i, $n))")
+    expr(s"CASE WHEN length($strCol) >= $n THEN " +
+      s"transform(sequence(1, length($strCol) - ${n - 1}), " +
+      s"i -> substring($strCol, i, $n)) " +
+      s"ELSE CAST(array() AS ARRAY<STRING>) END")
 
   /** Token n-grams from a token-array column (generate_ngrams.hpp:49):
-    * joins each sliding window of n tokens with '_'. */
+    * joins each sliding window of n tokens with '_'. Arrays shorter
+    * than n yield an EMPTY array (same sequence(1, 0) guard as
+    * charNgrams — slice(_, 0, _) would otherwise throw). */
   def tokenNgrams(toksCol: String, n: Int): Column =
-    expr(s"transform(sequence(1, greatest(size($toksCol) - ${n - 1}, 0)), " +
-      s"i -> array_join(slice($toksCol, i, $n), '_'))")
+    expr(s"CASE WHEN size($toksCol) >= $n THEN " +
+      s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
+      s"i -> array_join(slice($toksCol, i, $n), '_')) " +
+      s"ELSE CAST(array() AS ARRAY<STRING>) END")
 
   /** MinHash signature (nvtext/minhash.hpp:62): k minimum xxhash64
     * values over the token array, one per seed. Returns array<long>

@@ -16,10 +16,13 @@ object Udfs {
 
   /** PRODUCT aggregation kind (aggregation.hpp:80) — Spark has no
     * product aggregate; mergeable Aggregator with a multiplicative
-    * monoid buffer. */
-  object ProductAgg extends Aggregator[Double, Double, Double] {
+    * monoid buffer. Input is boxed so NULL rows are SKIPPED like every
+    * built-in SQL aggregate (a primitive Double input would either
+    * fail deserialization on null or poison the product with 0.0). */
+  object ProductAgg extends Aggregator[java.lang.Double, Double, Double] {
     override def zero: Double = 1.0
-    override def reduce(b: Double, a: Double): Double = b * a
+    override def reduce(b: Double, a: java.lang.Double): Double =
+      if (a == null) b else b * a.doubleValue()
     override def merge(b1: Double, b2: Double): Double = b1 * b2
     override def finish(b: Double): Double = b
     override def bufferEncoder: Encoder[Double] = Encoders.scalaDouble
@@ -28,10 +31,10 @@ object Udfs {
 
   /** Geometric mean via (count, sum-of-logs) buffer — the canonical
     * two-field partial-aggregation shape. */
-  object GeoMeanAgg extends Aggregator[Double, (Long, Double), Double] {
+  object GeoMeanAgg extends Aggregator[java.lang.Double, (Long, Double), Double] {
     override def zero: (Long, Double) = (0L, 0.0)
-    override def reduce(b: (Long, Double), a: Double): (Long, Double) =
-      (b._1 + 1, b._2 + math.log(a))
+    override def reduce(b: (Long, Double), a: java.lang.Double): (Long, Double) =
+      if (a == null) b else (b._1 + 1, b._2 + math.log(a.doubleValue()))
     override def merge(a: (Long, Double), b: (Long, Double)): (Long, Double) =
       (a._1 + b._1, a._2 + b._2)
     override def finish(b: (Long, Double)): Double =

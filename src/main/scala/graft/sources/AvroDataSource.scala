@@ -25,8 +25,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Scale shape: one InputPartition per file (Avro blocks make files
   * independently consumable), readers decode on executors, and
-  * SupportsPushDownRequiredColumns prunes the deserialized columns so a
-  * 2-column projection never materializes the full record. */
+  * SupportsPushDownRequiredColumns prunes which fields reach Spark.
+  * Pruning is applied AFTER Avro record decode (GenericDatumReader has
+  * no reader schema here): the InternalRow carries only the projected
+  * columns, but the decoder still parses each record's bytes — passing
+  * a pruned reader schema so Avro skips unprojected fields at decode
+  * is the documented upgrade path. */
 class AvroDataSource extends TableProvider with DataSourceRegister {
   import AvroDataSource.{hadoopConf, listAvroFiles}
 
@@ -99,7 +103,8 @@ class AvroWriteBuilder(path: String, schema: StructType)
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         AvroBatchWrite(path, schema, doTruncate,
           AvroDataSource.hadoopConf().iterator().asScala
-            .map(e => e.getKey -> e.getValue).toMap)
+            .map(e => e.getKey -> e.getValue).toMap,
+          java.util.UUID.randomUUID().toString.take(8))
     }
 }
 
@@ -107,13 +112,13 @@ case class AvroTaskCommit(tempFile: String)
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 case class AvroBatchWrite(path: String, schema: StructType,
-    truncate: Boolean, confProps: Map[String, String])
+    truncate: Boolean, confProps: Map[String, String], jobId: String)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write._
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
-    AvroWriterFactory(path, schema.json, confProps)
+    AvroWriterFactory(path, schema.json, confProps, jobId)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val conf = AvroDataSource.confFromProps(confProps)
@@ -123,36 +128,36 @@ case class AvroBatchWrite(path: String, schema: StructType,
     // the committed task files before they are renamed into place
     if (truncate && fs.exists(dir)) fs.delete(dir, true)
     fs.mkdirs(dir)
-    // Task file names are only unique within one application; an epoch
-    // suffix keeps appends from prior jobs from colliding (a collision
-    // would make rename return false and silently drop the partition).
-    val epoch = java.util.UUID.randomUUID().toString.take(8)
+    // The job id (fixed at plan time) both uniquifies destination file
+    // names across jobs AND isolates this job's staging dir — a shared
+    // staging dir would let two concurrent appends overwrite each
+    // other's task files and wipe them on the first commit.
     messages.foreach { case AvroTaskCommit(tmp) =>
       val t = new Path(tmp)
       val dest = new Path(dir,
-        t.getName.stripSuffix(".avro") + s"-$epoch.avro")
+        t.getName.stripSuffix(".avro") + s"-$jobId.avro")
       if (!fs.rename(t, dest))
         throw new java.io.IOException(
           s"graft-avro commit rename failed: $t -> $dest")
     }
-    fs.delete(AvroBatchWrite.stagingDir(path), true)
+    fs.delete(AvroBatchWrite.stagingDir(path, jobId), true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val conf = AvroDataSource.confFromProps(confProps)
-    val staging = AvroBatchWrite.stagingDir(path)
+    val staging = AvroBatchWrite.stagingDir(path, jobId)
     val fs = staging.getFileSystem(conf)
     if (fs.exists(staging)) fs.delete(staging, true)
   }
 }
 
 object AvroBatchWrite {
-  private[sources] def stagingDir(path: String): Path =
-    new Path(path.stripSuffix("/") + "__graft_staging")
+  private[sources] def stagingDir(path: String, jobId: String): Path =
+    new Path(path.stripSuffix("/") + s"__graft_staging_$jobId")
 }
 
 case class AvroWriterFactory(path: String, schemaJson: String,
-    confProps: Map[String, String])
+    confProps: Map[String, String], jobId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] = {
@@ -161,7 +166,7 @@ case class AvroWriterFactory(path: String, schemaJson: String,
     new org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
       private val conf = AvroDataSource.confFromProps(confProps)
       private val avro = Avro.avroSchema(sparkSchema)
-      private val tmp = new Path(AvroBatchWrite.stagingDir(path),
+      private val tmp = new Path(AvroBatchWrite.stagingDir(path, jobId),
         s"part-$partitionId-$taskId.avro")
       private val fs = tmp.getFileSystem(conf)
       private val out = { fs.mkdirs(tmp.getParent); fs.create(tmp, true) }
@@ -284,8 +289,17 @@ case class AvroReaderFactory(columns: Array[String],
       private val in = p.getFileSystem(conf).open(p)
       private val stream = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
-      // resolve pruned column → record field index once per partition
-      private val idx = columns.map(stream.getSchema.getField(_).pos())
+      // resolve pruned column → record field index once per partition;
+      // a missing column is a schema-drift error, reported by name and
+      // file instead of a bare NPE from .pos()
+      private val idx = columns.map { name =>
+        val f = stream.getSchema.getField(name)
+        if (f == null) throw new IllegalArgumentException(
+          s"graft-avro: column '$name' not found in $file " +
+            s"(file schema: ${stream.getSchema.getFields.asScala
+              .map(_.name).mkString(", ")})")
+        f.pos()
+      }
       private var rec: GenericRecord = _
       override def next(): Boolean = {
         if (!stream.hasNext) false

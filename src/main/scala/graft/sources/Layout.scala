@@ -43,6 +43,12 @@ object Layout {
   /** Hive-style partitioned parquet layout: one directory per value of
     * `partCols`. Reads that filter on a partition column list only the
     * matching directories (driver-side pruning, no footer reads). */
+  /** NOTE: the returned round-trip frame follows Hive layout rules —
+    * partition columns move to the END of the schema, and their values
+    * are re-inferred from directory names (string "01" can come back as
+    * int 1 unless `spark.sql.sources.partitionColumnTypeInference
+    * .enabled` is off). Select/cast explicitly before schema-sensitive
+    * unions or comparisons. */
   def writePartitioned(df: DataFrame, path: String,
                        partCols: Seq[String]): DataFrame = {
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
