@@ -34,29 +34,36 @@ object AsOfJoin {
   def asofPrev(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String],
       toleranceMicros: Long): DataFrame = {
-    val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(0).as("__side") +:
-        unix_micros(col(rightTime)).as("asof___t") +:
-        payload.map(c => col(c).as(s"asof_$c"))): _*)
+    // The whole right row rides in ONE struct, carried atomically: a
+    // per-column last(ignoreNulls) would mix values from DIFFERENT
+    // right rows whenever the matched row has a null field (and let a
+    // stale row's field leak past the tolerance check). The struct is
+    // non-null for every right row even when all its fields are null,
+    // so null payload fields survive as nulls of the matched row.
+    // Ties between right rows at the same (key, time) are resolved by
+    // partition order — give rightTime a unique tiebreak upstream if
+    // that matters.
+    val r = right.select(col(key), col(rightTime).as("__t"),
+      lit(0).as("__side"),
+      struct((unix_micros(col(rightTime)).as("__rt") +:
+        payload.map(c => col(c).as(s"asof_$c"))): _*).as("__p"))
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at equal times → inclusive <=.
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = ("asof___t" +: payload.map(c => s"asof_$c")).foldLeft(unioned) {
-      (df, name) =>
-        df.withColumn(name, last(col(name), ignoreNulls = true).over(w))
-    }
-    val inTol =
-      if (toleranceMicros <= 0) carried
-      else {
-        val stale = unix_micros(col("__t")) - col("asof___t") > toleranceMicros
-        payload.foldLeft(carried) { (df, c) =>
-          df.withColumn(s"asof_$c",
-            when(stale, lit(null)).otherwise(col(s"asof_$c")))
-        }.withColumn("asof___t", when(stale, lit(null)).otherwise(col("asof___t")))
+    val carried = unioned
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+    val stale =
+      if (toleranceMicros <= 0) lit(false)
+      else unix_micros(col("__t")) - col("__p.__rt") > toleranceMicros
+    val unpacked = ("asof___t" -> col("__p.__rt")) +:
+      payload.map(c => s"asof_$c" -> col(s"__p.asof_$c"))
+    unpacked.foldLeft(carried) { case (df, (name, c)) =>
+        df.withColumn(name, when(stale, lit(null)).otherwise(c))
       }
-    inTol.filter(col("__side") === 1).drop("__t", "__side")
+      .filter(col("__side") === 1)
+      .drop("__t", "__side", "__p")
   }
 
   /** Forward as-of: earliest right row with rightTime >= leftTime
@@ -64,17 +71,22 @@ object AsOfJoin {
     * a following-frame `first`. */
   def asofNext(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
-    val r = right.select(
-      (col(key) +: col(rightTime).as("__t") +: lit(1).as("__side") +:
-        payload.map(c => col(c).as(s"asof_$c"))): _*)
+    // same atomic-struct carry as asofPrev (per-column first() would
+    // mix fields across right rows on null payload fields)
+    val r = right.select(col(key), col(rightTime).as("__t"),
+      lit(1).as("__side"),
+      struct(payload.map(c => col(c).as(s"asof_$c")): _*).as("__p"))
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Left rows sort before right rows at equal times → inclusive >=.
     val w = Window.partitionBy(col(key)).orderBy(col("__t"), col("__side"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val filled = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"asof_$c", first(col(s"asof_$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 0).drop("__t", "__side")
+    val carried = unioned
+      .withColumn("__p", first(col("__p"), ignoreNulls = true).over(w))
+    payload.foldLeft(carried) { (df, c) =>
+        df.withColumn(s"asof_$c", col(s"__p.asof_$c"))
+      }
+      .filter(col("__side") === 0)
+      .drop("__t", "__side", "__p")
   }
 }

@@ -54,6 +54,15 @@ object Reshape {
     * Implemented as unpivot → pivot on the given id column. */
   def transpose(df: DataFrame, idCol: String): DataFrame = {
     val valueCols = df.columns.filterNot(_ == idCol)
+    // numeric-only contract: the unpivot casts to double, which would
+    // silently null every value of a string column; fail loudly instead.
+    // idCol values must also be unique — pivot keeps first(val) per cell.
+    valueCols.foreach { c =>
+      require(df.schema(c).dataType
+          .isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"transpose needs numeric value columns, got $c: " +
+          df.schema(c).dataType)
+    }
     val long = df.unpivot(Array(col(idCol)),
       valueCols.map(c => col(c).cast("double")), "metric", "val")
     long.groupBy(col("metric")).pivot(idCol).agg(first(col("val")))

@@ -30,9 +30,14 @@ object Sessionize {
       .drop("__gap_us", "__new")
   }
 
-  /** Per-session rollup: bounds, duration, event count, value sum. */
+  /** Per-session rollup: bounds, duration, event count, value sum.
+    * `valueScale` is the decimal scale of the order-exact sum (values
+    * quantize to that many decimal places; magnitudes must stay under
+    * 10^(18−scale) or the cast nulls and the row drops from the sum) —
+    * pick it for the value column's range, same contract as
+    * QueryPack.dsum. */
   def summarize(events: DataFrame, userCol: String, tsCol: String,
-      valueCol: String, gapSeconds: Long): DataFrame = {
+      valueCol: String, gapSeconds: Long, valueScale: Int = 2): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     assign(events, userCol, tsCol, gapSeconds)
       .groupBy(col(userCol), col("session_idx"))
@@ -41,6 +46,7 @@ object Sessionize {
         max(unix_micros(col(tsCol))).as("end_us"),
         (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
           .as("duration_us"),
-        sum(col(valueCol).cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        sum(col(valueCol).cast(DecimalType(18, valueScale))).cast("double")
+          .as("sum_value"))
   }
 }

@@ -88,6 +88,10 @@ object SubstringDedup {
     * DIFFERENT sources are emitted (resolve_duplicates_pair semantics —
     * any substring present in both corpora has at least one adjacent
     * cross-source pair in its suffix-array interval). */
+  // Caveat: the separator is U+0000; a document legitimately containing
+  // NUL is treated as multiple documents at the truncation step, so
+  // duplicates spanning a NUL are missed (binary payloads belong in
+  // Multimodal's binary columns, not here).
   private def chunkDuplicates(texts: Seq[(String, Int)], minWidth: Int,
       crossSourceOnly: Boolean): Iterator[String] = {
     if (texts.isEmpty) return Iterator.empty
@@ -135,6 +139,9 @@ object SubstringDedup {
     val spark = df.sparkSession
     import spark.implicits._
     val texts: Dataset[String] = df
+      // null text would reach StringBuilder.append as the literal
+      // "null" (fabricated corpus content) — drop such rows up front
+      .filter(col(textCol).isNotNull)
       .repartitionByRange(chunks, col(idCol))
       .sortWithinPartitions(col(idCol)) // fixed concatenation order
       .select(col(textCol)).as[String]
@@ -157,6 +164,9 @@ object SubstringDedup {
     val spark = df.sparkSession
     import spark.implicits._
     val rows = df
+      // null text appends as "null"; a null src crashes the primitive
+      // Int decoder mid-job — both are malformed input, dropped up front
+      .filter(col(textCol).isNotNull && col(srcCol).isNotNull)
       .repartitionByRange(chunks, col(idCol))
       .sortWithinPartitions(col(idCol))
       .select(col(textCol).cast("string"), col(srcCol).cast("int"))

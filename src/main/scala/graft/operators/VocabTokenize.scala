@@ -47,11 +47,15 @@ object VocabTokenize {
     * and re-assembled in token order. Returns (idCol, ids ARRAY<INT>).
     * One broadcast, one shuffle (the per-doc regroup).
     *
-    * `idCol` values must be UNIQUE: the per-doc regroup is a groupBy on
-    * it, so duplicate ids would silently merge into one ids array (the
-    * reference's tokenize_with_vocabulary is positional and cannot
-    * collide). Null/empty text yields an EMPTY ids array, matching the
-    * reference's row-per-input contract, not a dropped row. */
+    * `idCol` values must be UNIQUE (the per-doc regroup is a groupBy on
+    * it — duplicates would silently merge ids arrays), and so must the
+    * vocab's TOKEN column (a duplicate token fans the join out and
+    * misaligns the ids array; buildVocabulary guarantees this, external
+    * vocabDfs must too). NULL text yields an EMPTY ids array (a row per
+    * input, not a dropped row); note EMPTY-STRING text tokenizes to
+    * [""] → [defaultId] — the tokens() contract both engines share —
+    * and vocab matching is over LOWERCASED tokens (tokens() lowers;
+    * supply a lowercase vocab, as buildVocabulary does). */
   def tokenizeWithVocabularyJoin(df: DataFrame, idCol: String, textCol: String,
       vocabDf: DataFrame, defaultId: Int = -1): DataFrame = {
     val vocab = vocabDf.select(

@@ -73,6 +73,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("t3").isEmpty)           // quote is after the trade
   }
 
+  test("asofPrev carries the matched row ATOMICALLY when fields are null") {
+    val trades = Seq((1L, ts("2024-01-01 10:00:00"), "t1"))
+      .toDF("key", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 09:00:00"), Some(100.0), Some(2.0)),
+      (1L, ts("2024-01-01 09:30:00"), Option.empty[Double], Some(5.0))
+    ).toDF("key", "qt", "px", "qty")
+    // the matched row is the 09:30 one: px must be NULL (that row's
+    // value), not 100.0 leaked from the earlier row
+    val r = AsOfJoin.asofPrev(trades, quotes, "key", "t", "qt",
+      Seq("px", "qty")).select($"asof_px", $"asof_qty").head
+    assert(r.isNullAt(0), s"px must be the matched row's null, got $r")
+    assert(r.getDouble(1) == 5.0)
+    // tolerance applies to the matched ROW: 09:30 within 45 min -> kept
+    val tol = AsOfJoin.asofPrev(trades, quotes, "key", "t", "qt",
+      Seq("px", "qty"), toleranceMicros = 45L * 60 * 1000000)
+      .select($"asof_qty").head
+    assert(tol.getDouble(0) == 5.0)
+  }
+
   test("asofPrev tolerance nulls stale matches; asofNext matches forward") {
     val trades = Seq((1L, ts("2024-01-01 10:00:00"), "t1")).toDF("key", "t", "trade")
     val quotes = Seq((1L, ts("2024-01-01 08:00:00"), 99.0),
