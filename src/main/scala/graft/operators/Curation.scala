@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** Exact interpolated percentile built from Column objects rather
+    * than a spliced SQL string, so column names needing backticks
+    * (spaces, dots, hyphens) resolve like everywhere else in the API. */
+  private def pctl(valueCol: String, p: Double): Column =
+    call_function("percentile", col(valueCol), lit(p))
+
   /** Deterministic unit-interval weight in [0,1) from (seed, key): the
     * first 15 hex chars of md5("seed|key") read as a 60-bit integer,
     * divided by 2^60. A pure per-row map (codegen, zero shuffle) that is
@@ -113,8 +119,8 @@ object Curation {
       k: Double = 1.5): DataFrame = {
     val v = col(valueCol).cast("double")
     val bounds = df.agg(
-      expr(s"percentile($valueCol, 0.25)").as("__q1"),
-      expr(s"percentile($valueCol, 0.75)").as("__q3"))
+      pctl(valueCol, 0.25).as("__q1"),
+      pctl(valueCol, 0.75).as("__q3"))
     df.crossJoin(broadcast(bounds))
       .filter(v >= col("__q1") - lit(k) * (col("__q3") - col("__q1")) &&
         v <= col("__q3") + lit(k) * (col("__q3") - col("__q1")))
@@ -128,7 +134,7 @@ object Curation {
     * both deterministic and engine-portable. Returns one row
     * (median, mad). */
   def mad(df: DataFrame, valueCol: String): DataFrame = {
-    val med = df.agg(expr(s"percentile($valueCol, 0.5)").as("median"))
+    val med = df.agg(pctl(valueCol, 0.5).as("median"))
     df.crossJoin(broadcast(med))
       .withColumn("__dev", abs(col(valueCol).cast("double") - col("median")))
       .agg(first(col("median")).as("median"),
@@ -145,8 +151,8 @@ object Curation {
       hi: Double = 0.99, outCol: String = "winsorized"): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
     val bounds = df.agg(
-      expr(s"percentile($valueCol, $lo)").as("__lo"),
-      expr(s"percentile($valueCol, $hi)").as("__hi"))
+      pctl(valueCol, lo).as("__lo"),
+      pctl(valueCol, hi).as("__hi"))
     df.crossJoin(broadcast(bounds))
       .withColumn(outCol,
         when(col(valueCol).isNull, lit(null).cast("double"))

@@ -81,9 +81,13 @@ object Embeddings {
       Similarity.dot(vec, typedlit(row)) * inv): _*)
     // DotProduct silently truncates to the shorter array, which would
     // make a dimension mismatch produce quietly-wrong projections —
-    // fail loudly instead
-    when(size(vec) === inDim, proj).otherwise(raise_error(concat(
-      lit(s"randomProject: expected $inDim-dim vector, got "),
-      size(vec).cast("string"))))
+    // fail loudly instead. NULL input propagates NULL (same contract
+    // as DotProduct/ArrayScale/l2Normalize); without the isNull arm a
+    // null vector would fall into raise_error via a NULL comparison.
+    when(vec.isNull, lit(null).cast("array<double>"))
+      .when(size(vec) === inDim, proj)
+      .otherwise(raise_error(concat(
+        lit(s"randomProject: expected $inDim-dim vector, got "),
+        coalesce(size(vec).cast("string"), lit("null")))))
   }
 }

@@ -49,6 +49,9 @@ object Stats {
   def corrMatrix(df: DataFrame, cols: Seq[String],
       exact: Boolean = true): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size,
+      "columns must be distinct (duplicate names would collide in the " +
+        "__s_/__p_ aggregate aliases)")
     def msum(c: org.apache.spark.sql.Column) =
       if (exact) dsum(c, 6) else sum(c.cast("double"))
     val n = count(lit(1)).cast("double").as("__n")

@@ -171,7 +171,9 @@ object CurationPack extends QueryPack {
 
   val winsorizeSql: String =
     """SELECT doc_id, n_chars,
-      |  greatest(least(CAST(n_chars AS DOUBLE), hi), lo) AS n_chars_w
+      |  CASE WHEN n_chars IS NULL THEN NULL
+      |    ELSE greatest(least(CAST(n_chars AS DOUBLE), hi), lo)
+      |  END AS n_chars_w
       |FROM documents, (SELECT quantile_cont(n_chars, 0.05) AS lo,
       |                        quantile_cont(n_chars, 0.95) AS hi
       |                 FROM documents) b

@@ -510,25 +510,34 @@ object TextOps extends QueryPack {
   /** L2-normalized unit vectors + norms (north star: embedding
     * preprocessing). Pure codegen map stage (plans/ArrayScale), zero
     * shuffle; oracle-checked because both engines fold the same
-    * element-ordered double arithmetic. */
+    * element-ordered double arithmetic. Output is posexploded to one
+    * scalar row per (vec_id, pos) — the driver's comparator sorts with
+    * pandas, which cannot hash list columns, so both sides emit the
+    * element-wise shape (mirrors pylibcudf's element-wise column
+    * round trips). */
   def embedNormalize(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
         Similarity.l2norm(col("embedding")).as("norm"),
-        Embeddings.l2Normalize(col("embedding")).as("unit"))
-      .orderBy(col("vec_id"))
+        posexplode(Embeddings.l2Normalize(col("embedding")))
+          .as(Seq("pos", "u")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("norm"), col("u"))
+      .orderBy(col("vec_id"), col("pos"))
 
   val embedNormalizeSql: String =
-    s"""SELECT vec_id, sqrt(dnn) AS norm,
-       |  CASE WHEN dnn = 0
+    s"""SELECT vec_id,
+       |  unnest(range(0, len(embedding))) AS pos,
+       |  sqrt(dnn) AS norm,
+       |  unnest(CASE WHEN dnn = 0
        |    THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
        |    ELSE list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * (1.0 / sqrt(dnn)))
-       |  END AS unit
+       |  END) AS u
        |FROM (SELECT vec_id, embedding,
        |        ${dpSql("embedding", "embedding")} AS dnn
        |      FROM embeddings)
-       |ORDER BY vec_id""".stripMargin
+       |ORDER BY vec_id, pos""".stripMargin
 
   /** Per-vector uint8 scalar quantization (north star: 4× embedding
     * storage shrink). Codegen kernel (plans/ArrayQuantizeU8), zero
@@ -537,22 +546,27 @@ object TextOps extends QueryPack {
   def embedQuantize(s: SparkSession, dir: String): DataFrame =
     Embeddings.quantizeU8(Tables.embeddings(s, dir), "embedding",
         scaleCol = "qscale")
-      .select(col("vec_id"), col("lo"), col("qscale"), col("q"))
-      .orderBy(col("vec_id"))
+      .select(col("vec_id"), col("lo"), col("qscale"),
+        posexplode(col("q")).as(Seq("pos", "qv")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"),
+        col("lo"), col("qscale"), col("qv"))
+      .orderBy(col("vec_id"), col("pos"))
 
   val embedQuantizeSql: String =
-    """SELECT vec_id, lo, qscale,
-      |  CASE WHEN qscale = 0 THEN list_transform(embedding, x -> 0)
+    """SELECT vec_id,
+      |  unnest(range(0, len(embedding))) AS pos,
+      |  lo, qscale,
+      |  unnest(CASE WHEN qscale = 0 THEN list_transform(embedding, x -> 0)
       |    ELSE list_transform(embedding, x -> CAST(least(greatest(
       |      floor((CAST(x AS DOUBLE) - lo) / qscale), 0), 255) AS INT))
-      |  END AS q
+      |  END) AS qv
       |FROM (SELECT vec_id, embedding,
       |        CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS lo,
       |        (CAST(list_aggregate(embedding, 'max') AS DOUBLE) -
       |         CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0
       |          AS qscale
       |      FROM embeddings)
-      |ORDER BY vec_id""".stripMargin
+      |ORDER BY vec_id, pos""".stripMargin
 
   /** Sign-matrix random projection 64 → 16 dims (Johnson–Lindenstrauss
     * dimensionality reduction before clustering/ANN). The md5-derived
@@ -562,9 +576,10 @@ object TextOps extends QueryPack {
   def embedProject(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)
       .select(col("vec_id"),
-        Embeddings.randomProject(col("embedding"), inDim = 64, outDim = 16,
-          seed = "graft").as("proj"))
-      .orderBy(col("vec_id"))
+        posexplode(Embeddings.randomProject(col("embedding"), inDim = 64,
+          outDim = 16, seed = "graft")).as(Seq("pos", "pv")))
+      .select(col("vec_id"), col("pos").cast("long").as("pos"), col("pv"))
+      .orderBy(col("vec_id"), col("pos"))
 
   val embedProjectSql: String = {
     val dims = Embeddings.signMatrix(inDim = 64, outDim = 16, seed = "graft")
@@ -574,8 +589,9 @@ object TextOps extends QueryPack {
         s"${dpSql("embedding", signs)} * 0.25"
       }
     s"""SELECT vec_id,
-       |  [${dims.mkString(",\n   ")}] AS proj
-       |FROM embeddings ORDER BY vec_id""".stripMargin
+       |  unnest(range(0, ${dims.size})) AS pos,
+       |  unnest([${dims.mkString(",\n   ")}]) AS pv
+       |FROM embeddings ORDER BY vec_id, pos""".stripMargin
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means cells as candidate

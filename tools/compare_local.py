@@ -62,6 +62,21 @@ def main(outdir, sfdir):
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
+        # The driver sorts result frames with pandas, which factorizes
+        # each column; list/struct columns arrive as numpy arrays /
+        # dicts and raise "unhashable type" — so any nested result
+        # column is an automatic driver-side crash. Refuse it here so
+        # local green implies driver green (round-4 lesson: 3 embed_*
+        # queries passed locally but crashed the driver's comparator).
+        nested = [c for c, t in [(got.columns[i], str(got.types[i]))
+                                 for i in range(len(got.columns))]
+                  if "[]" in t or t.startswith("STRUCT") or t.startswith("MAP")]
+        if nested:
+            print(f"FAIL {name}: nested result columns {nested} would "
+                  f"crash the driver's pandas comparator — reshape to "
+                  f"scalars (posexplode / array_to_string)")
+            n_fail += 1
+            continue
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
             n_fail += 1
