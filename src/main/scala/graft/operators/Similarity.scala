@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
 
 /** Embedding similarity search (north star: ANN over Array[Float]
   * columns). Brute-force cosine top-k is the exact baseline; the
@@ -37,7 +38,12 @@ object Similarity {
     * broadcast the (small) query set against the corpus, compute cosine,
     * take k per query via a window. At cluster scale the corpus stays
     * partitioned; per-partition work is queries × rows — embarrassingly
-    * parallel, one shuffle for the final per-query top-k. */
+    * parallel, and the `rank <= k` filter plans a PARTIAL
+    * WindowGroupLimit BEFORE the exchange (Spark's
+    * InsertWindowGroupLimit rule fires on row_number + rank filters),
+    * so the one shuffle moves ≤ k·partitions rows per query, never the
+    * scored corpus — asserted in PlanSpec; a hand-rolled mapPartitions
+    * pre-reduction would only add object ser/deser to the hot path. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
@@ -86,6 +92,124 @@ object Similarity {
           .reduce(_ + _).as("bucket"))
     }: _*)
 
+  /** Sequential element-order double fold over the shorter length — the
+    * exact loop of plans.DotProduct (expressions.scala:223), so
+    * JVM-side model math is bit-identical to the codegen'd column. */
+  private def seqDot(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Collect a (cell_id, c_vec) centroid frame into the driver-side
+    * model for [[assignNearestCells]]. Centroids ARE the model — k×dim
+    * doubles, driver-sized by definition (what the reference's IVF
+    * training produces) — so this collect is model-sized, never corpus-
+    * sized. Float centroid elements widen to double exactly as
+    * DotProduct widens them. */
+  private def collectModel(centroids: DataFrame): Array[(Any, Array[Double])] =
+    centroids.collect().map { r =>
+      val v = r.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue()
+      }.toArray
+      (r.get(0), v)
+    }
+
+  /** Nearest-cell assignment as a ROW-LOCAL map over a broadcast
+    * centroid model — zero shuffle. Replaces the former
+    * crossJoin(corpus × centroids) + row_number window, whose window
+    * exchange moved nCells × corpus rows CARRYING FULL VECTORS — at
+    * IVF-realistic nCells (10³–10⁴) that exchange dominates the whole
+    * job. Here `sc.broadcast` ships the k×dim model once per executor
+    * (no plan literal, no codegen bloat at large k) and each row's
+    * argmax is a tight local loop; the stage stays narrow so the ONLY
+    * shuffle left in IVF/SemDeDup is the keyed probe/pair join.
+    *
+    * Semantics match the old window exactly: cosine =
+    * dot/(sqrt(dot(v,v))·sqrt(dot(c,c))) with sequential-fold dots
+    * (identical IEEE result to the codegen'd DotProduct), NaN ranks
+    * greatest (Spark's descending-sort convention), ties take the
+    * smallest cell id. Emits `min(nprobe, k)` rows per input row,
+    * nearest cell first; NULL vectors get no row (they can't be
+    * assigned to a cell — the old path never produced a meaningful
+    * cell for them either). Output schema = input schema + cellCol. */
+  private def assignNearestCells(df: DataFrame, vecCol: String,
+      model: Array[(Any, Array[Double])], cellCol: String = "cell_id",
+      nprobe: Int = 1): DataFrame = {
+    require(model.nonEmpty, "need at least one centroid")
+    require(nprobe >= 1, "nprobe must be >= 1")
+    // ascending cell-id order so strict-greater argmax ties resolve to
+    // the smallest id, matching orderBy(c_sim desc, cell_id asc)
+    val sorted = model.sortBy {
+      case (id: java.lang.Number, _) => id.longValue()
+      case (id, _) => id.hashCode().toLong
+    }
+    val cellType = sorted.head._1 match {
+      case _: java.lang.Integer => IntegerType
+      case _: java.lang.Long => LongType
+      case _: String => StringType
+      case other => throw new IllegalArgumentException(
+        s"unsupported cell id type: ${other.getClass}")
+    }
+    val cVecs = sorted.map(_._2)
+    val cNorms = cVecs.map(v => math.sqrt(seqDot(v, v)))
+    val bc = df.sparkSession.sparkContext
+      .broadcast((sorted.map(_._1), cVecs, cNorms))
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val outSchema = df.schema.add(cellCol, cellType, nullable = false)
+    // NaN-greatest strict compare: a beats b iff a > b, or a is NaN and
+    // b is not — Spark's descending NullsLast/NaN-greatest sort order
+    def beats(a: Double, b: Double): Boolean =
+      a > b || (a.isNaN && !b.isNaN)
+    df.mapPartitions { it =>
+      val (ids, vecs, norms) = bc.value
+      val k = vecs.length
+      val probes = math.min(nprobe, k)
+      it.flatMap { row =>
+        if (row.isNullAt(vecIdx)) Iterator.empty
+        else {
+          val raw = row.getSeq[Any](vecIdx)
+          val v = new Array[Double](raw.length)
+          var i = 0
+          raw.foreach { x =>
+            v(i) = x match {
+              case f: Float => f.toDouble
+              case d: Double => d
+              case n: java.lang.Number => n.doubleValue()
+            }
+            i += 1
+          }
+          val vn = math.sqrt(seqDot(v, v))
+          val sims = new Array[Double](k)
+          var c = 0
+          while (c < k) {
+            sims(c) = seqDot(v, vecs(c)) / (vn * norms(c))
+            c += 1
+          }
+          // repeated argmax: O(k·nprobe), no per-row allocation beyond
+          // the sims buffer; nprobe « k always
+          val used = new Array[Boolean](k)
+          val base = row.toSeq
+          Iterator.tabulate(probes) { _ =>
+            var best = -1
+            var j = 0
+            while (j < k) {
+              if (!used(j) && (best < 0 || beats(sims(j), sims(best))))
+                best = j
+              j += 1
+            }
+            used(best) = true
+            Row.fromSeq(base :+ ids(best))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Lloyd k-means coarse quantizer trainer. Centroids are the MODEL —
     * k×dim doubles, driver-sized by definition (exactly what the
     * reference's IVF training produces); each iteration is one broadcast
@@ -108,14 +232,11 @@ object Similarity {
     val vecAvg = udaf(graft.functions.Udfs.VectorAvgAgg)
     var i = 0
     while (i < iters) {
-      val cDf = broadcast(centroids.toSeq
-        .toDF("c_vec", "cell_id").select(col("cell_id"), col("c_vec")))
-      val assignW = Window.partitionBy(col("n_id"))
-        .orderBy(col("c_sim").desc, col("cell_id"))
-      val updated = vecs.crossJoin(cDf)
-        .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-        .withColumn("c_rank", row_number().over(assignW))
-        .filter(col("c_rank") === 1)
+      // assignment is a row-local broadcast-model map (zero shuffle);
+      // the groupBy's partial buffers are (sum-vector, count) per cell
+      // per partition, so the only exchange is k×dim×partitions
+      val model = centroids.map { case (v, id) => (id: Any, v.toArray) }
+      val updated = assignNearestCells(vecs, "n_vec", model)
         .groupBy(col("cell_id"))
         .agg(vecAvg(col("n_vec")).as("c_vec"))
         .collect().map(r => (r.getSeq[Double](1), r.getInt(0)))
@@ -146,24 +267,15 @@ object Similarity {
       centroids0: Option[DataFrame] = None): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val centroids = centroids0.getOrElse(
+    val model = collectModel(centroids0.getOrElse(
       corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
-        .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec")))
-    // corpus rows → single nearest cell
-    val assignW = Window.partitionBy(col("n_id"))
-      .orderBy(col("c_sim").desc, col("cell_id"))
-    val assigned = c.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("n_vec"), col("c_vec")))
-      .withColumn("c_rank", row_number().over(assignW))
-      .filter(col("c_rank") === 1)
+        .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))))
+    // corpus rows → single nearest cell: row-local broadcast-model map,
+    // zero shuffle (the corpus is never exchanged for assignment)
+    val assigned = assignNearestCells(c, "n_vec", model)
       .select(col("cell_id"), col("n_id"), col("n_vec"))
-    // queries → nprobe nearest cells
-    val probeW = Window.partitionBy(col("q_id"))
-      .orderBy(col("c_sim").desc, col("cell_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("q_vec"), col("c_vec")))
-      .withColumn("c_rank", row_number().over(probeW))
-      .filter(col("c_rank") <= nprobe)
+    // queries → nprobe nearest cells, same zero-shuffle map
+    val probes = assignNearestCells(q, "q_vec", model, nprobe = nprobe)
       .select(col("cell_id"), col("q_id"), col("q_vec"))
     val scored = assigned.join(probes, "cell_id")
       .filter(col("q_id") =!= col("n_id"))
@@ -237,15 +349,10 @@ object Similarity {
     * id (a plain scan + norm, not the assignment subtree). */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, nCells: Int, iters: Int = 2): DataFrame = {
-    val centroids = kmeansCentroids(df, nCells, iters, idCol, vecCol)
-    val assignW = Window.partitionBy(col("id"))
-      .orderBy(col("c_sim").desc, col("cell_id"))
-    val assigned = df
-      .select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("c_sim", cosine(col("vec"), col("c_vec")))
-      .withColumn("c_rank", row_number().over(assignW))
-      .filter(col("c_rank") === 1)
+    val model = collectModel(kmeansCentroids(df, nCells, iters, idCol, vecCol))
+    // row-local broadcast-model assignment — zero shuffle, runs ONCE
+    val assigned = assignNearestCells(
+        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", model)
       .select(col("id"), col("cell_id"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2norm(col(vecCol)).as("norm"))

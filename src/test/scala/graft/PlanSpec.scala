@@ -167,17 +167,47 @@ class PlanSpec extends AnyFunSuite {
       "normalize/quantize/project must stay a pure map stage")
   }
 
-  test("semanticDedupPairs computes the cell assignment exactly once") {
+  test("semanticDedupPairs cell assignment is a zero-shuffle map stage") {
     val df = graft.operators.Similarity.semanticDedupPairs(
       graft.Tables.embeddings(spark, dir), "vec_id", "embedding",
       threshold = 0.4, nCells = 4, iters = 1)
-    // posting-list pair generation: the assignment subtree (broadcast
-    // cross join vs centroids + per-vector window) must appear once —
-    // the former bucket self-join planned it per join side (ReuseExchange
-    // verifiably does NOT fire across deduplicated self-join branches)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
-      s"assignment subtree must run once:\n$p")
+    // the former assignment (crossJoin vs centroids + per-vector
+    // window) exchanged nCells × corpus rows carrying vectors; it is
+    // now a row-local MapPartitions over the broadcast centroid model —
+    // no nested-loop join may appear anywhere in the plan
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"assignment must not cross-join centroids:\n$p")
+    assert(p.contains("MapPartitions"),
+      s"assignment must be a broadcast-model map stage:\n$p")
+  }
+
+  test("knnBrute pre-reduces the per-query top-k before the shuffle") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val df = graft.operators.Similarity.knnBrute(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5), k = 4)
+    // Spark's InsertWindowGroupLimit must fire on the row_number +
+    // rank-filter pattern: a Partial WindowGroupLimit ahead of the
+    // exchange caps shuffled rows at k per query per partition — the
+    // scored corpus×queries set itself is never exchanged
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial (pre-shuffle) WindowGroupLimit:\n$p")
+  }
+
+  test("knnIvf assigns cells without exchanging the corpus") {
+    val emb = graft.Tables.embeddings(spark, dir)
+    val df = graft.operators.Similarity.knnIvf(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 10),
+      k = 3, nCells = 8, nprobe = 2)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"cell assignment must not cross-join centroids:\n$p")
+    // the only shuffles left are the cell-keyed probe join and the
+    // final per-query top-k — never an assignment exchange
+    assert(p.contains("MapPartitions"),
+      s"assignment must be a broadcast-model map stage:\n$p")
   }
 
   test("minhashPairs computes the signature kernel exactly once") {
