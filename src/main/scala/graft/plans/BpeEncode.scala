@@ -9,17 +9,30 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Byte-pair encoding (cpp/include/nvtext/byte_pair_encoding.hpp): the
   * real merge-table algorithm — start from characters, repeatedly apply
-  * the lowest-ranked adjacent merge until none applies. The merge table
-  * ships inside the expression (≙ the reference's device-resident merge
-  * pairs); rank lookup is a hash map, cost O(word² · merges-applied)
-  * per word, linear in corpus size overall.
+  * the lowest-ranked adjacent merge until none applies. Rank lookup is a
+  * hash map, cost O(word² · merges-applied) per word, linear in corpus
+  * size overall.
+  *
+  * Two merge-table regimes (load_merge_pairs is unbounded in the
+  * reference):
+  *  - inline `merges`: the table ships inside the expression (task
+  *    closure) — fine up to ~50k pairs;
+  *  - `broadcastMerges`: a Broadcast handle — the table ships via
+  *    TorrentBroadcast ONCE per executor and the plan/closure carries
+  *    only the id, the regime for 100k+ production merge tables.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression,
+    merges: Seq[(String, String)] = Nil,
+    broadcastMerges: Option[
+      org.apache.spark.broadcast.Broadcast[Array[(String, String)]]] = None)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   @transient private lazy val rank: Map[(String, String), Int] =
-    merges.zipWithIndex.toMap
+    broadcastMerges match {
+      case Some(bc) => bc.value.iterator.zipWithIndex.toMap
+      case None => merges.zipWithIndex.toMap
+    }
 
   private def encodeWord(word: String): Vector[String] = {
     var toks = word.map(_.toString).toVector
@@ -63,4 +76,12 @@ object BpeEncode {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
   def apply(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeEncode(expression(c), merges))
+
+  /** Broadcast-merges mode for large tables: ships the pairs once per
+    * executor; the expression (and its plan rendering) holds only the
+    * broadcast handle. */
+  def broadcast(c: Column, spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[(String, String)]): Column =
+    column(BpeEncode(expression(c), Nil,
+      Some(spark.sparkContext.broadcast(merges.toArray))))
 }

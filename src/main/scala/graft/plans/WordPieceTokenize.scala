@@ -12,18 +12,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * longest-match-first against a vocabulary, continuation pieces prefixed
   * "##", unknown words → [UNK].
   *
-  * The vocabulary ships inside the expression (task-serialized once per
-  * executor, like the reference's device-resident vocab). For very large
-  * vocabs prefer a broadcast variable + mapPartitions; at typical subword
-  * vocab sizes (30-50k strings) expression capture is fine.
+  * Two vocab regimes: inline `vocab` ships inside the expression (task
+  * closure — fine at typical 30-50k subword sizes, like the reference's
+  * device-resident vocab); `broadcastVocab` ships via TorrentBroadcast
+  * once per executor with only the handle in the plan/closure — the
+  * regime for 100k+ vocabularies.
   */
-case class WordPieceTokenize(child: Expression, vocab: Seq[String])
+case class WordPieceTokenize(child: Expression, vocab: Seq[String] = Nil,
+    broadcastVocab: Option[
+      org.apache.spark.broadcast.Broadcast[Array[String]]] = None)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val vocabSet: Set[String] = vocab.toSet
+  @transient private lazy val entries: Seq[String] =
+    broadcastVocab.map(_.value.toSeq).getOrElse(vocab)
+  @transient private lazy val vocabSet: Set[String] = entries.toSet
   @transient private lazy val maxLen: Int =
-    if (vocab.isEmpty) 0 else vocab.map(_.stripPrefix("##").length).max
+    if (entries.isEmpty) 0 else entries.map(_.stripPrefix("##").length).max
 
   private def tokenizeWord(word: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -56,4 +61,11 @@ object WordPieceTokenize {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
   def apply(c: Column, vocab: Seq[String]): Column =
     column(WordPieceTokenize(expression(c), vocab))
+
+  /** Broadcast-vocab mode for large vocabularies: ships the entries once
+    * per executor; the expression holds only the broadcast handle. */
+  def broadcast(c: Column, spark: org.apache.spark.sql.SparkSession,
+      vocab: Seq[String]): Column =
+    column(WordPieceTokenize(expression(c), Nil,
+      Some(spark.sparkContext.broadcast(vocab.toArray))))
 }

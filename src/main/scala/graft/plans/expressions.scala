@@ -144,34 +144,58 @@ object PorterStem {
   }
 }
 
-/** EWMA window aggregate (EWMA agg kind, cpp/include/cudf/
+/** EWM window aggregate (EWMA/EWMV agg kinds, cpp/include/cudf/
   * aggregation.hpp:106; python/cudf/cudf/core/window/ewm.py):
-  * s_t = alpha*x_t + (1-alpha)*s_{t-1}, evaluated as a running window
-  * function over the frame order. DeclarativeAggregate → pure
-  * expressions, codegen-friendly. */
-case class Ewma(child: Expression, alpha: Double)
+  *
+  *  - `adjust = false`: s_t = alpha*x_t + (1-alpha)*s_{t-1} — the
+  *    classic recursive EWMA.
+  *  - `adjust = true` (pandas/cudf default): the finite-window
+  *    weighted mean y_t = Σ(1-a)^i·x_{t-i} / Σ(1-a)^i, tracked as two
+  *    running states num_t = x_t + (1-a)·num_{t-1} and
+  *    den_t = 1 + (1-a)·den_{t-1} — no power() calls, so the fold is
+  *    engine-portable bit for bit.
+  *
+  * Evaluated as a running window function over the frame order; null
+  * inputs leave the state unchanged (decay does not advance — the
+  * ignore_na=True convention, matching the non-adjusted arm).
+  * DeclarativeAggregate → pure expressions, codegen-friendly. */
+case class Ewma(child: Expression, alpha: Double, adjust: Boolean = false)
     extends DeclarativeAggregate with UnaryLike[Expression] {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   private lazy val state = AttributeReference("ewma_state", DoubleType)()
-  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(state)
-  override lazy val initialValues: Seq[Expression] = Seq(Literal(null, DoubleType))
-  override lazy val updateExpressions: Seq[Expression] = Seq(
-    If(IsNull(state), Cast(child, DoubleType),
-      If(IsNull(child), state,
-        Add(Multiply(Literal(alpha), Cast(child, DoubleType)),
-          Multiply(Literal(1.0 - alpha), state)))))
+  private lazy val num = AttributeReference("ewm_num", DoubleType)()
+  private lazy val den = AttributeReference("ewm_den", DoubleType)()
+  override lazy val aggBufferAttributes: Seq[AttributeReference] =
+    if (adjust) Seq(num, den) else Seq(state)
+  override lazy val initialValues: Seq[Expression] =
+    aggBufferAttributes.map(_ => Literal(null, DoubleType))
+  override lazy val updateExpressions: Seq[Expression] =
+    if (adjust) Seq(
+      If(IsNull(child), num,
+        If(IsNull(num), Cast(child, DoubleType),
+          Add(Cast(child, DoubleType), Multiply(Literal(1.0 - alpha), num)))),
+      If(IsNull(child), den,
+        If(IsNull(den), Literal(1.0),
+          Add(Literal(1.0), Multiply(Literal(1.0 - alpha), den)))))
+    else Seq(
+      If(IsNull(state), Cast(child, DoubleType),
+        If(IsNull(child), state,
+          Add(Multiply(Literal(alpha), Cast(child, DoubleType)),
+            Multiply(Literal(1.0 - alpha), state)))))
   override lazy val mergeExpressions: Seq[Expression] =
-    // EWMA is order-dependent and has NO correct partial-aggregate merge.
+    // EWM is order-dependent and has NO correct partial-aggregate merge.
     // Window frames never merge buffers (single sequential pass per
     // frame), so the public API only exposes this over a WindowSpec
     // (GraftExpressions.ewma requires one). Raise on ANY merge — a
     // null-tolerant merge would let a single-partition groupBy/agg
     // return a silently scan-order-dependent result instead of erroring.
-    Seq(Cast(new RaiseError(Literal("graft.ewma: partial-aggregate merge "
-      + "is undefined for order-dependent EWMA; use it over a window, "
-      + "not in groupBy/agg")), DoubleType))
-  override lazy val evaluateExpression: Expression = state
+    aggBufferAttributes.map(_ =>
+      Cast(new RaiseError(Literal("graft.ewma: partial-aggregate merge "
+        + "is undefined for order-dependent EWMA; use it over a window, "
+        + "not in groupBy/agg")), DoubleType))
+  override lazy val evaluateExpression: Expression =
+    if (adjust) Divide(num, den) else state
   override protected def withNewChildInternal(c: Expression): Ewma =
     copy(child = c)
 }
@@ -398,6 +422,37 @@ object GraftExpressions {
   def ewma(c: Column, alpha: Double,
       over: org.apache.spark.sql.expressions.WindowSpec): Column =
     column(Ewma(expression(c), alpha).toAggregateExpression()).over(over)
+
+  /** pandas/cudf EWM parameterization (ewm.py): exactly one of
+    * alpha / com (center of mass) / span / halflife, each mapped to the
+    * smoothing factor: alpha, 1/(1+com), 2/(span+1),
+    * 1-exp(-ln2/halflife) respectively. */
+  def ewmAlpha(alpha: Option[Double] = None, com: Option[Double] = None,
+      span: Option[Double] = None, halflife: Option[Double] = None): Double = {
+    require(Seq(alpha, com, span, halflife).flatten.size == 1,
+      "specify exactly one of alpha / com / span / halflife")
+    alpha.map { a =>
+      require(a > 0 && a <= 1, s"need 0 < alpha <= 1, got $a"); a
+    }.orElse(com.map { c =>
+      require(c >= 0, s"need com >= 0, got $c"); 1.0 / (1.0 + c)
+    }).orElse(span.map { s =>
+      require(s >= 1, s"need span >= 1, got $s"); 2.0 / (s + 1.0)
+    }).orElse(halflife.map { h =>
+      require(h > 0, s"need halflife > 0, got $h")
+      1.0 - math.exp(-math.log(2.0) / h)
+    }).get
+  }
+
+  /** Full-surface EWM (ewm.py contract): any of the four
+    * parameterizations plus `adjust` (pandas/cudf default true — the
+    * finite-window weighted mean; false recovers [[ewma]]'s recursive
+    * form). Window-only, same soundness argument as [[ewma]]. */
+  def ewm(c: Column, over: org.apache.spark.sql.expressions.WindowSpec,
+      adjust: Boolean = true, alpha: Option[Double] = None,
+      com: Option[Double] = None, span: Option[Double] = None,
+      halflife: Option[Double] = None): Column =
+    column(Ewma(expression(c), ewmAlpha(alpha, com, span, halflife), adjust)
+      .toAggregateExpression()).over(over)
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry

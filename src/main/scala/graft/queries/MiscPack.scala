@@ -162,6 +162,35 @@ object MiscPack extends QueryPack {
       .orderBy($"user_id", $"event_id")
   }
 
+  /** Adjusted EWM (pandas/cudf `adjust=True` default, ewm.py) with the
+    * span parameterization: span=9 → alpha=0.2, y_t = Σ0.8^i·x_{t-i} /
+    * Σ0.8^i. Oracle: the num/den folds as two DuckDB list_reduce
+    * recurrences with IDENTICAL add/multiply order to the
+    * DeclarativeAggregate's update expressions — bit-identical doubles
+    * (no closed-form power(), which would differ in the last ulp). */
+  def eventsEwmAdjust(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select($"user_id", $"event_id", $"value",
+        GraftExpressions.ewm($"value", w, adjust = true, span = Some(9.0))
+          .as("ewm_adj"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val eventsEwmAdjustSql: String =
+    """SELECT user_id, event_id, value,
+      |  list_reduce(list(value) OVER w,
+      |    (acc, x) -> x + (1.0 - 0.2) * acc) /
+      |  list_reduce(
+      |    list_transform(list(value) OVER w, x -> CAST(1.0 AS DOUBLE)),
+      |    (acc, x) -> x + (1.0 - 0.2) * acc) AS ewm_adj
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Scalar subquery (uncorrelated) — superset vs reference (SURVEY §4.1:
     * polars/cudf never see subqueries; Catalyst plans them natively).
     * Spark side expresses it as a broadcast cross join of the 1-row
@@ -309,7 +338,8 @@ object MiscPack extends QueryPack {
     "agg_approx" -> aggApprox,
     "sample_seeded" -> sampleSeeded,
     "doc_stems" -> docStems,
-    "events_ewma" -> eventsEwma)
+    "events_ewma" -> eventsEwma,
+    "events_ewm_adjust" -> eventsEwmAdjust)
 
   val eventsEwmaSql: String =
     """SELECT user_id, event_id, value,
@@ -330,5 +360,6 @@ object MiscPack extends QueryPack {
     "bin_qcut" -> binQcutSql,
     "isin_filter" -> isinFilterSql,
     "ipv4_roundtrip" -> ipv4RoundTripSql,
-    "events_ewma" -> eventsEwmaSql)
+    "events_ewma" -> eventsEwmaSql,
+    "events_ewm_adjust" -> eventsEwmAdjustSql)
 }

@@ -156,6 +156,41 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(msgs(ex).exists(_.contains("ewma")), ex.toString)
   }
 
+  test("broadcast-vocab tokenizers match inline results; no giant plan payload") {
+    import graft.plans.{BpeEncode, VocabIds, WordPieceTokenize}
+    // >50k-entry synthetic vocab with a recognizable sentinel: the
+    // broadcast mode must neither change results nor embed the entries
+    // in the plan/closure rendering
+    val sentinel = "zq_sentinel_99999"
+    val bigVocab = (0 until 60000).map(i => s"zq_sentinel_$i") ++
+      Seq("un", "##aff", "##able", "low", "##er")
+    val df = Seq("unaffable lower").toDF("s")
+    val inlineWp = df.select(WordPieceTokenize($"s", bigVocab).as("p"))
+    val bcWp = df.select(
+      WordPieceTokenize.broadcast($"s", spark, bigVocab).as("p"))
+    assert(bcWp.as[Seq[String]].head() == inlineWp.as[Seq[String]].head())
+    assert(!bcWp.queryExecution.executedPlan.toString.contains(sentinel),
+      "broadcast mode must not render vocab entries into the plan")
+
+    val bigMerges = (0 until 60000).map(i => (s"zq$i", s"sent$i")) ++
+      Seq("l" -> "o", "lo" -> "w", "e" -> "r", "er" -> "!")
+    val inlineBpe = df.select(BpeEncode($"s", bigMerges).as("p"))
+    val bcBpe = df.select(
+      BpeEncode.broadcast($"s", spark, bigMerges).as("p"))
+    assert(bcBpe.as[Seq[String]].head() == inlineBpe.as[Seq[String]].head())
+    assert(!bcBpe.queryExecution.executedPlan.toString.contains("zq59999"))
+
+    // VocabIds: broadcast id lookup vs the MapType-literal idsFor
+    val toks = Seq(Seq("low", sentinel, "missing")).toDF("t")
+    val inlineIds = toks.select(graft.operators.VocabTokenize
+      .idsFor($"t", bigVocab).as("ids"))
+    val bcIds = toks.select(
+      VocabIds.broadcast($"t", spark, bigVocab).as("ids"))
+    assert(bcIds.as[Seq[Int]].head() == inlineIds.as[Seq[Int]].head())
+    assert(bcIds.as[Seq[Int]].head().last == -1, "missing token -> defaultId")
+    assert(!bcIds.queryExecution.executedPlan.toString.contains(sentinel))
+  }
+
   test("BpeEncode applies merges in rank order (classic lower->low+er)") {
     import graft.plans.BpeEncode
     val merges = Seq("l" -> "o", "lo" -> "w", "e" -> "r", "low" -> "er")
@@ -209,5 +244,58 @@ class ExpressionsSpec extends AnyFunSuite {
     val got = df.select(GraftExpressions.ewma($"v", 0.5, w))
       .as[Double].collect()
     assert(got.toSeq == Seq(10.0, 15.0, 22.5)) // 0.5*20+0.5*10, 0.5*30+0.5*15
+  }
+
+  test("ewm adjust=true matches the pandas weighted-mean definition") {
+    val df = Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0))
+      .toDF("k", "i", "v")
+    val w = Window.partitionBy($"k").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = df.select(
+        GraftExpressions.ewm($"v", w, adjust = true, alpha = Some(0.5)))
+      .as[Double].collect().toSeq
+    // y_t = sum((1-a)^i x_{t-i}) / sum((1-a)^i), a = 0.5:
+    // t1: 10; t2: (20+0.5*10)/1.5; t3: (30+0.5*20+0.25*10)/1.75
+    assert(got(0) == 10.0)
+    assert(got(1) == (20.0 + 0.5 * 10.0) / 1.5)
+    assert(got(2) == (30.0 + 0.5 * (20.0 + 0.5 * 10.0)) / (1.0 + 0.5 * 1.5))
+  }
+
+  test("ewm parameterizations map to the documented alphas") {
+    import GraftExpressions.ewmAlpha
+    assert(ewmAlpha(alpha = Some(0.3)) == 0.3)
+    assert(ewmAlpha(com = Some(4.0)) == 1.0 / 5.0)       // 1/(1+com)
+    assert(ewmAlpha(span = Some(9.0)) == 0.2)            // 2/(span+1)
+    val hl = ewmAlpha(halflife = Some(2.0))              // 1-exp(-ln2/h)
+    assert(math.abs((1.0 - hl) * (1.0 - hl) - 0.5) < 1e-15,
+      s"halflife=2 must halve weight over 2 steps, got alpha=$hl")
+    // equivalences: same alpha through different parameterizations
+    assert(ewmAlpha(com = Some(3.0)) == ewmAlpha(alpha = Some(0.25)))
+    assert(ewmAlpha(span = Some(7.0)) == ewmAlpha(alpha = Some(0.25)))
+    // exactly-one enforcement and range checks
+    intercept[IllegalArgumentException] { ewmAlpha() }
+    intercept[IllegalArgumentException] {
+      ewmAlpha(alpha = Some(0.5), span = Some(9.0))
+    }
+    intercept[IllegalArgumentException] { ewmAlpha(alpha = Some(0.0)) }
+    intercept[IllegalArgumentException] { ewmAlpha(span = Some(0.5)) }
+    intercept[IllegalArgumentException] { ewmAlpha(halflife = Some(0.0)) }
+  }
+
+  test("ewm window results are identical across equivalent parameterizations") {
+    val df = (1 to 40).map(i => (i % 3, i, (i * 7 % 11).toDouble))
+      .toDF("k", "i", "v")
+    val w = Window.partitionBy($"k").orderBy($"i")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def run(c: org.apache.spark.sql.Column) =
+      df.select(c).as[Double].collect().toSeq
+    assert(run(GraftExpressions.ewm($"v", w, alpha = Some(0.25))) ==
+      run(GraftExpressions.ewm($"v", w, com = Some(3.0))))
+    assert(run(GraftExpressions.ewm($"v", w, alpha = Some(0.25))) ==
+      run(GraftExpressions.ewm($"v", w, span = Some(7.0))))
+    // adjust=false arm reduces to the classic ewma recursion
+    assert(run(GraftExpressions.ewm($"v", w, adjust = false,
+        alpha = Some(0.3))) ==
+      run(GraftExpressions.ewma($"v", 0.3, w)))
   }
 }
