@@ -356,10 +356,12 @@ object Aggs extends QueryPack {
 
   val aggCorrMatrixSql: String = {
     val k = corrCols.size
+    // via-VARCHAR double cast: correctly rounded at ≥17 significant
+    // digits, unlike DuckDB's direct DECIMAL→DOUBLE (see dsumSql)
     def s(i: Int) =
-      s"CAST(sum(CAST(${corrCols(i)} AS DECIMAL(38,6))) AS DOUBLE)"
+      s"CAST(CAST(sum(CAST(${corrCols(i)} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
     def p(i: Int, j: Int) =
-      s"CAST(sum(CAST((${corrCols(i)} * ${corrCols(j)}) AS DECIMAL(38,6))) AS DOUBLE)"
+      s"CAST(CAST(sum(CAST((${corrCols(i)} * ${corrCols(j)}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
     val moments =
       (Seq("CAST(count(*) AS DOUBLE) AS n") ++
         corrCols.indices.map(i => s"${s(i)} AS s$i") ++

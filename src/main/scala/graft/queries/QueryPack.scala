@@ -30,9 +30,15 @@ object QueryPack {
   def dsum(c: Column, scale: Int = 4): Column =
     sum(c.cast(DecimalType(18, scale))).cast("double")
 
-  /** SQL text of [[dsum]] for the DuckDB oracle. */
+  /** SQL text of [[dsum]] for the DuckDB oracle. The DECIMAL→DOUBLE
+    * conversion goes through VARCHAR because DuckDB's direct
+    * `CAST(DECIMAL AS DOUBLE)` is 1 ulp off for values needing ≥17
+    * significant digits (measured: ~25% of such values), while its
+    * string→double parse is correctly rounded — matching Spark's
+    * `BigDecimal.doubleValue` exactly at ANY scale (the two 5× stress
+    * envelope diffs in SCALING.md came from this cast). */
   def dsumSql(expr: String, scale: Int = 4): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 
   /** Exact decimal mean, returned as double (sum/count in double space). */
   def davg(c: Column, scale: Int = 4): Column =

@@ -53,8 +53,8 @@ object TpcDs extends QueryPack {
        |  SELECT n_name, c_custkey, cust_rev,
        |    row_number() OVER (PARTITION BY n_name
        |      ORDER BY cust_rev DESC, c_custkey) AS rnk,
-       |    CAST(sum(CAST(cust_rev AS DECIMAL(28,6)))
-       |      OVER (PARTITION BY n_name) AS DOUBLE) AS nation_rev
+       |    CAST(CAST(sum(CAST(cust_rev AS DECIMAL(28,6)))
+       |      OVER (PARTITION BY n_name) AS VARCHAR) AS DOUBLE) AS nation_rev
        |  FROM (
        |    SELECT n_name, c_custkey,
        |      ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS cust_rev
@@ -316,12 +316,12 @@ object TpcDs extends QueryPack {
        |  cum_express - cum_standard AS lead_amt
        |FROM (
        |  SELECT mo,
-       |    CAST(sum(CAST(express_rev AS DECIMAL(28,6)))
+       |    CAST(CAST(sum(CAST(express_rev AS DECIMAL(28,6)))
        |      OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |      AS DOUBLE) AS cum_express,
-       |    CAST(sum(CAST(standard_rev AS DECIMAL(28,6)))
+       |      AS VARCHAR) AS DOUBLE) AS cum_express,
+       |    CAST(CAST(sum(CAST(standard_rev AS DECIMAL(28,6)))
        |      OVER (ORDER BY mo ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-       |      AS DOUBLE) AS cum_standard
+       |      AS VARCHAR) AS DOUBLE) AS cum_standard
        |  FROM (
        |    SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mo,
        |      ${dsumSql("CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') " +

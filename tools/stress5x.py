@@ -13,10 +13,12 @@ Usage:
   sbt "runMain graft.Verify /tmp/sf05 /tmp/vout_sf05"
   python3 tools/compare_local.py /tmp/vout_sf05 /tmp/sf05
 
-Expected at 5x of sf0.1: 2 known diffs (q1_pricing_summary, agg_stats)
-from DuckDB's DECIMAL->DOUBLE cast rounding 1 ulp off past 2^53 of
-significand; Spark matches the correctly rounded double in both (see
-SCALING.md "cross-engine compare envelope").
+Expected at 5x of sf0.1: ALL oracle queries match. (Two historical
+diffs — q1_pricing_summary, agg_stats — came from DuckDB's direct
+DECIMAL->DOUBLE cast rounding 1 ulp off past 2^53 of significand;
+fixed by routing the oracle SQL's decimal->double casts through
+VARCHAR, whose parse is correctly rounded. See SCALING.md
+"cross-engine compare envelope".)
 """
 import sys, os
 import duckdb
