@@ -175,6 +175,59 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getAs[Int]("rank") == 1)
   }
 
+  test("knnIvf equals the former crossJoin+window assignment formulation") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 10)
+    val got = Similarity.knnIvf(emb, queries, k = 5, nCells = 8, nprobe = 3)
+      .orderBy("q_id", "rank").collect().toSeq
+    // the pre-round-5 formulation, inline: crossJoin vs centroids +
+    // row_number window for both assignment and probes — the broadcast-
+    // model map must be EXACTLY equal (same doubles, same tie-breaks)
+    val c = emb.select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
+    val q = queries.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val centroids = emb.orderBy(xxhash64($"vec_id"), $"vec_id").limit(8)
+      .select($"vec_id".as("cell_id"), $"embedding".as("c_vec"))
+    val assignW = Window.partitionBy($"n_id")
+      .orderBy($"c_sim".desc, $"cell_id")
+    val assigned = c.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", Similarity.cosine($"n_vec", $"c_vec"))
+      .withColumn("r", row_number().over(assignW)).filter($"r" === 1)
+      .select($"cell_id", $"n_id", $"n_vec")
+    val probeW = Window.partitionBy($"q_id")
+      .orderBy($"c_sim".desc, $"cell_id")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("c_sim", Similarity.cosine($"q_vec", $"c_vec"))
+      .withColumn("r", row_number().over(probeW)).filter($"r" <= 3)
+      .select($"cell_id", $"q_id", $"q_vec")
+    val w = Window.partitionBy($"q_id").orderBy($"sim".desc, $"n_id")
+    val want = assigned.join(probes, "cell_id")
+      .filter($"q_id" =!= $"n_id")
+      .withColumn("sim", Similarity.cosine($"q_vec", $"n_vec"))
+      .withColumn("rank", row_number().over(w)).filter($"rank" <= 5)
+      .select($"q_id", $"rank", $"n_id", $"sim")
+      .orderBy("q_id", "rank").collect().toSeq
+    assert(got == want)
+  }
+
+  test("knnIvf assignment ties break to the smallest cell id") {
+    // two IDENTICAL centroid candidates (vec_ids 0 and 1 share a
+    // vector): every corpus row is equidistant to both cells, so the
+    // argmax must always pick the lower cell id — observable as cell 1
+    // receiving no members beyond its own seed row's twin
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.8f, 0.2f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)))
+      .toDF("cell_id", "c_vec")
+    val res = Similarity.knnIvf(emb, emb.filter($"vec_id" === 2L), k = 3,
+      nCells = 2, nprobe = 1, centroids0 = Some(centroids))
+    // probe goes to cell 0 (tie -> smallest id); all corpus rows were
+    // also assigned to cell 0, so every other vector is reachable
+    assert(res.collect().map(_.getAs[Long]("n_id")).toSet == Set(0L, 1L, 3L))
+  }
+
   test("knnIvf recall vs brute force on real embeddings") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
     val queries = emb.filter($"vec_id" < 10)
