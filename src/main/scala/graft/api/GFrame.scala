@@ -119,6 +119,22 @@ final case class GFrame(df: DataFrame) {
       .withColumn(s"${valueCol}_roll_max", max(col(valueCol)).over(w)))
   }
 
+  /** DataFrame.ewm(..).mean() analog (python/cudf/cudf/core/window/
+    * ewm.py): full com/span/halflife/alpha parameterization plus
+    * `adjust` (default true, the pandas/cudf weighted-mean form),
+    * evaluated as a running per-group window — appends
+    * `<valueCol>_ewm`. */
+  def ewm(valueCol: String, partitionBy: Seq[String], orderBy: String,
+      adjust: Boolean = true, alpha: Option[Double] = None,
+      com: Option[Double] = None, span: Option[Double] = None,
+      halflife: Option[Double] = None): GFrame = {
+    val w = orderedWin(partitionBy, orderBy)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    GFrame(df.withColumn(s"${valueCol}_ewm",
+      graft.plans.GraftExpressions.ewm(col(valueCol), w, adjust,
+        alpha, com, span, halflife)))
+  }
+
   /** Series.rank (dataframe.py rank; sorting.hpp:222 rank_method):
     * method ∈ min | max | dense | first | average, optional pct.
     * `by` partitions the ranking (grouped rank); empty `by` ranks the

@@ -82,6 +82,19 @@ class GFrameSpec extends AnyFunSuite {
     assert(got(2).getDouble(4) == 20.0 && got(2).getDouble(5) == 30.0)
   }
 
+  test("ewm appends the adjusted weighted mean per group") {
+    val ts = GFrame(Seq((1L, 1, 10.0), (1L, 2, 20.0), (1L, 3, 30.0))
+      .toDF("u", "i", "v"))
+    val got = ts.ewm("v", Seq("u"), "i", alpha = Some(0.5)).toDF
+      .orderBy("i").select("v_ewm").as[Double].collect().toSeq
+    assert(got(0) == 10.0)
+    assert(got(1) == (20.0 + 0.5 * 10.0) / 1.5)
+    // adjust=false arm matches the recursive EWMA
+    val rec = ts.ewm("v", Seq("u"), "i", adjust = false, span = Some(3.0))
+      .toDF.orderBy("i").select("v_ewm").as[Double].collect().toSeq
+    assert(rec(0) == 10.0 && rec(1) == 0.5 * 20.0 + 0.5 * 10.0)
+  }
+
   test("str and dt accessor namespaces") {
     import java.sql.Timestamp
     val gf = GFrame(Seq(("  Hello World  ", Timestamp.valueOf("1996-02-29 13:05:00")))
