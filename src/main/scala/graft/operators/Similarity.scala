@@ -104,17 +104,24 @@ object Similarity {
   }
 
   /** Collect a (cell_id, c_vec) centroid frame into the driver-side
-    * model for [[assignNearestCells]]. Centroids ARE the model — k×dim
-    * doubles, driver-sized by definition (what the reference's IVF
-    * training produces) — so this collect is model-sized, never corpus-
-    * sized. Float centroid elements widen to double exactly as
-    * DotProduct widens them. */
+    * model for [[assignNearestCells]]. Columns are resolved BY NAME, so
+    * caller-supplied frames work in any column order. Centroids ARE the
+    * model — k×dim doubles, driver-sized by definition (what the
+    * reference's IVF training produces) — so this collect is
+    * model-sized, never corpus-sized. Float centroid elements widen to
+    * double exactly as DotProduct widens them; null vectors or null
+    * ELEMENTS are rejected loudly (a centroid that can never win an
+    * argmax is a caller bug, not a tie-break case). */
   private def collectModel(centroids: DataFrame): Array[(Any, Array[Double])] =
-    centroids.collect().map { r =>
+    centroids.select(col("cell_id"), col("c_vec")).collect().map { r =>
+      require(!r.isNullAt(0) && !r.isNullAt(1),
+        "centroids must have non-null cell_id and c_vec")
       val v = r.getSeq[Any](1).map {
         case f: Float => f.toDouble
         case d: Double => d
         case n: java.lang.Number => n.doubleValue()
+        case null => throw new IllegalArgumentException(
+          s"centroid vector for cell ${r.get(0)} contains a null element")
       }.toArray
       (r.get(0), v)
     }
@@ -129,24 +136,35 @@ object Similarity {
     * argmax is a tight local loop; the stage stays narrow so the ONLY
     * shuffle left in IVF/SemDeDup is the keyed probe/pair join.
     *
-    * Semantics match the old window exactly: cosine =
-    * dot/(sqrt(dot(v,v))·sqrt(dot(c,c))) with sequential-fold dots
-    * (identical IEEE result to the codegen'd DotProduct), NaN ranks
-    * greatest (Spark's descending-sort convention), ties take the
-    * smallest cell id. Emits `min(nprobe, k)` rows per input row,
-    * nearest cell first; NULL vectors get no row (they can't be
-    * assigned to a cell — the old path never produced a meaningful
-    * cell for them either). Output schema = input schema + cellCol. */
-  private def assignNearestCells(df: DataFrame, vecCol: String,
-      model: Array[(Any, Array[Double])], cellCol: String = "cell_id",
-      nprobe: Int = 1): DataFrame = {
-    require(model.nonEmpty, "need at least one centroid")
-    require(nprobe >= 1, "nprobe must be >= 1")
+    * Semantics match the old window exactly for well-formed vectors:
+    * cosine = dot/(sqrt(dot(v,v))·sqrt(dot(c,c))) with sequential-fold
+    * dots (identical IEEE result to the codegen'd DotProduct), NaN
+    * ranks greatest (Spark's descending-sort convention), ties take
+    * the smallest cell id (numeric order; lexicographic for string
+    * ids). Emits `min(nprobe, k)` rows per input row, nearest cell
+    * first. DELIBERATE divergence from the old path: rows whose vector
+    * is NULL or contains a null ELEMENT get NO row — the old window
+    * "assigned" them to the smallest cell id as an artifact of
+    * nulls-last ordering, which was never a meaningful cell. Output
+    * schema = input schema + cellCol. An EMPTY model yields an empty
+    * frame (cellCol typed long), matching the old empty-centroids
+    * cross join. */
+  private type ModelBc = org.apache.spark.broadcast.Broadcast[
+    (Array[Any], Array[Array[Double]], Array[Double])]
+
+  /** Sort, norm, type-resolve, and broadcast a centroid model ONCE —
+    * knnIvf reuses the handle for corpus assignment and query probes;
+    * the k-means loop destroys stale iterations explicitly. */
+  private def prepareModel(spark: org.apache.spark.sql.SparkSession,
+      model: Array[(Any, Array[Double])])
+      : (ModelBc, org.apache.spark.sql.types.DataType) = {
     // ascending cell-id order so strict-greater argmax ties resolve to
-    // the smallest id, matching orderBy(c_sim desc, cell_id asc)
-    val sorted = model.sortBy {
-      case (id: java.lang.Number, _) => id.longValue()
-      case (id, _) => id.hashCode().toLong
+    // the smallest id, matching orderBy(c_sim desc, cell_id asc);
+    // strings order lexicographically like the old window's sort
+    val sorted = model.sortWith {
+      case ((a: java.lang.Number, _), (b: java.lang.Number, _)) =>
+        a.longValue() < b.longValue()
+      case ((a, _), (b, _)) => String.valueOf(a) < String.valueOf(b)
     }
     val cellType = sorted.head._1 match {
       case _: java.lang.Integer => IntegerType
@@ -157,8 +175,23 @@ object Similarity {
     }
     val cVecs = sorted.map(_._2)
     val cNorms = cVecs.map(v => math.sqrt(seqDot(v, v)))
-    val bc = df.sparkSession.sparkContext
-      .broadcast((sorted.map(_._1), cVecs, cNorms))
+    (spark.sparkContext.broadcast((sorted.map(_._1), cVecs, cNorms)),
+      cellType)
+  }
+
+  private def assignNearestCells(df: DataFrame, vecCol: String,
+      model: Array[(Any, Array[Double])], cellCol: String = "cell_id",
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    if (model.isEmpty)
+      return df.limit(0).withColumn(cellCol, lit(null).cast(LongType))
+    val (bc, cellType) = prepareModel(df.sparkSession, model)
+    assignNearestCells(df, vecCol, bc, cellType, cellCol, nprobe)
+  }
+
+  private def assignNearestCells(df: DataFrame, vecCol: String,
+      bc: ModelBc, cellType: org.apache.spark.sql.types.DataType,
+      cellCol: String, nprobe: Int): DataFrame = {
     val vecIdx = df.schema.fieldIndex(vecCol)
     val outSchema = df.schema.add(cellCol, cellType, nullable = false)
     // NaN-greatest strict compare: a beats b iff a > b, or a is NaN and
@@ -175,35 +208,40 @@ object Similarity {
           val raw = row.getSeq[Any](vecIdx)
           val v = new Array[Double](raw.length)
           var i = 0
+          var anyNull = false
           raw.foreach { x =>
-            v(i) = x match {
-              case f: Float => f.toDouble
-              case d: Double => d
-              case n: java.lang.Number => n.doubleValue()
+            x match {
+              case f: Float => v(i) = f.toDouble
+              case d: Double => v(i) = d
+              case n: java.lang.Number => v(i) = n.doubleValue()
+              case null => anyNull = true
             }
             i += 1
           }
-          val vn = math.sqrt(seqDot(v, v))
-          val sims = new Array[Double](k)
-          var c = 0
-          while (c < k) {
-            sims(c) = seqDot(v, vecs(c)) / (vn * norms(c))
-            c += 1
-          }
-          // repeated argmax: O(k·nprobe), no per-row allocation beyond
-          // the sims buffer; nprobe « k always
-          val used = new Array[Boolean](k)
-          val base = row.toSeq
-          Iterator.tabulate(probes) { _ =>
-            var best = -1
-            var j = 0
-            while (j < k) {
-              if (!used(j) && (best < 0 || beats(sims(j), sims(best))))
-                best = j
-              j += 1
+          if (anyNull) Iterator.empty // null element -> no defined cell
+          else {
+            val vn = math.sqrt(seqDot(v, v))
+            val sims = new Array[Double](k)
+            var c = 0
+            while (c < k) {
+              sims(c) = seqDot(v, vecs(c)) / (vn * norms(c))
+              c += 1
             }
-            used(best) = true
-            Row.fromSeq(base :+ ids(best))
+            // repeated argmax: O(k·nprobe), no per-row allocation
+            // beyond the sims buffer; nprobe « k always
+            val used = new Array[Boolean](k)
+            val base = row.toSeq
+            Iterator.tabulate(probes) { _ =>
+              var best = -1
+              var j = 0
+              while (j < k) {
+                if (!used(j) && (best < 0 || beats(sims(j), sims(best))))
+                  best = j
+                j += 1
+              }
+              used(best) = true
+              Row.fromSeq(base :+ ids(best))
+            }
           }
         }
       }
@@ -231,15 +269,20 @@ object Similarity {
       .collect().map(_.getSeq[Double](0)).zipWithIndex
     val vecAvg = udaf(graft.functions.Udfs.VectorAvgAgg)
     var i = 0
-    while (i < iters) {
+    // empty corpus -> zero seeds -> skip Lloyd entirely (empty result)
+    while (i < iters && centroids.nonEmpty) {
       // assignment is a row-local broadcast-model map (zero shuffle);
       // the groupBy's partial buffers are (sum-vector, count) per cell
       // per partition, so the only exchange is k×dim×partitions
       val model = centroids.map { case (v, id) => (id: Any, v.toArray) }
-      val updated = assignNearestCells(vecs, "n_vec", model)
+      val (bc, cellType) = prepareModel(spark, model)
+      val updated = assignNearestCells(vecs, "n_vec", bc, cellType,
+          "cell_id", nprobe = 1)
         .groupBy(col("cell_id"))
         .agg(vecAvg(col("n_vec")).as("c_vec"))
         .collect().map(r => (r.getSeq[Double](1), r.getInt(0)))
+      bc.destroy() // the collect materialized the job; don't let iters
+      // of stale models pile up in executor block stores
       // keep unmoved seeds for cells that lost all members
       val byCell = updated.map { case (v, id) => id -> v }.toMap
       centroids = centroids.map { case (v, id) => (byCell.getOrElse(id, v), id) }
@@ -270,12 +313,20 @@ object Similarity {
     val model = collectModel(centroids0.getOrElse(
       corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
         .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))))
+    // empty corpus -> empty centroids -> empty result (same schema),
+    // matching the old empty-cross-join behavior instead of throwing
+    if (model.isEmpty)
+      return knnBrute(corpus.limit(0), queries.limit(0), k, idCol, vecCol)
+    // ONE broadcast of the model serves both map stages below
+    val (bc, cellType) = prepareModel(corpus.sparkSession, model)
     // corpus rows → single nearest cell: row-local broadcast-model map,
     // zero shuffle (the corpus is never exchanged for assignment)
-    val assigned = assignNearestCells(c, "n_vec", model)
+    val assigned = assignNearestCells(c, "n_vec", bc, cellType,
+        "cell_id", nprobe = 1)
       .select(col("cell_id"), col("n_id"), col("n_vec"))
     // queries → nprobe nearest cells, same zero-shuffle map
-    val probes = assignNearestCells(q, "q_vec", model, nprobe = nprobe)
+    val probes = assignNearestCells(q, "q_vec", bc, cellType,
+        "cell_id", nprobe = nprobe)
       .select(col("cell_id"), col("q_id"), col("q_vec"))
     val scored = assigned.join(probes, "cell_id")
       .filter(col("q_id") =!= col("n_id"))

@@ -588,9 +588,14 @@ object TextOps extends QueryPack {
           .mkString("[", ",", "]")
         s"${dpSql("embedding", signs)} * 0.25"
       }
+    // NULL-embedding guard: posexplode of a null projection emits no
+    // Spark rows, so the oracle's unnest lists must also be empty for
+    // null embeddings (a bare range(0, 16) would fabricate 16 rows)
     s"""SELECT vec_id,
-       |  unnest(range(0, ${dims.size})) AS pos,
-       |  unnest([${dims.mkString(",\n   ")}]) AS pv
+       |  unnest(CASE WHEN embedding IS NULL THEN CAST([] AS BIGINT[])
+       |         ELSE range(0, ${dims.size}) END) AS pos,
+       |  unnest(CASE WHEN embedding IS NULL THEN CAST([] AS DOUBLE[])
+       |         ELSE [${dims.mkString(",\n   ")}] END) AS pv
        |FROM embeddings ORDER BY vec_id, pos""".stripMargin
   }
 

@@ -210,6 +210,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("knnIvf edge contracts: empty corpus, null vectors, named centroid cols") {
+    val schema = "vec_id LONG, embedding ARRAY<FLOAT>"
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    // empty corpus -> empty result with the knn schema, not an exception
+    val r0 = Similarity.knnIvf(empty, empty, k = 3, nCells = 4)
+    assert(r0.collect().isEmpty)
+    assert(r0.columns.toSeq == Seq("q_id", "rank", "n_id", "sim"))
+    // rows whose vector is NULL or has a null element get no cell —
+    // they are invisible to probes instead of crashing the job
+    val rows = Seq(
+      org.apache.spark.sql.Row(0L, Seq(1.0f, 0.0f)),
+      org.apache.spark.sql.Row(1L, Seq(0.9f, 0.1f)),
+      org.apache.spark.sql.Row(2L, null),
+      org.apache.spark.sql.Row(3L, Seq(0.5f, null))
+    )
+    val emb = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    val res = Similarity.knnIvf(emb, emb.filter($"vec_id" === 0L), k = 5,
+      nCells = 2, nprobe = 2)
+    assert(res.collect().map(_.getAs[Long]("n_id")).toSet == Set(1L))
+    // centroids0 columns resolve BY NAME regardless of order
+    val csSwapped = Seq((Seq(1.0f, 0.0f), 7L), (Seq(0.0f, 1.0f), 8L))
+      .toDF("c_vec", "cell_id")
+    val r2 = Similarity.knnIvf(emb, emb.filter($"vec_id" === 0L), k = 5,
+      nCells = 2, nprobe = 2, centroids0 = Some(csSwapped))
+    assert(r2.collect().map(_.getAs[Long]("n_id")).toSet == Set(1L))
+  }
+
   test("knnIvf assignment ties break to the smallest cell id") {
     // two IDENTICAL centroid candidates (vec_ids 0 and 1 share a
     // vector): every corpus row is equidistant to both cells, so the
