@@ -258,6 +258,43 @@ object Nested extends QueryPack {
       |      FROM documents)
       |ORDER BY doc_id""".stripMargin
 
+  /** transpose (transpose.hpp:39) on an aggregated frame: metrics per
+    * l_returnflag become rows, flag values become columns — the
+    * reference's bounded rows↔columns swap, here a fully distributed
+    * unpivot → pivot (no driver materialization). Oracle: conditional
+    * aggregation per flag value (DuckDB's PIVOT needs literal IN values
+    * anyway, and CASE keeps the column names identical). */
+  def transposeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import QueryPack._
+    val base = Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n_rows"),
+        dsum($"l_quantity", 2).as("sum_qty"),
+        dsum($"l_discount", 6).as("sum_disc"))
+    graft.operators.Reshape.transpose(base, "l_returnflag")
+      .orderBy($"metric")
+  }
+
+  val transposeSql: String = {
+    import QueryPack._
+    def row(metric: String) =
+      s"""SELECT '$metric' AS metric,
+         |  max(CASE WHEN l_returnflag = 'A' THEN $metric END) AS "A",
+         |  max(CASE WHEN l_returnflag = 'N' THEN $metric END) AS "N",
+         |  max(CASE WHEN l_returnflag = 'R' THEN $metric END) AS "R"
+         |FROM base""".stripMargin
+    s"""WITH base AS (
+       |  SELECT l_returnflag,
+       |    CAST(count(*) AS DOUBLE) AS n_rows,
+       |    ${dsumSql("l_quantity", 2)} AS sum_qty,
+       |    ${dsumSql("l_discount", 6)} AS sum_disc
+       |  FROM lineitem GROUP BY l_returnflag)
+       |${row("n_rows")}
+       |UNION ALL ${row("sum_qty")}
+       |UNION ALL ${row("sum_disc")}
+       |ORDER BY metric""".stripMargin
+  }
+
   /** GROUPING SETS + grouping() markers (superset; Catalyst-native). */
   def groupingSets(s: SparkSession, dir: String): DataFrame = {
     Tables.orders(s, dir).createOrReplaceTempView("orders_gs")
@@ -289,6 +326,7 @@ object Nested extends QueryPack {
     "reshape_onehot" -> oneHot,
     "reshape_crosstab" -> crosstabQ,
     "reshape_interleave" -> interleaveQ,
+    "reshape_transpose" -> transposeQ,
     "arr_ops" -> arrOps,
     "arr_lambda" -> arrLambda,
     "seq_explode" -> seqExplode,
@@ -303,6 +341,7 @@ object Nested extends QueryPack {
     "reshape_onehot" -> oneHotSql,
     "reshape_crosstab" -> crosstabSql,
     "reshape_interleave" -> interleaveSql,
+    "reshape_transpose" -> transposeSql,
     "arr_ops" -> arrOpsSql,
     "arr_lambda" -> arrLambdaSql,
     "seq_explode" -> seqExplodeSql,
