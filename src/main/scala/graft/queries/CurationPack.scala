@@ -232,19 +232,47 @@ object CurationPack extends QueryPack {
 
   // -- near-dup clusters ----------------------------------------------------
 
-  /** MinHash pairs → connected components (pointer-jumping label
+  /** Near-dup pairs → connected components (pointer-jumping label
     * propagation) → cluster roster — the pair-to-cluster collapse every
-    * dedup pipeline ends with. Rows-only (xxhash64 banding upstream);
-    * convergence + long-path correctness covered in OperatorsSpec. */
+    * dedup pipeline ends with. Edges come from the oracle-proven exact
+    * Jaccard formulation (same cap/threshold as doc_jaccard_pairs) so
+    * the clustering engine itself is oracle-gated: DuckDB recomputes the
+    * components via recursive-CTE transitive closure. The minhash edge
+    * source (the 100 TB path) keeps its own rows-only query + recall
+    * tests, and minhash→cluster composition is covered in OperatorsSpec. */
   def neardupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.Dedup.minhashPairs(
-      Tables.documents(s, dir).filter(col("doc_id") < 1000),
-      "doc_id", "text", numHashes = 32, bands = 4, threshold = 0.9)
+    val pairs = graft.operators.Dedup.jaccardPairsExact(
+      Tables.documents(s, dir).filter(col("doc_id") < 150),
+      "doc_id", "text", threshold = 0.9)
     graft.operators.Dedup.nearDupClusters(pairs, maxIter = 10)
       .groupBy(col("cluster"))
       .agg(count(lit(1)).as("n_members"), min(col("id")).as("keep_id"))
       .orderBy(col("cluster"))
   }
+
+  /** Connected components in SQL: symmetrize the edge list, then the
+    * recursive closure propagates every reachable label to every node;
+    * min(label) per node is the component id (= min member id, matching
+    * nearDupClusters' min-label convention). */
+  val neardupClustersSql: String =
+    s"""WITH RECURSIVE pr AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM (SELECT doc_id, list_distinct($toksSql) AS toks
+       |        FROM documents WHERE doc_id < 150) a
+       |  JOIN (SELECT doc_id, list_distinct($toksSql) AS toks
+       |        FROM documents WHERE doc_id < 150) b ON a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |    (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+       |    >= 0.9),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+       |          UNION SELECT id_b, id_a FROM pr),
+       |reach(id, lab) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(lab) AS cluster FROM reach GROUP BY id)
+       |SELECT cluster, count(*) AS n_members, min(id) AS keep_id
+       |FROM comp GROUP BY cluster ORDER BY cluster""".stripMargin
 
   // -- n-gram LM quality score ---------------------------------------------
 
@@ -335,5 +363,6 @@ object CurationPack extends QueryPack {
     "outlier_filter" -> outlierFilterSql,
     "outlier_winsorize" -> winsorizeSql,
     "outlier_mad" -> madSql,
-    "corpus_build" -> corpusBuildSql)
+    "corpus_build" -> corpusBuildSql,
+    "doc_neardup_clusters" -> neardupClustersSql)
 }

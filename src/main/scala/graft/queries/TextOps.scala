@@ -627,41 +627,148 @@ object TextOps extends QueryPack {
          |ORDER BY doc_id""".stripMargin
 
   /** WordPiece subword tokenization via the custom broadcast-vocab
-    * expression — rows-only (no DuckDB analog); exactness via unit tests. */
-  def wordpiece(s: SparkSession, dir: String): DataFrame = {
-    val vocab = Seq(
-      "th", "##e", "jo", "##in", "fil", "##ter", "sc", "##an", "mer", "##ge",
-      "so", "##rt", "da", "##ta", "gro", "##up", "quer", "##y", "ro", "##w",
-      "fa", "##st", "slo", "##w", "ke", "##y", "or", "##der", "ha", "##sh",
-      "a", "the", "and", "of")
+    * expression. Oracle-checked: greedy longest-match-first is
+    * replicated in DuckDB with a recursive CTE — each state (word, pos)
+    * advances by the longest vocab entry matching at pos (NOT EXISTS a
+    * longer match), continuation entries require pos > 0; a word whose
+    * recursion never reaches len(word) collapses to a single [UNK].
+    * Tokenization depends only on the word, so the oracle tokenizes
+    * DISTINCT words and re-weights by occurrence count. */
+  private val wordpieceVocab = Seq(
+    "th", "##e", "jo", "##in", "fil", "##ter", "sc", "##an", "mer", "##ge",
+    "so", "##rt", "da", "##ta", "gro", "##up", "quer", "##y", "ro", "##w",
+    "fa", "##st", "slo", "##w", "ke", "##y", "or", "##der", "ha", "##sh",
+    "a", "the", "and", "of")
+
+  def wordpiece(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(explode(
-        graft.plans.WordPieceTokenize(col("text"), vocab)).as("piece"))
+        graft.plans.WordPieceTokenize(col("text"), wordpieceVocab)).as("piece"))
       .groupBy(col("piece")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("piece"))
       .limit(25)
+
+  val wordpieceSql: String = {
+    // distinct: the vocab seq repeats ##w/##y; Scala matches against a
+    // Set, so the SQL side must dedupe or the match join double-counts
+    val vocabValues = wordpieceVocab.distinct.map(v => s"('$v')").mkString(",")
+    raw"""WITH RECURSIVE
+         |words AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+         |    FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |vn AS (
+         |  SELECT v, CASE WHEN v LIKE '##%' THEN v[3:] ELSE v END AS stem,
+         |         (v LIKE '##%') AS cont
+         |  FROM (VALUES $vocabValues) vv(v)),
+         |step(w, pos, piece) AS (
+         |  SELECT w, 0, CAST(NULL AS VARCHAR) FROM words
+         |  UNION ALL
+         |  SELECT s.w, s.pos + len(m.stem), m.v
+         |  FROM step s JOIN vn m
+         |    ON m.cont = (s.pos > 0)
+         |   AND substr(s.w, s.pos + 1, len(m.stem)) = m.stem
+         |   AND NOT EXISTS (SELECT 1 FROM vn m2 WHERE m2.cont = (s.pos > 0)
+         |        AND len(m2.stem) > len(m.stem)
+         |        AND substr(s.w, s.pos + 1, len(m2.stem)) = m2.stem)
+         |  WHERE s.pos < len(s.w)),
+         |done AS (SELECT DISTINCT w FROM step WHERE pos = len(w)),
+         |pieces AS (
+         |  SELECT s.w, s.piece FROM step s JOIN done d ON s.w = d.w
+         |  WHERE s.piece IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.w, '[UNK]' FROM words w WHERE w.w NOT IN (SELECT w FROM done)),
+         |agg AS (
+         |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM pieces JOIN words USING (w) GROUP BY piece)
+         |SELECT piece, n FROM agg ORDER BY n DESC, piece LIMIT 25""".stripMargin
   }
 
   /** Fused BERT-style model-input prep (TextPipeline.bertEncode:
     * normalize → WordPiece → ids → [CLS]/[SEP] wrap → pad + attention
-    * mask) — rows-only (custom tokenizer expression has no DuckDB
-    * analog); exactness locked by the fixture test in
-    * OperatorsMiscSpec. Arrays rendered as joined strings for the
-    * driver's pandas-based comparator. */
-  def bertEncodeQ(s: SparkSession, dir: String): DataFrame = {
-    val vocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]",
-      "th", "##e", "jo", "##in", "fil", "##ter", "sc", "##an", "mer", "##ge",
-      "so", "##rt", "da", "##ta", "gro", "##up", "quer", "##y", "ro", "##w",
-      "fa", "##st", "slo", "ke", "or", "##der", "ha", "##sh",
-      "a", "the", "and", "of")
+    * mask). Oracle-checked: the corpus is punctuation-free printable
+    * ASCII (verified at sf0.01 and sf0.1), so CharacterNormalize is
+    * identity on it and the DuckDB side replicates tokenize → ids →
+    * wrap → pad with the same recursive-CTE longest-match tokenizer as
+    * doc_wordpiece; the normalizer's full semantics (punct padding,
+    * accents, CJK) stay fixture-locked in OperatorsMiscSpec. Arrays
+    * rendered as joined strings for the driver's pandas-based
+    * comparator. */
+  private val bertVocab = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]",
+    "th", "##e", "jo", "##in", "fil", "##ter", "sc", "##an", "mer", "##ge",
+    "so", "##rt", "da", "##ta", "gro", "##up", "quer", "##y", "ro", "##w",
+    "fa", "##st", "slo", "ke", "or", "##der", "ha", "##sh",
+    "a", "the", "and", "of")
+
+  def bertEncodeQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextPipeline.bertEncode(
-        Tables.documents(s, dir), "doc_id", "text", vocab, maxLen = 48)
+        Tables.documents(s, dir), "doc_id", "text", bertVocab, maxLen = 48)
       .select(col("doc_id"),
         array_join(col("input_ids").cast("array<string>"), " ")
           .as("input_ids"),
         array_join(col("attention_mask").cast("array<string>"), " ")
           .as("attention_mask"))
       .orderBy(col("doc_id"))
+
+  /** maxLen = 48 → body slice 46; special ids by vocab position:
+    * [PAD]=0 [UNK]=1 [CLS]=2 [SEP]=3 (same indexOf convention as
+    * bertEncode). Bracketed uppercase specials can never match the
+    * lowercase word stream, so the full vocab participates in the
+    * match join unguarded. */
+  val bertEncodeSql: String = {
+    val vocabValues =
+      bertVocab.zipWithIndex.map { case (v, i) => s"('$v',$i)" }.mkString(",")
+    raw"""WITH RECURSIVE
+         |docw AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(lower(text), '\s+'),
+         |                x -> x <> '') AS ws
+         |  FROM documents),
+         |words AS (SELECT DISTINCT unnest(ws) AS w FROM docw),
+         |vn AS (
+         |  SELECT v, vid, CASE WHEN v LIKE '##%' THEN v[3:] ELSE v END AS stem,
+         |         (v LIKE '##%') AS cont
+         |  FROM (VALUES $vocabValues) vv(v, vid)),
+         |step(w, pos, piece) AS (
+         |  SELECT w, 0, CAST(NULL AS VARCHAR) FROM words
+         |  UNION ALL
+         |  SELECT s.w, s.pos + len(m.stem), m.v
+         |  FROM step s JOIN vn m
+         |    ON m.cont = (s.pos > 0)
+         |   AND substr(s.w, s.pos + 1, len(m.stem)) = m.stem
+         |   AND NOT EXISTS (SELECT 1 FROM vn m2 WHERE m2.cont = (s.pos > 0)
+         |        AND len(m2.stem) > len(m.stem)
+         |        AND substr(s.w, s.pos + 1, len(m2.stem)) = m2.stem)
+         |  WHERE s.pos < len(s.w)),
+         |done AS (SELECT DISTINCT w FROM step WHERE pos = len(w)),
+         |wp AS (
+         |  SELECT s.w, s.pos AS ord, n.vid AS id
+         |  FROM step s JOIN done d ON s.w = d.w JOIN vn n ON n.v = s.piece
+         |  WHERE s.piece IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.w, 1, 1 FROM words w WHERE w.w NOT IN (SELECT w FROM done)),
+         |winst AS (
+         |  SELECT doc_id, unnest(ws) AS w,
+         |         unnest(generate_series(1, len(ws))) AS widx
+         |  FROM docw),
+         |body AS (
+         |  SELECT i.doc_id, list(wp.id ORDER BY i.widx, wp.ord) AS ids
+         |  FROM winst i JOIN wp ON wp.w = i.w
+         |  GROUP BY i.doc_id),
+         |fin AS (
+         |  SELECT d.doc_id,
+         |    list_prepend(2, list_append(coalesce(b.ids[1:46], []), 3)) AS core
+         |  FROM docw d LEFT JOIN body b USING (doc_id))
+         |SELECT doc_id,
+         |  array_to_string(list_concat(core,
+         |    list_transform(generate_series(1, 48 - len(core)), x -> 0)),
+         |    ' ') AS input_ids,
+         |  array_to_string(list_concat(
+         |    list_transform(generate_series(1, len(core)), x -> 1),
+         |    list_transform(generate_series(1, 48 - len(core)), x -> 0)),
+         |    ' ') AS attention_mask
+         |FROM fin ORDER BY doc_id""".stripMargin
   }
 
   /** Vocabulary tokenization (nvtext/tokenize.hpp:228 tokenize_with_
@@ -782,6 +889,8 @@ object TextOps extends QueryPack {
     "doc_quality" -> qualitySql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
+    "doc_wordpiece" -> wordpieceSql,
+    "doc_bert_encode" -> bertEncodeSql,
     "doc_curation" -> curationSql,
     "doc_redact_pii" -> redactPiiSql,
     "doc_pack_bins" -> packBinsSql,
