@@ -73,6 +73,13 @@ object Similarity {
     val rng = new java.util.Random(0x9E3779B97F4A7CL ^ plane.toLong)
     Seq.fill(MaxLshDims)(rng.nextDouble() * 2 - 1)
   }
+
+  /** First `dims` coordinates of sign-LSH hyperplane `plane` — the same
+    * values [[lshBucket]] bakes into the plan, exposed so oracle SQL can
+    * embed the identical literals (Double.toString round-trips, and
+    * DuckDB's string→double parse is correctly rounded, so both engines
+    * see bit-identical planes). */
+  def lshPlane(plane: Int, dims: Int): Seq[Double] = hyperplane(plane).take(dims)
   private def signBit(vec: Column, plane: Int, bit: Int): Column =
     when(dot(vec, typedlit(hyperplane(plane))) > 0, lit(1L << bit))
       .otherwise(lit(0L))

@@ -375,9 +375,12 @@ object TextOps extends QueryPack {
       |FROM documents ORDER BY media_id""".stripMargin
 
   /** Multimodal retrieval composition: ingest → BATCHED stub decode →
-    * digest-derived features → exact cosine top-3. Rows-only by the
-    * hash policy (features come from MD5 bytes); batch-invariance and
-    * determinism are unit-tested in OperatorsMiscSpec. */
+    * digest-derived features → exact cosine top-3. Oracle-checked:
+    * the stub feature is unsigned(md5_byte_i)/255.0f for i < 8 over the
+    * UTF-8 payload, and DuckDB's md5 hashes the same bytes — the oracle
+    * rebuilds each byte from its hex pair, divides in FLOAT, and runs
+    * the embedKnnSql top-k shape on the result. Batch-invariance of the
+    * batched decode stays unit-tested in OperatorsMiscSpec. */
   def multimodalEmbed(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.ingestFromText(
       Tables.documents(s, dir), "doc_id", "text")
@@ -390,6 +393,30 @@ object TextOps extends QueryPack {
     Similarity.knnBrute(corpusFeats, queryFeats, k = 3,
         idCol = "media_id", vecCol = "feature")
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  val multimodalEmbedSql: String = {
+    // md5 hex pair i → unsigned byte → FLOAT division, matching
+    // stubDecodeBatch's Byte.toUnsignedInt(b) / 255.0f bit for bit
+    val feat = "list_transform(generate_series(1, 8), i -> " +
+      "CAST((strpos('0123456789abcdef', substr(h, 2*i - 1, 1)) - 1) * 16 + " +
+      "(strpos('0123456789abcdef', substr(h, 2*i, 1)) - 1) AS FLOAT) " +
+      "/ CAST(255 AS FLOAT))"
+    s"""WITH fv AS (
+       |  SELECT media_id, $feat AS feature FROM (
+       |    SELECT CAST(doc_id AS BIGINT) AS media_id, md5(text) AS h
+       |    FROM documents))
+       |SELECT q_id, rank, n_id, sim FROM (
+       |  SELECT q_id, n_id, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT q.media_id AS q_id, c.media_id AS n_id,
+       |      ${dpSql("q.feature", "c.feature")} /
+       |        (sqrt(${dpSql("q.feature", "q.feature")}) *
+       |         sqrt(${dpSql("c.feature", "c.feature")})) AS sim
+       |    FROM (SELECT * FROM fv WHERE media_id < 10) q, fv c
+       |    WHERE q.media_id != c.media_id))
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
   /** Brute-force cosine top-3 neighbors for the first 10 vectors —
@@ -419,12 +446,43 @@ object TextOps extends QueryPack {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
-  /** LSH-bucketed approximate KNN (the scale path) — rows-only check. */
+  /** LSH-bucketed approximate KNN (the scale path). Oracle-checked: the
+    * sign-LSH hyperplanes are deterministic plan literals
+    * (Similarity.lshPlane), so the oracle embeds the identical doubles
+    * and recomputes bucket = Σ 2^b·[dot > 0] with the same sequential
+    * fold; candidate join, cosine, and top-k then mirror embedKnnSql. */
   def embedKnnLsh(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.knnLsh(emb, emb.filter(col("vec_id") < 10), k = 3, bits = 4)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private def planeLit(plane: Int): String =
+    Similarity.lshPlane(plane, 64).map(_.toString).mkString("[", ",", "]")
+
+  private def lshBucketSql(vec: String, bits: Int, table: Int = 0): String =
+    (0 until bits).map { b =>
+      s"(CASE WHEN ${dpSql(vec, planeLit(table * bits + b))} > 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+
+  val embedKnnLshSql: String =
+    s"""SELECT q_id, rank, n_id, sim FROM (
+       |  SELECT q_id, n_id, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      ${dpSql("q.embedding", "c.embedding")} /
+       |        (sqrt(${dpSql("q.embedding", "q.embedding")}) *
+       |         sqrt(${dpSql("c.embedding", "c.embedding")})) AS sim
+       |    FROM (SELECT vec_id, embedding,
+       |            ${lshBucketSql("embedding", 4)} AS bucket
+       |          FROM embeddings WHERE vec_id < 10) q
+       |    JOIN (SELECT vec_id, embedding,
+       |            ${lshBucketSql("embedding", 4)} AS bucket
+       |          FROM embeddings) c USING (bucket)
+       |    WHERE q.vec_id != c.vec_id))
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
   /** IVF coarse-quantizer ANN (inverted-file architecture) — rows-only. */
   def embedKnnIvf(s: SparkSession, dir: String): DataFrame = {
@@ -457,16 +515,41 @@ object TextOps extends QueryPack {
   }
 
   /** Multi-table sign-LSH near-dup pairs (the scale path for
-    * [[embedNearDup]]) — rows-only; recall vs exact in OperatorsSpec.
+    * [[embedNearDup]]) — recall vs exact in OperatorsSpec.
     * 4 bits × 8 tables here (vs the 3×12 default): at this corpus's
     * unusually low 0.4 threshold, wider buckets would admit most of the
     * all-pairs space as candidates — more bits prune harder, more
-    * tables would buy recall production thresholds don't need. */
+    * tables would buy recall production thresholds don't need.
+    * Oracle-checked the same way as embedKnnLsh: table t's bucket uses
+    * plane literals t·bits..t·bits+bits−1, candidates are distinct
+    * (id_a < id_b) sharing any (table, bucket), then exact cosine ≥
+    * threshold — the identical double arithmetic on both sides. */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4,
         bits = 4, tables = 8)
       .orderBy(col("id_a"), col("id_b"))
+
+  val embedNearDupLshSql: String = {
+    val tb = (0 until 8).map { t =>
+      s"SELECT vec_id, $t AS t, ${lshBucketSql("embedding", 4, t)} AS bucket" +
+        " FROM embeddings"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH tb AS ($tb),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM tb a JOIN tb b
+       |    ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b,
+       |    ${dpSql("va.embedding", "vb.embedding")} /
+       |      (sqrt(${dpSql("va.embedding", "va.embedding")}) *
+       |       sqrt(${dpSql("vb.embedding", "vb.embedding")})) AS sim
+       |  FROM cand
+       |  JOIN embeddings va ON va.vec_id = cand.id_a
+       |  JOIN embeddings vb ON vb.vec_id = cand.id_b)
+       |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** Incremental ingest dedup (north star: snapshot-over-snapshot): the
     * second half of the corpus deduped against the already-ingested
@@ -896,6 +979,9 @@ object TextOps extends QueryPack {
     "doc_pack_bins" -> packBinsSql,
     "doc_multimodal" -> multimodalSql,
     "embed_knn" -> embedKnnSql,
+    "embed_knn_lsh" -> embedKnnLshSql,
+    "embed_neardup_lsh" -> embedNearDupLshSql,
+    "doc_multimodal_embed" -> multimodalEmbedSql,
     "embed_neardup" -> embedNearDupSql,
     "embed_normalize" -> embedNormalizeSql,
     "embed_quantize" -> embedQuantizeSql,
