@@ -45,34 +45,53 @@ object Udfs {
   }
 
   /** Element-wise mean of equal-length double vectors — the centroid
-    * update of k-means (Similarity.kmeans). Partial buffers are one
-    * (sum-vector, count) per group per partition, so the shuffle carries
-    * k×dim doubles per partition, never the corpus. */
-  object VectorAvgAgg
-      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
-    override def zero: (Array[Double], Long) = (Array.empty, 0L)
-    override def reduce(b: (Array[Double], Long),
-        a: Seq[Double]): (Array[Double], Long) = {
-      val s = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+    * update of k-means (Similarity.kmeansCentroids) — with an EXACT,
+    * order-independent accumulator: each element is quantized to
+    * fixed-point (floor(x·2^40), exact: a power-of-two scale is an
+    * exponent shift and floor is exact) and summed in Long, so the
+    * trained model is bit-identical on every run, any partitioning,
+    * and any engine — a SQL oracle replays the same integer
+    * arithmetic. The mean is (sum.toDouble / 2^40) / count:
+    * Long→Double and the count division are correctly rounded
+    * identically everywhere, the 2^40 division is exact. Partial
+    * buffers stay one (sum-vector, count) per group per partition —
+    * k×dim longs, never the corpus. Math.addExact fails loudly if a
+    * cell's accumulated magnitude reaches 2^63 (≈ 8M unit-scale
+    * members per cell); train coarse quantizers on a sample beyond
+    * that, as reference IVF trainers do. */
+  object VectorMeanFixedAgg
+      extends Aggregator[Seq[Double], (Array[Long], Long), Seq[Double]] {
+    final val ScaleBits = 40
+    final val Scale: Long = 1L << ScaleBits
+    override def zero: (Array[Long], Long) = (Array.empty, 0L)
+    override def reduce(b: (Array[Long], Long),
+        a: Seq[Double]): (Array[Long], Long) = {
+      val s = if (b._1.isEmpty) new Array[Long](a.length) else b._1
       var i = 0
-      while (i < a.length) { s(i) += a(i); i += 1 }
+      while (i < a.length) {
+        s(i) = Math.addExact(s(i), math.floor(a(i) * Scale).toLong)
+        i += 1
+      }
       (s, b._2 + 1)
     }
-    override def merge(a: (Array[Double], Long),
-        b: (Array[Double], Long)): (Array[Double], Long) = {
+    override def merge(a: (Array[Long], Long),
+        b: (Array[Long], Long)): (Array[Long], Long) = {
       if (a._1.isEmpty) b
       else if (b._1.isEmpty) a
       else {
         var i = 0
-        while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+        while (i < a._1.length) {
+          a._1(i) = Math.addExact(a._1(i), b._1(i)); i += 1
+        }
         (a._1, a._2 + b._2)
       }
     }
-    override def finish(b: (Array[Double], Long)): Seq[Double] =
-      if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+    override def finish(b: (Array[Long], Long)): Seq[Double] =
+      if (b._2 == 0) Seq.empty
+      else b._1.map(x => x.toDouble / Scale / b._2).toSeq
     import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-    override def bufferEncoder: Encoder[(Array[Double], Long)] =
-      ExpressionEncoder[(Array[Double], Long)]()
+    override def bufferEncoder: Encoder[(Array[Long], Long)] =
+      ExpressionEncoder[(Array[Long], Long)]()
     override def outputEncoder: Encoder[Seq[Double]] =
       ExpressionEncoder[Seq[Double]]()
   }

@@ -255,26 +255,44 @@ object Similarity {
     }(Encoders.row(outSchema))
   }
 
+  /** Seed tag for the deterministic quantizer-seed ordering: seeds are
+    * the nCells corpus rows with the smallest
+    * Curation.hashUnit(id, SeedTag) — the engine-portable md5-derived
+    * uniform (DuckDB computes the identical double), so trained models
+    * and IVF assignments are oracle-checkable end to end. xxhash64
+    * would be equally uniform but exists only inside Spark. */
+  final val SeedTag = "ivf-seed"
+
   /** Lloyd k-means coarse quantizer trainer. Centroids are the MODEL —
     * k×dim doubles, driver-sized by definition (exactly what the
     * reference's IVF training produces); each iteration is one broadcast
     * assignment map stage + one groupBy whose partial buffers are
-    * (sum-vector, count) per cell per partition (VectorAvgAgg), so
-    * shuffle volume is k×dim×partitions, never the corpus. Deterministic:
-    * seeds are the nCells corpus rows with the smallest xxhash64(id) —
-    * no count(), no RNG. Returns (cell_id, c_vec). */
+    * (sum-vector, count) per cell per partition (VectorMeanFixedAgg),
+    * so shuffle volume is k×dim×partitions, never the corpus.
+    * Deterministic end to end: seeds are the nCells corpus rows with
+    * the smallest portable hashUnit(id, SeedTag) — no count(), no
+    * RNG — and the centroid update accumulates in exact fixed-point
+    * (VectorMeanFixedAgg), so the returned model is bit-identical
+    * across runs, partitionings, and engines. Returns
+    * (cell_id, c_vec). */
   def kmeansCentroids(corpus: DataFrame, nCells: Int, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    // cache: the seed pass plus every Lloyd iteration re-reads this
-    val vecs = corpus.select(col(idCol).as("n_id"),
-      transform(col(vecCol), _.cast("double")).as("n_vec")).cache()
+    // cache: the seed pass plus every Lloyd iteration re-reads this;
+    // null-vector rows are dropped up front — they can neither seed
+    // (collectModel rejects nulls) nor join a cell (assignNearestCells
+    // skips them), so carrying them would only poison the seed window
+    val vecs = corpus
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .select(col(idCol).as("n_id"),
+        transform(col(vecCol), _.cast("double")).as("n_vec")).cache()
     var centroids = vecs
-      .orderBy(xxhash64(col("n_id")), col("n_id")).limit(nCells)
+      .orderBy(graft.operators.Curation.hashUnit(col("n_id"), SeedTag),
+        col("n_id")).limit(nCells)
       .select(col("n_vec").as("c_vec"))
       .collect().map(_.getSeq[Double](0)).zipWithIndex
-    val vecAvg = udaf(graft.functions.Udfs.VectorAvgAgg)
+    val vecAvg = udaf(graft.functions.Udfs.VectorMeanFixedAgg)
     var i = 0
     // empty corpus -> zero seeds -> skip Lloyd entirely (empty result)
     while (i < iters && centroids.nonEmpty) {
@@ -305,7 +323,8 @@ object Similarity {
     * `nprobe` nearest cells and brute-force within them — the
     * inverted-file architecture (coarse quantizer + posting lists).
     * Default quantizer: the nCells corpus vectors with smallest
-    * xxhash64(id) (deterministic, single limit pass, no count()); pass
+    * hashUnit(id, SeedTag) (deterministic, engine-portable, single
+    * limit pass, no count()); pass
     * `centroids = Some(kmeansCentroids(...))` for trained cells.
     *
     * Scale: cell assignment is a broadcast map stage; the probe join
@@ -318,7 +337,14 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val model = collectModel(centroids0.getOrElse(
-      corpus.orderBy(xxhash64(col(idCol)), col(idCol)).limit(nCells)
+      // null-vector rows are invisible to assignment, so they must be
+      // invisible to seeding too (collectModel rejects null centroids;
+      // whether a null row's id hashes into the seed window must not
+      // decide whether the job runs)
+      corpus.filter(col(vecCol).isNotNull &&
+          !exists(col(vecCol), _.isNull))
+        .orderBy(graft.operators.Curation.hashUnit(col(idCol), SeedTag),
+          col(idCol)).limit(nCells)
         .select(col(idCol).as("cell_id"), col(vecCol).as("c_vec"))))
     // empty corpus -> empty centroids -> empty result (same schema),
     // matching the old empty-cross-join behavior instead of throwing

@@ -484,12 +484,59 @@ object TextOps extends QueryPack {
        |    WHERE q.vec_id != c.vec_id))
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
 
-  /** IVF coarse-quantizer ANN (inverted-file architecture) — rows-only. */
+  /** IVF coarse-quantizer ANN (inverted-file architecture).
+    * Oracle-checked: the default quantizer's seeds are the nCells rows
+    * with the smallest portable hashUnit(id, SeedTag) — DuckDB computes
+    * the identical md5-derived doubles — and assignment/probe/top-k are
+    * the same sequential-fold cosine argmax on both sides. */
   def embedKnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     Similarity.knnIvf(emb, emb.filter(col("vec_id") < 10), k = 3,
         nCells = 16, nprobe = 2)
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** Oracle SQL for Curation.hashUnit(id, Similarity.SeedTag) — same
+    * md5 → 60-bit int → /2^60 pipeline as CurationPack.uSql. */
+  private def ivfUSql(keyExpr: String): String =
+    s"(('0x' || substring(md5('${Similarity.SeedTag}|' || " +
+      s"CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT::DOUBLE " +
+      "/ 1152921504606846976.0)"
+
+  /** Cosine between two list expressions in the engine's exact
+    * arithmetic order: dot / (sqrt(dot)·sqrt(dot)). */
+  private def cosSql(a: String, b: String): String =
+    s"${dpSql(a, b)} / (sqrt(${dpSql(a, a)}) * sqrt(${dpSql(b, b)}))"
+
+  /** Nearest-`nprobe`-cells assignment: argmax cosine over the centroid
+    * relation, ties to the smallest cell_id (the broadcast model's
+    * strict-beats order). `vecsRel` must expose (n_id, n_vec),
+    * `centRel` (cell_id, c_vec). */
+  private def assignCellsSql(vecsRel: String, centRel: String,
+      nprobe: Int): String =
+    s"""SELECT n_id, n_vec, cell_id FROM (
+       |  SELECT v.n_id, v.n_vec, c.cell_id, row_number() OVER (
+       |    PARTITION BY v.n_id
+       |    ORDER BY ${cosSql("v.n_vec", "c.c_vec")} DESC, c.cell_id) AS rn
+       |  FROM ($vecsRel) v CROSS JOIN ($centRel) c)
+       |WHERE rn <= $nprobe""".stripMargin
+
+  val embedKnnIvfSql: String = {
+    val vecs = "SELECT vec_id AS n_id, embedding AS n_vec FROM embeddings"
+    val seeds = s"""SELECT vec_id AS cell_id, embedding AS c_vec
+       |FROM embeddings ORDER BY ${ivfUSql("vec_id")}, vec_id LIMIT 16"""
+      .stripMargin
+    s"""WITH asg AS (${assignCellsSql(vecs, seeds, 1)}),
+       |prb AS (${assignCellsSql(s"$vecs WHERE vec_id < 10", seeds, 2)})
+       |SELECT q_id, rank, n_id, sim FROM (
+       |  SELECT q_id, n_id, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT p.n_id AS q_id, a.n_id AS n_id,
+       |      ${cosSql("p.n_vec", "a.n_vec")} AS sim
+       |    FROM asg a JOIN prb p USING (cell_id)
+       |    WHERE p.n_id != a.n_id))
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
   /** Embedding-cosine near-dup pairs, exact all-pairs form (the north
@@ -683,14 +730,75 @@ object TextOps extends QueryPack {
   }
 
   /** SemDeDup-style semantic near-dup pairs: k-means cells as candidate
-    * blocks + exact-cosine verify — rows-only (k-means seeds are
-    * xxhash64-derived; no SQL analog), recall vs the exact all-pairs
-    * oracle covered in OperatorsSpec. Same 0.4 threshold rationale as
-    * embed_neardup. */
+    * blocks + exact-cosine verify; recall vs the exact all-pairs oracle
+    * covered in OperatorsSpec. Same 0.4 threshold rationale as
+    * embed_neardup. Oracle-checked end to end: seeds are portable-hash
+    * selected, the Lloyd update accumulates in exact fixed-point
+    * (VectorMeanFixedAgg — order-independent, so the trained model is
+    * bit-identical across engines), and the oracle unrolls both
+    * iterations in SQL with the same integer arithmetic. */
   def embedSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedupPairs(Tables.embeddings(s, dir), "vec_id",
         "embedding", threshold = 0.4, nCells = 8, iters = 2)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** One Lloyd centroid update in the oracle's exact fixed-point form:
+    * members quantize to floor(x·2^40) (a power-of-two scale is exact
+    * in IEEE doubles), sums are integer-exact (DuckDB widens to
+    * HUGEINT), and the mean replays VectorMeanFixedAgg's
+    * (sum→double)/2^40/count — the HUGEINT→VARCHAR→DOUBLE round trip is
+    * correctly rounded like Java's Long→Double. Cells that lost every
+    * member keep their previous centroid (the operator's carry rule). */
+  private def lloydUpdateSql(asgRel: String, vecsRel: String,
+      prevRel: String): String =
+    s"""SELECT p.cell_id, coalesce(u.c_vec, p.c_vec) AS c_vec
+       |FROM ($prevRel) p LEFT JOIN (
+       |  SELECT cell_id, list(cv ORDER BY pos) AS c_vec FROM (
+       |    SELECT cell_id, pos,
+       |      CAST(CAST(sum(fx) AS VARCHAR) AS DOUBLE)
+       |        / 1099511627776.0 / count(*) AS cv
+       |    FROM (
+       |      SELECT a.cell_id,
+       |        unnest(generate_series(1, len(v.n_vec))) AS pos,
+       |        CAST(floor(unnest(v.n_vec) * 1099511627776.0) AS BIGINT)
+       |          AS fx
+       |      FROM ($asgRel) a JOIN ($vecsRel) v USING (n_id))
+       |    GROUP BY cell_id, pos)
+       |  GROUP BY cell_id) u ON u.cell_id = p.cell_id""".stripMargin
+
+  val embedSemDedupSql: String = {
+    // kmeansCentroids widens to double BEFORE seeding/assignment
+    val vecs = "SELECT vec_id AS n_id, " +
+      "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec " +
+      "FROM embeddings"
+    // cell ids are 0-based positions in seed (hash, id) order
+    val s0 = s"""SELECT row_number() OVER (ORDER BY u, n_id) - 1 AS cell_id,
+       |  n_vec AS c_vec FROM (
+       |  SELECT n_id, n_vec, ${ivfUSql("n_id")} AS u
+       |  FROM ($vecs) ORDER BY u, n_id LIMIT 8)""".stripMargin
+    val a1 = assignCellsSql("SELECT * FROM vecs", "SELECT * FROM s0", 1)
+    val c1 = lloydUpdateSql("SELECT * FROM a1", "SELECT * FROM vecs",
+      "SELECT * FROM s0")
+    val a2 = assignCellsSql("SELECT * FROM vecs", "SELECT * FROM c1", 1)
+    val c2 = lloydUpdateSql("SELECT * FROM a2", "SELECT * FROM vecs",
+      "SELECT * FROM c1")
+    val af = assignCellsSql("SELECT * FROM vecs", "SELECT * FROM c2", 1)
+    s"""WITH vecs AS ($vecs),
+       |s0 AS ($s0),
+       |a1 AS ($a1),
+       |c1 AS ($c1),
+       |a2 AS ($a2),
+       |c2 AS ($c2),
+       |af AS ($af)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT x.n_id AS id_a, y.n_id AS id_b,
+       |    ${cosSql("ex.embedding", "ey.embedding")} AS sim
+       |  FROM af x JOIN af y
+       |    ON x.cell_id = y.cell_id AND x.n_id < y.n_id
+       |  JOIN embeddings ex ON ex.vec_id = x.n_id
+       |  JOIN embeddings ey ON ey.vec_id = y.n_id)
+       |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;
     * north star "BPE-ish regex" token counting). */
@@ -980,6 +1088,8 @@ object TextOps extends QueryPack {
     "doc_multimodal" -> multimodalSql,
     "embed_knn" -> embedKnnSql,
     "embed_knn_lsh" -> embedKnnLshSql,
+    "embed_knn_ivf" -> embedKnnIvfSql,
+    "embed_semdedup" -> embedSemDedupSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "doc_multimodal_embed" -> multimodalEmbedSql,
     "embed_neardup" -> embedNearDupSql,

@@ -186,7 +186,9 @@ class OperatorsSpec extends AnyFunSuite {
     // model map must be EXACTLY equal (same doubles, same tie-breaks)
     val c = emb.select($"vec_id".as("n_id"), $"embedding".as("n_vec"))
     val q = queries.select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
-    val centroids = emb.orderBy(xxhash64($"vec_id"), $"vec_id").limit(8)
+    val centroids = emb
+      .orderBy(graft.operators.Curation.hashUnit($"vec_id",
+        Similarity.SeedTag), $"vec_id").limit(8)
       .select($"vec_id".as("cell_id"), $"embedding".as("c_vec"))
     val assignW = Window.partitionBy($"n_id")
       .orderBy($"c_sim".desc, $"cell_id")
