@@ -87,7 +87,9 @@ object TextFunctions {
 
   /** MinHash signature (nvtext/minhash.hpp:62): k minimum xxhash64
     * values over the token array, one per seed. Returns array<long>
-    * of length k. */
+    * of length k. Engine-native compositional surface; the dedup
+    * PIPELINE uses the fused portable-hash kernel
+    * ([[minhashBandKeys]]), a different hash family. */
   def minhashSig(toksCol: String, k: Int): Column =
     minhashSigOf(col(toksCol), k)
 
@@ -125,19 +127,21 @@ object TextFunctions {
       s"slice($sigCol, b * $rowsPerBand + 1, $rowsPerBand), ','))))")
 
   /** Fused tokens → minhash signature → band keys, one kernel pass
-    * (graft.plans.MinHashBandKeys) — the hot path of minhash LSH. */
+    * (graft.plans.MinHashBandKeys) — the hot path of minhash LSH.
+    * Portable MD5-60 + affine hashing: oracle-replayable in SQL. */
   def minhashBandKeys(toks: Column, numHashes: Int, bands: Int): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
     column(graft.plans.MinHashBandKeys(expression(toks), numHashes, bands))
   }
 
-  /** 64-bit SimHash over the token array: per bit, sign of the sum of
-    * ±1 votes from each token's xxhash64 bit — fused one-pass kernel
-    * (graft.plans.SimHash64; bit-identical to the compositional
-    * aggregate-over-bits form it replaced, ~60× less per-row work). */
-  def simhash64(toksCol: String): Column = {
+  /** 60-bit SimHash over the token array: per bit, sign of the sum of
+    * ±1 votes from each token's portable MD5-60 hash bit — fused
+    * one-pass kernel (graft.plans.SimHash60). Portable hashing makes
+    * the signature — and the Hamming-LSH pairs built on it —
+    * replayable in the DuckDB oracle. */
+  def simhash60(toksCol: String): Column = {
     import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
-    column(graft.plans.SimHash64(expression(col(toksCol))))
+    column(graft.plans.SimHash60(expression(col(toksCol))))
   }
 
   /** Hamming distance between two simhash columns. */

@@ -255,18 +255,21 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist, using
-    * 4×16-bit band buckets (pigeonhole: any pair within distance 3 shares
-    * at least one of 4 bands) then exact Hamming verification. */
+    * 4×15-bit band buckets over the 60-bit portable signature
+    * (pigeonhole: any pair within distance 3 shares at least one of 4
+    * bands — so the output is EXACTLY all pairs within maxDist, which
+    * is what lets the DuckDB oracle verify it brute-force) then exact
+    * Hamming verification. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole covers Hamming distance <= 3")
     val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .withColumn("sh", simhash64("toks"))
-    // the 64-bit signature rides inside the posting-list struct, so the
+      .withColumn("sh", simhash60("toks"))
+    // the 60-bit signature rides inside the posting-list struct, so the
     // Hamming verify needs no join back (and the simhash computes once)
     val banded = docs.select(struct(col("id"), col("sh")).as("p"),
       explode(expr("transform(sequence(0, 3), " +
-        "b -> concat(b, ':', (sh >> (b * 16)) & 65535))")).as("band"))
+        "b -> concat(b, ':', (sh >> (b * 15)) & 32767))")).as("band"))
     PostingLists.candidatePairs(banded, "p", "band")
       .filter(col("a.id") =!= col("b.id")) // struct ids: no self-pairs
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

@@ -288,19 +288,24 @@ case class DotProduct(left: Expression, right: Expression)
 
 /** Fused minhash-signature → LSH-band-keys kernel (nvtext/minhash.hpp:62
   * + the banding step of Dedup.minhashPairs). One pass over the token
-  * array: each token is byte-hashed once (XXH64, Spark's own hash), the
-  * k per-seed values derive from that one hash via hashLong remixes, and
-  * band keys fold the signature slices — all in tight Scala loops.
+  * array: each token is MD5-hashed once to 60 bits, the k per-seed
+  * values derive from that one digest via PortableHash.affine remixes
+  * (universal family mod 2^61−1), and band keys are the 15-hex-char MD5
+  * of each signature slice — all in tight Scala loops, and every step
+  * exactly replayable in DuckDB SQL (see TextOps.minhashBandKeysSql),
+  * so the LSH pipelines are oracle-checked end to end rather than
+  * recall-tested only.
   *
   * Exists because the compositional form (transform(seq(k), i ->
-  * array_min(transform(toks, t -> xxhash64(t, i)))) then slice-hash per
+  * array_min(transform(toks, t -> hash(t, i)))) then slice-hash per
   * band) is interpreted per element AND re-inlines the whole signature
   * into every band's slice after projection collapse — k × bands full
   * re-evaluations. The fused kernel is one evaluation per row (~10×).
   * CodegenFallback: the win is algorithmic, not codegen fusion.
   *
   * Empty/absent token arrays yield the same sentinel signature
-  * (Long.MaxValue mins), so empty docs collide with each other only. */
+  * (Long.MaxValue mins, above the affine range [0, P)), so empty docs
+  * collide with each other only. */
 case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -318,18 +323,16 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     }
 
   override def nullSafeEval(v: Any): Any = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val toks = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = toks.numElements()
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
-        val t = toks.getUTF8String(i)
-        val h0 = XXH64.hashUTF8String(t, 42L)
+        val h0 = PortableHash.md5_60(toks.getUTF8String(i).getBytes)
         var s = 0
         while (s < numHashes) {
-          val hs = XXH64.hashLong(h0, s)
+          val hs = PortableHash.affine(h0, s)
           if (hs < sig(s)) sig(s) = hs
           s += 1
         }
@@ -340,10 +343,15 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     val keys = new Array[Any](bands)
     var b = 0
     while (b < bands) {
-      var bh = 42L
+      val slice = new java.lang.StringBuilder(rows * 20)
       var r = b * rows
-      while (r < (b + 1) * rows) { bh = XXH64.hashLong(sig(r), bh); r += 1 }
-      keys(b) = UTF8String.fromString(b.toString + ":" + bh)
+      while (r < (b + 1) * rows) {
+        if (r > b * rows) slice.append(',')
+        slice.append(sig(r))
+        r += 1
+      }
+      keys(b) = UTF8String.fromString(
+        b.toString + ":" + PortableHash.md5Hex15(slice.toString))
       b += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(keys)
@@ -353,12 +361,14 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     copy(child = c)
 }
 
-/** 64-bit SimHash kernel — bit-identical to the compositional
-  * `aggregate(sequence(0,63), .. per-token xxhash64 bit votes ..)` form
-  * (same XXH64 seed-42 token hashes, same ±1 votes), but one pass per
-  * row: each token hashed once, 64 vote counters updated in a tight
-  * loop, instead of 64 interpreted re-scans of the token array. */
-case class SimHash64(child: Expression)
+/** 60-bit SimHash kernel over the portable MD5-60 token hash — one pass
+  * per row: each token hashed once, 60 vote counters updated in a tight
+  * loop (vote multiplicity counts, matching the classic frequency-
+  * weighted formulation). 60 bits rather than 64 because the per-token
+  * hash is the same md5-first-15-hex-chars integer DuckDB computes, so
+  * the whole signature — and therefore the Hamming-LSH dedup pipeline
+  * built on it — is oracle-checkable (see TextOps.simhashPairsSql). */
+case class SimHash60(child: Expression)
     extends UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def dataType: DataType = LongType
@@ -369,21 +379,19 @@ case class SimHash64(child: Expression)
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-          .TypeCheckFailure(s"simhash64 needs ARRAY<STRING>, got $other")
+          .TypeCheckFailure(s"simhash60 needs ARRAY<STRING>, got $other")
     }
 
   override def nullSafeEval(v: Any): Any = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
     val toks = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val n = toks.numElements()
-    val votes = new Array[Int](64)
+    val votes = new Array[Int](60)
     var i = 0
     while (i < n) {
       if (!toks.isNullAt(i)) {
-        val t = toks.getUTF8String(i)
-        val h = XXH64.hashUTF8String(t, 42L)
+        val h = PortableHash.md5_60(toks.getUTF8String(i).getBytes)
         var b = 0
-        while (b < 64) {
+        while (b < 60) {
           if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
           b += 1
         }
@@ -392,14 +400,14 @@ case class SimHash64(child: Expression)
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 60) {
       if (votes(b) > 0) out |= (1L << b)
       b += 1
     }
     out
   }
 
-  override protected def withNewChildInternal(c: Expression): SimHash64 =
+  override protected def withNewChildInternal(c: Expression): SimHash60 =
     copy(child = c)
 }
 

@@ -158,10 +158,13 @@ object TextOps extends QueryPack {
        |        FROM documents WHERE doc_id < 150) b ON a.doc_id < b.doc_id)
        |WHERE jac >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
-  /** MinHash+LSH near-dup pairs (the scale path) — no SQL oracle
-    * (engine-native xxhash64); rows-only check + unit tests. Input is
-    * capped to a deterministic id range: the synthetic corpus has a
-    * 31-word vocabulary, so near-dup PAIR count grows quadratically with
+  /** MinHash+LSH near-dup pairs (the scale path). Oracle-checked: the
+    * kernel's per-token MD5-60 hash, affine remixes mod 2^61−1 (fixed
+    * published constants), and MD5 band digests are all replayed
+    * exactly in DuckDB ([[minhashPairsSql]]) — candidate generation
+    * included, not just the Jaccard verify. Input is capped to a
+    * deterministic id range: the synthetic corpus has a 31-word
+    * vocabulary, so near-dup PAIR count grows quadratically with
     * corpus size regardless of algorithm — real corpora don't. */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     // bands=4 (rows=8) sharpens the S-curve for the 0.9 threshold: on
@@ -173,18 +176,111 @@ object TextOps extends QueryPack {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Shingle (word-3-gram) MinHash near-dup pairs (minhash_ngrams,
-    * nvtext/minhash.hpp:156) — order-sensitive variant; rows-only
-    * (engine-native xxhash64), recall covered by DedupSpec. */
+    * nvtext/minhash.hpp:156) — order-sensitive variant; oracle-checked
+    * like [[minhashPairs]] (same portable kernel, shingles replayed in
+    * SQL); planted-dup recall additionally covered by DedupSpec. */
   def minhashNgramPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNgramPairs(Tables.documents(s, dir).filter(col("doc_id") < 1000),
         "doc_id", "text", n = 3, numHashes = 32, bands = 8, threshold = 0.9)
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup pairs — rows-only check; same cap rationale. */
+  /** SimHash near-dup pairs — oracle-checked BRUTE-FORCE: the 4-band
+    * pigeonhole guarantees every pair within Hamming 3 shares a band,
+    * so the operator's output is exactly all such pairs and the oracle
+    * needs no LSH replay, only the portable 60-bit signature (which
+    * DuckDB recomputes from per-token MD5-60 bit votes). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, dir).filter(col("doc_id") < 1000),
         "doc_id", "text", maxDist = 3)
       .orderBy(col("id_a"), col("id_b"))
+
+  import graft.plans.PortableHash
+
+  /** The kernel's banded-minhash chain in DuckDB: per-token MD5-60 →
+    * per-seed affine min (HUGEINT modular arithmetic — exact) → per-band
+    * MD5 digest of the comma-joined signature slice. `docsCte` must
+    * expose (id, toks); emits (id, b, k). Docs with empty `toks` drop
+    * out here (no rows to aggregate) where the kernel gives them the
+    * sentinel signature — the synthetic corpus has no empty docs, and
+    * gate inputs are id-capped real documents. */
+  private def minhashBndSql(docsCte: String, rows: Int): String =
+    s"""SELECT id, s // $rows AS b, substring(md5(array_to_string(
+       |    list(CAST(v AS VARCHAR) ORDER BY s), ',')), 1, 15) AS k
+       |FROM (
+       |  SELECT id, sd.s AS s,
+       |    min(${PortableHash.sqlAffine("h0", "sd.sa", "sd.sb")}) AS v
+       |  FROM (SELECT id, ${PortableHash.sqlMd5_60("t")} AS h0
+       |        FROM (SELECT id, unnest(toks) AS t FROM $docsCte))
+       |  CROSS JOIN seeds sd GROUP BY id, sd.s)
+       |GROUP BY id, b""".stripMargin
+
+  private val seedsCte: String =
+    s"seeds(s, sa, sb) AS (VALUES ${PortableHash.sqlSeedRows(32)})"
+
+  /** Exact-Jaccard verify over candidate pairs: same double arithmetic
+    * as functions.jaccard (int sizes, one double division). */
+  private def jacVerifySql(candCte: String, aCol: String, bCol: String,
+      docsCte: String, thr: Double): String =
+    s"""SELECT $aCol, $bCol, jac FROM (
+       |  SELECT c.$aCol, c.$bCol,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      (len(a.toks) + len(b.toks)
+       |        - len(list_intersect(a.toks, b.toks))) AS jac
+       |  FROM $candCte c JOIN $docsCte a ON a.id = c.$aCol
+       |  JOIN $docsCte b ON b.id = c.$bCol)
+       |WHERE jac >= $thr""".stripMargin
+
+  val minhashPairsSql: String =
+    s"""WITH $seedsCte,
+       |docs AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks
+       |         FROM documents WHERE doc_id < 1000),
+       |bnd AS (${minhashBndSql("docs", 8)}),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bnd x JOIN bnd y
+       |         ON x.b = y.b AND x.k = y.k AND x.id < y.id)
+       |${jacVerifySql("cand", "id_a", "id_b", "docs", 0.9)}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val minhashNgramPairsSql: String =
+    s"""WITH $seedsCte,
+       |docs AS (SELECT id, CASE WHEN len(tk) >= 3 THEN
+       |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
+       |      i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2]))
+       |  ELSE [array_to_string(tk, '_')] END AS toks
+       |  FROM (SELECT doc_id AS id, $toksSql AS tk
+       |        FROM documents WHERE doc_id < 1000)),
+       |bnd AS (${minhashBndSql("docs", 4)}),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bnd x JOIN bnd y
+       |         ON x.b = y.b AND x.k = y.k AND x.id < y.id)
+       |${jacVerifySql("cand", "id_a", "id_b", "docs", 0.9)}
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force all-pairs Hamming over the replayed 60-bit signature:
+    * per-token MD5-60 bit votes (multiplicity counts — unnest of the
+    * RAW token list), sign per bit, pairs with distance ≤ 3. Valid as
+    * the oracle for the LSH operator because 4-band pigeonhole recall
+    * is exact at maxDist 3. */
+  val simhashPairsSql: String =
+    s"""WITH th AS (
+       |  SELECT id, ${PortableHash.sqlMd5_60("t")} AS h0
+       |  FROM (SELECT doc_id AS id, unnest($toksSql) AS t
+       |        FROM documents WHERE doc_id < 1000)),
+       |sh AS (
+       |  SELECT id, CAST(sum(CASE WHEN v > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+       |  FROM (
+       |    SELECT id, bits.b AS b, sum(CASE WHEN (h0 >> bits.b) & 1 = 1
+       |        THEN 1 ELSE -1 END) AS v
+       |    FROM th CROSS JOIN
+       |      (SELECT unnest(generate_series(0, 59)) AS b) bits
+       |    GROUP BY id, bits.b)
+       |  GROUP BY id)
+       |SELECT id_a, id_b, hdist FROM (
+       |  SELECT x.id AS id_a, y.id AS id_b,
+       |    bit_count(xor(x.sh, y.sh)) AS hdist
+       |  FROM sh x JOIN sh y ON x.id < y.id)
+       |WHERE hdist <= 3 ORDER BY id_a, id_b""".stripMargin
 
   /** TF-IDF over the corpus (north star: text analysis). The gate runs
     * the rational-idf variant (N/df — exact arithmetic); the standard
@@ -620,8 +716,10 @@ object TextOps extends QueryPack {
       |WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
   /** Near-dup screen of the delta against the ingested corpus
-    * (minhash-band collision + exact-Jaccard verify) — rows-only
-    * (engine-native xxhash64); planted-dup recall in DedupSpec. */
+    * (minhash-band collision + exact-Jaccard verify) — oracle-checked
+    * via the same portable-kernel SQL replay as [[minhashPairs]],
+    * banding each corpus side independently and joining across;
+    * planted-dup recall additionally in DedupSpec. */
   def dedupDeltaNear(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     Dedup.nearDupDeltaPairs(docs.filter(col("doc_id") < 250),
@@ -629,6 +727,21 @@ object TextOps extends QueryPack {
         "doc_id", "text", numHashes = 32, bands = 4, threshold = 0.9)
       .orderBy(col("delta_id"), col("corpus_id"))
   }
+
+  val dedupDeltaNearSql: String =
+    s"""WITH $seedsCte,
+       |cdocs AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks
+       |          FROM documents WHERE doc_id < 250),
+       |ddocs AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks
+       |          FROM documents WHERE doc_id >= 250 AND doc_id < 400),
+       |bndc AS (${minhashBndSql("cdocs", 8)}),
+       |bndd AS (${minhashBndSql("ddocs", 8)}),
+       |cand AS (SELECT DISTINCT d.id AS id_d, c.id AS id_c
+       |         FROM bndd d JOIN bndc c ON d.b = c.b AND d.k = c.k),
+       |v AS (
+       |${jacVerifySql("cand", "id_d", "id_c", "(SELECT * FROM cdocs UNION ALL SELECT * FROM ddocs)", 0.9)})
+       |SELECT id_d AS delta_id, id_c AS corpus_id, jac FROM v
+       |ORDER BY delta_id, corpus_id""".stripMargin
 
   /** DuckDB double-space dot product of two list expressions — the
     * sequential-fold form that matches graft.plans.DotProduct bit for
@@ -1096,5 +1209,9 @@ object TextOps extends QueryPack {
     "embed_normalize" -> embedNormalizeSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_project" -> embedProjectSql,
-    "doc_dedup_delta" -> dedupDeltaSql)
+    "doc_dedup_delta" -> dedupDeltaSql,
+    "doc_minhash_pairs" -> minhashPairsSql,
+    "doc_minhash_ngram_pairs" -> minhashNgramPairsSql,
+    "doc_simhash_pairs" -> simhashPairsSql,
+    "doc_dedup_delta_near" -> dedupDeltaNearSql)
 }

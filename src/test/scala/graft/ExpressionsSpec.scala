@@ -298,4 +298,29 @@ class ExpressionsSpec extends AnyFunSuite {
         alpha = Some(0.3))) ==
       run(GraftExpressions.ewma($"v", 0.3, w)))
   }
+
+  test("PortableHash modular arithmetic is exact (vs BigInt) and md5-60 " +
+      "matches the SQL hex pipeline") {
+    import graft.plans.PortableHash
+    val P = BigInt(PortableHash.P)
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 2000) {
+      val a = rnd.nextLong() >>> 3 // [0, 2^61)
+      val b = rnd.nextLong() >>> 3
+      assert(BigInt(PortableHash.mulmodP(a, b)) ==
+        (BigInt(a) * BigInt(b)).mod(P))
+    }
+    for (s <- 0 until 32; _ <- 1 to 20) {
+      val h = rnd.nextLong() >>> 4 // md5-60 range
+      val exp = (BigInt(h) * BigInt(PortableHash.seedA(s)) +
+        BigInt(PortableHash.seedB(s))).mod(P)
+      assert(BigInt(PortableHash.affine(h, s)) == exp)
+    }
+    // md5_60("foo") must equal ('0x'||substring(md5('foo'),1,15))::BIGINT
+    // = 777945767205416837 (verified in DuckDB), and md5Hex15 the
+    // 15-char hex prefix of the same digest
+    val foo = "foo".getBytes("UTF-8")
+    assert(PortableHash.md5_60(foo) == 777945767205416837L)
+    assert(PortableHash.md5Hex15("1,2,3") == "55b84a9d317184f")
+  }
 }

@@ -39,7 +39,7 @@ class TextFunctionsSpec extends AnyFunSuite {
   test("simhash of identical docs has hamming distance 0, distinct docs differ") {
     val df = Seq("p q r", "p q r", "completely different words here").toDF("text")
       .withColumn("toks", tokens($"text"))
-      .select(simhash64("toks").as("sh")).as[Long].collect()
+      .select(simhash60("toks").as("sh")).as[Long].collect()
     assert(df(0) == df(1))
     assert(df(0) != df(2))
   }
