@@ -136,7 +136,15 @@ object MiscPack extends QueryPack {
   }
 
   /** Porter stems of the document corpus (nvtext/stemmer.hpp) via the
-    * custom PorterStem expression — rows-only (no DuckDB stemmer). */
+    * custom PorterStem expression. Oracle-checked against a FIXED
+    * word→stem table: DuckDB's stemmer extension can't load offline,
+    * but the synthetic corpus has exactly 31 distinct tokens (stable
+    * across all sf dirs), each hand-derived from the published Porter
+    * 1980 rules (e.g. customer→custom: step 4 "er" at m=2; key→kei:
+    * step 1c *v* y→i; line→line: step 5a blocked by *o; table→tabl,
+    * value→valu, merge→merg: step 5a e-drop; query→queri). The inner
+    * join fails LOUDLY (count mismatch) if the corpus ever grows
+    * out-of-table tokens, rather than silently passing them through. */
   def docStems(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.functions.TextFunctions.tokens
@@ -361,5 +369,30 @@ object MiscPack extends QueryPack {
     "isin_filter" -> isinFilterSql,
     "ipv4_roundtrip" -> ipv4RoundTripSql,
     "events_ewma" -> eventsEwmaSql,
-    "events_ewm_adjust" -> eventsEwmAdjustSql)
+    "events_ewm_adjust" -> eventsEwmAdjustSql,
+    "doc_stems" -> docStemsSql)
+
+  /** Fixed Porter-1980 word→stem table for the 31-token corpus
+    * vocabulary — see [[docStems]] for the per-word rule derivations.
+    * Derived from the algorithm spec by hand, NOT from the operator,
+    * so the check is independent. */
+  val docStemsSql: String =
+    """WITH stems(tok, stem) AS (VALUES
+      |  ('a','a'), ('agg','agg'), ('batch','batch'), ('big','big'),
+      |  ('column','column'), ('customer','custom'), ('data','data'),
+      |  ('dup','dup'), ('fast','fast'), ('filter','filter'),
+      |  ('group','group'), ('hash','hash'), ('join','join'),
+      |  ('key','kei'), ('line','line'), ('merge','merg'),
+      |  ('order','order'), ('part','part'), ('query','queri'),
+      |  ('row','row'), ('scan','scan'), ('slow','slow'),
+      |  ('small','small'), ('sort','sort'), ('spark','spark'),
+      |  ('stream','stream'), ('table','tabl'), ('the','the'),
+      |  ('value','valu'), ('vector','vector'), ('window','window')),
+      |tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+      |       AS tok FROM documents)
+      |SELECT stem, n FROM (
+      |  SELECT s.stem, count(*) AS n
+      |  FROM tk JOIN stems s ON s.tok = tk.tok
+      |  GROUP BY s.stem)
+      |ORDER BY n DESC, stem LIMIT 25""".stripMargin
 }

@@ -1126,8 +1126,15 @@ object TextOps extends QueryPack {
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** True BPE (merge-table loop, byte_pair_encoding.hpp) over the corpus
-    * with a fixed merge table — rows-only (no DuckDB analog); algorithm
-    * exactness covered by ExpressionsSpec. */
+    * with a fixed merge table. Oracle-checked against a FIXED
+    * word→pieces table: the corpus vocabulary is exactly 31 words
+    * (stable across sf dirs), and each word's piece sequence is
+    * hand-simulated from the classic algorithm (lowest-rank adjacent
+    * pair merges first — e.g. `join` → [jo, in] because rank-3 (i,n)
+    * fires before rank-8 (j,o); `data`/`scan`/`the` chain to single
+    * pieces). The table is derived from the published algorithm, not
+    * from the operator, so the check is independent; algorithm
+    * exactness on adversarial inputs additionally in ExpressionsSpec. */
   def bpeMerges(s: SparkSession, dir: String): DataFrame = {
     val merges = Seq(
       "t" -> "h", "th" -> "e", "e" -> "r", "i" -> "n", "in" -> "g",
@@ -1139,6 +1146,37 @@ object TextOps extends QueryPack {
       .orderBy(col("n").desc, col("piece"))
       .limit(25)
   }
+
+  /** See [[bpeMerges]] — hand-simulated piece sequences per vocabulary
+    * word; the inner join fails loudly if the corpus grows new words. */
+  val bpeMergesSql: String =
+    """WITH enc(tok, pieces) AS (VALUES
+      |  ('a', ['a']), ('agg', ['a','g','g']),
+      |  ('batch', ['b','a','t','c','h']), ('big', ['b','i','g']),
+      |  ('column', ['c','o','l','u','m','n']),
+      |  ('customer', ['c','u','s','t','o','m','er']),
+      |  ('data', ['data']), ('dup', ['d','u','p']),
+      |  ('fast', ['f','a','s','t']), ('filter', ['f','i','l','t','er']),
+      |  ('group', ['g','r','o','u','p']), ('hash', ['h','a','s','h']),
+      |  ('join', ['jo','in']), ('key', ['k','e','y']),
+      |  ('line', ['l','in','e']), ('merge', ['m','er','g','e']),
+      |  ('order', ['o','r','d','er']), ('part', ['p','a','r','t']),
+      |  ('query', ['q','u','er','y']), ('row', ['r','o','w']),
+      |  ('scan', ['scan']), ('slow', ['s','l','o','w']),
+      |  ('small', ['s','m','a','l','l']), ('sort', ['s','o','r','t']),
+      |  ('spark', ['s','p','a','r','k']),
+      |  ('stream', ['s','t','r','e','a','m']),
+      |  ('table', ['t','a','b','l','e']), ('the', ['the']),
+      |  ('value', ['v','a','l','u','e']),
+      |  ('vector', ['v','e','c','t','o','r']),
+      |  ('window', ['w','in','d','o','w'])),
+      |tk AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+      |       AS tok FROM documents),
+      |pc AS (SELECT unnest(e.pieces) AS piece
+      |       FROM tk JOIN enc e ON e.tok = tk.tok)
+      |SELECT piece, n FROM (
+      |  SELECT piece, count(*) AS n FROM pc GROUP BY piece)
+      |ORDER BY n DESC, piece LIMIT 25""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_bpe_merges" -> bpeMerges,
@@ -1213,5 +1251,6 @@ object TextOps extends QueryPack {
     "doc_minhash_pairs" -> minhashPairsSql,
     "doc_minhash_ngram_pairs" -> minhashNgramPairsSql,
     "doc_simhash_pairs" -> simhashPairsSql,
-    "doc_dedup_delta_near" -> dedupDeltaNearSql)
+    "doc_dedup_delta_near" -> dedupDeltaNearSql,
+    "doc_bpe_merges" -> bpeMergesSql)
 }
