@@ -339,6 +339,32 @@ object Funcs extends QueryPack {
       |  CAST(json_extract_string(props, '$.k') AS INT) AS k_typed
       |FROM events ORDER BY event_id""".stripMargin
 
+  /** to_json → from_json round trip (strings/json + cudf to_json
+    * surface): serialize a (BIGINT, BIGINT, VARCHAR) struct and
+    * re-extract a field from the produced string. The serialized
+    * column itself is part of the oracle check — Spark's compact
+    * `{"k":v}` rendering for integer/string fields is byte-identical
+    * to DuckDB's to_json (verified; doubles would NOT be, which is
+    * why `value` stays out of the struct). */
+  def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("js", to_json(struct($"event_id", $"user_id", $"event_type")))
+      .select($"event_id", $"js",
+        from_json($"js", lit("user_id BIGINT, event_type STRING"))
+          .getField("event_type").as("et_rt"))
+      .orderBy($"event_id")
+  }
+
+  val jsonRoundtripSql: String =
+    """SELECT event_id, js, json_extract_string(js, '$.event_type') AS et_rt
+      |FROM (
+      |  SELECT event_id, CAST(to_json(struct_pack(
+      |      event_id := event_id, user_id := user_id,
+      |      event_type := event_type)) AS VARCHAR) AS js
+      |  FROM events)
+      |ORDER BY event_id""".stripMargin
+
   /** String-API long tail: wrap (strings/wrap.hpp:57), find_multiple
     * (find_multiple.hpp:46), partition (cudf str.partition), fused
     * ngrams_tokenize (nvtext/ngrams_tokenize.hpp:80). URL encode/decode
@@ -439,7 +465,8 @@ object Funcs extends QueryPack {
     "cond_case" -> condCase,
     "math_funcs" -> mathFuncs,
     "hash_funcs" -> hashFuncs,
-    "json_funcs" -> jsonFuncs)
+    "json_funcs" -> jsonFuncs,
+    "json_roundtrip" -> jsonRoundtrip)
 
   override def oracle: Map[String, String] = Map(
     "str_durations" -> strDurationsSql,
@@ -458,5 +485,6 @@ object Funcs extends QueryPack {
     "cond_case" -> condCaseSql,
     "math_funcs" -> mathFuncsSql,
     "hash_funcs" -> hashFuncsSql,
-    "json_funcs" -> jsonFuncsSql)
+    "json_funcs" -> jsonFuncsSql,
+    "json_roundtrip" -> jsonRoundtripSql)
 }
