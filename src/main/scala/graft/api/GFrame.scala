@@ -292,6 +292,34 @@ final case class GFrame(df: DataFrame) {
     * ingested corpus (exact digests) and within itself (keep-first). */
   def dedupAgainst(corpus: GFrame, idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.Dedup.dedupDelta(corpus.toDF, df, idCol, textCol))
+  /** SimHash Hamming near-dup pairs (frequency-weighted 60-bit
+    * signature, pigeonhole-exact banding at maxDist ≤ 3). */
+  def simhashPairs(idCol: String, textCol: String,
+      maxDist: Int = 3): GFrame =
+    GFrame(graft.operators.Dedup.simhashPairs(df, idCol, textCol, maxDist))
+  /** Collapse near-dup PAIRS (id_a, id_b cols) into connected-component
+    * clusters — call on the output of any *Pairs method. */
+  def nearDupClusters(maxIter: Int = 10): GFrame =
+    GFrame(graft.operators.Dedup.nearDupClusters(df, maxIter))
+  /** Exact top-k cosine neighbors from this corpus frame for each row
+    * of `queries` (brute force — the verification baseline). */
+  def knn(queries: GFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): GFrame =
+    GFrame(Similarity.knnBrute(df, queries.toDF, k, idCol, vecCol))
+  /** Approximate top-k via sign-LSH bucket blocking (the scale path). */
+  def knnLsh(queries: GFrame, k: Int, nBits: Int = 12,
+      idCol: String = "vec_id", vecCol: String = "embedding"): GFrame =
+    GFrame(Similarity.knnLsh(df, queries.toDF, k, nBits, idCol, vecCol))
+  /** Approximate top-k via IVF coarse-quantizer cells (probe the
+    * nprobe nearest cells; pass trained centroids for better recall). */
+  def knnIvf(queries: GFrame, k: Int, nCells: Int = 64, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): GFrame =
+    GFrame(Similarity.knnIvf(df, queries.toDF, k, nCells, nprobe,
+      idCol, vecCol))
+  /** N-gram-profile language id of a text column into `outCol`. */
+  def langId(textCol: String, outCol: String = "lang"): GFrame =
+    GFrame(df.withColumn(outCol, graft.functions.TextFunctions.langId(
+      graft.functions.TextFunctions.tokens(col(textCol)))))
 
   // ---- accessor namespaces (cudf Series .str / .dt accessors,
   //      python/cudf/cudf/core/column/string.py, temporal.py) ----
@@ -325,6 +353,8 @@ final case class GStrOps(gf: GFrame, c: String) {
     add("find", graft.functions.TextFunctions.findMultiple(col(c), targets))
   def normalize(): GFrame =
     add("norm", graft.functions.TextFunctions.normalizeText(col(c)))
+  def stem(): GFrame =
+    add("stem", graft.plans.GraftExpressions.porterStem(col(c)))
   def isalpha(): GFrame = add("isalpha", graft.functions.TextFunctions.isAlpha(col(c)))
   def isdigit(): GFrame = add("isdigit", graft.functions.TextFunctions.isDigit(col(c)))
   def isalnum(): GFrame = add("isalnum", graft.functions.TextFunctions.isAlnum(col(c)))

@@ -234,4 +234,35 @@ class GFrameSpec extends AnyFunSuite {
     assert(scored.count() == 2 &&
       Seq("oov_rate", "lm_score", "n_bigrams").forall(scored.columns.contains))
   }
+
+  test("round-5 façade additions: knn family, simhash pairs, clusters, " +
+      "stem, langId") {
+    val emb = GFrame(Seq(
+        (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+        (2L, Array(0.0f, 1.0f)), (3L, Array(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding"))
+    val q = GFrame(emb.toDF.filter($"vec_id" === 0L))
+    val top = emb.knn(q, k = 2).toDF.orderBy("rank")
+      .collect().map(_.getLong(2))
+    assert(top.head == 1L, "nearest neighbor of e0 must be e1")
+    assert(emb.knnLsh(q, k = 1, nBits = 2).toDF.columns
+      .contains("sim"))
+    assert(emb.knnIvf(q, k = 1, nCells = 2, nprobe = 2).toDF
+      .count() >= 1)
+    val docs = GFrame(Seq(
+        (1L, "big fast scan"), (2L, "big fast scan"), (3L, "slow join"))
+      .toDF("doc_id", "text"))
+    val pairs = docs.simhashPairs("doc_id", "text")
+    assert(pairs.toDF.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 2L)))
+    val clusters = pairs.nearDupClusters().toDF.orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(clusters.toSeq == Seq((1L, 1L), (2L, 1L)))
+    val stems = GFrame(Seq(Tuple1("running")).toDF("w")).str("w").stem()
+      .toDF.select("w_stem").head.getString(0)
+    assert(stems == "run")
+    val lang = GFrame(Seq(Tuple1("the cat and the hat")).toDF("text"))
+      .langId("text").toDF.select("lang").head.getString(0)
+    assert(lang == "en")
+  }
 }
