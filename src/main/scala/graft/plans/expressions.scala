@@ -311,6 +311,8 @@ case class MinHashBandKeys(child: Expression, numHashes: Int, bands: Int)
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   require(bands > 0 && numHashes > 0 && numHashes % bands == 0,
     s"need bands > 0 and bands | numHashes, got $numHashes/$bands")
+  require(numHashes <= 64,
+    s"PortableHash publishes 64 affine seed pairs; got numHashes=$numHashes")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =

@@ -952,6 +952,18 @@ object TextOps extends QueryPack {
       .orderBy(col("n").desc, col("piece"))
       .limit(25)
 
+  /** [[wordpiece]] through the BROADCAST-vocab path — identical output
+    * contract (shares [[wordpieceSql]]), so the gate proves the
+    * broadcast mode end to end cross-engine, not just in the unit test
+    * that compares it against the inline mode. */
+  def wordpieceBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(graft.plans.WordPieceTokenize.broadcast(
+        col("text"), s, wordpieceVocab)).as("piece"))
+      .groupBy(col("piece")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("piece"))
+      .limit(25)
+
   val wordpieceSql: String = {
     // distinct: the vocab seq repeats ##w/##y; Scala matches against a
     // Set, so the SQL side must dedupe or the match join double-counts
@@ -1186,6 +1198,7 @@ object TextOps extends QueryPack {
     "doc_tfidf" -> tfidfQ,
     "doc_chunks" -> chunksQ,
     "doc_wordpiece" -> wordpiece,
+    "doc_wordpiece_bc" -> wordpieceBroadcast,
     "doc_bert_encode" -> bertEncodeQ,
     "doc_dedup_exact" -> dedupExact,
     "doc_dedup_fingerprint" -> dedupFingerprint,
@@ -1232,6 +1245,7 @@ object TextOps extends QueryPack {
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
     "doc_wordpiece" -> wordpieceSql,
+    "doc_wordpiece_bc" -> wordpieceSql,
     "doc_bert_encode" -> bertEncodeSql,
     "doc_curation" -> curationSql,
     "doc_redact_pii" -> redactPiiSql,
