@@ -332,7 +332,70 @@ object TpcDs extends QueryPack {
        |WHERE cum_express > cum_standard * 0.6
        |ORDER BY mo""".stripMargin
 
+  /** Market-basket co-occurrence: the 20 part pairs most often bought
+    * together in one order. Pair generation reuses
+    * `PostingLists.candidatePairs` keyed on the order — the SAME
+    * machinery as the minhash band join, so pairs per order are
+    * (basket size choose 2), linear in |orders| at any scale, and the
+    * basket subtree is planned exactly once (never a fact self-join). */
+  def dsBasketPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    graft.operators.PostingLists
+      .candidatePairs(items, "l_partkey", "l_orderkey")
+      .groupBy($"a".as("part_a"), $"b".as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy($"n_orders".desc, $"part_a", $"part_b")
+      .limit(20)
+  }
+
+  val dsBasketPairsSql: String =
+    """SELECT part_a, part_b, n_orders FROM (
+      |  SELECT x.l_partkey AS part_a, y.l_partkey AS part_b,
+      |    count(*) AS n_orders
+      |  FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) x
+      |  JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) y
+      |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+      |  GROUP BY 1, 2)
+      |ORDER BY n_orders DESC, part_a, part_b LIMIT 20""".stripMargin
+
+  /** 7-day sliding revenue average per order priority — decimal-exact
+    * window sums (DuckDB's segment-tree sliding aggregate would differ
+    * in double rounding; integer-exact decimals are order-free). The
+    * window partitions by priority: group COUNT is fixed (5) while
+    * group SIZE scales, the documented safe shape (SCALING.md §2.5). */
+  def dsMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val daily = Tables.orders(s, dir)
+      .groupBy($"o_orderpriority", $"o_orderdate".cast("date").as("day"))
+      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("day_rev"))
+    val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
+      .rowsBetween(-6, Window.currentRow)
+    daily
+      .withColumn("mov7",
+        (sum($"day_rev").over(w).cast("double") /
+          count(lit(1)).over(w).cast("double")))
+      .withColumn("day_rev", $"day_rev".cast("double"))
+      .orderBy($"o_orderpriority", $"day")
+  }
+
+  val dsMovingAvgSql: String =
+    """SELECT o_orderpriority, day,
+      |  CAST(CAST(day_rev AS VARCHAR) AS DOUBLE) AS day_rev,
+      |  CAST(CAST(sum(day_rev) OVER w AS VARCHAR) AS DOUBLE)
+      |    / CAST(count(*) OVER w AS DOUBLE) AS mov7
+      |FROM (
+      |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+      |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS day_rev
+      |  FROM orders GROUP BY 1, 2)
+      |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+      |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY o_orderpriority, day""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_basket_pairs" -> dsBasketPairs,
+    "ds_moving_avg" -> dsMovingAvg,
     "ds_rollup_ranking" -> dsRollupRanking,
     "ds_cumulative_compare" -> dsCumulativeCompare,
     "ds_sales_ranking" -> dsSalesRanking,
@@ -344,6 +407,8 @@ object TpcDs extends QueryPack {
     "ds_no_returns" -> dsNoReturns)
 
   override def oracle: Map[String, String] = Map(
+    "ds_basket_pairs" -> dsBasketPairsSql,
+    "ds_moving_avg" -> dsMovingAvgSql,
     "ds_rollup_ranking" -> dsRollupRankingSql,
     "ds_cumulative_compare" -> dsCumulativeCompareSql,
     "ds_sales_ranking" -> dsSalesRankingSql,
