@@ -46,12 +46,26 @@ private[graft] object PostingLists {
     * struct callers filter unpacked ids. */
   def candidatePairs(keyed: DataFrame, idCol: String,
       keyCol: String): DataFrame =
+    candidatePairs(keyed, idCol, keyCol, distinctIds = false)
+
+  /** [[candidatePairs]] with optional SET semantics: `distinctIds =
+    * true` dedupes ids inside each posting list (array_distinct on the
+    * collected list), so callers with duplicate (id, key) rows — e.g.
+    * basket analysis over order line items — get each pair once per key
+    * WITHOUT a separate `.distinct()` pass, which would cost a full
+    * extra shuffle of the input ahead of the groupBy. */
+  def candidatePairs(keyed: DataFrame, idCol: String, keyCol: String,
+      distinctIds: Boolean): DataFrame = {
+    val collected = collect_list(col(idCol))
+    val ids = array_sort(
+      if (distinctIds) array_distinct(collected) else collected)
     keyed
       .groupBy(col(keyCol))
-      .agg(array_sort(collect_list(col(idCol))).as("__ids"))
+      .agg(ids.as("__ids"))
       .select(posexplode(col("__ids")).as(Seq("__i", "a")), col("__ids"))
       .select(col("a"),
         explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
           .as("b"))
       .filter(col("a") =!= col("b"))
+  }
 }

@@ -340,10 +340,12 @@ object TpcDs extends QueryPack {
     * basket subtree is planned exactly once (never a fact self-join). */
   def dsBasketPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // distinctIds dedupes within the posting list — no extra
+    // .distinct() shuffle of the whole fact ahead of the groupBy
     val items = Tables.lineitem(s, dir)
-      .select($"l_orderkey", $"l_partkey").distinct()
+      .select($"l_orderkey", $"l_partkey")
     graft.operators.PostingLists
-      .candidatePairs(items, "l_partkey", "l_orderkey")
+      .candidatePairs(items, "l_partkey", "l_orderkey", distinctIds = true)
       .groupBy($"a".as("part_a"), $"b".as("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy($"n_orders".desc, $"part_a", $"part_b")

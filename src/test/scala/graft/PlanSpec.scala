@@ -239,6 +239,19 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, s"unpruned scans in: $offenders")
   }
 
+  test("ds_basket_pairs shuffles twice: basket groupBy + pair groupBy") {
+    // distinctIds folds the (orderkey, partkey) dedup into the posting
+    // list itself — a separate .distinct() would add a third full
+    // exchange of the fact table ahead of the basket groupBy
+    val df = SparkEntry.queries("ds_basket_pairs")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange") && !l.contains("BroadcastExchange"))
+    assert(exchanges == 2, s"expected 2 shuffles, got $exchanges:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"limit 20 must plan as top-k, not a global sort:\n$p")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(

@@ -297,6 +297,15 @@ class PropertySpec extends AnyFunSuite {
         // one row per (key, pair) on both sides — compare as multisets
         assert(got.sorted.toSeq == want.sorted.toSeq,
           s"posting lists diverged from join on $rows")
+        // distinctIds mode == running plain mode over pre-distinct rows
+        val gotSet = graft.operators.PostingLists
+          .candidatePairs(df, "id", "k", distinctIds = true)
+          .select($"a", $"b").as[(Long, Long)].collect()
+        val wantSet = graft.operators.PostingLists
+          .candidatePairs(df.distinct(), "id", "k")
+          .select($"a", $"b").as[(Long, Long)].collect()
+        assert(gotSet.sorted.toSeq == wantSet.sorted.toSeq,
+          s"distinctIds diverged from pre-distinct input on $rows")
       }
     }
   }
