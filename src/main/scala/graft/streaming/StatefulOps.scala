@@ -249,4 +249,34 @@ object StatefulOps {
       keys: Seq[String]): org.apache.spark.sql.DataFrame =
     df.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Streaming twin of the NEAR-dup delta screen
+    * ([[graft.operators.Dedup.nearDupDeltaPairs]]): admit only stream
+    * documents with no verified near-duplicate (minhash-band collision
+    * + exact Jaccard >= threshold) in the static, already-ingested
+    * corpus. Returns a batch→batch function for
+    * `writeStream.foreachBatch` — the idiomatic Spark wiring for this
+    * shape, since the anti-join's probe side (band-collided ids) is
+    * itself derived from the stream, which a native stream-static join
+    * can't express. Inside the batch it is exactly the batch screen:
+    * band keys shuffle (id, band) pairs only, each side's signature
+    * kernel runs once, candidates verify by exact Jaccard.
+    *
+    * At 100 TB: pass a persisted (cached or table-backed) `corpus` —
+    * foreachBatch replans the static side each micro-batch, so an
+    * unpersisted corpus would re-scan per batch. Compose with
+    * [[streamingDedup]] upstream for exact/within-stream dedup; this
+    * stage handles cross-corpus NEAR dups only. */
+  def nearDupScreenBatch(corpus: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, numHashes: Int = 32,
+      bands: Int = 8, threshold: Double = 0.8)
+      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    batch =>
+      import org.apache.spark.sql.functions.col
+      val collided = graft.operators.Dedup
+        .nearDupDeltaPairs(corpus, batch, idCol, textCol,
+          numHashes, bands, threshold)
+        .select(col("delta_id").as(idCol)).distinct()
+      batch.join(collided, Seq(idCol), "left_anti")
+  }
 }

@@ -218,6 +218,36 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nearDupScreenBatch admits only novel docs against a static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon"),
+      (1L, "one two three four five")).toDF("doc_id", "text").cache()
+    val screen = graft.streaming.StatefulOps.nearDupScreenBatch(
+      corpus, "doc_id", "text", numHashes = 16, bands = 4, threshold = 0.9)
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = screen(batch).select("doc_id").as[Long].collect()
+        survived.synchronized { survived ++= kept }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon"), // near-dup of corpus 0
+        (11L, "six seven eight nine ten"))       // novel
+      q.processAllAvailable()
+      input.addData((12L, "one two three four five")) // near-dup of corpus 1
+      q.processAllAvailable()
+      assert(survived.sorted.toSeq == Seq(11L),
+        s"only the novel doc must pass the screen, got $survived")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes each micro-batch to parquet (custom sink surface)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
