@@ -233,21 +233,45 @@ object Dedup {
   def nearDupDeltaPairs(corpus: DataFrame, delta: DataFrame, idCol: String,
       textCol: String, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    def banded(df: DataFrame, side: String) = {
-      val docs = df.select(col(idCol).as(s"id_$side"),
-        array_distinct(tokens(col(textCol))).as(s"toks_$side"))
-      docs.select(col(s"id_$side"),
-        explode(minhashBandKeys(col(s"toks_$side"), numHashes, bands))
-          .as("band"))
-    }
-    val cand = banded(delta, "d").join(banded(corpus, "c"), "band")
-      .select(col("id_d"), col("id_c"))
-      .dropDuplicates("id_d", "id_c")
+    val cToks = corpusTokenIndex(corpus, idCol, textCol)
+    nearDupDeltaPairsIndexed(cToks, corpusBandIndex(cToks, numHashes, bands),
+      delta, idCol, textCol, numHashes, bands, threshold)
+  }
+
+  /** The corpus-side token index for [[nearDupDeltaPairsIndexed]]:
+    * (id_c, toks_c). This plus [[corpusBandIndex]] is exactly the state
+    * a production pipeline persists between crawls — build once, cache
+    * or write as tables, screen every delta/micro-batch against them
+    * without re-running tokenize over the corpus. */
+  def corpusTokenIndex(corpus: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    corpus.select(col(idCol).as("id_c"),
+      array_distinct(tokens(col(textCol))).as("toks_c"))
+
+  /** The corpus-side LSH posting frame: (id_c, band), exploded from the
+    * minhash signature of a [[corpusTokenIndex]]. Persisting THIS (not
+    * just the raw corpus) is what keeps the numHashes-deep signature
+    * kernel from re-executing on every screen. */
+  def corpusBandIndex(corpusToks: DataFrame, numHashes: Int,
+      bands: Int): DataFrame =
+    corpusToks.select(col("id_c"),
+      explode(minhashBandKeys(col("toks_c"), numHashes, bands)).as("band"))
+
+  /** [[nearDupDeltaPairs]] against a prebuilt (and typically persisted)
+    * corpus index. The delta side still tokenizes and bands fresh —
+    * it is new data by definition. */
+  def nearDupDeltaPairsIndexed(corpusToks: DataFrame,
+      corpusBands: DataFrame, delta: DataFrame, idCol: String,
+      textCol: String, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame = {
     val dToks = delta.select(col(idCol).as("id_d"),
       array_distinct(tokens(col(textCol))).as("toks_d"))
-    val cToks = corpus.select(col(idCol).as("id_c"),
-      array_distinct(tokens(col(textCol))).as("toks_c"))
-    cand.join(dToks, "id_d").join(cToks, "id_c")
+    val dBands = dToks.select(col("id_d"),
+      explode(minhashBandKeys(col("toks_d"), numHashes, bands)).as("band"))
+    val cand = dBands.join(corpusBands, "band")
+      .select(col("id_d"), col("id_c"))
+      .dropDuplicates("id_d", "id_c")
+    cand.join(dToks, "id_d").join(corpusToks, "id_c")
       .withColumn("jac", jaccard(col("toks_d"), col("toks_c")))
       .filter(col("jac") >= threshold)
       .select(col("id_d").as("delta_id"), col("id_c").as("corpus_id"),

@@ -345,11 +345,15 @@ object Funcs extends QueryPack {
     * column itself is part of the oracle check — Spark's compact
     * `{"k":v}` rendering for integer/string fields is byte-identical
     * to DuckDB's to_json (verified; doubles would NOT be, which is
-    * why `value` stays out of the struct). */
+    * why `value` stays out of the struct). ignoreNullFields=false so a
+    * NULL field renders `"k":null` exactly like DuckDB, instead of
+    * Spark's default field omission — the parity must not depend on
+    * the synthetic events table happening to have no NULLs. */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.events(s, dir)
-      .withColumn("js", to_json(struct($"event_id", $"user_id", $"event_type")))
+      .withColumn("js", to_json(struct($"event_id", $"user_id", $"event_type"),
+        Map("ignoreNullFields" -> "false")))
       .select($"event_id", $"js",
         from_json($"js", lit("user_id BIGINT, event_type STRING"))
           .getField("event_type").as("et_rt"))

@@ -262,19 +262,26 @@ object StatefulOps {
     * band keys shuffle (id, band) pairs only, each side's signature
     * kernel runs once, candidates verify by exact Jaccard.
     *
-    * At 100 TB: pass a persisted (cached or table-backed) `corpus` —
-    * foreachBatch replans the static side each micro-batch, so an
-    * unpersisted corpus would re-scan per batch. Compose with
-    * [[streamingDedup]] upstream for exact/within-stream dedup; this
-    * stage handles cross-corpus NEAR dups only. */
+    * At 100 TB: the corpus-side work — tokenize + the numHashes-deep
+    * signature kernel + band explode — is paid ONCE here, outside the
+    * returned closure: the token and band indexes are built and
+    * persisted up front, and each micro-batch joins against those
+    * materialized frames (foreachBatch replans the static side per
+    * batch, so an unindexed corpus would re-run the kernel every few
+    * seconds). Compose with [[streamingDedup]] upstream for
+    * exact/within-stream dedup; this stage handles cross-corpus NEAR
+    * dups only. */
   def nearDupScreenBatch(corpus: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.8)
       : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+    import graft.operators.Dedup
+    val cToks = Dedup.corpusTokenIndex(corpus, idCol, textCol).persist()
+    val cBands = Dedup.corpusBandIndex(cToks, numHashes, bands).persist()
     batch =>
       import org.apache.spark.sql.functions.col
-      val collided = graft.operators.Dedup
-        .nearDupDeltaPairs(corpus, batch, idCol, textCol,
+      val collided = Dedup
+        .nearDupDeltaPairsIndexed(cToks, cBands, batch, idCol, textCol,
           numHashes, bands, threshold)
         .select(col("delta_id").as(idCol)).distinct()
       batch.join(collided, Seq(idCol), "left_anti")
