@@ -292,6 +292,18 @@ final case class GFrame(df: DataFrame) {
     * ingested corpus (exact digests) and within itself (keep-first). */
   def dedupAgainst(corpus: GFrame, idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.Dedup.dedupDelta(corpus.toDF, df, idCol, textCol))
+  /** Streaming ingest screens over THIS frame as the static corpus:
+    * batch→batch functions for `writeStream.foreachBatch` that admit
+    * only novel documents / embeddings (corpus index built and
+    * persisted once, here). */
+  def nearDupScreen(idCol: String, textCol: String,
+      threshold: Double = 0.8): DataFrame => DataFrame =
+    graft.streaming.StatefulOps.nearDupScreenBatch(df, idCol, textCol,
+      threshold = threshold)
+  def semanticScreen(idCol: String, vecCol: String, threshold: Double,
+      nCells: Int, nprobe: Int = 1): DataFrame => DataFrame =
+    graft.operators.Similarity.semanticScreenBatch(df, idCol, vecCol,
+      threshold, nCells, nprobe = nprobe)
   /** SimHash Hamming near-dup pairs (frequency-weighted 60-bit
     * signature, pigeonhole-exact banding at maxDist ≤ 3). */
   def simhashPairs(idCol: String, textCol: String,

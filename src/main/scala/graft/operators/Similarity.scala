@@ -452,6 +452,50 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Streaming twin of [[semanticDedupPairs]]: admit only stream
+    * embeddings with no corpus neighbor at cosine ≥ threshold in their
+    * assigned coarse cell. Returns a batch→batch function for
+    * `writeStream.foreachBatch` (same wiring as
+    * [[graft.streaming.StatefulOps.nearDupScreenBatch]], which screens
+    * text; this screens vectors).
+    *
+    * Corpus-side work is paid ONCE, outside the returned closure: the
+    * k-means quantizer trains here, and the corpus cell index
+    * (id, cell, vec, norm) is assigned row-locally over the broadcast
+    * model and persisted — each micro-batch only assigns ITS vectors
+    * (zero shuffle) and joins the collided cells. `nprobe` > 1 probes
+    * the delta vector's nearest cells beyond the first, recovering
+    * corpus twins that fell across a cell boundary (the batch twin's
+    * same-cell-only recall caveat) at nprobe× candidate cost.
+    *
+    * Null or null-element vectors have no defined cell → never collide
+    * → pass the screen; filter them upstream if they should not be
+    * admitted. */
+  def semanticScreenBatch(corpus: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, nCells: Int, iters: Int = 2,
+      nprobe: Int = 1): DataFrame => DataFrame = {
+    val model = collectModel(
+      kmeansCentroids(corpus, nCells, iters, idCol, vecCol))
+    val (bc, cellType) = prepareModel(corpus.sparkSession, model)
+    val cIdx = assignNearestCells(
+        corpus.select(col(idCol).as("id_c"), col(vecCol).as("vec_c")),
+        "vec_c", bc, cellType, "cell_id", nprobe = 1)
+      .withColumn("norm_c", l2norm(col("vec_c")))
+      .persist()
+    batch => {
+      val dAssigned = assignNearestCells(
+        batch.select(col(idCol).as("id_d"), col(vecCol).as("vec_d")),
+        "vec_d", bc, cellType, "cell_id", nprobe)
+        .withColumn("norm_d", l2norm(col("vec_d")))
+      val collided = dAssigned.join(cIdx, "cell_id")
+        .withColumn("sim", dot(col("vec_d"), col("vec_c")) /
+          (col("norm_d") * col("norm_c")))
+        .filter(col("sim") >= threshold)
+        .select(col("id_d").as(idCol)).distinct()
+      batch.join(collided, Seq(idCol), "left_anti")
+    }
+  }
+
   /** Embedding-cosine near-dup pairs at scale: multi-table sign-LSH
     * candidates (a pair is a candidate if ANY of `tables` independent
     * `bits`-bit hashes collide — OR-amplification lifts recall, e.g.

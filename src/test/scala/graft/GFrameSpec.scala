@@ -265,4 +265,23 @@ class GFrameSpec extends AnyFunSuite {
       .langId("text").toDF.select("lang").head.getString(0)
     assert(lang == "en")
   }
+
+  test("ingest screen facades drop dups and admit novel rows (batch form)") {
+    val corpus = GFrame(Seq(
+      (0L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text"))
+    val screen = corpus.nearDupScreen("doc_id", "text", threshold = 0.9)
+    val batch = Seq((10L, "alpha beta gamma delta epsilon"),
+      (11L, "six seven eight nine ten")).toDF("doc_id", "text")
+    assert(screen(batch).select("doc_id").collect().map(_.getLong(0))
+      .toSeq == Seq(11L))
+    val embCorpus = GFrame(Seq(
+        (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)))
+      .toDF("vec_id", "embedding"))
+    val eScreen = embCorpus.semanticScreen("vec_id", "embedding",
+      threshold = 0.95, nCells = 1)
+    val eBatch = Seq((10L, Array(0.99, 0.05)), (11L, Array(-0.7, 0.7)))
+      .toDF("vec_id", "embedding")
+    assert(eScreen(eBatch).select("vec_id").collect().map(_.getLong(0))
+      .toSeq == Seq(11L))
+  }
 }

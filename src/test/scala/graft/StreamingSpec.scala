@@ -248,6 +248,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("semanticScreenBatch admits only novel embeddings against a static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two well-separated corpus clusters; the screen trains 2 cells
+    val corpus = Seq(
+      (0L, Array(1.0, 0.0, 0.0)), (1L, Array(0.9, 0.1, 0.0)),
+      (2L, Array(0.0, 0.0, 1.0)), (3L, Array(0.0, 0.1, 0.9))
+    ).toDF("vec_id", "embedding").cache()
+    val screen = graft.operators.Similarity.semanticScreenBatch(
+      corpus, "vec_id", "embedding", threshold = 0.95, nCells = 2)
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val input = MemoryStream[(Long, Array[Double])]
+    val q = input.toDF().toDF("vec_id", "embedding")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = screen(batch).select("vec_id").as[Long].collect()
+        survived.synchronized { survived ++= kept }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        (10L, Array(0.99, 0.05, 0.0)),  // near-dup of corpus cluster A
+        (11L, Array(0.0, 1.0, 0.0)))    // novel direction
+      q.processAllAvailable()
+      input.addData((12L, Array(0.0, 0.05, 0.99))) // near-dup of cluster B
+      q.processAllAvailable()
+      assert(survived.sorted.toSeq == Seq(11L),
+        s"only the novel embedding must pass the screen, got $survived")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink writes each micro-batch to parquet (custom sink surface)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
