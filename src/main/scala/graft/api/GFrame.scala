@@ -195,6 +195,14 @@ final case class GFrame(df: DataFrame) {
   def nearDupPairsNgrams(idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8): GFrame =
     GFrame(Dedup.minhashNgramPairs(df, idCol, textCol, n, threshold = threshold))
+  /** All unordered co-occurring (a, b) pairs sharing a key — market
+    * baskets, band buckets, cluster cells. One posting-list groupBy,
+    * pairs per key = (size choose 2); `distinctIds` dedupes (id, key)
+    * rows inside the list instead of a separate shuffle. */
+  def coOccurrencePairs(idCol: String, keyCol: String,
+      distinctIds: Boolean = true): GFrame =
+    GFrame(graft.operators.PostingLists.candidatePairs(df, idCol, keyCol,
+      distinctIds))
   /** Unicode-normalize a text column in place (NFC → lower → de-accent →
     * ws squeeze) — run before any dedup hash. */
   def normalizeText(textCol: String): GFrame =

@@ -283,5 +283,11 @@ class GFrameSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     assert(eScreen(eBatch).select("vec_id").collect().map(_.getLong(0))
       .toSeq == Seq(11L))
+    val baskets = GFrame(Seq(
+        (1L, "o1"), (2L, "o1"), (2L, "o1"), (3L, "o2"))
+      .toDF("item", "basket"))
+    assert(baskets.coOccurrencePairs("item", "basket").toDF
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSeq == Seq((1L, 2L)), "duplicate (item, basket) rows count once")
   }
 }
