@@ -296,6 +296,12 @@ final case class GFrame(df: DataFrame) {
       nCells: Int): GFrame =
     GFrame(graft.operators.Similarity.semanticDedupPairs(df, idCol, vecCol,
       threshold, nCells))
+  /** Diverse coreset: one exemplar per k-means cell + cell population
+    * (SemDeDup's dual). */
+  def semanticExemplars(idCol: String, vecCol: String,
+      nCells: Int): GFrame =
+    GFrame(graft.operators.Similarity.semanticExemplars(df, idCol, vecCol,
+      nCells))
   /** Incremental ingest: this frame's rows deduped against an already-
     * ingested corpus (exact digests) and within itself (keep-first). */
   def dedupAgainst(corpus: GFrame, idCol: String, textCol: String): GFrame =

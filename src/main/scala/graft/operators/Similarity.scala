@@ -452,6 +452,36 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Diverse coreset — SemDeDup's dual: ONE exemplar per k-means cell
+    * (the member most cosine-similar to its cell centroid, ties to the
+    * smallest id) plus the cell population. Keeping the exemplar and
+    * dropping (or down-weighting) the rest is the aggressive end of
+    * semantic dedup; the (cell_id, n_members) histogram is the corpus's
+    * semantic density profile. Same machinery as
+    * [[semanticDedupPairs]]: quantizer trains deterministically,
+    * assignment is a row-local broadcast-model map (zero shuffle), and
+    * the exemplar pick windows over (cell_id, id, sim) triples only —
+    * vectors never shuffle. */
+  def semanticExemplars(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, iters: Int = 2): DataFrame = {
+    val cents = kmeansCentroids(corpus, nCells, iters, idCol, vecCol)
+    val model = collectModel(cents)
+    val simmed = assignNearestCells(
+        corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
+        "vec", model)
+      .join(broadcast(cents), "cell_id")
+      .withColumn("sim", cosine(col("vec"), col("c_vec")))
+      .select(col("cell_id"), col("id"), col("sim"))
+    val cell = Window.partitionBy(col("cell_id"))
+    simmed
+      .withColumn("rn",
+        row_number().over(cell.orderBy(col("sim").desc, col("id"))))
+      .withColumn("n_members", count(lit(1)).over(cell))
+      .filter(col("rn") === 1)
+      .select(col("cell_id"), col("id").as("exemplar_id"), col("sim"),
+        col("n_members"))
+  }
+
   /** Streaming twin of [[semanticDedupPairs]]: admit only stream
     * embeddings with no corpus neighbor at cosine ≥ threshold in their
     * assigned coarse cell. Returns a batch→batch function for

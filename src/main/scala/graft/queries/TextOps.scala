@@ -879,7 +879,11 @@ object TextOps extends QueryPack {
        |    GROUP BY cell_id, pos)
        |  GROUP BY cell_id) u ON u.cell_id = p.cell_id""".stripMargin
 
-  val embedSemDedupSql: String = {
+  /** The shared fixed-point k-means replay (8 cells, 2 Lloyd
+    * iterations over the embeddings table) as a CTE chain; `af` is the
+    * final (n_id, n_vec, cell_id) assignment and `c2` the trained
+    * centroids — both bit-identical to the engine's model. */
+  private val kmeans8Cte: String = {
     // kmeansCentroids widens to double BEFORE seeding/assignment
     val vecs = "SELECT vec_id AS n_id, " +
       "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec " +
@@ -896,13 +900,17 @@ object TextOps extends QueryPack {
     val c2 = lloydUpdateSql("SELECT * FROM a2", "SELECT * FROM vecs",
       "SELECT * FROM c1")
     val af = assignCellsSql("SELECT * FROM vecs", "SELECT * FROM c2", 1)
-    s"""WITH vecs AS ($vecs),
+    s"""vecs AS ($vecs),
        |s0 AS ($s0),
        |a1 AS ($a1),
        |c1 AS ($c1),
        |a2 AS ($a2),
        |c2 AS ($c2),
-       |af AS ($af)
+       |af AS ($af)""".stripMargin
+  }
+
+  val embedSemDedupSql: String =
+    s"""WITH $kmeans8Cte
        |SELECT id_a, id_b, sim FROM (
        |  SELECT x.n_id AS id_a, y.n_id AS id_b,
        |    ${cosSql("ex.embedding", "ey.embedding")} AS sim
@@ -911,7 +919,27 @@ object TextOps extends QueryPack {
        |  JOIN embeddings ex ON ex.vec_id = x.n_id
        |  JOIN embeddings ey ON ey.vec_id = y.n_id)
        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
-  }
+
+  /** Diverse coreset: one exemplar per k-means cell (SemDeDup's dual —
+    * Similarity.semanticExemplars). Oracle replays the identical
+    * fixed-point model; sim doubles and the (sim desc, id) exemplar
+    * rank match bit-for-bit. */
+  def embedExemplars(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticExemplars(Tables.embeddings(s, dir), "vec_id",
+        "embedding", nCells = 8, iters = 2)
+      .orderBy(col("cell_id"))
+
+  val embedExemplarsSql: String =
+    s"""WITH $kmeans8Cte
+       |SELECT cell_id, exemplar_id, sim, n_members FROM (
+       |  SELECT a.cell_id, a.n_id AS exemplar_id,
+       |    ${cosSql("a.n_vec", "c.c_vec")} AS sim,
+       |    CAST(count(*) OVER (PARTITION BY a.cell_id) AS BIGINT)
+       |      AS n_members,
+       |    row_number() OVER (PARTITION BY a.cell_id
+       |      ORDER BY ${cosSql("a.n_vec", "c.c_vec")} DESC, a.n_id) AS rn
+       |  FROM af a JOIN c2 c USING (cell_id))
+       |WHERE rn = 1 ORDER BY cell_id""".stripMargin
 
   /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;
     * north star "BPE-ish regex" token counting). */
@@ -1227,6 +1255,7 @@ object TextOps extends QueryPack {
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
     "embed_semdedup" -> embedSemDedup,
+    "embed_exemplars" -> embedExemplars,
     "doc_dedup_delta" -> dedupDelta,
     "doc_dedup_delta_near" -> dedupDeltaNear)
 
@@ -1255,6 +1284,7 @@ object TextOps extends QueryPack {
     "embed_knn_lsh" -> embedKnnLshSql,
     "embed_knn_ivf" -> embedKnnIvfSql,
     "embed_semdedup" -> embedSemDedupSql,
+    "embed_exemplars" -> embedExemplarsSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "doc_multimodal_embed" -> multimodalEmbedSql,
     "embed_neardup" -> embedNearDupSql,

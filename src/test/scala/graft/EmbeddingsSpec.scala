@@ -111,6 +111,28 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(sem == exact)
   }
 
+  test("semanticExemplars picks the max-sim member per cell with the cell size") {
+    // single cell: centroid = (fixed-point) mean of all three vectors,
+    // direction ~(1,1) — c is the member most aligned with it
+    val df = Seq(
+      (1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)),
+      (3L, Array(0.7, 0.7))).toDF("vec_id", "embedding")
+    val one = Similarity
+      .semanticExemplars(df, "vec_id", "embedding", nCells = 1)
+      .select($"exemplar_id", $"n_members").as[(Long, Long)].collect()
+    assert(one.toSeq == Seq((3L, 3L)))
+    // population conservation at nCells > 1 on a bigger frame
+    val rng = new scala.util.Random(11)
+    val big = (0 until 50).map { i =>
+      (i.toLong, Array.fill(8)(rng.nextGaussian()))
+    }.toDF("vec_id", "embedding")
+    val ex = Similarity
+      .semanticExemplars(big, "vec_id", "embedding", nCells = 4)
+      .select($"cell_id", $"n_members").as[(Long, Long)].collect()
+    assert(ex.map(_._2).sum == 50L, "every row must land in exactly one cell")
+    assert(ex.map(_._1).distinct.length == ex.length, "one row per cell")
+  }
+
   test("ngramLmScore matches hand-computed smoothed bigram means") {
     val ref = Seq((0L, "a b a"), (1L, "b a")).toDF("id", "text")
     val docs = Seq((10L, "a b c"), (11L, "a"), (12L, "")).toDF("id", "text")
