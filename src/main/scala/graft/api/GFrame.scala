@@ -195,14 +195,17 @@ final case class GFrame(df: DataFrame) {
   def nearDupPairsNgrams(idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8): GFrame =
     GFrame(Dedup.minhashNgramPairs(df, idCol, textCol, n, threshold = threshold))
-  /** All unordered co-occurring (a, b) pairs sharing a key — market
-    * baskets, band buckets, cluster cells. One posting-list groupBy,
-    * pairs per key = (size choose 2); `distinctIds` dedupes (id, key)
-    * rows inside the list instead of a separate shuffle. */
+  /** All unordered co-occurring (id_a, id_b) pairs sharing a key —
+    * market baskets, band buckets, cluster cells. One posting-list
+    * groupBy, pairs per key = (size choose 2); `distinctIds` dedupes
+    * (id, key) rows inside the list instead of a separate shuffle.
+    * Output columns match the other pair surfaces, so the result feeds
+    * [[nearDupClusters]] directly. */
   def coOccurrencePairs(idCol: String, keyCol: String,
       distinctIds: Boolean = true): GFrame =
     GFrame(graft.operators.PostingLists.candidatePairs(df, idCol, keyCol,
-      distinctIds))
+        distinctIds)
+      .withColumnRenamed("a", "id_a").withColumnRenamed("b", "id_b"))
   /** Unicode-normalize a text column in place (NFC → lower → de-accent →
     * ws squeeze) — run before any dedup hash. */
   def normalizeText(textCol: String): GFrame =
@@ -309,13 +312,14 @@ final case class GFrame(df: DataFrame) {
   /** Streaming ingest screens over THIS frame as the static corpus:
     * batch→batch functions for `writeStream.foreachBatch` that admit
     * only novel documents / embeddings (corpus index built and
-    * persisted once, here). */
+    * persisted once, here — `close()` the returned screen when
+    * rebuilding over a refreshed corpus). */
   def nearDupScreen(idCol: String, textCol: String,
-      threshold: Double = 0.8): DataFrame => DataFrame =
+      threshold: Double = 0.8): graft.operators.IngestScreen =
     graft.streaming.StatefulOps.nearDupScreenBatch(df, idCol, textCol,
       threshold = threshold)
   def semanticScreen(idCol: String, vecCol: String, threshold: Double,
-      nCells: Int, nprobe: Int = 1): DataFrame => DataFrame =
+      nCells: Int, nprobe: Int = 1): graft.operators.IngestScreen =
     graft.operators.Similarity.semanticScreenBatch(df, idCol, vecCol,
       threshold, nCells, nprobe = nprobe)
   /** SimHash Hamming near-dup pairs (frequency-weighted 60-bit

@@ -466,12 +466,23 @@ object Similarity {
       nCells: Int, iters: Int = 2): DataFrame = {
     val cents = kmeansCentroids(corpus, nCells, iters, idCol, vecCol)
     val model = collectModel(cents)
+    // centroid norm precomputed once on the k-row model frame (same
+    // doubles as cosine() — dot, sqrt, multiply, divide in the same
+    // order), so each corpus row pays 2 dots, not 3
+    val withNorm = cents.withColumn("c_norm", l2norm(col("c_vec")))
     val simmed = assignNearestCells(
         corpus.select(col(idCol).as("id"), col(vecCol).as("vec")),
         "vec", model)
-      .join(broadcast(cents), "cell_id")
-      .withColumn("sim", cosine(col("vec"), col("c_vec")))
+      .join(broadcast(withNorm), "cell_id")
+      // try_divide: a zero-norm vector has no defined cosine — under
+      // ANSI the plain `/` would abort the job on it; NULL (and NaN
+      // from NaN elements) rows are excluded entirely (membership
+      // included), else Spark's NaN-greatest descending sort would
+      // crown a degenerate vector the exemplar
+      .withColumn("sim", try_divide(dot(col("vec"), col("c_vec")),
+        l2norm(col("vec")) * col("c_norm")))
       .select(col("cell_id"), col("id"), col("sim"))
+      .filter(col("sim").isNotNull && !isnan(col("sim")))
     val cell = Window.partitionBy(col("cell_id"))
     simmed
       .withColumn("rn",
@@ -500,30 +511,38 @@ object Similarity {
     *
     * Null or null-element vectors have no defined cell → never collide
     * → pass the screen; filter them upstream if they should not be
-    * admitted. */
+    * admitted. An EMPTY corpus (or one with no usable vectors) yields
+    * the identity screen — everything is novel. Call
+    * [[IngestScreen.close]] when rebuilding over a refreshed corpus to
+    * release the persisted index and broadcast model. */
   def semanticScreenBatch(corpus: DataFrame, idCol: String,
       vecCol: String, threshold: Double, nCells: Int, iters: Int = 2,
-      nprobe: Int = 1): DataFrame => DataFrame = {
+      nprobe: Int = 1): IngestScreen = {
     val model = collectModel(
       kmeansCentroids(corpus, nCells, iters, idCol, vecCol))
+    if (model.isEmpty)
+      return new IngestScreen(batch => batch, () => ())
     val (bc, cellType) = prepareModel(corpus.sparkSession, model)
     val cIdx = assignNearestCells(
         corpus.select(col(idCol).as("id_c"), col(vecCol).as("vec_c")),
         "vec_c", bc, cellType, "cell_id", nprobe = 1)
       .withColumn("norm_c", l2norm(col("vec_c")))
       .persist()
-    batch => {
+    new IngestScreen(batch => {
       val dAssigned = assignNearestCells(
         batch.select(col(idCol).as("id_d"), col(vecCol).as("vec_d")),
         "vec_d", bc, cellType, "cell_id", nprobe)
         .withColumn("norm_d", l2norm(col("vec_d")))
+      // try_divide: a zero-norm stream vector has no defined cosine —
+      // NULL never passes the threshold, so it is admitted as novel
+      // (same "no defined similarity → pass" contract as null vectors)
       val collided = dAssigned.join(cIdx, "cell_id")
-        .withColumn("sim", dot(col("vec_d"), col("vec_c")) /
-          (col("norm_d") * col("norm_c")))
+        .withColumn("sim", try_divide(dot(col("vec_d"), col("vec_c")),
+          col("norm_d") * col("norm_c")))
         .filter(col("sim") >= threshold)
         .select(col("id_d").as(idCol)).distinct()
       batch.join(collided, Seq(idCol), "left_anti")
-    }
+    }, () => { cIdx.unpersist(); bc.destroy() })
   }
 
   /** Embedding-cosine near-dup pairs at scale: multi-table sign-LSH

@@ -938,7 +938,8 @@ object TextOps extends QueryPack {
        |      AS n_members,
        |    row_number() OVER (PARTITION BY a.cell_id
        |      ORDER BY ${cosSql("a.n_vec", "c.c_vec")} DESC, a.n_id) AS rn
-       |  FROM af a JOIN c2 c USING (cell_id))
+       |  FROM af a JOIN c2 c USING (cell_id)
+       |  WHERE NOT isnan(${cosSql("a.n_vec", "c.c_vec")}))
        |WHERE rn = 1 ORDER BY cell_id""".stripMargin
 
   /** BPE-style regex pretokenization (byte_pair_encoding.hpp pre-split;

@@ -270,20 +270,23 @@ object StatefulOps {
     * batch, so an unindexed corpus would re-run the kernel every few
     * seconds). Compose with [[streamingDedup]] upstream for
     * exact/within-stream dedup; this stage handles cross-corpus NEAR
-    * dups only. */
+    * dups only. Call [[graft.operators.IngestScreen.close]] when
+    * rebuilding over a refreshed corpus to release the persisted
+    * index. */
   def nearDupScreenBatch(corpus: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, numHashes: Int = 32,
       bands: Int = 8, threshold: Double = 0.8)
-      : org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame = {
+      : graft.operators.IngestScreen = {
     import graft.operators.Dedup
     val cToks = Dedup.corpusTokenIndex(corpus, idCol, textCol).persist()
     val cBands = Dedup.corpusBandIndex(cToks, numHashes, bands).persist()
-    batch =>
+    new graft.operators.IngestScreen(batch => {
       import org.apache.spark.sql.functions.col
       val collided = Dedup
         .nearDupDeltaPairsIndexed(cToks, cBands, batch, idCol, textCol,
           numHashes, bands, threshold)
         .select(col("delta_id").as(idCol)).distinct()
       batch.join(collided, Seq(idCol), "left_anti")
+    }, () => { cToks.unpersist(); cBands.unpersist() })
   }
 }

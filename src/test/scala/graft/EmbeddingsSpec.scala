@@ -131,6 +131,15 @@ class EmbeddingsSpec extends AnyFunSuite {
       .select($"cell_id", $"n_members").as[(Long, Long)].collect()
     assert(ex.map(_._2).sum == 50L, "every row must land in exactly one cell")
     assert(ex.map(_._1).distinct.length == ex.length, "one row per cell")
+    // a zero-norm vector's cosine is NaN; it must neither win the
+    // exemplar race (NaN-greatest sort) nor count as a member
+    val withZero = Seq((1L, Array(0.0, 0.0)), (2L, Array(1.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity
+      .semanticExemplars(withZero, "vec_id", "embedding", nCells = 1)
+      .select($"exemplar_id", $"n_members").as[(Long, Long)].collect()
+    assert(z.toSeq == Seq((2L, 1L)),
+      s"zero vector must be excluded, got ${z.toSeq}")
   }
 
   test("ngramLmScore matches hand-computed smoothed bigram means") {

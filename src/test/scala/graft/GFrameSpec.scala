@@ -283,6 +283,13 @@ class GFrameSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding")
     assert(eScreen(eBatch).select("vec_id").collect().map(_.getLong(0))
       .toSeq == Seq(11L))
+    eScreen.close(); screen.close()
+    // an empty corpus has no model to collide with: identity screen
+    val emptyScreen = GFrame(Seq.empty[(Long, Array[Double])]
+        .toDF("vec_id", "embedding"))
+      .semanticScreen("vec_id", "embedding", threshold = 0.9, nCells = 4)
+    assert(emptyScreen(eBatch).count() == 2, "empty corpus admits all")
+    emptyScreen.close()
     val baskets = GFrame(Seq(
         (1L, "o1"), (2L, "o1"), (2L, "o1"), (3L, "o2"))
       .toDF("item", "basket"))
