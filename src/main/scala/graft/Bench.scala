@@ -52,15 +52,23 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.pattern.matcher(n).matches())
     }
+    // A failing query records -1.0, never its elapsed-until-throw: a
+    // 70 ms analysis failure must not masquerade as a fast passing query
+    // in a committed snapshot (round-5 lesson).
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          false
+        }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
+    val failedNames = results.collect { case (n, v) if v < 0 => n }
     def fmt(v: Double) = f"$v%.3f"
     def jmap(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // The driver keeps only the LAST 2000 chars of stdout and parses the
     // metric line out of that tail (rounds 1-3 recorded `parsed: null`
     // because the full 143-query map made the line ~5 KB — the tail began
@@ -71,9 +79,12 @@ object Bench {
     // tpch_sec: the q1-q22 subtotal — a stable cross-round comparison
     // while the total query count keeps growing round over round
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","n":${results.size},"tpch_sec":${fmt(headline.map(_._2).sum)}"""
+      s""","n":${results.size},"failed":${failedNames.size}""" +
+      s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}"""
     val line = s"""$prefix,"queries":${jmap(headline)},"sf":"$sfDir"}"""
-    val full = s"""$prefix,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val full =
+      s"""$prefix,"failed_queries":$failedJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)

@@ -32,6 +32,11 @@ object Verify {
     }
     println(s"[verify] ${selected.size - failed.size} dumped, " +
       s"${failed.size} failed${if (failed.nonEmpty) failed.mkString(": ", ", ", "") else ""}")
+    // Failures leave no parquet dir, so they'd silently vanish from the
+    // driver's correctness artifact (round-5 lesson: 22 queries dropped
+    // without a trace). Record them explicitly alongside the dumps.
+    Files.writeString(Paths.get(s"$outDir/_failed.json"),
+      failed.map("\"" + _ + "\"").mkString("[", ",", "]"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
