@@ -20,6 +20,13 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Spark's ContextCleaner frees shuffle/broadcast state only when
+      // the DRIVER GCs. A 189-query run on a huge heap may never GC, so
+      // driver bookkeeping grows and late queries inflate up to 50×
+      // (measured: 286 s with -Xmx96g vs 112 s with -Xmx8g, same code).
+      // Periodic GC caps that regardless of heap size — the same setting
+      // a long-lived 100 TB driver needs (default is 30 min).
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

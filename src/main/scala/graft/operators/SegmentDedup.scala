@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Segment-granularity corpus dedup — the line-level pass of a
+  * training-data pipeline (CCNet / RefinedWeb style): split every
+  * document into segments on a delimiter, drop segments that repeat
+  * across the corpus, and reassemble the surviving text in original
+  * order. The reference's dedup surface stops at document and substring
+  * granularity (nvtext/deduplicate.hpp:40-95); segment granularity is
+  * the standard middle layer real pipelines run between the two.
+  *
+  * Two policies:
+  *  - [[removeFrequentSegments]]: drop segments whose DOCUMENT frequency
+  *    reaches a threshold (boilerplate removal with `\n` segments;
+  *    classic IR df-threshold token pruning with `\s+` segments).
+  *  - [[dedupSegmentsKeepFirst]]: keep only the globally FIRST
+  *    occurrence of each distinct segment, ordered by (doc, position) —
+  *    RefinedWeb's exact line dedup.
+  *
+  * Scale design (100 TB): segment traffic is keyed on the segment value
+  * (uniformly distributed by content), so both policies are a constant
+  * number of hash-partitioned shuffles — one groupBy/window on the
+  * segment key plus one groupBy on the doc id for reassembly. The
+  * frequent-segment table is corpus-boilerplate-sized (≪ corpus);
+  * AQE turns the removal join into a broadcast at runtime when it fits,
+  * and degrades to a shuffle join when it doesn't — no driver-side
+  * collect either way. Reassembly sorts each doc's surviving segments
+  * with array_sort over (position, segment) structs, so collect_list's
+  * arrival order can never leak into results.
+  */
+object SegmentDedup {
+
+  /** (id, seg_no, seg) stream: posexplode of the delimiter split.
+    * seg_no is 0-based document-local position. */
+  private def segments(df: DataFrame, idCol: String, textCol: String,
+      delimRegex: String): DataFrame =
+    df.select(col(idCol),
+      posexplode(split(col(textCol), delimRegex)).as(Seq("seg_no", "seg")))
+
+  /** Per-distinct-segment corpus statistics: document frequency and
+    * total occurrence count. One shuffle, keyed on the segment value. */
+  def segmentDocFreq(df: DataFrame, idCol: String, textCol: String,
+      delimRegex: String): DataFrame =
+    segments(df, idCol, textCol, delimRegex)
+      .groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("df_docs"),
+        count(lit(1)).as("n_occur"))
+
+  /** Reassemble (id, seg_no, seg) rows into one text row per id,
+    * preserving segment order, with kept/total counts. The per-doc
+    * total is `size(split(...))` computed directly on the spine — a
+    * pure map-stage column, NOT a second explode+groupBy over the
+    * corpus. Docs whose segments were ALL dropped survive with empty
+    * text via the spine left join. */
+  private def reassemble(spine: DataFrame, kept: DataFrame, idCol: String,
+      textCol: String, delimRegex: String, joinSep: String): DataFrame = {
+    val glued = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("seg_no"), col("seg")))),
+            s => s("seg")),
+          joinSep).as("cleaned"),
+        count(lit(1)).as("n_kept"))
+    spine
+      .select(col(idCol),
+        size(split(col(textCol), delimRegex)).cast("long").as("n_segs"))
+      .join(glued, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("cleaned"), lit("")).as("cleaned"),
+        col("n_segs"),
+        (col("n_segs") - coalesce(col("n_kept"), lit(0L))).as("n_removed"))
+  }
+
+  /** Boilerplate removal: drop every segment whose document frequency
+    * reaches `minDocFrac` of the corpus (a fraction, not an absolute
+    * count, so the same pipeline definition holds from sf0.01 to
+    * 100 TB), reassemble the rest in order. The corpus size joins in as
+    * a broadcast 1-row aggregate — no driver-side count action (same
+    * idiom as [[TextPipeline.tfidf]]).
+    * Output: (id, cleaned, n_segs, n_removed), one row per input doc. */
+  def removeFrequentSegments(df: DataFrame, idCol: String, textCol: String,
+      minDocFrac: Double, delimRegex: String = "\n",
+      joinSep: String = "\n"): DataFrame = {
+    require(minDocFrac > 0 && minDocFrac <= 1,
+      "need 0 < minDocFrac <= 1 (0 would drop every segment)")
+    val segs = segments(df, idCol, textCol, delimRegex)
+    val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
+    val frequent = segs
+      .groupBy(col("seg"))
+      .agg(countDistinct(col(idCol)).as("df_docs"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df_docs").cast("double") >=
+        lit(minDocFrac) * col("n_docs").cast("double"))
+      .select(col("seg"))
+    val kept = segs.join(frequent, Seq("seg"), "left_anti")
+    reassemble(df, kept, idCol, textCol, delimRegex, joinSep)
+  }
+
+  /** Exact keep-first segment dedup: each distinct segment survives only
+    * at its globally first occurrence, ordered by (id, seg_no); every
+    * later occurrence anywhere in the corpus is dropped. One window
+    * shuffle keyed on the segment value.
+    * Output: (id, cleaned, n_segs, n_removed), one row per input doc. */
+  def dedupSegmentsKeepFirst(df: DataFrame, idCol: String, textCol: String,
+      delimRegex: String = "\n", joinSep: String = "\n"): DataFrame = {
+    val segs = segments(df, idCol, textCol, delimRegex)
+    val w = Window.partitionBy(col("seg"))
+      .orderBy(col(idCol), col("seg_no"))
+    val kept = segs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    reassemble(df, kept, idCol, textCol, delimRegex, joinSep)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Embeddings, Multimodal, Similarity}
+import graft.operators.{Dedup, Embeddings, Multimodal, SegmentDedup, Similarity}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -64,6 +64,77 @@ object TextOps extends QueryPack {
          |    '\s+', ' ', 'g'))) AS digest,
          |  min(doc_id) AS keep_id, count(*) AS n_dups
          |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin
+
+  /** Shared CTE for the segment-dedup oracles: token segments with
+    * document-local positions (parallel unnests zip in DuckDB). The
+    * synthetic corpus is single-line, so segments are whitespace tokens
+    * (`\s+`); a real pipeline runs the same operator with `\n`. */
+  private val segsSql: String =
+    raw"""segs AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS seg,
+         |    unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+         |      AS seg_no
+         |  FROM documents),
+         |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)"""
+      .stripMargin
+
+  /** Reassembly tail shared by the segment-dedup oracles (expects a
+    * `kept(doc_id, seg_no, seg)` CTE in scope). */
+  private val reassembleSql: String =
+    """agg AS (
+      |  SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no) AS cleaned,
+      |    count(*) AS n_kept FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  coalesce(a.cleaned, '') AS cleaned,
+      |  CAST(coalesce(t.n_segs, 0) AS BIGINT) AS n_segs,
+      |  CAST(coalesce(t.n_segs, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+      |    AS n_removed
+      |FROM documents d
+      |LEFT JOIN tot t ON t.doc_id = d.doc_id
+      |LEFT JOIN agg a ON a.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Boilerplate removal at segment granularity (north star: the
+    * CCNet/RefinedWeb line-frequency pass): drop segments present in
+    * ≥ 50% of documents, reassemble survivors in order. */
+  def dfPrune(s: SparkSession, dir: String): DataFrame =
+    SegmentDedup.removeFrequentSegments(
+      Tables.documents(s, dir).withColumn("text", trim(col("text"))),
+      "doc_id", "text", minDocFrac = 0.5,
+      delimRegex = "\\s+", joinSep = " ")
+      .orderBy(col("doc_id"))
+
+  val dfPruneSql: String =
+    raw"""WITH $segsSql,
+         |freq AS (
+         |  SELECT seg FROM segs GROUP BY seg
+         |  HAVING CAST(count(DISTINCT doc_id) AS DOUBLE) >=
+         |    0.5 * (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE)
+         |           FROM documents)),
+         |kept AS (
+         |  SELECT s.doc_id, s.seg_no, s.seg FROM segs s
+         |  LEFT JOIN freq f ON f.seg = s.seg WHERE f.seg IS NULL),
+         |$reassembleSql""".stripMargin
+
+  /** Exact keep-first segment dedup (RefinedWeb line dedup): each
+    * distinct segment survives only at its globally first (doc_id,
+    * position) occurrence. */
+  def segDedupFirst(s: SparkSession, dir: String): DataFrame =
+    SegmentDedup.dedupSegmentsKeepFirst(
+      Tables.documents(s, dir).withColumn("text", trim(col("text"))),
+      "doc_id", "text", delimRegex = "\\s+", joinSep = " ")
+      .orderBy(col("doc_id"))
+
+  val segDedupFirstSql: String =
+    raw"""WITH $segsSql,
+         |ranked AS (
+         |  SELECT doc_id, seg_no, seg,
+         |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_no)
+         |      AS rn
+         |  FROM segs),
+         |kept AS (SELECT doc_id, seg_no, seg FROM ranked WHERE rn = 1),
+         |$reassembleSql""".stripMargin
 
   /** Token statistics (tokenize counts + type/token ratio). */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
@@ -1232,6 +1303,8 @@ object TextOps extends QueryPack {
     "doc_dedup_exact" -> dedupExact,
     "doc_dedup_fingerprint" -> dedupFingerprint,
     "doc_dedup_normalized" -> dedupNormalized,
+    "doc_df_prune" -> dfPrune,
+    "doc_seg_dedup" -> segDedupFirst,
     "doc_normalize" -> normalize,
     "doc_token_stats" -> tokenStats,
     "doc_quality" -> quality,
@@ -1269,6 +1342,8 @@ object TextOps extends QueryPack {
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,
     "doc_dedup_normalized" -> dedupNormalizedSql,
+    "doc_df_prune" -> dfPruneSql,
+    "doc_seg_dedup" -> segDedupFirstSql,
     "doc_normalize" -> normalizeSql,
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality" -> qualitySql,
