@@ -252,6 +252,21 @@ class PlanSpec extends AnyFunSuite {
       s"limit 20 must plan as top-k, not a global sort:\n$p")
   }
 
+  test("doc_df_prune: totals are a map-stage column, not a third explode") {
+    // the reassembly spine computes n_segs via size(split(...)) — only
+    // the frequency branch and the kept branch may explode the corpus
+    val p = plan("doc_df_prune")
+    // count detail-header lines "(n) Generate" — formatted mode prints
+    // every node twice (tree line + detail block)
+    val generates = p.linesIterator.count(_.trim.matches("^\\(\\d+\\) Generate$"))
+    assert(generates == 2,
+      s"expected exactly 2 Generates (freq + kept), got $generates:\n$p")
+    // corpus size rides a broadcast 1-row aggregate, never a driver count
+    assert(p.contains("BroadcastExchange") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      s"n_docs must join as a broadcast literal:\n$p")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
