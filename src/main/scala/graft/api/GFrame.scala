@@ -237,6 +237,15 @@ final case class GFrame(df: DataFrame) {
       budgetTokens, groups))
   def tfidf(idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.tfidf(df, idCol, textCol))
+  def removeBoilerplate(idCol: String, textCol: String,
+      minDocFrac: Double, delimRegex: String = "\n",
+      joinSep: String = "\n"): GFrame =
+    GFrame(graft.operators.SegmentDedup.removeFrequentSegments(
+      df, idCol, textCol, minDocFrac, delimRegex, joinSep))
+  def dedupLinesKeepFirst(idCol: String, textCol: String,
+      delimRegex: String = "\n", joinSep: String = "\n"): GFrame =
+    GFrame(graft.operators.SegmentDedup.dedupSegmentsKeepFirst(
+      df, idCol, textCol, delimRegex, joinSep))
 
   // ---- corpus assembly (graft.operators.Curation) ----
   /** Deterministic train/val/test split; cuts are cumulative upper

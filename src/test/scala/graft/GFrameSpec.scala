@@ -297,4 +297,19 @@ class GFrameSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .toSeq == Seq((1L, 2L)), "duplicate (item, basket) rows count once")
   }
+
+  test("round-6 façade additions: removeBoilerplate, dedupLinesKeepFirst") {
+    val docs = GFrame(Seq(
+        (0L, "keep me\nsubscribe now"),
+        (1L, "subscribe now\nreal content"),
+        (2L, "subscribe now")).toDF("doc_id", "text"))
+    val cleaned = docs.removeBoilerplate("doc_id", "text", minDocFrac = 0.9)
+      .toDF.orderBy("doc_id").collect()
+    assert(cleaned.map(_.getString(1)).toSeq ==
+      Seq("keep me", "real content", ""))
+    val firsts = docs.dedupLinesKeepFirst("doc_id", "text")
+      .toDF.orderBy("doc_id").collect()
+    assert(firsts.map(_.getString(1)).toSeq ==
+      Seq("keep me\nsubscribe now", "real content", ""))
+  }
 }
