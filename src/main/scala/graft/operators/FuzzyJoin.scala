@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Edit-distance similarity join — the join form of the reference's
+  * pairwise edit distance (cpp/include/nvtext/edit_distance.hpp:57),
+  * which only scores aligned row pairs; joining two tables on
+  * "distance ≤ k" needs candidate generation, not a cross join.
+  *
+  * Method: SymSpell-style deletion neighborhoods (Garbe 2012, public
+  * algorithm). Two strings within Levenshtein distance k share at least
+  * one common string in their ≤k-character-deletion neighborhoods
+  * (delete the unmatched alignment positions from each side), so an
+  * equi-join on exploded deletion variants is a lossless candidate
+  * filter; an exact `levenshtein` verify then removes false positives —
+  * recall 1, precision 1.
+  *
+  * Scale design (100 TB): variant generation is a pure map stage
+  * (≤ len+1 variants per string at k=1); the candidate join shuffles on
+  * the variant VALUE — content-distributed, posting-list shaped, never
+  * pair-shaped — and the verify is a codegen'd per-row filter. A cross
+  * join appears nowhere. Candidate duplicates (pairs sharing several
+  * variants) are deduped per pair BEFORE the verify so levenshtein runs
+  * once per candidate pair.
+  */
+object FuzzyJoin {
+
+  /** All strings obtainable by deleting exactly one character: for i in
+    * 1..len, prefix(i−1) ++ suffix(i+1). Empty input yields [""]. */
+  private def deletes1(s: Column): Column =
+    transform(sequence(lit(1), greatest(length(s), lit(1))),
+      i => concat(s.substr(lit(1), i - 1),
+        s.substr(i + 1, greatest(length(s) - i, lit(0)))))
+
+  /** Deletion neighborhood of radius k (k ∈ {1, 2}): the string plus
+    * all distinct strings at ≤k deletions. */
+  private[operators] def neighborhood(s: Column, k: Int): Column = {
+    require(k == 1 || k == 2, "deletion-neighborhood join supports k in {1, 2}")
+    val n1 = array_distinct(concat(array(s), deletes1(s)))
+    if (k == 1) n1
+    else array_distinct(flatten(transform(n1, v =>
+      concat(array(v), deletes1(v)))))
+  }
+
+  /** Join `left` and `right` on Levenshtein(leftKey, rightKey) ≤ k.
+    * Returns (leftId, rightId, leftKey, rightKey, dist) — one row per
+    * matching pair. Ids must be unique per side. */
+  def editDistanceJoin(left: DataFrame, leftId: String, leftKey: String,
+      right: DataFrame, rightId: String, rightKey: String,
+      k: Int): DataFrame = {
+    val lv = left.select(col(leftId).as("__lid"), col(leftKey).as("__lkey"),
+      explode(neighborhood(col(leftKey), k)).as("__v"))
+    val rv = right.select(col(rightId).as("__rid"), col(rightKey).as("__rkey"),
+      explode(neighborhood(col(rightKey), k)).as("__v"))
+    lv.join(rv, Seq("__v"))
+      .select(col("__lid"), col("__lkey"), col("__rid"), col("__rkey"))
+      .distinct()                       // one verify per candidate pair
+      .withColumn("dist", levenshtein(col("__lkey"), col("__rkey")))
+      .filter(col("dist") <= k)
+      .select(col("__lid").as(leftId), col("__rid").as(rightId),
+        col("__lkey").as(leftKey), col("__rkey").as(rightKey), col("dist"))
+  }
+
+  /** Dictionary correction (spell-check shape): for every `df` row, the
+    * single closest `dict` entry within distance ≤ k (ties broken by
+    * (dist, dictKey) for determinism); rows with no match are kept with
+    * null correction. Same candidate plan as [[editDistanceJoin]] plus
+    * one min_by per input row. */
+  def closestMatch(df: DataFrame, idCol: String, keyCol: String,
+      dict: DataFrame, dictKeyCol: String, k: Int): DataFrame = {
+    val matches = editDistanceJoin(
+        df, idCol, keyCol,
+        dict.select(col(dictKeyCol).as("__dk")).distinct()
+          .withColumn("__did", col("__dk")), "__did", "__dk", k)
+      .groupBy(col(idCol))
+      .agg(min_by(struct(col("__dk").as("suggestion"), col("dist")),
+        struct(col("dist"), col("__dk"))).as("m"))
+      .select(col(idCol), col("m.suggestion").as("suggestion"),
+        col("m.dist").as("dist"))
+    df.select(col(idCol), col(keyCol))
+      .join(matches, Seq(idCol), "left")
+  }
+}

@@ -452,7 +452,32 @@ object Funcs extends QueryPack {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** Edit-distance similarity join (edit_distance.hpp:57 lifted to a
+    * JOIN): every (sampled customer, customer) name pair within
+    * Levenshtein distance 1, via SymSpell deletion-neighborhood
+    * blocking + exact verify — no cross join in the plan. */
+  def strFuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val left = c.filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val right = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"))
+    graft.operators.FuzzyJoin.editDistanceJoin(
+        left, "k1", "n1", right, "k2", "n2", k = 1)
+      .filter(col("k1") =!= col("k2"))
+      .orderBy(col("k1"), col("k2"))
+  }
+
+  val strFuzzyJoinSql: String =
+    """SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+      |  a.c_name AS n1, b.c_name AS n2,
+      |  levenshtein(a.c_name, b.c_name) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey % 10 = 0 AND a.c_custkey <> b.c_custkey
+      |  AND levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY k1, k2""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_fuzzy_join" -> strFuzzyJoin,
     "str_durations" -> strDurations,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
@@ -473,6 +498,7 @@ object Funcs extends QueryPack {
     "json_roundtrip" -> jsonRoundtrip)
 
   override def oracle: Map[String, String] = Map(
+    "str_fuzzy_join" -> strFuzzyJoinSql,
     "str_durations" -> strDurationsSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,
