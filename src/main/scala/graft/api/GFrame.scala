@@ -246,6 +246,11 @@ final case class GFrame(df: DataFrame) {
       delimRegex: String = "\n", joinSep: String = "\n"): GFrame =
     GFrame(graft.operators.SegmentDedup.dedupSegmentsKeepFirst(
       df, idCol, textCol, delimRegex, joinSep))
+  def lineScreen(idCol: String, textCol: String,
+      delimRegex: String = "\n", joinSep: String = "\n",
+      minDocs: Long = 1): graft.operators.IngestScreen =
+    graft.operators.SegmentDedup.segmentScreenBatch(
+      df, idCol, textCol, delimRegex, joinSep, minDocs)
 
   // ---- corpus assembly (graft.operators.Curation) ----
   /** Deterministic train/val/test split; cuts are cumulative upper

@@ -101,6 +101,34 @@ object SegmentDedup {
     reassemble(df, kept, idCol, textCol, delimRegex, joinSep)
   }
 
+  /** Streaming twin (foreachBatch form, same contract as
+    * [[graft.streaming.StatefulOps.nearDupScreenBatch]]): scrub each
+    * incoming document's segments against the CORPUS's segment set —
+    * cross-corpus line dedup for continuous ingest. Segments present in
+    * ≥ `minDocs` corpus documents are removed from every batch row;
+    * within-batch repeats are NOT deduped here (compose with
+    * [[dedupSegmentsKeepFirst]] on the batch if needed).
+    *
+    * At 100 TB: the corpus explode + doc-frequency groupBy is paid ONCE,
+    * outside the closure — the distinct-segment index is persisted and
+    * each micro-batch anti-joins against the materialized frame
+    * (foreachBatch replans the static side per batch, so an unindexed
+    * corpus would re-explode every few seconds). Call
+    * [[IngestScreen.close]] when rebuilding over a refreshed corpus. */
+  def segmentScreenBatch(corpus: DataFrame, idCol: String, textCol: String,
+      delimRegex: String = "\n", joinSep: String = "\n",
+      minDocs: Long = 1): IngestScreen = {
+    val index = segmentDocFreq(corpus, idCol, textCol, delimRegex)
+      .filter(col("df_docs") >= minDocs)
+      .select(col("seg"))
+      .persist()
+    new IngestScreen(batch => {
+      val segs = segments(batch, idCol, textCol, delimRegex)
+      val kept = segs.join(index, Seq("seg"), "left_anti")
+      reassemble(batch, kept, idCol, textCol, delimRegex, joinSep)
+    }, () => { index.unpersist(); () })
+  }
+
   /** Exact keep-first segment dedup: each distinct segment survives only
     * at its globally first occurrence, ordered by (id, seg_no); every
     * later occurrence anywhere in the corpus is dropped. One window

@@ -136,6 +136,37 @@ object TextOps extends QueryPack {
          |kept AS (SELECT doc_id, seg_no, seg FROM ranked WHERE rn = 1),
          |$reassembleSql""".stripMargin
 
+  /** Dictionary spell-correction (FuzzyJoin.closestMatch shape): corrupt
+    * every distinct corpus token with a trailing 'x', then recover the
+    * nearest vocabulary entry within edit distance 1 via the deletion-
+    * neighborhood join — ties broken by (dist, term) on both engines. */
+  def spellCorrect(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term")).distinct()
+    val corrupted = toks
+      .select(concat(col("term"), lit("x")).as("w")).distinct()
+      .withColumn("id", col("w"))
+    graft.operators.FuzzyJoin
+      .closestMatch(corrupted, "id", "w", toks, "term", k = 1)
+      .select(col("w"), col("suggestion"), col("dist"))
+      .orderBy(col("w"))
+  }
+
+  val spellCorrectSql: String =
+    raw"""WITH toks AS (
+         |  SELECT DISTINCT unnest($toksSql) AS term FROM documents),
+         |cor AS (SELECT DISTINCT term || 'x' AS w FROM toks),
+         |cand AS (
+         |  SELECT c.w, t.term AS suggestion,
+         |    levenshtein(c.w, t.term) AS dist,
+         |    row_number() OVER (PARTITION BY c.w
+         |      ORDER BY levenshtein(c.w, t.term), t.term) AS rn
+         |  FROM cor c JOIN toks t ON levenshtein(c.w, t.term) <= 1)
+         |SELECT c.w, k.suggestion, k.dist
+         |FROM cor c LEFT JOIN (
+         |  SELECT w, suggestion, dist FROM cand WHERE rn = 1) k USING (w)
+         |ORDER BY w""".stripMargin
+
   /** Token statistics (tokenize counts + type/token ratio). */
   def tokenStats(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
@@ -1305,6 +1336,7 @@ object TextOps extends QueryPack {
     "doc_dedup_normalized" -> dedupNormalized,
     "doc_df_prune" -> dfPrune,
     "doc_seg_dedup" -> segDedupFirst,
+    "doc_spell_correct" -> spellCorrect,
     "doc_normalize" -> normalize,
     "doc_token_stats" -> tokenStats,
     "doc_quality" -> quality,
@@ -1344,6 +1376,7 @@ object TextOps extends QueryPack {
     "doc_dedup_normalized" -> dedupNormalizedSql,
     "doc_df_prune" -> dfPruneSql,
     "doc_seg_dedup" -> segDedupFirstSql,
+    "doc_spell_correct" -> spellCorrectSql,
     "doc_normalize" -> normalizeSql,
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality" -> qualitySql,

@@ -59,6 +59,23 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(out(3) == ((3L, "completely original document", 0L)))
   }
 
+  test("segmentScreenBatch scrubs batch rows against the corpus line set") {
+    val screen = SegmentDedup.segmentScreenBatch(docs, "doc_id", "text")
+    try {
+      val batch = Seq(
+        (10L, "subscribe to our newsletter\nbrand new line"),
+        (11L, "all rights reserved"),
+        (12L, "nothing in common")).toDF("doc_id", "text")
+      val out = screen(batch).orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+      assert(out(0) == ((10L, "brand new line", 1L)))
+      assert(out(1) == ((11L, "", 1L)), "fully-known doc survives empty")
+      assert(out(2) == ((12L, "nothing in common", 0L)))
+      // second application reuses the same persisted index
+      assert(screen(batch).count() == 3)
+    } finally screen.close()
+  }
+
   test("reassembly preserves within-doc segment order, not arrival order") {
     // two docs with disjoint segments: nothing reaches df 2/2, so both
     // survive intact — any arrival-order leak in collect_list would
