@@ -45,14 +45,23 @@ object FuzzyJoin {
 
   /** Join `left` and `right` on Levenshtein(leftKey, rightKey) ≤ k.
     * Returns (leftId, rightId, leftKey, rightKey, dist) — one row per
-    * matching pair. Ids must be unique per side. */
+    * matching pair. Ids must be unique per side.
+    *
+    * Candidates join on `xxhash64(variant)` rather than the variant
+    * string: equal variants always collide (recall unchanged), unequal
+    * variants that collide produce spurious candidates the exact verify
+    * removes — so correctness is hash-independent, and the candidate
+    * shuffle carries 8 bytes per variant instead of the key text
+    * (long keys at corpus scale would otherwise dominate the wire). */
   def editDistanceJoin(left: DataFrame, leftId: String, leftKey: String,
       right: DataFrame, rightId: String, rightKey: String,
       k: Int): DataFrame = {
     val lv = left.select(col(leftId).as("__lid"), col(leftKey).as("__lkey"),
-      explode(neighborhood(col(leftKey), k)).as("__v"))
+      explode(neighborhood(col(leftKey), k)).as("__vs"))
+      .select(col("__lid"), col("__lkey"), xxhash64(col("__vs")).as("__v"))
     val rv = right.select(col(rightId).as("__rid"), col(rightKey).as("__rkey"),
-      explode(neighborhood(col(rightKey), k)).as("__v"))
+      explode(neighborhood(col(rightKey), k)).as("__vs"))
+      .select(col("__rid"), col("__rkey"), xxhash64(col("__vs")).as("__v"))
     lv.join(rv, Seq("__v"))
       .select(col("__lid"), col("__lkey"), col("__rid"), col("__rkey"))
       .distinct()                       // one verify per candidate pair

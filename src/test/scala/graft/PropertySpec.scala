@@ -309,4 +309,39 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("editDistanceJoin equals brute force on random words (k=1 and 2)") {
+    // short random words over a 3-letter alphabet maximize near-collisions,
+    // stressing both the neighborhood recall and the verify precision
+    val word = Gen.choose(0, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val gen = Gen.listOfN(12, word)
+    forAll(gen, n = 8) { words =>
+      val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      for (k <- Seq(1, 2)) {
+        val got = graft.operators.FuzzyJoin.editDistanceJoin(
+            df.select($"id".as("id1"), $"w".as("w1")), "id1", "w1",
+            df.select($"id".as("id2"), $"w".as("w2")), "id2", "w2", k)
+          .filter($"id1" < $"id2")
+          .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+        val want = (for {
+          (a, i) <- words.zipWithIndex; (b, j) <- words.zipWithIndex
+          if i < j && levenshteinRef(a, b) <= k
+        } yield (i.toLong, j.toLong)).toSet
+        assert(got == want, s"k=$k diverged on $words")
+      }
+    }
+  }
+
+  /** Textbook Wagner–Fischer reference implementation. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
 }
