@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Segment-granularity corpus dedup — the line-level pass of a
@@ -22,7 +21,7 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB): segment traffic is keyed on the segment value
   * (uniformly distributed by content), so both policies are a constant
-  * number of hash-partitioned shuffles — one groupBy/window on the
+  * number of hash-partitioned shuffles — one skew-hardened groupBy on the
   * segment key plus one groupBy on the doc id for reassembly. The
   * frequent-segment table is corpus-boilerplate-sized (≪ corpus);
   * AQE turns the removal join into a broadcast at runtime when it fits,
@@ -41,13 +40,26 @@ object SegmentDedup {
       posexplode(split(col(textCol), delimRegex)).as(Seq("seg_no", "seg")))
 
   /** Per-distinct-segment corpus statistics: document frequency and
-    * total occurrence count. One shuffle, keyed on the segment value. */
+    * total occurrence count.
+    *
+    * Skew note (the hot path of this whole family): boilerplate
+    * segments are BY DEFINITION present in nearly every document, so a
+    * plain `groupBy(seg).agg(countDistinct(id))` would stream one
+    * distinct-id row per document of the hottest segment into a single
+    * reducer — 10⁸ rows on one key at corpus scale. The count is
+    * therefore two-phase with an id-derived salt: distinct-count within
+    * (seg, salt) — map-side partials collapse repeats early and the hot
+    * segment spreads over `saltBuckets` reducers — then sum the
+    * per-salt counts, exact because an id lands in exactly one salt
+    * bucket. Output stays one row per distinct segment. */
   def segmentDocFreq(df: DataFrame, idCol: String, textCol: String,
-      delimRegex: String): DataFrame =
+      delimRegex: String, saltBuckets: Int = 64): DataFrame =
     segments(df, idCol, textCol, delimRegex)
+      .groupBy(col("seg"),
+        pmod(xxhash64(col(idCol)), lit(saltBuckets)).as("__salt"))
+      .agg(countDistinct(col(idCol)).as("__d"), count(lit(1)).as("__n"))
       .groupBy(col("seg"))
-      .agg(countDistinct(col(idCol)).as("df_docs"),
-        count(lit(1)).as("n_occur"))
+      .agg(sum(col("__d")).as("df_docs"), sum(col("__n")).as("n_occur"))
 
   /** Reassemble (id, seg_no, seg) rows into one text row per id,
     * preserving segment order, with kept/total counts. The per-doc
@@ -90,9 +102,8 @@ object SegmentDedup {
       "need 0 < minDocFrac <= 1 (0 would drop every segment)")
     val segs = segments(df, idCol, textCol, delimRegex)
     val nDocs = df.agg(countDistinct(col(idCol)).as("n_docs"))
-    val frequent = segs
-      .groupBy(col("seg"))
-      .agg(countDistinct(col(idCol)).as("df_docs"))
+    // salted two-phase doc frequency (see segmentDocFreq's skew note)
+    val frequent = segmentDocFreq(df, idCol, textCol, delimRegex)
       .crossJoin(broadcast(nDocs))
       .filter(col("df_docs").cast("double") >=
         lit(minDocFrac) * col("n_docs").cast("double"))
@@ -131,16 +142,24 @@ object SegmentDedup {
 
   /** Exact keep-first segment dedup: each distinct segment survives only
     * at its globally first occurrence, ordered by (id, seg_no); every
-    * later occurrence anywhere in the corpus is dropped. One window
-    * shuffle keyed on the segment value.
+    * later occurrence anywhere in the corpus is dropped.
     * Output: (id, cleaned, n_segs, n_removed), one row per input doc. */
   def dedupSegmentsKeepFirst(df: DataFrame, idCol: String, textCol: String,
       delimRegex: String = "\n", joinSep: String = "\n"): DataFrame = {
     val segs = segments(df, idCol, textCol, delimRegex)
-    val w = Window.partitionBy(col("seg"))
-      .orderBy(col(idCol), col("seg_no"))
-    val kept = segs.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // First occurrence via min-struct AGGREGATION, not a window: a
+    // window over partitionBy(seg) must co-locate AND sort every
+    // occurrence of the hottest segment in one partition (unsplittable
+    // by AQE), while an aggregate collapses repeats map-side before the
+    // shuffle and skew never concentrates. The join back is keyed on
+    // the segment with ONE build row per distinct segment; AQE's skew
+    // split applies to the probe side if a segment is hot.
+    val firsts = segs
+      .groupBy(col("seg"))
+      .agg(min(struct(col(idCol), col("seg_no"))).as("__first"))
+    val kept = segs.join(firsts, Seq("seg"))
+      .filter(struct(col(idCol), col("seg_no")) === col("__first"))
+      .drop("__first")
     reassemble(df, kept, idCol, textCol, delimRegex, joinSep)
   }
 }
