@@ -464,4 +464,38 @@ class StreamingSpec extends AnyFunSuite {
         "PII must be redacted before hashing")
     } finally q.stop()
   }
+
+  test("segmentScreenBatch scrubs known corpus lines from a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "subscribe to our newsletter\nunique corpus content"),
+      (1L, "all rights reserved")).toDF("doc_id", "text").cache()
+    val screen = graft.operators.SegmentDedup.segmentScreenBatch(
+      corpus, "doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = screen(batch).select("doc_id", "cleaned")
+          .as[(Long, String)].collect()
+        out.synchronized { out ++= kept }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        (10L, "fresh reporting\nall rights reserved"),
+        (11L, "subscribe to our newsletter"))
+      q.processAllAvailable()
+      input.addData((12L, "subscribe to our newsletter\nmore fresh text"))
+      q.processAllAvailable()
+      val byId = out.toMap
+      assert(byId(10L) == "fresh reporting", "corpus line must be scrubbed")
+      assert(byId(11L) == "", "fully-boilerplate doc survives empty")
+      assert(byId(12L) == "more fresh text",
+        "index reused across micro-batches")
+    } finally { q.stop(); screen.close() }
+  }
 }
