@@ -267,6 +267,15 @@ class PlanSpec extends AnyFunSuite {
       s"n_docs must join as a broadcast literal:\n$p")
   }
 
+  test("doc_seg_dedup: keep-first is an aggregation, never a hot-key window") {
+    // boilerplate segments are anti-uniform; a partitionBy(seg) window
+    // would co-locate + sort the hottest segment in one unsplittable
+    // partition (the skew defect fixed in round 6)
+    val p = plan("doc_seg_dedup")
+    assert(!p.contains("Window"),
+      s"first-occurrence must come from min-struct aggregation:\n$p")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
