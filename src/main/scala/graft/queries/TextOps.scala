@@ -210,6 +210,40 @@ object TextOps extends QueryPack {
        |FROM (SELECT doc_id, $toksSql AS toks FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-language quality quartiles (north star: quality-stratified
+    * curation — sample/filter WITHIN each language so low-resource
+    * languages aren't crushed by a global threshold). Cutpoints are an
+    * exact per-lang percentile aggregate broadcast back onto the docs —
+    * the same skew-free shape as the outlier fences; an ntile window
+    * would instead globally sort each language partition. Output is the
+    * (lang, quartile) histogram with quality bounds. */
+  def qualityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), qualityScore("toks").as("quality"))
+    val cuts = d.groupBy(col("lang"))
+      .agg(expr("percentile(quality, array(0.25D, 0.5D, 0.75D))").as("__cuts"))
+    d.join(broadcast(cuts), Seq("lang"))
+      .withColumn("q_bin",
+        graft.functions.NumericFunctions.qcutBin(col("quality"), col("__cuts")))
+      .groupBy(col("lang"), col("q_bin"))
+      .agg(count(lit(1)).as("n"),
+        min(col("quality")).as("lo"), max(col("quality")).as("hi"))
+      .orderBy(col("lang"), col("q_bin"))
+  }
+
+  val qualityBucketsSql: String =
+    s"""WITH q AS (
+       |  SELECT doc_id, lang, $qualityExprSql AS quality
+       |  FROM (SELECT doc_id, lang, $toksSql AS toks FROM documents)),
+       |cuts AS (
+       |  SELECT lang, quantile_cont(quality, [0.25, 0.5, 0.75]) AS cuts
+       |  FROM q GROUP BY lang)
+       |SELECT q.lang,
+       |  1 + len(list_filter(c.cuts, x -> x < q.quality)) AS q_bin,
+       |  count(*) AS n, min(q.quality) AS lo, max(q.quality) AS hi
+       |FROM q JOIN cuts c ON q.lang = c.lang
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Heuristic language id: per-profile stopword hits + argmax. */
   def langid(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
@@ -1340,6 +1374,7 @@ object TextOps extends QueryPack {
     "doc_normalize" -> normalize,
     "doc_token_stats" -> tokenStats,
     "doc_quality" -> quality,
+    "doc_quality_buckets" -> qualityBuckets,
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
     "doc_minhash_pairs" -> minhashPairs,
@@ -1380,6 +1415,7 @@ object TextOps extends QueryPack {
     "doc_normalize" -> normalizeSql,
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality" -> qualitySql,
+    "doc_quality_buckets" -> qualityBucketsSql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
     "doc_wordpiece" -> wordpieceSql,
