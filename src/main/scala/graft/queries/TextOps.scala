@@ -244,6 +244,37 @@ object TextOps extends QueryPack {
        |FROM q JOIN cuts c ON q.lang = c.lang
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Phonetic keys: American Soundex over the corpus vocabulary —
+    * the classic blocking key for record linkage (compose with
+    * [[graft.operators.FuzzyJoin]] for block-then-verify linkage).
+    * The oracle is a hand-derived Soundex table for the 31-token
+    * vocabulary, computed from the algorithm spec (first letter; codes
+    * b f p v→1, c g j k q s x z→2, d t→3, l→4, m n→5, r→6; vowels
+    * y not coded and SEPARATING, h w not coded and NOT separating;
+    * adjacent identical codes — including the first letter's — coded
+    * once; pad to 4), independent of the engine like doc_stems. */
+  def docSoundex(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term")).distinct()
+      .select(col("term"), soundex(col("term")).as("sdx"))
+      .orderBy(col("term"))
+
+  val docSoundexSql: String =
+    s"""WITH vals(term, sdx) AS (VALUES
+       |  ('a','A000'), ('agg','A200'), ('batch','B320'), ('big','B200'),
+       |  ('column','C450'), ('customer','C235'), ('data','D300'),
+       |  ('dup','D100'), ('fast','F230'), ('filter','F436'),
+       |  ('group','G610'), ('hash','H200'), ('join','J500'),
+       |  ('key','K000'), ('line','L500'), ('merge','M620'),
+       |  ('order','O636'), ('part','P630'), ('query','Q600'),
+       |  ('row','R000'), ('scan','S500'), ('slow','S400'),
+       |  ('small','S540'), ('sort','S630'), ('spark','S162'),
+       |  ('stream','S365'), ('table','T140'), ('the','T000'),
+       |  ('value','V400'), ('vector','V236'), ('window','W530')),
+       |toks AS (SELECT DISTINCT unnest($toksSql) AS term FROM documents)
+       |SELECT t.term, v.sdx FROM toks t JOIN vals v ON v.term = t.term
+       |ORDER BY t.term""".stripMargin
+
   /** Heuristic language id: per-profile stopword hits + argmax. */
   def langid(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
@@ -1375,6 +1406,7 @@ object TextOps extends QueryPack {
     "doc_token_stats" -> tokenStats,
     "doc_quality" -> quality,
     "doc_quality_buckets" -> qualityBuckets,
+    "doc_soundex" -> docSoundex,
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
     "doc_minhash_pairs" -> minhashPairs,
@@ -1416,6 +1448,7 @@ object TextOps extends QueryPack {
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality" -> qualitySql,
     "doc_quality_buckets" -> qualityBucketsSql,
+    "doc_soundex" -> docSoundexSql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
     "doc_wordpiece" -> wordpieceSql,
