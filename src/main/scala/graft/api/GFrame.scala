@@ -251,6 +251,14 @@ final case class GFrame(df: DataFrame) {
       minDocs: Long = 1): graft.operators.IngestScreen =
     graft.operators.SegmentDedup.segmentScreenBatch(
       df, idCol, textCol, delimRegex, joinSep, minDocs)
+  def fuzzyJoin(idCol: String, keyCol: String, other: GFrame,
+      otherId: String, otherKey: String, k: Int = 1): GFrame =
+    GFrame(graft.operators.FuzzyJoin.editDistanceJoin(
+      df, idCol, keyCol, other.df, otherId, otherKey, k))
+  def spellCorrect(idCol: String, keyCol: String, dict: GFrame,
+      dictKey: String, k: Int = 1): GFrame =
+    GFrame(graft.operators.FuzzyJoin.closestMatch(
+      df, idCol, keyCol, dict.df, dictKey, k))
 
   // ---- corpus assembly (graft.operators.Curation) ----
   /** Deterministic train/val/test split; cuts are cumulative upper

@@ -311,5 +311,14 @@ class GFrameSpec extends AnyFunSuite {
       .toDF.orderBy("doc_id").collect()
     assert(firsts.map(_.getString(1)).toSeq ==
       Seq("keep me\nsubscribe now", "real content", ""))
+    val dict = GFrame(Seq(Tuple1("merge")).toDF("term"))
+    val fixed = GFrame(Seq((1L, "mirge")).toDF("id", "w"))
+      .spellCorrect("id", "w", dict, "term").toDF.head
+    assert(fixed.getString(2) == "merge")
+    val pairs = GFrame(Seq((1L, "scan")).toDF("id1", "w1"))
+      .fuzzyJoin("id1", "w1",
+        GFrame(Seq((2L, "scans")).toDF("id2", "w2")), "id2", "w2")
+      .toDF.count()
+    assert(pairs == 1L)
   }
 }
