@@ -269,4 +269,40 @@ object TextFunctions {
     lit(0.4) * ttr + lit(0.3) * (lit(1.0) - stopRatio) +
       lit(0.3) * least(avgLen / 10.0, lit(1.0))
   }
+
+  /** Unicode script ranges for [[scriptCount]]/[[dominantScript]] — the
+    * step BEFORE language id in a web-corpus pipeline (script gates
+    * which langid profiles even apply). Explicit BMP code-point ranges,
+    * written as literal characters so the IDENTICAL class works in both
+    * Spark's Java regex and DuckDB's RE2 (no \p{...} dialect
+    * divergence). Order is the deterministic tie-break priority. */
+  val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "A-Za-zÀ-ɏ",
+    "cyrillic" -> "Ѐ-ӿ",
+    "greek" -> "Ͱ-Ͽ",
+    "arabic" -> "؀-ۿ",
+    "cjk" -> "⺀-鿿぀-ヿ가-힯",
+    "digit" -> "0-9")
+
+  /** Characters of `c` inside the code-point class (count via strip of
+    * the complement — pure codegen map expression). */
+  def scriptCount(c: Column, range: String): Column =
+    length(regexp_replace(c, s"[^$range]", ""))
+
+  /** Dominant script label: argmax over [[ScriptRanges]] counts, ties
+    * resolved by range order; "other" when no listed script matches. */
+  def dominantScript(c: Column): Column = {
+    val counts = ScriptRanges.map { case (l, r) => l -> scriptCount(c, r) }
+    counts.zipWithIndex.foldRight(lit("other"): Column) {
+      case (((label, cnt), i), elseCol) =>
+        val rest = counts.drop(i + 1).map(_._2)
+        val beatsRest =
+          if (rest.isEmpty) cnt > 0
+          else {
+            val hi = if (rest.size == 1) rest.head else greatest(rest: _*)
+            cnt > 0 && cnt >= hi
+          }
+        when(beatsRest, label).otherwise(elseCol)
+    }
+  }
 }

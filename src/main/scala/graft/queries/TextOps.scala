@@ -275,6 +275,49 @@ object TextOps extends QueryPack {
        |SELECT t.term, v.sdx FROM toks t JOIN vals v ON v.term = t.term
        |ORDER BY t.term""".stripMargin
 
+  /** Unicode script profile + dominant script — the gate BEFORE langid
+    * in a web-corpus pipeline. Counts per explicit code-point class and
+    * a priority-ordered argmax; the identical literal ranges are
+    * embedded in both engines' regexes (no \p{...} dialect risk). */
+  def docScripts(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{ScriptRanges, scriptCount, dominantScript}
+    val shortNames = Map("latin" -> "lat", "cyrillic" -> "cyr",
+      "greek" -> "grk", "arabic" -> "arb", "cjk" -> "cjk", "digit" -> "dig")
+    val countCols = ScriptRanges.map { case (l, r) =>
+      scriptCount(col("text"), r).cast("long").as(shortNames(l))
+    }
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: countCols :+
+        dominantScript(col("text")).as("script"): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  val docScriptsSql: String = {
+    import graft.functions.TextFunctions.ScriptRanges
+    val shortNames = Map("latin" -> "lat", "cyrillic" -> "cyr",
+      "greek" -> "grk", "arabic" -> "arb", "cjk" -> "cjk", "digit" -> "dig")
+    val counts = ScriptRanges.map { case (l, r) =>
+      s"CAST(length(regexp_replace(text, '[^$r]', '', 'g')) AS BIGINT) AS ${shortNames(l)}"
+    }.mkString(",\n  ")
+    // same first-that-beats-all-later argmax as dominantScript
+    val shorts = ScriptRanges.map { case (l, _) => (l, shortNames(l)) }
+    val cases = shorts.zipWithIndex.map { case ((label, sn), i) =>
+      val rest = shorts.drop(i + 1).map(_._2)
+      val cond =
+        if (rest.isEmpty) s"$sn > 0"
+        else if (rest.size == 1) s"$sn > 0 AND $sn >= ${rest.head}"
+        else s"$sn > 0 AND $sn >= greatest(${rest.mkString(", ")})"
+      s"WHEN $cond THEN '$label'"
+    }.mkString("\n    ")
+    s"""SELECT doc_id, ${shorts.map(_._2).mkString(", ")},
+       |  CASE $cases
+       |    ELSE 'other' END AS script
+       |FROM (SELECT doc_id, text,
+       |  $counts
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Heuristic language id: per-profile stopword hits + argmax. */
   def langid(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).withColumn("toks", tokens(col("text")))
@@ -1407,6 +1450,7 @@ object TextOps extends QueryPack {
     "doc_quality" -> quality,
     "doc_quality_buckets" -> qualityBuckets,
     "doc_soundex" -> docSoundex,
+    "doc_scripts" -> docScripts,
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
     "doc_minhash_pairs" -> minhashPairs,
@@ -1449,6 +1493,7 @@ object TextOps extends QueryPack {
     "doc_quality" -> qualitySql,
     "doc_quality_buckets" -> qualityBucketsSql,
     "doc_soundex" -> docSoundexSql,
+    "doc_scripts" -> docScriptsSql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
     "doc_wordpiece" -> wordpieceSql,

@@ -202,4 +202,22 @@ class TextFunctionsSpec extends AnyFunSuite {
     // pieces: lower, low, n, e, w, er -> ids 2, 1, 3, 4, 5, 0
     assert(bpe == Seq(2, 1, 3, 4, 5, 0))
   }
+
+  test("dominantScript classifies real scripts with priority tie-break") {
+    import graft.functions.TextFunctions.dominantScript
+    val got = Seq(
+      "hello world",            // latin
+      "привет мир",             // cyrillic
+      "你好世界",                 // cjk (han)
+      "こんにちは",               // cjk (kana)
+      "مرحبا بالعالم",          // arabic
+      "καλημέρα",               // greek
+      "café déjà vu",           // latin incl. accents
+      "2026 08 13",             // digits only
+      "!!! ???",                // nothing listed -> other
+      "abc привет мир x"        // 4 latin vs 9 cyrillic -> cyrillic
+    ).toDF("s").select(dominantScript($"s")).as[String].collect().toSeq
+    assert(got == Seq("latin", "cyrillic", "cjk", "cjk", "arabic",
+      "greek", "latin", "digit", "other", "cyrillic"))
+  }
 }
