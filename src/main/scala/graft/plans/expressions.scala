@@ -415,6 +415,85 @@ case class SimHash60(child: Expression)
 
 /** Column-API entry points for the custom expressions + SQL registration
   * (spark.udf-style FunctionRegistry surface, SURVEY §2.12). */
+/** Jaro-Winkler similarity (Winkler 1990; the record-linkage companion
+  * of Levenshtein — prefix-weighted, in [0, 1]). Standard conventions,
+  * matching DuckDB's jaro_winkler_similarity so the gate query has a
+  * cross-engine oracle: empty input → 0, match window
+  * max(len)/2 − 1, transpositions/2, prefix boost l·0.1·(1−j) with
+  * l ≤ 4 applied only when jaro > 0.7. Codegen emits a static call into
+  * [[JaroWinklerImpl]], so whole-stage codegen spans stay intact.
+  * Comparison is by UTF-16 code unit (≡ code point on the BMP). */
+case class JaroWinkler(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jaro_winkler needs (string, string), got ${left.dataType}, ${right.dataType}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    JaroWinklerImpl.jw(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.JaroWinklerImpl.jw($a.toString(), $b.toString());")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): JaroWinkler = copy(left = l, right = r)
+}
+
+object JaroWinklerImpl {
+  /** Jaro similarity: matches within the standard window, then
+    * half-transpositions over the matched subsequences. */
+  def jaro(s1: String, s2: String): Double = {
+    val n1 = s1.length; val n2 = s2.length
+    if (n1 == 0 || n2 == 0) return 0.0
+    if (s1 == s2) return 1.0
+    val window = math.max(0, math.max(n1, n2) / 2 - 1)
+    val m1 = new Array[Boolean](n1)
+    val m2 = new Array[Boolean](n2)
+    var m = 0
+    var i = 0
+    while (i < n1) {
+      val hi = math.min(n2 - 1, i + window)
+      var k = math.max(0, i - window)
+      var found = false
+      while (k <= hi && !found) {
+        if (!m2(k) && s1.charAt(i) == s2.charAt(k)) {
+          m1(i) = true; m2(k) = true; m += 1; found = true
+        }
+        k += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < n1) {
+      if (m1(i)) {
+        while (!m2(k)) k += 1
+        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    (md / n1 + md / n2 + (md - t / 2.0) / md) / 3.0
+  }
+
+  def jw(s1: String, s2: String): Double = {
+    val j = jaro(s1, s2)
+    if (j <= 0.7) j
+    else {
+      val max = math.min(4, math.min(s1.length, s2.length))
+      var l = 0
+      while (l < max && s1.charAt(l) == s2.charAt(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    }
+  }
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
 
@@ -422,6 +501,8 @@ object GraftExpressions {
   def porterStem(c: Column): Column = column(PorterStem(expression(c)))
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
+  def jaroWinkler(a: Column, b: Column): Column =
+    column(JaroWinkler(expression(a), expression(b)))
   def arrayScale(a: Column, s: Column): Column =
     column(ArrayScale(expression(a), expression(s)))
   def arrayQuantizeU8(a: Column, lo: Column, scale: Column): Column =

@@ -476,8 +476,29 @@ object Funcs extends QueryPack {
       |  AND levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY k1, k2""".stripMargin
 
+  /** Jaro-Winkler similarity over adjacent customer-name pairs — the
+    * custom codegen expression vs DuckDB's native
+    * jaro_winkler_similarity (same 0.7-boost-threshold convention). */
+  def strJaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val a = c.select(col("c_custkey").as("k1"), col("c_name").as("n1"))
+    val b = c.select(col("c_custkey").as("k2"), col("c_name").as("n2"))
+    a.join(b, col("k2") === col("k1") + 1)
+      .select(col("k1"), col("k2"), col("n1"), col("n2"),
+        graft.plans.GraftExpressions.jaroWinkler(col("n1"), col("n2")).as("jw"))
+      .orderBy(col("k1"))
+  }
+
+  val strJaroWinklerSql: String =
+    """SELECT a.c_custkey AS k1, b.c_custkey AS k2,
+      |  a.c_name AS n1, b.c_name AS n2,
+      |  jaro_winkler_similarity(a.c_name, b.c_name) AS jw
+      |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+      |ORDER BY k1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_fuzzy_join" -> strFuzzyJoin,
+    "str_jaro_winkler" -> strJaroWinkler,
     "str_durations" -> strDurations,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
@@ -499,6 +520,7 @@ object Funcs extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "str_fuzzy_join" -> strFuzzyJoinSql,
+    "str_jaro_winkler" -> strJaroWinklerSql,
     "str_durations" -> strDurationsSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,

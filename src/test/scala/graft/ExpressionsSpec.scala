@@ -323,4 +323,26 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(PortableHash.md5_60(foo) == 777945767205416837L)
     assert(PortableHash.md5Hex15("1,2,3") == "55b84a9d317184f")
   }
+
+  test("JaroWinkler matches the published Winkler fixtures") {
+    import graft.plans.JaroWinklerImpl.{jaro, jw}
+    def approx(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(approx(jw("MARTHA", "MARHTA"), 0.9611111111111111))
+    assert(approx(jaro("MARTHA", "MARHTA"), 0.9444444444444445))
+    assert(approx(jw("DIXON", "DICKSONX"), 0.8133333333333332))
+    assert(approx(jw("DWAYNE", "DUANE"), 0.8400000000000001))
+    // below the 0.7 boost threshold: prefix must NOT boost
+    assert(jw("abcdmnopqrstu", "abcdzyxwvutsr") ==
+      jaro("abcdmnopqrstu", "abcdzyxwvutsr"))
+    assert(jw("", "abc") == 0.0 && jw("", "") == 0.0)
+    assert(jw("same", "same") == 1.0)
+    // codegen path == interpreted path through a real plan
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq(("MARTHA", "MARHTA"), ("DIXON", "DICKSONX"))
+      .toDF("a", "b")
+      .select(graft.plans.GraftExpressions.jaroWinkler($"a", $"b"))
+      .as[Double].collect()
+    assert(approx(out(0), 0.9611111111111111) && approx(out(1), 0.8133333333333332))
+  }
 }
