@@ -538,6 +538,42 @@ object TextOps extends QueryPack {
        |WHERE chunk_text != ''
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Corpus-wide chunk-level dedup — exact dedup at fixed token-window
+    * granularity, the scalable fixed-grid cousin of suffix-array
+    * substring dedup (nvtext/deduplicate.hpp:40): chunk every doc into
+    * 20-token windows, group byte-identical chunks corpus-wide, keep
+    * the first (doc, idx) occurrence. Same skew-safe min-struct
+    * aggregation shape as SegmentDedup.dedupSegmentsKeepFirst. */
+  def chunkDedup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.chunkDocuments(
+        Tables.documents(s, dir), "doc_id", "text",
+        chunkSize = 20, overlap = 0)
+      .groupBy(md5(col("chunk_text")).as("digest"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__first"),
+        count(lit(1)).as("n_dups"))
+      .select(col("digest"), col("__first.doc_id").as("keep_doc"),
+        col("__first.chunk_idx").cast("long").as("keep_idx"),
+        col("n_dups"))
+      .orderBy(col("digest"))
+
+  val chunkDedupSql: String =
+    s"""SELECT digest, keep_doc, keep_idx, n_dups FROM (
+       |  SELECT md5(chunk_text) AS digest, doc_id AS keep_doc,
+       |    chunk_idx AS keep_idx,
+       |    row_number() OVER (PARTITION BY md5(chunk_text)
+       |      ORDER BY doc_id, chunk_idx) AS rn,
+       |    count(*) OVER (PARTITION BY md5(chunk_text)) AS n_dups
+       |  FROM (
+       |    SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+       |      unnest(chunks) AS chunk_text
+       |    FROM (
+       |      SELECT doc_id, list_transform(
+       |        generate_series(1, greatest(len(toks) - 20, 0) + 20, 20),
+       |        s -> array_to_string(toks[s:s+19], ' ')) AS chunks
+       |      FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
+       |  WHERE chunk_text != '')
+       |WHERE rn = 1 ORDER BY digest""".stripMargin
+
   /** Exact duplicated substrings (resolve_duplicates,
     * nvtext/deduplicate.hpp:66) at chunk granularity — rows-only (no
     * tractable SQL analog); exactness covered by DedupSpec's planted-
@@ -1436,6 +1472,7 @@ object TextOps extends QueryPack {
     "doc_detok" -> detok,
     "doc_tfidf" -> tfidfQ,
     "doc_chunks" -> chunksQ,
+    "doc_chunk_dedup" -> chunkDedup,
     "doc_wordpiece" -> wordpiece,
     "doc_wordpiece_bc" -> wordpieceBroadcast,
     "doc_bert_encode" -> bertEncodeQ,
@@ -1482,6 +1519,7 @@ object TextOps extends QueryPack {
     "doc_detok" -> detokSql,
     "doc_tfidf" -> tfidfSql,
     "doc_chunks" -> chunksSql,
+    "doc_chunk_dedup" -> chunkDedupSql,
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,
     "doc_dedup_normalized" -> dedupNormalizedSql,
