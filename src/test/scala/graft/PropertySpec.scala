@@ -310,6 +310,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup invariants hold on random corpora") {
+    // docs of 1-6 segments drawn from a 5-segment pool => heavy overlap
+    val seg = Gen.oneOf("alpha", "beta", "gamma", "delta", "omega")
+    val doc = Gen.choose(1, 6).flatMap(n =>
+      Gen.listOfN(n, seg).map(_.mkString("\n")))
+    val gen = Gen.choose(2, 6).flatMap(n => Gen.listOfN(n, doc))
+    forAll(gen, n = 6) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val segsOf = (t: String) => t.split("\n").toSeq
+
+      // keep-first: every distinct corpus segment survives EXACTLY once
+      val kept = graft.operators.SegmentDedup
+        .dedupSegmentsKeepFirst(df, "doc_id", "text")
+        .orderBy("doc_id").collect()
+      val survivors = kept.map(_.getString(1)).filter(_.nonEmpty)
+        .flatMap(segsOf)
+      val distinctCorpus = texts.flatMap(segsOf).distinct.sorted
+      assert(survivors.sorted.toSeq == distinctCorpus,
+        s"keep-first must emit each distinct segment once on $texts")
+      // counts reconcile per doc
+      kept.zipWithIndex.foreach { case (r, i) =>
+        val total = segsOf(texts(i)).size
+        assert(r.getLong(2) == total.toLong)
+        val keptN = if (r.getString(1).isEmpty) 0 else segsOf(r.getString(1)).size
+        assert(r.getLong(3) == (total - keptN).toLong)
+      }
+
+      // minDocFrac = 1.0 removes exactly the segments present in EVERY doc
+      val univ = texts.map(segsOf(_).toSet).reduce(_ intersect _)
+      val pruned = graft.operators.SegmentDedup
+        .removeFrequentSegments(df, "doc_id", "text", minDocFrac = 1.0)
+        .orderBy("doc_id").collect()
+      pruned.zipWithIndex.foreach { case (r, i) =>
+        val want = segsOf(texts(i)).filterNot(univ)
+        val got = if (r.getString(1).isEmpty) Seq() else segsOf(r.getString(1))
+        assert(got == want, s"frac=1.0 must drop exactly $univ in ${texts(i)}")
+      }
+    }
+  }
+
   test("editDistanceJoin equals brute force on random words (k=1 and 2)") {
     // short random words over a 3-letter alphabet maximize near-collisions,
     // stressing both the neighborhood recall and the verify precision
