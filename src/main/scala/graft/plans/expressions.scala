@@ -494,6 +494,139 @@ object JaroWinklerImpl {
   }
 }
 
+/** Classic Metaphone phonetic key (Philips 1990; the successor of the
+  * Soundex blocking key the reference pairs with edit distance for
+  * record linkage — nvtext has edit_distance, cpp/include/nvtext/
+  * edit_distance.hpp:52; phonetic blocking is the standard companion).
+  * Conventions documented here because published variants differ; the
+  * doc_metaphone oracle table is hand-derived from THIS spec:
+  *   - letters only, uppercased; 1-letter input returns itself;
+  *   - initial AE/GN/KN/PN/WR drop the first letter, initial X → S,
+  *     initial WH → W;
+  *   - adjacent duplicate letters collapse (except C);
+  *   - vowels emit only word-initially;
+  *   - B silent in final MB; CIA → X, SCH → K, initial CH + non-vowel
+  *     third letter → K, other CH → X, SC+E/I/Y drops C, C+E/I/Y → S,
+  *     else C → K; DGE/DGI/DGY → J else D → T; GH silent unless before
+  *     a vowel, final GN(ED) silent, D+G+front already J so G silent,
+  *     G+E/I/Y → J (not after G), else K; H silent after C/S/P/T/G
+  *     (digraph consumed) or after a vowel with no vowel following;
+  *     K silent after C; PH → F via P; Q → K; SH/SIO/SIA → X; TIA/TIO
+  *     → X, TH → 0, TCH drops T; V → F; W/Y silent unless a vowel
+  *     follows; X → KS; Z → S; code truncated at 4.
+  * Codegen is a static call into [[MetaphoneImpl]] so whole-stage
+  * codegen spans stay intact. */
+case class Metaphone(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"metaphone needs STRING, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    UTF8String.fromString(
+      MetaphoneImpl.metaphone(v.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.plans.MetaphoneImpl.metaphone($c.toString()));")
+  override protected def withNewChildInternal(c: Expression): Metaphone =
+    copy(child = c)
+}
+
+object MetaphoneImpl {
+  private final val MaxLen = 4
+  private def isVowel(c: Char): Boolean =
+    c == 'A' || c == 'E' || c == 'I' || c == 'O' || c == 'U'
+  private def isFront(c: Char): Boolean = c == 'E' || c == 'I' || c == 'Y'
+
+  def metaphone(input: String): String = {
+    val b = new java.lang.StringBuilder(input.length)
+    var i = 0
+    while (i < input.length) {
+      val ch = input.charAt(i)
+      if (Character.isLetter(ch)) b.append(Character.toUpperCase(ch))
+      i += 1
+    }
+    if (b.length == 0) return ""
+    if (b.length == 1) return b.toString
+    // Word-initial exceptions.
+    val first = b.charAt(0); val second = b.charAt(1)
+    var s = (first, second) match {
+      case ('A', 'E') | ('G', 'N') | ('K', 'N') | ('P', 'N') | ('W', 'R') =>
+        b.substring(1)
+      case ('W', 'H') => "W" + b.substring(2)
+      case ('X', _) => "S" + b.substring(1)
+      case _ => b.toString
+    }
+    val n = s.length
+    val code = new java.lang.StringBuilder(MaxLen)
+    def prev(i: Int): Char = if (i > 0) s.charAt(i - 1) else 0
+    def next(i: Int): Char = if (i + 1 < n) s.charAt(i + 1) else 0
+    def nn(i: Int): Char = if (i + 2 < n) s.charAt(i + 2) else 0
+    var j = 0
+    while (j < n && code.length < MaxLen) {
+      val c = s.charAt(j)
+      val skipDup = j > 0 && c == prev(j) && c != 'C'
+      if (!skipDup) c match {
+        case v if isVowel(v) => if (j == 0) code.append(v)
+        case 'B' => if (!(j == n - 1 && prev(j) == 'M')) code.append('B')
+        case 'C' =>
+          if (prev(j) == 'S' && isFront(next(j))) ()            // SCE/SCI/SCY
+          else if (next(j) == 'I' && nn(j) == 'A') code.append('X') // CIA
+          else if (isFront(next(j))) code.append('S')           // CE/CI/CY
+          else if (next(j) == 'H') {
+            if (prev(j) == 'S') code.append('K')                // SCH
+            else if (j == 0 && n >= 3 && !isVowel(s.charAt(2)))
+              code.append('K')                                  // CHR-
+            else code.append('X')                               // CH
+          } else code.append('K')
+        case 'D' =>
+          if (next(j) == 'G' && isFront(nn(j))) code.append('J') // DGE/DGI/DGY
+          else code.append('T')
+        case 'F' => code.append('F')
+        case 'G' =>
+          if (next(j) == 'H' && !isVowel(nn(j))) ()             // silent GH
+          else if (next(j) == 'N' &&
+            (j + 2 == n || (j + 4 == n && s.endsWith("NED")))) () // final GN(ED)
+          else if (prev(j) == 'D' && isFront(next(j))) ()       // DGE → J at D
+          else if (isFront(next(j)) && prev(j) != 'G') code.append('J')
+          else code.append('K')
+        case 'H' =>
+          val p = prev(j)
+          val digraph = p == 'C' || p == 'S' || p == 'P' || p == 'T' || p == 'G'
+          if (!digraph && !(isVowel(p) && !isVowel(next(j)))) code.append('H')
+        case 'J' => code.append('J')
+        case 'K' => if (prev(j) != 'C') code.append('K')
+        case 'L' => code.append('L')
+        case 'M' => code.append('M')
+        case 'N' => code.append('N')
+        case 'P' => code.append(if (next(j) == 'H') 'F' else 'P')
+        case 'Q' => code.append('K')
+        case 'R' => code.append('R')
+        case 'S' =>
+          if (next(j) == 'H' ||
+            (next(j) == 'I' && (nn(j) == 'O' || nn(j) == 'A')))
+            code.append('X')
+          else code.append('S')
+        case 'T' =>
+          if (next(j) == 'I' && (nn(j) == 'O' || nn(j) == 'A')) code.append('X')
+          else if (next(j) == 'H') code.append('0')
+          else if (!(next(j) == 'C' && nn(j) == 'H')) code.append('T') // TCH silent
+        case 'V' => code.append('F')
+        case 'W' => if (isVowel(next(j))) code.append('W')
+        case 'X' => { code.append('K'); if (code.length < MaxLen) code.append('S') }
+        case 'Y' => if (isVowel(next(j))) code.append('Y')
+        case 'Z' => code.append('S')
+        case _ => ()
+      }
+      j += 1
+    }
+    code.toString
+  }
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
 
@@ -503,6 +636,7 @@ object GraftExpressions {
     column(DotProduct(expression(a), expression(b)))
   def jaroWinkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b)))
+  def metaphone(c: Column): Column = column(Metaphone(expression(c)))
   def arrayScale(a: Column, s: Column): Column =
     column(ArrayScale(expression(a), expression(s)))
   def arrayQuantizeU8(a: Column, lo: Column, scale: Column): Column =

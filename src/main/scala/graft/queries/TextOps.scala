@@ -275,6 +275,36 @@ object TextOps extends QueryPack {
        |SELECT t.term, v.sdx FROM toks t JOIN vals v ON v.term = t.term
        |ORDER BY t.term""".stripMargin
 
+  /** Phonetic keys, round 2: classic Metaphone over the same corpus
+    * vocabulary — finer-grained than Soundex (consonant classes become
+    * context-sensitive digraph rules), the usual upgrade for linkage
+    * blocking. Oracle: hand-derived from the algorithm spec documented
+    * on [[graft.plans.Metaphone]] (vowels only word-initially, C/G/H
+    * digraph rules, W/Y silent without a following vowel, code length
+    * 4), independent of the implementation like doc_soundex. */
+  def docMetaphone(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term")).distinct()
+      .select(col("term"),
+        graft.plans.GraftExpressions.metaphone(col("term")).as("mph"))
+      .orderBy(col("term"))
+
+  val docMetaphoneSql: String =
+    s"""WITH vals(term, mph) AS (VALUES
+       |  ('a','A'), ('agg','AK'), ('batch','BX'), ('big','BK'),
+       |  ('column','KLMN'), ('customer','KSTM'), ('data','TT'),
+       |  ('dup','TP'), ('fast','FST'), ('filter','FLTR'),
+       |  ('group','KRP'), ('hash','HX'), ('join','JN'),
+       |  ('key','K'), ('line','LN'), ('merge','MRJ'),
+       |  ('order','ORTR'), ('part','PRT'), ('query','KR'),
+       |  ('row','R'), ('scan','SKN'), ('slow','SL'),
+       |  ('small','SML'), ('sort','SRT'), ('spark','SPRK'),
+       |  ('stream','STRM'), ('table','TBL'), ('the','0'),
+       |  ('value','FL'), ('vector','FKTR'), ('window','WNT')),
+       |toks AS (SELECT DISTINCT unnest($toksSql) AS term FROM documents)
+       |SELECT t.term, v.mph FROM toks t JOIN vals v ON v.term = t.term
+       |ORDER BY t.term""".stripMargin
+
   /** Unicode script profile + dominant script — the gate BEFORE langid
     * in a web-corpus pipeline. Counts per explicit code-point class and
     * a priority-ordered argmax; the identical literal ranges are
@@ -1487,6 +1517,7 @@ object TextOps extends QueryPack {
     "doc_quality" -> quality,
     "doc_quality_buckets" -> qualityBuckets,
     "doc_soundex" -> docSoundex,
+    "doc_metaphone" -> docMetaphone,
     "doc_scripts" -> docScripts,
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
@@ -1531,6 +1562,7 @@ object TextOps extends QueryPack {
     "doc_quality" -> qualitySql,
     "doc_quality_buckets" -> qualityBucketsSql,
     "doc_soundex" -> docSoundexSql,
+    "doc_metaphone" -> docMetaphoneSql,
     "doc_scripts" -> docScriptsSql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,

@@ -345,4 +345,44 @@ class ExpressionsSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(approx(out(0), 0.9611111111111111) && approx(out(1), 0.8133333333333332))
   }
+
+  test("Metaphone follows the documented digraph conventions") {
+    import graft.plans.MetaphoneImpl.metaphone
+    // word-initial exceptions
+    assert(metaphone("knight") == "NT")      // KN- drops K; GH silent
+    assert(metaphone("wrack") == "RK")       // WR- drops W; CK dedups via K-after-C
+    assert(metaphone("xavier") == "SFR")     // X- → S; V → F
+    assert(metaphone("whale") == "WL")       // WH- → W
+    assert(metaphone("gnome") == "NM")       // GN- drops G
+    // digraphs
+    assert(metaphone("school") == "SKL")     // SCH → K
+    assert(metaphone("christmas") == "KRSTMS".take(4)) // initial CH + cons → K
+    assert(metaphone("chair") == "XR")       // plain CH → X
+    assert(metaphone("science") == "SNS")    // SC+front drops C
+    assert(metaphone("judge") == "JJ")       // DGE → J
+    assert(metaphone("sign") == "SN")        // word-final GN: G silent
+    assert(metaphone("thumb") == "0M")       // TH → 0; final MB drops B
+    assert(metaphone("phone") == "FN")       // PH → F
+    assert(metaphone("nation") == "NXN")     // TIO → X
+    assert(metaphone("version") == "FRXN")   // SIO → X
+    assert(metaphone("mission") == "MSN")    // dup S collapses BEFORE SIO can fire
+    assert(metaphone("watch") == "WX")       // TCH drops T
+    assert(metaphone("box") == "BKS")        // X → KS
+    assert(metaphone("quiz") == "KS")        // Q → K, Z → S
+    // silence rules
+    assert(metaphone("hawk") == "HK")        // W without following vowel silent
+    assert(metaphone("day") == "T")          // final Y silent
+    assert(metaphone("yes") == "YS")         // initial Y + vowel kept
+    // degenerate inputs
+    assert(metaphone("") == "" && metaphone("42!") == "" && metaphone("a") == "A")
+    assert(metaphone("Ab2c") == metaphone("abc")) // letters only, case-folded
+    // code length capped at 4
+    assert(metaphone("palindromes").length == 4)
+    // codegen path == interpreted path through a real plan
+    val spark2 = spark
+    import spark2.implicits._
+    val out = Seq("knight", "school", "nation").toDF("t")
+      .select(graft.plans.GraftExpressions.metaphone($"t")).as[String].collect()
+    assert(out.toSeq == Seq("NT", "SKL", "NXN"))
+  }
 }
