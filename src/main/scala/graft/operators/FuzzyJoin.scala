@@ -90,4 +90,38 @@ object FuzzyJoin {
     df.select(col(idCol), col(keyCol))
       .join(matches, Seq(idCol), "left")
   }
+
+  /** Block-then-verify Jaro-Winkler similarity self-join: all distinct
+    * `keyCol` value pairs sharing a blocking key, verified with the
+    * codegen [[graft.plans.JaroWinkler]] expression at `threshold`.
+    * Returns (a, b, jw) with a < b.
+    *
+    * This is the classic record-linkage shape (Fellegi-Sunter blocking
+    * + Winkler comparator). RECALL CONTRACT: pairs whose blocking keys
+    * differ are NEVER compared — the key must encode the error model
+    * (Winkler's observation that first-position errors are rare is why
+    * first-letter / first-token / phonetic keys are the standard
+    * choices; compose with [[graft.plans.Metaphone]] or soundex for a
+    * phonetic block). Unlike [[editDistanceJoin]] (deletion
+    * neighborhoods make recall exact for Levenshtein ≤ k), JW has no
+    * finite candidate-generating neighborhood, so blocked recall < 1 is
+    * inherent; callers wanting tighter recall union the pair sets of
+    * several independent blocking passes.
+    *
+    * Scale shape: pair generation goes through
+    * [[PostingLists.candidatePairs]] — ONE shuffle (groupBy block key),
+    * the key-derivation subtree evaluated once, per-task memory bounded
+    * by the largest block (ids only). A skewed block of n names still
+    * implies n²/2 verifies — same cost model as every blocking scheme —
+    * so block-key cardinality must grow with the data (first token →
+    * token + length bucket, etc.). */
+  def jaroWinklerBlockedJoin(df: DataFrame, keyCol: String,
+      blockKey: Column => Column, threshold: Double): DataFrame = {
+    val keyed = df.select(col(keyCol).as("a")).distinct()
+      .select(col("a"), blockKey(col("a")).as("__blk"))
+    PostingLists.candidatePairs(keyed, "a", "__blk")
+      .select(col("a"), col("b"),
+        graft.plans.GraftExpressions.jaroWinkler(col("a"), col("b")).as("jw"))
+      .filter(col("jw") >= lit(threshold))
+  }
 }

@@ -496,9 +496,32 @@ object Funcs extends QueryPack {
       |FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
       |ORDER BY k1""".stripMargin
 
+  /** Blocked Jaro-Winkler similarity join over the distinct part names:
+    * block on the first token (SQL-expressible, so the oracle replicates
+    * the identical candidate set), verify jw ≥ 0.85 in-block. At
+    * sf0.01 the block recovers 120 of 140 unblocked pairs — the
+    * documented recall trade of blocking (the oracle compares the
+    * BLOCKED contract, exactly). */
+  def strJwBlockedJoin(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.jaroWinklerBlockedJoin(
+        Tables.part(s, dir).select(col("p_name")), "p_name",
+        n => split(n, " ").getItem(0), 0.85)
+      .orderBy(col("a"), col("b"))
+
+  val strJwBlockedJoinSql: String =
+    """WITH t AS (SELECT DISTINCT p_name AS nm FROM part)
+      |SELECT a.nm AS a, b.nm AS b,
+      |  jaro_winkler_similarity(a.nm, b.nm) AS jw
+      |FROM t a JOIN t b
+      |  ON string_split(a.nm, ' ')[1] = string_split(b.nm, ' ')[1]
+      |  AND a.nm < b.nm
+      |  AND jaro_winkler_similarity(a.nm, b.nm) >= 0.85
+      |ORDER BY a, b""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_fuzzy_join" -> strFuzzyJoin,
     "str_jaro_winkler" -> strJaroWinkler,
+    "str_jw_blocked_join" -> strJwBlockedJoin,
     "str_durations" -> strDurations,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
@@ -521,6 +544,7 @@ object Funcs extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "str_fuzzy_join" -> strFuzzyJoinSql,
     "str_jaro_winkler" -> strJaroWinklerSql,
+    "str_jw_blocked_join" -> strJwBlockedJoinSql,
     "str_durations" -> strDurationsSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,

@@ -72,4 +72,36 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("NestedLoopJoin"),
       s"candidate generation must be an equi-join on variants:\n$p")
   }
+
+  test("jaroWinklerBlockedJoin equals brute force restricted to the block") {
+    import org.apache.spark.sql.functions.{col, substring}
+    import graft.plans.JaroWinklerImpl.jw
+    val names = Seq("martha", "marhta", "marcus", "dwayne", "duane",
+      "dixon", "dickson", "window", "windows").toDF("nm")
+    val got = FuzzyJoin.jaroWinklerBlockedJoin(
+        names, "nm", n => substring(n, 1, 1), 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    // brute force with the same block + threshold, driver-side
+    val vocab = names.as[String].collect()
+    val brute = (for {
+      a <- vocab; b <- vocab
+      if a < b && a.head == b.head && jw(a, b) >= 0.8
+    } yield (a, b, jw(a, b))).toSet
+    assert(got == brute)
+    // recall contract is exactly "same block": dwayne~duane share 'd'
+    // and appear; a cross-block near pair would not — all pairs here
+    // share first letters by construction of the blocking key
+    assert(got.forall { case (a, b, _) => a.head == b.head })
+    assert(got.exists { case (a, b, _) => a == "duane" && b == "dwayne" })
+  }
+
+  test("jaroWinklerBlockedJoin pair generation is posting-list shaped") {
+    import org.apache.spark.sql.functions.substring
+    val names = Seq("martha", "marhta", "dwayne", "duane").toDF("nm")
+    val p = FuzzyJoin.jaroWinklerBlockedJoin(
+        names, "nm", n => substring(n, 1, 1), 0.8)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"),
+      s"blocked candidates must come from posting lists, not a self-join:\n$p")
+  }
 }
