@@ -147,3 +147,80 @@ object TDigestQuantile {
   def of(c: Column, q: Double, delta: Int = 100): Column =
     column(TDigestQuantile(expression(c), q, delta).toAggregateExpression())
 }
+
+/** TDIGEST as a VALUE (cpp/include/cudf/aggregation.hpp:113 — the agg
+  * that RETURNS the digest, not a quantile): aggregates doubles into a
+  * serialized digest BinaryType column. The incremental-sketch-table
+  * pattern at 100 TB: materialize per-partition/per-day digests once,
+  * answer any later quantile by merging digests (never rescanning the
+  * raw column) via [[TDigestMergeQuantile]]. */
+case class TDigestSketch(child: Expression, delta: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): TDigest = new TDigest(delta)
+  override def update(buf: TDigest, row: org.apache.spark.sql.catalyst.InternalRow): TDigest = {
+    val v = child.eval(row)
+    if (v != null) buf.add(v.asInstanceOf[Number].doubleValue())
+    buf
+  }
+  override def merge(buf: TDigest, other: TDigest): TDigest = { buf.merge(other); buf }
+  override def eval(buf: TDigest): Any = buf.serialize()
+  override def serialize(buf: TDigest): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(o: Int): TDigestSketch =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestSketch =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TDigestSketch =
+    copy(child = c)
+}
+
+/** MERGE_TDIGEST (cpp/include/cudf/aggregation.hpp:114): aggregates a
+  * column of serialized digests (from [[TDigestSketch]]) by digest
+  * merge, evaluating to the requested quantile. Rollup pattern:
+  * fine-grained sketch table → coarser quantiles without touching raw
+  * data. Input digests may use any delta; the result adopts the first
+  * seen (merge folds centroids through the k1 capacity rule either
+  * way). */
+case class TDigestMergeQuantile(child: Expression, percentage: Double,
+    delta: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TDigest] with UnaryLike[Expression] {
+
+  override def createAggregationBuffer(): TDigest = new TDigest(delta)
+  override def update(buf: TDigest, row: org.apache.spark.sql.catalyst.InternalRow): TDigest = {
+    val v = child.eval(row)
+    if (v != null) buf.merge(TDigest.deserialize(v.asInstanceOf[Array[Byte]]))
+    buf
+  }
+  override def merge(buf: TDigest, other: TDigest): TDigest = { buf.merge(other); buf }
+  override def eval(buf: TDigest): Any = {
+    val q = buf.quantile(percentage)
+    if (q.isNaN) null else q
+  }
+  override def serialize(buf: TDigest): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): TDigest = TDigest.deserialize(bytes)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def withNewMutableAggBufferOffset(o: Int): TDigestMergeQuantile =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TDigestMergeQuantile =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildInternal(c: Expression): TDigestMergeQuantile =
+    copy(child = c)
+}
+
+object TDigestSketch {
+  import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+  /** tdigest_sketch(col, delta): serialized digest as a binary column. */
+  def of(c: Column, delta: Int = 100): Column =
+    column(TDigestSketch(expression(c), delta).toAggregateExpression())
+  /** merge_tdigest_quantile(sketchCol, q): quantile from merged digests. */
+  def mergeQuantile(c: Column, q: Double, delta: Int = 100): Column =
+    column(TDigestMergeQuantile(expression(c), q, delta).toAggregateExpression())
+}

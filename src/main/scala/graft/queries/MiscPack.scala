@@ -286,6 +286,27 @@ object MiscPack extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** MERGE_TDIGEST rollup (aggregation.hpp:114): a fine-grained sketch
+    * table — one serialized digest per (returnflag, linestatus) — merged
+    * up to per-returnflag quantiles WITHOUT rescanning the raw column.
+    * The incremental pattern a 100 TB metrics store runs daily: sketch
+    * per partition once, answer any later quantile by digest merge.
+    * Sketch estimates are implementation-specific → rows-only; merge ≈
+    * single-pass accuracy is asserted in ExpressionsSpec. */
+  def tdigestMergeRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.TDigestSketch
+    val sketches = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(TDigestSketch.of($"l_extendedprice").as("td"),
+        count(lit(1)).as("n"))
+    sketches.groupBy($"l_returnflag")
+      .agg(TDigestSketch.mergeQuantile($"td", 0.5).as("td_p50"),
+        TDigestSketch.mergeQuantile($"td", 0.99).as("td_p99"),
+        sum($"n").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Categorical encode / factorize (transform.hpp:351 `encode`,
     * DICTIONARY32 analog §1.2): dense integer codes by value order via
     * dense_rank — deterministic, join-free. */
@@ -337,6 +358,7 @@ object MiscPack extends QueryPack {
     "encode_factorize" -> encodeFactorize,
     "search_sorted" -> searchSorted,
     "agg_tdigest" -> tdigestQuantiles,
+    "agg_tdigest_merge" -> tdigestMergeRollup,
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,

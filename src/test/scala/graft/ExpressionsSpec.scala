@@ -228,6 +228,31 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("TDigestSketch column + MERGE_TDIGEST rollup tracks exact quantiles") {
+    import graft.plans.TDigestSketch
+    // 4 fine groups over a known distribution, rolled up to 2 coarse
+    // groups through a SERIALIZED sketch column — the incremental
+    // sketch-table path (digest stored, raw data never rescanned)
+    val df = (1 to 8000).map { i =>
+      (if (i % 2 == 0) "x" else "y", i % 4, i.toDouble) }
+      .toDF("coarse", "fine", "v")
+    val sketches = df.groupBy($"coarse", $"fine")
+      .agg(TDigestSketch.of($"v").as("td"))
+    assert(sketches.schema("td").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    val rolled = sketches.groupBy($"coarse")
+      .agg(TDigestSketch.mergeQuantile($"td", 0.5).as("p50"),
+        TDigestSketch.mergeQuantile($"td", 0.9).as("p90"))
+      .orderBy($"coarse").collect()
+    // both coarse groups hold a near-uniform sample of 1..8000
+    rolled.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 4000) / 8000 < 0.02,
+        s"p50 off for ${r.getString(0)}: ${r.getDouble(1)}")
+      assert(math.abs(r.getDouble(2) - 7200) / 8000 < 0.02,
+        s"p90 off for ${r.getString(0)}: ${r.getDouble(2)}")
+    }
+  }
+
   test("searchSorted/labelBins match hand expectations") {
     import graft.functions.NumericFunctions._
     val df = Seq(-1.0, 0.0, 5.0, 10.0, 45.0, 60.0).toDF("v")
