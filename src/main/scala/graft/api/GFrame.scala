@@ -259,6 +259,13 @@ final case class GFrame(df: DataFrame) {
       dictKey: String, k: Int = 1): GFrame =
     GFrame(graft.operators.FuzzyJoin.closestMatch(
       df, idCol, keyCol, dict.df, dictKey, k))
+  /** Streaming typo-variant gate indexed over THIS frame's keys. */
+  def fuzzyScreen(keyCol: String, k: Int = 1): graft.operators.IngestScreen =
+    graft.operators.FuzzyJoin.fuzzyScreenBatch(df, keyCol, k)
+  def jaroWinklerBlocked(keyCol: String, blockKey: Column => Column,
+      threshold: Double): GFrame =
+    GFrame(graft.operators.FuzzyJoin.jaroWinklerBlockedJoin(
+      df, keyCol, blockKey, threshold))
 
   // ---- corpus assembly (graft.operators.Curation) ----
   /** Deterministic train/val/test split; cuts are cumulative upper

@@ -91,6 +91,40 @@ object FuzzyJoin {
       .join(matches, Seq(idCol), "left")
   }
 
+  /** Streaming twin of [[editDistanceJoin]]: admit only micro-batch
+    * rows whose `keyCol` has NO corpus entry within Levenshtein ≤ k —
+    * the near-name / typo-variant ingest gate (a spam corpus screen:
+    * "paypa1.com" is rejected because "paypal.com" is indexed).
+    *
+    * The corpus-side deletion-neighborhood index — the explode + hash
+    * kernel over every corpus key — is built and PERSISTED once here,
+    * outside the returned closure: foreachBatch replans the static side
+    * each micro-batch, so an unindexed corpus would re-run variant
+    * generation every few seconds. Each batch explodes only its own
+    * neighborhoods, equi-joins the 8-byte variant hashes, verifies with
+    * exact levenshtein (recall 1 / precision 1 inside the radius, same
+    * contract as the batch join), and anti-joins the matched keys out.
+    * Call [[IngestScreen.close]] when rebuilding over a refreshed
+    * corpus. */
+  def fuzzyScreenBatch(corpus: DataFrame, keyCol: String, k: Int)
+      : IngestScreen = {
+    val cVars = corpus.select(col(keyCol).as("__ckey")).distinct()
+      .select(col("__ckey"),
+        explode(neighborhood(col("__ckey"), k)).as("__vs"))
+      .select(col("__ckey"), xxhash64(col("__vs")).as("__v"))
+      .persist()
+    new IngestScreen(batch => {
+      val bVars = batch.select(col(keyCol)).distinct()
+        .select(col(keyCol), explode(neighborhood(col(keyCol), k)).as("__vs"))
+        .select(col(keyCol), xxhash64(col("__vs")).as("__v"))
+      val matched = bVars.join(cVars, Seq("__v"))
+        .select(col(keyCol), col("__ckey")).distinct()
+        .filter(levenshtein(col(keyCol), col("__ckey")) <= k)
+        .select(col(keyCol)).distinct()
+      batch.join(matched, Seq(keyCol), "left_anti")
+    }, () => { cVars.unpersist(); () })
+  }
+
   /** Block-then-verify Jaro-Winkler similarity self-join: all distinct
     * `keyCol` value pairs sharing a blocking key, verified with the
     * codegen [[graft.plans.JaroWinkler]] expression at `threshold`.

@@ -248,6 +248,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fuzzyScreenBatch rejects typo-variants of corpus keys, admits novel ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("paypal", "amazon", "google").toDF("domain").cache()
+    val screen = graft.operators.FuzzyJoin.fuzzyScreenBatch(
+      corpus, "domain", k = 1)
+    val survived = scala.collection.mutable.ArrayBuffer.empty[String]
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "domain")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val kept = screen(batch).select("domain").as[String].collect()
+        survived.synchronized { survived ++= kept }
+        ()
+      }
+      .start()
+    try {
+      input.addData(
+        (10L, "paypa1"),   // substitution variant of corpus "paypal"
+        (11L, "github"))   // novel, far from everything
+      q.processAllAvailable()
+      input.addData(
+        (12L, "amazonn"),  // insertion variant of corpus "amazon"
+        (13L, "gogle"),    // deletion variant of corpus "google"
+        (14L, "paypal"))   // exact corpus hit is also distance 0 ≤ k
+      q.processAllAvailable()
+      assert(survived.sorted.toSeq == Seq("github"),
+        s"only the novel domain must pass the screen, got $survived")
+    } finally { q.stop(); screen.close() }
+  }
+
   test("semanticScreenBatch admits only novel embeddings against a static corpus") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
