@@ -117,6 +117,45 @@ object TextPipeline {
           .otherwise(lit(0.0)))
   }
 
+  /** Character-distribution quality signals per document: total and
+    * distinct character counts plus Shannon entropy (nats) of the
+    * character frequency distribution — the classic gibberish /
+    * binary-noise detector (natural text sits near 2.5-3.3 nats;
+    * uniform noise near ln(alphabet)).
+    *
+    * CROSS-ENGINE DETERMINISM: a naive sum(p·ln p) aggregates doubles
+    * in partition order and can never hash-match an oracle. Here the
+    * per-char counts are collected and SORTED BY CHARACTER, and the
+    * fold runs over that sorted list left-to-right — the oracle runs
+    * the identical ordered fold, so both engines execute the same IEEE
+    * additions in the same order. The log is [[graft.plans.LnLibm]]
+    * (Math.log), NOT Spark's `ln`: Spark math expressions ride
+    * StrictMath (fdlibm), 1 ulp off the libm other engines link on some
+    * inputs; Math.log matches libm (checked over the corpus by the gate
+    * itself). Cost shape: the
+    * per-doc char histogram is bounded by the alphabet, so the
+    * collect_list is small regardless of document length — this is a
+    * histogram fold, not a collect of the document. */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = df
+      .select(col(idCol), explode(split(col(textCol), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("n"))
+    counts.groupBy(col(idCol))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(ch, n))), x -> x.n)")
+          .as("ns"),
+        sum(col("n")).as("n_chars"),
+        count(lit(1)).as("distinct_chars"))
+      .select(col(idCol), col("n_chars"), col("distinct_chars"), {
+        def p(c: Column) = c.cast("double") / col("n_chars").cast("double")
+        (-aggregate(col("ns"), lit(0.0),
+          (acc, c) => acc + p(c) * graft.plans.GraftExpressions.lnLibm(p(c))))
+          .as("entropy")
+      })
+  }
+
   /** Per-position bigram structs of a token array, empty for docs with
     * < 2 tokens (sequence(1, 0) would be the DESCENDING [1, 0] — same
     * guard as repetitionStats). */

@@ -494,6 +494,30 @@ object JaroWinklerImpl {
   }
 }
 
+/** Natural log via `java.lang.Math.log` — NOT Spark's built-in `ln`.
+  * Spark's math expressions ride `StrictMath` (fdlibm) for
+  * cross-platform reproducibility; `Math.log` is the platform-intrinsic
+  * path, which on glibc agrees bitwise with the C `log` every other
+  * engine links (measured: `StrictMath.log(3/62d)` is 1 ulp below
+  * glibc). Used where a double result must hash-match a libm-based
+  * oracle (doc_char_entropy); the 1-ulp difference is irrelevant
+  * numerically but fatal to exact-compare gates. */
+case class LnLibm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"ln_libm needs DOUBLE, got ${child.dataType} (cast explicitly)")
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Math.log(v.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = java.lang.Math.log($c);")
+  override protected def withNewChildInternal(c: Expression): LnLibm =
+    copy(child = c)
+}
+
 /** Classic Metaphone phonetic key (Philips 1990; the successor of the
   * Soundex blocking key the reference pairs with edit distance for
   * record linkage — nvtext has edit_distance, cpp/include/nvtext/
@@ -637,6 +661,7 @@ object GraftExpressions {
   def jaroWinkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b)))
   def metaphone(c: Column): Column = column(Metaphone(expression(c)))
+  def lnLibm(c: Column): Column = column(LnLibm(expression(c)))
   def arrayScale(a: Column, s: Column): Column =
     column(ArrayScale(expression(a), expression(s)))
   def arrayQuantizeU8(a: Column, lo: Column, scale: Column): Column =

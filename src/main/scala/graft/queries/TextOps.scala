@@ -275,6 +275,47 @@ object TextOps extends QueryPack {
        |SELECT t.term, v.sdx FROM toks t JOIN vals v ON v.term = t.term
        |ORDER BY t.term""".stripMargin
 
+  /** Character-entropy quality signal (gibberish / binary-noise gate).
+    * Determinism contract, in two layers: (1) both engines fold p·ln(p)
+    * over the per-doc char histogram SORTED BY CHARACTER, seeded at 0.0
+    * — identical IEEE addition ORDER (the oracle's list_reduce with a
+    * prepended 0.0 replicates Spark's `aggregate` left fold; list_sum's
+    * order is not contractual). (2) No bit-identical natural log exists
+    * across engines — JVM Math.log differs from glibc's by 1 ulp on
+    * ~3e-5 of inputs (measured: 302 of the first 10M integers; Spark's
+    * own `ln` is StrictMath/fdlibm and diverges MORE) — so the gate
+    * compares integer MICRO-NATS: floor(entropy·1e6). A 1-ulp log
+    * wobble shifts entropy by ~1.3e-15 and flips the floor only within
+    * 1.3e-9 of a boundary (≈2.6e-9 per doc, deterministic per corpus
+    * because of (1)); any real algorithmic error ≥ 1e-6 nats still
+    * fails. Library callers get the full double from
+    * [[graft.operators.TextPipeline.charEntropy]]. */
+  def charEntropyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline
+      .charEntropy(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"), col("distinct_chars"),
+        floor(col("entropy") * lit(1e6)).cast("long").as("entropy_unats"))
+      .orderBy(col("doc_id"))
+
+  val charEntropySql: String =
+    """WITH chars AS (
+      |  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS n
+      |  FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+      |agg AS (
+      |  SELECT doc_id, list(n ORDER BY ch) AS ns,
+      |         CAST(sum(n) AS BIGINT) AS n_chars,
+      |         CAST(count(*) AS BIGINT) AS distinct_chars
+      |  FROM cnt GROUP BY doc_id)
+      |SELECT doc_id, n_chars, distinct_chars,
+      |  CAST(floor(-list_reduce(
+      |     list_prepend(0.0::DOUBLE,
+      |       list_transform(ns, c -> (c::DOUBLE / n_chars::DOUBLE) *
+      |                               ln(c::DOUBLE / n_chars::DOUBLE))),
+      |     (a, b) -> a + b) * 1000000.0) AS BIGINT) AS entropy_unats
+      |FROM agg ORDER BY doc_id""".stripMargin
+
   /** Phonetic keys, round 2: classic Metaphone over the same corpus
     * vocabulary — finer-grained than Soundex (consonant classes become
     * context-sensitive digraph rules), the usual upgrade for linkage
@@ -1516,6 +1557,7 @@ object TextOps extends QueryPack {
     "doc_token_stats" -> tokenStats,
     "doc_quality" -> quality,
     "doc_quality_buckets" -> qualityBuckets,
+    "doc_char_entropy" -> charEntropyQ,
     "doc_soundex" -> docSoundex,
     "doc_metaphone" -> docMetaphone,
     "doc_scripts" -> docScripts,
@@ -1561,6 +1603,7 @@ object TextOps extends QueryPack {
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality" -> qualitySql,
     "doc_quality_buckets" -> qualityBucketsSql,
+    "doc_char_entropy" -> charEntropySql,
     "doc_soundex" -> docSoundexSql,
     "doc_metaphone" -> docMetaphoneSql,
     "doc_scripts" -> docScriptsSql,

@@ -88,6 +88,22 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2) == ((0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("charEntropy computes Shannon entropy in nats over char histograms") {
+    val d = Seq(
+      (1L, "aab"),   // p = 2/3, 1/3 → ln3 − (2/3)·ln2
+      (2L, "aaaa"),  // single symbol → 0
+      (3L, "abcd")   // uniform over 4 → ln4
+    ).toDF("doc_id", "text")
+    val got = TextPipeline.charEntropy(d, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("n_chars", "distinct_chars", "entropy")
+      .as[(Long, Long, Double)].collect()
+    assert(got(0)._1 == 3L && got(0)._2 == 2L)
+    assert(math.abs(got(0)._3 - (math.log(3) - 2.0 / 3 * math.log(2))) < 1e-15)
+    assert(got(1) == ((4L, 1L, 0.0)))
+    assert(math.abs(got(2)._3 - math.log(4)) < 1e-15)
+  }
+
   test("filterOutliersIqr keeps the body and drops Tukey-fence outliers") {
     // sorted values -200,1..9,50: q1 = 2.5, q3 = 7.5, iqr = 5
     // k=1.5 fence [-5, 15] keeps only the body
