@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BPE merge-rule LEARNING (vocabulary induction) — the training-side
+  * twin of [[graft.plans.BpeEncode]]: the reference APPLIES a learned
+  * merge table (cpp/include/nvtext/byte_pair_encoding.hpp:72 loads one
+  * built elsewhere); learning that table from the corpus is the
+  * tokenizer-training step of an LLM data pipeline. Algorithm: Sennrich,
+  * Haddow & Birch 2016 (ACL, "Neural Machine Translation of Rare Words
+  * with Subword Units") — iteratively merge the most frequent adjacent
+  * symbol pair; ties broken (count desc, pair lexicographic asc) for
+  * determinism.
+  *
+  * Scale shape (100 TB): the corpus-sized work — token frequency
+  * counting — happens ONCE ([[learnFromCorpus]]'s groupBy); every merge
+  * iteration then runs over the compacted (distinct-word, weight)
+  * vocabulary frame, which is bounded by vocabulary size (~10⁷ rows for
+  * web corpora), not corpus size. Each iteration is one pair-count
+  * aggregation plus a single-row top-1 collect (argmax only — never the
+  * vocabulary itself). The re-segmented vocabulary is re-materialized
+  * per iteration and the previous one released; every
+  * `checkpointEvery`-th iteration cuts lineage with an eager
+  * localCheckpoint so plan depth stays bounded over thousands of
+  * merges.
+  */
+object BpeLearn {
+
+  /** One merge rule applied to a symbol array: greedy left-to-right,
+    * non-overlapping — a left fold that either merges the new symbol
+    * into the accumulator's tail (when tail==a and next==b) or appends.
+    * Equivalent to the published scan ("aaa" + (a,a) → [aa, a]: a
+    * merged symbol never re-merges with the next in the same pass). */
+  private[graft] def applyMerge(syms: Column, a: String,
+      b: String): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Learn `numMerges` merge rules from a (word, weight) vocabulary
+    * frame. Returns (a, b, pairCount) ranked by learning order; stops
+    * early when no adjacent pair remains. */
+  def learnMerges(vocab: DataFrame, wordCol: String, weightCol: String,
+      numMerges: Int, checkpointEvery: Int = 16): Seq[(String, String, Long)] = {
+    var words = vocab
+      .select(split(col(wordCol), "").as("syms"),
+        col(weightCol).cast("long").as("w"))
+      .filter(size(col("syms")) > 0)
+      .persist()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < numMerges && !done) {
+      val top = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("w"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+             i -> struct(element_at(syms, i) AS a,
+                         element_at(syms, i + 1) AS b))""")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("w")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val (a, b, c) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        out += ((a, b, c))
+        val next = words
+          .select(applyMerge(col("syms"), a, b).as("syms"), col("w"))
+        val mat =
+          if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
+          else next.persist()
+        mat.count() // materialize before releasing the parent
+        words.unpersist()
+        words = mat
+        i += 1
+      }
+    }
+    words.unpersist()
+    out.toSeq
+  }
+
+  /** Corpus-frequency-weighted learning over `textCol` tokens — the
+    * production mode: pair counts weight each word by its corpus
+    * frequency, so merges reflect usage, not the dictionary. */
+  def learnFromCorpus(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String, Long)] =
+    learnMerges(
+      df.select(explode(
+          graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("w")),
+      "tok", "w", numMerges)
+
+  /** Unweighted (distinct-vocabulary) learning — every word counts
+    * once. Deterministic for a fixed token SET regardless of corpus
+    * scale, which is what the cross-engine gate pins down. */
+  def learnFromVocabulary(df: DataFrame, textCol: String,
+      numMerges: Int): Seq[(String, String, Long)] =
+    learnMerges(
+      df.select(explode(
+          graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+        .distinct().withColumn("w", lit(1L)),
+      "tok", "w", numMerges)
+}

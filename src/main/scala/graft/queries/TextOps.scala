@@ -1536,8 +1536,40 @@ object TextOps extends QueryPack {
       |  SELECT piece, count(*) AS n FROM pc GROUP BY piece)
       |ORDER BY n DESC, piece LIMIT 25""".stripMargin
 
+  /** BPE merge-rule learning over the corpus vocabulary (tokenizer
+    * training; [[bpeMerges]] is the apply side of the same contract).
+    * Unweighted distinct-vocab mode so the result depends only on the
+    * token SET — identical at every SF and stress multiple. Oracle:
+    * the merge table derived INDEPENDENTLY by running the published
+    * Sennrich 2016 algorithm (most-frequent adjacent pair, ties by
+    * count desc then pair lexicographic asc, greedy non-overlapping
+    * re-segmentation) by hand/reference script over the 31-token
+    * vocabulary — e.g. round 1 is (e,r)×5 from filter/merge/order/
+    * query/customer; round 9 merges (m,er) only after (e,r) created
+    * 'er'. Vocabulary drift fails the gate loudly — the Spark side
+    * recomputes from the corpus while the oracle pins the table. */
+  def bpeLearn(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val merges = graft.operators.BpeLearn
+      .learnFromVocabulary(Tables.documents(s, dir), "text", numMerges = 10)
+    merges.zipWithIndex
+      .map { case ((a, b, c), i) => (i + 1, a, b, c) }
+      .toDF("rank", "a", "b", "cnt")
+      .orderBy($"rank")
+  }
+
+  val bpeLearnSql: String =
+    """WITH vals(rank, a, b, cnt) AS (VALUES
+      |  (1, 'e', 'r', 5), (2, 'i', 'n', 3), (3, 'o', 'r', 3),
+      |  (4, 'o', 'w', 3), (5, 's', 't', 3), (6, 'a', 'l', 2),
+      |  (7, 'a', 'r', 2), (8, 'a', 't', 2), (9, 'm', 'er', 2),
+      |  (10, 'p', 'ar', 2))
+      |SELECT CAST(rank AS INT) AS rank, a, b, CAST(cnt AS BIGINT) AS cnt
+      |FROM vals ORDER BY rank""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_bpe_merges" -> bpeMerges,
+    "doc_bpe_learn" -> bpeLearn,
     "doc_bpe_tokens" -> bpeTokens,
     "doc_token_ids" -> tokenIds,
     "doc_detok" -> detok,
@@ -1632,5 +1664,6 @@ object TextOps extends QueryPack {
     "doc_minhash_ngram_pairs" -> minhashNgramPairsSql,
     "doc_simhash_pairs" -> simhashPairsSql,
     "doc_dedup_delta_near" -> dedupDeltaNearSql,
-    "doc_bpe_merges" -> bpeMergesSql)
+    "doc_bpe_merges" -> bpeMergesSql,
+    "doc_bpe_learn" -> bpeLearnSql)
 }

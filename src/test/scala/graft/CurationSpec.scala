@@ -88,6 +88,40 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2) == ((0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("BpeLearn.applyMerge is the greedy non-overlapping scan") {
+    import graft.operators.BpeLearn
+    val df = Seq("aaa", "abab", "cab", "xy").toDF("w")
+      .select(split($"w", "").as("syms"))
+    val got = df.select(BpeLearn.applyMerge($"syms", "a", "a"))
+      .as[Seq[String]].collect()
+    assert(got(0) == Seq("aa", "a"), "overlap must not re-merge")
+    val got2 = df.select(BpeLearn.applyMerge($"syms", "a", "b"))
+      .as[Seq[String]].collect()
+    assert(got2(1) == Seq("ab", "ab") && got2(2) == Seq("c", "ab"))
+    assert(got2(3) == Seq("x", "y"), "no-op when the pair is absent")
+  }
+
+  test("BpeLearn learns frequency-weighted merges with deterministic ties") {
+    import graft.operators.BpeLearn
+    // corpus: "low" x3, "lower" x1  →  pair counts (l,o)=4, (o,w)=4,
+    // (w,e)=1, (e,r)=1; tie on 4 broken lexicographically → (l,o) first,
+    // then (lo,w)=4 dominates, then (low,e)=1 ties (e,r) → (e,r) wins
+    val corpus = Seq(
+      (1L, "low low low lower")
+    ).toDF("id", "text")
+    val merges = BpeLearn.learnFromCorpus(corpus, "text", numMerges = 3)
+    assert(merges == Seq(("l", "o", 4L), ("lo", "w", 4L), ("e", "r", 1L)),
+      s"got $merges")
+  }
+
+  test("BpeLearn stops early when nothing is left to merge") {
+    import graft.operators.BpeLearn
+    val corpus = Seq((1L, "ab ab")).toDF("id", "text")
+    val merges = BpeLearn.learnFromCorpus(corpus, "text", numMerges = 10)
+    // (a,b) merges once; the single-symbol words then have no pairs
+    assert(merges == Seq(("a", "b", 2L)))
+  }
+
   test("charEntropy computes Shannon entropy in nats over char histograms") {
     val d = Seq(
       (1L, "aab"),   // p = 2/3, 1/3 → ln3 − (2/3)·ln2
