@@ -494,6 +494,67 @@ object JaroWinklerImpl {
   }
 }
 
+/** Bit-interleaved Z-value (Morton code) over k non-negative LONG
+  * dimension codes — the space-filling-curve sort key behind
+  * multi-dimensional data clustering (Z-ORDER in Delta/Iceberg
+  * terminology; Morton 1966). Sorting by the interleaved value keeps
+  * rows close in EVERY dimension physically adjacent, so per-file
+  * min/max column statistics prune scans for predicates on ANY of the
+  * k columns — where a linear sort only serves its leading column.
+  * `bits` low bits are taken per dimension (values clamped into
+  * [0, 2^bits); callers pre-scale skewed/unbounded dimensions to rank
+  * codes first); k·bits must fit 63. Dimension d occupies bit positions
+  * d, d+k, d+2k, … */
+case class InterleaveBits(children: Seq[Expression], bits: Int)
+    extends Expression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(children.nonEmpty && bits * children.size <= 63,
+    s"k*bits must fit a long, got ${children.size} dims x $bits bits")
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (children.forall(_.dataType == LongType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"interleave_bits needs LONG dims, got ${children.map(_.dataType)}")
+  override def foldable: Boolean = children.forall(_.foldable)
+  override def eval(row: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val vs = new Array[Long](children.size)
+    var i = 0
+    while (i < children.size) {
+      val v = children(i).eval(row)
+      vs(i) = if (v == null) 0L else v.asInstanceOf[Long]
+      i += 1
+    }
+    ZOrderImpl.interleave(bits, vs)
+  }
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): InterleaveBits = copy(children = cs)
+}
+
+object ZOrderImpl {
+  /** Interleave the low `bits` bits of each dimension; negatives clamp
+    * to 0, values ≥ 2^bits clamp to 2^bits − 1 (locality at the edge
+    * beats wraparound). */
+  def interleave(bits: Int, vs: Array[Long]): Long = {
+    val k = vs.length
+    val max = (1L << bits) - 1
+    var out = 0L
+    var d = 0
+    while (d < k) {
+      val v = math.min(math.max(vs(d), 0L), max)
+      var j = 0
+      while (j < bits) {
+        out |= ((v >>> j) & 1L) << (j * k + d)
+        j += 1
+      }
+      d += 1
+    }
+    out
+  }
+}
+
 /** Natural log via `java.lang.Math.log` — NOT Spark's built-in `ln`.
   * Spark's math expressions ride `StrictMath` (fdlibm) for
   * cross-platform reproducibility; `Math.log` is the platform-intrinsic
@@ -662,6 +723,8 @@ object GraftExpressions {
     column(JaroWinkler(expression(a), expression(b)))
   def metaphone(c: Column): Column = column(Metaphone(expression(c)))
   def lnLibm(c: Column): Column = column(LnLibm(expression(c)))
+  def interleaveBits(bits: Int, cs: Column*): Column =
+    column(InterleaveBits(cs.map(expression), bits))
   def arrayScale(a: Column, s: Column): Column =
     column(ArrayScale(expression(a), expression(s)))
   def arrayQuantizeU8(a: Column, lo: Column, scale: Column): Column =

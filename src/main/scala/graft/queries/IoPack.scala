@@ -160,6 +160,31 @@ object IoPack extends QueryPack {
        |  min(event_id) AS min_id, max(event_id) AS max_id
        |FROM events WHERE event_type = 'click'""".stripMargin
 
+  /** Z-ordered layout + two-dimensional pruning: lineitem clustered on
+    * (l_partkey, l_suppkey) via the Morton curve, then filtered on the
+    * SECOND dimension — the one a linear sort scatters across every
+    * file. The oracle reads the raw parquet: results must be
+    * layout-independent; the file-level min/max clustering evidence is
+    * asserted quantitatively in IoSpec. */
+  def zorderPrune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice")
+    Layout.writeZOrdered(li, scratch("zorder_lineitem"),
+        Seq("l_partkey", "l_suppkey"))
+      .filter($"l_suppkey" <= 10)
+      .groupBy($"l_suppkey")
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice", 2).as("sum_price"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"))
+      .orderBy($"l_suppkey")
+  }
+
+  val zorderPruneSql: String =
+    s"""SELECT l_suppkey, count(*) AS n, ${dsumSql("l_extendedprice", 2)} AS sum_price,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part
+       |FROM lineitem WHERE l_suppkey <= 10
+       |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_roundtrip" -> csvRoundTrip,
     "io_json_roundtrip" -> jsonRoundTrip,
@@ -167,7 +192,8 @@ object IoPack extends QueryPack {
     "io_avro_roundtrip" -> avroRoundTrip,
     "io_text_delim" -> textDelim,
     "io_bucketed_join" -> bucketedJoin,
-    "io_partition_prune" -> partitionPrune)
+    "io_partition_prune" -> partitionPrune,
+    "io_zorder_prune" -> zorderPrune)
 
   override def oracle: Map[String, String] = Map(
     "io_csv_roundtrip" -> csvRoundTripSql,
@@ -176,5 +202,6 @@ object IoPack extends QueryPack {
     "io_avro_roundtrip" -> avroRoundTripSql,
     "io_text_delim" -> textDelimSql,
     "io_bucketed_join" -> bucketedJoinSql,
-    "io_partition_prune" -> partitionPruneSql)
+    "io_partition_prune" -> partitionPruneSql,
+    "io_zorder_prune" -> zorderPruneSql)
 }

@@ -54,4 +54,29 @@ object Layout {
     df.write.mode("overwrite").partitionBy(partCols: _*).parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Z-ordered (Morton space-filling curve) parquet layout — the third
+    * layout lever, for MULTI-dimensional pruning where bucketing serves
+    * one join key and partitioning one low-cardinality column: rows are
+    * range-partitioned and sorted by the bit-interleaved Z-value of the
+    * `dims` columns ([[graft.plans.InterleaveBits]]), so every file's
+    * min/max footer statistics are tight in EVERY dimension and a
+    * predicate on ANY dim skips most files (Spark prunes row-groups
+    * from the same stats). A linear sort gives this only for its
+    * leading column. `dims` must be non-negative LONG codes — pre-rank
+    * skewed or unbounded columns; `bits` low bits per dim are used.
+    * One file per range partition (`files` total), so file-level stats
+    * are the pruning granule. */
+  def writeZOrdered(df: DataFrame, path: String, dims: Seq[String],
+                    bits: Int = 16, files: Int = 16): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val z = graft.plans.GraftExpressions
+      .interleaveBits(bits, dims.map(d => col(d).cast("long")): _*)
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
 }

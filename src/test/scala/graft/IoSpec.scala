@@ -156,4 +156,46 @@ class IoSpec extends AnyFunSuite {
       .as[String].collect().sorted
     assert(got.toSeq == Seq("alpha", "beta", "gamma"))
   }
+
+  test("z-ordered layout keeps file min/max tight in BOTH dimensions") {
+    // 128x128 uniform grid, one row per cell; 16 files. A perfectly
+    // aligned Morton split gives 32x32 blocks: a y < 16 predicate
+    // overlaps only the bottom block row (4 files) — a linear x-sort
+    // spreads every y value across ALL files. Range-partition sampling
+    // may misalign boundaries slightly, hence <= 8, not == 4.
+    val base = Files.createTempDirectory("graft_zorder").toString
+    val grid = spark.range(128L * 128)
+      .select((col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    graft.sources.Layout.writeZOrdered(grid, s"$base/z", Seq("x", "y"),
+      bits = 7, files = 16)
+    grid.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/l")
+    def filesOverlapping(dir: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    assert(filesOverlapping(s"$base/z", "y", 0, 15) <= 8,
+      "z-order must prune the non-leading dimension")
+    assert(filesOverlapping(s"$base/z", "x", 0, 15) <= 8,
+      "z-order must prune the leading dimension too")
+    assert(filesOverlapping(s"$base/l", "y", 0, 15) == 16,
+      "linear sort cannot prune its non-leading dimension")
+    // same rows survive either layout
+    assert(spark.read.parquet(s"$base/z").count() == 128L * 128)
+  }
+
+  test("InterleaveBits is the Morton code (hand fixtures + clamping)") {
+    import graft.plans.ZOrderImpl.interleave
+    assert(interleave(2, Array(0L, 0L)) == 0L)
+    assert(interleave(2, Array(1L, 0L)) == 1L)   // x occupies even bits
+    assert(interleave(2, Array(0L, 1L)) == 2L)   // y occupies odd bits
+    assert(interleave(2, Array(3L, 3L)) == 15L)  // full 2x2-bit block
+    assert(interleave(2, Array(2L, 1L)) == 6L)   // 0b10 x 0b01 -> 0b0110
+    assert(interleave(2, Array(-5L, 99L)) == interleave(2, Array(0L, 3L)),
+      "negatives clamp to 0, overflow clamps to 2^bits-1")
+    // 3-dim: dim d sits at bit positions d, d+3, ...
+    assert(interleave(1, Array(1L, 0L, 1L)) == 5L)
+  }
 }
