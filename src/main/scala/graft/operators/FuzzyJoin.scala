@@ -158,4 +158,36 @@ object FuzzyJoin {
         graft.plans.GraftExpressions.jaroWinkler(col("a"), col("b")).as("jw"))
       .filter(col("jw") >= lit(threshold))
   }
+
+  /** Record-linkage RESOLUTION on top of the blocked comparator: for
+    * every distinct `keyCol` value, the single best `dict` entry —
+    * highest Jaro-Winkler within the shared block at `threshold`, ties
+    * broken by dictionary key ascending for determinism. Returns
+    * (keyCol, match, jw); inputs with no in-block candidate above
+    * threshold produce no row (linkage leaves them unmatched — callers
+    * left-join the result back when they need the full spine).
+    *
+    * This is the full Fellegi-Sunter shape: block (equi-join on the
+    * blocking key — the only shuffle, content-distributed), compare
+    * (codegen JW per candidate), resolve (min_by per left key — a
+    * partial-aggregatable argmax, never a per-key sort window). Same
+    * recall contract as [[jaroWinklerBlockedJoin]]: cross-block
+    * matches are unreachable by construction. */
+  def jaroWinklerBestMatch(df: DataFrame, keyCol: String,
+      dict: DataFrame, dictKeyCol: String,
+      blockKey: Column => Column, threshold: Double): DataFrame = {
+    val l = df.select(col(keyCol)).distinct()
+      .withColumn("__blk", blockKey(col(keyCol)))
+    val r = dict.select(col(dictKeyCol).as("__dk")).distinct()
+      .withColumn("__blk", blockKey(col("__dk")))
+    l.join(r, Seq("__blk"))
+      .filter(col(keyCol) =!= col("__dk"))
+      .withColumn("jw",
+        graft.plans.GraftExpressions.jaroWinkler(col(keyCol), col("__dk")))
+      .filter(col("jw") >= lit(threshold))
+      .groupBy(col(keyCol))
+      .agg(min_by(struct(col("__dk").as("match"), col("jw")),
+        struct(negate(col("jw")), col("__dk"))).as("m"))
+      .select(col(keyCol), col("m.match").as("match"), col("m.jw").as("jw"))
+  }
 }

@@ -518,10 +518,37 @@ object Funcs extends QueryPack {
       |  AND jaro_winkler_similarity(a.nm, b.nm) >= 0.85
       |ORDER BY a, b""".stripMargin
 
+  /** Full record-linkage resolution over part names: first-token block,
+    * JW ≥ 0.85 compare, per-name best match (jw desc, match asc ties).
+    * The oracle replicates blocking + compare identically and resolves
+    * with a row_number window — same tie-break, so the hash compare
+    * pins the whole pipeline including the resolution order. */
+  def strRecordLinkage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.jaroWinklerBestMatch(
+        Tables.part(s, dir).select(col("p_name")), "p_name",
+        Tables.part(s, dir).select(col("p_name").as("dict_name")), "dict_name",
+        n => split(n, " ").getItem(0), 0.85)
+      .orderBy(col("p_name"))
+
+  val strRecordLinkageSql: String =
+    """WITH t AS (SELECT DISTINCT p_name AS nm FROM part),
+      |cand AS (
+      |  SELECT a.nm AS p_name, b.nm AS match,
+      |    jaro_winkler_similarity(a.nm, b.nm) AS jw
+      |  FROM t a JOIN t b
+      |    ON string_split(a.nm, ' ')[1] = string_split(b.nm, ' ')[1]
+      |    AND a.nm <> b.nm
+      |    AND jaro_winkler_similarity(a.nm, b.nm) >= 0.85)
+      |SELECT p_name, match, jw FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY p_name ORDER BY jw DESC, match) AS rn FROM cand)
+      |WHERE rn = 1 ORDER BY p_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "str_fuzzy_join" -> strFuzzyJoin,
     "str_jaro_winkler" -> strJaroWinkler,
     "str_jw_blocked_join" -> strJwBlockedJoin,
+    "str_record_linkage" -> strRecordLinkage,
     "str_durations" -> strDurations,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
@@ -545,6 +572,7 @@ object Funcs extends QueryPack {
     "str_fuzzy_join" -> strFuzzyJoinSql,
     "str_jaro_winkler" -> strJaroWinklerSql,
     "str_jw_blocked_join" -> strJwBlockedJoinSql,
+    "str_record_linkage" -> strRecordLinkageSql,
     "str_durations" -> strDurationsSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,

@@ -307,6 +307,26 @@ object MiscPack extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** HLL distinct-count sketch rollup — the cardinality twin of
+    * [[tdigestMergeRollup]] over Spark's built-in DataSketches HLL
+    * (hll_sketch_agg → binary column → hll_union_agg → estimate): the
+    * fine-grained sketch table answers coarser distinct-counts by
+    * sketch union, never rescanning raw data — and unlike exact
+    * count-distinct, the union is algebraic (map-side combinable, no
+    * distinct shuffle of the key universe). Estimates are
+    * DataSketches-specific → rows-only; accuracy vs exact is asserted
+    * in OperatorsSpec. */
+  def hllRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketches = Tables.lineitem(s, dir)
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(hll_sketch_agg($"l_partkey").as("hll"), count(lit(1)).as("n"))
+    sketches.groupBy($"l_returnflag")
+      .agg(hll_sketch_estimate(hll_union_agg($"hll")).as("approx_parts"),
+        sum($"n").as("n"))
+      .orderBy($"l_returnflag")
+  }
+
   /** Categorical encode / factorize (transform.hpp:351 `encode`,
     * DICTIONARY32 analog §1.2): dense integer codes by value order via
     * dense_rank — deterministic, join-free. */
@@ -359,6 +379,7 @@ object MiscPack extends QueryPack {
     "search_sorted" -> searchSorted,
     "agg_tdigest" -> tdigestQuantiles,
     "agg_tdigest_merge" -> tdigestMergeRollup,
+    "agg_hll_rollup" -> hllRollup,
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,

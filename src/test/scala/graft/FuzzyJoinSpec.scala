@@ -95,6 +95,31 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(got.exists { case (a, b, _) => a == "duane" && b == "dwayne" })
   }
 
+  test("jaroWinklerBestMatch resolves the argmax with deterministic ties") {
+    import org.apache.spark.sql.functions.substring
+    import graft.plans.JaroWinklerImpl.jw
+    val dirty = Seq("marhta", "dwayne", "zzz").toDF("nm")
+    val dict = Seq("martha", "marcus", "duane", "dwain").toDF("d")
+    val got = FuzzyJoin.jaroWinklerBestMatch(
+        dirty, "nm", dict, "d", n => substring(n, 1, 1), 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("marhta") == "martha",
+      s"martha (jw=${jw("marhta", "martha")}) beats marcus")
+    // dwayne: duane vs dwain — whichever jw is higher must win
+    val expect = if (jw("dwayne", "duane") > jw("dwayne", "dwain")) "duane"
+      else if (jw("dwayne", "duane") < jw("dwayne", "dwain")) "dwain"
+      else "duane" // tie → lexicographic
+    assert(got("dwayne") == expect)
+    assert(!got.contains("zzz"), "no in-block candidate → no row")
+    // exact jw tie broken by match ascending
+    val tied = FuzzyJoin.jaroWinklerBestMatch(
+        Seq("abcd").toDF("nm"), "nm",
+        Seq("abcx", "abcy").toDF("d"), "d",
+        n => substring(n, 1, 1), 0.5)
+      .collect()
+    assert(tied.length == 1 && tied(0).getString(1) == "abcx")
+  }
+
   test("jaroWinklerBlockedJoin pair generation is posting-list shaped") {
     import org.apache.spark.sql.functions.substring
     val names = Seq("martha", "marhta", "dwayne", "duane").toDF("nm")

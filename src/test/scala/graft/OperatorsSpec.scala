@@ -371,6 +371,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(wrapped == Long.MinValue)
   }
 
+  test("HLL sketch rollup (union of binary sketches) tracks exact distinct counts") {
+    // 3 fine groups over overlapping key ranges; union must dedup
+    // across groups, not add the per-group cardinalities
+    val df = (1 to 30000).map(i => (s"g${i % 3}", i % 5000)).toDF("g", "k")
+    val sketches = df.groupBy($"g").agg(hll_sketch_agg($"k").as("hll"))
+    val est = sketches.agg(
+      hll_sketch_estimate(hll_union_agg($"hll")).as("est"))
+      .as[Long].head()
+    assert(math.abs(est - 5000) / 5000.0 < 0.05,
+      s"union estimate $est too far from exact 5000")
+    // naive sum of per-group estimates would be ~3x — prove the union dedups
+    val perGroup = sketches
+      .select(hll_sketch_estimate($"hll").as("e")).as[Long].collect().sum
+    assert(perGroup > 2 * est)
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
