@@ -303,4 +303,28 @@ object Dedup {
       .filter(col("hdist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("hdist"))
   }
+
+  /** Approximate-membership ingest screen: reject batch rows whose
+    * `keyCol` is (probably) already in the corpus, via a Bloom filter
+    * built ONCE by a distributed aggregation and broadcast to
+    * executors. Per-batch cost is then a pure map-stage filter — ZERO
+    * shuffle — versus the anti-join screens' per-batch shuffle; the
+    * price is `fpp`: a false positive DROPS a novel row (never the
+    * reverse — Bloom has no false negatives, so nothing already
+    * ingested ever slips through). The right gate when the corpus key
+    * set is huge, the stream is hot, and losing fpp of novel input is
+    * acceptable (crawl frontier / seen-URL filtering). Keys compare by
+    * their string form. Call [[IngestScreen.close]] to release the
+    * broadcast. */
+  def bloomScreenBatch(corpus: DataFrame, keyCol: String,
+      expectedItems: Long, fpp: Double = 0.01): IngestScreen = {
+    val bf = corpus.select(col(keyCol).cast("string").as("k"))
+      .stat.bloomFilter("k", expectedItems, fpp)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bf)
+    val mightContain =
+      udf((s: String) => s != null && bc.value.mightContainString(s))
+    new IngestScreen(
+      batch => batch.filter(!mightContain(col(keyCol).cast("string"))),
+      () => { bc.destroy(); () })
+  }
 }

@@ -126,6 +126,25 @@ object MiscPack extends QueryPack {
       .orderBy($"l_returnflag")
   }
 
+  /** Count-min sketch frequency estimation (the heavy-hitters sketch
+    * that completes the family: t-digest = quantiles, HLL = distinct,
+    * CMS = frequencies). The sketch is built by one distributed
+    * aggregation (map-side mergeable, O(w·d) bytes regardless of input)
+    * and only the SKETCH is collected — per-key estimates are driver
+    * lookups against it, the way a 100 TB pipeline answers "how often
+    * does key k appear" without a groupBy over the key universe.
+    * Estimates are Spark-sketch-specific (seeded hashes) → rows-only;
+    * the ≥-exact and ε·N bounds are asserted in OperatorsSpec. */
+  def cmsFrequencies(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sketch = Tables.lineitem(s, dir)
+      .stat.countMinSketch($"l_suppkey", eps = 0.001, confidence = 0.99,
+        seed = 42)
+    (0L to 9L).map(k => (k, sketch.estimateCount(k)))
+      .toDF("l_suppkey", "est_count")
+      .orderBy($"l_suppkey")
+  }
+
   /** Seeded row sampling (copying.hpp:883 sample) — deterministic within
     * Spark for a fixed seed; rows-only check. */
   def sampleSeeded(s: SparkSession, dir: String): DataFrame = {
@@ -380,6 +399,7 @@ object MiscPack extends QueryPack {
     "agg_tdigest" -> tdigestQuantiles,
     "agg_tdigest_merge" -> tdigestMergeRollup,
     "agg_hll_rollup" -> hllRollup,
+    "agg_cms_freq" -> cmsFrequencies,
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,

@@ -387,6 +387,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert(perGroup > 2 * est)
   }
 
+  test("count-min sketch estimates are >= exact and within eps*N") {
+    val df = (1 to 20000).map(i => i % 100).toDF("k")
+    val cms = df.stat.countMinSketch($"k", eps = 0.001, confidence = 0.99,
+      seed = 42)
+    // every key appears exactly 200 times; CMS only ever OVER-counts
+    (0L to 99L).foreach { k =>
+      val est = cms.estimateCount(k)
+      assert(est >= 200, s"CMS must never undercount, got $est for $k")
+      assert(est <= 200 + (0.001 * 20000).toLong + 1,
+        s"estimate $est exceeds the eps*N bound for $k")
+    }
+  }
+
+  test("bloomScreenBatch: no false negatives, bounded false positives") {
+    import graft.operators.Dedup
+    val corpus = (1 to 10000).map(i => s"doc-$i").toDF("key").cache()
+    val screen = Dedup.bloomScreenBatch(corpus, "key",
+      expectedItems = 10000, fpp = 0.01)
+    try {
+      // every corpus key must be rejected (Bloom has no false negatives)
+      val leaked = screen(corpus).count()
+      assert(leaked == 0, s"$leaked already-ingested keys passed the screen")
+      // novel keys are admitted at >= 1 - ~fpp
+      val novel = (1 to 10000).map(i => s"new-$i").toDF("key")
+      val admitted = screen(novel).count()
+      assert(admitted >= 10000 - 500,
+        s"only $admitted/10000 novel keys admitted (fpp blowout)")
+    } finally screen.close()
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
