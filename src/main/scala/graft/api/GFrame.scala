@@ -266,6 +266,24 @@ final case class GFrame(df: DataFrame) {
       threshold: Double): GFrame =
     GFrame(graft.operators.FuzzyJoin.jaroWinklerBlockedJoin(
       df, keyCol, blockKey, threshold))
+  /** Record-linkage resolution: best in-block JW match per key. */
+  def linkRecords(keyCol: String, dict: GFrame, dictKey: String,
+      blockKey: Column => Column, threshold: Double): GFrame =
+    GFrame(graft.operators.FuzzyJoin.jaroWinklerBestMatch(
+      df, keyCol, dict.df, dictKey, blockKey, threshold))
+  /** Zero-shuffle approximate-membership gate over THIS frame's keys. */
+  def bloomScreen(keyCol: String, expectedItems: Long,
+      fpp: Double = 0.01): graft.operators.IngestScreen =
+    graft.operators.Dedup.bloomScreenBatch(df, keyCol, expectedItems, fpp)
+  def charEntropy(idCol: String, textCol: String): GFrame =
+    GFrame(graft.operators.TextPipeline.charEntropy(df, idCol, textCol))
+  def phoneticKeys(termCol: String): GFrame =
+    GFrame(df.withColumn("soundex",
+        org.apache.spark.sql.functions.soundex(col(termCol)))
+      .withColumn("metaphone",
+        graft.plans.GraftExpressions.metaphone(col(termCol))))
+  def learnBpeMerges(textCol: String, numMerges: Int): Seq[(String, String, Long)] =
+    graft.operators.BpeLearn.learnFromCorpus(df, textCol, numMerges)
 
   // ---- corpus assembly (graft.operators.Curation) ----
   /** Deterministic train/val/test split; cuts are cumulative upper

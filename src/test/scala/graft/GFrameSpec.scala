@@ -321,4 +321,27 @@ class GFrameSpec extends AnyFunSuite {
       .toDF.count()
     assert(pairs == 1L)
   }
+
+  test("round-7 façade additions: linkage, phonetics, entropy, bloom, bpe") {
+    import org.apache.spark.sql.functions.substring
+    val names = GFrame(Seq("martha", "marhta", "dwayne").toDF("nm"))
+    val linked = names
+      .linkRecords("nm", names, "nm", n => substring(n, 1, 1), 0.9)
+      .toDF.orderBy("nm").collect()
+    assert(linked.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("marhta", "martha"), ("martha", "marhta")))
+    val keys = GFrame(Seq(Tuple1("knight")).toDF("term"))
+      .phoneticKeys("term").toDF.head
+    assert(keys.getString(1) == "K523" && keys.getString(2) == "NT")
+    val ent = GFrame(Seq((1L, "abcd")).toDF("id", "text"))
+      .charEntropy("id", "text").toDF.head
+    assert(math.abs(ent.getDouble(3) - math.log(4)) < 1e-15)
+    val corpus = GFrame(Seq("a", "b").toDF("k"))
+    val screen = corpus.bloomScreen("k", expectedItems = 100)
+    try assert(screen(Seq("a", "z").toDF("k")).count() == 1L)
+    finally screen.close()
+    val merges = GFrame(Seq((1L, "low low")).toDF("id", "text"))
+      .learnBpeMerges("text", 1)
+    assert(merges == Seq(("l", "o", 2L)))
+  }
 }

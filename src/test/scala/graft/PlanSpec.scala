@@ -276,6 +276,23 @@ class PlanSpec extends AnyFunSuite {
       s"first-occurrence must come from min-struct aggregation:\n$p")
   }
 
+  test("str_record_linkage: resolution is an argmax aggregation, never a per-key window") {
+    // a window would co-locate + sort every candidate of the hottest
+    // block key in one unsplittable partition; min_by partial-aggregates
+    val p = plan("str_record_linkage")
+    assert(!p.contains("Window"),
+      s"best-match must resolve via min_by aggregation:\n$p")
+  }
+
+  test("io_zorder_prune: the dimension predicate reaches the z-ordered scan") {
+    // the whole point of the layout is that the read prunes on l_suppkey
+    // via file/row-group stats — the filter must be pushed, not residual
+    val p = plan("io_zorder_prune")
+    val pushed = p.linesIterator.exists(l =>
+      l.contains("PushedFilters") && l.contains("l_suppkey"))
+    assert(pushed, s"l_suppkey filter not pushed to the z-ordered scan:\n$p")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
