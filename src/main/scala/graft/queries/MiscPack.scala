@@ -145,6 +145,76 @@ object MiscPack extends QueryPack {
       .orderBy($"l_suppkey")
   }
 
+  /** Data-quality rule audit (Deequ shape): every rule's violation
+    * count in ONE pass over lineitem, plus referential integrity
+    * against orders as a broadcast-able anti-join. The oracle recomputes
+    * each count independently — zero violations is itself a checked
+    * CLAIM, not an assumption. */
+  def dqRuleAudit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Validate
+    val li = Tables.lineitem(s, dir)
+    val ruleCounts = Validate.checkRows(li, Seq(
+      "disc_range" -> $"l_discount".between(0, 1),
+      "price_nonneg" -> ($"l_extendedprice" >= 0),
+      "qty_positive" -> ($"l_quantity" > 0),
+      "flag_in_set" -> $"l_returnflag".isin("A", "N", "R")))
+    val orphans = Validate.orphanKeys(
+      li, "l_orderkey", Tables.orders(s, dir), "o_orderkey").count()
+    ruleCounts
+      .union(Seq(("orphan_lineitem", orphans)).toDF("rule", "violations"))
+      .orderBy($"rule")
+  }
+
+  val dqRuleAuditSql: String =
+    """SELECT * FROM (
+      |  SELECT 'disc_range' AS rule, CAST(count(*) FILTER (
+      |    WHERE NOT coalesce(l_discount BETWEEN 0 AND 1, false)) AS BIGINT)
+      |    AS violations FROM lineitem
+      |  UNION ALL SELECT 'price_nonneg', CAST(count(*) FILTER (
+      |    WHERE NOT coalesce(l_extendedprice >= 0, false)) AS BIGINT)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'qty_positive', CAST(count(*) FILTER (
+      |    WHERE NOT coalesce(l_quantity > 0, false)) AS BIGINT)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'flag_in_set', CAST(count(*) FILTER (
+      |    WHERE NOT coalesce(l_returnflag IN ('A', 'N', 'R'), false)) AS BIGINT)
+      |    FROM lineitem
+      |  UNION ALL SELECT 'orphan_lineitem', CAST((
+      |    SELECT count(*) FROM lineitem l
+      |    WHERE l.l_orderkey IS NOT NULL AND NOT EXISTS (
+      |      SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |    AS BIGINT))
+      |ORDER BY rule""".stripMargin
+
+  /** Single-pass column profile (exact-distinct mode for the gate;
+    * HLL mode is the scale default — see Validate.profile). Integer and
+    * string columns only: min/max stringification of floats is
+    * engine-formatting territory. */
+  def dqProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validate.profile(Tables.orders(s, dir),
+        Seq("o_custkey", "o_orderstatus", "o_orderpriority"), exact = true)
+      .orderBy(org.apache.spark.sql.functions.col("col_name"))
+
+  val dqProfileSql: String =
+    """SELECT * FROM (
+      |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+      |    CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS n_nulls,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+      |    CAST(min(o_custkey) AS VARCHAR) AS min_str,
+      |    CAST(max(o_custkey) AS VARCHAR) AS max_str FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderstatus', count(*),
+      |    CAST(count(*) FILTER (WHERE o_orderstatus IS NULL) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+      |    min(o_orderstatus), max(o_orderstatus) FROM orders
+      |  UNION ALL
+      |  SELECT 'o_orderpriority', count(*),
+      |    CAST(count(*) FILTER (WHERE o_orderpriority IS NULL) AS BIGINT),
+      |    CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+      |    min(o_orderpriority), max(o_orderpriority) FROM orders)
+      |ORDER BY col_name""".stripMargin
+
   /** Seeded row sampling (copying.hpp:883 sample) — deterministic within
     * Spark for a fixed seed; rows-only check. */
   def sampleSeeded(s: SparkSession, dir: String): DataFrame = {
@@ -400,6 +470,8 @@ object MiscPack extends QueryPack {
     "agg_tdigest_merge" -> tdigestMergeRollup,
     "agg_hll_rollup" -> hllRollup,
     "agg_cms_freq" -> cmsFrequencies,
+    "dq_rule_audit" -> dqRuleAudit,
+    "dq_profile" -> dqProfile,
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
@@ -422,6 +494,8 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "dq_rule_audit" -> dqRuleAuditSql,
+    "dq_profile" -> dqProfileSql,
     "is_sorted_check" -> isSortedSql,
     "encode_factorize" -> encodeFactorizeSql,
     "search_sorted" -> searchSortedSql,

@@ -417,6 +417,32 @@ class OperatorsSpec extends AnyFunSuite {
     } finally screen.close()
   }
 
+  test("Validate: planted violations, null rules, orphans, profile metrics") {
+    import graft.operators.Validate
+    val df = Seq(
+      (1L, 10.0, "a"), (2L, -5.0, "b"), (3L, 0.0, null),
+      (4L, 3.0, "a")).toDF("id", "v", "s")
+    val rules = Validate.checkRows(df, Seq(
+      "v_nonneg" -> ($"v" >= 0),
+      "s_not_null" -> $"s".isNotNull,
+      // null predicate (null >= comparison) counts as a violation
+      "s_in_set" -> $"s".isin("a", "b")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rules == Map("v_nonneg" -> 1L, "s_not_null" -> 1L, "s_in_set" -> 1L))
+    val orphans = Validate.orphanKeys(
+        Seq(1L, 2L, 9L).toDF("fk"), "fk",
+        Seq(1L, 2L, 3L).toDF("pk"), "pk")
+      .as[Long].collect()
+    assert(orphans.toSeq == Seq(9L))
+    val prof = Validate.profile(df, Seq("s"), exact = true).head()
+    assert(prof.getString(0) == "s" && prof.getLong(1) == 4L &&
+      prof.getLong(2) == 1L && prof.getLong(3) == 2L &&
+      prof.getString(4) == "a" && prof.getString(5) == "b")
+    // approx mode: same shape, estimate close on tiny input
+    val approx = Validate.profile(df, Seq("id")).head()
+    assert(approx.getLong(3) == 4L)
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
