@@ -215,6 +215,64 @@ object MiscPack extends QueryPack {
       |    min(o_orderpriority), max(o_orderpriority) FROM orders)
       |ORDER BY col_name""".stripMargin
 
+  /** CDC merge: a synthetic change log (updates %7, deletes %13,
+    * inserts %11 — overlapping on purpose, e.g. key 0 hits all three)
+    * compacted latest-wins by sequence, then MERGEd into the customer
+    * snapshot. Delete seq 3 > update 2 > insert 1, so overlaps resolve
+    * deterministically on both engines; the oracle replicates
+    * compaction with a row_number window and the merge with a full
+    * outer join — different formulation, same contract. */
+  def cdcMerge(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Cdc
+    val base = Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+    val changes =
+      base.filter($"c_custkey" % 7 === 0)
+        .withColumn("c_acctbal", $"c_acctbal" + 100.0)
+        .withColumn("op", lit("U")).withColumn("seq", lit(2L))
+      .unionByName(base.filter($"c_custkey" % 13 === 0)
+        .withColumn("op", lit("D")).withColumn("seq", lit(3L)))
+      .unionByName(base.filter($"c_custkey" % 11 === 0)
+        .withColumn("c_custkey", $"c_custkey" + 1000000L)
+        .withColumn("op", lit("I")).withColumn("seq", lit(1L)))
+    val compact = Cdc.compactLog(changes, "c_custkey", "seq", "op")
+    Cdc.merge(base, compact, "c_custkey", "op")
+      .orderBy($"c_custkey")
+  }
+
+  val cdcMergeSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer),
+      |changes AS (
+      |  SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+      |         c_mktsegment, 'U' AS op, 2 AS seq
+      |  FROM base WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment, 'D', 3
+      |  FROM base WHERE c_custkey % 13 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, c_name, c_acctbal, c_mktsegment, 'I', 1
+      |  FROM base WHERE c_custkey % 11 = 0),
+      |compact AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY c_custkey ORDER BY seq DESC, op DESC) AS rn
+      |    FROM changes) WHERE rn = 1),
+      |merged AS (
+      |  SELECT coalesce(c.c_custkey, b.c_custkey) AS c_custkey,
+      |    CASE WHEN c.c_custkey IS NOT NULL THEN c.c_name ELSE b.c_name END
+      |      AS c_name,
+      |    CASE WHEN c.c_custkey IS NOT NULL THEN c.c_acctbal
+      |      ELSE b.c_acctbal END AS c_acctbal,
+      |    CASE WHEN c.c_custkey IS NOT NULL THEN c.c_mktsegment
+      |      ELSE b.c_mktsegment END AS c_mktsegment,
+      |    c.op AS op
+      |  FROM base b FULL OUTER JOIN compact c ON b.c_custkey = c.c_custkey)
+      |SELECT c_custkey, c_name, c_acctbal, c_mktsegment
+      |FROM merged WHERE op IS NULL OR op <> 'D'
+      |ORDER BY c_custkey""".stripMargin
+
   /** Seeded row sampling (copying.hpp:883 sample) — deterministic within
     * Spark for a fixed seed; rows-only check. */
   def sampleSeeded(s: SparkSession, dir: String): DataFrame = {
@@ -472,6 +530,7 @@ object MiscPack extends QueryPack {
     "agg_cms_freq" -> cmsFrequencies,
     "dq_rule_audit" -> dqRuleAudit,
     "dq_profile" -> dqProfile,
+    "cdc_merge" -> cdcMerge,
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
@@ -496,6 +555,7 @@ object MiscPack extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "dq_rule_audit" -> dqRuleAuditSql,
     "dq_profile" -> dqProfileSql,
+    "cdc_merge" -> cdcMergeSql,
     "is_sorted_check" -> isSortedSql,
     "encode_factorize" -> encodeFactorizeSql,
     "search_sorted" -> searchSortedSql,

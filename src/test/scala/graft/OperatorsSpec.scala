@@ -443,6 +443,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(approx.getLong(3) == 4L)
   }
 
+  test("Cdc: log compaction latest-wins; merge upserts, deletes, passes through") {
+    import graft.operators.Cdc
+    val snapshot = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "bal")
+    val log = Seq(
+      (1L, "a", 11.0, "U", 1L), (1L, "a", 12.0, "U", 2L), // latest wins
+      (2L, "b", 20.0, "D", 1L),                           // delete
+      (4L, "d", 40.0, "I", 1L),                           // insert
+      (4L, "d", 41.0, "U", 2L)                            // then update
+    ).toDF("k", "name", "bal", "op", "seq")
+    val compact = Cdc.compactLog(log, "k", "seq", "op")
+    assert(compact.count() == 3)
+    val merged = Cdc.merge(snapshot, compact, "k", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(merged.toSeq == Seq(
+      (1L, "a", 12.0),  // updated to the latest change
+      (3L, "c", 30.0),  // untouched passes through; 2 deleted
+      (4L, "d", 41.0))) // inserted then updated
+  }
+
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
