@@ -293,6 +293,41 @@ class PlanSpec extends AnyFunSuite {
     assert(pushed, s"l_suppkey filter not pushed to the z-ordered scan:\n$p")
   }
 
+  test("runtime bloom-filter join pruning injects might_contain on the probe side") {
+    // SURVEY §2.10: cudf_streaming's shuffle bloom filter maps to
+    // Spark's runtime filter injection — a selective dim filter becomes
+    // a bloom probe on the fact scan, cutting shuffle input before the
+    // join. Thresholds lowered because testdata is tiny; at cluster
+    // scale the defaults (10GB probe side) gate the same rewrite.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      // force a shuffle join — broadcast joins skip runtime filters
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = graft.Tables.lineitem(spark, dir)
+      val ord = graft.Tables.orders(spark, dir)
+        .filter(org.apache.spark.sql.functions.col("o_orderpriority") === "1-URGENT")
+      val p = li.join(ord,
+          li("l_orderkey") === ord("o_orderkey"))
+        .groupBy(li("l_returnflag"))
+        .count()
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain") || p.contains("bloom_filter"),
+        s"no runtime bloom filter injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
