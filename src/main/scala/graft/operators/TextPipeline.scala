@@ -156,6 +156,43 @@ object TextPipeline {
       })
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting algorithm): hash every
+    * k-token gram, slide a w-gram window, keep each window's MINIMUM
+    * hash, emit the distinct selected hashes per document. Guarantees:
+    * any shared run of k+w−1 tokens between two documents shares at
+    * least one fingerprint (detection), and selected density is
+    * ~2/(w+1) of grams (bounded index size — the property that lets a
+    * 100 TB corpus keep its plagiarism/contamination index a small
+    * fraction of itself; pair candidates then come from a
+    * PostingLists-style equi-join on fp, never a doc×doc compare).
+    *
+    * Hashes are the engine-portable md5-60 pipeline
+    * ([[graft.plans.PortableHash]] contract), so the fingerprint SET —
+    * not just its size — is DuckDB-oracle-checkable. The per-doc window
+    * is document-bounded (same cost envelope as the win_* family);
+    * docs with fewer than k+w−1 tokens emit nothing. */
+  def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol), tokens(col(textCol)).as("t"))
+      .select(col(idCol), posexplode(expr(
+        s"""transform(sequence(1, greatest(size(t) - ${k - 1}, 0)),
+            i -> concat_ws(' ', slice(t, i, $k)))"""))
+        .as(Seq("i", "gram")))
+      .withColumn("h",
+        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
+    val byDoc = Window.partitionBy(col(idCol))
+    val ordered = byDoc.orderBy(col("i"))
+    grams
+      .withColumn("fp", min(col("h")).over(ordered.rowsBetween(0, w - 1)))
+      .withColumn("rn", row_number().over(ordered))
+      .withColumn("ng", count(lit(1)).over(byDoc))
+      .filter(col("rn") <= col("ng") - (w - 1)) // full windows only
+      .select(col(idCol), col("fp")).distinct()
+  }
+
   /** Per-position bigram structs of a token array, empty for docs with
     * < 2 tokens (sequence(1, 0) would be the DESCENDING [1, 0] — same
     * guard as repetitionStats). */

@@ -244,6 +244,36 @@ object TextOps extends QueryPack {
        |FROM q JOIN cuts c ON q.lang = c.lang
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Winnowing fingerprints over the corpus (MOSS; see
+    * [[graft.operators.TextPipeline.winnowFingerprints]]): the oracle
+    * replays k-gram hashing (portable md5-60), the w-window minimum
+    * (ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING), the full-window guard
+    * and the distinct — the fingerprint SET matches bit for bit. */
+  def docWinnow(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline
+      .winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("fp"))
+
+  val docWinnowSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, g.i AS i,
+       |    CAST(('0x' || substring(
+       |      md5(t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2]),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM toks,
+       |    LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+       |      AS g(i)),
+       |wins AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM grams)
+       |SELECT DISTINCT doc_id, fp FROM wins WHERE rn <= ng - 3
+       |ORDER BY doc_id, fp""".stripMargin
+
   /** Phonetic keys: American Soundex over the corpus vocabulary —
     * the classic blocking key for record linkage (compose with
     * [[graft.operators.FuzzyJoin]] for block-then-verify linkage).
@@ -1590,6 +1620,7 @@ object TextOps extends QueryPack {
     "doc_quality" -> quality,
     "doc_quality_buckets" -> qualityBuckets,
     "doc_char_entropy" -> charEntropyQ,
+    "doc_winnow" -> docWinnow,
     "doc_soundex" -> docSoundex,
     "doc_metaphone" -> docMetaphone,
     "doc_scripts" -> docScripts,
@@ -1636,6 +1667,7 @@ object TextOps extends QueryPack {
     "doc_quality" -> qualitySql,
     "doc_quality_buckets" -> qualityBucketsSql,
     "doc_char_entropy" -> charEntropySql,
+    "doc_winnow" -> docWinnowSql,
     "doc_soundex" -> docSoundexSql,
     "doc_metaphone" -> docMetaphoneSql,
     "doc_scripts" -> docScriptsSql,

@@ -385,4 +385,34 @@ class PropertySpec extends AnyFunSuite {
         d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
     d(a.length)(b.length)
   }
+
+  test("winnowing: shared k+w-1 runs always share a fingerprint; density bounded") {
+    import graft.operators.TextPipeline
+    val word = Gen.oneOf("ax", "by", "cz", "dw", "ev", "fu", "gt", "hs")
+    val gen = for {
+      n1 <- Gen.choose(8, 20)
+      n2 <- Gen.choose(8, 20)
+      d1 <- Gen.listOfN(n1, word)
+      d2 <- Gen.listOfN(n2, word)
+      runLen <- Gen.choose(6, 9) // k + w - 1 = 6 guarantees detection
+      run <- Gen.listOfN(runLen, word)
+    } yield (d1, d2, run)
+    forAll(gen, n = 12) { case (d1, d2, run) =>
+      // plant the same run in both docs
+      val t1 = (d1 ++ run).mkString(" ")
+      val t2 = (run ++ d2).mkString(" ")
+      val fps = TextPipeline
+        .winnowFingerprints(
+          Seq((1L, t1), (2L, t2)).toDF("doc_id", "text"), "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val s1 = fps.collect { case (1L, f) => f }.toSet
+      val s2 = fps.collect { case (2L, f) => f }.toSet
+      assert((s1 & s2).nonEmpty,
+        s"planted shared run of ${run.length} tokens produced no shared fingerprint")
+      // density: selected distinct fps never exceed gram count, and
+      // winnowing picks ≤ 1 new fp per window start
+      val grams1 = (d1.length + run.length) - 2
+      assert(s1.size <= grams1 - 3)
+    }
+  }
 }
