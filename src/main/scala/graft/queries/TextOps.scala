@@ -274,6 +274,47 @@ object TextOps extends QueryPack {
        |SELECT DISTINCT doc_id, fp FROM wins WHERE rn <= ng - 3
        |ORDER BY doc_id, fp""".stripMargin
 
+  /** Winnow-based contamination pairs: document pairs sharing ≥ 10
+    * winnowing fingerprints, with the shared count. The pair stream
+    * rides [[graft.operators.PostingLists.candidatePairs]] on the
+    * fingerprint (per-fp posting lists, one row per shared fp —
+    * multiplicity IS the signal, aggregated per pair), never a doc×doc
+    * or fps×fps self-join. The oracle joins the same fingerprint sets
+    * in SQL. */
+  def docWinnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = graft.operators.TextPipeline
+      .winnowFingerprints(Tables.documents(s, dir), "doc_id", "text")
+    graft.operators.PostingLists.candidatePairs(fps, "doc_id", "fp")
+      .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val docWinnowPairsSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, g.i AS i,
+       |    CAST(('0x' || substring(
+       |      md5(t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2]),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM toks,
+       |    LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+       |      AS g(i)),
+       |wins AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE rn <= ng - 3)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 10
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Phonetic keys: American Soundex over the corpus vocabulary —
     * the classic blocking key for record linkage (compose with
     * [[graft.operators.FuzzyJoin]] for block-then-verify linkage).
@@ -1621,6 +1662,7 @@ object TextOps extends QueryPack {
     "doc_quality_buckets" -> qualityBuckets,
     "doc_char_entropy" -> charEntropyQ,
     "doc_winnow" -> docWinnow,
+    "doc_winnow_pairs" -> docWinnowPairs,
     "doc_soundex" -> docSoundex,
     "doc_metaphone" -> docMetaphone,
     "doc_scripts" -> docScripts,
@@ -1668,6 +1710,7 @@ object TextOps extends QueryPack {
     "doc_quality_buckets" -> qualityBucketsSql,
     "doc_char_entropy" -> charEntropySql,
     "doc_winnow" -> docWinnowSql,
+    "doc_winnow_pairs" -> docWinnowPairsSql,
     "doc_soundex" -> docSoundexSql,
     "doc_metaphone" -> docMetaphoneSql,
     "doc_scripts" -> docScriptsSql,
