@@ -215,6 +215,45 @@ object MiscPack extends QueryPack {
       |    min(o_orderpriority), max(o_orderpriority) FROM orders)
       |ORDER BY col_name""".stripMargin
 
+  /** KMV distinct sketch — the ORACLE-CHECKABLE sketch: "k smallest
+    * distinct portable hashes" is a pure function of the input set, so
+    * unlike HLL/CMS the ESTIMATE itself hash-matches DuckDB (same
+    * md5-60, same k-th order statistic, same (k−1)·2^60/h_k
+    * arithmetic). Exact distinct alongside shows the ~6% (k=256)
+    * envelope in the result itself. */
+  def kmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.KmvDistinct
+    Tables.lineitem(s, dir).groupBy($"l_returnflag")
+      .agg(KmvDistinct.of($"l_partkey".cast("string")).as("kmv_est"),
+        countDistinct($"l_partkey").as("n_exact"))
+      .orderBy($"l_returnflag")
+  }
+
+  val kmvDistinctSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM lineitem WHERE l_partkey IS NOT NULL),
+      |r AS (
+      |  SELECT l_returnflag, h,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS d
+      |  FROM h),
+      |x AS (
+      |  SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT)
+      |    AS n_exact
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT r.l_returnflag,
+      |  CASE WHEN max(r.d) < 256 THEN CAST(max(r.d) AS DOUBLE)
+      |       ELSE 255.0 * 1152921504606846976.0 /
+      |            CAST(max(CASE WHEN r.rk = 256 THEN r.h END) AS DOUBLE)
+      |  END AS kmv_est,
+      |  max(x.n_exact) AS n_exact
+      |FROM r JOIN x ON r.l_returnflag = x.l_returnflag
+      |GROUP BY r.l_returnflag ORDER BY r.l_returnflag""".stripMargin
+
   /** CDC merge: a synthetic change log (updates %7, deletes %13,
     * inserts %11 — overlapping on purpose, e.g. key 0 hits all three)
     * compacted latest-wins by sequence, then MERGEd into the customer
@@ -531,6 +570,7 @@ object MiscPack extends QueryPack {
     "dq_rule_audit" -> dqRuleAudit,
     "dq_profile" -> dqProfile,
     "cdc_merge" -> cdcMerge,
+    "agg_kmv_distinct" -> kmvDistinct,
     "decimal_arith" -> decimalArith,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
@@ -556,6 +596,7 @@ object MiscPack extends QueryPack {
     "dq_rule_audit" -> dqRuleAuditSql,
     "dq_profile" -> dqProfileSql,
     "cdc_merge" -> cdcMergeSql,
+    "agg_kmv_distinct" -> kmvDistinctSql,
     "is_sorted_check" -> isSortedSql,
     "encode_factorize" -> encodeFactorizeSql,
     "search_sorted" -> searchSortedSql,

@@ -253,6 +253,36 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV sketch: exact below saturation, ~6% above, merge = union") {
+    import graft.plans.{KmvBuffer, KmvDistinct, PortableHash}
+    // below k: the sketch IS the distinct set
+    val small = new KmvBuffer(256)
+    (1 to 100).foreach(i => small.add(PortableHash.md5_60(i.toString.getBytes)))
+    (1 to 100).foreach(i => small.add(PortableHash.md5_60(i.toString.getBytes)))
+    assert(small.estimate == 100.0, "duplicates must not inflate")
+    // above k: estimator within ~4 standard errors (1/sqrt(k-2) ~ 6.3%)
+    val big = new KmvBuffer(256)
+    (1 to 50000).foreach(i => big.add(PortableHash.md5_60(i.toString.getBytes)))
+    assert(math.abs(big.estimate - 50000) / 50000 < 0.25, s"${big.estimate}")
+    // merge of disjoint halves == single-pass sketch (set semantics)
+    val a = new KmvBuffer(256); val b = new KmvBuffer(256)
+    (1 to 25000).foreach(i => a.add(PortableHash.md5_60(i.toString.getBytes)))
+    (25001 to 50000).foreach(i => b.add(PortableHash.md5_60(i.toString.getBytes)))
+    a.merge(b)
+    assert(a.estimate == big.estimate, "merge must equal the one-pass sketch")
+    // serialization round trip
+    val rt = KmvBuffer.deserialize(big.serialize())
+    assert(rt.estimate == big.estimate && rt.k == 256)
+    // through a real plan, group split across partitions
+    val df = (1 to 10000).map(i => (i % 2, i.toString)).toDF("g", "v")
+      .repartition(8)
+    val got = df.groupBy($"g").agg(KmvDistinct.of($"v").as("est"))
+      .orderBy($"g").as[(Int, Double)].collect()
+    got.foreach { case (_, est) =>
+      assert(math.abs(est - 5000) / 5000 < 0.25, s"$est")
+    }
+  }
+
   test("searchSorted/labelBins match hand expectations") {
     import graft.functions.NumericFunctions._
     val df = Seq(-1.0, 0.0, 5.0, 10.0, 45.0, 60.0).toDF("v")
