@@ -52,6 +52,41 @@ object Curation {
     df.withColumn(outCol, label)
   }
 
+  /** [[assignSplit]] with GROUP atomicity: every row sharing a
+    * `groupCol` value lands in the same split, decided by the group
+    * REPRESENTATIVE (min `idCol` in the group), not the row id. This is
+    * the leakage-free split: with row-level hashing, a duplicated or
+    * near-duplicated document can sit in train while its twin sits in
+    * eval — the classic benchmark-contamination leak. Pass a content
+    * digest, a near-dup cluster id ([[Dedup.nearDupClusters]] roots),
+    * or a source/domain key as the group. Cost: one group-keyed
+    * aggregation for the representative + one join back (broadcast-able
+    * when groups ≪ rows); the split decision itself stays the zero-
+    * shuffle portable [[hashUnit]]. */
+  def assignSplitByGroup(df: DataFrame, groupCol: String, idCol: String,
+      seed: String, cuts: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
+      "cuts must be cumulative upper bounds ending at >= 1.0")
+    val reps = df.groupBy(col(groupCol))
+      .agg(min(col(idCol)).as("__rep"))
+    val u = hashUnit(col("__rep"), seed)
+    val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
+      case ((name, upper), rest) => when(u < upper, name).otherwise(rest)
+    }
+    df.join(reps, Seq(groupCol))
+      .withColumn(outCol, label)
+      .drop("__rep")
+  }
+
+  /** Content-level leakage-free split: group = md5(textCol) — exact
+    * duplicates always share a split. */
+  def assignSplitLeakFree(df: DataFrame, idCol: String, textCol: String,
+      seed: String, cuts: Seq[(String, Double)],
+      outCol: String = "split"): DataFrame =
+    assignSplitByGroup(df.withColumn("__dig", md5(col(textCol))),
+      "__dig", idCol, seed, cuts, outCol).drop("__dig")
+
   /** At most `k` rows per group, chosen deterministically (by
     * [[hashUnit]] of the id, id as tie-break) — the domain-balancing /
     * per-source-quota stage. One shuffle keyed on the group column;

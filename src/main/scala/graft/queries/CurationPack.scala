@@ -39,6 +39,28 @@ object CurationPack extends QueryPack {
        |FROM (SELECT doc_id, ${uSql("doc_id", "graft")} AS u FROM documents)
        |ORDER BY doc_id""".stripMargin
 
+  /** Leakage-free split: exact-duplicate documents (same md5(text))
+    * always land in the same split — the oracle replays rep = min id
+    * per digest and the same portable hashUnit on the REP. The corpus
+    * has planted duplicates, so this genuinely diverges from the
+    * row-level corpus_split wherever a dup group spans a cut. */
+  def splitLeakFree(s: SparkSession, dir: String): DataFrame =
+    Curation.assignSplitLeakFree(Tables.documents(s, dir), "doc_id",
+        "text", "graft", Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
+  val splitLeakFreeSql: String =
+    s"""WITH g AS (SELECT doc_id, md5(text) AS dig FROM documents),
+       |reps AS (SELECT dig, min(doc_id) AS rep FROM g GROUP BY dig)
+       |SELECT g.doc_id,
+       |  CASE WHEN u < 0.8 THEN 'train'
+       |       WHEN u < 0.9 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT g.doc_id, ${uSql("r.rep", "graft")} AS u
+       |      FROM g JOIN reps r ON g.dig = r.dig) g
+       |ORDER BY doc_id""".stripMargin
+
   // -- per-source quota sampling -------------------------------------------
 
   def sampleGroup(s: SparkSession, dir: String): DataFrame =
@@ -340,6 +362,7 @@ object CurationPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_split" -> split,
+    "corpus_split_leakfree" -> splitLeakFree,
     "corpus_sample_group" -> sampleGroup,
     "corpus_mixture" -> mixture,
     "corpus_survivors" -> survivors,
@@ -354,6 +377,7 @@ object CurationPack extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "corpus_split" -> splitSql,
+    "corpus_split_leakfree" -> splitLeakFreeSql,
     "corpus_sample_group" -> sampleGroupSql,
     "corpus_mixture" -> mixtureSql,
     "corpus_survivors" -> survivorsSql,

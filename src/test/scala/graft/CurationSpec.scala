@@ -88,6 +88,31 @@ class CurationSpec extends AnyFunSuite {
     assert(got(2) == ((0L, 0L, 0L, 0.0, 0.0)))
   }
 
+  test("leakage-free split keeps duplicate groups together") {
+    val docs = (1L to 200L).map { i =>
+      // ids 2k and 2k+1 share content: 100 duplicate pairs
+      (i, s"content ${i / 2}")
+    }.toDF("id", "text")
+    val cuts = Seq("train" -> 0.5, "test" -> 1.0)
+    val leakFree = Curation.assignSplitLeakFree(docs, "id", "text",
+      "s1", cuts).select("id", "text", "split").collect()
+    // invariant: same content -> same split, every time
+    leakFree.groupBy(_.getString(1)).foreach { case (_, rows) =>
+      assert(rows.map(_.getString(2)).distinct.length == 1,
+        "a duplicate group spanned two splits")
+    }
+    // the row-level split DOES leak on this corpus (some pair straddles
+    // a cut) — proving the group variant isn't vacuously identical
+    val rowLevel = Curation.assignSplit(docs, "id", "s1", cuts)
+      .select("text", "split").collect()
+    val leaked = rowLevel.groupBy(_.getString(0))
+      .exists(_._2.map(_.getString(1)).distinct.length > 1)
+    assert(leaked, "corpus too small to show the leak; grow it")
+    // both splits are populated (sanity)
+    assert(leakFree.map(_.getString(2)).distinct.sorted.toSeq ==
+      Seq("test", "train"))
+  }
+
   test("BpeLearn.applyMerge is the greedy non-overlapping scan") {
     import graft.operators.BpeLearn
     val df = Seq("aaa", "abab", "cab", "xy").toDF("w")
