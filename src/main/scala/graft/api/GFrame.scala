@@ -284,6 +284,32 @@ final case class GFrame(df: DataFrame) {
         graft.plans.GraftExpressions.metaphone(col(termCol))))
   def learnBpeMerges(textCol: String, numMerges: Int): Seq[(String, String, Long)] =
     graft.operators.BpeLearn.learnFromCorpus(df, textCol, numMerges)
+  def winnow(idCol: String, textCol: String, k: Int = 3,
+      w: Int = 4): GFrame =
+    GFrame(graft.operators.TextPipeline.winnowFingerprints(
+      df, idCol, textCol, k, w))
+
+  // ---- data quality + maintenance ----
+  def profile(cols: Seq[String], exact: Boolean = false): GFrame =
+    GFrame(graft.operators.Validate.profile(df, cols, exact))
+  def checkRules(rules: (String, Column)*): GFrame =
+    GFrame(graft.operators.Validate.checkRows(df, rules))
+  def orphanKeys(childKey: String, parent: GFrame,
+      parentKey: String): GFrame =
+    GFrame(graft.operators.Validate.orphanKeys(df, childKey, parent.df,
+      parentKey))
+  def mergeChanges(changes: GFrame, keyCol: String, opCol: String): GFrame =
+    GFrame(graft.operators.Cdc.merge(df, changes.df, keyCol, opCol))
+  def compactChangeLog(keyCol: String, seqCol: String,
+      opCol: String): GFrame =
+    GFrame(graft.operators.Cdc.compactLog(df, keyCol, seqCol, opCol))
+  def trainTestSplitLeakFree(idCol: String, textCol: String, seed: String,
+      cuts: Seq[(String, Double)]): GFrame =
+    GFrame(graft.operators.Curation.assignSplitLeakFree(df, idCol,
+      textCol, seed, cuts))
+  def writeZOrdered(path: String, dims: Seq[String], bits: Int = 16,
+      files: Int = 16): GFrame =
+    GFrame(graft.sources.Layout.writeZOrdered(df, path, dims, bits, files))
 
   // ---- corpus assembly (graft.operators.Curation) ----
   /** Deterministic train/val/test split; cuts are cumulative upper

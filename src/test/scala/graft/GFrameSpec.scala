@@ -344,4 +344,28 @@ class GFrameSpec extends AnyFunSuite {
       .learnBpeMerges("text", 1)
     assert(merges == Seq(("l", "o", 2L)))
   }
+
+  test("round-7 façade additions: dq, cdc, winnow, leak-free split") {
+    val snap = GFrame(Seq((1L, 10.0), (2L, 20.0)).toDF("k", "v"))
+    val rules = snap.checkRules("v_pos" -> (col("v") > 0)).toDF.head
+    assert(rules.getString(0) == "v_pos" && rules.getLong(1) == 0L)
+    val prof = snap.profile(Seq("k"), exact = true).toDF.head
+    assert(prof.getLong(3) == 2L)
+    val orphan = snap.orphanKeys("k",
+      GFrame(Seq(Tuple1(1L)).toDF("pk")), "pk").toDF.count()
+    assert(orphan == 1L)
+    val merged = snap.mergeChanges(
+        GFrame(Seq((2L, 21.0, "U"), (3L, 30.0, "I")).toDF("k", "v", "op")),
+        "k", "op")
+      .toDF.orderBy("k").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(merged.toSeq == Seq((1L, 10.0), (2L, 21.0), (3L, 30.0)))
+    val fps = GFrame(Seq((1L, "a b c d e f g")).toDF("id", "text"))
+      .winnow("id", "text").toDF.count()
+    assert(fps > 0)
+    val split = GFrame(Seq((1L, "same"), (2L, "same")).toDF("id", "text"))
+      .trainTestSplitLeakFree("id", "text", "s",
+        Seq("train" -> 0.5, "test" -> 1.0))
+      .toDF.select("split").distinct().count()
+    assert(split == 1L, "identical docs must share a split")
+  }
 }
