@@ -50,6 +50,10 @@ object BpeLearn {
         col(weightCol).cast("long").as("w"))
       .filter(size(col("syms")) > 0)
       .persist()
+    // the parent stays cached until the CHILD's first action has filled
+    // the child's cache — one job per iteration (the top-1 collect),
+    // not two (no extra count() materialization pass)
+    var parent: Option[DataFrame] = None
     val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var i = 0
     var done = false
@@ -65,6 +69,8 @@ object BpeLearn {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
         .collect()
+      // `words` is now fully cached; its parent can go
+      parent.foreach(_.unpersist()); parent = None
       if (top.isEmpty) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1),
@@ -72,15 +78,19 @@ object BpeLearn {
         out += ((a, b, c))
         val next = words
           .select(applyMerge(col("syms"), a, b).as("syms"), col("w"))
-        val mat =
-          if ((i + 1) % checkpointEvery == 0) next.localCheckpoint(true)
-          else next.persist()
-        mat.count() // materialize before releasing the parent
-        words.unpersist()
-        words = mat
+        if ((i + 1) % checkpointEvery == 0) {
+          // eager lineage cut: materializes here, parent releasable now
+          val cp = next.localCheckpoint(true)
+          words.unpersist()
+          words = cp
+        } else {
+          parent = Some(words)
+          words = next.persist()
+        }
         i += 1
       }
     }
+    parent.foreach(_.unpersist())
     words.unpersist()
     out.toSeq
   }
