@@ -533,6 +533,58 @@ case class InterleaveBits(children: Seq[Expression], bits: Int)
       cs: IndexedSeq[Expression]): InterleaveBits = copy(children = cs)
 }
 
+/** 2-D Hilbert curve index (Hilbert 1891; iterative xy→d transform as
+  * published in the standard quadrant-rotation formulation) — the
+  * locality-tighter alternative to [[InterleaveBits]]: CONSECUTIVE
+  * curve positions are always grid-adjacent (no Morton-style jumps
+  * across half the space), so range partitions cut the curve into
+  * blobs with smaller per-file bounding boxes. Same contract as the
+  * Morton code: non-negative LONG dimension codes, `bits` low bits,
+  * clamped at the edges. 2-D only (d-dimensional Hilbert needs the
+  * Butz/Lawder machinery; Morton covers k > 2). */
+case class HilbertIndex2D(left: Expression, right: Expression, bits: Int)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(bits >= 1 && bits <= 31, s"bits in [1,31], got $bits")
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hilbert_2d needs LONG dims, got ${left.dataType}, ${right.dataType}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HilbertImpl.xy2d(bits, a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HilbertIndex2D = copy(left = l, right = r)
+}
+
+object HilbertImpl {
+  /** (x, y) → distance along the order-`bits` Hilbert curve; inputs
+    * clamp into [0, 2^bits) like [[ZOrderImpl.interleave]]. */
+  def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    val n = 1L << bits
+    var x = math.min(math.max(x0, 0L), n - 1)
+    var y = math.min(math.max(y0, 0L), n - 1)
+    var d = 0L
+    var s = n >>> 1
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      // rotate the quadrant so the sub-curve orients consistently
+      // (reflection is over the FULL grid, n-1, per the published
+      // xy2d; smaller-s masks then read the correct sub-quadrant bits)
+      if (ry == 0) {
+        if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>>= 1
+    }
+    d
+  }
+}
+
 object ZOrderImpl {
   /** Interleave the low `bits` bits of each dimension; negatives clamp
     * to 0, values ≥ 2^bits clamp to 2^bits − 1 (locality at the edge
@@ -725,6 +777,8 @@ object GraftExpressions {
   def lnLibm(c: Column): Column = column(LnLibm(expression(c)))
   def interleaveBits(bits: Int, cs: Column*): Column =
     column(InterleaveBits(cs.map(expression), bits))
+  def hilbert2d(bits: Int, x: Column, y: Column): Column =
+    column(HilbertIndex2D(expression(x), expression(y), bits))
   def arrayScale(a: Column, s: Column): Column =
     column(ArrayScale(expression(a), expression(s)))
   def arrayQuantizeU8(a: Column, lo: Column, scale: Column): Column =

@@ -186,6 +186,51 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/z").count() == 128L * 128)
   }
 
+  test("Hilbert index: bijective, consecutive positions grid-adjacent") {
+    import graft.plans.HilbertImpl.xy2d
+    // enumerate the full order-4 grid (16x16): d must be a bijection
+    // onto 0..255 and the walk d -> d+1 must always move ONE step in
+    // ONE coordinate — the defining locality property Morton lacks
+    val byD = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield xy2d(4, x, y) -> (x, y)).toMap
+    assert(byD.size == 256, "xy2d must be a bijection on the grid")
+    assert(byD.keys.min == 0L && byD.keys.max == 255L)
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"jump at d=$d: ($x1,$y1) -> ($x2,$y2)")
+    }
+    // Morton, by contrast, jumps (quadrant seams): at least one
+    // consecutive pair is NOT adjacent
+    import graft.plans.ZOrderImpl.interleave
+    val byZ = (for { x <- 0 until 16; y <- 0 until 16 }
+      yield interleave(4, Array(x.toLong, y.toLong)) -> (x, y)).toMap
+    val zJumps = (0L until 255L).count { d =>
+      val (x1, y1) = byZ(d); val (x2, y2) = byZ(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1
+    }
+    assert(zJumps > 0, "Morton should jump; locality comparison is real")
+    // clamping contract matches the Morton expression
+    assert(xy2d(4, -3, 99) == xy2d(4, 0, 15))
+  }
+
+  test("hilbert-clustered layout prunes both dimensions like z-order") {
+    val base = Files.createTempDirectory("graft_hilbert").toString
+    val grid = spark.range(128L * 128)
+      .select((col("id") % 128).as("x"), (col("id") / 128).as("y"))
+    graft.sources.Layout.writeCurveClustered(grid, s"$base/h",
+      Seq("x", "y"), bits = 7, files = 16, curve = "hilbert")
+    def filesOverlapping(dir: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    assert(filesOverlapping(s"$base/h", "y", 0, 15) <= 8)
+    assert(filesOverlapping(s"$base/h", "x", 0, 15) <= 8)
+    assert(spark.read.parquet(s"$base/h").count() == 128L * 128)
+  }
+
   test("InterleaveBits is the Morton code (hand fixtures + clamping)") {
     import graft.plans.ZOrderImpl.interleave
     assert(interleave(2, Array(0L, 0L)) == 0L)
