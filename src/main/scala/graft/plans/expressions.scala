@@ -764,6 +764,110 @@ object MetaphoneImpl {
   }
 }
 
+/** Full (unrestricted) Damerau-Levenshtein distance — Lowrance-Wagner
+  * 1975: insert/delete/substitute plus transposition of adjacent
+  * characters, where the transposed pair may itself have been edited
+  * (distinguishing case: CA→ABC = 2, where the restricted/OSA variant
+  * gives 3). This is the variant DuckDB's `damerau_levenshtein`
+  * implements (verified: CA/ABC→2, ab/ba→1), so the gate query has a
+  * bit-exact cross-engine oracle. The reference ships only plain edit
+  * distance (nvtext/edit_distance.hpp:57); transposition-aware distance
+  * is the standard extension for typo-tolerant dedup/linkage.
+  * O(|a|·|b|) time, O(|a|·|b|) ints — bounded by caller-side length
+  * caps exactly like levenshtein. Codegen emits a static call so
+  * whole-stage spans stay intact. */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"damerau_levenshtein needs (string, string), got ${left.dataType}, ${right.dataType}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceImpl.damerau(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.EditDistanceImpl.damerau($a.toString(), $b.toString());")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): DamerauLevenshtein = copy(left = l, right = r)
+}
+
+/** Hamming distance over equal-length strings (count of differing
+  * positions, by UTF-16 code unit). Mirrors DuckDB's `hamming`, which
+  * REJECTS unequal lengths — so does this (callers compare fixed-width
+  * keys; a silent fallback would hide schema bugs). */
+case class HammingDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"hamming needs (string, string), got ${left.dataType}, ${right.dataType}")
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceImpl.hamming(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.EditDistanceImpl.hamming($a.toString(), $b.toString());")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): HammingDistance = copy(left = l, right = r)
+}
+
+object EditDistanceImpl {
+  /** Lowrance-Wagner full Damerau-Levenshtein (see
+    * [[DamerauLevenshtein]]): the classic (n+2)×(m+2) DP with the
+    * `da` last-occurrence table enabling non-adjacent-after-edits
+    * transpositions. */
+  def damerau(a: String, b: String): Int = {
+    val n = a.length; val m = b.length
+    if (n == 0) return m
+    if (m == 0) return n
+    val inf = n + m
+    val d = Array.ofDim[Int](n + 2, m + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= n) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val da = new java.util.HashMap[Character, Integer]()
+    i = 1
+    while (i <= n) {
+      var db = 0
+      j = 1
+      while (j <= m) {
+        val k: Int = { val v = da.get(b.charAt(j - 1)); if (v == null) 0 else v }
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        var best = d(i)(j) + cost                    // substitute / match
+        val ins = d(i + 1)(j) + 1                    // insert
+        if (ins < best) best = ins
+        val del = d(i)(j + 1) + 1                    // delete
+        if (del < best) best = del
+        val tr = d(k)(l) + (i - k - 1) + 1 + (j - l - 1) // transpose block
+        if (tr < best) best = tr
+        d(i + 1)(j + 1) = best
+        j += 1
+      }
+      da.put(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(n + 1)(m + 1)
+  }
+
+  def hamming(a: String, b: String): Int = {
+    require(a.length == b.length,
+      s"hamming needs equal lengths, got ${a.length} vs ${b.length}")
+    var c = 0; var i = 0
+    while (i < a.length) { if (a.charAt(i) != b.charAt(i)) c += 1; i += 1 }
+    c
+  }
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
 
@@ -773,6 +877,10 @@ object GraftExpressions {
     column(DotProduct(expression(a), expression(b)))
   def jaroWinkler(a: Column, b: Column): Column =
     column(JaroWinkler(expression(a), expression(b)))
+  def damerauLevenshtein(a: Column, b: Column): Column =
+    column(DamerauLevenshtein(expression(a), expression(b)))
+  def hammingDist(a: Column, b: Column): Column =
+    column(HammingDistance(expression(a), expression(b)))
   def metaphone(c: Column): Column = column(Metaphone(expression(c)))
   def lnLibm(c: Column): Column = column(LnLibm(expression(c)))
   def interleaveBits(bits: Int, cs: Column*): Column =

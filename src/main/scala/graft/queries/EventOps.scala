@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{AsOfJoin, Sessionize}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import QueryPack._
 
@@ -115,15 +116,73 @@ object EventOps extends QueryPack {
       |  CAST(sum(first_purchase_us - signup_us) AS BIGINT) AS total_gap_us
       |FROM conv""".stripMargin
 
+  /** Resample to a regular time grid with forward fill — the
+    * time-series `resample('1H').ffill()` contract (cudf follows
+    * pandas' resampling surface, python/cudf/cudf/core/resample.py):
+    * per user, hourly buckets from first to last observation, each
+    * carrying the latest observation at-or-before the bucket.
+    *
+    * 100 TB shape: the raw stream collapses to per-(user, hour) last
+    * values FIRST (map-side-combinable max(struct) aggregation — the
+    * only pass over full data), the grid is generated per key with
+    * sequence+explode (bounded by span/step, no driver loop, no
+    * cross join), and the fill is one partition-local window after a
+    * single co-partitioned join. Bucket ids are exact integer
+    * micros-div, and the "latest" tie-break is the (ts, event_id)
+    * struct max — both engines pick the identical row. */
+  def resampleFfill(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hourly = Tables.events(s, dir)
+      .filter($"user_id" % 29 === 0)
+      .withColumn("win_id", expr("unix_micros(ts) div 3600000000"))
+      .groupBy($"user_id", $"win_id")
+      .agg(max(struct(unix_micros($"ts").as("us"), $"event_id", $"value"))
+        .as("m"))
+      .select($"user_id", $"win_id", $"m.value".as("v_obs"))
+    val grid = hourly.groupBy($"user_id")
+      .agg(min($"win_id").as("w0"), max($"win_id").as("w1"))
+      .select($"user_id", explode(sequence($"w0", $"w1")).as("win_id"))
+    val w = Window.partitionBy($"user_id").orderBy($"win_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "win_id"), "left")
+      .select($"user_id", $"win_id",
+        $"v_obs".isNotNull.as("has_obs"),
+        last($"v_obs", ignoreNulls = true).over(w).as("v_ffill"))
+      .orderBy($"user_id", $"win_id")
+  }
+
+  val resampleFfillSql: String =
+    """WITH ev AS (SELECT * FROM events WHERE user_id % 29 = 0),
+      |obs AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS win_id, value AS v_obs
+      |  FROM ev
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY user_id, epoch_us(ts) // 3600000000
+      |    ORDER BY ts DESC, event_id DESC) = 1),
+      |b AS (SELECT user_id, min(win_id) AS w0, max(win_id) AS w1
+      |      FROM obs GROUP BY user_id),
+      |grid AS (SELECT user_id, unnest(generate_series(w0, w1)) AS win_id
+      |         FROM b)
+      |SELECT g.user_id, g.win_id,
+      |  o.v_obs IS NOT NULL AS has_obs,
+      |  last_value(o.v_obs IGNORE NULLS) OVER (
+      |    PARTITION BY g.user_id ORDER BY g.win_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+      |FROM grid g LEFT JOIN obs o
+      |  ON g.user_id = o.user_id AND g.win_id = o.win_id
+      |ORDER BY g.user_id, g.win_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> funnel,
     "events_sessionize" -> sessionize,
     "events_tumbling" -> tumbling,
-    "events_asof_prev" -> asofPrevSignup)
+    "events_asof_prev" -> asofPrevSignup,
+    "events_resample_ffill" -> resampleFfill)
 
   override def oracle: Map[String, String] = Map(
     "events_funnel" -> funnelSql,
     "events_sessionize" -> sessionizeSql,
     "events_tumbling" -> tumblingSql,
-    "events_asof_prev" -> asofPrevSignupSql)
+    "events_asof_prev" -> asofPrevSignupSql,
+    "events_resample_ffill" -> resampleFfillSql)
 }

@@ -114,6 +114,30 @@ object Funcs extends QueryPack {
       |  levenshtein(p_brand, 'Brand#33') AS lev_b33
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Edit-distance long tail: full (unrestricted) Damerau-Levenshtein
+    * — transposition-aware, the Lowrance-Wagner DP
+    * (plans/DamerauLevenshtein documents the variant choice) — and
+    * Hamming, which requires equal widths in BOTH engines (DuckDB's
+    * `hamming` rejects unequal lengths, so do we) — rpad to a fixed
+    * width first, the standard fixed-key comparison idiom. Both custom
+    * codegen expressions, both bit-exact against DuckDB's natives. */
+  def strEditFamily(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.GraftExpressions.{damerauLevenshtein, hammingDist}
+    Tables.part(s, dir).select($"p_partkey",
+        damerauLevenshtein($"p_name", $"p_type").as("dl_nt"),
+        damerauLevenshtein($"p_brand", lit("Brand#33")).as("dl_b33"),
+        hammingDist(rpad($"p_brand", 10, "."), lit("Brand#33..")).as("ham_b33"))
+      .orderBy($"p_partkey")
+  }
+
+  val strEditFamilySql: String =
+    """SELECT p_partkey,
+      |  CAST(damerau_levenshtein(p_name, p_type) AS INT) AS dl_nt,
+      |  CAST(damerau_levenshtein(p_brand, 'Brand#33') AS INT) AS dl_b33,
+      |  CAST(hamming(rpad(p_brand, 10, '.'), 'Brand#33..') AS INT) AS ham_b33
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Datetime component extraction on dates (datetime.hpp:57,96,228). */
   def dtExtractDate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -558,6 +582,7 @@ object Funcs extends QueryPack {
     "str_regex" -> strRegex,
     "str_split_explode" -> strSplitExplode,
     "str_distance" -> strDistance,
+    "str_edit_family" -> strEditFamily,
     "dt_extract_date" -> dtExtractDate,
     "dt_extract_time" -> dtExtractTime,
     "dt_arith" -> dtArith,
@@ -582,6 +607,7 @@ object Funcs extends QueryPack {
     "str_regex" -> strRegexSql,
     "str_split_explode" -> strSplitExplodeSql,
     "str_distance" -> strDistanceSql,
+    "str_edit_family" -> strEditFamilySql,
     "dt_extract_date" -> dtExtractDateSql,
     "dt_extract_time" -> dtExtractTimeSql,
     "dt_arith" -> dtArithSql,

@@ -559,7 +559,141 @@ object MiscPack extends QueryPack {
       |      lag(o_totalprice) OVER (ORDER BY o_orderkey), o_totalprice) AS ok_price
       |  FROM orders)""".stripMargin
 
+  /** KMV sketch ROLLUP: monthly distinct-customer sketches re-aggregated
+    * to quarters through `kmv_merge` — the HLL-rollup / MERGE_TDIGEST
+    * pattern with an ORACLE-EXACT estimate (KMV merge is closed over
+    * the union set: k-smallest-of-union-of-k-smallest ≡ k-smallest-of-
+    * union, so DuckDB replays the merged estimate from the raw table).
+    * 100 TB shape: sketches build once per fine partition (a few KB
+    * each), every coarser granularity is a re-aggregation of sketch
+    * bytes — the base table is scanned exactly once no matter how many
+    * rollup levels are served. */
+  def kmvRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{KmvMerge, KmvSketch}
+    val o = Tables.orders(s, dir)
+    val monthly = o.groupBy(
+        year($"o_orderdate").as("yr"), quarter($"o_orderdate").as("q"),
+        month($"o_orderdate").as("mo"))
+      .agg(KmvSketch.of($"o_custkey".cast("string"), 128).as("sk"))
+    val rolled = monthly.groupBy($"yr", $"q")
+      .agg(KmvMerge.of($"sk", 128).as("kmv_est"))
+    val exact = o.groupBy(
+        year($"o_orderdate").as("yr"), quarter($"o_orderdate").as("q"))
+      .agg(countDistinct($"o_custkey").as("n_exact"))
+    rolled.join(exact, Seq("yr", "q")).orderBy($"yr", $"q")
+  }
+
+  val kmvRollupSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT year(o_orderdate) AS yr, quarter(o_orderdate) AS q,
+      |    CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |      AS BIGINT) AS h
+      |  FROM orders WHERE o_custkey IS NOT NULL),
+      |r AS (
+      |  SELECT yr, q, h,
+      |    row_number() OVER (PARTITION BY yr, q ORDER BY h) AS rk,
+      |    count(*) OVER (PARTITION BY yr, q) AS d
+      |  FROM h),
+      |x AS (
+      |  SELECT year(o_orderdate) AS yr, quarter(o_orderdate) AS q,
+      |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT r.yr, r.q,
+      |  CASE WHEN max(r.d) < 128 THEN CAST(max(r.d) AS DOUBLE)
+      |       ELSE 127.0 * 1152921504606846976.0 /
+      |            CAST(max(CASE WHEN r.rk = 128 THEN r.h END) AS DOUBLE)
+      |  END AS kmv_est,
+      |  max(x.n_exact) AS n_exact
+      |FROM r JOIN x ON r.yr = x.yr AND r.q = x.q
+      |GROUP BY r.yr, r.q ORDER BY r.yr, r.q""".stripMargin
+
+  /** Theta-sketch set algebra (Apache DataSketches theta union /
+    * intersection / A-not-B trio, re-expressed over the oracle-exact
+    * KMV sketch — plans/KmvAgg.KmvSetEst documents the estimator and
+    * its replay contract): distinct customers of two order-priority
+    * classes, their union/intersection/difference ESTIMATED purely
+    * from two 1 KB sketches, with the exact counts alongside. The
+    * 100 TB shape: one map-side-combined aggregation builds both
+    * sketches in a single pass (each partial is ≤ k longs), and the
+    * set algebra is a scalar over the two final buffers — the base
+    * data is never re-read or re-shuffled per set operation. */
+  def thetaSetOps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.{KmvSetEst, KmvSketch}
+    val o = Tables.orders(s, dir)
+    val ca = when($"o_orderpriority" === "1-URGENT", $"o_custkey".cast("string"))
+    val cb = when($"o_orderpriority" === "2-HIGH", $"o_custkey".cast("string"))
+    val sk = o.agg(KmvSketch.of(ca, 128).as("sa"), KmvSketch.of(cb, 128).as("sb"))
+    val exact = o.groupBy($"o_custkey")
+      .agg(
+        max(when($"o_orderpriority" === "1-URGENT", 1).otherwise(0)).as("fa"),
+        max(when($"o_orderpriority" === "2-HIGH", 1).otherwise(0)).as("fb"))
+      .agg(
+        sum(when($"fa" === 1 || $"fb" === 1, 1L).otherwise(0L)).as("union_exact"),
+        sum(when($"fa" === 1 && $"fb" === 1, 1L).otherwise(0L)).as("inter_exact"),
+        sum(when($"fa" === 1 && $"fb" === 0, 1L).otherwise(0L)).as("diff_exact"))
+    sk.crossJoin(exact).select(
+      KmvSetEst.union($"sa", $"sb").as("union_est"),
+      KmvSetEst.intersect($"sa", $"sb").as("inter_est"),
+      KmvSetEst.diff($"sa", $"sb").as("diff_est"),
+      $"union_exact", $"inter_exact", $"diff_exact")
+  }
+
+  /** DuckDB replay of the KMV set algebra: same md5-60 hashes, same
+    * k-smallest order statistics, same double arithmetic operation for
+    * operation (127.0·2^60/θ, then K·est/128.0 — both left-assoc). */
+  val thetaSetOpsSql: String =
+    """WITH ha AS (
+      |  SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |    AS BIGINT) AS h
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_custkey IS NOT NULL),
+      |hb AS (
+      |  SELECT DISTINCT CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15))
+      |    AS BIGINT) AS h
+      |  FROM orders WHERE o_orderpriority = '2-HIGH' AND o_custkey IS NOT NULL),
+      |ka AS (SELECT h FROM ha ORDER BY h LIMIT 128),
+      |kb AS (SELECT h FROM hb ORDER BY h LIMIT 128),
+      |u AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT 128),
+      |m AS (
+      |  SELECT count(*) AS nu, max(h) AS hk,
+      |    count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+      |                       AND h IN (SELECT h FROM kb)) AS ki,
+      |    count(*) FILTER (WHERE h IN (SELECT h FROM ka)
+      |                       AND h NOT IN (SELECT h FROM kb)) AS kd
+      |  FROM u),
+      |f AS (
+      |  SELECT o_custkey,
+      |    max(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS fa,
+      |    max(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS fb
+      |  FROM orders GROUP BY o_custkey),
+      |e AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN fa = 1 OR fb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS union_exact,
+      |    CAST(sum(CASE WHEN fa = 1 AND fb = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS inter_exact,
+      |    CAST(sum(CASE WHEN fa = 1 AND fb = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS diff_exact
+      |  FROM f)
+      |SELECT
+      |  CASE WHEN m.nu < 128 THEN CAST(m.nu AS DOUBLE)
+      |       ELSE 127.0 * 1152921504606846976.0 / CAST(m.hk AS DOUBLE)
+      |  END AS union_est,
+      |  CASE WHEN m.nu < 128 THEN CAST(m.ki AS DOUBLE)
+      |       ELSE CAST(m.ki AS DOUBLE) *
+      |            (127.0 * 1152921504606846976.0 / CAST(m.hk AS DOUBLE)) / 128.0
+      |  END AS inter_est,
+      |  CASE WHEN m.nu < 128 THEN CAST(m.kd AS DOUBLE)
+      |       ELSE CAST(m.kd AS DOUBLE) *
+      |            (127.0 * 1152921504606846976.0 / CAST(m.hk AS DOUBLE)) / 128.0
+      |  END AS diff_est,
+      |  e.union_exact, e.inter_exact, e.diff_exact
+      |FROM m, e""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_theta_setops" -> thetaSetOps,
+    "agg_kmv_rollup" -> kmvRollup,
     "is_sorted_check" -> isSortedQ,
     "encode_factorize" -> encodeFactorize,
     "search_sorted" -> searchSorted,
@@ -593,6 +727,8 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "agg_theta_setops" -> thetaSetOpsSql,
+    "agg_kmv_rollup" -> kmvRollupSql,
     "dq_rule_audit" -> dqRuleAuditSql,
     "dq_profile" -> dqProfileSql,
     "cdc_merge" -> cdcMergeSql,

@@ -395,7 +395,64 @@ object TpcDs extends QueryPack {
       |  ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
       |ORDER BY o_orderpriority, day""".stripMargin
 
+  /** Per-group ordinary least squares (regr_slope/intercept/r2
+    * contract — cudf exposes covariance/correlation, core/dataframe.py
+    * cov/corr; OLS is their one-pass composition): ONE decimal-exact
+    * moment aggregation (n, Σx, Σy, Σx², Σy², Σxy — map-side
+    * combinable, zero extra shuffles at any scale), then the closed
+    * double formula computed with IDENTICAL operation order in both
+    * engines (every *, −, / is IEEE correctly-rounded, so equal
+    * operands in equal order give equal bits; the decimal sums reach
+    * double through the VARCHAR round-trip per QueryPack.dsumSql). */
+  def dsRegression(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Per-row products in DOUBLE (IEEE-identical in both engines), then
+    // decimal-exact summation — the agg_corr_matrix moment pattern.
+    def dmom(c: org.apache.spark.sql.Column) =
+      sum(c.cast(DecimalType(38, 6))).cast("double")
+    val d = Tables.lineitem(s, dir).select($"l_returnflag",
+      $"l_quantity".as("x"), $"l_extendedprice".as("y"))
+    val m = d.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"),
+        dmom($"x").as("sx"),
+        dmom($"y").as("sy"),
+        dmom($"x" * $"x").as("sxx"),
+        dmom($"y" * $"y").as("syy"),
+        dmom($"x" * $"y").as("sxy"))
+      .withColumn("nd", $"n".cast("double"))
+      .withColumn("slope",
+        ($"nd" * $"sxy" - $"sx" * $"sy") / ($"nd" * $"sxx" - $"sx" * $"sx"))
+    m.select($"l_returnflag", $"n", $"slope",
+        (($"sy" - $"slope" * $"sx") / $"nd").as("intercept"),
+        ((($"nd" * $"sxy" - $"sx" * $"sy") * ($"nd" * $"sxy" - $"sx" * $"sy")) /
+          (($"nd" * $"sxx" - $"sx" * $"sx") * ($"nd" * $"syy" - $"sy" * $"sy")))
+          .as("r2"))
+      .orderBy($"l_returnflag")
+  }
+
+  val dsRegressionSql: String = {
+    def dmom(e: String) =
+      s"CAST(CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+    s"""WITH m AS (
+       |  SELECT l_returnflag, count(*) AS n,
+       |    CAST(count(*) AS DOUBLE) AS nd,
+       |    ${dmom("l_quantity")} AS sx, ${dmom("l_extendedprice")} AS sy,
+       |    ${dmom("l_quantity * l_quantity")} AS sxx,
+       |    ${dmom("l_extendedprice * l_extendedprice")} AS syy,
+       |    ${dmom("l_quantity * l_extendedprice")} AS sxy
+       |  FROM lineitem GROUP BY l_returnflag),
+       |t AS (
+       |  SELECT *, (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope
+       |  FROM m)
+       |SELECT l_returnflag, n, slope,
+       |  (sy - slope * sx) / nd AS intercept,
+       |  ((nd * sxy - sx * sy) * (nd * sxy - sx * sy)) /
+       |    ((nd * sxx - sx * sx) * (nd * syy - sy * sy)) AS r2
+       |FROM t ORDER BY l_returnflag""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_regression" -> dsRegression,
     "ds_basket_pairs" -> dsBasketPairs,
     "ds_moving_avg" -> dsMovingAvg,
     "ds_rollup_ranking" -> dsRollupRanking,
@@ -409,6 +466,7 @@ object TpcDs extends QueryPack {
     "ds_no_returns" -> dsNoReturns)
 
   override def oracle: Map[String, String] = Map(
+    "ds_regression" -> dsRegressionSql,
     "ds_basket_pairs" -> dsBasketPairsSql,
     "ds_moving_avg" -> dsMovingAvgSql,
     "ds_rollup_ranking" -> dsRollupRankingSql,

@@ -391,7 +391,45 @@ object Windows extends QueryPack {
       |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_orderstatus, o_totalprice, o_orderkey""".stripMargin
 
+  /** Cumulative COUNT(DISTINCT) over an ordered window — an aggregate
+    * Spark's window engine REJECTS outright (DISTINCT is unsupported in
+    * window frames), and the naive workaround
+    * `size(collect_set(x) OVER ...)` materializes the running set per
+    * row (O(n·d) window state — a scale killer on 100 TB event
+    * streams). Scalable reformulation: flag each (group, value)'s FIRST
+    * occurrence with one row_number window, then running-SUM the flags
+    * over a RANGE frame — two sort-sharing window passes with O(1)
+    * per-row state. RANGE (not ROWS) makes the result well-defined
+    * under order-key ties: every row of a date sees the same count, and
+    * the first-occurrence flag always lands on the value's minimum
+    * date regardless of which tied row wins the row_number. The oracle
+    * is DuckDB's NATIVE `count(DISTINCT) OVER` — a genuinely different
+    * evaluation strategy agreeing on every row. */
+  def winCountDistinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val firstW = Window.partitionBy($"l_returnflag", $"l_partkey")
+      .orderBy($"l_shipdate")
+    val cumW = Window.partitionBy($"l_returnflag").orderBy($"l_shipdate")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(s, dir)
+      .select($"l_returnflag", $"l_shipdate",
+        (row_number().over(firstW) === 1).cast("long").as("first_occ"))
+      .select($"l_returnflag", $"l_shipdate",
+        sum($"first_occ").over(cumW).as("cum_parts"))
+      .distinct()
+      .orderBy($"l_returnflag", $"l_shipdate")
+  }
+
+  val winCountDistinctSql: String =
+    """SELECT DISTINCT l_returnflag, l_shipdate,
+      |  count(DISTINCT l_partkey) OVER (PARTITION BY l_returnflag
+      |    ORDER BY l_shipdate
+      |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_parts
+      |FROM lineitem
+      |ORDER BY l_returnflag, l_shipdate""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_count_distinct" -> winCountDistinct,
     "win_nth_value" -> winNth,
     "win_topk" -> winTopK,
     "win_rank_family" -> winRankFamily,
@@ -407,6 +445,7 @@ object Windows extends QueryPack {
     "win_scan_minmax" -> winScanMinMax)
 
   override def oracle: Map[String, String] = Map(
+    "win_count_distinct" -> winCountDistinctSql,
     "win_nth_value" -> winNthSql,
     "win_topk" -> winTopKSql,
     "win_rank_family" -> winRankFamilySql,

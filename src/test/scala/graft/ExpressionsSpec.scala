@@ -283,6 +283,95 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("Damerau-Levenshtein is the FULL Lowrance-Wagner variant with " +
+    "metric properties on random strings") {
+    import graft.plans.EditDistanceImpl.damerau
+    // CA->ABC distinguishes full DL (2: CA->AC->ABC) from restricted
+    // OSA (3); matches DuckDB's damerau_levenshtein.
+    assert(damerau("CA", "ABC") == 2)
+    assert(damerau("ab", "ba") == 1)
+    assert(damerau("abcdef", "abcfed") == 2)
+    assert(damerau("kitten", "sitting") == 3)
+    assert(damerau("", "abc") == 3 && damerau("abc", "") == 3)
+    assert(damerau("same", "same") == 0)
+    // adjacent swap costs at most 1
+    assert(damerau("abcd", "abdc") == 1 && damerau("abcd", "bacd") == 1)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val cur = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(a.length)
+    }
+    val rnd = new scala.util.Random(42)
+    def randStr() = (0 until rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+    (1 to 300).foreach { _ =>
+      val (a, b, c) = (randStr(), randStr(), randStr())
+      val ab = damerau(a, b)
+      assert(ab == damerau(b, a), s"symmetry: $a $b")
+      assert(ab <= lev(a, b), s"DL must not exceed Levenshtein: $a $b")
+      assert((ab == 0) == (a == b), s"identity: $a $b")
+      assert(ab <= damerau(a, c) + damerau(c, b), s"triangle: $a $b $c")
+    }
+  }
+
+  test("Hamming counts differing positions and rejects unequal lengths " +
+    "(DuckDB contract)") {
+    import graft.plans.EditDistanceImpl.hamming
+    assert(hamming("karolin", "kathrin") == 3)
+    assert(hamming("", "") == 0)
+    assert(hamming("abc", "abc") == 0)
+    intercept[IllegalArgumentException](hamming("a", "ab"))
+  }
+
+  test("KMV set algebra: exact below saturation; additivity identity above") {
+    import graft.plans.{KmvSetEst, KmvSketch}
+    // exact mode: A = 1..60, B = 41..100 (|A∪B|=100 < k=128)
+    val rows = ((1 to 60).map(i => ("a", i.toString)) ++
+      (41 to 100).map(i => ("b", i.toString))).toDF("s", "v")
+    val sk = rows.agg(
+      KmvSketch.of(when($"s" === "a", $"v"), 128).as("sa"),
+      KmvSketch.of(when($"s" === "b", $"v"), 128).as("sb"))
+    val ex = sk.select(
+      KmvSetEst.union($"sa", $"sb"), KmvSetEst.intersect($"sa", $"sb"),
+      KmvSetEst.diff($"sa", $"sb"), KmvSetEst.jaccard($"sa", $"sb"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(ex == ((100.0, 20.0, 40.0, 0.2)), s"exact mode: $ex")
+    // saturated mode: A = 1..20000, B = 10001..30000, k=256
+    val big = ((1 to 20000).map(i => ("a", i.toString)) ++
+      (10001 to 30000).map(i => ("b", i.toString))).toDF("s", "v")
+      .repartition(8)
+    val bs = big.agg(
+      KmvSketch.of(when($"s" === "a", $"v"), 256).as("sa"),
+      KmvSketch.of(when($"s" === "b", $"v"), 256).as("sb"))
+    val (u, i2, dab, dba) = bs.select(
+      KmvSetEst.union($"sa", $"sb"), KmvSetEst.intersect($"sa", $"sb"),
+      KmvSetEst.diff($"sa", $"sb"), KmvSetEst.diff($"sb", $"sa"))
+      .as[(Double, Double, Double, Double)].head()
+    assert(math.abs(u - 30000) / 30000 < 0.25, s"union est $u")
+    assert(math.abs(i2 - 10000) / 10000 < 0.5, s"intersect est $i2")
+    // partition identity: the three disjoint estimates tile the union
+    // exactly ((ki + kd_ab + kd_ba) = k by construction)
+    assert(math.abs(i2 + dab + dba - u) < 1e-6, s"$i2 + $dab + $dba != $u")
+  }
+
+  test("KmvMerge rollup equals the direct one-pass sketch (mergeability)") {
+    import graft.plans.{KmvDistinct, KmvMerge, KmvSketch}
+    val df = (1 to 5000).map(i => (i % 10, i.toString)).toDF("g", "v")
+      .repartition(8)
+    val merged = df.groupBy($"g").agg(KmvSketch.of($"v", 256).as("sk"))
+      .agg(KmvMerge.of($"sk", 256).as("est")).as[Double].head()
+    val direct = df.agg(KmvDistinct.of($"v", 256).as("est")).as[Double].head()
+    assert(merged == direct,
+      s"rollup $merged must equal one-pass $direct exactly")
+  }
+
   test("searchSorted/labelBins match hand expectations") {
     import graft.functions.NumericFunctions._
     val df = Seq(-1.0, 0.0, 5.0, 10.0, 45.0, 60.0).toDF("v")
