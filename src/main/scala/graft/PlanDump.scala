@@ -46,7 +46,15 @@ object PlanDump {
       "io_zorder_prune" ->
         "Z-ordered layout read: the l_suppkey predicate appears in PushedFilters on the scan of the Morton-clustered files, where every file's min/max footer stats are tight in BOTH clustered dimensions — the filter prunes row groups on the non-leading dimension, which a linear sort cannot serve.",
       "cdc_merge" ->
-        "CDC merge: snapshot ∪ compacted changes feeds ONE keyed HashAggregate (max_by priority argmax) — no join and no window between union and result; log compaction upstream is the same argmax shape.")
+        "CDC merge: snapshot ∪ compacted changes feeds ONE keyed HashAggregate (max_by priority argmax) — no join and no window between union and result; log compaction upstream is the same argmax shape.",
+      "agg_theta_setops" ->
+        "Sketch set algebra: both KMV sketches build in ONE map-side-combinable ObjectHashAggregate pass over orders (each partial is <= k longs); union/intersect/A-not-B evaluate as scalar expressions over the two final buffers — the base data is never re-scanned or re-shuffled per set operation.",
+      "win_count_distinct" ->
+        "Windowed COUNT(DISTINCT) reformulation: a row_number first-occurrence flag plus a RANGE running sum — two Window nodes with O(1) per-row state; the collect_set alternative Spark would otherwise need carries the entire running distinct set in every row.",
+      "events_resample_ffill" ->
+        "Grid resample + ffill in ONE scan, ONE shuffle, NO join: events collapse to per-(user,hour) last values in a single partial-aggregatable aggregation; each observation then explodes into its gap-run [bucket, next-1] after a lead window sharing the aggregation's partitioning — the forward fill IS the run generation, so the naive grid-join (which would plan the source twice) never exists.",
+      "ds_regression" ->
+        "Per-group OLS: ONE decimal-exact moment HashAggregate (n, Sx, Sy, Sxx, Syy, Sxy) with map-side partials; slope/intercept/r2 are scalar projections of the six moments — no second pass over the data, no window.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale claims\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"` at sf0.001 ")

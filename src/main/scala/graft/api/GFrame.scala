@@ -288,6 +288,49 @@ final case class GFrame(df: DataFrame) {
       w: Int = 4): GFrame =
     GFrame(graft.operators.TextPipeline.winnowFingerprints(
       df, idCol, textCol, k, w))
+  /** Asymmetric containment pairs (|A∩B|/|A| — excerpt detection;
+    * Dedup.containmentPairs). */
+  def containmentPairs(idCol: String, textCol: String,
+      threshold: Double): GFrame =
+    GFrame(Dedup.containmentPairs(df, idCol, textCol, threshold))
+
+  // ---- mergeable sketches (plans/KmvAgg; theta-style set algebra) ----
+  /** Per-group KMV distinct-count estimate (oracle-exact sketch). */
+  def nuniqueApprox(valueCol: String, by: Seq[String] = Nil,
+      k: Int = 256): GFrame = {
+    val est = graft.plans.KmvDistinct.of(col(valueCol).cast("string"), k)
+      .as(s"${valueCol}_nunique_est")
+    GFrame(if (by.isEmpty) df.agg(est)
+           else df.groupBy(by.map(col): _*).agg(est))
+  }
+  /** Per-group serialized KMV sketch — store it, roll it up later with
+    * [[mergeDistinctSketches]], combine with [[sketchSetOps]]. */
+  def distinctSketch(valueCol: String, by: Seq[String],
+      k: Int = 256): GFrame =
+    GFrame(df.groupBy(by.map(col): _*).agg(
+      graft.plans.KmvSketch.of(col(valueCol).cast("string"), k)
+        .as(s"${valueCol}_sketch")))
+  /** Re-aggregate sketch columns up a coarser hierarchy (month →
+    * quarter) without touching base data. */
+  def mergeDistinctSketches(sketchCol: String, by: Seq[String],
+      k: Int = 256): GFrame =
+    GFrame(df.groupBy(by.map(col): _*).agg(
+      graft.plans.KmvMerge.of(col(sketchCol), k).as(s"${sketchCol}_est")))
+  /** Theta-style set algebra over two sketch columns: appends
+    * union/intersect/diff/jaccard estimate columns. */
+  def sketchSetOps(sketchA: String, sketchB: String): GFrame = {
+    import graft.plans.KmvSetEst
+    GFrame(df
+      .withColumn("union_est", KmvSetEst.union(col(sketchA), col(sketchB)))
+      .withColumn("inter_est", KmvSetEst.intersect(col(sketchA), col(sketchB)))
+      .withColumn("diff_est", KmvSetEst.diff(col(sketchA), col(sketchB)))
+      .withColumn("jaccard_est", KmvSetEst.jaccard(col(sketchA), col(sketchB))))
+  }
+  /** Regular-grid resample + forward fill (operators/Resample). */
+  def resampleFfill(keyCol: String, tsCol: String, valueCol: String,
+      tieCol: String, stepMicros: Long): GFrame =
+    GFrame(graft.operators.Resample.resampleFfill(df, keyCol, tsCol,
+      valueCol, tieCol, stepMicros))
 
   // ---- data quality + maintenance ----
   def profile(cols: Seq[String], exact: Boolean = false): GFrame =

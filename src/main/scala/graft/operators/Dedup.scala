@@ -89,6 +89,32 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
+  /** Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / |A| — the
+    * excerpt/quotation detector Jaccard misses (a 50-token doc fully
+    * contained in a 5000-token doc has Jaccard ≈ 0.01 but containment
+    * 1.0; Broder 1997 distinguishes resemblance from containment for
+    * exactly this case). Same single-tokenize posting-list pair
+    * generation as [[jaccardPairsExact]] (one shuffle, sizes ride in
+    * the struct, Σdf² cost caveat identical); emits both directions so
+    * callers can drop the CONTAINED side. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(tokens(col(textCol))).as("toks"))
+    val inv = toks.select(
+      struct(col("id"), size(col("toks")).as("n")).as("p"),
+      explode(col("toks")).as("tok"))
+    PostingLists.candidatePairs(inv, "p", "tok")
+      .filter(col("a.id") =!= col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"),
+        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+      .withColumn("cont_ab", col("n_inter").cast("double") / col("n_a"))
+      .withColumn("cont_ba", col("n_inter").cast("double") / col("n_b"))
+      .filter(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cont_ab"), col("cont_ba"))
+  }
+
   /** MinHash+LSH near-dup candidate pairs, verified with exact Jaccard.
     * signature → band keys → bucket posting lists → pairs → verify.
     * This is the 100 TB path: shuffle fan-out is numBands per doc and

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Regular-grid time-series resampling (the reference follows pandas'
+  * resampler surface, python/cudf/cudf/core/resample.py — downsample to
+  * a fixed step, then fill).
+  *
+  * 100 TB shape — ONE scan, ONE shuffle, NO join: the raw stream
+  * collapses to per-(key, bucket) LAST values (a map-side-combinable
+  * max(struct) aggregation — the only pass over full data), then each
+  * observation EXPLODES into its gap-run [bucket, next_bucket − 1]
+  * (sequence+explode after a lead window that reuses the aggregation's
+  * partitioning) — the forward fill IS the run generation, so the
+  * obvious grid⟕observations join (which plans the source subtree
+  * twice — Spark plans are trees, not DAGs) never exists. Bucket ids
+  * are exact integer division of epoch micros, so engines agree
+  * bit-for-bit.
+  */
+object Resample {
+
+  /** Downsample `df` to `stepMicros` buckets per `keyCol`, carrying the
+    * latest (`tsCol`, `tieCol`)-ordered `valueCol` per bucket, then
+    * forward-fill across the dense per-key grid [min bucket, max
+    * bucket]. Output: keyCol, win_id, has_obs, v_ffill. */
+  def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, stepMicros: Long): DataFrame = {
+    val obs = df
+      .groupBy(col(keyCol),
+        expr(s"unix_micros($tsCol) div ${stepMicros}L").as("win_id"))
+      .agg(max(struct(unix_micros(col(tsCol)).as("us"), col(tieCol),
+        col(valueCol).as("value"))).as("m"))
+      .select(col(keyCol), col("win_id"), col("m.value").as("v_obs"))
+    val nxt = lead(col("win_id"), 1)
+      .over(Window.partitionBy(col(keyCol)).orderBy(col("win_id")))
+    obs
+      .withColumn("until", coalesce(nxt - 1L, col("win_id")))
+      .withColumn("obs_win", col("win_id"))
+      .select(col(keyCol), col("v_obs"), col("obs_win"),
+        explode(sequence(col("obs_win"), col("until"))).as("win_id"))
+      .select(col(keyCol), col("win_id"),
+        (col("win_id") === col("obs_win")).as("has_obs"),
+        col("v_obs").as("v_ffill"))
+  }
+}

@@ -132,22 +132,9 @@ object EventOps extends QueryPack {
     * struct max — both engines pick the identical row. */
   def resampleFfill(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hourly = Tables.events(s, dir)
-      .filter($"user_id" % 29 === 0)
-      .withColumn("win_id", expr("unix_micros(ts) div 3600000000"))
-      .groupBy($"user_id", $"win_id")
-      .agg(max(struct(unix_micros($"ts").as("us"), $"event_id", $"value"))
-        .as("m"))
-      .select($"user_id", $"win_id", $"m.value".as("v_obs"))
-    val grid = hourly.groupBy($"user_id")
-      .agg(min($"win_id").as("w0"), max($"win_id").as("w1"))
-      .select($"user_id", explode(sequence($"w0", $"w1")).as("win_id"))
-    val w = Window.partitionBy($"user_id").orderBy($"win_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("user_id", "win_id"), "left")
-      .select($"user_id", $"win_id",
-        $"v_obs".isNotNull.as("has_obs"),
-        last($"v_obs", ignoreNulls = true).over(w).as("v_ffill"))
+    graft.operators.Resample.resampleFfill(
+        Tables.events(s, dir).filter($"user_id" % 29 === 0),
+        "user_id", "ts", "value", "event_id", 3600000000L)
       .orderBy($"user_id", $"win_id")
   }
 

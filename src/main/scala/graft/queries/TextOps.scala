@@ -510,6 +510,29 @@ object TextOps extends QueryPack {
        |        FROM documents WHERE doc_id < 150) b ON a.doc_id < b.doc_id)
        |WHERE jac >= 0.9 ORDER BY id_a, id_b""".stripMargin
 
+  /** Asymmetric containment pairs (Broder's resemblance-vs-containment
+    * distinction — catches excerpts that Jaccard's symmetric
+    * denominator dilutes away; see Dedup.containmentPairs). */
+  def containmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 150), "doc_id", "text", 0.9)
+      .orderBy(col("id_a"), col("id_b"))
+
+  val containmentPairsSql: String =
+    s"""SELECT id_a, id_b, cont_ab, cont_ba FROM (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      len(a.toks) AS cont_ab,
+       |    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+       |      len(b.toks) AS cont_ba
+       |  FROM (SELECT doc_id, list_distinct($toksSql) AS toks
+       |        FROM documents WHERE doc_id < 150) a
+       |  JOIN (SELECT doc_id, list_distinct($toksSql) AS toks
+       |        FROM documents WHERE doc_id < 150) b ON a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.toks, b.toks)) > 0)
+       |WHERE cont_ab >= 0.9 OR cont_ba >= 0.9
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** MinHash+LSH near-dup pairs (the scale path). Oracle-checked: the
     * kernel's per-token MD5-60 hash, affine remixes mod 2^61−1 (fixed
     * published constants), and MD5 band digests are all replayed
@@ -1668,6 +1691,7 @@ object TextOps extends QueryPack {
     "doc_scripts" -> docScripts,
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
+    "doc_containment_pairs" -> containmentPairs,
     "doc_minhash_pairs" -> minhashPairs,
     "doc_minhash_ngram_pairs" -> minhashNgramPairs,
     "doc_simhash_pairs" -> simhashPairs,
@@ -1716,6 +1740,7 @@ object TextOps extends QueryPack {
     "doc_scripts" -> docScriptsSql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,
+    "doc_containment_pairs" -> containmentPairsSql,
     "doc_wordpiece" -> wordpieceSql,
     "doc_wordpiece_bc" -> wordpieceSql,
     "doc_bert_encode" -> bertEncodeSql,

@@ -368,4 +368,38 @@ class GFrameSpec extends AnyFunSuite {
       .toDF.select("split").distinct().count()
     assert(split == 1L, "identical docs must share a split")
   }
+
+  test("round-8 façade additions: sketch algebra, containment, resample") {
+    // sketch pipeline: per-source sketches -> set ops -> rollup
+    val rows = ((1 to 60).map(i => ("a", i)) ++ (41 to 100).map(i => ("b", i)))
+      .toDF("src", "v")
+    val g = GFrame(rows)
+    val est = g.nuniqueApprox("v").toDF.head.getDouble(0)
+    assert(est == 100.0, s"below saturation the estimate is exact: $est")
+    val sk = g.distinctSketch("v", Seq("src"))
+    val ops = GFrame(sk.toDF.groupBy().pivot("src")
+        .agg(org.apache.spark.sql.functions.first("v_sketch")))
+      .sketchSetOps("a", "b").toDF.head
+    assert(ops.getDouble(2) == 100.0 && ops.getDouble(3) == 20.0,
+      "union=100, intersect=20 exactly in exact mode")
+    val rolled = sk.mergeDistinctSketches("v_sketch", Seq())
+    assert(rolled.toDF.head.getDouble(0) == 100.0)
+    // containment: doc 1 fully inside doc 2
+    val docs = Seq((1L, "alpha beta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val cont = GFrame(docs).containmentPairs("doc_id", "text", 0.99)
+      .toDF.head
+    assert(cont.getDouble(2) == 1.0 && cont.getDouble(3) == 0.5)
+    // resample: hour gap between two points gets forward-filled
+    val ts = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 5.0, 1L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 02:20:00"), 7.0, 2L))
+      .toDF("k", "ts", "v", "tie")
+    val rs = GFrame(ts).resampleFfill("k", "ts", "v", "tie", 3600000000L)
+      .toDF.orderBy("win_id").collect()
+    assert(rs.length == 3, "three hourly buckets spanned")
+    assert(rs.map(_.getDouble(3)).toSeq == Seq(5.0, 5.0, 7.0),
+      "middle bucket forward-fills")
+    assert(rs.map(_.getBoolean(2)).toSeq == Seq(true, false, true))
+  }
 }
