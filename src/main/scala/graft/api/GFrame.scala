@@ -281,7 +281,12 @@ final case class GFrame(df: DataFrame) {
     GFrame(df.withColumn("soundex",
         org.apache.spark.sql.functions.soundex(col(termCol)))
       .withColumn("metaphone",
-        graft.plans.GraftExpressions.metaphone(col(termCol))))
+        graft.plans.GraftExpressions.metaphone(col(termCol)))
+      .withColumn("dmetaphone",
+        graft.plans.GraftExpressions.doubleMetaphone(col(termCol)))
+      .withColumn("dmetaphone_alt",
+        graft.plans.GraftExpressions.doubleMetaphone(col(termCol),
+          alternate = true)))
   def learnBpeMerges(textCol: String, numMerges: Int): Seq[(String, String, Long)] =
     graft.operators.BpeLearn.learnFromCorpus(df, textCol, numMerges)
   def winnow(idCol: String, textCol: String, k: Int = 3,

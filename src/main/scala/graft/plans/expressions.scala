@@ -882,6 +882,8 @@ object GraftExpressions {
   def hammingDist(a: Column, b: Column): Column =
     column(HammingDistance(expression(a), expression(b)))
   def metaphone(c: Column): Column = column(Metaphone(expression(c)))
+  def doubleMetaphone(c: Column, alternate: Boolean = false): Column =
+    column(DoubleMetaphoneExpr(expression(c), alternate))
   def lnLibm(c: Column): Column = column(LnLibm(expression(c)))
   def interleaveBits(bits: Int, cs: Column*): Column =
     column(InterleaveBits(cs.map(expression), bits))

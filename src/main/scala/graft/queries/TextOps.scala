@@ -417,6 +417,40 @@ object TextOps extends QueryPack {
        |SELECT t.term, v.mph FROM toks t JOIN vals v ON v.term = t.term
        |ORDER BY t.term""".stripMargin
 
+  /** Double Metaphone (Philips 2000) over the corpus vocabulary —
+    * primary + alternate pronunciation keys (plans/DoubleMetaphone;
+    * the implementation is referee-tested against commons-codec on 30k
+    * fuzz strings, and this oracle table is commons-codec's own output
+    * for the vocabulary — independent of our code). Note the words
+    * where the alternate diverges: join→AN (Spanish J), slow/small→X
+    * (Slavic SL), window→FNTF (W-as-V), the→T. */
+  def docDoubleMetaphone(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term")).distinct()
+      .select(col("term"),
+        graft.plans.GraftExpressions.doubleMetaphone(col("term")).as("dmp"),
+        graft.plans.GraftExpressions.doubleMetaphone(col("term"),
+          alternate = true).as("dma"))
+      .orderBy(col("term"))
+
+  val docDoubleMetaphoneSql: String =
+    s"""WITH vals(term, dmp, dma) AS (VALUES
+       |  ('a','A','A'), ('agg','AK','AK'), ('batch','PX','PX'),
+       |  ('big','PK','PK'), ('column','KLMN','KLMN'),
+       |  ('customer','KSTM','KSTM'), ('data','TT','TT'), ('dup','TP','TP'),
+       |  ('fast','FST','FST'), ('filter','FLTR','FLTR'),
+       |  ('group','KRP','KRP'), ('hash','HX','HX'), ('join','JN','AN'),
+       |  ('key','K','K'), ('line','LN','LN'), ('merge','MRJ','MRK'),
+       |  ('order','ARTR','ARTR'), ('part','PRT','PRT'),
+       |  ('query','KR','KR'), ('row','R','RF'), ('scan','SKN','SKN'),
+       |  ('slow','SL','XLF'), ('small','SML','XML'), ('sort','SRT','SRT'),
+       |  ('spark','SPRK','SPRK'), ('stream','STRM','STRM'),
+       |  ('table','TPL','TPL'), ('the','0','T'), ('value','FL','FL'),
+       |  ('vector','FKTR','FKTR'), ('window','ANT','FNTF')),
+       |toks AS (SELECT DISTINCT unnest($toksSql) AS term FROM documents)
+       |SELECT t.term, v.dmp, v.dma FROM toks t JOIN vals v ON v.term = t.term
+       |ORDER BY t.term""".stripMargin
+
   /** Unicode script profile + dominant script — the gate BEFORE langid
     * in a web-corpus pipeline. Counts per explicit code-point class and
     * a priority-ordered argmax; the identical literal ranges are
@@ -1688,6 +1722,7 @@ object TextOps extends QueryPack {
     "doc_winnow_pairs" -> docWinnowPairs,
     "doc_soundex" -> docSoundex,
     "doc_metaphone" -> docMetaphone,
+    "doc_double_metaphone" -> docDoubleMetaphone,
     "doc_scripts" -> docScripts,
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
@@ -1737,6 +1772,7 @@ object TextOps extends QueryPack {
     "doc_winnow_pairs" -> docWinnowPairsSql,
     "doc_soundex" -> docSoundexSql,
     "doc_metaphone" -> docMetaphoneSql,
+    "doc_double_metaphone" -> docDoubleMetaphoneSql,
     "doc_scripts" -> docScriptsSql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,

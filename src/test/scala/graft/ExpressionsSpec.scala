@@ -372,6 +372,45 @@ class ExpressionsSpec extends AnyFunSuite {
       s"rollup $merged must equal one-pass $direct exactly")
   }
 
+  test("DoubleMetaphone matches commons-codec (the de-facto reference " +
+    "implementation) on fixtures and 20k fuzz strings") {
+    import graft.plans.DoubleMetaphoneImpl
+    val ref = new org.apache.commons.codec.language.DoubleMetaphone
+    def check(w: String): Unit = {
+      assert(DoubleMetaphoneImpl.primary(w) == ref.doubleMetaphone(w),
+        s"primary('$w'): ${DoubleMetaphoneImpl.primary(w)} vs ${ref.doubleMetaphone(w)}")
+      assert(DoubleMetaphoneImpl.alternate(w) == ref.doubleMetaphone(w, true),
+        s"alternate('$w'): ${DoubleMetaphoneImpl.alternate(w)} vs ${ref.doubleMetaphone(w, true)}")
+    }
+    val fixtures = Seq(
+      "SMITH", "SCHMIDT", "JOSE", "SAN JOSE", "XAVIER", "GNOME", "KNIGHT",
+      "WRIGHT", "PSYCHO", "CAESAR", "CHIANTI", "MICHAEL", "CHORE", "ORCHID",
+      "ARCHITECT", "MCHUGH", "EDGE", "EDGAR", "GHOST", "AGHAST", "HUGH",
+      "LAUGH", "COUGH", "JOHN", "JJ", "CABRILLO", "VILLA", "ALLE", "THUMB",
+      "DUMB", "PHONE", "SUGAR", "ISLAND", "SHOEK", "SHEIM", "SIO", "SIA",
+      "SCHOOL", "SCHERMERHORN", "SCHENKER", "SCIENCE", "SCYTHE", "SKATE",
+      "NATION", "THOMAS", "THAMES", "VON THURN", "WITZ", "FILIPOWICZ",
+      "BREAUX", "AUX", "ZHAO", "ZAZA", "TZAR", "WEWSKI", "OWSKY", "WHALE",
+      "AWE", "EWE", "ROGIER", "HOGGY", "AGGI", "RAJ", "JA", "HALLELUJAH",
+      "a", "", "   ", "Nbc-12#x", "O'BRIEN", "McDonald", "van gogh",
+      "accident", "success", "flaccid", "bacchus", "focaccia", "cappuccino")
+    fixtures.foreach(check)
+    val rnd = new scala.util.Random(7)
+    (1 to 20000).foreach { _ =>
+      val len = 1 + rnd.nextInt(12)
+      val w = (0 until len).map { _ =>
+        if (rnd.nextInt(8) == 0) ' ' else ('A' + rnd.nextInt(26)).toChar
+      }.mkString
+      check(w)
+    }
+    // vowel-heavy fuzz reaches the J/W/H edge branches more often
+    (1 to 10000).foreach { _ =>
+      val len = 1 + rnd.nextInt(8)
+      val w = (0 until len).map(_ => "AEIOUYJWHGCSZ".charAt(rnd.nextInt(13))).mkString
+      check(w)
+    }
+  }
+
   test("searchSorted/labelBins match hand expectations") {
     import graft.functions.NumericFunctions._
     val df = Seq(-1.0, 0.0, 5.0, 10.0, 45.0, 60.0).toDF("v")
