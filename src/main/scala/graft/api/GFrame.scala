@@ -331,6 +331,14 @@ final case class GFrame(df: DataFrame) {
       .withColumn("diff_est", KmvSetEst.diff(col(sketchA), col(sketchB)))
       .withColumn("jaccard_est", KmvSetEst.jaccard(col(sketchA), col(sketchB))))
   }
+  /** Space-Saving heavy hitters: top-k values with estimate + error
+    * (exact when m ≥ distinct; plans/SpaceSavingAgg). */
+  def topkHeavy(valueCol: String, m: Int = 64, k: Int = 10): GFrame =
+    GFrame(df.agg(
+        graft.plans.SpaceSavingTopK.of(col(valueCol), m, k).as("tk"))
+      .select(posexplode(col("tk")))
+      .select((col("pos") + 1).as("rank"), col("col.term").as("term"),
+        col("col.cnt").as("cnt"), col("col.err").as("err")))
   /** Regular-grid resample + forward fill (operators/Resample). */
   def resampleFfill(keyCol: String, tsCol: String, valueCol: String,
       tieCol: String, stepMicros: Long): GFrame =

@@ -159,17 +159,100 @@ object EventOps extends QueryPack {
       |  ON g.user_id = o.user_id AND g.win_id = o.win_id
       |ORDER BY g.user_id, g.win_id""".stripMargin
 
+  /** Recency-decayed engagement: Σ value·2^(−days_old) per user — the
+    * half-life-weighted feature a ranking pipeline derives from an
+    * event log. Engineered for cross-engine bit-exactness WITHOUT a
+    * transcendental (exp/pow are 1-ulp engine-specific) AND without
+    * rounding any fractional double into decimal (DuckDB's
+    * DOUBLE→DECIMAL cast scales in double space and mis-rounds near
+    * ties — measured on this very query; the VARCHAR finding's dual):
+    * the whole sum is computed as an EXACT decimal numerator
+    * Σ value·2^(29−k) (value is exact at 2 decimals; the multiplier is
+    * an integer shift, k clamped to [0,29]), and the single 2^−29
+    * division happens ONCE on the final double — an exact binary
+    * scaling. One map-side-combinable aggregation; the anchor (max ts)
+    * is a broadcast 1-row aggregate, not a driver action. */
+  def decayedSum(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val anchor = ev.agg(max(unix_micros($"ts")).as("t_max"))
+    ev.crossJoin(broadcast(anchor))
+      .withColumn("days_old", expr(
+        "least(29L, greatest(0L, (t_max - unix_micros(ts)) div 86400000000))"))
+      .withColumn("num",
+        $"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+          expr("shiftleft(cast(1 as bigint), 29 - cast(days_old as int))"))
+      .groupBy($"user_id")
+      .agg((sum($"num").cast("double") / lit(536870912.0)).as("decayed_sum"),
+        count(lit(1)).as("n"))
+      .orderBy($"user_id")
+  }
+
+  val decayedSumSql: String =
+    """WITH a AS (SELECT max(epoch_us(ts)) AS t_max FROM events)
+      |SELECT user_id,
+      |  CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,2)) *
+      |      (1::BIGINT << (29 - CAST(least(29, greatest(0,
+      |        (a.t_max - epoch_us(ts)) // 86400000000)) AS INT))))
+      |    AS VARCHAR) AS DOUBLE) / 536870912.0 AS decayed_sum,
+      |  count(*) AS n
+      |FROM events, a
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Interval-union coverage: each event opens a 10-minute activity
+    * interval; overlaps within a user merge, and the output is the
+    * total covered micros — the classic sweep as ONE window pass
+    * (running max of interval ends over the start-ordered stream;
+    * each row contributes max(0, end − max(start, peak_before)) —
+    * no self-join, no explode to minute grains). Exact integer micros
+    * on both engines. */
+  def intervalUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val iv = Tables.events(s, dir).select($"user_id", $"event_id",
+      unix_micros($"ts").as("s_us"),
+      (unix_micros($"ts") + 600000000L).as("e_us"))
+    val w = Window.partitionBy($"user_id")
+      .orderBy($"s_us", $"e_us", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv.withColumn("peak", max($"e_us").over(w))
+      .withColumn("contrib",
+        greatest(lit(0L), $"e_us" - greatest(coalesce($"peak", $"s_us"), $"s_us")))
+      .groupBy($"user_id")
+      .agg(sum($"contrib").as("covered_us"), count(lit(1)).as("n"))
+      .orderBy($"user_id")
+  }
+
+  val intervalUnionSql: String =
+    """SELECT user_id, CAST(sum(contrib) AS BIGINT) AS covered_us,
+      |  count(*) AS n
+      |FROM (
+      |  SELECT user_id,
+      |    greatest(0, e_us - greatest(coalesce(peak, s_us), s_us)) AS contrib
+      |  FROM (
+      |    SELECT user_id, s_us, e_us,
+      |      max(e_us) OVER (PARTITION BY user_id
+      |        ORDER BY s_us, e_us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS peak
+      |    FROM (SELECT user_id, event_id, epoch_us(ts) AS s_us,
+      |            epoch_us(ts) + 600000000 AS e_us
+      |          FROM events)))
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_funnel" -> funnel,
     "events_sessionize" -> sessionize,
     "events_tumbling" -> tumbling,
     "events_asof_prev" -> asofPrevSignup,
-    "events_resample_ffill" -> resampleFfill)
+    "events_resample_ffill" -> resampleFfill,
+    "events_decayed_sum" -> decayedSum,
+    "events_interval_union" -> intervalUnion)
 
   override def oracle: Map[String, String] = Map(
     "events_funnel" -> funnelSql,
     "events_sessionize" -> sessionizeSql,
     "events_tumbling" -> tumblingSql,
     "events_asof_prev" -> asofPrevSignupSql,
-    "events_resample_ffill" -> resampleFfillSql)
+    "events_resample_ffill" -> resampleFfillSql,
+    "events_decayed_sum" -> decayedSumSql,
+    "events_interval_union" -> intervalUnionSql)
 }

@@ -559,6 +559,31 @@ object MiscPack extends QueryPack {
       |      lag(o_totalprice) OVER (ORDER BY o_orderkey), o_totalprice) AS ok_price
       |  FROM orders)""".stripMargin
 
+  /** Space-Saving heavy hitters (plans/SpaceSavingAgg): top-10 brands
+    * from m=64 counters. p_brand's domain is BOUNDED (25 values), so
+    * this runs in the sketch's EXACT regime at any data scale — the
+    * counters never evict, partials merge by pure addition, and the
+    * output is the exact top-k the oracle computes with a full
+    * group-count. (The m < distinct regime's retention/error bounds
+    * are property-tested in ExpressionsSpec on a Zipf stream.) */
+  def topkHeavy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.SpaceSavingTopK
+    Tables.part(s, dir)
+      .agg(SpaceSavingTopK.of($"p_brand", 64, 10).as("tk"))
+      .select(posexplode($"tk"))
+      .select(($"pos" + 1).as("rank"), $"col.term".as("brand"),
+        $"col.cnt".as("n"))
+      .orderBy($"rank")
+  }
+
+  val topkHeavySql: String =
+    """SELECT CAST(rk AS INT) AS rank, brand, n FROM (
+      |  SELECT p_brand AS brand, count(*) AS n,
+      |    row_number() OVER (ORDER BY count(*) DESC, p_brand) AS rk
+      |  FROM part GROUP BY p_brand)
+      |WHERE rk <= 10 ORDER BY rank""".stripMargin
+
   /** KMV sketch ROLLUP: monthly distinct-customer sketches re-aggregated
     * to quarters through `kmv_merge` — the HLL-rollup / MERGE_TDIGEST
     * pattern with an ORACLE-EXACT estimate (KMV merge is closed over
@@ -694,6 +719,7 @@ object MiscPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_theta_setops" -> thetaSetOps,
     "agg_kmv_rollup" -> kmvRollup,
+    "agg_topk_heavy" -> topkHeavy,
     "is_sorted_check" -> isSortedQ,
     "encode_factorize" -> encodeFactorize,
     "search_sorted" -> searchSorted,
@@ -729,6 +755,7 @@ object MiscPack extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "agg_theta_setops" -> thetaSetOpsSql,
     "agg_kmv_rollup" -> kmvRollupSql,
+    "agg_topk_heavy" -> topkHeavySql,
     "dq_rule_audit" -> dqRuleAuditSql,
     "dq_profile" -> dqProfileSql,
     "cdc_merge" -> cdcMergeSql,

@@ -39,6 +39,15 @@ object QueryPack {
     * envelope diffs in SCALING.md came from this cast). */
   def dsumSql(expr: String, scale: Int = 4): String =
     s"CAST(CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
+  // The INPUT-side DOUBLE→DECIMAL cast has the dual 1-ulp hazard:
+  // DuckDB scales by 10^s in double space before rounding, so a term
+  // whose scaled value lands on a representable .5 boundary can round
+  // the other way from Spark's exact BigDecimal path (measured:
+  // value·2^-k terms in events_decayed_sum). Harmless for generic
+  // doubles (boundary hits are measure-zero) but DYADIC-structured
+  // terms hit it reliably — such queries must restructure to an exact
+  // decimal numerator with one final binary-scaling division
+  // (events_decayed_sum is the template).
 
   /** Exact decimal mean, returned as double (sum/count in double space). */
   def davg(c: Column, scale: Int = 4): Column =

@@ -411,6 +411,43 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("SpaceSaving: exact in the m>=distinct regime; Zipf heavy hitters " +
+    "retained with bounded overestimate under random partitioning") {
+    import graft.plans.{SpaceSavingBuffer, SpaceSavingTopK}
+    // exact regime through a real distributed plan: 10 keys, m=64
+    val df = (1 to 10000).map(i => s"k${i % 10}").toDF("v").repartition(8)
+    val got = df.agg(SpaceSavingTopK.of($"v", 64, 10).as("tk"))
+      .select(explode($"tk").as("s"))
+      .select($"s.term", $"s.cnt", $"s.err")
+      .as[(String, Long, Long)].collect()
+    assert(got.length == 10 && got.forall(t => t._2 == 1000L && t._3 == 0L),
+      s"exact regime must return exact counts: ${got.toSeq}")
+    // sketched regime: Zipf-ish stream (key j with frequency ~ N/j),
+    // m=16 << 200 distinct, merged across a random 8-way split
+    val rnd = new scala.util.Random(11)
+    val stream = (1 to 200).flatMap(j => Seq.fill(4000 / j)(s"z$j"))
+    val shuffled = rnd.shuffle(stream)
+    val parts = Array.fill(8)(new SpaceSavingBuffer(16))
+    shuffled.foreach(k => parts(rnd.nextInt(8)).add(k))
+    val merged = parts.reduce { (a, b) => a.merge(b); a }
+    val n = stream.size.toLong
+    val trueCounts = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val bound = 2L * n / 16
+    // every key with true count > 2n/m must be retained
+    trueCounts.filter(_._2 > bound).keys.foreach { k =>
+      assert(merged.counters.contains(k), s"heavy key $k evicted")
+    }
+    // estimates never undercount and overcount within the summed bound
+    merged.counters.foreach { case (k, (c, e)) =>
+      val t = trueCounts.getOrElse(k, 0L)
+      assert(c >= t, s"$k undercounted: $c < $t")
+      assert(c - t <= e + bound, s"$k overcount ${c - t} beyond bound")
+    }
+    // serialization round trip
+    val rt = SpaceSavingBuffer.deserialize(merged.serialize())
+    assert(rt.counters == merged.counters && rt.m == 16)
+  }
+
   test("searchSorted/labelBins match hand expectations") {
     import graft.functions.NumericFunctions._
     val df = Seq(-1.0, 0.0, 5.0, 10.0, 45.0, 60.0).toDF("v")
