@@ -129,6 +129,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session re-keying: chained stateful ops — sessionize, then " +
+    "re-aggregate sessions by a derived key in ONE streaming query") {
+    // The 100 TB streaming shape: stage 1 holds per-user session state,
+    // stage 2 re-keys the CLOSED sessions (shuffle on the new key) and
+    // holds per-window counts — Spark chains both stateful operators in
+    // a single query when stage 1 emits an event-time column
+    // (session_window.end) that stage 2 windows over. Append mode +
+    // watermark so stage-1 output finalizes before stage 2 consumes it.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val sessions = input.toDF().toDF("ts", "user_id", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"))
+    val rekeyed = sessions
+      .withColumn("size_class",
+        when($"n_events" >= 2, "multi").otherwise("single"))
+      .groupBy(window($"session_window", "1 hour"), $"size_class")
+      .agg(count(lit(1)).as("n_sessions"))
+
+    val q = rekeyed.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("rekey_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 7L, 1.0),
+        (ts("2024-01-01 00:10:00"), 7L, 2.0),  // user 7: 2-event session
+        (ts("2024-01-01 00:05:00"), 8L, 4.0))  // user 8: 1-event session
+      input.addData((ts("2024-01-01 03:00:00"), 9L, 1.0)) // advance wm
+      input.addData((ts("2024-01-01 06:00:00"), 9L, 1.0)) // close stage 2
+      q.processAllAvailable()
+      // closed sessions: user 7 multi @00h, user 8 single @00h, user 9
+      // single @03h (closed once the 06:00 event advances the watermark)
+      val rows = spark.sql(
+        """SELECT size_class, CAST(sum(n_sessions) AS BIGINT) AS n
+          |FROM rekey_out GROUP BY size_class ORDER BY size_class""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.toSeq == Seq(("multi", 1L), ("single", 2L)),
+        s"got ${rows.toSeq}")
+      assert(spark.sql("SELECT count(*) FROM rekey_out").head.getLong(0) == 3L,
+        "the two single sessions land in different hour windows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks within 10 min of impression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
