@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Grid-bucketized interval join — the BIG-BIG scale path for
+  * point-in-interval and interval-overlap predicates.
+  *
+  * Spark plans a pure non-equi join condition as
+  * BroadcastNestedLoopJoin (fine only while one side broadcasts) or a
+  * cartesian product; the reference's conditional join
+  * (cpp/include/cudf/join/conditional_join.hpp) is likewise a device
+  * nested loop. When BOTH sides are large the scalable reformulation
+  * is the classic fixed-grid blocking: intervals explode onto the grid
+  * cells they cover (sequence+explode — replication factor is
+  * span/cell + 1, chosen by the caller to match interval widths),
+  * points land in exactly ONE cell, and the join becomes a hash
+  * equi-join on (keys…, cell) with the exact predicate as a residual
+  * filter. Because a point owns a single cell, each qualifying pair
+  * appears exactly once — no post-join dedup pass.
+  */
+object IntervalJoin {
+
+  /** Join `points` (micros column `pCol`) to `intervals`
+    * ([`loCol`, `hiCol`) half-open, micros) sharing `keyCols`, via
+    * `cellMicros`-wide grid cells. Empty intervals (hi ≤ lo) match
+    * nothing. Output: all columns of both inputs for qualifying pairs. */
+  def pointInInterval(points: DataFrame, pCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      keyCols: Seq[String], cellMicros: Long): DataFrame = {
+    require(cellMicros > 0, "cellMicros must be positive")
+    val p = points.withColumn("__cell",
+      expr(s"$pCol div ${cellMicros}L"))
+    val iv = intervals
+      .filter(col(hiCol) > col(loCol))
+      .withColumn("__cell", explode(expr(
+        s"sequence($loCol div ${cellMicros}L, ($hiCol - 1) div ${cellMicros}L)")))
+    p.join(iv, keyCols :+ "__cell")
+      .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
+      .drop("__cell")
+  }
+}

@@ -199,6 +199,27 @@ object EventOps extends QueryPack {
       |FROM events, a
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Hopping (sliding) event-time windows — window(size=10m, slide=5m):
+    * every event lands in size/slide = 2 overlapping windows. The
+    * oracle replays Spark's epoch-aligned window enumeration directly:
+    * starts (⌊t/slide⌋ − j)·slide for j ∈ {0,1}. Same plan shape as a
+    * tumbling agg (the window expansion is a Generate map stage —
+    * replication factor size/slide, no join). */
+  def hopping(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .select(unix_micros(col("w.start")).as("win_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("win_start_us"), col("event_type"))
+
+  val hoppingSql: String =
+    s"""SELECT (epoch_us(ts) // 300000000 - j) * 300000000 AS win_start_us,
+       |  event_type, count(*) AS n, ${dsumSql("value", 2)} AS sum_value
+       |FROM events, UNNEST([0, 1]) AS t(j)
+       |GROUP BY 1, 2 ORDER BY win_start_us, event_type""".stripMargin
+
   /** Interval-union coverage: each event opens a 10-minute activity
     * interval; overlaps within a user merge, and the output is the
     * total covered micros — the classic sweep as ONE window pass
@@ -245,7 +266,8 @@ object EventOps extends QueryPack {
     "events_asof_prev" -> asofPrevSignup,
     "events_resample_ffill" -> resampleFfill,
     "events_decayed_sum" -> decayedSum,
-    "events_interval_union" -> intervalUnion)
+    "events_interval_union" -> intervalUnion,
+    "events_hopping" -> hopping)
 
   override def oracle: Map[String, String] = Map(
     "events_funnel" -> funnelSql,
@@ -254,5 +276,6 @@ object EventOps extends QueryPack {
     "events_asof_prev" -> asofPrevSignupSql,
     "events_resample_ffill" -> resampleFfillSql,
     "events_decayed_sum" -> decayedSumSql,
-    "events_interval_union" -> intervalUnionSql)
+    "events_interval_union" -> intervalUnionSql,
+    "events_hopping" -> hoppingSql)
 }

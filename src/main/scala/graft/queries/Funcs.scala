@@ -542,6 +542,30 @@ object Funcs extends QueryPack {
       |  AND jaro_winkler_similarity(a.nm, b.nm) >= 0.85
       |ORDER BY a, b""".stripMargin
 
+  /** Sorted-neighborhood blocking over part names (Hernández-Stolfo;
+    * FuzzyJoin.sortedNeighborhoodPairs): sort-shard by first letter,
+    * window w=3, JW ≥ 0.85 on neighbors — the linear-candidate
+    * complement of token blocking. The oracle replicates the shard +
+    * lead-window pair generation identically, then scores with
+    * DuckDB's native jaro_winkler_similarity. */
+  def strSortedNeighborhood(s: SparkSession, dir: String): DataFrame =
+    graft.operators.FuzzyJoin.sortedNeighborhoodPairs(
+        Tables.part(s, dir).select(col("p_name")), "p_name",
+        w = 3, prefixLen = 1, threshold = 0.85)
+      .orderBy(col("a"), col("b"))
+
+  val strSortedNeighborhoodSql: String =
+    """WITH t AS (SELECT DISTINCT p_name AS a FROM part),
+      |l AS (
+      |  SELECT a,
+      |    lead(a, 1) OVER (PARTITION BY substring(a, 1, 1) ORDER BY a) AS n1,
+      |    lead(a, 2) OVER (PARTITION BY substring(a, 1, 1) ORDER BY a) AS n2
+      |  FROM t)
+      |SELECT a, b, jaro_winkler_similarity(a, b) AS jw
+      |FROM (SELECT a, unnest([n1, n2]) AS b FROM l)
+      |WHERE b IS NOT NULL AND jaro_winkler_similarity(a, b) >= 0.85
+      |ORDER BY a, b""".stripMargin
+
   /** Full record-linkage resolution over part names: first-token block,
     * JW ≥ 0.85 compare, per-name best match (jw desc, match asc ties).
     * The oracle replicates blocking + compare identically and resolves
@@ -573,6 +597,7 @@ object Funcs extends QueryPack {
     "str_jaro_winkler" -> strJaroWinkler,
     "str_jw_blocked_join" -> strJwBlockedJoin,
     "str_record_linkage" -> strRecordLinkage,
+    "str_sorted_neighborhood" -> strSortedNeighborhood,
     "str_durations" -> strDurations,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
@@ -598,6 +623,7 @@ object Funcs extends QueryPack {
     "str_jaro_winkler" -> strJaroWinklerSql,
     "str_jw_blocked_join" -> strJwBlockedJoinSql,
     "str_record_linkage" -> strRecordLinkageSql,
+    "str_sorted_neighborhood" -> strSortedNeighborhoodSql,
     "str_durations" -> strDurationsSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,

@@ -202,7 +202,43 @@ object Joins extends QueryPack {
       |    AS has_return
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Grid-bucketized point-in-interval join (operators/IntervalJoin) —
+    * the BIG-BIG scale path for the non-equi predicate join_nonequi
+    * covers in broadcast form: each purchase matched to the signup
+    * windows [signup, signup+7d) of the same user via a 1-day cell
+    * grid, planned as a hash EQUI-join on (user, cell) + residual —
+    * no BroadcastNestedLoopJoin, no cartesian product (PlanSpec
+    * guards the shape). Each point owns ONE cell, so qualifying pairs
+    * appear exactly once without a dedup pass. */
+  def joinIntervalGrid(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.IntervalJoin
+    val ev = Tables.events(s, dir)
+    val points = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("p_us"))
+    val intervals = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("signup_id"),
+        unix_micros(col("ts")).as("lo_us"),
+        (unix_micros(col("ts")) + 604800000000L).as("hi_us"))
+    IntervalJoin.pointInInterval(points, "p_us", intervals,
+        "lo_us", "hi_us", Seq("user_id"), 86400000000L)
+      .select(col("user_id"), col("purchase_id"), col("signup_id"),
+        (col("p_us") - col("lo_us")).as("gap_us"))
+      .orderBy(col("purchase_id"), col("signup_id"))
+  }
+
+  val joinIntervalGridSql: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, s.event_id AS signup_id,
+      |  epoch_us(p.ts) - epoch_us(s.ts) AS gap_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      |  ON p.user_id = s.user_id
+      |  AND epoch_us(p.ts) >= epoch_us(s.ts)
+      |  AND epoch_us(p.ts) < epoch_us(s.ts) + 604800000000
+      |ORDER BY purchase_id, signup_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_interval_grid" -> joinIntervalGrid,
     "join_mark" -> joinMark,
     "join_inner" -> joinInner,
     "join_left" -> joinLeft,
@@ -215,6 +251,7 @@ object Joins extends QueryPack {
     "join_nullsafe" -> joinNullSafe)
 
   override def oracle: Map[String, String] = Map(
+    "join_interval_grid" -> joinIntervalGridSql,
     "join_mark" -> joinMarkSql,
     "join_inner" -> joinInnerSql,
     "join_left" -> joinLeftSql,

@@ -24,6 +24,22 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThan(l_quantity,24.0)"), "quantity filter not pushed")
   }
 
+  test("interval-grid join plans a hash EQUI-join — no nested loop, " +
+    "no cartesian product") {
+    val p = plan("join_interval_grid")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "grid blocking must remove the nested-loop join")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(p.contains("Generate"), "interval cell expansion is a map stage")
+  }
+
+  test("resample plans exactly one source scan (gap-run form, no grid join)") {
+    val p = plan("events_resample_ffill")
+    val scans = p.linesIterator.count(_.contains("Location: InMemoryFileIndex"))
+    assert(scans == 1, s"expected 1 scan, got $scans")
+    assert(!p.contains("Join"), "the gap-run rewrite eliminates the join")
+  }
+
   test("q6: scan reads only the referenced columns") {
     val p = plan("q6_revenue_change")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get

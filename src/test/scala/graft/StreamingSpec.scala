@@ -173,6 +173,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static broadcast join enriches a stream against a dimension") {
+    // The standard streaming enrichment shape: the static side
+    // broadcasts once, each micro-batch joins map-side — stateless, so
+    // Append mode needs no watermark and no state store.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((7L, "gold"), (8L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val joined = input.toDF().toDF("ts", "user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+    val q = joined.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("enrich_out").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 00:00:00"), 7L, 1.0),
+        (ts("2024-01-01 00:01:00"), 9L, 2.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, tier FROM enrich_out ORDER BY user_id")
+        .collect().map(r => (r.getLong(0), Option(r.getString(1))))
+      assert(rows.toSeq == Seq((7L, Some("gold")), (9L, None)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks within 10 min of impression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
