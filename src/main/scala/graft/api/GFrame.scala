@@ -286,7 +286,10 @@ final case class GFrame(df: DataFrame) {
         graft.plans.GraftExpressions.doubleMetaphone(col(termCol)))
       .withColumn("dmetaphone_alt",
         graft.plans.GraftExpressions.doubleMetaphone(col(termCol),
-          alternate = true)))
+          alternate = true))
+      .withColumn("nysiis", graft.plans.GraftExpressions.nysiis(col(termCol)))
+      .withColumn("refined_soundex",
+        graft.plans.GraftExpressions.refinedSoundex(col(termCol))))
   def learnBpeMerges(textCol: String, numMerges: Int): Seq[(String, String, Long)] =
     graft.operators.BpeLearn.learnFromCorpus(df, textCol, numMerges)
   def winnow(idCol: String, textCol: String, k: Int = 3,

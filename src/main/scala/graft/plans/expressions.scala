@@ -884,6 +884,9 @@ object GraftExpressions {
   def metaphone(c: Column): Column = column(Metaphone(expression(c)))
   def doubleMetaphone(c: Column, alternate: Boolean = false): Column =
     column(DoubleMetaphoneExpr(expression(c), alternate))
+  def nysiis(c: Column): Column = column(NysiisExpr(expression(c)))
+  def refinedSoundex(c: Column): Column =
+    column(RefinedSoundexExpr(expression(c)))
   def lnLibm(c: Column): Column = column(LnLibm(expression(c)))
   def interleaveBits(bits: Int, cs: Column*): Column =
     column(InterleaveBits(cs.map(expression), bits))

@@ -451,6 +451,40 @@ object TextOps extends QueryPack {
        |SELECT t.term, v.dmp, v.dma FROM toks t JOIN vals v ON v.term = t.term
        |ORDER BY t.term""".stripMargin
 
+  /** NYSIIS (Taft 1970) + Refined Soundex over the corpus vocabulary —
+    * completing the phonetic-blocking family (soundex, metaphone,
+    * double metaphone, nysiis, refined soundex). Implementations are
+    * referee-tested against commons-codec on 20k fuzz strings; the
+    * oracle table is the referee's own output for the vocabulary. */
+  def docPhoneticExtra(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term")).distinct()
+      .select(col("term"),
+        graft.plans.GraftExpressions.nysiis(col("term")).as("nys"),
+        graft.plans.GraftExpressions.refinedSoundex(col("term")).as("rsx"))
+      .orderBy(col("term"))
+
+  val docPhoneticExtraSql: String =
+    s"""WITH vals(term, nys, rsx) AS (VALUES
+       |  ('a','A','A0'), ('agg','AG','A04'), ('batch','BATC','B10630'),
+       |  ('big','BAG','B104'), ('column','CALAN','C30708'),
+       |  ('customer','CASTAN','C30360809'), ('data','DAT','D6060'),
+       |  ('dup','DAP','D601'), ('fast','FAST','F2036'),
+       |  ('filter','FALTAR','F207609'), ('group','GRAP','G4901'),
+       |  ('hash','H','H030'), ('join','JAN','J408'), ('key','CY','K30'),
+       |  ('line','LAN','L7080'), ('merge','MARG','M80940'),
+       |  ('order','ORDAR','O09609'), ('part','PAD','P1096'),
+       |  ('query','QARY','Q5090'), ('row','R','R90'),
+       |  ('scan','SCAN','S308'), ('slow','SL','S370'),
+       |  ('small','SNAL','S3807'), ('sort','SAD','S3096'),
+       |  ('spark','SPARC','S31093'), ('stream','STRAN','S36908'),
+       |  ('table','TABL','T60170'), ('the','T','T60'),
+       |  ('value','VAL','V2070'), ('vector','VACTAR','V203609'),
+       |  ('window','WAND','W0860')),
+       |toks AS (SELECT DISTINCT unnest($toksSql) AS term FROM documents)
+       |SELECT t.term, v.nys, v.rsx FROM toks t JOIN vals v ON v.term = t.term
+       |ORDER BY t.term""".stripMargin
+
   /** Unicode script profile + dominant script — the gate BEFORE langid
     * in a web-corpus pipeline. Counts per explicit code-point class and
     * a priority-ordered argmax; the identical literal ranges are
@@ -1723,6 +1757,7 @@ object TextOps extends QueryPack {
     "doc_soundex" -> docSoundex,
     "doc_metaphone" -> docMetaphone,
     "doc_double_metaphone" -> docDoubleMetaphone,
+    "doc_phonetic_extra" -> docPhoneticExtra,
     "doc_scripts" -> docScripts,
     "doc_langid" -> langid,
     "doc_jaccard_pairs" -> jaccardPairs,
@@ -1773,6 +1808,7 @@ object TextOps extends QueryPack {
     "doc_soundex" -> docSoundexSql,
     "doc_metaphone" -> docMetaphoneSql,
     "doc_double_metaphone" -> docDoubleMetaphoneSql,
+    "doc_phonetic_extra" -> docPhoneticExtraSql,
     "doc_scripts" -> docScriptsSql,
     "doc_langid" -> langidSql,
     "doc_jaccard_pairs" -> jaccardPairsSql,

@@ -448,6 +448,33 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(rt.counters == merged.counters && rt.m == 16)
   }
 
+  test("NYSIIS and Refined Soundex match commons-codec on fixtures and fuzz") {
+    import graft.plans.PhoneticExtraImpl
+    val ny = new org.apache.commons.codec.language.Nysiis
+    val rs = new org.apache.commons.codec.language.RefinedSoundex
+    def check(w: String): Unit = {
+      assert(PhoneticExtraImpl.nysiis(w) == ny.encode(w),
+        s"nysiis('$w'): ${PhoneticExtraImpl.nysiis(w)} vs ${ny.encode(w)}")
+      assert(PhoneticExtraImpl.refinedSoundex(w) == rs.encode(w),
+        s"refined('$w'): ${PhoneticExtraImpl.refinedSoundex(w)} vs ${rs.encode(w)}")
+    }
+    Seq("MACDONALD", "KNIGHT", "KOBWE", "PHONE", "PFISTER", "SCHMIDT",
+      "BROWN", "O'BRIEN", "TESTING", "WASHINGTON", "DAY", "EVE", "HEAVY",
+      "WHEEL", "QUIZ", "ZAMBIA", "MARTHA", "SMITH", "NOLAND", "ANDREW",
+      "ROBERT", "MITCHELL", "MCDONALD", "SNOW", "TRUE", "MEE", "DIE",
+      "ENDT", "CART", "BIRD", "BENT", "BAND", "AH", "HA", "AW", "WA",
+      "EVEV", "XY", "A", "KNKN", "SCHSCH", "van gogh", "McArthur",
+      "knuth", "schwartz", "pfeiffer", "macy", "mackey").foreach(check)
+    val rnd = new scala.util.Random(13)
+    (1 to 20000).foreach { _ =>
+      val len = 1 + rnd.nextInt(10)
+      val w = (0 until len).map { _ =>
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZAEIOUHWKNSCHMPF".charAt(rnd.nextInt(41))
+      }.mkString
+      check(w)
+    }
+  }
+
   test("searchSorted/labelBins match hand expectations") {
     import graft.functions.NumericFunctions._
     val df = Seq(-1.0, 0.0, 5.0, 10.0, 45.0, 60.0).toDF("v")
