@@ -62,14 +62,31 @@ object Bench {
     // A failing query records -1.0, never its elapsed-until-throw: a
     // 70 ms analysis failure must not masquerade as a fast passing query
     // in a committed snapshot (round-5 lesson).
-    val results = selected.map { case (name, fn) =>
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
+    // Noise immunity (round-6 lesson): a shared machine injected phantom
+    // 30 s outliers into single-shot timings (isolated re-runs: 1-3 s).
+    // Any query whose first run exceeds 1 s gets a second run and we keep
+    // the MIN — the minimum over runs is the plan cost, anything above it
+    // is contention/GC. Fast queries aren't re-run, so the overhead is
+    // bounded by the tail, not 2x the whole suite. First-run values are
+    // preserved in bench.json ("first_runs") for drift inspection.
+    val rerunThresholdSec = 1.0
+    val firstRuns = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    var reruns = 0
+    val results = selected.zip(firstRuns).map { case ((name, fn), (_, t1)) =>
+      if (t1 > rerunThresholdSec) {
+        reruns += 1
+        val t2 = timeOne(name, fn)
+        name -> (if (t2 < 0) t1 else math.min(t1, t2))
+      } else name -> t1
     }
     val failedNames = results.collect { case (n, v) if v < 0 => n }
     def fmt(v: Double) = f"$v%.3f"
@@ -86,12 +103,13 @@ object Bench {
     // tpch_sec: the q1-q22 subtotal — a stable cross-round comparison
     // while the total query count keeps growing round over round
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
-      s""","n":${results.size},"failed":${failedNames.size}""" +
+      s""","n":${results.size},"failed":${failedNames.size},"reruns":$reruns""" +
       s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}"""
     val line = s"""$prefix,"queries":${jmap(headline)},"sf":"$sfDir"}"""
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
-      s"""$prefix,"failed_queries":$failedJson,"queries":${jmap(results)},"sf":"$sfDir"}"""
+      s"""$prefix,"failed_queries":$failedJson,"queries":${jmap(results)}""" +
+        s""","first_runs":${jmap(firstRuns)},"sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)

@@ -347,8 +347,11 @@ object Dedup {
     val bf = corpus.select(col(keyCol).cast("string").as("k"))
       .stat.bloomFilter("k", expectedItems, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bf)
-    val mightContain =
-      udf((s: String) => s != null && bc.value.mightContainString(s))
+    // Native codegen probe, not a ScalaUDF: the screen stays inside
+    // WholeStageCodegen and the plan ships only the broadcast handle.
+    import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
+    def mightContain(c: org.apache.spark.sql.Column) =
+      column(graft.plans.BloomMightContain(expression(c), bc))
     new IngestScreen(
       batch => batch.filter(!mightContain(col(keyCol).cast("string"))),
       () => { bc.destroy(); () })

@@ -29,12 +29,18 @@ object IntervalJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       keyCols: Seq[String], cellMicros: Long): DataFrame = {
     require(cellMicros > 0, "cellMicros must be positive")
-    val p = points.withColumn("__cell",
-      expr(s"$pCol div ${cellMicros}L"))
+    // Floor division (see Resample): `div` truncates toward zero, which
+    // for negative coordinates doubles cell 0's width. Correctness never
+    // depended on it (point and interval sides used the same cells), but
+    // a doubled cell doubles that cell's candidate fan-out — keep the
+    // grid regular.
+    def fdiv(x: String): String =
+      s"(($x) div ${cellMicros}L) - (case when ($x) % ${cellMicros}L < 0 then 1 else 0 end)"
+    val p = points.withColumn("__cell", expr(fdiv(pCol)))
     val iv = intervals
       .filter(col(hiCol) > col(loCol))
       .withColumn("__cell", explode(expr(
-        s"sequence($loCol div ${cellMicros}L, ($hiCol - 1) div ${cellMicros}L)")))
+        s"sequence(${fdiv(loCol)}, ${fdiv(s"$hiCol - 1")})")))
     p.join(iv, keyCols :+ "__cell")
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__cell")

@@ -515,10 +515,14 @@ case class DoubleMetaphoneExpr(child: Expression, alternate: Boolean)
   }
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val fn = if (alternate) "alternate" else "primary"
+    // freshName, not a fixed local: two instances of the same variant in
+    // one codegen stage (e.g. double_metaphone of two columns in one
+    // projection) must not declare duplicate Java variables.
+    val out = ctx.freshName("dmOut")
     nullSafeCodeGen(ctx, ev, s => s"""
-      |String out$fn = graft.plans.DoubleMetaphoneImpl.$fn($s.toString());
-      |if (out$fn == null) { ${ev.isNull} = true; }
-      |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(out$fn); }
+      |String $out = graft.plans.DoubleMetaphoneImpl.$fn($s.toString());
+      |if ($out == null) { ${ev.isNull} = true; }
+      |else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString($out); }
       |""".stripMargin)
   }
   override protected def withNewChildInternal(c: Expression): DoubleMetaphoneExpr =

@@ -90,7 +90,12 @@ class SpaceSavingBuffer(val m: Int) extends Serializable {
     val out = new DataOutputStream(bos)
     out.writeInt(m); out.writeInt(counters.size)
     counters.foreach { case (k, (c, e)) =>
-      out.writeUTF(k); out.writeLong(c); out.writeLong(e)
+      // Length-prefixed raw UTF-8, not writeUTF: writeUTF throws for keys
+      // whose modified-UTF-8 encoding exceeds 65535 bytes, which a
+      // long-string column can hit mid-shuffle.
+      val kb = k.getBytes("UTF-8")
+      out.writeInt(kb.length); out.write(kb)
+      out.writeLong(c); out.writeLong(e)
     }
     out.flush(); bos.toByteArray
   }
@@ -103,7 +108,11 @@ object SpaceSavingBuffer {
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      val k = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      val len = in.readInt()
+      val kb = new Array[Byte](len)
+      in.readFully(kb)
+      val k = new String(kb, "UTF-8")
+      val c = in.readLong(); val e = in.readLong()
       b.counters.update(k, (c, e))
       i += 1
     }
@@ -125,7 +134,12 @@ case class SpaceSavingTopK(child: Expression, m: Int, k: Int,
     new SpaceSavingBuffer(m)
   override def update(buf: SpaceSavingBuffer, row: InternalRow): SpaceSavingBuffer = {
     val v = child.eval(row)
-    if (v != null) buf.add(v.asInstanceOf[UTF8String].toString)
+    // Stringify generically (like KmvSketch): non-string columns count by
+    // their string form instead of throwing ClassCastException.
+    if (v != null) buf.add(v match {
+      case u: UTF8String => u.toString
+      case other => other.toString
+    })
     buf
   }
   override def merge(buf: SpaceSavingBuffer,

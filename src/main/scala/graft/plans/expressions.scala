@@ -3,6 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.expressions.aggregate.DeclarativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
@@ -866,6 +867,49 @@ object EditDistanceImpl {
     while (i < a.length) { if (a.charAt(i) != b.charAt(i)) c += 1; i += 1 }
     c
   }
+}
+
+/** Bloom-filter membership probe against a BROADCAST filter (the
+  * streaming-ingest screen's hot-path predicate,
+  * cpp/include/cudf/search.hpp `contains` at approximate scale). A
+  * native codegen expression, not a ScalaUDF: the probe stays inside
+  * WholeStageCodegen, pays no encoder round-trip per row, and the plan
+  * carries only the lightweight broadcast HANDLE — executors resolve
+  * the filter bytes once from the block manager, never per-task.
+  * NULL keys are never "present" (false, matching an anti-join screen
+  * on a null key). */
+case class BloomMightContain(child: Expression,
+    bfBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter])
+  extends UnaryExpression with Predicate {
+  override def nullable: Boolean = false
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bloom_might_contain needs string (cast explicitly), got ${child.dataType}")
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val v = child.eval(input)
+    v != null && bfBc.value.mightContainString(v.asInstanceOf[UTF8String].toString)
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("bloomBc", bfBc,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val childGen = child.genCode(ctx)
+    val code =
+      code"""
+        ${childGen.code}
+        boolean ${ev.value} = false;
+        if (!${childGen.isNull}) {
+          ${ev.value} = ((org.apache.spark.util.sketch.BloomFilter)
+            $bcRef.value()).mightContainString(${childGen.value}.toString());
+        }"""
+    ev.copy(code = code,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+  override protected def withNewChildInternal(c: Expression): BloomMightContain =
+    copy(child = c)
 }
 
 object GraftExpressions {

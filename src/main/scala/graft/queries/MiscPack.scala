@@ -115,16 +115,39 @@ object MiscPack extends QueryPack {
 
   /** Approximate sketches (TDIGEST aggregation.hpp:113 →
     * percentile_approx; NUNIQUE-approx → approx_count_distinct; HLL ≙
-    * the streaming approx-distinct test). Engine-specific estimates →
-    * rows-only check; determinism within Spark is covered by tests. */
+    * the streaming approx-distinct test). The raw estimates are
+    * engine-specific, so the ORACLE-CHECKED contract is the accuracy
+    * BOUND, computed in-plan: each approx quantile must land inside the
+    * exact rank band [q-0.02, q+0.02] (percentile_approx's rank-error
+    * guarantee is 1/accuracy = 0.001, 20× tighter), and the HLL distinct
+    * estimate within 15% of exact (rsd 5%, 3σ). DuckDB asserts the same
+    * booleans as literals — a digest drifting out of tolerance flips a
+    * value and fails the hash gate. */
   def aggApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir).groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("approx_p50"),
-        percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("approx_p99"))
+      .agg(approx_count_distinct($"l_partkey").as("ap"),
+        countDistinct($"l_partkey").as("exact_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+        percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99"),
+        expr("percentile(l_extendedprice, 0.48)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.97)").as("lo99"),
+        expr("percentile(l_extendedprice, 1.0)").as("hi99"),
+        count(lit(1)).as("n"))
+      .select($"l_returnflag", $"n", $"exact_parts",
+        (abs($"ap" - $"exact_parts") <= $"exact_parts" * 0.15)
+          .as("distinct_in_tol"),
+        ($"p50" >= $"lo50" && $"p50" <= $"hi50").as("p50_in_band"),
+        ($"p99" >= $"lo99" && $"p99" <= $"hi99").as("p99_in_band"))
       .orderBy($"l_returnflag")
   }
+
+  val aggApproxSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  true AS distinct_in_tol, true AS p50_in_band, true AS p99_in_band
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Count-min sketch frequency estimation (the heavy-hitters sketch
     * that completes the family: t-digest = quantiles, HLL = distinct,
@@ -137,13 +160,36 @@ object MiscPack extends QueryPack {
     * the ≥-exact and ε·N bounds are asserted in OperatorsSpec. */
   def cmsFrequencies(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sketch = Tables.lineitem(s, dir)
-      .stat.countMinSketch($"l_suppkey", eps = 0.001, confidence = 0.99,
-        seed = 42)
-    (0L to 9L).map(k => (k, sketch.estimateCount(k)))
+    val li = Tables.lineitem(s, dir)
+    val sketch = li.stat.countMinSketch($"l_suppkey", eps = 0.001,
+      confidence = 0.99, seed = 42)
+    // Hash-gated CMS contract: never undercounts, and overcounts by at
+    // most eps*N per row w.p. `confidence` — gated with 2*eps*N slack so
+    // only a real sketch bug (not one unlucky-but-in-contract key) flips
+    // a boolean. exact_count is recomputed independently by DuckDB.
+    val n = li.count()
+    val slack = math.ceil(2 * 0.001 * n).toLong
+    val est = (0L to 9L).map(k => (k, sketch.estimateCount(k)))
       .toDF("l_suppkey", "est_count")
+    val exact = li.filter($"l_suppkey".between(0, 9))
+      .groupBy($"l_suppkey".cast("long").as("l_suppkey"))
+      .agg(count(lit(1)).as("c"))
+    est.join(broadcast(exact), Seq("l_suppkey"), "left")
+      .select($"l_suppkey", coalesce($"c", lit(0L)).as("exact_count"),
+        ($"est_count" >= coalesce($"c", lit(0L)) &&
+          $"est_count" <= coalesce($"c", lit(0L)) + slack).as("within_bounds"))
       .orderBy($"l_suppkey")
   }
+
+  val cmsFrequenciesSql: String =
+    """SELECT g.k AS l_suppkey,
+      |  CAST(coalesce(e.c, 0) AS BIGINT) AS exact_count,
+      |  true AS within_bounds
+      |FROM generate_series(0, 9) AS g(k)
+      |LEFT JOIN (SELECT l_suppkey, count(*) AS c FROM lineitem
+      |           WHERE l_suppkey BETWEEN 0 AND 9 GROUP BY l_suppkey) e
+      |  ON e.l_suppkey = g.k
+      |ORDER BY l_suppkey""".stripMargin
 
   /** Data-quality rule audit (Deequ shape): every rule's violation
     * count in ONE pass over lineitem, plus referential integrity
@@ -312,14 +358,28 @@ object MiscPack extends QueryPack {
       |FROM merged WHERE op IS NULL OR op <> 'D'
       |ORDER BY c_custkey""".stripMargin
 
-  /** Seeded row sampling (copying.hpp:883 sample) — deterministic within
-    * Spark for a fixed seed; rows-only check. */
+  /** Seeded row sampling (copying.hpp:883 sample) — Bernoulli(0.1) keyed
+    * on the PORTABLE md5-60 [[graft.operators.Curation.hashUnit]] rather
+    * than Spark's engine-private partition RNG, so the SAME rows are kept
+    * on any engine / partitioning / re-run and the result is fully
+    * oracle-checkable (DuckDB replays the identical hash → threshold
+    * decision). This is also the 100 TB-correct design: a repartition or
+    * executor loss never changes the sample. */
   def sampleSeeded(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.orders(s, dir).sample(withReplacement = false, 0.1, seed = 42)
+    Tables.orders(s, dir)
+      .filter(graft.operators.Curation.hashUnit($"o_orderkey", "42") < 0.1)
       .groupBy($"o_orderstatus").agg(count(lit(1)).as("n"))
       .orderBy($"o_orderstatus")
   }
+
+  val sampleSeededSql: String =
+    """SELECT o_orderstatus, count(*) AS n
+      |FROM orders
+      |WHERE (('0x' || substring(md5('42|' || CAST(o_orderkey AS VARCHAR)), 1, 15))
+      |       ::BIGINT::DOUBLE / 1152921504606846976.0) < 0.1
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
 
   /** Porter stems of the document corpus (nvtext/stemmer.hpp) via the
     * custom PorterStem expression. Oracle-checked against a FIXED
@@ -459,18 +519,35 @@ object MiscPack extends QueryPack {
       |GROUP BY bin ORDER BY bin""".stripMargin
 
   /** t-digest quantiles via the custom TypedImperativeAggregate
-    * (TDIGEST/MERGE_TDIGEST parity) — sketch estimates are
-    * implementation-specific → rows-only; accuracy vs exact percentile
-    * is asserted in ExpressionsSpec. */
+    * (TDIGEST/MERGE_TDIGEST parity). Digest values are
+    * implementation-specific, so the HASH-GATED contract is the
+    * accuracy bound, computed in the same plan: each digest quantile
+    * must land inside the exact rank band (p50 within ranks
+    * [0.48, 0.52], p99 within [0.97, 1.0] — far looser than the
+    * digest's actual rank error at delta=1000). DuckDB emits the same
+    * booleans as literal `true`, so an out-of-tolerance digest fails
+    * the value hash, not just a ScalaTest assertion. */
   def tdigestQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.TDigestQuantile
     Tables.lineitem(s, dir).groupBy($"l_returnflag")
       .agg(TDigestQuantile.of($"l_extendedprice", 0.5).as("td_p50"),
         TDigestQuantile.of($"l_extendedprice", 0.99).as("td_p99"),
+        expr("percentile(l_extendedprice, 0.48)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.97)").as("lo99"),
+        expr("percentile(l_extendedprice, 1.0)").as("hi99"),
         count(lit(1)).as("n"))
+      .select($"l_returnflag", $"n",
+        ($"td_p50" >= $"lo50" && $"td_p50" <= $"hi50").as("p50_in_band"),
+        ($"td_p99" >= $"lo99" && $"td_p99" <= $"hi99").as("p99_in_band"))
       .orderBy($"l_returnflag")
   }
+
+  val tdigestQuantilesSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  true AS p50_in_band, true AS p99_in_band
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** MERGE_TDIGEST rollup (aggregation.hpp:114): a fine-grained sketch
     * table — one serialized digest per (returnflag, linestatus) — merged
@@ -482,16 +559,34 @@ object MiscPack extends QueryPack {
   def tdigestMergeRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.TDigestSketch
-    val sketches = Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val sketches = li
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(TDigestSketch.of($"l_extendedprice").as("td"),
         count(lit(1)).as("n"))
-    sketches.groupBy($"l_returnflag")
+    val rolled = sketches.groupBy($"l_returnflag")
       .agg(TDigestSketch.mergeQuantile($"td", 0.5).as("td_p50"),
         TDigestSketch.mergeQuantile($"td", 0.99).as("td_p99"),
         sum($"n").as("n"))
+    // Hash-gated accuracy contract (see tdigestQuantiles): the MERGED
+    // digest's quantiles must land in the exact rank bands computed
+    // from the raw column — merging must not degrade past the band.
+    val bands = li.groupBy($"l_returnflag")
+      .agg(expr("percentile(l_extendedprice, 0.48)").as("lo50"),
+        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
+        expr("percentile(l_extendedprice, 0.97)").as("lo99"),
+        expr("percentile(l_extendedprice, 1.0)").as("hi99"))
+    rolled.join(broadcast(bands), "l_returnflag")
+      .select($"l_returnflag", $"n",
+        ($"td_p50" >= $"lo50" && $"td_p50" <= $"hi50").as("p50_in_band"),
+        ($"td_p99" >= $"lo99" && $"td_p99" <= $"hi99").as("p99_in_band"))
       .orderBy($"l_returnflag")
   }
+
+  val tdigestMergeRollupSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  true AS p50_in_band, true AS p99_in_band
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** HLL distinct-count sketch rollup — the cardinality twin of
     * [[tdigestMergeRollup]] over Spark's built-in DataSketches HLL
@@ -504,14 +599,30 @@ object MiscPack extends QueryPack {
     * in OperatorsSpec. */
   def hllRollup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sketches = Tables.lineitem(s, dir)
+    val li = Tables.lineitem(s, dir)
+    val sketches = li
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(hll_sketch_agg($"l_partkey").as("hll"), count(lit(1)).as("n"))
-    sketches.groupBy($"l_returnflag")
+    val rolled = sketches.groupBy($"l_returnflag")
       .agg(hll_sketch_estimate(hll_union_agg($"hll")).as("approx_parts"),
         sum($"n").as("n"))
+    // Hash-gated accuracy contract: the UNIONED estimate must sit within
+    // 15% of the exact distinct count (DataSketches lgK=12 rsd is
+    // ~0.8% — the band is ~19σ, so only a real union bug trips it).
+    val exact = li.groupBy($"l_returnflag")
+      .agg(countDistinct($"l_partkey").as("exact_parts"))
+    rolled.join(broadcast(exact), "l_returnflag")
+      .select($"l_returnflag", $"n", $"exact_parts",
+        (abs($"approx_parts" - $"exact_parts") <= $"exact_parts" * 0.15)
+          .as("distinct_in_tol"))
       .orderBy($"l_returnflag")
   }
+
+  val hllRollupSql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+      |  true AS distinct_in_tol
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Categorical encode / factorize (transform.hpp:351 `encode`,
     * DICTIONARY32 analog §1.2): dense integer codes by value order via
@@ -771,6 +882,12 @@ object MiscPack extends QueryPack {
     "ipv4_roundtrip" -> ipv4RoundTripSql,
     "events_ewma" -> eventsEwmaSql,
     "events_ewm_adjust" -> eventsEwmAdjustSql,
+    "sample_seeded" -> sampleSeededSql,
+    "agg_approx" -> aggApproxSql,
+    "agg_tdigest" -> tdigestQuantilesSql,
+    "agg_tdigest_merge" -> tdigestMergeRollupSql,
+    "agg_hll_rollup" -> hllRollupSql,
+    "agg_cms_freq" -> cmsFrequenciesSql,
     "doc_stems" -> docStemsSql)
 
   /** Fixed Porter-1980 word→stem table for the 31-token corpus

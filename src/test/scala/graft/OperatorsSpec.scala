@@ -414,6 +414,16 @@ class OperatorsSpec extends AnyFunSuite {
       val admitted = screen(novel).count()
       assert(admitted >= 10000 - 500,
         s"only $admitted/10000 novel keys admitted (fpp blowout)")
+      // the probe is a native codegen expression — a ScalaUDF here would
+      // break WholeStageCodegen on the map-only hot path. Probe over a
+      // Range scan: a local Seq would be folded away by
+      // ConvertToLocalRelation and leave no Filter node to inspect.
+      val ranged = spark.range(100).selectExpr("concat('new-', id) AS key")
+      val plan = screen(ranged).queryExecution.executedPlan.toString
+      assert(!plan.contains("ScalaUDF"),
+        s"bloom screen plan contains a ScalaUDF:\n$plan")
+      assert(plan.toLowerCase.contains("bloommightcontain"),
+        s"expected the native BloomMightContain probe in the plan:\n$plan")
     } finally screen.close()
   }
 
