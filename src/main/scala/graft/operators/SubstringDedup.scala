@@ -9,15 +9,30 @@ import org.apache.spark.sql.functions._
   *
   * Spark mapping: the reference builds ONE suffix array over the whole
   * (≤ 2 GB) concatenated column on a single GPU. The distributed analog
-  * keeps that algorithm — suffix array + Kasai LCP scan, exact — but at
-  * CHUNK granularity: documents are range-partitioned into deterministic
-  * chunks, each chunk is concatenated and processed partition-locally
-  * (mapPartitions; no driver involvement), and chunk outputs are
-  * distinct-merged. A duplicate whose occurrences all land in different
-  * chunks is missed — the same boundary the reference hits at its 2 GB
-  * limit, here per-chunk instead of per-corpus. For corpus-wide
-  * near-dup screening compose with [[Dedup.minhashNgramPairs]]; use
-  * larger chunks (fewer partitions) to widen the exact window.
+  * keeps that algorithm — suffix array + Kasai LCP scan, exact — in TWO
+  * passes that together are corpus-complete (STRICTLY stronger than the
+  * reference's global-but-≤2 GB bound):
+  *
+  *  1. CHUNK pass: documents are range-partitioned into deterministic
+  *     chunks, each chunk is concatenated and processed partition-
+  *     locally (mapPartitions; no driver involvement). Finds every
+  *     duplicate with ≥2 occurrences inside one chunk — including all
+  *     within-document repeats.
+  *  2. CROSS-CHUNK pass: character-level winnowing fingerprints
+  *     (Schleimer-Wilkerson-Aiken 2003, k-char rolling hash + w-window
+  *     minimum with k+w−1 = minWidth) GUARANTEE that any substring of
+  *     ≥ minWidth chars shared by two documents yields a shared
+  *     fingerprint value. Fingerprints that span ≥2 chunks generate
+  *     candidate doc pairs (posting-list join — ids and 8-byte hashes
+  *     shuffle, never texts), each verified EXACTLY by a two-document
+  *     suffix array. False-positive hash collisions die in the verify;
+  *     misses are impossible by the winnowing theorem.
+  *
+  * Cost shape at 100 TB: pass 1 is one range shuffle + linear local
+  * work; pass 2 shuffles ~2/(w+1) fingerprints per char and joins texts
+  * only for candidate pairs. A fingerprint shared by many docs fans out
+  * quadratically in its posting list — the same documented caveat as
+  * MinHash LSH banding (hot n-grams ⇒ hot bands there too).
   */
 object SubstringDedup {
 
@@ -128,26 +143,120 @@ object SubstringDedup {
     out.iterator
   }
 
+  private final val HashBase = 1000003L
+
+  /** Character-level winnowing fingerprints: rolling k-char polynomial
+    * hashes (mod 2^64), sliding w-window minimum via a monotonic deque,
+    * distinct selected values. Any substring of ≥ k+w−1 chars shared by
+    * two strings produces a shared fingerprint VALUE in both (equal
+    * content ⇒ equal rolling hash ⇒ equal window minimum over the
+    * aligned region). O(n) time, ~2/(w+1) selection density. */
+  private[graft] def winnowChars(s: String, k: Int, w: Int): Array[Long] = {
+    val n = s.length
+    val g = n - k + 1
+    if (g < w) return Array.empty
+    var pow = 1L
+    var i = 1
+    while (i < k) { pow *= HashBase; i += 1 }
+    val hs = new Array[Long](g)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * HashBase + s.charAt(i); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < g) {
+      h = (h - s.charAt(i - 1) * pow) * HashBase + s.charAt(i + k - 1)
+      hs(i) = h
+      i += 1
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val dq = new java.util.ArrayDeque[Int]()
+    i = 0
+    while (i < g) {
+      while (!dq.isEmpty && hs(dq.peekLast()) >= hs(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst() <= i - w) dq.pollFirst()
+      if (i >= w - 1) out += hs(dq.peekFirst())
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Exact common substrings (≥ minWidth chars) of a candidate pair —
+    * the cross-chunk verify kernel. */
+  private[graft] def commonSubstringsPair(a: String, b: String,
+      minWidth: Int): Iterator[String] =
+    chunkDuplicates(Seq((a, 0), (b, 1)), minWidth, crossSourceOnly = true)
+
+  /** Deterministically chunk the corpus and tag each row with its chunk
+    * id. Output columns: __id, __t, __src, __chunk. */
+  private def chunk(df: DataFrame, idCol: String, textCol: String,
+      srcExpr: org.apache.spark.sql.Column, chunks: Int): DataFrame =
+    df.filter(col(textCol).isNotNull)
+      .repartitionByRange(chunks, col(idCol))
+      .sortWithinPartitions(col(idCol)) // fixed concatenation order
+      .select(col(idCol).cast("string").as("__id"),
+        col(textCol).cast("string").as("__t"), srcExpr.cast("int").as("__src"))
+      .withColumn("__chunk", spark_partition_id())
+
+  /** Pass 2: fingerprints spanning ≥2 chunks → candidate doc pairs →
+    * exact per-pair suffix-array verify. `crossSourceOnly` adds the
+    * resolve_duplicates_pair constraint (pair must span sources). */
+  private def crossChunkDups(chunked: DataFrame, minWidth: Int,
+      crossSourceOnly: Boolean): DataFrame = {
+    val spark = chunked.sparkSession
+    import spark.implicits._
+    val k = (minWidth + 1) / 2
+    val w = minWidth - k + 1 // guarantee threshold k+w-1 = minWidth
+    val fps = chunked
+      .select($"__id", $"__chunk", $"__src", $"__t")
+      .as[(String, Int, Int, String)]
+      .flatMap { case (id, ch, src, t) =>
+        winnowChars(t, k, w).map(fp => (id, ch, src, fp)) }
+      .toDF("__id", "__chunk", "__src", "fp")
+    val cand0 = PostingLists.candidatePairs(
+        fps.select(struct($"__id", $"__chunk", $"__src").as("p"), $"fp"),
+        "p", "fp", distinctIds = true)
+      .filter($"a.__chunk" =!= $"b.__chunk") // same-chunk: pass 1 is exact
+    // Join texts back on (id, src), not id alone: in pair mode the same
+    // id may exist in BOTH sources, and an id-only join would attach the
+    // wrong source's text and could emit a same-source match.
+    val cand = (if (crossSourceOnly) cand0.filter($"a.__src" =!= $"b.__src")
+      else cand0)
+      .select($"a.__id".as("ida"), $"a.__src".as("sa"),
+        $"b.__id".as("idb"), $"b.__src".as("sb"))
+      .dropDuplicates("ida", "sa", "idb", "sb")
+    val texts = chunked.select($"__id", $"__src", $"__t")
+    cand
+      .join(texts.select($"__id".as("ida"), $"__src".as("sa"),
+        $"__t".as("ta")), Seq("ida", "sa"))
+      .join(texts.select($"__id".as("idb"), $"__src".as("sb"),
+        $"__t".as("tb")), Seq("idb", "sb"))
+      .select($"ta", $"tb").as[(String, String)]
+      .flatMap { case (a, b) => commonSubstringsPair(a, b, minWidth) }
+      .toDF("dup_text")
+  }
+
   /** resolve_duplicates (deduplicate.hpp:66): all substrings of at least
-    * `minWidth` characters appearing more than once, at chunk
-    * granularity. `chunks` bounds per-partition memory (suffix array is
-    * ~8 bytes/char, mirroring the reference's 4x temp + 4x output note).
-    * Deterministic: chunk assignment is a range partition on `idCol`. */
+    * `minWidth` characters appearing more than once — CORPUS-complete
+    * via the two-pass design (chunk-exact + winnowing-guaranteed
+    * cross-chunk verify; see the object doc). `chunks` bounds
+    * per-partition memory (suffix array is ~8 bytes/char, mirroring the
+    * reference's 4x temp + 4x output note). Deterministic: chunk
+    * assignment is a range partition on `idCol`. */
   def resolveDuplicates(df: DataFrame, idCol: String, textCol: String,
       minWidth: Int, chunks: Int = 16): DataFrame = {
     require(minWidth > 8, "min_width must be > 8 (deduplicate.hpp:62)")
     val spark = df.sparkSession
     import spark.implicits._
-    val texts: Dataset[String] = df
-      // null text would reach StringBuilder.append as the literal
-      // "null" (fabricated corpus content) — drop such rows up front
-      .filter(col(textCol).isNotNull)
-      .repartitionByRange(chunks, col(idCol))
-      .sortWithinPartitions(col(idCol)) // fixed concatenation order
-      .select(col(textCol)).as[String]
-    texts.mapPartitions(it =>
+    // null text would reach StringBuilder.append as the literal
+    // "null" (fabricated corpus content) — dropped inside chunk()
+    val chunked = chunk(df, idCol, textCol, lit(0), chunks)
+    val local = chunked.select($"__t").as[String]
+      .mapPartitions(it =>
         chunkDuplicates(it.map((_, 0)).toSeq, minWidth, crossSourceOnly = false))
       .toDF("dup_text")
+    local.union(crossChunkDups(chunked, minWidth, crossSourceOnly = false))
       .distinct()
   }
 
@@ -163,17 +272,15 @@ object SubstringDedup {
     require(minWidth > 8, "min_width must be > 8 (deduplicate.hpp:90)")
     val spark = df.sparkSession
     import spark.implicits._
-    val rows = df
-      // null text appends as "null"; a null src crashes the primitive
-      // Int decoder mid-job — both are malformed input, dropped up front
-      .filter(col(textCol).isNotNull && col(srcCol).isNotNull)
-      .repartitionByRange(chunks, col(idCol))
-      .sortWithinPartitions(col(idCol))
-      .select(col(textCol).cast("string"), col(srcCol).cast("int"))
-      .as[(String, Int)]
-    rows.mapPartitions(it =>
+    // null text appends as "null"; a null src crashes the primitive
+    // Int decoder mid-job — both are malformed input, dropped up front
+    val chunked = chunk(df.filter(col(srcCol).isNotNull),
+      idCol, textCol, col(srcCol), chunks)
+    val local = chunked.select($"__t", $"__src").as[(String, Int)]
+      .mapPartitions(it =>
         chunkDuplicates(it.toSeq, minWidth, crossSourceOnly = true))
       .toDF("dup_text")
+    local.union(crossChunkDups(chunked, minWidth, crossSourceOnly = true))
       .distinct()
   }
 

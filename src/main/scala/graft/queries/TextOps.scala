@@ -808,17 +808,17 @@ object TextOps extends QueryPack {
        |WHERE rn = 1 ORDER BY digest""".stripMargin
 
   /** Exact duplicated substrings (resolve_duplicates,
-    * nvtext/deduplicate.hpp:66) at chunk granularity — rows-only (no
-    * tractable SQL analog); exactness covered by DedupSpec's planted-
-    * duplicate tests. Deterministic: range-partitioned chunks on doc_id,
-    * sorted output. */
+    * nvtext/deduplicate.hpp:66) — CORPUS-complete since round 7: the
+    * chunk-local suffix-array pass plus the winnowing cross-chunk
+    * candidate/verify pass (see SubstringDedup's object doc) find every
+    * duplicate regardless of which chunks its occurrences land in.
+    * Rows-only (no tractable SQL analog); exactness covered by
+    * DedupSpec's planted cross-doc AND cross-chunk duplicate tests.
+    * Deterministic: range-partitioned chunks on doc_id, sorted output. */
   def substringDups(s: SparkSession, dir: String): DataFrame =
     graft.operators.SubstringDedup.resolveDuplicates(
         Tables.documents(s, dir).filter(col("doc_id") < 30),
-        // minWidth 15 / 2 chunks: sf0.01's corpus has almost no ≥25-char
-        // repeats in this slice, and 4-way chunking split the few that
-        // exist across chunk boundaries (0 rows in round 2's verify run)
-        "doc_id", "text", minWidth = 15, chunks = 2)
+        "doc_id", "text", minWidth = 15, chunks = 4)
       .orderBy(col("dup_text"))
 
   /** END-TO-END curation pipeline — the flagship composition: score →

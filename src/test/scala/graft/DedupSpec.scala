@@ -176,4 +176,87 @@ class DedupSpec extends AnyFunSuite {
     assert(!dups.exists(_.contains(trainOnly)),
       "train-internal dup must not emit in pair mode: " + dups.mkString("; "))
   }
+
+  test("resolveDuplicates finds a duplicate whose occurrences straddle chunks") {
+    import graft.operators.SubstringDedup
+    val phrase = "the boundary straddling phrase appears exactly twice here"
+    // 8 chunks over 8 docs: range partitioning puts doc 0 and doc 7 in
+    // different chunks, so the chunk-local pass alone cannot pair them —
+    // only the winnowing cross-chunk pass can.
+    val docs = (0L to 7L).map { i =>
+      val body =
+        if (i == 0L) s"first occurrence sits here $phrase padded with words"
+        else if (i == 7L) s"far away chunk carries $phrase inside other filler"
+        else s"chunk $i content row sharing nothing of interest with others"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val dups = SubstringDedup
+      .resolveDuplicates(docs, "doc_id", "text", minWidth = 20, chunks = 8)
+      .as[String].collect()
+    assert(dups.exists(_.contains(phrase)),
+      "cross-chunk duplicate missed: " + dups.mkString("; "))
+  }
+
+  test("resolveDuplicatesPair finds cross-chunk cross-source contamination only") {
+    import graft.operators.SubstringDedup
+    val shared = "leaked evaluation answer text shows up in training data"
+    val sameSrc = "same source repeated sequence across distant chunks!!"
+    val train = (0L to 5L).map { i =>
+      val body =
+        if (i == 0L) s"train doc zero holding $shared and trailing words"
+        else if (i == 1L) s"first same-source copy $sameSrc apart from rest"
+        else if (i == 5L) s"second same-source copy $sameSrc apart from rest"
+        else s"train doc $i with nothing shared across the corpus at all"
+      (i, body)
+    }.toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, s"eval doc far away in id space contains $shared verbatim")
+    ).toDF("doc_id", "text")
+    val dups = SubstringDedup
+      .resolveDuplicatesPair(train, eval, "doc_id", "text",
+        minWidth = 20, chunks = 6)
+      .as[String].collect()
+    assert(dups.exists(_.contains(shared)),
+      "cross-chunk contamination missed: " + dups.mkString("; "))
+    assert(!dups.exists(_.contains(sameSrc)),
+      "same-source cross-chunk dup must not emit in pair mode: " +
+        dups.mkString("; "))
+  }
+
+  test("resolveDuplicates output is invariant to the chunk count") {
+    import graft.operators.SubstringDedup
+    val phraseA = "repeated sentence number one with enough characters"
+    val phraseB = "another shared span crossing the whole corpus twice"
+    val docs = Seq(
+      (0L, s"doc zero says $phraseA and then other words"),
+      (1L, s"doc one also says $phraseA in the middle"),
+      (2L, s"doc two intro $phraseB closing remark"),
+      (3L, s"doc three text $phraseB trailing filler"),
+      (4L, "doc four is entirely unique content with no repeats at all")
+    ).toDF("doc_id", "text")
+    def run(chunks: Int) = SubstringDedup
+      .resolveDuplicates(docs, "doc_id", "text", minWidth = 20, chunks = chunks)
+      .as[String].collect().toSet
+    val one = run(1) // single chunk = the reference's global semantics
+    assert(run(3) == one, "3-chunk result differs from global")
+    assert(run(5) == one, "5-chunk result differs from global")
+    assert(one.exists(_.contains(phraseA)) && one.exists(_.contains(phraseB)))
+  }
+
+  test("winnowChars guarantees a shared fingerprint for >= minWidth overlaps") {
+    import graft.operators.SubstringDedup
+    val minWidth = 20
+    val k = (minWidth + 1) / 2
+    val w = minWidth - k + 1
+    val shared = "X" * 3 + "abcdefghijklmnopqrst" // 20 shared chars
+    val a = "prefix one " + "abcdefghijklmnopqrst" + " tail alpha"
+    val b = "totally different lead-in " + "abcdefghijklmnopqrst" + " zz"
+    val fa = SubstringDedup.winnowChars(a, k, w).toSet
+    val fb = SubstringDedup.winnowChars(b, k, w).toSet
+    assert(fa.intersect(fb).nonEmpty,
+      s"no shared fingerprint despite a $minWidth-char shared substring")
+    // density sanity: far fewer fingerprints than characters
+    assert(fa.size < a.length)
+    assert(shared.length >= minWidth) // test wiring
+  }
 }
