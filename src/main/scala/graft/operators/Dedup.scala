@@ -179,7 +179,7 @@ object Dedup {
     * iterations. Returns ((id, cluster), converged); cluster is the
     * minimum id of the component. */
   def nearDupClustersWithStatus(pairs: DataFrame,
-      maxIter: Int = 10): (DataFrame, Boolean) = {
+      maxIter: Int = 10): (DataFrame, Boolean, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint() // eager: computed once, lineage cut, stays cached
@@ -212,14 +212,14 @@ object Dedup {
       i += 1
     }
     edges.unpersist()
-    (labels, converged)
+    (labels, converged, i)
   }
 
   /** [[nearDupClustersWithStatus]] that FAILS on non-convergence instead
     * of silently returning partial clusters (a component whose log-
     * diameter exceeds maxIter would otherwise be split). */
   def nearDupClusters(pairs: DataFrame, maxIter: Int = 10): DataFrame = {
-    val (labels, converged) = nearDupClustersWithStatus(pairs, maxIter)
+    val (labels, converged, _) = nearDupClustersWithStatus(pairs, maxIter)
     require(converged,
       s"nearDupClusters: label propagation did not converge in $maxIter " +
         "rounds — raise maxIter (rounds needed ~ log2 of the largest " +

@@ -347,6 +347,25 @@ object Funcs extends QueryPack {
       |  hex(p_partkey) AS key_hex
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** The reference's remaining hash variants (hashing.hpp:72
+    * murmurhash3_x64_128, hashing.hpp:176 xxhash_32) plus Spark-native
+    * murmur3_x86_32 / xxhash64 — all engine-native kernels with no
+    * DuckDB analog, so rows-only by documented policy; bit-exactness is
+    * proven against the reference's own test vectors in ExpressionsSpec
+    * (cpp/tests/hashing/murmurhash3_x64_128_test.cpp,
+    * xxhash_32_test.cpp). */
+  def hashVariants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.HashVariants
+    Tables.part(s, dir).select($"p_partkey",
+        HashVariants.murmur3x64_128($"p_name").getField("h1").as("mm128_h1"),
+        HashVariants.murmur3x64_128($"p_name").getField("h2").as("mm128_h2"),
+        HashVariants.xxhash32($"p_name").as("xx32"),
+        hash($"p_name").as("mm32"),
+        xxhash64($"p_name").as("xx64"))
+      .orderBy($"p_partkey")
+  }
+
   /** JSONPath extraction (json/json.hpp:27 get_json_object). */
   def jsonFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -615,6 +634,7 @@ object Funcs extends QueryPack {
     "cond_case" -> condCase,
     "math_funcs" -> mathFuncs,
     "hash_funcs" -> hashFuncs,
+    "hash_variants" -> hashVariants,
     "json_funcs" -> jsonFuncs,
     "json_roundtrip" -> jsonRoundtrip)
 

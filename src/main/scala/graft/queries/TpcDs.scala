@@ -451,7 +451,202 @@ object TpcDs extends QueryPack {
        |FROM t ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Multi-channel UNION fact aggregation with a weekday CASE pivot
+    * (PDS-DS Q2 shape, pdsds_queries/q2.py: web_sales UNION ALL
+    * catalog_sales → per-week day-of-week sums → channel ratio). Here
+    * the two "fact tables" are the postal (MAIL/SHIP) and air
+    * (AIR/REG AIR) channel scans, literally unioned before ONE
+    * aggregation — the DS pattern where per-channel facts share a
+    * downstream plan. Day-of-week and week id derive from epoch-day
+    * arithmetic (identical in both engines; calendar dow/week functions
+    * have different conventions). Sums run in exact integer cents and
+    * the emitted ratios are single double divisions of those integers —
+    * bit-identical cross-engine. */
+  def dsUnionWeekday(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // Channels from the slim schema: returned ('R') vs acknowledged
+    // ('A') lineitems — two filtered fact scans, literally unioned.
+    def channelScan(flag: String, tag: String) =
+      Tables.lineitem(s, dir)
+        .filter($"l_returnflag" === flag)
+        .select(datediff($"l_shipdate", lit("1970-01-01")).as("ed"),
+          floor($"l_extendedprice" * 100 + 0.5).as("cents"),
+          lit(tag).as("channel"))
+    val wscs = channelScan("R", "post").unionAll(channelScan("A", "air"))
+    // epoch day 0 = Thursday: dow 0=thu..6=wed
+    val names = Seq("thu", "fri", "sat", "sun", "mon", "tue", "wed")
+    val dayAggs = names.zipWithIndex.map { case (nm, d) =>
+      sum(when($"ed" % 7 === d, $"cents")).as(s"${nm}_cents")
+    }
+    val pivoted = wscs
+      .groupBy(expr("cast(ed div 7 as long)").as("wk"), $"channel")
+      .agg(dayAggs.head, dayAggs.tail: _*)
+    val post = pivoted.filter($"channel" === "post").drop("channel")
+    val air = pivoted.filter($"channel" === "air").drop("channel")
+    post.join(air.select($"wk" +: names.map(nm =>
+        col(s"${nm}_cents").as(s"${nm}_b")): _*), "wk")
+      .select($"wk" +: names.map(nm =>
+        (col(s"${nm}_cents").cast("double") /
+          expr(s"cast(nullif(${nm}_b, 0) as double)")).as(s"${nm}_ratio")): _*)
+      .orderBy($"wk")
+  }
+
+  val dsUnionWeekdaySql: String = {
+    val names = Seq("thu", "fri", "sat", "sun", "mon", "tue", "wed")
+    val pivot = names.zipWithIndex.map { case (nm, d) =>
+      s"CAST(sum(CASE WHEN ed % 7 = $d THEN cents END) AS BIGINT) AS ${nm}_cents"
+    }.mkString(",\n      |    ")
+    val ratios = names.map { nm =>
+      s"CAST(p.${nm}_cents AS DOUBLE) / CAST(nullif(a.${nm}_cents, 0) AS DOUBLE) AS ${nm}_ratio"
+    }.mkString(",\n      |  ")
+    s"""WITH wscs AS (
+      |  SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS ed,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents, 'post' AS channel
+      |  FROM lineitem WHERE l_returnflag = 'R'
+      |  UNION ALL
+      |  SELECT date_diff('day', DATE '1970-01-01', l_shipdate) AS ed,
+      |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents, 'air' AS channel
+      |  FROM lineitem WHERE l_returnflag = 'A'),
+      |pv AS (
+      |  SELECT CAST(ed // 7 AS BIGINT) AS wk, channel,
+      |    $pivot
+      |  FROM wscs GROUP BY 1, 2)
+      |SELECT p.wk AS wk,
+      |  $ratios
+      |FROM pv p JOIN pv a ON p.wk = a.wk
+      |WHERE p.channel = 'post' AND a.channel = 'air'
+      |ORDER BY wk""".stripMargin
+  }
+
+  /** EXISTS + NOT EXISTS chain (PDS-DS Q16/Q94 shape: "has a late-risk
+    * item and was never returned"): orders with at least one lineitem
+    * shipped after its commit date and NO returned lineitem, counted
+    * per priority. Both quantifiers compile to single-shuffle
+    * distinct-key semi/anti joins — the distinct pre-shrinks each
+    * probe side to order keys before the join. */
+  def dsExistsChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+    // EXISTS with a correlated two-table predicate: an item shipped
+    // more than 90 days after the order date. Computed as a fact-fact
+    // join pre-shrunk to distinct order keys before the semi join.
+    val slow = li
+      .join(orders.select($"o_orderkey".as("ok"), $"o_orderdate"),
+        $"l_orderkey" === $"ok")
+      .filter($"l_shipdate" > date_add($"o_orderdate", 90))
+      .select($"l_orderkey").distinct()
+    val returned = li.filter($"l_returnflag" === "R")
+      .select($"l_orderkey").distinct()
+    orders
+      .join(slow, $"o_orderkey" === slow("l_orderkey"), "left_semi")
+      .join(returned, $"o_orderkey" === returned("l_orderkey"), "left_anti")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(floor($"o_totalprice" * 100 + 0.5)).as("rev_cents"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val dsExistsChainSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders,
+      |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |FROM orders o
+      |WHERE EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+      |                  WHERE l.l_orderkey = o.o_orderkey
+      |                    AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Windowed market share (PDS-DS Q67-adjacent): per-year national
+    * revenue, each nation's share of its year via a window sum over the
+    * AGGREGATE (25 rows/year — the window never touches fact rows), top
+    * 5 per year by share. Revenue in exact cents; the share is one
+    * double division of two exact integers. */
+  def dsMarketShareWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rev = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy(year($"o_orderdate").as("o_year"), $"n_name")
+      .agg(sum(floor($"o_totalprice" * 100 + 0.5)).as("rev_cents"))
+    val byYear = Window.partitionBy($"o_year")
+    rev
+      .withColumn("share", $"rev_cents".cast("double") /
+        sum($"rev_cents").over(byYear).cast("double"))
+      .withColumn("rnk", row_number().over(
+        byYear.orderBy($"share".desc, $"n_name")))
+      .filter($"rnk" <= 5)
+      .select($"o_year", $"n_name", $"rev_cents", $"share", $"rnk")
+      .orderBy($"o_year", $"rnk")
+  }
+
+  val dsMarketShareWindowSql: String =
+    """SELECT o_year, n_name, rev_cents, share, rnk FROM (
+      |  SELECT o_year, n_name, rev_cents, share,
+      |    row_number() OVER (PARTITION BY o_year
+      |      ORDER BY share DESC, n_name) AS rnk
+      |  FROM (
+      |    SELECT o_year, n_name, rev_cents,
+      |      CAST(rev_cents AS DOUBLE) /
+      |        CAST(sum(rev_cents) OVER (PARTITION BY o_year) AS DOUBLE) AS share
+      |    FROM (
+      |      SELECT year(o_orderdate) AS o_year, n_name,
+      |        CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+      |      FROM orders
+      |      JOIN customer ON o_custkey = c_custkey
+      |      JOIN nation ON c_nationkey = n_nationkey
+      |      GROUP BY 1, 2)))
+      |WHERE rnk <= 5 ORDER BY o_year, rnk""".stripMargin
+
+  /** All-channel customers (PDS-DS Q38/Q87 INTERSECT shape): customers
+    * whose purchases hit ALL THREE return-status channels, counted per
+    * nation. Spark side: one orderkey shuffle (fact-fact join),
+    * distinct (custkey, channel), group-by-having — set intersection
+    * without materializing per-channel sets. The oracle derives the
+    * same answer INDEPENDENTLY via literal INTERSECTs. */
+  def dsAllChannelCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val channel = when($"l_returnflag" === "R", "ret")
+      .when($"l_returnflag" === "A", "ack")
+      .otherwise("none")
+    val custChannel = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey", channel.as("ch")).distinct()
+    val allThree = custChannel.groupBy($"o_custkey")
+      .agg(countDistinct($"ch").as("n_ch"))
+      .filter($"n_ch" === 3)
+    allThree
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  val dsAllChannelCustomersSql: String =
+    """WITH cc AS (
+      |  SELECT o_custkey,
+      |    CASE WHEN l_returnflag = 'R' THEN 'ret'
+      |         WHEN l_returnflag = 'A' THEN 'ack'
+      |         ELSE 'none' END AS ch
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |a3 AS (
+      |  SELECT o_custkey FROM cc WHERE ch = 'ret'
+      |  INTERSECT SELECT o_custkey FROM cc WHERE ch = 'ack'
+      |  INTERSECT SELECT o_custkey FROM cc WHERE ch = 'none')
+      |SELECT n_name, count(*) AS n_customers
+      |FROM a3
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_union_weekday" -> dsUnionWeekday,
+    "ds_exists_chain" -> dsExistsChain,
+    "ds_market_share_window" -> dsMarketShareWindow,
+    "ds_all_channel_customers" -> dsAllChannelCustomers,
     "ds_regression" -> dsRegression,
     "ds_basket_pairs" -> dsBasketPairs,
     "ds_moving_avg" -> dsMovingAvg,
@@ -466,6 +661,10 @@ object TpcDs extends QueryPack {
     "ds_no_returns" -> dsNoReturns)
 
   override def oracle: Map[String, String] = Map(
+    "ds_union_weekday" -> dsUnionWeekdaySql,
+    "ds_exists_chain" -> dsExistsChainSql,
+    "ds_market_share_window" -> dsMarketShareWindowSql,
+    "ds_all_channel_customers" -> dsAllChannelCustomersSql,
     "ds_regression" -> dsRegressionSql,
     "ds_basket_pairs" -> dsBasketPairsSql,
     "ds_moving_avg" -> dsMovingAvgSql,

@@ -632,4 +632,71 @@ class ExpressionsSpec extends AnyFunSuite {
       .select(graft.plans.GraftExpressions.metaphone($"t")).as[String].collect()
     assert(out.toSeq == Seq("NT", "SKL", "NXN"))
   }
+
+  test("murmur3_x64_128 h1 matches the reference test vectors (seeds 0 and 7)") {
+    // cpp/tests/hashing/murmurhash3_x64_128_test.cpp:43 StringType —
+    // expected values generated there from Appleby's smhasher CPU build.
+    import graft.plans.HashVariants
+    val inputs = Seq(
+      "The", "quick", "brown fox", "jumps over the lazy dog.",
+      "I am Jack's complete lack of null value",
+      "A very long (greater than 128 bytes/characters) to test a very " +
+        "long string. 2nd half of the very long string to verify the " +
+        "long string hashing happening.",
+      "Some multi-byte characters here: ééé", "ééé", "ééé ééé",
+      "ééé ééé ééé ééé", "", "!@#$%^&*(())", "0123456789",
+      "{}|:<>?,./;[]=-")
+    val seed0 = Seq("3481043174314896794", "1981901315483788749",
+      "1418748153263580713", "11224732510765974842", "10813495276579975748",
+      "8563282101401420087", "7289234017606107350", "225672801045596944",
+      "14927688838032769435", "7513581995808204968", "0",
+      "14163495587303857889", "4581940570640870180", "18164432652839101653")
+      .map(java.lang.Long.parseUnsignedLong)
+    val seed7 = Seq("5091211404759866125", "12948345853121693662",
+      "14974420008081159223", "4475830656132398742", "15724398074328467356",
+      "4091324140202743991", "7130403777725115865", "11087585763075301159",
+      "12568262854562899547", "2679775340886828858", "17582832888865278351",
+      "5264478748926531221", "8863578460974333747", "11176802453047055260")
+      .map(java.lang.Long.parseUnsignedLong)
+    val got0 = inputs.toDF("t")
+      .select(HashVariants.murmur3x64_128($"t", 0L).getField("h1"))
+      .as[Long].collect().toSeq
+    assert(got0 == seed0, s"seed 0 mismatch: $got0")
+    val got7 = inputs.toDF("t")
+      .select(HashVariants.murmur3x64_128($"t", 7L).getField("h1"))
+      .as[Long].collect().toSeq
+    assert(got7 == seed7, s"seed 7 mismatch: $got7")
+  }
+
+  test("xxhash_32 matches the reference test vectors (int/double/string)") {
+    // cpp/tests/hashing/xxhash_32_test.cpp:15,28,43 — expected values
+    // generated there from Cyan4973/xxHash.
+    import graft.plans.HashVariants
+    def u(i: Int): Long = Integer.toUnsignedLong(i)
+    val ints = Seq(0, 42, 825).toDF("v")
+      .select(HashVariants.xxhash32($"v", 0)).as[Int].collect().map(u)
+    assert(ints.toSeq == Seq(148298089L, 1161967057L, 1066694813L))
+    val dbls = Seq(-8.0, 25.0, 90.0).toDF("v")
+      .select(HashVariants.xxhash32($"v", 42)).as[Int].collect().map(u)
+    assert(dbls.toSeq == Seq(2276435783L, 3120212431L, 3454197470L))
+    val strs = Seq("I", "am", "AI").toDF("v")
+      .select(HashVariants.xxhash32($"v", 825)).as[Int].collect().map(u)
+    assert(strs.toSeq == Seq(320624298L, 1612654309L, 1409499009L))
+  }
+
+  test("hash variants: interpreted eval matches codegen") {
+    import graft.plans.{HashKernels, HashVariants}
+    // kernel (interpreted path) vs the expression evaluated through
+    // codegen on a Range scan
+    val viaExpr = spark.range(1, 50)
+      .selectExpr("concat('k-', id) AS s")
+      .select(HashVariants.xxhash32($"s", 7),
+        HashVariants.murmur3x64_128($"s", 7).getField("h1"))
+      .as[(Int, Long)].collect()
+    val direct = (1L until 50L).map { i =>
+      val b = s"k-$i".getBytes("UTF-8")
+      (HashKernels.xxhash32(b, 7), HashKernels.murmur3x64_128(b, 7L)(0))
+    }
+    assert(viaExpr.toSeq == direct)
+  }
 }

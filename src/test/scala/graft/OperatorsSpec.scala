@@ -121,7 +121,7 @@ class OperatorsSpec extends AnyFunSuite {
     // min-label propagation would need 40 rounds; pointer jumping needs
     // ~log2(40).
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (labels, converged) = Dedup.nearDupClustersWithStatus(pairs, maxIter = 8)
+    val (labels, converged, _) = Dedup.nearDupClustersWithStatus(pairs, maxIter = 8)
     assert(converged, "pointer jumping must converge in ~log2(diameter) rounds")
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 41 && got.values.forall(_ == 0L))
@@ -130,7 +130,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("nearDupClusters surfaces non-convergence instead of mis-clustering") {
     import graft.operators.Dedup
     val pairs = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val (_, converged) = Dedup.nearDupClustersWithStatus(pairs, maxIter = 1)
+    val (_, converged, _) = Dedup.nearDupClustersWithStatus(pairs, maxIter = 1)
     assert(!converged)
     intercept[IllegalArgumentException] {
       Dedup.nearDupClusters(pairs, maxIter = 1)
