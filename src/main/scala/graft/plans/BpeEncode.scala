@@ -28,44 +28,102 @@ case class BpeEncode(child: Expression,
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val rank: Map[(String, String), Int] =
-    broadcastMerges match {
-      case Some(bc) => bc.value.iterator.zipWithIndex.toMap
-      case None => merges.zipWithIndex.toMap
+  // Two-level rank index (first symbol → second symbol → rank): the
+  // inner-loop lookup allocates nothing, vs a tuple per probe with a
+  // Map[(String, String), Int]. Last rank wins for a duplicated pair,
+  // matching the previous zipWithIndex.toMap behavior.
+  @transient private lazy val rank
+      : java.util.HashMap[String, java.util.HashMap[String, Integer]] = {
+    val m = new java.util.HashMap[String, java.util.HashMap[String, Integer]]()
+    val it = broadcastMerges match {
+      case Some(bc) => bc.value.iterator
+      case None => merges.iterator
     }
+    var i = 0
+    it.foreach { case (a, b) =>
+      var inner = m.get(a)
+      if (inner == null) {
+        inner = new java.util.HashMap[String, Integer]()
+        m.put(a, inner)
+      }
+      inner.put(b, Integer.valueOf(i))
+      i += 1
+    }
+    m
+  }
 
-  private def encodeWord(word: String): Vector[String] = {
-    var toks = word.map(_.toString).toVector
-    var done = toks.length < 2
-    while (!done) {
-      var best = Int.MaxValue; var bestIdx = -1
-      var i = 0
-      while (i < toks.length - 1) {
-        val r = rank.getOrElse((toks(i), toks(i + 1)), Int.MaxValue)
-        if (r < best) { best = r; bestIdx = i }
+  // Word → pieces cache (natural text is Zipfian: a few thousand words
+  // cover most tokens). Capped so an adversarial all-distinct column
+  // cannot grow it unboundedly; ConcurrentHashMap because local-mode
+  // threads may share a deserialized expression instance.
+  @transient private lazy val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+  private final val CacheCap = 65536
+
+  @transient private lazy val ws = java.util.regex.Pattern.compile("\\s+")
+
+  private def encodeWord(word: String): Array[String] = {
+    val hit = cache.get(word)
+    if (hit != null) return hit
+    val n = word.length
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = String.valueOf(word.charAt(i)); i += 1 }
+    var len = n
+    var continue = len >= 2
+    while (continue) {
+      var best = Int.MaxValue
+      var bestIdx = -1
+      i = 0
+      while (i < len - 1) {
+        val inner = rank.get(toks(i))
+        if (inner != null) {
+          val r = inner.get(toks(i + 1))
+          if (r != null && r.intValue() < best) {
+            best = r.intValue(); bestIdx = i
+          }
+        }
         i += 1
       }
-      if (bestIdx == -1) done = true
+      if (bestIdx < 0) continue = false
       else {
-        val (a, b) = (toks(bestIdx), toks(bestIdx + 1))
-        val out = Vector.newBuilder[String]
-        var j = 0
-        while (j < toks.length) {
-          if (j < toks.length - 1 && toks(j) == a && toks(j + 1) == b) {
-            out += (a + b); j += 2
-          } else { out += toks(j); j += 1 }
+        val a = toks(bestIdx); val b = toks(bestIdx + 1)
+        val ab = a + b
+        // merge every (a, b) occurrence left-to-right, in place
+        var r = 0; var w = 0
+        while (r < len) {
+          if (r < len - 1 && toks(r) == a && toks(r + 1) == b) {
+            toks(w) = ab; r += 2
+          } else { toks(w) = toks(r); r += 1 }
+          w += 1
         }
-        toks = out.result()
-        if (toks.length < 2) done = true
+        len = w
+        if (len < 2) continue = false
       }
     }
-    toks
+    val out =
+      if (len == n) toks else java.util.Arrays.copyOf(toks, len)
+    if (cache.size < CacheCap) cache.put(word, out)
+    out
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val words = v.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
-    val pieces = words.toSeq.flatMap(encodeWord)
-    new GenericArrayData(pieces.map(UTF8String.fromString(_)))
+    val text = v.toString.toLowerCase(java.util.Locale.ROOT)
+    val words = ws.split(text)
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      if (w.nonEmpty) {
+        val enc = encodeWord(w)
+        var j = 0
+        while (j < enc.length) {
+          pieces += UTF8String.fromString(enc(j)); j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(pieces.toArray)
   }
 
   override protected def withNewChildInternal(c: Expression): BpeEncode =
