@@ -218,6 +218,33 @@ object TextFunctions {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** replace_tokens (nvtext/replace.hpp:23): whitespace-tokenize,
+    * replace each token found in `replacements`, rejoin with single
+    * spaces. The mapping ships as a plan-literal map (codegen'd
+    * element_at lookup, no UDF); whitespace runs normalize to one
+    * space — the curation-pipeline contract (tokens(), BPE, and the
+    * dedup normalizers all tokenize the same way). */
+  def replaceTokens(c: Column, replacements: Map[String, String]): Column = {
+    val m = map(replacements.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    array_join(
+      transform(split(trim(c), "\\s+"), t => coalesce(element_at(m, t), t)),
+      " ")
+  }
+
+  /** filter_tokens (nvtext/replace.hpp:86): drop tokens shorter than
+    * `minLen` characters (or substitute `repl` when non-empty), rejoin
+    * with single spaces. Same normalize-whitespace contract as
+    * [[replaceTokens]]. */
+  def filterTokens(c: Column, minLen: Int, repl: String = ""): Column = {
+    val toks = split(trim(c), "\\s+")
+    if (repl.isEmpty)
+      array_join(filter(toks, t => length(t) >= minLen), " ")
+    else
+      array_join(transform(toks,
+        t => when(length(t) >= minLen, t).otherwise(lit(repl))), " ")
+  }
+
   /** Named character-type predicates (strings/char_types/char_types.hpp
     * all_characters_of_type): whole-string class tests. Anchored \A..\z
     * patterns work identically in Java regex and DuckDB's RE2. */

@@ -53,6 +53,34 @@ object TextOps extends QueryPack {
          |    '\s+', ' ', 'g')) AS norm
          |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** replace_tokens + filter_tokens (nvtext/replace.hpp:23,86): mapped
+    * token substitution, short-token drop, and short-token marking —
+    * all plan-literal map/lambda compositions (zero UDFs, zero
+    * shuffles). */
+  def tokenReplace(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{filterTokens, replaceTokens}
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        replaceTokens(col("text"),
+          Map("the" -> "a", "fast" -> "quick")).as("replaced"),
+        filterTokens(col("text"), 4).as("filtered"),
+        filterTokens(col("text"), 4, "_").as("marked"))
+      .orderBy(col("doc_id"))
+  }
+
+  val tokenReplaceSql: String =
+    raw"""SELECT doc_id,
+         |  array_to_string(list_transform(string_split_regex(trim(text), '\s+'),
+         |    t -> CASE WHEN t = 'the' THEN 'a'
+         |              WHEN t = 'fast' THEN 'quick' ELSE t END), ' ')
+         |    AS replaced,
+         |  array_to_string(list_filter(string_split_regex(trim(text), '\s+'),
+         |    t -> length(t) >= 4), ' ') AS filtered,
+         |  array_to_string(list_transform(string_split_regex(trim(text), '\s+'),
+         |    t -> CASE WHEN length(t) >= 4 THEN t ELSE '_' END), ' ')
+         |    AS marked
+         |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Exact dedup on the NORMALIZED text — the form real pipelines hash
     * (north star: dedup correctness depends on normalizing first). */
   def dedupNormalized(s: SparkSession, dir: String): DataFrame =
@@ -1748,6 +1776,7 @@ object TextOps extends QueryPack {
     "doc_seg_dedup" -> segDedupFirst,
     "doc_spell_correct" -> spellCorrect,
     "doc_normalize" -> normalize,
+    "doc_token_replace" -> tokenReplace,
     "doc_token_stats" -> tokenStats,
     "doc_quality" -> quality,
     "doc_quality_buckets" -> qualityBuckets,
@@ -1799,6 +1828,7 @@ object TextOps extends QueryPack {
     "doc_seg_dedup" -> segDedupFirstSql,
     "doc_spell_correct" -> spellCorrectSql,
     "doc_normalize" -> normalizeSql,
+    "doc_token_replace" -> tokenReplaceSql,
     "doc_token_stats" -> tokenStatsSql,
     "doc_quality" -> qualitySql,
     "doc_quality_buckets" -> qualityBucketsSql,

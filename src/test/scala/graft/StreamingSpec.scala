@@ -197,6 +197,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static refresh: frozen plan-side dim vs per-batch re-read") {
+    // Slowly-changing-dimension semantics, both sides of the contract:
+    // (a) a parquet static side joined directly into the streaming plan
+    // FREEZES its file listing at query start — later files are
+    // invisible to every batch (even after refreshByPath, because the
+    // analyzed streaming plan holds the resolved relation); (b) the
+    // refresh pattern is re-reading the dimension INSIDE foreachBatch,
+    // where each micro-batch plans a fresh scan. A long-running
+    // enrichment job must use (b) — this test pins both behaviors so a
+    // Spark upgrade changing either is caught.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = java.nio.file.Files
+      .createTempDirectory("graft_dim").toString
+    Seq((7L, "gold")).toDF("user_id", "tier")
+      .write.mode("append").parquet(dimDir)
+    val results =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String])]()
+    val frozen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String])]()
+    val dimAtStart = spark.read.parquet(dimDir)
+    val input = MemoryStream[(Timestamp, Long)]
+    val q = input.toDF().toDF("ts", "user_id")
+      .writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val fresh = batch.sparkSession.read.parquet(dimDir)
+        batch.join(fresh, Seq("user_id"), "left")
+          .select($"user_id", $"tier").collect()
+          .foreach(r => results.add((r.getLong(0), Option(r.getString(1)))))
+        batch.join(dimAtStart, Seq("user_id"), "left")
+          .select($"user_id", $"tier").collect()
+          .foreach(r => frozen.add((r.getLong(0), Option(r.getString(1)))))
+      }.start()
+    try {
+      input.addData((ts("2024-01-01 00:00:00"), 8L))
+      q.processAllAvailable()
+      // dim gains user 8 between batches
+      Seq((8L, "silver")).toDF("user_id", "tier")
+        .write.mode("append").parquet(dimDir)
+      spark.catalog.refreshByPath(dimDir)
+      input.addData((ts("2024-01-01 00:01:00"), 8L))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      // per-batch re-read: batch 1 missed user 8, batch 2 sees it
+      assert(results.asScala.toSeq == Seq((8L, None), (8L, Some("silver"))),
+        s"re-read path: ${results.asScala.toSeq}")
+      // the dim captured before query start stays stale in batch 2
+      assert(frozen.asScala.toSeq.last == ((8L, None)),
+        s"frozen path unexpectedly refreshed: ${frozen.asScala.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: clicks within 10 min of impression") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
