@@ -218,8 +218,29 @@ final case class GFrame(df: DataFrame) {
       graft.operators.VocabTokenize.tokenizeWithVocabulary(
         col(textCol), vocab, defaultId)))
   def tile(count: Int): GFrame = GFrame(Reshape.tile(df, count))
+  /** Per-row repeat by a count column (cudf filling.hpp:90). */
+  def repeatRows(countCol: String, repCol: String = "rep"): GFrame =
+    GFrame(Reshape.repeatRows(df, col(countCol), repCol))
   def interleave(idCol: String, cols: Seq[String]): GFrame =
     GFrame(Reshape.interleave(df, idCol, cols))
+  /** byte_cast (cudf reshape.hpp:84): numeric column → raw bytes. */
+  def byteCast(c: String, bigEndian: Boolean = true): GFrame =
+    GFrame(df.withColumn(s"${c}_bytes",
+      graft.plans.HashVariants.byteCast(col(c), bigEndian)))
+  /** replace_tokens / filter_tokens (nvtext/replace.hpp:23,86). */
+  def replaceTokens(textCol: String, repl: Map[String, String]): GFrame =
+    GFrame(df.withColumn(textCol,
+      graft.functions.TextFunctions.replaceTokens(col(textCol), repl)))
+  def filterTokens(textCol: String, minLen: Int, repl: String = ""): GFrame =
+    GFrame(df.withColumn(textCol,
+      graft.functions.TextFunctions.filterTokens(col(textCol), minLen, repl)))
+  /** murmurhash3_x64_128 h1/h2 + xxhash_32 (cudf hashing.hpp:72,176). */
+  def hashVariants(c: String): GFrame = {
+    import graft.plans.HashVariants
+    GFrame(df
+      .withColumn(s"${c}_mm128", HashVariants.murmur3x64_128(col(c)))
+      .withColumn(s"${c}_xx32", HashVariants.xxhash32(col(c))))
+  }
   /** Fixed-token-window chunking with overlap (LLM pre-tokenization). */
   def chunk(idCol: String, textCol: String, chunkSize: Int,
       overlap: Int = 0): GFrame =

@@ -48,6 +48,18 @@ object Reshape {
       .drop("__tile")
   }
 
+  /** repeat with a per-row count column (cudf/filling.hpp:90): each row
+    * appears `countCol` times with a 0-based `rep` index; rows with
+    * count <= 0 are dropped (the reference errors on negatives — here
+    * they behave as 0, documented). Pure map-side explode, no shuffle.
+    * Guarded: Spark's sequence(0, -1) DESCENDS, hence the explicit
+    * empty-array branch. */
+  def repeatRows(df: DataFrame, countCol: org.apache.spark.sql.Column,
+      repCol: String = "rep"): DataFrame =
+    df.withColumn(repCol, explode(
+      when(countCol >= 1, sequence(lit(0), countCol.cast("int") - 1))
+        .otherwise(array().cast("array<int>"))))
+
   /** transpose (transpose.hpp:39) — rows↔columns for a BOUNDED frame
     * (the reference's transpose is also a full-materialization op; at
     * scale this only makes sense on small aggregated outputs).

@@ -130,6 +130,17 @@ object HashKernels {
     out
   }
 
+  /** Endianness adapter for ByteCastExpr codegen: reverses the
+    * little-endian byte view when big-endian output is requested. */
+  def castBytes(le: Array[Byte], bigEndian: Boolean): Array[Byte] =
+    if (!bigEndian) le
+    else {
+      val r = new Array[Byte](le.length)
+      var i = 0
+      while (i < le.length) { r(i) = le(le.length - 1 - i); i += 1 }
+      r
+    }
+
   /** Byte view of a Catalyst value, mirroring the reference's
     * fixed-width little-endian row layout. Floats hash their IEEE bit
     * pattern as stored (no NaN canonicalization — callers wanting
@@ -210,10 +221,34 @@ case class XxHash32Expr(child: Expression, seed: Int)
     copy(child = c)
 }
 
+/** byte_cast (cpp/include/cudf/reshape.hpp:84): a fixed-width numeric
+  * column reinterpreted as its raw bytes, big- or little-endian
+  * (flip_endianness::YES is the reference default on little-endian
+  * GPUs — big-endian output). BinaryType result; hex() of the
+  * big-endian form equals the zero-padded hex of the value, which is
+  * what the DuckDB oracle checks. */
+case class ByteCastExpr(child: Expression, bigEndian: Boolean)
+    extends UnaryExpression with HashVariantInput {
+  override protected def supported: Seq[DataType] =
+    Seq(IntegerType, LongType, FloatType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "byte_cast"
+  override def nullSafeEval(v: Any): Any =
+    HashKernels.castBytes(HashKernels.bytesOf(v), bigEndian)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.plans.HashKernels.castBytes(" +
+        s"graft.plans.HashKernels.bytesOf($c), $bigEndian);")
+  override protected def withNewChildInternal(c: Expression): ByteCastExpr =
+    copy(child = c)
+}
+
 object HashVariants {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
   def murmur3x64_128(c: Column, seed: Long = 0L): Column =
     column(Murmur3X64_128(expression(c), seed))
   def xxhash32(c: Column, seed: Int = 0): Column =
     column(XxHash32Expr(expression(c), seed))
+  def byteCast(c: Column, bigEndian: Boolean = true): Column =
+    column(ByteCastExpr(expression(c), bigEndian))
 }

@@ -182,6 +182,55 @@ object Nested extends QueryPack {
       |  unnest([r_name, upper(r_name)]) AS value
       |FROM region ORDER BY r_regionkey, pos""".stripMargin
 
+  /** tile (cudf/reshape.hpp:54): whole-table repetition — broadcast
+    * cross join with a tiny range, map-side only. */
+  def tileQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Reshape.tile(Tables.region(s, dir), 3)
+      .orderBy($"r_regionkey")
+  }
+
+  val tileSql: String =
+    """SELECT r_regionkey, r_name
+      |FROM region CROSS JOIN (SELECT unnest([0, 1, 2]) AS t)
+      |ORDER BY r_regionkey""".stripMargin
+
+  /** repeat with a per-row count column (cudf/filling.hpp:90): each
+    * nation appears (key % 3) times with a 0-based rep index; count-0
+    * rows drop. Map-side explode, zero shuffle. */
+  def repeatRowsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Reshape.repeatRows(
+        Tables.nation(s, dir).select($"n_nationkey", $"n_name"),
+        col("n_nationkey") % 3)
+      .orderBy($"n_nationkey", $"rep")
+  }
+
+  val repeatRowsSql: String =
+    """SELECT n_nationkey, n_name, CAST(unnest(range(n_nationkey % 3)) AS INT) AS rep
+      |FROM nation ORDER BY n_nationkey, rep""".stripMargin
+
+  /** byte_cast (cudf/reshape.hpp:84): numeric columns reinterpreted as
+    * big-endian bytes — gated through hex(), which for the big-endian
+    * form equals the zero-padded hex of the VALUE, independently
+    * computable by DuckDB's to_hex. Little-endian and float/double
+    * paths are bit-checked in ExpressionsSpec. */
+  def byteCastQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.HashVariants.byteCast
+    Tables.region(s, dir)
+      .select($"r_regionkey",
+        hex(byteCast($"r_regionkey".cast("int"))).as("be32_hex"),
+        hex(byteCast($"r_regionkey".cast("long"))).as("be64_hex"))
+      .orderBy($"r_regionkey")
+  }
+
+  val byteCastSql: String =
+    """SELECT r_regionkey,
+      |  upper(lpad(to_hex(r_regionkey), 8, '0')) AS be32_hex,
+      |  upper(lpad(to_hex(r_regionkey), 16, '0')) AS be64_hex
+      |FROM region ORDER BY r_regionkey""".stripMargin
+
   /** crosstab (reshape.py:1543) — explicit-values groupBy+pivot (no
     * driver-side distinct matrix). */
   def crosstabQ(s: SparkSession, dir: String): DataFrame = {
@@ -326,6 +375,9 @@ object Nested extends QueryPack {
     "reshape_onehot" -> oneHot,
     "reshape_crosstab" -> crosstabQ,
     "reshape_interleave" -> interleaveQ,
+    "reshape_tile" -> tileQ,
+    "reshape_repeat" -> repeatRowsQ,
+    "reshape_bytecast" -> byteCastQ,
     "reshape_transpose" -> transposeQ,
     "arr_ops" -> arrOps,
     "arr_lambda" -> arrLambda,
@@ -341,6 +393,9 @@ object Nested extends QueryPack {
     "reshape_onehot" -> oneHotSql,
     "reshape_crosstab" -> crosstabSql,
     "reshape_interleave" -> interleaveSql,
+    "reshape_tile" -> tileSql,
+    "reshape_repeat" -> repeatRowsSql,
+    "reshape_bytecast" -> byteCastSql,
     "reshape_transpose" -> transposeSql,
     "arr_ops" -> arrOpsSql,
     "arr_lambda" -> arrLambdaSql,

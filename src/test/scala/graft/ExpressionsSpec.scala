@@ -684,6 +684,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(strs.toSeq == Seq(320624298L, 1612654309L, 1409499009L))
   }
 
+  test("byte_cast produces exact big/little-endian byte layouts") {
+    import graft.plans.HashVariants.byteCast
+    val rows = Seq((0x01020304, 0x0102030405060708L, 1.5f, -2.5)).toDF("i", "l", "f", "d")
+    val got = rows.select(
+      byteCast($"i"), byteCast($"i", bigEndian = false),
+      byteCast($"l"), byteCast($"f"), byteCast($"d"))
+      .as[(Array[Byte], Array[Byte], Array[Byte], Array[Byte], Array[Byte])]
+      .head()
+    assert(got._1.toSeq == Seq[Byte](1, 2, 3, 4))
+    assert(got._2.toSeq == Seq[Byte](4, 3, 2, 1))
+    assert(got._3.toSeq == Seq[Byte](1, 2, 3, 4, 5, 6, 7, 8))
+    assert(got._4.toSeq ==
+      java.nio.ByteBuffer.allocate(4).putFloat(1.5f).array().toSeq)
+    assert(got._5.toSeq ==
+      java.nio.ByteBuffer.allocate(8).putDouble(-2.5).array().toSeq)
+  }
+
   test("hash variants: interpreted eval matches codegen") {
     import graft.plans.{HashKernels, HashVariants}
     // kernel (interpreted path) vs the expression evaluated through
