@@ -446,6 +446,19 @@ class ExpressionsSpec extends AnyFunSuite {
     // serialization round trip
     val rt = SpaceSavingBuffer.deserialize(merged.serialize())
     assert(rt.counters == merged.counters && rt.m == 16)
+    // long keys round-trip too (writeUTF would throw past 64 KiB of
+    // modified UTF-8 — the serializer uses length-prefixed raw bytes)
+    val long1 = new SpaceSavingBuffer(4)
+    val bigKey = "k" * 100000 + "é" * 10000
+    long1.add(bigKey); long1.add(bigKey); long1.add("small")
+    val rt2 = SpaceSavingBuffer.deserialize(long1.serialize())
+    assert(rt2.counters == long1.counters,
+      "long-key buffer failed the serialize round trip")
+    // non-string input stringifies instead of ClassCastException
+    val ints = (1 to 100).map(i => i % 7).toDF("n")
+    val topInts = ints.agg(SpaceSavingTopK.of($"n", 8, 3).as("tk"))
+      .selectExpr("inline(tk)").collect()
+    assert(topInts.nonEmpty && topInts.head.getString(0).forall(_.isDigit))
   }
 
   test("NYSIIS and Refined Soundex match commons-codec on fixtures and fuzz") {

@@ -415,4 +415,27 @@ class PropertySpec extends AnyFunSuite {
       assert(s1.size <= grams1 - 3)
     }
   }
+
+  test("winnowChars detection guarantee holds on random strings with planted overlap") {
+    // The SubstringDedup cross-chunk pass rests on this theorem: ANY
+    // shared substring of >= k+w-1 chars yields a shared fingerprint.
+    import graft.operators.SubstringDedup
+    val minWidth = 20
+    val k = (minWidth + 1) / 2
+    val w = minWidth - k + 1
+    val alpha = Gen.choose('a', 'e') // tiny alphabet: adversarial repeats
+    def str(lo: Int, hi: Int): Gen[String] =
+      Gen.choose(lo, hi).flatMap(n => Gen.listOfN(n, alpha).map(_.mkString))
+    val gen = for {
+      pre1 <- str(0, 40); post1 <- str(0, 40)
+      pre2 <- str(0, 40); post2 <- str(0, 40)
+      shared <- str(minWidth, minWidth + 15)
+    } yield (pre1 + shared + post1, pre2 + shared + post2)
+    forAll(gen, n = 60) { case (a, b) =>
+      val fa = SubstringDedup.winnowChars(a, k, w).toSet
+      val fb = SubstringDedup.winnowChars(b, k, w).toSet
+      assert(fa.intersect(fb).nonEmpty,
+        s"winnowing guarantee violated for a=$a b=$b")
+    }
+  }
 }
