@@ -130,14 +130,18 @@ object Tpch3 extends QueryPack {
     import s.implicits._
     val smallParts = Tables.part(s, dir)
       .filter($"p_name".startsWith("small")).select($"p_partkey")
-    val shipped = Tables.lineitem(s, dir)
-      .filter(year($"l_shipdate") === 1997)
-      .groupBy($"l_partkey", $"l_suppkey")
-      .agg(dsum($"l_quantity", 2).as("qty_1997"))
-    val eligible = partsupp(s, dir)
+    // ONE lineitem scan + ONE (part, supp) shuffle computes both the
+    // derived-partsupp availqty AND the 1997 shipped quantity (a
+    // conditional sum). A pair with no 1997 shipments sums to NULL, so
+    // the threshold comparison drops it — exactly the original
+    // correlated-EXISTS inner-join semantics, at half the fact scans.
+    val pairAgg = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .agg(dsum($"l_quantity", 2).as("ps_availqty"),
+        dsum(when(year($"l_shipdate") === 1997, $"l_quantity"), 2)
+          .as("qty_1997"))
+    val eligible = pairAgg
       .join(broadcast(smallParts), $"ps_partkey" === $"p_partkey")
-      .join(shipped,
-        $"ps_partkey" === $"l_partkey" && $"ps_suppkey" === $"l_suppkey")
       .filter($"ps_availqty" > lit(0.5) * $"qty_1997")
       .select($"ps_suppkey")
     Tables.supplier(s, dir)
