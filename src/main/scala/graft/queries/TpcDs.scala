@@ -526,24 +526,23 @@ object TpcDs extends QueryPack {
     * probe side to order keys before the join. */
   def dsExistsChain(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val orders = Tables.orders(s, dir)
-    // EXISTS with a correlated two-table predicate: an item shipped
-    // more than 90 days after the order date. Computed as a fact-fact
-    // join pre-shrunk to distinct order keys before the semi join.
-    val slow = li
-      .join(orders.select($"o_orderkey".as("ok"), $"o_orderdate"),
-        $"l_orderkey" === $"ok")
-      .filter($"l_shipdate" > date_add($"o_orderdate", 90))
-      .select($"l_orderkey").distinct()
-    val returned = li.filter($"l_returnflag" === "R")
-      .select($"l_orderkey").distinct()
-    orders
-      .join(slow, $"o_orderkey" === slow("l_orderkey"), "left_semi")
-      .join(returned, $"o_orderkey" === returned("l_orderkey"), "left_anti")
+    // Both quantifiers — EXISTS (correlated two-table ship-lag
+    // predicate) and NOT EXISTS (returned item) — fuse into per-order
+    // FLAGS of one lineitem⋈orders pass: one scan of each input and
+    // one orderkey shuffle, vs the semi/anti form's two lineitem scans
+    // + three orderkey shuffles. An order with no lineitems can satisfy
+    // neither quantifier, matching the inner join's exclusion.
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(first($"o_orderpriority").as("o_orderpriority"),
+        first(floor($"o_totalprice" * 100 + 0.5)).as("cents"),
+        max(when($"l_shipdate" > date_add($"o_orderdate", 90), 1)
+          .otherwise(0)).as("slow"),
+        max(when($"l_returnflag" === "R", 1).otherwise(0)).as("ret"))
+      .filter($"slow" === 1 && $"ret" === 0)
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"),
-        sum(floor($"o_totalprice" * 100 + 0.5)).as("rev_cents"))
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("rev_cents"))
       .orderBy($"o_orderpriority")
   }
 

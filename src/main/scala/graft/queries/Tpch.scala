@@ -344,12 +344,21 @@ object Tpch extends QueryPack {
     * shape from the SQL). */
   def q17(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val li = Tables.lineitem(s, dir)
-    val perPart = li.groupBy($"l_partkey".as("pk"))
-      .agg((davg($"l_quantity", 2) * 0.5).as("half_avg_qty"))
-    li.join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")),
+    // The correlated per-part AVG decorrelates into a window over ONE
+    // brand-filtered scan (the avg only matters for brand parts, and it
+    // ranges over exactly those parts' lineitems either way): one scan
+    // + one partkey shuffle, vs the aggregate-then-join form's two
+    // scans + a join whose per-part side stops being broadcastable at
+    // scale. Window arithmetic mirrors davg(c, 2) term for term.
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy($"l_partkey")
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")),
         $"l_partkey" === $"p_partkey")
-      .join(perPart, $"l_partkey" === $"pk")
+      .withColumn("half_avg_qty",
+        (sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast("double") /
+          count($"l_quantity").over(w).cast("double")) * 0.5)
       .filter($"l_quantity" < $"half_avg_qty")
       .agg((dsum($"l_extendedprice", 2) / 7.0).as("avg_yearly"),
         count(lit(1)).as("n"))

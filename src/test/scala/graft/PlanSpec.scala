@@ -79,6 +79,32 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 5, s"unexpected extra exchange:\n$p")
   }
 
+  test("q17 decorrelates the per-part avg into one windowed lineitem scan") {
+    val p = plan("q17_small_qty_revenue")
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"per-part avg must be a window over the one scan, got $lineitemScans:\n$p")
+  }
+
+  test("ds_exists_chain fuses EXISTS + NOT EXISTS into per-order flags") {
+    val p = plan("ds_exists_chain")
+    def scans(t: String) = p.linesIterator
+      .count(l => l.contains("Location") && l.contains(s"$t.parquet"))
+    assert(scans("lineitem") == 1 && scans("orders") == 1,
+      s"expected one scan each, got lineitem=${scans("lineitem")} " +
+        s"orders=${scans("orders")}:\n$p")
+  }
+
+  test("q20 fuses availqty and the 1997 shipped sum into one lineitem scan") {
+    val p = plan("q20_potential_promotion")
+    val lineitemScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("lineitem.parquet"))
+    assert(lineitemScans == 1,
+      s"partsupp + shipped must share one pair-keyed aggregation, " +
+        s"got $lineitemScans scans:\n$p")
+  }
+
   test("graft-avro DSv2 and vocab join keep their scan/broadcast shapes") {
     val p = plan("doc_token_ids")
     assert(p.contains("BroadcastHashJoin"),
