@@ -93,4 +93,80 @@ object Multimodal {
       d.take(8).map(b => java.lang.Byte.toUnsignedInt(b) / 255.0f)
     }
   }
+
+  /** Decoded-media stats row: nulls mark the non-applicable modality. */
+  private case class MediaStats(media_id: Long, mime: String, n_bytes: Int,
+      duration_s: Option[Double], rms: Option[Double], peak: Option[Double],
+      zcr: Option[Double], width: Option[Int], height: Option[Int],
+      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
+
+  /** REAL decode for the mime types a pure JVM can handle — audio/wav
+    * (RIFF PCM-16 via [[MediaCodec.wavDecode]]: duration, RMS, peak,
+    * zero-crossing rate) and image/bmp ([[MediaCodec.bmpDecode]]:
+    * dimensions + channel means) — inside the SAME batched
+    * mapPartitions contract as [[decodeFeaturesBatched]]. Other mimes
+    * yield a null-stats row rather than failing the batch (the
+    * compressed-codec swap-in point); a MALFORMED payload of a claimed
+    * wav/bmp mime still fails loudly. All stats are doubles computed
+    * in double space (no float truncation), so they are
+    * oracle-comparable when payloads are synthesized deterministically. */
+  def decodeMedia(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"), col("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, mime) =>
+          val nb = if (payload == null) 0 else payload.length
+          mime match {
+            case "audio/wav" =>
+              val (rate, channels, samples) = MediaCodec.wavDecode(payload)
+              val frames = samples.length / channels
+              var sumSq = 0.0
+              var peak = 0.0
+              var crossings = 0L
+              var i = 0
+              while (i < samples.length) {
+                val v = samples(i).toDouble
+                sumSq += v * v
+                val a = math.abs(v)
+                if (a > peak) peak = a
+                // per-channel sign changes (interleaved: stride channels)
+                if (i >= channels &&
+                    (samples(i) < 0) != (samples(i - channels) < 0))
+                  crossings += 1
+                i += 1
+              }
+              val n = samples.length.toDouble
+              MediaStats(id, mime, nb,
+                duration_s = Some(frames.toDouble / rate),
+                rms = Some(math.sqrt(sumSq / n) / 32768.0),
+                peak = Some(peak / 32768.0),
+                zcr = Some(if (samples.length > channels)
+                  crossings.toDouble / (samples.length - channels) else 0.0),
+                width = None, height = None,
+                mean_r = None, mean_g = None, mean_b = None)
+            case "image/bmp" =>
+              val (w, h, rgb) = MediaCodec.bmpDecode(payload)
+              var (sr, sg, sb) = (0L, 0L, 0L)
+              var i = 0
+              while (i < rgb.length) {
+                sr += rgb(i) & 0xff
+                sg += rgb(i + 1) & 0xff
+                sb += rgb(i + 2) & 0xff
+                i += 3
+              }
+              val px = (w * h).toDouble
+              MediaStats(id, mime, nb, None, None, None, None,
+                width = Some(w), height = Some(h),
+                mean_r = Some(sr / px), mean_g = Some(sg / px),
+                mean_b = Some(sb / px))
+            case _ =>
+              MediaStats(id, if (mime == null) "unknown" else mime, nb,
+                None, None, None, None, None, None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+  }
 }

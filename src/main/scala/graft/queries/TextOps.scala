@@ -977,6 +977,59 @@ object TextOps extends QueryPack {
       |  ascii(substring(md5(text), 2, 1)) AS fake_height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL media decode round trip (upgrades half the codec stub): per
+    * doc, ENCODE a deterministic RIFF/WAVE PCM-16 payload (constant
+    * amplitude (doc_id%1000+1)*16 shorts, 64 samples @8 kHz mono) and a
+    * solid-color 24-bit BMP (w=doc_id%4+1, h=doc_id%3+1), then run the
+    * genuine byte-level decoders ([[graft.operators.MediaCodec]]) and
+    * emit audio stats (duration/RMS/peak/ZCR) and image stats
+    * (dims/channel means). Every stat is analytically predictable from
+    * doc_id in exact double arithmetic, so DuckDB recomputes the
+    * EXPECTED values without decoding — a true encode→decode→stats
+    * round-trip oracle. */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.MediaCodec
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    val media = ids.mapPartitions(_.flatMap { id =>
+      val amp = ((id % 1000) + 1).toInt * 16
+      val wav = MediaCodec.wavEncode(Array.fill(64)(amp.toShort), 8000, 1)
+      val w = (id % 4 + 1).toInt
+      val h = (id % 3 + 1).toInt
+      val rgb = Array.tabulate(w * h * 3)(i => (i % 3 match {
+        case 0 => id % 256
+        case 1 => (id * 7) % 256
+        case _ => (id * 13) % 256
+      }).toByte)
+      val bmp = MediaCodec.bmpEncode(w, h, rgb)
+      Iterator((id, wav, "audio/wav"), (id, bmp, "image/bmp"))
+    }).toDF("media_id", "payload", "mime")
+    Multimodal.decodeMedia(media).orderBy(col("mime"), col("media_id"))
+  }
+
+  val mediaDecodeSql: String =
+    """SELECT doc_id AS media_id, 'audio/wav' AS mime, CAST(172 AS INT) AS n_bytes,
+      |  64.0 / 8000.0 AS duration_s,
+      |  CAST((doc_id % 1000 + 1) * 16 AS DOUBLE) / 32768.0 AS rms,
+      |  CAST((doc_id % 1000 + 1) * 16 AS DOUBLE) / 32768.0 AS peak,
+      |  0.0 AS zcr,
+      |  CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+      |  CAST(NULL AS DOUBLE) AS mean_r, CAST(NULL AS DOUBLE) AS mean_g,
+      |  CAST(NULL AS DOUBLE) AS mean_b
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, 'image/bmp',
+      |  CAST(54 + ((w * 3 + 3) // 4) * 4 * h AS INT),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS DOUBLE),
+      |  CAST(w AS INT), CAST(h AS INT),
+      |  CAST(doc_id % 256 AS DOUBLE), CAST((doc_id * 7) % 256 AS DOUBLE),
+      |  CAST((doc_id * 13) % 256 AS DOUBLE)
+      |FROM (SELECT doc_id, doc_id % 4 + 1 AS w, doc_id % 3 + 1 AS h
+      |      FROM documents)
+      |ORDER BY mime, media_id""".stripMargin
+
   /** Multimodal retrieval composition: ingest → BATCHED stub decode →
     * digest-derived features → exact cosine top-3. Oracle-checked:
     * the stub feature is unsigned(md5_byte_i)/255.0f for i < 8 over the
@@ -1800,6 +1853,7 @@ object TextOps extends QueryPack {
     "doc_redact_pii" -> redactPii,
     "doc_pack_bins" -> packBins,
     "doc_multimodal" -> multimodal,
+    "doc_media_decode" -> mediaDecode,
     "doc_multimodal_embed" -> multimodalEmbed,
     "embed_knn" -> embedKnn,
     "embed_knn_lsh" -> embedKnnLsh,
@@ -1850,6 +1904,7 @@ object TextOps extends QueryPack {
     "doc_redact_pii" -> redactPiiSql,
     "doc_pack_bins" -> packBinsSql,
     "doc_multimodal" -> multimodalSql,
+    "doc_media_decode" -> mediaDecodeSql,
     "embed_knn" -> embedKnnSql,
     "embed_knn_lsh" -> embedKnnLshSql,
     "embed_knn_ivf" -> embedKnnIvfSql,
