@@ -416,6 +416,31 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("MediaCodec wav/bmp encode-decode round-trips on random payloads") {
+    import graft.operators.MediaCodec
+    val wavGen = for {
+      n <- Gen.choose(1, 200)
+      ch <- Gen.choose(1, 4)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      samples <- Gen.listOfN(n * ch,
+        Gen.choose(Short.MinValue.toInt, Short.MaxValue.toInt).map(_.toShort))
+    } yield (samples.toArray, rate, ch)
+    forAll(wavGen, n = 40) { case (samples, rate, ch) =>
+      val (r2, c2, s2) = MediaCodec.wavDecode(
+        MediaCodec.wavEncode(samples, rate, ch))
+      assert(r2 == rate && c2 == ch && s2.toSeq == samples.toSeq)
+    }
+    val bmpGen = for {
+      w <- Gen.choose(1, 9) // exercises every row padding (0-3 bytes)
+      h <- Gen.choose(1, 7)
+      rgb <- Gen.listOfN(w * h * 3, Gen.choose(0, 255).map(_.toByte))
+    } yield (w, h, rgb.toArray)
+    forAll(bmpGen, n = 40) { case (w, h, rgb) =>
+      val (w2, h2, rgb2) = MediaCodec.bmpDecode(MediaCodec.bmpEncode(w, h, rgb))
+      assert(w2 == w && h2 == h && rgb2.toSeq == rgb.toSeq)
+    }
+  }
+
   test("winnowChars detection guarantee holds on random strings with planted overlap") {
     // The SubstringDedup cross-chunk pass rests on this theorem: ANY
     // shared substring of >= k+w-1 chars yields a shared fingerprint.
