@@ -259,7 +259,42 @@ object EventOps extends QueryPack {
       |          FROM events)))
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: (type → next type) counts and row-normalized
+    * probabilities — the user-path / clickstream analysis staple. One
+    * user-keyed window shuffle over the fact; the probability window
+    * runs over the |types|² AGGREGATE only. p is a single double
+    * division of two exact counts — engine-identical. */
+  def transitions(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", $"n".cast("double") /
+        sum($"n").over(Window.partitionBy($"from_type")).cast("double"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val transitionsSql: String =
+    """SELECT from_type, to_type, n,
+      |  CAST(n AS DOUBLE) /
+      |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE) AS p
+      |FROM (
+      |  SELECT event_type AS from_type, to_type, count(*) AS n
+      |  FROM (
+      |    SELECT event_type,
+      |      lead(event_type, 1) OVER (PARTITION BY user_id
+      |        ORDER BY ts, event_id) AS to_type
+      |    FROM events)
+      |  WHERE to_type IS NOT NULL
+      |  GROUP BY 1, 2)
+      |ORDER BY from_type, to_type""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_transitions" -> transitions,
     "events_funnel" -> funnel,
     "events_sessionize" -> sessionize,
     "events_tumbling" -> tumbling,
@@ -270,6 +305,7 @@ object EventOps extends QueryPack {
     "events_hopping" -> hopping)
 
   override def oracle: Map[String, String] = Map(
+    "events_transitions" -> transitionsSql,
     "events_funnel" -> funnelSql,
     "events_sessionize" -> sessionizeSql,
     "events_tumbling" -> tumblingSql,

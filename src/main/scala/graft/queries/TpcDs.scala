@@ -641,7 +641,78 @@ object TpcDs extends QueryPack {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Multi-timeband single-scan counts (PDS-DS Q88 shape: eight
+    * time-of-day × day-type counts that the original writes as eight
+    * scalar subqueries — here fused into ONE scan with conditional
+    * aggregation, the plan q88 wants at scale). Hour and weekday derive
+    * from epoch-microsecond arithmetic (engine-identical; epoch day 0 =
+    * Thursday, so dow 2/3 = Sat/Sun). */
+  def dsTimebandCounts(s: SparkSession, dir: String): DataFrame = {
+    val hr = expr("(unix_micros(ts) % 86400000000) div 3600000000")
+    val wknd = expr("(unix_micros(ts) div 86400000000) % 7").isin(2, 3)
+    def band(lo: Int, hi: Int, weekend: Boolean, nm: String) =
+      count(when(hr.between(lo, hi) &&
+        (if (weekend) wknd else !wknd), 1)).as(nm)
+    Tables.events(s, dir).agg(
+      band(0, 5, weekend = false, "wd_night"),
+      band(6, 11, weekend = false, "wd_morning"),
+      band(12, 17, weekend = false, "wd_afternoon"),
+      band(18, 23, weekend = false, "wd_evening"),
+      band(0, 5, weekend = true, "we_night"),
+      band(6, 11, weekend = true, "we_morning"),
+      band(12, 17, weekend = true, "we_afternoon"),
+      band(18, 23, weekend = true, "we_evening"))
+  }
+
+  val dsTimebandCountsSql: String =
+    """SELECT
+      |  count(*) FILTER (WHERE hr BETWEEN 0 AND 5 AND NOT wknd) AS wd_night,
+      |  count(*) FILTER (WHERE hr BETWEEN 6 AND 11 AND NOT wknd) AS wd_morning,
+      |  count(*) FILTER (WHERE hr BETWEEN 12 AND 17 AND NOT wknd) AS wd_afternoon,
+      |  count(*) FILTER (WHERE hr BETWEEN 18 AND 23 AND NOT wknd) AS wd_evening,
+      |  count(*) FILTER (WHERE hr BETWEEN 0 AND 5 AND wknd) AS we_night,
+      |  count(*) FILTER (WHERE hr BETWEEN 6 AND 11 AND wknd) AS we_morning,
+      |  count(*) FILTER (WHERE hr BETWEEN 12 AND 17 AND wknd) AS we_afternoon,
+      |  count(*) FILTER (WHERE hr BETWEEN 18 AND 23 AND wknd) AS we_evening
+      |FROM (SELECT (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+      |        ((epoch_us(ts) // 86400000000) % 7) IN (2, 3) AS wknd
+      |      FROM events)""".stripMargin
+
+  /** Sequential-purchase cohort (PDS-DS Q54 flavor: "bought X, later
+    * bought Y"): customers whose FIRST express-priority order strictly
+    * precedes their first standard order, counted per market segment.
+    * The two correlated firsts fuse into conditional MINs of one
+    * orders scan — no self-join. */
+  def dsSequentialPurchase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isExpress = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, dir)
+      .groupBy($"o_custkey")
+      .agg(min(when(isExpress, $"o_orderdate")).as("first_express"),
+        min(when(!isExpress, $"o_orderdate")).as("first_standard"))
+      .filter($"first_express" < $"first_standard")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val dsSequentialPurchaseSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM (
+      |  SELECT o_custkey,
+      |    min(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |        THEN o_orderdate END) AS first_express,
+      |    min(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |        THEN o_orderdate END) AS first_standard
+      |  FROM orders GROUP BY o_custkey)
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE first_express < first_standard
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_timeband_counts" -> dsTimebandCounts,
+    "ds_sequential_purchase" -> dsSequentialPurchase,
     "ds_union_weekday" -> dsUnionWeekday,
     "ds_exists_chain" -> dsExistsChain,
     "ds_market_share_window" -> dsMarketShareWindow,
@@ -660,6 +731,8 @@ object TpcDs extends QueryPack {
     "ds_no_returns" -> dsNoReturns)
 
   override def oracle: Map[String, String] = Map(
+    "ds_timeband_counts" -> dsTimebandCountsSql,
+    "ds_sequential_purchase" -> dsSequentialPurchaseSql,
     "ds_union_weekday" -> dsUnionWeekdaySql,
     "ds_exists_chain" -> dsExistsChainSql,
     "ds_market_share_window" -> dsMarketShareWindowSql,

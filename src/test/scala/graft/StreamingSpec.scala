@@ -273,6 +273,55 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join emits unmatched rows after watermark") {
+    // Outer emission semantics: an impression with no click inside its
+    // window may only emit (with null click) once the watermark proves
+    // no matching click can still arrive — the state-cleanup contract
+    // that bounds join state at scale. Both event-time bounds (range
+    // condition + watermark) are required for Spark to accept the outer
+    // join in Append mode.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val impressions = MemoryStream[(Long, Timestamp)]
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val imp = impressions.toDF().toDF("ad_id", "imp_ts")
+      .withWatermark("imp_ts", "10 seconds")
+    val clk = clicks.toDF().toDF("ad_id", "clk_ts")
+      .withWatermark("clk_ts", "10 seconds")
+    val q = imp.join(clk,
+        imp("ad_id") === clk("ad_id") &&
+          $"clk_ts" >= $"imp_ts" &&
+          $"clk_ts" <= $"imp_ts" + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+      .select(imp("ad_id"), $"imp_ts", $"clk_ts")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ssj_outer_out").start()
+    try {
+      impressions.addData((1L, ts("2024-01-01 00:00:00")), // will match
+        (2L, ts("2024-01-01 00:00:00"))) // never clicked
+      clicks.addData((1L, ts("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      // matched row may emit now; unmatched ad 2 must NOT have emitted
+      val early = spark.sql(
+        "SELECT ad_id FROM ssj_outer_out WHERE clk_ts IS NULL")
+        .as[Long].collect()
+      assert(early.isEmpty,
+        s"null-padded row emitted before the watermark closed: ${early.toSeq}")
+      // advance both watermarks far past imp_ts + 10 min
+      impressions.addData((9L, ts("2024-01-01 02:00:00")))
+      clicks.addData((9L, ts("2024-01-01 02:00:00")))
+      q.processAllAvailable()
+      impressions.addData((10L, ts("2024-01-01 03:00:00")))
+      clicks.addData((10L, ts("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT ad_id, clk_ts IS NULL FROM ssj_outer_out WHERE ad_id <= 2")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1))).toSet
+      assert(rows == Set((1L, false), (2L, true)),
+        s"expected ad 1 matched + ad 2 null-padded, got $rows")
+    } finally q.stop()
+  }
+
   test("asofJoinStream matches probes to the latest reference event") {
     import spark.implicits._
     import graft.streaming.StatefulOps
