@@ -402,4 +402,24 @@ class GFrameSpec extends AnyFunSuite {
       "middle bucket forward-fills")
     assert(rs.map(_.getBoolean(2)).toSeq == Seq(true, false, true))
   }
+
+  test("r7 facades: repeatRows, byteCast, token replace/filter, hashVariants") {
+    val df = Seq((1L, "the fast cat ran"), (2L, "a dog")).toDF("id", "text")
+    val rep = GFrame(df).repeatRows("id").toDF.collect()
+    assert(rep.length == 3, "id=1 once, id=2 twice")
+    val bc = GFrame(Seq(0x01020304).toDF("v")).byteCast("v").toDF.head
+    assert(bc.getAs[Array[Byte]]("v_bytes").toSeq == Seq[Byte](1, 2, 3, 4))
+    val repl = GFrame(df)
+      .replaceTokens("text", Map("the" -> "a", "fast" -> "quick"))
+      .toDF.orderBy("id").collect().map(_.getString(1))
+    assert(repl.toSeq == Seq("a quick cat ran", "a dog"))
+    val filt = GFrame(df).filterTokens("text", 4).toDF
+      .orderBy("id").collect().map(_.getString(1))
+    assert(filt.toSeq == Seq("fast", ""))
+    val hv = GFrame(Seq("AI").toDF("s")).hashVariants("s").toDF.head
+    // reference vectors: xxhash_32("AI", seed 0) and the struct shape
+    assert(hv.schema.fieldNames.contains("s_mm128") &&
+      hv.schema.fieldNames.contains("s_xx32"))
+    assert(hv.getAs[org.apache.spark.sql.Row]("s_mm128").length == 2)
+  }
 }
