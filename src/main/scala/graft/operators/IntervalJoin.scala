@@ -29,13 +29,10 @@ object IntervalJoin {
       intervals: DataFrame, loCol: String, hiCol: String,
       keyCols: Seq[String], cellMicros: Long): DataFrame = {
     require(cellMicros > 0, "cellMicros must be positive")
-    // Floor division (see Resample): `div` truncates toward zero, which
-    // for negative coordinates doubles cell 0's width. Correctness never
-    // depended on it (point and interval sides used the same cells), but
-    // a doubled cell doubles that cell's candidate fan-out — keep the
-    // grid regular.
-    def fdiv(x: String): String =
-      s"(($x) div ${cellMicros}L) - (case when ($x) % ${cellMicros}L < 0 then 1 else 0 end)"
+    // Floor division (shared helper — see Resample.floorDivExpr):
+    // truncation toward zero would double cell 0's width for negative
+    // coordinates and with it that cell's candidate fan-out.
+    def fdiv(x: String): String = Resample.floorDivExpr(x, cellMicros)
     val p = points.withColumn("__cell", expr(fdiv(pCol)))
     val iv = intervals
       .filter(col(hiCol) > col(loCol))

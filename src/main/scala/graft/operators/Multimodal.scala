@@ -140,7 +140,10 @@ object Multimodal {
               val n = samples.length.toDouble
               MediaStats(id, mime, nb,
                 duration_s = Some(frames.toDouble / rate),
-                rms = Some(math.sqrt(sumSq / n) / 32768.0),
+                // empty data chunk is VALID wav: all stats define to 0,
+                // never NaN (0.0/0.0 would poison downstream compares)
+                rms = Some(if (samples.isEmpty) 0.0
+                  else math.sqrt(sumSq / n) / 32768.0),
                 peak = Some(peak / 32768.0),
                 zcr = Some(if (samples.length > channels)
                   crossings.toDouble / (samples.length - channels) else 0.0),

@@ -21,22 +21,24 @@ import org.apache.spark.sql.functions._
   */
 object Resample {
 
+  /** SQL text for FLOOR division of `x` by positive literal `n` —
+    * shared by the time-grid operators (here and IntervalJoin). Spark's
+    * `div` truncates toward zero, which for negative coordinates makes
+    * bucket 0 twice every other bucket's width; `%` follows the
+    * dividend's sign, so a negative remainder means truncation rounded
+    * toward zero and we step one bucket down. */
+  private[operators] def floorDivExpr(x: String, n: Long): String =
+    s"(($x) div ${n}L) - (case when ($x) % ${n}L < 0 then 1 else 0 end)"
+
   /** Downsample `df` to `stepMicros` buckets per `keyCol`, carrying the
     * latest (`tsCol`, `tieCol`)-ordered `valueCol` per bucket, then
     * forward-fill across the dense per-key grid [min bucket, max
     * bucket]. Output: keyCol, win_id, has_obs, v_ffill. */
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String, stepMicros: Long): DataFrame = {
-    // Floor division, not `div` (which truncates toward zero): for
-    // pre-epoch timestamps truncation would make bucket 0 span
-    // (-step, +step) — twice every other bucket's width. `%` follows the
-    // dividend's sign in Spark, so a negative remainder means truncation
-    // rounded toward zero and we step one bucket down.
     val us = s"unix_micros($tsCol)"
-    val floorBucket =
-      s"($us div ${stepMicros}L) - (case when $us % ${stepMicros}L < 0 then 1 else 0 end)"
     val obs = df
-      .groupBy(col(keyCol), expr(floorBucket).as("win_id"))
+      .groupBy(col(keyCol), expr(Resample.floorDivExpr(us, stepMicros)).as("win_id"))
       .agg(max(struct(unix_micros(col(tsCol)).as("us"), col(tieCol),
         col(valueCol).as("value"))).as("m"))
       .select(col(keyCol), col("win_id"), col("m.value").as("v_obs"))

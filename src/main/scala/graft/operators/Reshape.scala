@@ -56,9 +56,14 @@ object Reshape {
     * empty-array branch. */
   def repeatRows(df: DataFrame, countCol: org.apache.spark.sql.Column,
       repCol: String = "rep"): DataFrame =
+    // LONG sequence: an int cast would silently wrap counts past
+    // Int.MaxValue (2147483653 -> 5) or descend on negatives; with
+    // longs the guard sees the true value and Spark's own sequence
+    // length check fails loudly on absurd counts.
     df.withColumn(repCol, explode(
-      when(countCol >= 1, sequence(lit(0), countCol.cast("int") - 1))
-        .otherwise(array().cast("array<int>"))))
+      when(countCol.cast("long") >= 1L,
+        sequence(lit(0L), countCol.cast("long") - 1))
+        .otherwise(array().cast("array<bigint>"))))
 
   /** transpose (transpose.hpp:39) — rows↔columns for a BOUNDED frame
     * (the reference's transpose is also a full-materialization op; at

@@ -189,15 +189,30 @@ object SubstringDedup {
     chunkDuplicates(Seq((a, 0), (b, 1)), minWidth, crossSourceOnly = true)
 
   /** Deterministically chunk the corpus and tag each row with its chunk
-    * id. Output columns: __id, __t, __src, __chunk. */
+    * id. Output columns: __id, __t, __src, __chunk.
+    *
+    * The chunk id is a DETERMINISTIC hash of the id — NOT
+    * spark_partition_id over a range partition: range boundaries are
+    * re-sampled on every evaluation of the exchange, so two consumers
+    * of this frame (the local pass and the fingerprint pass) could
+    * otherwise disagree on chunk assignment, and the cross-chunk
+    * filter would silently drop a pair the local pass never
+    * co-concatenated. `repartition(chunks, __chunk)` keys the shuffle
+    * on that same deterministic value, so same __chunk ⇒ same
+    * partition in the local pass, which is exactly the invariant the
+    * `a.__chunk =!= b.__chunk` pruning relies on. localCheckpoint
+    * materializes the chunked frame ONCE (eager, MEMORY_AND_DISK) —
+    * the op has four consumers and Spark 4 does not reuse identical
+    * repartition exchanges. */
   private def chunk(df: DataFrame, idCol: String, textCol: String,
       srcExpr: org.apache.spark.sql.Column, chunks: Int): DataFrame =
     df.filter(col(textCol).isNotNull)
-      .repartitionByRange(chunks, col(idCol))
-      .sortWithinPartitions(col(idCol)) // fixed concatenation order
       .select(col(idCol).cast("string").as("__id"),
         col(textCol).cast("string").as("__t"), srcExpr.cast("int").as("__src"))
-      .withColumn("__chunk", spark_partition_id())
+      .withColumn("__chunk", pmod(hash(col("__id")), lit(chunks)))
+      .repartition(chunks, col("__chunk"))
+      .sortWithinPartitions(col("__chunk"), col("__id")) // fixed concat order
+      .localCheckpoint()
 
   /** Pass 2: fingerprints spanning ≥2 chunks → candidate doc pairs →
     * exact per-pair suffix-array verify. `crossSourceOnly` adds the

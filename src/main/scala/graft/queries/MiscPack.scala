@@ -15,6 +15,23 @@ import org.apache.spark.sql.functions._
   */
 object MiscPack extends QueryPack {
 
+  /** Shared exact-rank-band contract for the sketch-accuracy oracles
+    * (agg_tdigest / agg_tdigest_merge / agg_approx): band aggregates
+    * over `valueCol` (p50 within ranks [0.48, 0.52], p99 within
+    * [0.97, 1.0]) and the boolean checks an estimator pair must pass.
+    * One definition — the tolerance and its three DuckDB `true`-literal
+    * oracles stay in lockstep. */
+  private def rankBandAggs(valueCol: String): Seq[org.apache.spark.sql.Column] =
+    Seq(expr(s"percentile($valueCol, 0.48)").as("lo50"),
+      expr(s"percentile($valueCol, 0.52)").as("hi50"),
+      expr(s"percentile($valueCol, 0.97)").as("lo99"),
+      expr(s"percentile($valueCol, 1.0)").as("hi99"))
+
+  private def inBand(est50: org.apache.spark.sql.Column,
+      est99: org.apache.spark.sql.Column): Seq[org.apache.spark.sql.Column] =
+    Seq((est50 >= col("lo50") && est50 <= col("hi50")).as("p50_in_band"),
+      (est99 >= col("lo99") && est99 <= col("hi99")).as("p99_in_band"))
+
   /** label_bins (labeling/label_bins.hpp:61) / cut (core/cut.py):
     * fixed-width bins via deterministic double arithmetic. */
   def binLabel(s: SparkSession, dir: String): DataFrame = {
@@ -125,21 +142,16 @@ object MiscPack extends QueryPack {
     * value and fails the hash gate. */
   def aggApprox(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val aggs = Seq(approx_count_distinct($"l_partkey").as("ap"),
+      countDistinct($"l_partkey").as("exact_parts"),
+      percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+      percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99"),
+      count(lit(1)).as("n")) ++ rankBandAggs("l_extendedprice")
     Tables.lineitem(s, dir).groupBy($"l_returnflag")
-      .agg(approx_count_distinct($"l_partkey").as("ap"),
-        countDistinct($"l_partkey").as("exact_parts"),
-        percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
-        percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99"),
-        expr("percentile(l_extendedprice, 0.48)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.97)").as("lo99"),
-        expr("percentile(l_extendedprice, 1.0)").as("hi99"),
-        count(lit(1)).as("n"))
-      .select($"l_returnflag", $"n", $"exact_parts",
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq($"l_returnflag", $"n", $"exact_parts",
         (abs($"ap" - $"exact_parts") <= $"exact_parts" * 0.15)
-          .as("distinct_in_tol"),
-        ($"p50" >= $"lo50" && $"p50" <= $"hi50").as("p50_in_band"),
-        ($"p99" >= $"lo99" && $"p99" <= $"hi99").as("p99_in_band"))
+          .as("distinct_in_tol")) ++ inBand($"p50", $"p99"): _*)
       .orderBy($"l_returnflag")
   }
 
@@ -530,17 +542,13 @@ object MiscPack extends QueryPack {
   def tdigestQuantiles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.TDigestQuantile
+    val aggs = Seq(TDigestQuantile.of($"l_extendedprice", 0.5).as("td_p50"),
+      TDigestQuantile.of($"l_extendedprice", 0.99).as("td_p99"),
+      count(lit(1)).as("n")) ++ rankBandAggs("l_extendedprice")
     Tables.lineitem(s, dir).groupBy($"l_returnflag")
-      .agg(TDigestQuantile.of($"l_extendedprice", 0.5).as("td_p50"),
-        TDigestQuantile.of($"l_extendedprice", 0.99).as("td_p99"),
-        expr("percentile(l_extendedprice, 0.48)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.97)").as("lo99"),
-        expr("percentile(l_extendedprice, 1.0)").as("hi99"),
-        count(lit(1)).as("n"))
-      .select($"l_returnflag", $"n",
-        ($"td_p50" >= $"lo50" && $"td_p50" <= $"hi50").as("p50_in_band"),
-        ($"td_p99" >= $"lo99" && $"td_p99" <= $"hi99").as("p99_in_band"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq($"l_returnflag", $"n") ++
+        inBand($"td_p50", $"td_p99"): _*)
       .orderBy($"l_returnflag")
   }
 
@@ -571,15 +579,12 @@ object MiscPack extends QueryPack {
     // Hash-gated accuracy contract (see tdigestQuantiles): the MERGED
     // digest's quantiles must land in the exact rank bands computed
     // from the raw column — merging must not degrade past the band.
+    val bandAggs = rankBandAggs("l_extendedprice")
     val bands = li.groupBy($"l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.48)").as("lo50"),
-        expr("percentile(l_extendedprice, 0.52)").as("hi50"),
-        expr("percentile(l_extendedprice, 0.97)").as("lo99"),
-        expr("percentile(l_extendedprice, 1.0)").as("hi99"))
+      .agg(bandAggs.head, bandAggs.tail: _*)
     rolled.join(broadcast(bands), "l_returnflag")
-      .select($"l_returnflag", $"n",
-        ($"td_p50" >= $"lo50" && $"td_p50" <= $"hi50").as("p50_in_band"),
-        ($"td_p99" >= $"lo99" && $"td_p99" <= $"hi99").as("p99_in_band"))
+      .select(Seq($"l_returnflag", $"n") ++
+        inBand($"td_p50", $"td_p99"): _*)
       .orderBy($"l_returnflag")
   }
 

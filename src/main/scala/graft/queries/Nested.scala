@@ -207,7 +207,8 @@ object Nested extends QueryPack {
   }
 
   val repeatRowsSql: String =
-    """SELECT n_nationkey, n_name, CAST(unnest(range(n_nationkey % 3)) AS INT) AS rep
+    """SELECT n_nationkey, n_name,
+      |  CAST(unnest(range(n_nationkey % 3)) AS BIGINT) AS rep
       |FROM nation ORDER BY n_nationkey, rep""".stripMargin
 
   /** byte_cast (cudf/reshape.hpp:84): numeric columns reinterpreted as
