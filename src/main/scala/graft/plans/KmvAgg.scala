@@ -55,6 +55,21 @@ class KmvBuffer(val k: Int) extends Serializable {
 }
 
 object KmvBuffer {
+  /** The ONE stringify + portable-md5-60 ingestion contract shared by
+    * KmvDistinct and KmvSketch — the DuckDB oracles replay exactly
+    * this pipeline, so the two aggregates must never diverge. */
+  def addValue(buf: KmvBuffer, v: Any): KmvBuffer = {
+    if (v != null) {
+      val s = v match {
+        case u: UTF8String => u.toString
+        case other => other.toString
+      }
+      buf.add(PortableHash.md5_60(
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+    }
+    buf
+  }
+
   def deserialize(bytes: Array[Byte]): KmvBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val b = new KmvBuffer(in.readInt())
@@ -76,18 +91,8 @@ case class KmvDistinct(child: Expression, k: Int,
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
   override def update(buf: KmvBuffer,
-      row: org.apache.spark.sql.catalyst.InternalRow): KmvBuffer = {
-    val v = child.eval(row)
-    if (v != null) {
-      val s = v match {
-        case u: UTF8String => u.toString
-        case other => other.toString
-      }
-      buf.add(PortableHash.md5_60(
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    }
-    buf
-  }
+      row: org.apache.spark.sql.catalyst.InternalRow): KmvBuffer =
+    KmvBuffer.addValue(buf, child.eval(row))
   override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
     buf.merge(other); buf
   }
@@ -124,18 +129,8 @@ case class KmvSketch(child: Expression, k: Int,
 
   override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
   override def update(buf: KmvBuffer,
-      row: org.apache.spark.sql.catalyst.InternalRow): KmvBuffer = {
-    val v = child.eval(row)
-    if (v != null) {
-      val s = v match {
-        case u: UTF8String => u.toString
-        case other => other.toString
-      }
-      buf.add(PortableHash.md5_60(
-        s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
-    }
-    buf
-  }
+      row: org.apache.spark.sql.catalyst.InternalRow): KmvBuffer =
+    KmvBuffer.addValue(buf, child.eval(row))
   override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
     buf.merge(other); buf
   }

@@ -26,6 +26,10 @@ class TDigest(val delta: Int) extends Serializable {
   private var bufW = new scala.collection.mutable.ArrayBuffer[Double]
 
   def add(x: Double, w: Double = 1.0): Unit = {
+    // NaN would poison every centroid mean at compress time and null
+    // the final quantile; skip it (Spark's own percentile family also
+    // never returns NaN-tainted results for a single bad row).
+    if (x.isNaN) return
     bufM += x; bufW += w
     if (bufM.length >= 4 * delta) compress()
   }
@@ -103,6 +107,16 @@ class TDigest(val delta: Int) extends Serializable {
 }
 
 object TDigest {
+  /** Catalyst numeric → double, including DecimalType (whose runtime
+    * value is o.a.s.sql.types.Decimal, NOT java.lang.Number — a bare
+    * Number cast throws ClassCastException on decimal columns). */
+  def numericValue(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
+    case n: Number => n.doubleValue()
+    case other => throw new IllegalArgumentException(
+      s"tdigest expects a numeric input, got ${other.getClass.getName}")
+  }
+
   def deserialize(bytes: Array[Byte]): TDigest = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val d = new TDigest(in.readInt())
@@ -121,7 +135,7 @@ case class TDigestQuantile(child: Expression, percentage: Double, delta: Int,
   override def createAggregationBuffer(): TDigest = new TDigest(delta)
   override def update(buf: TDigest, row: org.apache.spark.sql.catalyst.InternalRow): TDigest = {
     val v = child.eval(row)
-    if (v != null) buf.add(v.asInstanceOf[Number].doubleValue())
+    if (v != null) buf.add(TDigest.numericValue(v))
     buf
   }
   override def merge(buf: TDigest, other: TDigest): TDigest = { buf.merge(other); buf }
@@ -162,7 +176,7 @@ case class TDigestSketch(child: Expression, delta: Int,
   override def createAggregationBuffer(): TDigest = new TDigest(delta)
   override def update(buf: TDigest, row: org.apache.spark.sql.catalyst.InternalRow): TDigest = {
     val v = child.eval(row)
-    if (v != null) buf.add(v.asInstanceOf[Number].doubleValue())
+    if (v != null) buf.add(TDigest.numericValue(v))
     buf
   }
   override def merge(buf: TDigest, other: TDigest): TDigest = { buf.merge(other); buf }
@@ -183,9 +197,11 @@ case class TDigestSketch(child: Expression, delta: Int,
   * column of serialized digests (from [[TDigestSketch]]) by digest
   * merge, evaluating to the requested quantile. Rollup pattern:
   * fine-grained sketch table → coarser quantiles without touching raw
-  * data. Input digests may use any delta; the result adopts the first
-  * seen (merge folds centroids through the k1 capacity rule either
-  * way). */
+  * data. Input digests may use any delta; the MERGE BUFFER always uses this
+  * aggregate's own `delta` parameter (centroids fold through its k1
+  * capacity rule), so rollup accuracy is governed by the delta passed
+  * HERE — pass one at least as large as the stored sketches' to keep
+  * their resolution. */
 case class TDigestMergeQuantile(child: Expression, percentage: Double,
     delta: Int,
     override val mutableAggBufferOffset: Int = 0,

@@ -27,9 +27,6 @@ object StatefulOps {
   case class SessionOut(user: Long, start_us: Long, end_us: Long,
     n_events: Long, sum_value: Double)
 
-  implicit private val sessStateEnc: Encoder[(Long, Long, Long, Double)] =
-    Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
-      Encoders.scalaLong, Encoders.scalaDouble)
   implicit private val sessOutEnc: Encoder[SessionOut] =
     Encoders.product[SessionOut]
 
@@ -38,10 +35,15 @@ object StatefulOps {
     * two APIs provably agree. Drops only rows STRICTLY behind the
     * watermark (Spark delivers rows at eventTime == watermark, dropping
     * strictly-older ones; filtering those too would silently lose
-    * boundary events), splits on gaps, accumulates (start, end, n, sum)
-    * in event-time MICROS. Returns the updated open-session state
-    * (n == 0 if no rows survived and none existed) plus the sessions
-    * closed by gap splits, in order. */
+    * boundary events), splits on gaps IN BOTH DIRECTIONS — a
+    * within-watermark event more than a gap BEFORE the open session's
+    * start cannot merge into it (it would fabricate a session spanning
+    * an internal silence); it becomes its own candidate session —
+    * and accumulates (start, end, n, sum) in event-time MICROS.
+    * Returns the updated open-session state (n == 0 if no rows survived
+    * and none existed) plus the sessions CLOSED BY SPLITS, in order —
+    * the caller decides WHEN those may be emitted (see [[advanceSession]]:
+    * only once the watermark passes end + gap). */
   private def foldSession(user: Long,
       rows: Iterator[(Long, java.sql.Timestamp, Double)],
       state0: (Long, Long, Long, Double), wmMs: Long,
@@ -54,6 +56,11 @@ object StatefulOps {
       if (n > 0 && tUs - end > gapMillis * 1000) {
         closed ::= SessionOut(user, start, end, n, sum)
         start = tUs; end = tUs; n = 1L; sum = v
+      } else if (n > 0 && start - tUs > gapMillis * 1000) {
+        // out-of-order stray > gap BEFORE the open session: its own
+        // single-event session (only one open session is tracked, the
+        // documented streaming-sessionizer granularity)
+        closed ::= SessionOut(user, tUs, tUs, 1L, v)
       } else {
         start = math.min(start, tUs); end = math.max(end, tUs)
         n += 1; sum += v
@@ -62,7 +69,48 @@ object StatefulOps {
     ((start, end, n, sum), closed.reverse)
   }
 
-  private val EmptySession = (Long.MaxValue, Long.MinValue, 0L, 0.0)
+  /** Session state carried across batches: the open session plus
+    * PENDING closed sessions. A gap split alone does not prove a
+    * session emittable in Append mode — an out-of-order event within
+    * gap of its end may still arrive while the watermark allows it —
+    * so splits ride in state until the watermark passes end + gap. */
+  private[streaming] case class SessAcc(start: Long, end: Long, n: Long,
+      sum: Double, pending: Seq[SessionOut])
+  implicit private val sessAccEnc: Encoder[SessAcc] = Encoders.product[SessAcc]
+  private val EmptyAcc = SessAcc(Long.MaxValue, Long.MinValue, 0L, 0.0, Nil)
+
+  /** One step of the sessionizer shared by BOTH state APIs and by both
+    * the input and the timer paths: fold the batch's rows, close the
+    * open session if the watermark already proves it quiet, emit every
+    * pending session whose end + gap the watermark has passed, and
+    * compute the next timer (the earliest emission point among what
+    * remains, clamped above the watermark as the APIs require). */
+  private def advanceSession(user: Long,
+      rows: Iterator[(Long, java.sql.Timestamp, Double)],
+      acc0: SessAcc, wmMs: Long, gapMillis: Long)
+      : (SessAcc, List[SessionOut], Option[Long]) = {
+    val (open, closedNow) = foldSession(user, rows,
+      (acc0.start, acc0.end, acc0.n, acc0.sum), wmMs, gapMillis)
+    var (start, end, n, sum) = open
+    var pendingAll = acc0.pending ++ closedNow
+    if (n > 0 && end / 1000 + gapMillis <= wmMs) {
+      // no event >= the watermark can extend it (any such event would
+      // gap-split anyway): the open session is closed
+      pendingAll = pendingAll :+ SessionOut(user, start, end, n, sum)
+      start = Long.MaxValue; end = Long.MinValue; n = 0L; sum = 0.0
+    }
+    val (emit, keep) =
+      pendingAll.partition(s => s.end_us / 1000 + gapMillis <= wmMs)
+    val nextTimeout =
+      if (n == 0 && keep.isEmpty) None
+      else {
+        val cands = keep.map(_.end_us / 1000 + gapMillis) ++
+          (if (n > 0) Seq(end / 1000 + gapMillis) else Nil)
+        Some(math.max(cands.min, wmMs + 1))
+      }
+    (SessAcc(start, end, n, sum, keep),
+      emit.sortBy(s => (s.start_us, s.end_us)).toList, nextTimeout)
+  }
 
   /** Event-time sessionization with timeout EMISSION: a session closes
     * and is emitted once the watermark passes its end + gap — the
@@ -74,26 +122,23 @@ object StatefulOps {
   def sessionizeStream(
       grouped: org.apache.spark.sql.KeyValueGroupedDataset[Long, (Long, java.sql.Timestamp, Double)],
       gapMillis: Long): Dataset[SessionOut] = {
-    grouped.flatMapGroupsWithState[(Long, Long, Long, Double), SessionOut](
+    grouped.flatMapGroupsWithState[SessAcc, SessionOut](
       OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-      case (user, rows, state: GroupState[(Long, Long, Long, Double)]) =>
-        if (state.hasTimedOut) {
-          val (start, end, n, sum) = state.get
-          state.remove()
-          Iterator.single(SessionOut(user, start, end, n, sum))
-        } else {
-          val wmMs = state.getCurrentWatermarkMs()
-          val (updated, closed) = foldSession(user, rows,
-            state.getOption.getOrElse(EmptySession), wmMs, gapMillis)
-          if (updated._3 > 0) {
-            state.update(updated)
+      case (user, rows, state: GroupState[SessAcc]) =>
+        // same step for the input and the timeout path — on timeout the
+        // rows iterator is empty and the advanced watermark does the work
+        val wmMs = state.getCurrentWatermarkMs()
+        val (acc, emit, nextTimeout) = advanceSession(user, rows,
+          state.getOption.getOrElse(EmptyAcc), wmMs, gapMillis)
+        nextTimeout match {
+          case Some(ts) =>
+            state.update(acc)
             // EventTimeTimeout rejects timestamps <= current watermark;
-            // clamp so a backlogged batch can't kill the query.
-            state.setTimeoutTimestamp(
-              math.max(updated._2 / 1000 + gapMillis, wmMs + 1))
-          }
-          closed.iterator
+            // advanceSession already clamped above wmMs.
+            state.setTimeoutTimestamp(ts)
+          case None => if (state.exists) state.remove()
         }
+        emit.iterator
     }
   }
 
@@ -110,36 +155,37 @@ object StatefulOps {
     * a timer raced by a session-extending event is simply ignored. */
   class SessionProcessor(gapMillis: Long) extends StatefulProcessor[
       Long, (Long, java.sql.Timestamp, Double), SessionOut] {
-    @transient private var session: ValueState[(Long, Long, Long, Double)] = _
+    @transient private var session: ValueState[SessAcc] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      session = getHandle.getValueState("session", sessStateEnc, TTLConfig.NONE)
+      session = getHandle.getValueState("session", sessAccEnc, TTLConfig.NONE)
+
+    private def step(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Double)],
+        wmMs: Long): Iterator[SessionOut] = {
+      val (acc, emit, nextTimeout) = advanceSession(user, rows,
+        if (session.exists) session.get else EmptyAcc, wmMs, gapMillis)
+      getHandle.listTimers().foreach(t =>
+        getHandle.deleteTimer(t.asInstanceOf[Long]))
+      nextTimeout match {
+        case Some(ts) =>
+          session.update(acc)
+          getHandle.registerTimer(ts)
+        case None => if (session.exists) session.clear()
+      }
+      emit.iterator
+    }
 
     override def handleInputRows(user: Long,
         rows: Iterator[(Long, java.sql.Timestamp, Double)],
-        timerValues: TimerValues): Iterator[SessionOut] = {
-      val wmMs = timerValues.getCurrentWatermarkInMs
-      val (updated, closed) = foldSession(user, rows,
-        if (session.exists) session.get else EmptySession, wmMs, gapMillis)
-      if (updated._3 > 0) {
-        session.update(updated)
-        getHandle.listTimers().foreach(t =>
-          getHandle.deleteTimer(t.asInstanceOf[Long]))
-        getHandle.registerTimer(
-          math.max(updated._2 / 1000 + gapMillis, wmMs + 1))
-      }
-      closed.iterator
-    }
+        timerValues: TimerValues): Iterator[SessionOut] =
+      step(user, rows, timerValues.getCurrentWatermarkInMs)
 
     override def handleExpiredTimer(user: Long, timerValues: TimerValues,
-        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] = {
-      if (!session.exists) return Iterator.empty
-      val (start, end, n, sum) = session.get
-      if (expiredTimerInfo.getExpiryTimeInMs >= end / 1000 + gapMillis) {
-        session.clear()
-        Iterator.single(SessionOut(user, start, end, n, sum))
-      } else Iterator.empty // raced by a session-extending event
-    }
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionOut] =
+      // the advanced watermark does the closing; a timer raced by a
+      // session-extending event simply re-registers via step()
+      step(user, Iterator.empty, timerValues.getCurrentWatermarkInMs)
   }
 
   /** Run [[SessionProcessor]] over a watermarked grouped stream.
@@ -222,9 +268,20 @@ object StatefulOps {
           rows.toSeq.sortBy(r =>
             (r.ts.getTime, if (r.side == "L") 0 else 1)).foreach { r =>
             val tUs = r.ts.getTime * 1000
-            if (r.side == "L") last = Some((tUs, r.value))
-            else out += AsOfOut(key, tUs, r.value,
-              last.map(_._1), last.map(_._2))
+            r.side match {
+              case "L" =>
+                // a LATE cross-batch L (older than stored state) must
+                // not regress the reference — "most recent at or
+                // before" is monotone in event time
+                if (last.forall(_._1 <= tUs)) last = Some((tUs, r.value))
+              case "R" =>
+                out += AsOfOut(key, tUs, r.value,
+                  last.map(_._1), last.map(_._2))
+              case other =>
+                // fail at the source instead of emitting corrupt rows
+                throw new IllegalArgumentException(
+                  s"asofJoinStream: side must be 'L' or 'R', got '$other'")
+            }
           }
           last.foreach(state.update)
           if (ttlMillis > 0) state.setTimeoutDuration(ttlMillis)
@@ -280,6 +337,10 @@ object StatefulOps {
     import graft.operators.Dedup
     val cToks = Dedup.corpusTokenIndex(corpus, idCol, textCol).persist()
     val cBands = Dedup.corpusBandIndex(cToks, numHashes, bands).persist()
+    // persist() is lazy — force materialization NOW so the corpus-scale
+    // tokenize/signature cost is genuinely prepaid (as documented)
+    // instead of landing inside the first micro-batch's trigger.
+    cBands.count()
     new graft.operators.IngestScreen(batch => {
       import org.apache.spark.sql.functions.col
       val collided = Dedup

@@ -697,6 +697,21 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(strs.toSeq == Seq(320624298L, 1612654309L, 1409499009L))
   }
 
+  test("tdigest handles DECIMAL input and ignores NaN rows") {
+    import graft.plans.TDigestQuantile
+    // DecimalType runtime values are o.a.s.sql.types.Decimal, not
+    // java.lang.Number — must not ClassCastException
+    val dec = spark.range(1, 101)
+      .selectExpr("cast(id as decimal(10,2)) as v")
+      .agg(TDigestQuantile.of(col("v"), 0.5).as("p50"))
+      .as[Double].head()
+    assert(dec > 40 && dec < 61, s"decimal median off: $dec")
+    // one NaN row must not null the whole digest
+    val withNan = Seq(1.0, 2.0, 3.0, Double.NaN, 4.0, 5.0).toDF("v")
+      .agg(TDigestQuantile.of($"v", 0.5)).as[Double].head()
+    assert(withNan == 3.0, s"NaN poisoned the digest: $withNan")
+  }
+
   test("byte_cast produces exact big/little-endian byte layouts") {
     import graft.plans.HashVariants.byteCast
     val rows = Seq((0x01020304, 0x0102030405060708L, 1.5f, -2.5)).toDF("i", "l", "f", "d")

@@ -360,6 +360,75 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofJoinStream: a late cross-batch L never regresses newer reference state") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.AsOfIn
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String, Double)]
+    val q = StatefulOps.asofJoinStream(
+        input.toDS().map(r => AsOfIn(r._1, r._2, r._3, r._4))
+          .groupByKey(_.key))
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("asof_late_out").start()
+    try {
+      input.addData((1L, ts("2024-01-01 00:10:00"), "L", 100.0))
+      q.processAllAvailable()
+      // batch 2: an OLDER L arrives late, then a probe — the probe must
+      // match the NEWER stored reference (00:10), not the stale one
+      input.addData(
+        (1L, ts("2024-01-01 00:01:00"), "L", 1.0),
+        (1L, ts("2024-01-01 00:20:00"), "R", 9.0))
+      q.processAllAvailable()
+      val got = spark.sql("SELECT left_value FROM asof_late_out")
+        .collect().map(_.getDouble(0)).toSeq
+      assert(got == Seq(100.0),
+        s"late L regressed the reference state: $got")
+    } finally q.stop()
+  }
+
+  test("sessionizeStream: out-of-order strays split backward and emission waits for the watermark") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val sessions = StatefulOps.sessionizeStream(
+      input.toDS().withWatermark("_2", "2 hours")
+        .groupByKey(_._1), gapMillis = 30 * 60 * 1000) // 30 min gap
+    val q = sessions.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_ooo_out").start()
+    try {
+      // batch 1: open session at 02:00-02:05
+      input.addData((1L, ts("2024-01-01 02:00:00"), 1.0),
+        (1L, ts("2024-01-01 02:05:00"), 1.0))
+      q.processAllAvailable()
+      // batch 2: within-watermark stray at 01:00 — >30min BEFORE the
+      // open session's start; must NOT merge (a merged session would
+      // span a 1-hour internal silence)
+      input.addData((1L, ts("2024-01-01 01:00:00"), 5.0))
+      q.processAllAvailable()
+      // nothing may emit yet: the watermark hasn't passed end + gap
+      assert(spark.sql("SELECT * FROM sess_ooo_out").isEmpty,
+        "session emitted before the watermark closed it")
+      // advance the watermark far past everything
+      input.addData((1L, ts("2024-01-01 08:00:00"), 0.0))
+      q.processAllAvailable()
+      input.addData((1L, ts("2024-01-01 09:00:00"), 0.0))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT start_us, end_us, n_events FROM sess_ooo_out ORDER BY start_us")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      def us(t: String) = ts(t).getTime * 1000
+      assert(got.length >= 2, s"expected both sessions, got ${got.toSeq}")
+      assert(got(0) == ((us("2024-01-01 01:00:00"),
+        us("2024-01-01 01:00:00"), 1L)),
+        s"stray must be its own session: ${got.toSeq}")
+      assert(got(1) == ((us("2024-01-01 02:00:00"),
+        us("2024-01-01 02:05:00"), 2L)),
+        s"open session must stay intact: ${got.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingDedup drops cross-batch duplicates within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
