@@ -288,10 +288,15 @@ final case class GFrame(df: DataFrame) {
     GFrame(graft.operators.FuzzyJoin.jaroWinklerBlockedJoin(
       df, keyCol, blockKey, threshold))
   /** Record-linkage resolution: best in-block JW match per key. */
+  /** Record-linkage best match. `excludeExact` defaults true here (the
+    * facade's common call is SELF-linkage, frame against itself); pass
+    * false when `dict` is a separate reference table — an exact dict
+    * hit must then resolve to itself. */
   def linkRecords(keyCol: String, dict: GFrame, dictKey: String,
-      blockKey: Column => Column, threshold: Double): GFrame =
+      blockKey: Column => Column, threshold: Double,
+      excludeExact: Boolean = true): GFrame =
     GFrame(graft.operators.FuzzyJoin.jaroWinklerBestMatch(
-      df, keyCol, dict.df, dictKey, blockKey, threshold))
+      df, keyCol, dict.df, dictKey, blockKey, threshold, excludeExact))
   /** Zero-shuffle approximate-membership gate over THIS frame's keys. */
   def bloomScreen(keyCol: String, expectedItems: Long,
       fpp: Double = 0.01): graft.operators.IngestScreen =

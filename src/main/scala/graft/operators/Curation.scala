@@ -41,16 +41,20 @@ object Curation {
     * the same split on every run and on any cluster layout — the
     * property that keeps eval sets uncontaminated when the corpus is
     * rebuilt. Zero shuffle. */
-  def assignSplit(df: DataFrame, idCol: String, seed: String,
-      cuts: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+  /** Shared cut-validation + label-builder for the two split variants —
+    * ONE definition so row-level and group-level splitting can never
+    * silently diverge on boundary semantics. */
+  private def splitLabel(u: Column, cuts: Seq[(String, Double)]): Column = {
     require(cuts.nonEmpty && cuts.last._2 >= 1.0,
       "cuts must be cumulative upper bounds ending at >= 1.0")
-    val u = hashUnit(col(idCol), seed)
-    val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
+    cuts.init.foldRight(lit(cuts.last._1): Column) {
       case ((name, upper), rest) => when(u < upper, name).otherwise(rest)
     }
-    df.withColumn(outCol, label)
   }
+
+  def assignSplit(df: DataFrame, idCol: String, seed: String,
+      cuts: Seq[(String, Double)], outCol: String = "split"): DataFrame =
+    df.withColumn(outCol, splitLabel(hashUnit(col(idCol), seed), cuts))
 
   /** [[assignSplit]] with GROUP atomicity: every row sharing a
     * `groupCol` value lands in the same split, decided by the group
@@ -66,16 +70,16 @@ object Curation {
   def assignSplitByGroup(df: DataFrame, groupCol: String, idCol: String,
       seed: String, cuts: Seq[(String, Double)],
       outCol: String = "split"): DataFrame = {
-    require(cuts.nonEmpty && cuts.last._2 >= 1.0,
-      "cuts must be cumulative upper bounds ending at >= 1.0")
     val reps = df.groupBy(col(groupCol))
       .agg(min(col(idCol)).as("__rep"))
-    val u = hashUnit(col("__rep"), seed)
-    val label = cuts.init.foldRight(lit(cuts.last._1): Column) {
-      case ((name, upper), rest) => when(u < upper, name).otherwise(rest)
-    }
-    df.join(reps, Seq(groupCol))
-      .withColumn(outCol, label)
+    // NULL-SAFE join: a plain equality join would silently DELETE every
+    // row whose group key is null (null never equals null) — e.g. a
+    // null-text document in the digest-grouped leakage-free split. The
+    // contract is "label each row"; the null group's representative is
+    // its min id like any other group's.
+    df.join(reps, df(groupCol) <=> reps(groupCol))
+      .drop(reps(groupCol))
+      .withColumn(outCol, splitLabel(hashUnit(col("__rep"), seed), cuts))
       .drop("__rep")
   }
 

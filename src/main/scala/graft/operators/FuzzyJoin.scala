@@ -62,13 +62,23 @@ object FuzzyJoin {
     val rv = right.select(col(rightId).as("__rid"), col(rightKey).as("__rkey"),
       explode(neighborhood(col(rightKey), k)).as("__vs"))
       .select(col("__rid"), col("__rkey"), xxhash64(col("__vs")).as("__v"))
+    // Same-schema inputs (the natural dedup/linkage call) would yield
+    // DUPLICATE output column names and make every by-name reference
+    // ambiguous downstream — disambiguate on collision only, so
+    // distinct-named callers keep their documented contract.
+    val (outLid, outRid) =
+      if (leftId == rightId) (s"${leftId}_l", s"${rightId}_r")
+      else (leftId, rightId)
+    val (outLkey, outRkey) =
+      if (leftKey == rightKey) (s"${leftKey}_l", s"${rightKey}_r")
+      else (leftKey, rightKey)
     lv.join(rv, Seq("__v"))
       .select(col("__lid"), col("__lkey"), col("__rid"), col("__rkey"))
       .distinct()                       // one verify per candidate pair
       .withColumn("dist", levenshtein(col("__lkey"), col("__rkey")))
       .filter(col("dist") <= k)
-      .select(col("__lid").as(leftId), col("__rid").as(rightId),
-        col("__lkey").as(leftKey), col("__rkey").as(rightKey), col("dist"))
+      .select(col("__lid").as(outLid), col("__rid").as(outRid),
+        col("__lkey").as(outLkey), col("__rkey").as(outRkey), col("dist"))
   }
 
   /** Dictionary correction (spell-check shape): for every `df` row, the
@@ -175,13 +185,19 @@ object FuzzyJoin {
     * matches are unreachable by construction. */
   def jaroWinklerBestMatch(df: DataFrame, keyCol: String,
       dict: DataFrame, dictKeyCol: String,
-      blockKey: Column => Column, threshold: Double): DataFrame = {
+      blockKey: Column => Column, threshold: Double,
+      excludeExact: Boolean = false): DataFrame = {
     val l = df.select(col(keyCol)).distinct()
       .withColumn("__blk", blockKey(col(keyCol)))
     val r = dict.select(col(dictKeyCol).as("__dk")).distinct()
       .withColumn("__blk", blockKey(col("__dk")))
     l.join(r, Seq("__blk"))
-      .filter(col(keyCol) =!= col("__dk"))
+      // excludeExact is for SELF-linkage (df == dict), where every key
+      // would otherwise trivially match itself at jw = 1.0. In the
+      // bipartite df-vs-dict resolution the DEFAULT keeps exact hits —
+      // a key literally present in the dictionary must resolve to it,
+      // not to the second-best candidate.
+      .filter(if (excludeExact) col(keyCol) =!= col("__dk") else lit(true))
       .withColumn("jw",
         graft.plans.GraftExpressions.jaroWinkler(col(keyCol), col("__dk")))
       .filter(col("jw") >= lit(threshold))

@@ -80,7 +80,10 @@ object SegmentDedup {
         count(lit(1)).as("n_kept"))
     spine
       .select(col(idCol),
-        size(split(col(textCol), delimRegex)).cast("long").as("n_segs"))
+        // null text -> size(null) is null (ANSI), which would poison
+        // n_segs/n_removed for the doc; the counts contract is 0
+        coalesce(size(split(col(textCol), delimRegex)).cast("long"), lit(0L))
+          .as("n_segs"))
       .join(glued, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("cleaned"), lit("")).as("cleaned"),

@@ -45,13 +45,19 @@ object Similarity {
     * scored corpus — asserted in PlanSpec; a hand-rolled mapPartitions
     * pre-reduction would only add object ser/deser to the hot path. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       l2norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
       l2norm(col(vecCol)).as("n_norm"))
     val scored = c.crossJoin(broadcast(q))
-      .filter(col("q_id") =!= col("n_id"))
+      // excludeSelf (default) is the SELF-SEARCH contract — queries drawn
+      // from the corpus must not return themselves. For a separate query
+      // table pass false: a corpus row with a coincidentally equal id is
+      // a legitimate neighbor, and a null-id query would otherwise be
+      // silently dropped (null =!= x is null).
+      .filter(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .withColumn("sim",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))
@@ -231,7 +237,16 @@ object Similarity {
             val sims = new Array[Double](k)
             var c = 0
             while (c < k) {
-              sims(c) = seqDot(v, vecs(c)) / (vn * norms(c))
+              // zero-norm guard: 0/0 would be NaN, and the NaN-greatest
+              // compare would then assign EVERY row to a single all-zero
+              // centroid (one giant cell = the corpus-squared blowup IVF
+              // exists to avoid). Cosine to a zero vector is undefined —
+              // -Inf makes such a centroid lose every argmax; an all-zero
+              // INPUT row falls deterministically into the first cell.
+              val den = vn * norms(c)
+              sims(c) =
+                if (den == 0.0) Double.NegativeInfinity
+                else seqDot(v, vecs(c)) / den
               c += 1
             }
             // repeated argmax: O(k·nprobe), no per-row allocation
@@ -333,7 +348,8 @@ object Similarity {
   def knnIvf(corpus: DataFrame, queries: DataFrame, k: Int, nCells: Int,
       nprobe: Int = 2, idCol: String = "vec_id",
       vecCol: String = "embedding",
-      centroids0: Option[DataFrame] = None): DataFrame = {
+      centroids0: Option[DataFrame] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
     val model = collectModel(centroids0.getOrElse(
@@ -362,7 +378,12 @@ object Similarity {
         "cell_id", nprobe = nprobe)
       .select(col("cell_id"), col("q_id"), col("q_vec"))
     val scored = assigned.join(probes, "cell_id")
-      .filter(col("q_id") =!= col("n_id"))
+      // excludeSelf (default) is the SELF-SEARCH contract — queries drawn
+      // from the corpus must not return themselves. For a separate query
+      // table pass false: a corpus row with a coincidentally equal id is
+      // a legitimate neighbor, and a null-id query would otherwise be
+      // silently dropped (null =!= x is null).
+      .filter(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .withColumn("sim", cosine(col("q_vec"), col("n_vec")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
@@ -376,7 +397,8 @@ object Similarity {
     * cost scales with bucket occupancy, not corpus². Recall depends on
     * bits (fewer bits → bigger buckets → higher recall, more compute). */
   def knnLsh(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      excludeSelf: Boolean = true): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
         l2norm(col(vecCol)).as("q_norm"))
       .withColumn("bucket", lshBucket("q_vec", bits))
@@ -384,7 +406,12 @@ object Similarity {
         l2norm(col(vecCol)).as("n_norm"))
       .withColumn("bucket", lshBucket("n_vec", bits))
     val scored = c.join(q, "bucket")
-      .filter(col("q_id") =!= col("n_id"))
+      // excludeSelf (default) is the SELF-SEARCH contract — queries drawn
+      // from the corpus must not return themselves. For a separate query
+      // table pass false: a corpus row with a coincidentally equal id is
+      // a legitimate neighbor, and a null-id query would otherwise be
+      // silently dropped (null =!= x is null).
+      .filter(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .withColumn("sim",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
     val w = Window.partitionBy(col("q_id"))

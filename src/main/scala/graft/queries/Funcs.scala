@@ -594,7 +594,8 @@ object Funcs extends QueryPack {
     graft.operators.FuzzyJoin.jaroWinklerBestMatch(
         Tables.part(s, dir).select(col("p_name")), "p_name",
         Tables.part(s, dir).select(col("p_name").as("dict_name")), "dict_name",
-        n => split(n, " ").getItem(0), 0.85)
+        n => split(n, " ").getItem(0), 0.85,
+        excludeExact = true) // SELF-linkage: a name must not match itself
       .orderBy(col("p_name"))
 
   val strRecordLinkageSql: String =

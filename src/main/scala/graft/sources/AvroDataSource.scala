@@ -40,23 +40,8 @@ class AvroDataSource extends TableProvider with DataSourceRegister {
   // getTable instead of forcing inference on a possibly-absent directory.
   override def supportsExternalMetadata(): Boolean = true
 
-  private def sparkType(s: org.apache.avro.Schema): DataType = {
-    import org.apache.avro.Schema.Type._
-    s.getType match {
-      case INT     => IntegerType
-      case LONG    => LongType
-      case FLOAT   => FloatType
-      case DOUBLE  => DoubleType
-      case STRING  => StringType
-      case BOOLEAN => BooleanType
-      case UNION =>
-        val nonNull = s.getTypes.asScala.filter(_.getType != NULL)
-        require(nonNull.size == 1, s"unsupported union $s")
-        sparkType(nonNull.head)
-      case other => throw new IllegalArgumentException(
-        s"graft-avro supports primitive columns only, got $other")
-    }
-  }
+  private def sparkType(s: org.apache.avro.Schema): DataType =
+    AvroDataSource.sparkType(s)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
@@ -205,6 +190,24 @@ case class AvroWriterFactory(path: String, schemaJson: String,
 }
 
 object AvroDataSource {
+  private[sources] def sparkType(s: org.apache.avro.Schema): DataType = {
+    import org.apache.avro.Schema.Type._
+    s.getType match {
+      case INT     => IntegerType
+      case LONG    => LongType
+      case FLOAT   => FloatType
+      case DOUBLE  => DoubleType
+      case STRING  => StringType
+      case BOOLEAN => BooleanType
+      case UNION =>
+        val nonNull = s.getTypes.asScala.filter(_.getType != NULL)
+        require(nonNull.size == 1, s"unsupported union $s")
+        sparkType(nonNull.head)
+      case other => throw new IllegalArgumentException(
+        s"graft-avro supports primitive columns only, got $other")
+    }
+  }
+
   private[sources] def confFromProps(props: Map[String, String]): Configuration = {
     val c = new Configuration(false)
     props.foreach { case (k, v) => c.set(k, v) }
@@ -275,11 +278,12 @@ case class AvroScan(path: String, fullSchema: StructType,
     val conf = AvroDataSource.hadoopConf()
     val props = conf.iterator().asScala
       .map(e => e.getKey -> e.getValue).toMap
-    AvroReaderFactory(required.fields.map(_.name), props)
+    AvroReaderFactory(required.fields.map(f =>
+      (f.name, f.dataType.catalogString)), props)
   }
 }
 
-case class AvroReaderFactory(columns: Array[String],
+case class AvroReaderFactory(columns: Array[(String, String)],
     confProps: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[AvroFilePartition].file
@@ -290,14 +294,21 @@ case class AvroReaderFactory(columns: Array[String],
       private val stream = new DataFileStream[GenericRecord](in,
         new GenericDatumReader[GenericRecord]())
       // resolve pruned column → record field index once per partition;
-      // a missing column is a schema-drift error, reported by name and
-      // file instead of a bare NPE from .pos()
-      private val idx = columns.map { name =>
+      // NAME drift and TYPE drift are both schema errors reported with
+      // file + column context — an untyped pass-through would otherwise
+      // surface a later file's long-where-int as a bare
+      // ClassCastException deep inside execution
+      private val idx = columns.map { case (name, expectedType) =>
         val f = stream.getSchema.getField(name)
         if (f == null) throw new IllegalArgumentException(
           s"graft-avro: column '$name' not found in $file " +
             s"(file schema: ${stream.getSchema.getFields.asScala
               .map(_.name).mkString(", ")})")
+        val actual = AvroDataSource.sparkType(f.schema()).catalogString
+        if (actual != expectedType) throw new IllegalArgumentException(
+          s"graft-avro: column '$name' in $file has type $actual but the " +
+            s"table schema (inferred from the first file) expects " +
+            s"$expectedType — per-file type drift is not supported")
         f.pos()
       }
       private var rec: GenericRecord = _

@@ -113,6 +113,19 @@ class CurationSpec extends AnyFunSuite {
       Seq("test", "train"))
   }
 
+  test("assignSplitByGroup labels rows with a NULL group key instead of dropping them") {
+    // a plain equality join would silently DELETE the null-group rows —
+    // e.g. null-text docs in the digest-grouped leakage-free split
+    val docs = Seq((1L, "alpha"), (2L, "alpha"), (3L, null), (4L, null))
+      .toDF("id", "grp")
+    val out = Curation.assignSplitByGroup(docs, "grp", "id", "s1",
+      Seq("train" -> 0.5, "test" -> 1.0)).collect()
+    assert(out.length == 4, s"rows lost: ${out.length}")
+    val nullSplits = out.filter(_.isNullAt(1)).map(_.getString(2)).distinct
+    assert(nullSplits.length == 1,
+      "null-group rows must land in ONE split (group atomicity)")
+  }
+
   test("BpeLearn.applyMerge is the greedy non-overlapping scan") {
     import graft.operators.BpeLearn
     val df = Seq("aaa", "abab", "cab", "xy").toDF("w")

@@ -120,6 +120,32 @@ class FuzzyJoinSpec extends AnyFunSuite {
     assert(tied.length == 1 && tied(0).getString(1) == "abcx")
   }
 
+  test("jaroWinklerBestMatch: a key present in the dict resolves to itself") {
+    import org.apache.spark.sql.functions.substring
+    // bipartite resolution: the exact hit (jw = 1.0) must win — the old
+    // self-join exclusion would have resolved "martha" to "marcus"
+    val got = FuzzyJoin.jaroWinklerBestMatch(
+        Seq("martha").toDF("nm"), "nm",
+        Seq("martha", "marcus").toDF("d"), "d",
+        n => substring(n, 1, 1), 0.8)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got("martha") == "martha", s"exact dict hit lost: $got")
+    // and excludeExact = true restores the self-linkage behavior
+    val self = FuzzyJoin.jaroWinklerBestMatch(
+        Seq("martha").toDF("nm"), "nm",
+        Seq("martha", "marhta").toDF("d"), "d",
+        n => substring(n, 1, 1), 0.8, excludeExact = true)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(self("martha") == "marhta")
+  }
+
+  test("editDistanceJoin disambiguates colliding output column names") {
+    val t = Seq((1L, "abc"), (2L, "abd")).toDF("id", "key")
+    val out = FuzzyJoin.editDistanceJoin(t, "id", "key", t, "id", "key", 1)
+    assert(out.columns.toSeq == Seq("id_l", "id_r", "key_l", "key_r", "dist"))
+    assert(out.count() > 0) // and the frame is actually usable by name
+  }
+
   test("jaroWinklerBlockedJoin pair generation is posting-list shaped") {
     import org.apache.spark.sql.functions.substring
     val names = Seq("martha", "marhta", "dwayne", "duane").toDF("nm")
