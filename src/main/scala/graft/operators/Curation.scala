@@ -31,8 +31,8 @@ object Curation {
     * / 9.223372036854776e18`-style arithmetic — unlike xxhash64/rand,
     * so sampling decisions can be oracle-checked and survive re-runs. */
   def hashUnit(key: Column, seed: String): Column =
-    conv(substring(md5(concat_ws("|", lit(seed), key.cast("string"))),
-        1, 15), 16, 10)
+    graft.plans.PortableHash
+      .md5_60Col(concat_ws("|", lit(seed), key.cast("string")))
       .cast("double") / lit(1152921504606846976.0) // 2^60
 
   /** Deterministic train/val/test split: label each row by where its

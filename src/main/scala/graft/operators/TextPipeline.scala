@@ -64,8 +64,14 @@ object TextPipeline {
         posexplode(starts).as(Seq("chunk_idx", "_start")))
       .withColumn("chunk_text",
         array_join(slice(col("_toks"), col("_start"), lit(chunkSize)), " "))
-      .filter(col("chunk_text") =!= "")
-      .withColumn("n_tokens", size(split(col("chunk_text"), " ")))
+      // empty/whitespace-only docs keep their chunk_idx-0 row (the
+      // documented "docs shorter than chunkSize yield one chunk"
+      // contract — a doc must never vanish from the chunk output);
+      // only TRAILING empty windows drop
+      .filter(col("chunk_text") =!= "" || col("chunk_idx") === 0)
+      .withColumn("n_tokens",
+        when(col("chunk_text") === "", lit(0))
+          .otherwise(size(split(col("chunk_text"), " "))))
       .drop("_toks", "_start")
   }
 
@@ -142,7 +148,7 @@ object TextPipeline {
       .filter(col("ch") =!= "")
       .groupBy(col(idCol), col("ch"))
       .agg(count(lit(1)).as("n"))
-    counts.groupBy(col(idCol))
+    val stats = counts.groupBy(col(idCol))
       .agg(
         expr("transform(sort_array(collect_list(struct(ch, n))), x -> x.n)")
           .as("ns"),
@@ -154,6 +160,14 @@ object TextPipeline {
           (acc, c) => acc + p(c) * graft.plans.GraftExpressions.lnLibm(p(c))))
           .as("entropy")
       })
+    // id-spine restore (same contract as repetitionStats): an empty or
+    // null-text doc gets a zero-stats row instead of silently vanishing
+    // from the quality-signal family's output
+    df.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+        coalesce(col("distinct_chars"), lit(0L)).as("distinct_chars"),
+        coalesce(col("entropy"), lit(0.0)).as("entropy"))
   }
 
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
@@ -182,7 +196,7 @@ object TextPipeline {
             i -> concat_ws(' ', slice(t, i, $k)))"""))
         .as(Seq("i", "gram")))
       .withColumn("h",
-        conv(substring(md5(col("gram")), 1, 15), 16, 10).cast("long"))
+        graft.plans.PortableHash.md5_60Col(col("gram")).cast("long"))
     val byDoc = Window.partitionBy(col(idCol))
     val ordered = byDoc.orderBy(col("i"))
     grams

@@ -113,6 +113,16 @@ object PortableHash {
   def sqlMd5_60(e: String): String =
     s"('0x' || substring(md5($e), 1, 15))::BIGINT"
 
+  /** Spark COLUMN form of [[md5_60]] as a decimal-digit string (callers
+    * cast to long or scale to a unit double) — the ONE definition of the
+    // 60-bit-MD5 contract on the column side, shared by Curation.hashUnit
+    // and the winnowing fingerprints so the oracle-replayed hash can
+    // never silently diverge between operators. */
+  def md5_60Col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{conv, md5, substring}
+    conv(substring(md5(c), 1, 15), 16, 10)
+  }
+
   /** DuckDB expression for [[affine]] given h0 and seed-row aliases. */
   def sqlAffine(h0: String, a: String, b: String): String =
     s"CAST(((CAST($h0 AS HUGEINT) * $a) % $P + $b) % $P AS BIGINT)"

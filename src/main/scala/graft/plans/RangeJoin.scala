@@ -72,7 +72,10 @@ case class RangeJoinExec(left: SparkPlan, right: SparkPlan,
           }
           val upper = a
           (0 until upper).iterator
-            .filter(i => ivs(i)._2 > v)
+            // Spark SQL comparison semantics, not Java: NaN compares
+            // GREATER than every double, so a NaN hi bound admits all
+            // values (v < NaN is true in SQL, false in Java)
+            .filter(i => ivs(i)._2 > v || (ivs(i)._2.isNaN && !v.isNaN))
             .map(i => proj(joined(lrow, ivs(i)._3)))
         }
       }
@@ -111,7 +114,19 @@ object RangeJoin {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ RangeJoinStrategy
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    val rPlan0 = right.queryExecution.analyzed
+    // Self-join / shared-lineage guard: duplicate exprIds across the two
+    // sides would make output carry each attribute twice, and binding
+    // the projection would resolve BOTH copies to the left ordinal —
+    // silently repeating left values in the right-half columns. Spark's
+    // analyzer dedups built-in Joins; this custom node must do it itself.
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlan0.outputSet).nonEmpty)
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rPlan0.output.map(a =>
+            org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+          rPlan0)
+      else rPlan0
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column $n in ${p.output}"))

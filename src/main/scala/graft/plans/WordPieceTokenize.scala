@@ -20,9 +20,16 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class WordPieceTokenize(child: Expression, vocab: Seq[String] = Nil,
     broadcastVocab: Option[
-      org.apache.spark.broadcast.Broadcast[Array[String]]] = None)
+      org.apache.spark.broadcast.Broadcast[Array[String]]] = None,
+    doLowerCase: Boolean = true)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wordpiece_tokenize needs string, got ${child.dataType}")
 
   @transient private lazy val entries: Seq[String] =
     broadcastVocab.map(_.value.toSeq).getOrElse(vocab)
@@ -48,7 +55,12 @@ case class WordPieceTokenize(child: Expression, vocab: Seq[String] = Nil,
   }
 
   override def nullSafeEval(v: Any): Any = {
-    val words = v.toString.toLowerCase(java.util.Locale.ROOT).split("\\s+").filter(_.nonEmpty)
+    // doLowerCase mirrors BERT's uncased/cased pipelines: true (default)
+    // for uncased vocabs; FALSE for cased vocabs, whose entries would
+    // otherwise never match and collapse every cased word to [UNK].
+    val text = if (doLowerCase) v.toString.toLowerCase(java.util.Locale.ROOT)
+      else v.toString
+    val words = text.split("\\s+").filter(_.nonEmpty)
     val pieces = words.flatMap(tokenizeWord)
     new GenericArrayData(pieces.map(UTF8String.fromString(_)))
   }

@@ -116,23 +116,34 @@ object PorterStem {
     }
     // Step 1c
     if (w.endsWith("y") && hasVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
-    // Step 2 (tables are object-level vals — stem() runs once per TOKEN
-    // on the corpus hot path, so no per-call Seq building)
-    Step2.iterator.map { case (s, r) => replace(w, s, r, 0) }
-      .collectFirst { case Some(x) => x }.foreach(w = _)
-    // Step 3
-    Step3.iterator.map { case (s, r) => replace(w, s, r, 0) }
-      .collectFirst { case Some(x) => x }.foreach(w = _)
-    // Step 4 — ONE rule fires per step (classic Porter); "ion" sits in
-    // the list with its s/t-precedence condition rather than as a
-    // second pass, which would wrongly strip two suffixes
-    // ("professional" -> "profess" instead of "profession")
-    Step4.collectFirst {
-      case s if w.endsWith(s) && measure(w.dropRight(s.length)) > 1 &&
-        (s != "ion" || (w.length > s.length &&
-          "st".contains(w.charAt(w.length - s.length - 1)))) =>
-        w.dropRight(s.length)
-    }.foreach(w = _)
+    // Steps 2-4: classic Porter is LONGEST-MATCH-THEN-STOP — the
+    // longest matching suffix decides the step, and if its m-condition
+    // fails, NOTHING in the step fires. Falling through to a shorter
+    // suffix (the old collectFirst) mis-stems words like "element"
+    // (step 4's "ement" stem "el" has m=1, so classic Porter keeps the
+    // word; fallthrough to "ent" would yield "elem").
+    // Tables are object-level vals — stem() runs once per TOKEN on the
+    // corpus hot path, so no per-call Seq building.
+    def applyMapStep(rules: Seq[(String, String)]): Unit = {
+      val matching = rules.filter { case (s, _) => w.endsWith(s) }
+      if (matching.nonEmpty) {
+        val (s, r) = matching.maxBy(_._1.length)
+        val stem = w.dropRight(s.length)
+        if (measure(stem) > 0) w = stem + r
+      }
+    }
+    applyMapStep(Step2) // Step 2
+    applyMapStep(Step3) // Step 3
+    // Step 4 — longest match, m>1; "ion" additionally requires an
+    // s/t-final stem (its classic precedence condition)
+    val m4 = Step4.filter(w.endsWith)
+    if (m4.nonEmpty) {
+      val s = m4.maxBy(_.length)
+      val stem = w.dropRight(s.length)
+      if (measure(stem) > 1 &&
+          (s != "ion" || (stem.nonEmpty && "st".contains(stem.last))))
+        w = stem
+    }
     // Step 5a
     if (w.endsWith("e")) {
       val stem = w.dropRight(1)

@@ -407,13 +407,17 @@ object TextOps extends QueryPack {
       |         CAST(sum(n) AS BIGINT) AS n_chars,
       |         CAST(count(*) AS BIGINT) AS distinct_chars
       |  FROM cnt GROUP BY doc_id)
-      |SELECT doc_id, n_chars, distinct_chars,
-      |  CAST(floor(-list_reduce(
-      |     list_prepend(0.0::DOUBLE,
-      |       list_transform(ns, c -> (c::DOUBLE / n_chars::DOUBLE) *
-      |                               ln(c::DOUBLE / n_chars::DOUBLE))),
-      |     (a, b) -> a + b) * 1000000.0) AS BIGINT) AS entropy_unats
-      |FROM agg ORDER BY doc_id""".stripMargin
+      |SELECT d.doc_id,
+      |  coalesce(agg.n_chars, 0) AS n_chars,
+      |  coalesce(agg.distinct_chars, 0) AS distinct_chars,
+      |  CASE WHEN agg.doc_id IS NULL THEN 0
+      |    ELSE CAST(floor(-list_reduce(
+      |      list_prepend(0.0::DOUBLE,
+      |        list_transform(ns, c -> (c::DOUBLE / agg.n_chars::DOUBLE) *
+      |                                ln(c::DOUBLE / agg.n_chars::DOUBLE))),
+      |      (a, b) -> a + b) * 1000000.0) AS BIGINT) END AS entropy_unats
+      |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+      |ORDER BY d.doc_id""".stripMargin
 
   /** Phonetic keys, round 2: classic Metaphone over the same corpus
     * vocabulary — finer-grained than Soundex (consonant classes become
@@ -787,7 +791,8 @@ object TextOps extends QueryPack {
 
   val chunksSql: String =
     s"""SELECT doc_id, chunk_idx, chunk_text,
-       |  len(string_split(chunk_text, ' ')) AS n_tokens
+       |  CASE WHEN chunk_text = '' THEN 0
+       |       ELSE len(string_split(chunk_text, ' ')) END AS n_tokens
        |FROM (
        |  SELECT doc_id, generate_subscripts(chunks, 1) - 1 AS chunk_idx,
        |    unnest(chunks) AS chunk_text
@@ -796,7 +801,7 @@ object TextOps extends QueryPack {
        |      generate_series(1, greatest(len(toks) - 40, 0) + 35, 35),
        |      s -> array_to_string(toks[s:s+39], ' ')) AS chunks
        |    FROM (SELECT doc_id, $toksSql AS toks FROM documents)))
-       |WHERE chunk_text != ''
+       |WHERE chunk_text != '' OR chunk_idx = 0
        |ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** Corpus-wide chunk-level dedup — exact dedup at fixed token-window
