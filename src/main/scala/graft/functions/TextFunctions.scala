@@ -75,14 +75,21 @@ object TextFunctions {
       s"i -> substring($strCol, i, $n)) " +
       s"ELSE CAST(array() AS ARRAY<STRING>) END")
 
+  /** Internal n-gram join delimiter: U+001F (unit separator), which
+    * whitespace-split tokens essentially never contain -- an in-band
+    * character like '_' made distinct docs collide ("a_b" vs "a b"
+    * built the SAME shingle, and the exact verify then CONFIRMED the
+    * false pair at jaccard 1.0). Oracles replay it as chr(31). */
+  final val NgramSep: String = "\u001f"
+
   /** Token n-grams from a token-array column (generate_ngrams.hpp:49):
-    * joins each sliding window of n tokens with '_'. Arrays shorter
-    * than n yield an EMPTY array (same sequence(1, 0) guard as
+    * joins each sliding window of n tokens with [[NgramSep]]. Arrays
+    * shorter than n yield an EMPTY array (same sequence(1, 0) guard as
     * charNgrams — slice(_, 0, _) would otherwise throw). */
   def tokenNgrams(toksCol: String, n: Int): Column =
     expr(s"CASE WHEN size($toksCol) >= $n THEN " +
       s"transform(sequence(1, size($toksCol) - ${n - 1}), " +
-      s"i -> array_join(slice($toksCol, i, $n), '_')) " +
+      s"i -> array_join(slice($toksCol, i, $n), '$NgramSep')) " +
       s"ELSE CAST(array() AS ARRAY<STRING>) END")
 
   /** MinHash signature (nvtext/minhash.hpp:62): k minimum xxhash64
@@ -104,7 +111,7 @@ object TextFunctions {
     * of the whole document, so no doc hashes to an empty set. */
   def shingles(toksCol: String, n: Int): Column =
     when(size(col(toksCol)) >= n, array_distinct(tokenNgrams(toksCol, n)))
-      .otherwise(array(array_join(col(toksCol), "_")))
+      .otherwise(array(array_join(col(toksCol), NgramSep)))
 
   /** MinHash signature over word n-gram shingles (minhash_ngrams,
     * nvtext/minhash.hpp:156) — [[minhashSigOf]] composed over

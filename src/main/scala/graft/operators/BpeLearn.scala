@@ -69,8 +69,13 @@ object BpeLearn {
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
         .collect()
-      // `words` is now fully cached; its parent can go
-      parent.foreach(_.unpersist()); parent = None
+      // `words` is now fully cached; its parent can go (free() covers
+      // the case where the parent was a checkpoint frame)
+      parent.foreach { p =>
+        p.unpersist()
+        org.apache.spark.sql.graftshim.CheckpointUtil.free(p)
+      }
+      parent = None
       if (top.isEmpty) done = true
       else {
         val (a, b, c) = (top(0).getString(0), top(0).getString(1),
@@ -79,9 +84,14 @@ object BpeLearn {
         val next = words
           .select(applyMerge(col("syms"), a, b).as("syms"), col("w"))
         if ((i + 1) % checkpointEvery == 0) {
-          // eager lineage cut: materializes here, parent releasable now
+          // eager lineage cut: materializes here, parent releasable now.
+          // free() as well as unpersist(): if `words` was ITSELF a
+          // checkpoint frame, unpersist alone is a no-op on its blocks
+          // and one orphaned vocabulary frame would leak per
+          // checkpointEvery iterations.
           val cp = next.localCheckpoint(true)
           words.unpersist()
+          org.apache.spark.sql.graftshim.CheckpointUtil.free(words)
           words = cp
         } else {
           parent = Some(words)
@@ -92,6 +102,7 @@ object BpeLearn {
     }
     parent.foreach(_.unpersist())
     words.unpersist()
+    org.apache.spark.sql.graftshim.CheckpointUtil.free(words)
     out.toSeq
   }
 

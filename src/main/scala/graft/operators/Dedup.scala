@@ -57,22 +57,14 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** All document pairs with distinct-token Jaccard ≥ threshold, computed
-    * EXACTLY via an inverted token index: explode distinct tokens, self-
-    * join on token (any pair with jaccard > 0 shares ≥1 token, so there
-    * are no false negatives), count shared tokens per pair, then filter.
-    *
-    * Scale note: cost is Σ_token df(token)² — fine under Zipfian vocab
-    * once stopwords are dropped, but the guaranteed-scalable path for
-    * web-scale corpora is [[minhashPairs]]; this exact operator is the
-    * oracle-checkable ground truth. */
-  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double): DataFrame = {
-    // Set sizes ride along inside the posting-list structs so the pair
-    // aggregation needs no join back to a sizes table; one row per
-    // shared token per pair, so count(*) per pair IS the intersection
-    // size (PostingLists runs the tokenize subtree once — the former
-    // inverted-index self-join evaluated it per join side).
+  /** Shared exact-intersection machinery of [[jaccardPairsExact]] and
+    * [[containmentPairs]]: single tokenize, posting-list pair
+    * generation, per-pair shared-token counts with both set sizes
+    * riding in the struct — one row per shared token per pair, so
+    * count(*) IS the intersection size. ONE definition of the Σdf²-cost
+    * candidate stage so the two exact operators cannot diverge. */
+  private def sharedTokenCounts(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
     val inv = toks.select(
@@ -83,11 +75,35 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"),
         first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+  }
+
+  /** Shared candidate-verify join of the minhash family: attach each
+    * pair's arrays, exact Jaccard, threshold filter. */
+  private def verifyJaccard(cand: DataFrame, arrays: DataFrame,
+      arrCol: String, threshold: Double): DataFrame =
+    cand
+      .join(arrays.select(col("id").as("id_a"), col(arrCol).as("arr_a")), "id_a")
+      .join(arrays.select(col("id").as("id_b"), col(arrCol).as("arr_b")), "id_b")
+      .withColumn("jac", jaccard(col("arr_a"), col("arr_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+
+  /** All document pairs with distinct-token Jaccard ≥ threshold, computed
+    * EXACTLY via an inverted token index: explode distinct tokens, self-
+    * join on token (any pair with jaccard > 0 shares ≥1 token, so there
+    * are no false negatives), count shared tokens per pair, then filter.
+    *
+    * Scale note: cost is Σ_token df(token)² — fine under Zipfian vocab
+    * once stopwords are dropped, but the guaranteed-scalable path for
+    * web-scale corpora is [[minhashPairs]]; this exact operator is the
+    * oracle-checkable ground truth. */
+  def jaccardPairsExact(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double): DataFrame =
+    sharedTokenCounts(df, idCol, textCol)
       .withColumn("jac", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
-  }
 
   /** Asymmetric CONTAINMENT pairs: C(A,B) = |A∩B| / |A| — the
     * excerpt/quotation detector Jaccard misses (a 50-token doc fully
@@ -99,16 +115,7 @@ object Dedup {
     * callers can drop the CONTAINED side. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       threshold: Double): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      array_distinct(tokens(col(textCol))).as("toks"))
-    val inv = toks.select(
-      struct(col("id"), size(col("toks")).as("n")).as("p"),
-      explode(col("toks")).as("tok"))
-    PostingLists.candidatePairs(inv, "p", "tok")
-      .filter(col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        first(col("a.n")).as("n_a"), first(col("b.n")).as("n_b"))
+    sharedTokenCounts(df, idCol, textCol)
       .withColumn("cont_ab", col("n_inter").cast("double") / col("n_a"))
       .withColumn("cont_ba", col("n_inter").cast("double") / col("n_b"))
       .filter(col("cont_ab") >= threshold || col("cont_ba") >= threshold)
@@ -134,13 +141,7 @@ object Dedup {
     val cand = PostingLists.candidatePairs(banded, "id", "band")
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val toks = docs.select(col("id"), col("toks"))
-    cand
-      .join(toks.select(col("id").as("id_a"), col("toks").as("toks_a")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("toks_b")), "id_b")
-      .withColumn("jac", jaccard(col("toks_a"), col("toks_b")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+    verifyJaccard(cand, docs.select(col("id"), col("toks")), "toks", threshold)
   }
 
   /** MinHash+LSH near-dup pairs over word n-gram SHINGLES
@@ -159,13 +160,7 @@ object Dedup {
     val cand = PostingLists.candidatePairs(banded, "id", "band")
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b") // same single-pass shape as minhashPairs
-    val sh = docs.select(col("id"), col("sh"))
-    cand
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("jac", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jac") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jac"))
+    verifyJaccard(cand, docs.select(col("id"), col("sh")), "sh", threshold)
   }
 
   /** Collapse near-dup PAIRS into clusters: connected components via
@@ -193,10 +188,16 @@ object Dedup {
         .join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2"))
         .agg(min(col("cluster")).as("nbr_min"))
+      // Checkpoint `propagated` BEFORE the jump self-join: the join
+      // plans two copies of its subtree and Spark 4's ReuseExchange
+      // does not dedup them (PostingLists' measured note), so without
+      // materialization the edges-join + aggregation would run twice
+      // per round.
       val propagated = labels.join(neighborMin, labels("id") === col("id2"), "left")
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
+        .localCheckpoint()
       // Pointer jumping: labels are themselves ids, so re-resolving each
       // label through the label table halves the remaining path length.
       val jumped = propagated.as("x")
@@ -207,11 +208,15 @@ object Dedup {
         .localCheckpoint()
       converged = jumped.as("u").join(labels.as("l"), "id")
         .filter(col("u.cluster") =!= col("l.cluster")).isEmpty
-      labels.unpersist()
+      // Dataset.unpersist is a NO-OP for localCheckpoint storage — free
+      // the checkpointed RDD blocks explicitly or every round leaks one
+      // full label frame until a driver GC (CheckpointUtil.free).
+      org.apache.spark.sql.graftshim.CheckpointUtil.free(labels)
+      org.apache.spark.sql.graftshim.CheckpointUtil.free(propagated)
       labels = jumped
       i += 1
     }
-    edges.unpersist()
+    org.apache.spark.sql.graftshim.CheckpointUtil.free(edges)
     (labels, converged, i)
   }
 

@@ -147,7 +147,7 @@ object CurationPack extends QueryPack {
        |    SELECT doc_id, gram, count(*) AS cnt FROM (
        |      SELECT doc_id, unnest(list_transform(
        |        generate_series(1, greatest(len(toks) - 1, 0)),
-       |        i -> array_to_string(toks[i:i+1], '_'))) AS gram
+       |        i -> array_to_string(toks[i:i+1], chr(31)))) AS gram
        |      FROM (SELECT doc_id, $toksSql AS toks FROM documents))
        |    GROUP BY doc_id, gram)
        |  GROUP BY doc_id) g USING (doc_id)

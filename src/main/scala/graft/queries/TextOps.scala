@@ -720,8 +720,8 @@ object TextOps extends QueryPack {
     s"""WITH $seedsCte,
        |docs AS (SELECT id, CASE WHEN len(tk) >= 3 THEN
        |    list_distinct(list_transform(generate_series(1, len(tk) - 2),
-       |      i -> tk[i] || '_' || tk[i+1] || '_' || tk[i+2]))
-       |  ELSE [array_to_string(tk, '_')] END AS toks
+       |      i -> tk[i] || chr(31) || tk[i+1] || chr(31) || tk[i+2]))
+       |  ELSE [array_to_string(tk, chr(31))] END AS toks
        |  FROM (SELECT doc_id AS id, $toksSql AS tk
        |        FROM documents WHERE doc_id < 1000)),
        |bnd AS (${minhashBndSql("docs", 4)}),

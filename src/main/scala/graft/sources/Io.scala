@@ -19,7 +19,13 @@ import org.apache.spark.sql.types.StructType
 object Io {
 
   /** CSV sink + source round trip. Doubles survive exactly: Spark writes
-    * shortest-round-trip decimal strings. */
+    * shortest-round-trip decimal strings. CAVEAT (same hazard
+    * Layout.writePartitioned documents for partition columns): with
+    * `inferSchema = true` the read-back TYPES come from the data, not
+    * from `df.schema` — a string column holding "01"/"7" returns as
+    * int (losing the leading zero), "2024-01-01" strings return as
+    * date. Pass `inferSchema = false` to read back under the original
+    * schema when type fidelity matters more than inference parity. */
   def csvRoundTrip(df: DataFrame, path: String, inferSchema: Boolean = true): DataFrame = {
     df.write.mode("overwrite").option("header", "true").csv(path)
     val r = df.sparkSession.read.option("header", "true")
@@ -42,12 +48,19 @@ object Io {
   /** PERMISSIVE NDJSON read with per-row diagnostics (json.hpp:1021
     * read_json_with_diagnostics ≙ columnNameOfCorruptRecord). */
   def readJsonPermissive(spark: SparkSession, schema: StructType,
-      path: String): DataFrame =
+      path: String): DataFrame = {
+    // a caller reusing the schema of a frame THIS function produced
+    // already has _corrupt_record — adding it again would fail the read
+    // with a duplicate-column error
+    val withDiag =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", "string")
     spark.read
-      .schema(schema.add("_corrupt_record", "string"))
+      .schema(withDiag)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
+  }
 
   /** Delimited text chunker (text/multibyte_split.hpp:37): custom record
     * separator via lineSep; each record becomes one row. */

@@ -57,10 +57,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Seq("ab", "bc", "cd"))
   }
 
-  test("tokenNgrams joins sliding token windows") {
+  test("tokenNgrams joins sliding token windows with the out-of-band separator") {
+    val sep = graft.functions.TextFunctions.NgramSep
     val got = Seq("a b c").toDF("text").withColumn("toks", tokens($"text"))
       .select(tokenNgrams("toks", 2)).as[Seq[String]].head()
-    assert(got == Seq("a_b", "b_c"))
+    assert(got == Seq(s"a${sep}b", s"b${sep}c"))
+    // the delimiter fix: docs "a_b" (one token) and "a b" (two tokens)
+    // must build DIFFERENT shingles — '_' made them collide end-to-end
+    val sh = Seq("a_b", "a b").toDF("text").withColumn("toks", tokens($"text"))
+      .select(graft.functions.TextFunctions.shingles("toks", 3))
+      .as[Seq[String]].collect()
+    assert(sh(0) != sh(1), s"delimiter collision: ${sh.toSeq}")
   }
 
   test("tokenizeWithVocabulary maps tokens to vocab row indices, unknowns to default") {
