@@ -99,7 +99,11 @@ final case class GFrame(df: DataFrame) {
     GFrame(df.withColumn(s"${valueCol}_pct_change", (col(valueCol) - prev) / prev))
   }
   def clip(valueCol: String, lo: Double, hi: Double): GFrame =
-    GFrame(df.withColumn(valueCol, greatest(least(col(valueCol), lit(hi)), lit(lo))))
+    // least/greatest SKIP nulls, so an unguarded form rewrites a null
+    // value to the upper bound; pandas/cudf clip preserves nulls
+    GFrame(df.withColumn(valueCol,
+      when(col(valueCol).isNull, lit(null))
+        .otherwise(greatest(least(col(valueCol), lit(hi)), lit(lo)))))
   /** Series.interpolate (pandas method='index'): linear fill of nulls
     * along `axisCol` per partition; leading nulls stay null, trailing
     * nulls forward-fill. */
@@ -147,24 +151,41 @@ final case class GFrame(df: DataFrame) {
     val ties = part.orderBy(col(valueCol))
     val sameVal = if (by.isEmpty) Window.partitionBy(col(valueCol))
                   else Window.partitionBy((by.map(col) :+ col(valueCol)): _*)
-    val minR = org.apache.spark.sql.functions.rank().over(ties)
+    // pandas na_option='keep' semantics: nulls rank as null and are
+    // excluded from every denominator (Spark's nulls-first ordering
+    // would otherwise put them at rank 1 and shift all real ranks)
+    val nNulls = count(when(col(valueCol).isNull, 1)).over(part)
+    val minR = org.apache.spark.sql.functions.rank().over(ties) - nNulls
     val maxR = minR + count(lit(1)).over(sameVal) - 1
     val r: Column = method match {
       case "min" => minR
       case "max" => maxR
-      case "dense" => dense_rank().over(ties)
-      case "first" => row_number().over(ties)
+      case "dense" => dense_rank().over(ties) - when(nNulls > 0, 1).otherwise(0)
+      case "first" => row_number().over(ties) - nNulls
       case "average" => (minR + maxR) / 2.0
       case other => throw new IllegalArgumentException(s"rank method $other")
     }
-    val out = if (pct) r / count(lit(1)).over(part) else r
-    GFrame(df.withColumn(s"${valueCol}_rank", out))
+    // pct denominators (pandas): non-null row count, except dense,
+    // which divides by the DISTINCT non-null value count
+    val denom: Column =
+      if (method == "dense")
+        size(collect_set(col(valueCol)).over(part))
+      else count(col(valueCol)).over(part)
+    val out = if (pct) r / denom else r
+    GFrame(df.withColumn(s"${valueCol}_rank",
+      when(col(valueCol).isNull, lit(null)).otherwise(out)))
   }
 
   /** qcut (equal-frequency quantile bins, k bins labeled 1..k): one
     * exact percentile aggregate broadcast into a per-row label —
     * no global sort (see functions/NumericFunctions.qcutBin). */
   def qcut(valueCol: String, k: Int): GFrame = {
+    require(k >= 1, "qcut needs k >= 1")
+    // k = 1: a single bin, no cut points — the percentile-array SQL
+    // below would be malformed with an empty list
+    if (k == 1)
+      return GFrame(df.withColumn(s"${valueCol}_qbin",
+        when(col(valueCol).isNull, lit(null)).otherwise(lit(1))))
     val ps = (1 until k).map(i => i.toDouble / k)
     val cuts = df.agg(expr(
       s"percentile($valueCol, array(${ps.mkString("D, ")}D))").as("__cuts"))
@@ -530,7 +551,11 @@ final case class GStrOps(gf: GFrame, c: String) {
   def startswith(p: String): GFrame = add("startswith", col(c).startsWith(p))
   def replace(from: String, to: String): GFrame =
     add("replace", org.apache.spark.sql.functions.replace(col(c), lit(from), lit(to)))
-  def slice(start: Int, len: Int): GFrame = add("slice", substring(col(c), start, len))
+  /** cudf s.str.slice(start, stop): 0-based, stop EXCLUSIVE — mapped
+    * onto Spark's 1-based substring(start+1, stop-start) so mechanical
+    * ports keep their indices (the facade's porting contract). */
+  def slice(start: Int, stop: Int): GFrame =
+    add("slice", substring(col(c), start + 1, math.max(stop - start, 0)))
   def split(sep: String): GFrame =
     add("split", org.apache.spark.sql.functions.split(col(c), java.util.regex.Pattern.quote(sep)))
   def wrap(width: Int): GFrame =
@@ -595,7 +620,8 @@ final case class GDtOps(gf: GFrame, c: String) {
 final case class GGroupBy(df: DataFrame, keys: Seq[String]) {
   def agg(specs: (String, String)*): GFrame = {
     val aggCols = specs.map { case (c, fn) =>
-      expr(s"$fn($c)").as(s"${c}_$fn")
+      // backticks: any column name works, matching transform() below
+      expr(s"$fn(`$c`)").as(s"${c}_$fn")
     }
     GFrame(df.groupBy(keys.map(col): _*).agg(aggCols.head, aggCols.tail: _*))
   }

@@ -43,10 +43,16 @@ object AsOfJoin {
     // Ties between right rows at the same (key, time) are resolved by
     // partition order — give rightTime a unique tiebreak upstream if
     // that matters.
+    // JOIN null semantics: a right row with a null key or null time can
+    // never be a reference (its __p is null, so last(ignoreNulls) skips
+    // it) — without the guard, Window.partitionBy would group null keys
+    // together and the nulls-first sort would carry a null-time row as
+    // the "earliest" match for everything.
     val r = right.select(col(key), col(rightTime).as("__t"),
       lit(0).as("__side"),
-      struct((unix_micros(col(rightTime)).as("__rt") +:
-        payload.map(c => col(c).as(s"asof_$c"))): _*).as("__p"))
+      when(col(key).isNotNull && col(rightTime).isNotNull,
+        struct((unix_micros(col(rightTime)).as("__rt") +:
+          payload.map(c => col(c).as(s"asof_$c"))): _*)).as("__p"))
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Right rows sort before left rows at equal times → inclusive <=.
@@ -73,9 +79,11 @@ object AsOfJoin {
       leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
     // same atomic-struct carry as asofPrev (per-column first() would
     // mix fields across right rows on null payload fields)
+    // same null-key/null-time guard as asofPrev
     val r = right.select(col(key), col(rightTime).as("__t"),
       lit(1).as("__side"),
-      struct(payload.map(c => col(c).as(s"asof_$c")): _*).as("__p"))
+      when(col(key).isNotNull && col(rightTime).isNotNull,
+        struct(payload.map(c => col(c).as(s"asof_$c")): _*)).as("__p"))
     val l = left.withColumn("__t", col(leftTime)).withColumn("__side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Left rows sort before right rows at equal times → inclusive >=.

@@ -32,7 +32,22 @@ object Interpolate {
     val fwd = Window.partitionBy(parts: _*).orderBy(col(axisCol))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val v = col(valueCol)
-    val x = col(axisCol).cast("double")
+    // The axis stays in its NATIVE type until the differences: casting
+    // long axis values to double first would collapse distinct values
+    // above 2^53 to equal doubles and null the output via 0/0 (same
+    // 2^53 hazard SortCheck documents). Differences between NEIGHBORING
+    // axis values are small, so the post-subtraction double cast is
+    // exact where the pre-cast was not.
+    val x = df.schema(axisCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(axisCol)
+      // timestamps interpolate on exact epoch micros (longs), not on a
+      // double cast of the timestamp
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        unix_micros(col(axisCol))
+      case other => throw new IllegalArgumentException(
+        s"interpolate axis must be numeric or timestamp, got $other")
+    }
     df
       .withColumn("__pv", last(v, ignoreNulls = true).over(back).cast("double"))
       .withColumn("__px",
@@ -45,7 +60,8 @@ object Interpolate {
           .when(col("__pv").isNull, lit(null).cast("double")) // leading
           .when(col("__nv").isNull, col("__pv"))              // trailing
           .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
-            (x - col("__px")) / (col("__nx") - col("__px"))))
+            (x - col("__px")).cast("double") /
+            (col("__nx") - col("__px")).cast("double")))
       .drop("__pv", "__px", "__nv", "__nx")
   }
 }

@@ -16,13 +16,17 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Inner equi-join of a skewed fact to a dimension with an n-way salt.
-    * Deterministic salt: hash of the fact's full row id columns mod n
-    * would also work; pmod(hash(key, monotonic partition seed)) suffices
-    * because correctness never depends on the salt value. */
+    * The salt is a DETERMINISTIC hash of the fact row's own columns:
+    * spark_partition_id/monotonically_increasing_id are not stable
+    * under task recomputation, so a fetch-failure retry after a partial
+    * shuffle-map stage would re-salt recomputed rows differently and
+    * lose/duplicate join output (the SPARK-23207 class of bug). Caveat:
+    * byte-identical duplicate rows of a hot key share a salt — salting
+    * spreads a hot KEY, not identical-row multiplicity (AQE skew-join
+    * splitting handles that case). */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, n: Int): DataFrame = {
     val saltedFact = fact.withColumn("__salt",
-      pmod(hash(col(key), spark_partition_id(), monotonically_increasing_id()),
-        lit(n)))
+      pmod(hash(fact.columns.map(col): _*), lit(n)))
     val explodedDim = dim.withColumn("__salt",
       explode(sequence(lit(0), lit(n - 1))))
     saltedFact.join(explodedDim, Seq(key, "__salt")).drop("__salt")

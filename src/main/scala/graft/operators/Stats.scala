@@ -55,10 +55,15 @@ object Stats {
     def msum(c: org.apache.spark.sql.Column) =
       if (exact) dsum(c, 6) else sum(c.cast("double"))
     val n = count(lit(1)).cast("double").as("__n")
-    val sums = cols.map(c => msum(col(c)).as(s"__s_$c"))
+    // products multiply in DOUBLE, not the columns' native type: an
+    // int*int product would wrap silently at 2^31 under non-ANSI Spark
+    // BEFORE reaching the decimal cast (for the gated double columns
+    // the cast is a no-op, so oracle arithmetic is unchanged)
+    val sums = cols.map(c => msum(col(c).cast("double")).as(s"__s_$c"))
     val prods = for {
       i <- cols.indices; j <- i until cols.size
-    } yield msum(col(cols(i)) * col(cols(j))).as(s"__p_${i}_$j")
+    } yield msum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+      .as(s"__p_${i}_$j")
     val m = df.agg(n, (sums ++ prods): _*)
     def cov(i: Int, j: Int) = {
       val (a, b) = (math.min(i, j), math.max(i, j))
