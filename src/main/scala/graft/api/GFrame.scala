@@ -427,6 +427,22 @@ final case class GFrame(df: DataFrame) {
   def sampleByGroup(groupCol: String, idCol: String, k: Int,
       seed: String): GFrame =
     GFrame(graft.operators.Curation.sampleByGroup(df, groupCol, idCol, k, seed))
+  /** Weighted priority sampling (Ohlsson/Duffield): k rows drawn
+    * ∝ weightCol, deterministic in (seed, id), no global sort. */
+  def sampleWeighted(idCol: String, weightCol: String, k: Int,
+      seed: String): GFrame =
+    GFrame(graft.operators.Curation.sampleWeighted(df, idCol, weightCol,
+      k, seed))
+  /** Per-group weighted priority sampling: k rows per group ∝ weight. */
+  def sampleWeightedByGroup(groupCol: String, idCol: String,
+      weightCol: String, k: Int, seed: String): GFrame =
+    GFrame(graft.operators.Curation.sampleWeightedByGroup(df, groupCol,
+      idCol, weightCol, k, seed))
+  /** Per-group type-1 weighted percentiles (integer-exact thresholds). */
+  def weightedPercentiles(groupCol: String, valueCol: String,
+      weightCol: String, ps: Seq[(String, Long, Long)]): GFrame =
+    GFrame(graft.operators.Stats.weightedPercentiles(df, groupCol,
+      valueCol, weightCol, ps))
   /** Weighted mixture sampling: keep fraction weights(source) per source. */
   def mixCorpora(sourceCol: String, idCol: String,
       weights: Map[String, Double], seed: String): GFrame =

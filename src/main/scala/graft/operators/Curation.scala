@@ -120,6 +120,51 @@ object Curation {
     df.filter(hashUnit(col(idCol), seed) < w)
   }
 
+  /** Weighted sampling WITHOUT replacement via priority sampling
+    * (sequential Poisson — Ohlsson 1998; Duffield–Lund–Thorup 2005):
+    * each row gets priority q = u / w with u = [[hashUnit]](seed, id)
+    * and w its weight; the sample is the k smallest priorities.
+    * Inclusion probability grows with weight (∝ w for k ≪ n), the
+    * scheme is MERGEABLE (the k smallest of a union are among the
+    * per-partition k smallest — why TakeOrderedAndProject's partial
+    * top-k is exact), and because u is the portable hash and q one
+    * IEEE-exact division, the selected set is deterministic across
+    * runs, partitionings, and engines — oracle-checkable, unlike
+    * rand()-based A-ES implementations.
+    *
+    * Plan shape: codegen priority map + TakeOrderedAndProject (per-
+    * partition top-k, driver merges k·partitions rows) — no global
+    * sort, no shuffle; the 100 TB cost is one scan. Rows with NULL or
+    * non-positive weight are EXCLUDED (w = 0 can never be drawn; a
+    * negative weight would sort FIRST and always win — meaningless). */
+  def sampleWeighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = col(weightCol).cast("double")
+    df.filter(w > 0.0)
+      .withColumn("__q", hashUnit(col(idCol), seed) / w)
+      .orderBy(col("__q"), col(idCol))
+      .limit(k)
+      .drop("__q")
+  }
+
+  /** [[sampleWeighted]] per group: the k smallest priorities WITHIN
+    * each `groupCol` value — the weighted per-source quota stage
+    * (sampleByGroup's uniform draw, but length/quality-weighted). One
+    * group-keyed shuffle; the running row_number streams through
+    * skewed groups without buffering them. */
+  def sampleWeightedByGroup(df: DataFrame, groupCol: String,
+      idCol: String, weightCol: String, k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wgt = col(weightCol).cast("double")
+    val win = Window.partitionBy(col(groupCol))
+      .orderBy(hashUnit(col(idCol), seed) / wgt, col(idCol))
+    df.filter(wgt > 0.0)
+      .withColumn("__rn", row_number().over(win))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
   /** Quality-ranked dedup survivor selection: within each duplicate
     * group (`keyCol`), keep the row with the highest score (lowest id on
     * ties) — "keep the best copy", vs Dedup.exactSurvivors' "keep the

@@ -78,4 +78,52 @@ object Stats {
       .select(col("r.col_a").as("col_a"), col("r.col_b").as("col_b"),
         col("r.corr").as("corr"))
   }
+
+  /** Per-group WEIGHTED percentiles (type-1 / lower step function):
+    * for each requested p = num/den, the smallest value v such that
+    * the summed weight of rows with value ≤ v reaches p of the group's
+    * total weight. Spark has no weighted percentile (`percentile`
+    * takes a frequency argument only for integral exact counts at the
+    * aggregate level, not per-group thresholds across engines), and
+    * neither does the reference (quantiles.hpp interpolates unweighted
+    * row ranks) — this is the survey-weighting / importance-weighted
+    * quantile every curation pipeline ends up hand-rolling.
+    *
+    * Weights are truncated to integers (pre-scale fractional weights),
+    * and each threshold test is `den·cum ≥ num·total` — pure integer
+    * arithmetic, so no float rounding can flip a boundary row on
+    * either engine: results are deterministic and oracle-checkable.
+    *
+    * Plan: (group, value) pre-aggregation collapses the data to
+    * distinct values FIRST (the running sum then costs |distinct|,
+    * not |rows|, and equal values can never straddle a threshold —
+    * RANGE-frame semantics by construction), one running-sum window
+    * on the group key (same partitioning as the pre-aggregate: no
+    * second shuffle), one conditional-min final aggregate. All
+    * requested percentiles ride in the single pass. */
+  def weightedPercentiles(df: DataFrame, groupCol: String,
+      valueCol: String, weightCol: String,
+      ps: Seq[(String, Long, Long)]): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    ps.foreach { case (name, num, den) =>
+      require(den > 0 && num >= 0 && num <= den,
+        s"$name: need 0 <= num <= den, den > 0 (got $num/$den)")
+    }
+    import org.apache.spark.sql.expressions.Window
+    val byValue = df
+      .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val run = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val whole = Window.partitionBy(col(groupCol))
+    val aggs = ps.map { case (name, num, den) =>
+      min(when(col("__cum") * den >= col("__tot") * num, col(valueCol)))
+        .as(name)
+    }
+    byValue
+      .withColumn("__cum", sum(col("__w")).over(run))
+      .withColumn("__tot", sum(col("__w")).over(whole))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
 }

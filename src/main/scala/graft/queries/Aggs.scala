@@ -379,7 +379,41 @@ object Aggs extends QueryPack {
        |ORDER BY col_a, col_b""".stripMargin
   }
 
+  /** Weighted percentiles (quantity-weighted price distribution): the
+    * type-1 weighted quantile neither Spark nor the reference ships
+    * (quantiles.hpp:37 interpolates unweighted ranks). Thresholds are
+    * pure integer arithmetic (den·cum ≥ num·total over pre-aggregated
+    * integer weights), so both engines select identical boundary rows
+    * — full hash match, no estimator tolerance needed. */
+  def aggWeightedPctl(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Stats.weightedPercentiles(
+        Tables.lineitem(s, dir), "l_returnflag", "l_extendedprice",
+        "l_quantity",
+        Seq(("wp25", 1L, 4L), ("wmedian", 1L, 2L), ("wp90", 9L, 10L)))
+      .orderBy($"l_returnflag")
+  }
+
+  val aggWeightedPctlSql: String =
+    """WITH byv AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    sum(CAST(l_quantity AS BIGINT)) AS w
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      |  GROUP BY 1, 2),
+      |c AS (
+      |  SELECT l_returnflag, v,
+      |    sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+      |    sum(w) OVER (PARTITION BY l_returnflag) AS tot
+      |  FROM byv)
+      |SELECT l_returnflag,
+      |  min(CASE WHEN cum * 4 >= tot * 1 THEN v END) AS wp25,
+      |  min(CASE WHEN cum * 2 >= tot * 1 THEN v END) AS wmedian,
+      |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_weighted_pctl" -> aggWeightedPctl,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_skew_kurt" -> aggSkewKurt,
     "agg_mode" -> aggMode,
@@ -396,6 +430,7 @@ object Aggs extends QueryPack {
     "agg_histogram" -> aggHistogram)
 
   override def oracle: Map[String, String] = Map(
+    "agg_weighted_pctl" -> aggWeightedPctlSql,
     "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_skew_kurt" -> aggSkewKurtSql,
     "agg_mode" -> aggModeSql,

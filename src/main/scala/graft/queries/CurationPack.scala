@@ -360,7 +360,47 @@ object CurationPack extends QueryPack {
     s"""SELECT doc_id, ${uSql("doc_id", "epoch0")} AS shuffle_key
        |FROM documents ORDER BY shuffle_key, doc_id""".stripMargin
 
+  // -- weighted priority sampling (Ohlsson 1998 / Duffield 2005) -----------
+
+  /** 50 orders drawn ∝ o_totalprice without replacement: priority
+    * q = u/w, k smallest win. The oracle replays the identical
+    * md5-60 u and one IEEE division, so the SELECTED SET hash-matches —
+    * a property no rand()-based weighted sampler has. */
+  def sampleWeightedQ(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleWeighted(Tables.orders(s, dir), "o_orderkey",
+        "o_totalprice", k = 50, seed = "wpri")
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+
+  val sampleWeightedSql: String =
+    s"""SELECT o_orderkey, o_totalprice FROM (
+       |  SELECT o_orderkey, o_totalprice
+       |  FROM orders WHERE o_totalprice > 0
+       |  ORDER BY ${uSql("o_orderkey", "wpri")} / o_totalprice, o_orderkey
+       |  LIMIT 50)
+       |ORDER BY o_orderkey""".stripMargin
+
+  /** Per-language length-weighted quota: 4 docs per lang drawn
+    * ∝ n_chars (longer documents carry more training signal). Empty
+    * docs (n_chars = 0) are excluded by the w > 0 contract. */
+  def sampleWeightedGroupQ(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleWeightedByGroup(Tables.documents(s, dir), "lang",
+        "doc_id", "n_chars", k = 4, seed = "wquota")
+      .select(col("lang"), col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("doc_id"))
+
+  val sampleWeightedGroupSql: String =
+    s"""SELECT lang, doc_id, n_chars FROM (
+       |  SELECT lang, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY lang
+       |      ORDER BY ${uSql("doc_id", "wquota")} / CAST(n_chars AS DOUBLE),
+       |               doc_id) AS rn
+       |  FROM documents WHERE n_chars > 0)
+       |WHERE rn <= 4 ORDER BY lang, doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_sample_weighted" -> sampleWeightedQ,
+    "corpus_sample_weighted_group" -> sampleWeightedGroupQ,
     "corpus_split" -> split,
     "corpus_split_leakfree" -> splitLeakFree,
     "corpus_sample_group" -> sampleGroup,
@@ -376,6 +416,8 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_sample_weighted" -> sampleWeightedSql,
+    "corpus_sample_weighted_group" -> sampleWeightedGroupSql,
     "corpus_split" -> splitSql,
     "corpus_split_leakfree" -> splitLeakFreeSql,
     "corpus_sample_group" -> sampleGroupSql,

@@ -207,4 +207,38 @@ class CurationSpec extends AnyFunSuite {
       .filter($"id" === 0).select("winsorized").head
     assert(nw.isNullAt(0))
   }
+
+  test("sampleWeighted: deterministic, partition-invariant, weight-biased") {
+    val d = (0L until 500L)
+      .map(i => (i, if (i < 50) 100.0 else 1.0)).toDF("id", "w")
+    val a = Curation.sampleWeighted(d, "id", "w", k = 40, seed = "p")
+    assert(a.count() == 40)
+    // exactly reproducible, and invariant to physical partitioning
+    // (the mergeability property that makes partial top-k exact)
+    val b = Curation.sampleWeighted(d.repartition(13), "id", "w", 40, "p")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+    // the 10% of ids carrying 100x weight must dominate the sample
+    val heavy = a.filter($"id" < 50).count()
+    assert(heavy > 20, s"heavy ids underrepresented: $heavy/40")
+    // null / zero / negative weights can never be drawn
+    val junk = Seq((1000L, Option.empty[Double]), (1001L, Some(0.0)),
+      (1002L, Some(-5.0)), (1003L, Some(1e9))).toDF("id", "w")
+    val j = Curation.sampleWeighted(d.union(junk), "id", "w", 40, "p")
+    assert(j.filter($"id" >= 1000L && $"id" =!= 1003L).isEmpty)
+    assert(j.filter($"id" === 1003L).count() == 1) // huge weight ~always wins
+  }
+
+  test("sampleWeightedByGroup caps each group at k and respects weights") {
+    val d = (0L until 300L).map(i => (i, s"g${i % 3}",
+      if (i % 10 == 0) 1000.0 else 1.0)).toDF("id", "g", "w")
+    val s = Curation.sampleWeightedByGroup(d, "g", "id", "w", k = 5, seed = "q")
+    val per = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(per.values.forall(_ == 5) && per.size == 3)
+    // per group, the 10 ids carrying 1000x weight should take most slots
+    val heavy = s.filter($"id" % 10 === 0).count()
+    assert(heavy >= 10, s"heavy ids underrepresented across groups: $heavy/15")
+    val again = Curation.sampleWeightedByGroup(
+      d.repartition(7), "g", "id", "w", 5, "q")
+    assert(s.except(again).isEmpty && again.except(s).isEmpty)
+  }
 }

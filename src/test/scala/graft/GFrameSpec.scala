@@ -422,4 +422,15 @@ class GFrameSpec extends AnyFunSuite {
       hv.schema.fieldNames.contains("s_xx32"))
     assert(hv.getAs[org.apache.spark.sql.Row]("s_mm128").length == 2)
   }
+
+  test("r7 facades: weighted sampling and weighted percentiles") {
+    val d = (0L until 100L).map(i => (i, s"g${i % 2}", i + 1.0)).toDF("id", "g", "w")
+    assert(GFrame(d).sampleWeighted("id", "w", 10, "s").toDF.count() == 10)
+    val per = GFrame(d).sampleWeightedByGroup("g", "id", "w", 3, "s")
+      .toDF.groupBy("g").count().as[(String, Long)].collect().toMap
+    assert(per.values.forall(_ == 3) && per.size == 2)
+    val wp = GFrame(d).weightedPercentiles("g", "w", "w",
+      Seq(("p100", 1L, 1L))).toDF.orderBy("g").collect()
+    assert(wp.map(_.getDouble(1)).toSeq == Seq(99.0, 100.0)) // max per group
+  }
 }

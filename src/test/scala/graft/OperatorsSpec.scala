@@ -494,4 +494,43 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     assert(all.size == SparkEntry.queries.size)
   }
+
+  test("Stats.weightedPercentiles matches the brute-force type-1 definition") {
+    // values with repeats + skewed integer weights across two groups
+    val rows = Seq(
+      ("a", 1.0, 1L), ("a", 2.0, 3L), ("a", 2.0, 2L), ("a", 5.0, 1L),
+      ("a", 9.0, 7L),
+      ("b", -3.0, 2L), ("b", 0.0, 2L), ("b", 4.0, 1L))
+    val df = rows.toDF("g", "v", "w")
+    def brute(g: String, num: Long, den: Long): Double = {
+      val byV = rows.filter(_._1 == g).groupBy(_._2).view
+        .mapValues(_.map(_._3).sum).toSeq.sortBy(_._1)
+      val tot = byV.map(_._2).sum
+      var cum = 0L
+      byV.collectFirst {
+        case (v, w) if { cum += w; cum * den >= tot * num } => v
+      }.get
+    }
+    val ps = Seq(("p0", 0L, 1L), ("p25", 1L, 4L), ("p50", 1L, 2L),
+      ("p90", 9L, 10L), ("p100", 1L, 1L))
+    val got = graft.operators.Stats
+      .weightedPercentiles(df, "g", "v", "w", ps)
+      .orderBy("g").collect()
+    for ((row, g) <- got.zip(Seq("a", "b")); ((name, num, den), i) <- ps.zipWithIndex)
+      assert(row.getDouble(i + 1) == brute(g, num, den), s"$g.$name")
+    // p0 = min, p100 = max (threshold edge cases)
+    assert(got(0).getDouble(1) == 1.0 && got(0).getDouble(5) == 9.0)
+    // partition-invariance: same result after a physical reshuffle
+    val re = graft.operators.Stats
+      .weightedPercentiles(df.repartition(5), "g", "v", "w", ps)
+      .orderBy("g").collect()
+    assert(re.toSeq == got.toSeq)
+    // null values / null weights are excluded, not counted as zeros
+    val withNulls = df.union(Seq(("a", Option.empty[Double], Option(100L)),
+      ("a", Option(2.5), Option.empty[Long])).toDF("g", "v", "w"))
+    val n = graft.operators.Stats
+      .weightedPercentiles(withNulls, "g", "v", "w", Seq(("p50", 1L, 2L)))
+      .orderBy("g").collect()
+    assert(n(0).getDouble(1) == brute("a", 1L, 2L))
+  }
 }

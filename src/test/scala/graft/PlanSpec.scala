@@ -163,6 +163,18 @@ class PlanSpec extends AnyFunSuite {
       "mixture filter must not shuffle")
   }
 
+  test("sampleWeighted plans partial top-k: TakeOrdered, no exchange") {
+    import graft.operators.Curation
+    val s = Curation.sampleWeighted(graft.Tables.orders(spark, dir),
+      "o_orderkey", "o_totalprice", k = 50, seed = "p")
+    val p = s.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "weighted sample must merge per-partition top-k, not sort globally")
+    assert(!p.contains("Exchange"),
+      "priority sampling is scan + local top-k; a shuffle means the " +
+        "mergeability property was lost")
+  }
+
   test("bucketed join: co-located scans, no join-side exchange") {
     val df = SparkEntry.queries("io_bucketed_join")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
