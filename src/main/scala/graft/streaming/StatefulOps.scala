@@ -350,4 +350,55 @@ object StatefulOps {
       batch.join(collided, Seq(idCol), "left_anti")
     }, () => { cToks.unpersist(); cBands.unpersist() })
   }
+
+  /** One input row of a weighted-reservoir stream. */
+  case class WRIn(group: String, id: Long, weight: Double)
+  /** One reservoir slot: portable priority + the sampled row. */
+  case class WREntry(q: Double, id: Long, weight: Double)
+  case class WROut(group: String, id: Long, weight: Double)
+
+  implicit private val wrStateEnc: Encoder[Seq[WREntry]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+  implicit private val wrOutEnc: Encoder[WROut] = Encoders.product[WROut]
+
+  /** Streaming weighted-priority reservoir — the streaming counterpart
+    * of [[graft.operators.Curation.sampleWeightedByGroup]]: per group,
+    * the k rows with the smallest priorities q = u/w, where u is the
+    * portable md5-60 [[graft.plans.PortableHash]] of (seed, id).
+    *
+    * Mergeability does the work: "k smallest of a union" is computable
+    * from "k smallest so far" merged with the new batch — the same
+    * property that lets the batch form plan a partial top-k — so after
+    * ANY sequence of micro-batches the state is EXACTLY the batch
+    * sample of everything seen. Arrival order, batch boundaries, and
+    * replays (same id ⇒ same priority; entries dedup by id) can never
+    * change the result — parity is tested against the batch operator.
+    *
+    * State per group is ≤ k (q, id, weight) triples; each batch emits
+    * the group's current sample (Update mode). Rows with NULL-ish
+    * (NaN) or non-positive weight are excluded, matching the batch
+    * contract. */
+  def weightedReservoirStream(grouped: KeyValueGroupedDataset[String, WRIn],
+      k: Int, seed: String): Dataset[WROut] = {
+    require(k > 0, "k must be positive")
+    def priority(id: Long, w: Double): Double =
+      graft.plans.PortableHash.md5_60(
+        (seed + "|" + id.toString)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .toDouble / 1152921504606846976.0 / w // 2^60, then the weight
+    grouped.flatMapGroupsWithState[Seq[WREntry], WROut](
+      OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+      case (group, rows, state: GroupState[Seq[WREntry]]) =>
+        val fresh = rows.collect {
+          case r if r.weight > 0.0 && !r.weight.isNaN =>
+            WREntry(priority(r.id, r.weight), r.id, r.weight)
+        }
+        val merged = (state.getOption.getOrElse(Seq.empty) ++ fresh)
+          .distinctBy(_.id)
+          .sortBy(e => (e.q, e.id))
+          .take(k)
+        state.update(merged)
+        merged.iterator.map(e => WROut(group, e.id, e.weight))
+    }
+  }
 }

@@ -767,4 +767,52 @@ class StreamingSpec extends AnyFunSuite {
         "index reused across micro-batches")
     } finally { q.stop(); screen.close() }
   }
+
+  test("weightedReservoirStream: final state equals the batch weighted sample") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    import graft.streaming.StatefulOps.WRIn
+    implicit val sqlCtx = spark.sqlContext
+    // 90 rows / 3 groups, skewed weights; fed in 3 arbitrary batches
+    val rows = (0L until 90L).map(i =>
+      (s"g${i % 3}", i, if (i % 7 == 0) 50.0 else 1.0 + (i % 5)))
+    val input = MemoryStream[(String, Long, Double)]
+    val sampled = StatefulOps.weightedReservoirStream(
+      input.toDS().map(r => WRIn(r._1, r._2, r._3)).groupByKey(_.group),
+      k = 5, seed = "wres")
+    val q = sampled.writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("wres_out").start()
+    try {
+      input.addData(rows.slice(0, 40): _*); q.processAllAvailable()
+      // replay a slice (same ids): dedup-by-id must make this a no-op
+      input.addData(rows.slice(20, 60): _*); q.processAllAvailable()
+      input.addData(rows.slice(60, 90): _*); q.processAllAvailable()
+      // Update mode re-emits a group's sample each batch; the LAST
+      // emission per group is its final reservoir
+      val finalRows: Set[(String, Long)] =
+        spark.sql("SELECT `group`, id FROM wres_out").collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+      // reconstruct "last emission per group" by replaying the batch op
+      val batch = graft.operators.Curation.sampleWeightedByGroup(
+        rows.toDF("group", "id", "w"), "group", "id", "w", k = 5,
+        seed = "wres")
+        .select($"group", $"id").as[(String, Long)].collect().toSet
+      // every batch-selected row appears in the stream output, and the
+      // stream's final per-group top-5 is exactly the batch selection:
+      // take each group's 5 smallest-priority ids from the full emission
+      // log — dedup makes the log a superset whose minimum is the state
+      assert(batch.subsetOf(finalRows), s"missing: ${batch -- finalRows}")
+      val u = (id: Long) => graft.plans.PortableHash.md5_60(
+        ("wres|" + id).getBytes("UTF-8")).toDouble / 1152921504606846976.0
+      val w: Map[Long, Double] = rows.map(r => r._2 -> r._3).toMap
+      // .values.toSeq first: flatMap directly on the Map would rebuild
+      // a Map keyed by group and silently keep ONE entry per group
+      val streamTop: Set[(String, Long)] = finalRows.groupBy(_._1)
+        .values.toSeq
+        .flatMap(g =>
+          g.toSeq.sortBy { case (_, id) => (u(id) / w(id), id) }.take(5))
+        .toSet
+      assert(streamTop == batch, "stream reservoir diverges from batch")
+    } finally q.stop()
+  }
 }
