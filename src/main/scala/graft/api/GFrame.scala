@@ -438,6 +438,11 @@ final case class GFrame(df: DataFrame) {
       weightCol: String, k: Int, seed: String): GFrame =
     GFrame(graft.operators.Curation.sampleWeightedByGroup(df, groupCol,
       idCol, weightCol, k, seed))
+  /** PageRank over (srcCol, dstCol) edges — link-based quality prior. */
+  def pageRank(srcCol: String, dstCol: String, damping: Double = 0.85,
+      iters: Int = 10): GFrame =
+    GFrame(graft.operators.LinkAnalysis.pageRank(df, srcCol, dstCol,
+      damping, iters))
   /** Per-group type-1 weighted percentiles (integer-exact thresholds). */
   def weightedPercentiles(groupCol: String, valueCol: String,
       weightCol: String, ps: Seq[(String, Long, Long)]): GFrame =

@@ -832,7 +832,71 @@ object MiscPack extends QueryPack {
       |  e.union_exact, e.inter_exact, e.diff_exact
       |FROM m, e""".stripMargin
 
+  // -- PageRank power iteration (LinkAnalysis) ------------------------------
+
+  private val prIters = 8
+  private val prDamping = 0.85 // SQL literals below must stay in lockstep
+
+  /** PageRank over the customer→supplier purchase graph (customer ids
+    * even, supplier ids odd so the key spaces can't collide). Every
+    * iteration's inflow sums are exact-decimal and every scalar step
+    * one IEEE op, so 8 unrolled iterations hash-match DuckDB exactly —
+    * a deterministic distributed power iteration, not an estimate. */
+  def pageRankQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val edges = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
+    graft.operators.LinkAnalysis
+      .pageRank(edges, "src", "dst", prDamping, prIters, checkpointEvery = 4)
+      .orderBy($"id")
+  }
+
+  val pageRankSql: String = {
+    // unrolled power iteration: one (contrib, dangling, rank) CTE trio
+    // per step, replaying the operator's arithmetic op-for-op. All
+    // float literals are CAST(... AS DOUBLE) — bare DuckDB decimal
+    // literals would run the (1 - d)/n arithmetic in DECIMAL space and
+    // diverge from Spark's IEEE doubles. Sums are the operator's dyadic
+    // fixed point (floor(x·2^45) summed exactly — DuckDB's BIGINT sum
+    // is HUGEINT, routed through VARCHAR like every exact sum here):
+    // the decimal-cast dsum pattern measurably drifts ~600 ulps on
+    // these dyadic-structured ranks (double→DECIMAL .5-boundary
+    // mis-rounding, the events_decayed_sum finding).
+    val d = "CAST(0.85 AS DOUBLE)"
+    val c45 = "CAST(35184372088832 AS DOUBLE)" // 2^45, exactly representable
+    def ds15(e: String) =
+      s"CAST(CAST(sum(CAST(floor(($e) * $c45) AS BIGINT)) AS VARCHAR) " +
+        s"AS DOUBLE) / $c45"
+    val its = (1 to prIters).map { k =>
+      val p = s"r${k - 1}"
+      s"""c$k AS (SELECT e.dst AS id, ${ds15("p.r / e.deg")} AS contrib
+         |  FROM ed e JOIN $p p ON e.src = p.id GROUP BY e.dst),
+         |d$k AS (SELECT coalesce(${ds15("r")}, CAST(0 AS DOUBLE)) AS mass
+         |  FROM $p WHERE id NOT IN (SELECT src FROM outdeg)),
+         |r$k AS (SELECT nd.id,
+         |    (CAST(1 AS DOUBLE) - $d) / nt.n
+         |      + $d * (coalesce(c.contrib, CAST(0 AS DOUBLE)) + dm.mass / nt.n) AS r
+         |  FROM nodes nd CROSS JOIN nt CROSS JOIN d$k dm
+         |  LEFT JOIN c$k c ON nd.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH edges AS (
+       |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
+       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, o.deg FROM edges e
+       |       JOIN outdeg o ON e.src = o.src),
+       |nt AS (SELECT count(*) AS n FROM nodes),
+       |r0 AS (SELECT id, CAST(1 AS DOUBLE) / nt.n AS r
+       |       FROM nodes CROSS JOIN nt),
+       |$its
+       |SELECT id, r FROM r$prIters ORDER BY id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "graph_pagerank" -> pageRankQ,
     "agg_theta_setops" -> thetaSetOps,
     "agg_kmv_rollup" -> kmvRollup,
     "agg_topk_heavy" -> topkHeavy,
@@ -869,6 +933,7 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankSql,
     "agg_theta_setops" -> thetaSetOpsSql,
     "agg_kmv_rollup" -> kmvRollupSql,
     "agg_topk_heavy" -> topkHeavySql,

@@ -177,4 +177,36 @@ class OperatorsMiscSpec extends AnyFunSuite {
       assert(rows.toSeq == Seq(("k1", 3L, 7.0), ("k2", 1L, 10.0)))
     } finally q.stop()
   }
+
+  test("pageRank: analytic fixed points, mass conservation, determinism") {
+    import spark.implicits._
+    import graft.operators.LinkAnalysis
+    // 2-cycle: uniform 0.5 is stationary at ANY damping — exact after
+    // every iteration (up to the 2^-45 quantization)
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val rc = LinkAnalysis.pageRank(cyc, "s", "d", 0.85, iters = 3)
+      .orderBy("id").collect().map(_.getDouble(1))
+    assert(rc.forall(r => math.abs(r - 0.5) < 1e-12), rc.toSeq.toString)
+    // A→B with B dangling: closed form rA = 0.075/0.21375, rB = 1-rA
+    val dang = Seq((1L, 2L)).toDF("s", "d")
+    val rd = LinkAnalysis.pageRank(dang, "s", "d", 0.85, iters = 40)
+      .orderBy("id").collect().map(_.getDouble(1))
+    val rA = 0.075 / 0.21375
+    assert(math.abs(rd(0) - rA) < 2e-3 && math.abs(rd(1) - (1 - rA)) < 2e-3,
+      rd.toSeq.toString)
+    // mass conservation: sum of ranks stays 1 even with dangling nodes
+    assert(math.abs(rd.sum - 1.0) < 1e-9)
+    // determinism across physical partitionings (the fixed-point-sum
+    // contract): star + chain, 13-way repartition must be bit-equal
+    val g = ((1L to 30L).map(i => (i, 0L)) ++ Seq((0L, 31L), (31L, 32L)))
+      .toDF("s", "d")
+    val a = LinkAnalysis.pageRank(g, "s", "d", iters = 6)
+      .orderBy("id").collect().toSeq
+    val b = LinkAnalysis.pageRank(g.repartition(13), "s", "d", iters = 6)
+      .orderBy("id").collect().toSeq
+    assert(a == b)
+    // the hub (in-degree 30) must outrank every leaf
+    val ranks = a.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ranks(0L) > ranks(1L) * 10)
+  }
 }
