@@ -57,9 +57,12 @@ object LinkAnalysis {
     * (|V| rows, two columns), never the edge set (|E| ≫ |V|). Per
     * iteration: one rank-side shuffle into the contribution join, one
     * dst-keyed aggregation, one broadcast of the 1-row dangling mass.
-    * Lineage is cut with localCheckpoint every `checkpointEvery`
-    * iterations (the nearDupClusters pattern) so plan depth stays
-    * bounded; the driver holds only n and per-iteration 1-row masses.
+    * The rank vector is localCheckpoint-ed EVERY iteration (it is |V|
+    * rows — small next to |E|): each iteration references the previous
+    * vector TWICE (contribution join + dangling mass), so an uncut
+    * lineage doubles per step — measured 13.7 s for 5 lazy iterations
+    * at sf0.1 vs ~3 s checkpointed. Superseded vectors are freed via
+    * CheckpointUtil (the nearDupClusters pattern).
     *
     * Returns (id, r) for every node. Fixed iteration count rather than
     * a convergence test keeps the result a pure function of the input
@@ -68,33 +71,42 @@ object LinkAnalysis {
     * iterations reach ~1e-2..1e-3 relative accuracy — curation ranks
     * care about ordering, which stabilizes much earlier. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      damping: Double = 0.85, iters: Int = 10,
-      checkpointEvery: Int = 4): DataFrame = {
+      damping: Double = 0.85, iters: Int = 10): DataFrame = {
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
-    require(iters >= 1 && checkpointEvery >= 1, "need iters/ckpt >= 1")
+    require(iters >= 1, "need iters >= 1")
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      .persist() // setup reads e three times (nodes, outdeg, ed)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
       .persist()
     val n = nodes.count()
-    if (n == 0) return nodes.withColumn("r", lit(0.0))
+    if (n == 0) { e.unpersist(); return nodes.withColumn("r", lit(0.0)) }
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the DANGLING SET is static — only the mass changes per iteration;
+    // without this a naive formulation recomputes the whole distinct-
+    // edge build inside every iteration's anti-join (measured 3× the
+    // total runtime at sf0.1)
+    val danglingNodes = nodes
+      .join(outdeg, nodes("id") === outdeg("src"), "left_anti")
+      .persist()
     // degree-annotated edges, partitioned by the join key ONCE: every
     // iteration's contribution join reuses this layout and shuffles
     // only the rank vector
     val ed = e.join(outdeg, "src").repartition(col("src")).persist()
     ed.count() // materialize before the loop so iterations share it
+    danglingNodes.count()
+    e.unpersist() // nodes/danglingNodes/ed now stand on their own
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("r", lit(1.0 / n))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iters) {
       val dangling = ranks
-        .join(outdeg, ranks("id") === outdeg("src"), "left_anti")
+        .join(danglingNodes, Seq("id"), "left_semi")
         .agg(coalesce(psum(col("r")), lit(0.0)).as("mass"))
       val contribs = ed
         .join(ranks, ed("src") === ranks("id"))
@@ -107,20 +119,19 @@ object LinkAnalysis {
           (lit(base) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) +
               col("mass") / lit(n.toDouble))).as("r"))
-      if (i % checkpointEvery == 0 || i == iters) {
-        // eager checkpoint cuts lineage; free the superseded one —
-        // Dataset.unpersist is a no-op for localCheckpoint storage
-        // (the nearDupClusters lesson), so blocks must be freed
-        // explicitly or every cut leaks a full rank frame
-        ranks = ranks.localCheckpoint()
-        if (lastCkpt != null)
-          org.apache.spark.sql.graftshim.CheckpointUtil.free(lastCkpt)
-        lastCkpt = ranks
-      }
+      // eager checkpoint cuts lineage EVERY iteration (see scaladoc:
+      // uncut plans double per step); free the superseded vector —
+      // Dataset.unpersist is a no-op for localCheckpoint storage
+      // (the nearDupClusters lesson)
+      ranks = ranks.localCheckpoint()
+      if (lastCkpt != null)
+        org.apache.spark.sql.graftshim.CheckpointUtil.free(lastCkpt)
+      lastCkpt = ranks
     }
     // the final frame is checkpointed (i == iters above), so the
     // operator's working set can be released before returning
     nodes.unpersist()
+    danglingNodes.unpersist()
     ed.unpersist()
     ranks
   }

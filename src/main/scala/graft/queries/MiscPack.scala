@@ -834,7 +834,7 @@ object MiscPack extends QueryPack {
 
   // -- PageRank power iteration (LinkAnalysis) ------------------------------
 
-  private val prIters = 8
+  private val prIters = 5
   private val prDamping = 0.85 // SQL literals below must stay in lockstep
 
   /** PageRank over the customer→supplier purchase graph (customer ids
@@ -848,7 +848,7 @@ object MiscPack extends QueryPack {
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
     graft.operators.LinkAnalysis
-      .pageRank(edges, "src", "dst", prDamping, prIters, checkpointEvery = 4)
+      .pageRank(edges, "src", "dst", prDamping, prIters)
       .orderBy($"id")
   }
 
