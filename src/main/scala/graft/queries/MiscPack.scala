@@ -862,7 +862,12 @@ object MiscPack extends QueryPack {
     // is HUGEINT, routed through VARCHAR like every exact sum here):
     // the decimal-cast dsum pattern measurably drifts ~600 ulps on
     // these dyadic-structured ranks (double→DECIMAL .5-boundary
-    // mis-rounding, the events_decayed_sum finding).
+    // mis-rounding, the events_decayed_sum finding). Every CTE is
+    // MATERIALIZED: DuckDB inlines plain CTEs, so each iteration's two
+    // references to its predecessor would double the plan per step —
+    // 2^k copies of the edge build exhausted 80 GB of spill at the 5x
+    // stress (the exact DuckDB-side dual of the Spark lineage blowup
+    // fixed by per-iteration localCheckpoint in LinkAnalysis).
     val d = "CAST(0.85 AS DOUBLE)"
     val c45 = "CAST(35184372088832 AS DOUBLE)" // 2^45, exactly representable
     def ds15(e: String) =
@@ -870,26 +875,26 @@ object MiscPack extends QueryPack {
         s"AS DOUBLE) / $c45"
     val its = (1 to prIters).map { k =>
       val p = s"r${k - 1}"
-      s"""c$k AS (SELECT e.dst AS id, ${ds15("p.r / e.deg")} AS contrib
+      s"""c$k AS MATERIALIZED (SELECT e.dst AS id, ${ds15("p.r / e.deg")} AS contrib
          |  FROM ed e JOIN $p p ON e.src = p.id GROUP BY e.dst),
-         |d$k AS (SELECT coalesce(${ds15("r")}, CAST(0 AS DOUBLE)) AS mass
+         |d$k AS MATERIALIZED (SELECT coalesce(${ds15("r")}, CAST(0 AS DOUBLE)) AS mass
          |  FROM $p WHERE id NOT IN (SELECT src FROM outdeg)),
-         |r$k AS (SELECT nd.id,
+         |r$k AS MATERIALIZED (SELECT nd.id,
          |    (CAST(1 AS DOUBLE) - $d) / nt.n
          |      + $d * (coalesce(c.contrib, CAST(0 AS DOUBLE)) + dm.mass / nt.n) AS r
          |  FROM nodes nd CROSS JOIN nt CROSS JOIN d$k dm
          |  LEFT JOIN c$k c ON nd.id = c.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH edges AS (
+    s"""WITH edges AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        |  WHERE o_custkey IS NOT NULL AND l_suppkey IS NOT NULL),
-       |nodes AS (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
-       |outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
-       |ed AS (SELECT e.src, e.dst, o.deg FROM edges e
+       |nodes AS MATERIALIZED (SELECT src AS id FROM edges UNION SELECT dst FROM edges),
+       |outdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, o.deg FROM edges e
        |       JOIN outdeg o ON e.src = o.src),
-       |nt AS (SELECT count(*) AS n FROM nodes),
-       |r0 AS (SELECT id, CAST(1 AS DOUBLE) / nt.n AS r
+       |nt AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+       |r0 AS MATERIALIZED (SELECT id, CAST(1 AS DOUBLE) / nt.n AS r
        |       FROM nodes CROSS JOIN nt),
        |$its
        |SELECT id, r FROM r$prIters ORDER BY id""".stripMargin
