@@ -438,6 +438,9 @@ final case class GFrame(df: DataFrame) {
       weightCol: String, k: Int, seed: String): GFrame =
     GFrame(graft.operators.Curation.sampleWeightedByGroup(df, groupCol,
       idCol, weightCol, k, seed))
+  /** Deterministic contrastive negatives: k partner ids per anchor. */
+  def sampleNegatives(idCol: String, k: Int, seed: String): GFrame =
+    GFrame(graft.operators.Curation.sampleNegatives(df, idCol, k, seed))
   /** PageRank over (srcCol, dstCol) edges — link-based quality prior. */
   def pageRank(srcCol: String, dstCol: String, damping: Double = 0.85,
       iters: Int = 10): GFrame =

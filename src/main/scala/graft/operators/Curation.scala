@@ -165,6 +165,45 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Contrastive NEGATIVE sampling: k pseudo-random partner ids per
+    * anchor, uniform over the corpus, never the anchor itself — the
+    * in-batch-negatives / hard-negative-candidate stage of
+    * contrastive-embedding data prep, made deterministic (a pure
+    * function of (seed, id, j)) so pairs are reproducible across runs
+    * and engines.
+    *
+    * Construction: ids get a dense index 0..n−1 by sorted order
+    * (range-sort + zipWithIndex — the two-pass distributed dense rank;
+    * no single-partition window), then negative j of anchor i is
+    * index (i + 1 + (h(seed,id,j) mod (n−1))) mod n — the offset is
+    * in 1..n−1, so a negative can never equal its anchor, and the
+    * 60-bit hash makes the mod-(n−1) bias ≤ n/2^60. Cost: one sort of
+    * the ID COLUMN only, one explode(k), one index-keyed join.
+    * Returns (idCol, neg_rank, neg_<idCol>). Ids must be integral. */
+  def sampleNegatives(df: DataFrame, idCol: String, k: Int,
+      seed: String): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ids = df.select(col(idCol).cast("long").as(idCol)).distinct()
+    val n = ids.count()
+    require(n >= 2, "need at least 2 distinct ids")
+    val indexed = ids.orderBy(col(idCol)).rdd
+      .zipWithIndex.map { case (row, i) => (row.getLong(0), i) }
+      .toDF(idCol, "__idx")
+      .persist()
+    val h = graft.plans.PortableHash.md5_60Col(concat_ws("|", lit(seed),
+      col(idCol).cast("string"), col("__j").cast("string"))).cast("long")
+    val negs = indexed
+      .withColumn("__j", explode(array((0 until k).map(lit(_)): _*)))
+      .withColumn("__nidx",
+        pmod(col("__idx") + lit(1L) + pmod(h, lit(n - 1)), lit(n)))
+      .join(indexed.select(col("__idx").as("__nidx"),
+        col(idCol).as(s"neg_$idCol")), "__nidx")
+      .select(col(idCol), col("__j").as("neg_rank"), col(s"neg_$idCol"))
+    negs
+  }
+
   /** Quality-ranked dedup survivor selection: within each duplicate
     * group (`keyCol`), keep the row with the highest score (lowest id on
     * ties) — "keep the best copy", vs Dedup.exactSurvivors' "keep the

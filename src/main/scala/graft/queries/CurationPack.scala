@@ -398,7 +398,33 @@ object CurationPack extends QueryPack {
        |  FROM documents WHERE n_chars > 0)
        |WHERE rn <= 4 ORDER BY lang, doc_id""".stripMargin
 
+  /** Deterministic contrastive negatives: 2 partners per document,
+    * never the anchor, uniform over the corpus — reproducible pair
+    * generation for embedding training. The dense-index + offset
+    * construction replays exactly in SQL (row_number ≡ the operator's
+    * sorted zipWithIndex), so the PAIRING hash-matches. */
+  def sampleNegativesQ(s: SparkSession, dir: String): DataFrame =
+    Curation.sampleNegatives(Tables.documents(s, dir), "doc_id", k = 2,
+        seed = "negs")
+      .orderBy(col("doc_id"), col("neg_rank"))
+
+  val sampleNegativesSql: String = {
+    val h = graft.plans.PortableHash.sqlMd5_60(
+      "'negs|' || CAST(x.doc_id AS VARCHAR) || '|' || CAST(t.j AS VARCHAR)")
+    s"""WITH idx AS MATERIALIZED (
+       |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS i
+       |  FROM (SELECT DISTINCT doc_id FROM documents)),
+       |nt AS (SELECT count(*) AS n FROM idx),
+       |a AS (SELECT x.doc_id, t.j,
+       |    (x.i + 1 + ($h % (nt.n - 1))) % nt.n AS ni
+       |  FROM idx x CROSS JOIN nt CROSS JOIN generate_series(0, 1) t(j))
+       |SELECT a.doc_id, a.j AS neg_rank, y.doc_id AS neg_doc_id
+       |FROM a JOIN idx y ON a.ni = y.i
+       |ORDER BY a.doc_id, neg_rank""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_negatives" -> sampleNegativesQ,
     "corpus_sample_weighted" -> sampleWeightedQ,
     "corpus_sample_weighted_group" -> sampleWeightedGroupQ,
     "corpus_split" -> split,
@@ -416,6 +442,7 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_negatives" -> sampleNegativesSql,
     "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_sample_weighted_group" -> sampleWeightedGroupSql,
     "corpus_split" -> splitSql,

@@ -228,6 +228,29 @@ class CurationSpec extends AnyFunSuite {
     assert(j.filter($"id" === 1003L).count() == 1) // huge weight ~always wins
   }
 
+  test("sampleNegatives: k per anchor, never self, partition-invariant") {
+    val d = (0L until 97L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val negs = Curation.sampleNegatives(d, "id", k = 3, seed = "n")
+    val rows = negs.as[(Long, Int, Long)].collect()
+    assert(rows.length == 97 * 3)
+    assert(rows.forall { case (a, _, b) => a != b }, "self-pair leaked")
+    assert(rows.map(_._1).distinct.length == 97)
+    // negative ids must all be real corpus ids
+    assert(rows.forall { case (_, _, b) => b >= 0 && b < 97 })
+    // deterministic and invariant to physical partitioning
+    val again = Curation.sampleNegatives(d.repartition(11), "id", 3, "n")
+      .as[(Long, Int, Long)].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // a different seed re-pairs (some pair must move)
+    val other = Curation.sampleNegatives(d, "id", 3, "n2")
+      .as[(Long, Int, Long)].collect()
+    assert(other.sorted.toSeq != rows.sorted.toSeq)
+    // near-uniform usage: over 291 draws from 96 candidates, no id
+    // should dominate (loose bound; catches off-by-one mod bias)
+    val usage = rows.groupBy(_._3).view.mapValues(_.size).values
+    assert(usage.max <= 15, s"skewed negative usage: max ${usage.max}")
+  }
+
   test("sampleWeightedByGroup caps each group at k and respects weights") {
     val d = (0L until 300L).map(i => (i, s"g${i % 3}",
       if (i % 10 == 0) 1000.0 else 1.0)).toDF("id", "g", "w")
