@@ -539,6 +539,12 @@ final case class GFrame(df: DataFrame) {
   def knn(queries: GFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): GFrame =
     GFrame(Similarity.knnBrute(df, queries.toDF, k, idCol, vecCol))
+  /** Hard negatives: top-k most-similar vectors BELOW a near-dup
+    * ceiling — the false-negative filter of contrastive training. */
+  def hardNegatives(queries: GFrame, k: Int, maxSim: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): GFrame =
+    GFrame(Similarity.hardNegatives(df, queries.toDF, k, maxSim, idCol,
+      vecCol))
   /** Approximate top-k via sign-LSH bucket blocking (the scale path). */
   def knnLsh(queries: GFrame, k: Int, nBits: Int = 12,
       idCol: String = "vec_id", vecCol: String = "embedding"): GFrame =

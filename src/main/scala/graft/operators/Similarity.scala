@@ -46,7 +46,8 @@ object Similarity {
     * pre-reduction would only add object ser/deser to the hot path. */
   def knnBrute(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true,
+      simCeiling: Option[Double] = None): DataFrame = {
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       l2norm(col(vecCol)).as("q_norm"))
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
@@ -60,12 +61,32 @@ object Similarity {
       .filter(if (excludeSelf) col("q_id") =!= col("n_id") else lit(true))
       .withColumn("sim",
         dot(col("q_vec"), col("n_vec")) / (col("q_norm") * col("n_norm")))
+      // hard-negative ceiling (strict <): filtering BEFORE the window
+      // keeps the partial-top-k shuffle bound
+      .filter(simCeiling.map(col("sim") < _).getOrElse(lit(true)))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("n_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("n_id"), col("sim"))
   }
+
+  /** Hard-negative mining for contrastive training: for each query,
+    * the k MOST similar corpus vectors whose cosine is still BELOW
+    * `maxSim` — similar enough to be informative negatives, but under
+    * the near-duplicate ceiling where a "negative" is probably an
+    * unlabeled positive (the standard false-negative filter in dense
+    * retrieval training). Same plan shape as [[knnBrute]]: the ceiling
+    * filter runs BEFORE the per-query top-k window, so the partial
+    * WindowGroupLimit still bounds the shuffle at k·partitions rows.
+    * Compose with [[Curation.sampleNegatives]] for the uniform-random
+    * tier of a mixed easy+hard negative set. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxSim: Double, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    knnBrute(corpus, queries, k, idCol, vecCol, excludeSelf = true,
+      simCeiling = Some(maxSim))
+
 
   /** Sign-LSH hyperplanes are MATERIALIZED PLAN LITERALS (seeded PRNG,
     * deterministic — the stored "model" is k×MaxLshDims doubles, driver-

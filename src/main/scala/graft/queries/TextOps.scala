@@ -1107,6 +1107,37 @@ object TextOps extends QueryPack {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Hard-negative mining: top-3 most-similar vectors per query BELOW
+    * the 0.95 near-dup ceiling — the false-negative filter of dense
+    * retrieval training (a too-similar "negative" is probably an
+    * unlabeled positive). Same exact-cosine contract as embed_knn. */
+  def embedHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 3,
+        maxSim = 0.95)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val embedHardNegativesSql: String = {
+    val dp = "list_aggregate(list_transform(list_zip(%s, %s), " +
+      "x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), 'sum')"
+    val dqn = dp.format("q_vec", "n_vec")
+    val dqq = dp.format("q_vec", "q_vec")
+    val dnn = dp.format("n_vec", "n_vec")
+    s"""SELECT q_id, rank, n_id, sim FROM (
+       |  SELECT q_id, n_id, sim, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY sim DESC, n_id) AS rank
+       |  FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |      $dqn / (sqrt($dqq) * sqrt($dnn)) AS sim
+       |    FROM (SELECT vec_id, embedding AS q_vec FROM embeddings
+       |          WHERE vec_id < 10) q,
+       |         (SELECT vec_id, embedding AS n_vec FROM embeddings) c
+       |    WHERE q.vec_id != c.vec_id)
+       |  WHERE sim < CAST(0.95 AS DOUBLE))
+       |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** LSH-bucketed approximate KNN (the scale path). Oracle-checked: the
     * sign-LSH hyperplanes are deterministic plan literals
     * (Similarity.lshPlane), so the oracle embeds the identical doubles
@@ -1861,6 +1892,7 @@ object TextOps extends QueryPack {
     "doc_media_decode" -> mediaDecode,
     "doc_multimodal_embed" -> multimodalEmbed,
     "embed_knn" -> embedKnn,
+    "embed_hard_negatives" -> embedHardNegatives,
     "embed_knn_lsh" -> embedKnnLsh,
     "embed_knn_ivf" -> embedKnnIvf,
     "embed_neardup" -> embedNearDup,
@@ -1911,6 +1943,7 @@ object TextOps extends QueryPack {
     "doc_multimodal" -> multimodalSql,
     "doc_media_decode" -> mediaDecodeSql,
     "embed_knn" -> embedKnnSql,
+    "embed_hard_negatives" -> embedHardNegativesSql,
     "embed_knn_lsh" -> embedKnnLshSql,
     "embed_knn_ivf" -> embedKnnIvfSql,
     "embed_semdedup" -> embedSemDedupSql,

@@ -175,6 +175,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getAs[Int]("rank") == 1)
   }
 
+  test("hardNegatives caps similarity below the near-dup ceiling") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.001f)),   // near-dup of 0: cos > 0.999
+      (2L, Seq(0.9f, 0.4f)),     // similar but under the ceiling
+      (3L, Seq(0.0f, 1.0f)),     // orthogonal
+      (4L, Seq(-1.0f, 0.0f))     // opposite
+    ).toDF("vec_id", "embedding")
+    val got = Similarity
+      .hardNegatives(emb, emb.filter($"vec_id" === 0), k = 3, maxSim = 0.95)
+      .orderBy("rank").collect()
+    val ids = got.map(_.getAs[Long]("n_id")).toSeq
+    assert(!ids.contains(1L), "near-duplicate leaked into negatives")
+    assert(ids == Seq(2L, 3L, 4L), s"wrong hard-negative order: $ids")
+    assert(got.forall(_.getAs[Double]("sim") < 0.95))
+    // the plain knn WOULD have returned the near-dup first
+    val knn = Similarity.knnBrute(emb, emb.filter($"vec_id" === 0), k = 1)
+      .head.getAs[Long]("n_id")
+    assert(knn == 1L)
+  }
+
   test("knnIvf equals the former crossJoin+window assignment formulation") {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
