@@ -279,6 +279,13 @@ final case class GFrame(df: DataFrame) {
       budgetTokens, groups))
   def tfidf(idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.tfidf(df, idCol, textCol))
+  /** Per-(doc, term) Okapi BM25 (k1=1.2, b=0.75). */
+  def bm25(idCol: String, textCol: String): GFrame =
+    GFrame(graft.operators.TextPipeline.bm25(df, idCol, textCol))
+  /** HTML → text extraction in place (WET-style tag strip). */
+  def stripHtml(textCol: String): GFrame =
+    GFrame(df.withColumn(textCol,
+      graft.functions.TextFunctions.stripHtml(col(textCol))))
   def removeBoilerplate(idCol: String, textCol: String,
       minDocFrac: Double, delimRegex: String = "\n",
       joinSep: String = "\n"): GFrame =
@@ -456,6 +463,15 @@ final case class GFrame(df: DataFrame) {
       weights: Map[String, Double], seed: String): GFrame =
     GFrame(graft.operators.Curation.mixCorpora(df, sourceCol, idCol,
       weights, seed))
+  /** Temperature-balanced mixture: group share ∝ n^alpha of `budget`. */
+  def temperatureMixture(groupCol: String, idCol: String, alpha: Double,
+      budget: Long, seed: String): GFrame =
+    GFrame(graft.operators.Curation.temperatureMixture(df, groupCol,
+      idCol, alpha, budget, seed))
+  /** Percentile-banded curriculum buckets (1-based; sort-free). */
+  def curriculumBuckets(scoreCol: String, nBuckets: Int): GFrame =
+    GFrame(graft.operators.Curation.curriculumBuckets(df, scoreCol,
+      nBuckets))
   /** Highest-score survivor per duplicate group. */
   def survivorsByScore(keyCol: String, idCol: String,
       scoreCol: String): GFrame =

@@ -34,6 +34,27 @@ object TextFunctions {
     * normalize.hpp:51; DuckDB `nfc_normalize` is the oracle analog). */
   def nfc(c: Column): Column = graft.plans.UnicodeNormalize.nfc(c)
 
+  /** HTML → text extraction (north star: the first stage of every
+    * web-crawl pipeline — WET-style tag stripping, not a DOM parser):
+    * drop comments and script/style subtrees, replace remaining tags
+    * with a space (so `</p><p>` never glues words), decode the six
+    * ubiquitous entities, squeeze whitespace. Pure codegen map, zero
+    * shuffle, linear in bytes. Patterns avoid backreferences and
+    * possessives so the identical regexes run under both java.util.regex
+    * and RE2 (the DuckDB oracle). */
+  def stripHtml(c: Column): Column = {
+    val noScript = regexp_replace(
+      regexp_replace(
+        regexp_replace(c, "(?s)<!--.*?-->", " "),
+        "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]*>", " ")
+    val decoded = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&") // &amp; LAST
+      .foldLeft(noTags) { case (acc, (ent, ch)) => replace(acc, lit(ent), lit(ch)) }
+    normalizeWs(decoded)
+  }
+
   /** Accent stripping: NFD-decompose then drop combining marks (Mn) —
     * the reference couples this with lower-casing (normalize.hpp:70). */
   def stripAccents(c: Column): Column =

@@ -120,6 +120,74 @@ object Curation {
     df.filter(hashUnit(col(idCol), seed) < w)
   }
 
+  /** Temperature-balanced mixture (the multilingual p ∝ n^α resampling
+    * rule of XLM/mT5, Conneau & Lample 2019 §3.1): group g with n_g rows
+    * gets target share p_g = n_g^α / Σ_h n_h^α of a `budget`-row output,
+    * realized as a deterministic keep-rate r_g = min(1, budget·p_g/n_g)
+    * over [[hashUnit]]. α = 1 preserves natural proportions, α → 0
+    * approaches uniform-over-groups — small sources are upsampled
+    * relative to their natural share, capped at keeping all their rows
+    * (this is sampling WITHOUT replacement; rates never exceed 1).
+    *
+    * Plan shape: one group-keyed count (tiny — group-cardinality rows),
+    * its 1-row Σ n^α aggregate broadcast back over it, and the rate
+    * table broadcast-joined into a codegen filter — at 100 TB the corpus
+    * is touched by exactly one count pass and one filter pass, nothing
+    * pair-shaped, nothing driver-side.
+    *
+    * α = 0.5 computes n^α as sqrt(n) — IEEE-exact and engine-portable
+    * (oracle-checkable); other α use pow (libm, rows-only by policy). */
+  def temperatureMixture(df: DataFrame, groupCol: String, idCol: String,
+      alpha: Double, budget: Long, seed: String): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "need 0 < alpha <= 1")
+    require(budget > 0, "need budget > 0")
+    def pw(c: Column): Column =
+      if (alpha == 0.5) sqrt(c.cast("double"))
+      else if (alpha == 1.0) c.cast("double")
+      else pow(c.cast("double"), lit(alpha))
+    val cnts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n_g"))
+    // Σ n^α in exact decimal (order-independent): a double sum's value
+    // depends on partial-aggregate order, and every keep-rate — hence
+    // every sampling decision — derives from this one scalar.
+    val tot = cnts.agg(
+      sum(pw(col("_n_g")).cast(org.apache.spark.sql.types.DecimalType(28, 8)))
+        .cast("double").as("_w_sum"))
+    val rates = cnts.crossJoin(broadcast(tot))
+      .select(col(groupCol),
+        least(lit(1.0), lit(budget.toDouble) * (pw(col("_n_g")) /
+          col("_w_sum")) / col("_n_g")).as("_rate"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashUnit(col(idCol), seed) < col("_rate"))
+      .drop("_rate")
+  }
+
+  /** Curriculum buckets: assign each row to one of `nBuckets` score
+    * bands split at the exact corpus percentiles — the
+    * easy-to-hard ordering stage of curriculum training. Unlike
+    * `ntile() OVER (ORDER BY score)` — whose unpartitioned window
+    * funnels the whole corpus through ONE reducer — the cutoffs are a
+    * 1-row exact-percentile aggregate broadcast into a codegen band
+    * lookup: one scan to rank, one map to label, no global sort.
+    * Ties share a bucket (deterministic; band populations may then be
+    * uneven — the price of a sort-free plan, documented). Buckets are
+    * 1-based; NULL scores get NULL. */
+  def curriculumBuckets(df: DataFrame, scoreCol: String, nBuckets: Int,
+      bucketCol: String = "bucket"): DataFrame = {
+    require(nBuckets >= 2, "need nBuckets >= 2")
+    val cutNames = (1 until nBuckets).map(i => s"__cut_$i")
+    val cuts = df.agg(
+      pctl(scoreCol, 1.0 / nBuckets).as(cutNames.head),
+      (2 until nBuckets).map(i =>
+        pctl(scoreCol, i.toDouble / nBuckets).as(s"__cut_$i")): _*)
+    val v = col(scoreCol).cast("double")
+    val band = cutNames.zipWithIndex.foldRight(lit(nBuckets): Column) {
+      case ((cut, i), rest) => when(v <= col(cut), lit(i + 1)).otherwise(rest)
+    }
+    df.crossJoin(broadcast(cuts))
+      .withColumn(bucketCol, when(v.isNull, lit(null)).otherwise(band))
+      .drop(cutNames: _*)
+  }
+
   /** Weighted sampling WITHOUT replacement via priority sampling
     * (sequential Poisson — Ohlsson 1998; Duffield–Lund–Thorup 2005):
     * each row gets priority q = u / w with u = [[hashUnit]](seed, id)

@@ -37,6 +37,44 @@ object TextPipeline {
         (col("tf") * idf).as("tfidf"))
   }
 
+  /** Per-(doc, term) Okapi BM25 — the relevance/selection score behind
+    * retrieval-based data curation (and the lexical half of hybrid
+    * search). Same shuffle budget as [[tfidf]] plus one per-doc length
+    * column: tokenize ONCE, fold to (doc, term, tf) carrying the doc
+    * length through the groupBy key (dl is functionally dependent on
+    * doc, so the extra key adds no groups), join term document
+    * frequencies, broadcast the 1-row corpus aggregate (N, avgdl).
+    * Nothing driver-side; vocabulary-bounded shuffles only.
+    *
+    * `logIdf = false` uses the rational Robertson idf
+    * (N − df + 0.5)/(df + 0.5) — exact IEEE arithmetic, DuckDB-oracle-
+    * safe. `true` is the standard ln(1 + that) (libm: excluded from
+    * oracles by policy, unit-tested against math.log). */
+  def bm25(df: DataFrame, idCol: String, textCol: String,
+      k1: Double = 1.2, b: Double = 0.75,
+      logIdf: Boolean = true): DataFrame = {
+    val toks = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("_t"))
+      .withColumn("dl", size(col("_t")))
+    val tf = toks
+      .select(col("doc"), col("dl"), explode(col("_t")).as("term"))
+      .groupBy(col("doc"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_t")) // tf rows are distinct (doc,term)
+    val corpus = toks.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("_dl_sum"))
+    val rawIdf = (col("n_docs").cast("double") - col("df_t") + lit(0.5)) /
+      (col("df_t") + lit(0.5))
+    val idf = if (logIdf) log(rawIdf + lit(1.0)) else rawIdf
+    val avgdl = col("_dl_sum").cast("double") / col("n_docs")
+    val tfSat = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * (col("dl") / avgdl)))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(corpus))
+      .select(col("doc"), col("term"), col("tf"), col("dl"), col("df_t"),
+        (idf * tfSat).as("bm25"))
+  }
+
   /** Split documents into fixed-size token windows with overlap — the
     * standard pre-tokenization chunking step for LLM training data.
     * Stride = chunkSize − overlap; the tail chunk may be short but is

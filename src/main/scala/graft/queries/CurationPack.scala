@@ -423,7 +423,58 @@ object CurationPack extends QueryPack {
        |ORDER BY a.doc_id, neg_rank""".stripMargin
   }
 
+  // -- temperature-balanced mixture (p ∝ n^alpha resampling) ---------------
+
+  /** α=0.5 language rebalancing over the skewed `lang` column with a
+    * 400-row budget: `en` (218 docs) keeps ~56%, `fr` (64 docs) hits
+    * the min(1,·) cap — both regimes exercised. Fully hash-checkable:
+    * rates derive from sqrt (IEEE-exact) over a decimal-exact Σ√n. */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame =
+    Curation.temperatureMixture(Tables.documents(s, dir), "lang", "doc_id",
+        alpha = 0.5, budget = 400, seed = "graft-temp")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+
+  val temperatureMixSql: String =
+    s"""WITH cnts AS (SELECT lang, count(*) AS n_g FROM documents GROUP BY lang),
+       |tot AS (SELECT CAST(CAST(sum(CAST(sqrt(CAST(n_g AS DOUBLE))
+       |                 AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE) AS w_sum
+       |        FROM cnts),
+       |rates AS (SELECT lang,
+       |    least(1.0, 400.0 * (sqrt(CAST(n_g AS DOUBLE)) / w_sum)
+       |          / CAST(n_g AS DOUBLE)) AS rate
+       |  FROM cnts, tot)
+       |SELECT d.doc_id, d.lang
+       |FROM documents d JOIN rates r USING (lang)
+       |WHERE ${uSql("doc_id", "graft-temp")} < rate
+       |ORDER BY doc_id""".stripMargin
+
+  // -- curriculum buckets (broadcast-percentile bands, not ntile) ----------
+
+  /** Quartile difficulty bands over document length — the sort-free
+    * curriculum-ordering stage: exact percentile cutoffs broadcast into
+    * a codegen band lookup (an unpartitioned ntile window would funnel
+    * the corpus through one reducer). */
+  def curriculumQ(s: SparkSession, dir: String): DataFrame =
+    Curation.curriculumBuckets(Tables.documents(s, dir), "n_chars", 4)
+      .select(col("doc_id"), col("n_chars"), col("bucket"))
+      .orderBy(col("doc_id"))
+
+  val curriculumSql: String =
+    """SELECT doc_id, n_chars,
+      |  CASE WHEN CAST(n_chars AS DOUBLE) <= c1 THEN 1
+      |       WHEN CAST(n_chars AS DOUBLE) <= c2 THEN 2
+      |       WHEN CAST(n_chars AS DOUBLE) <= c3 THEN 3
+      |       ELSE 4 END AS bucket
+      |FROM documents, (SELECT quantile_cont(n_chars, 0.25) AS c1,
+      |                        quantile_cont(n_chars, 0.50) AS c2,
+      |                        quantile_cont(n_chars, 0.75) AS c3
+      |                 FROM documents) cuts
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_temperature_mix" -> temperatureMix,
+    "corpus_curriculum" -> curriculumQ,
     "corpus_negatives" -> sampleNegativesQ,
     "corpus_sample_weighted" -> sampleWeightedQ,
     "corpus_sample_weighted_group" -> sampleWeightedGroupQ,
@@ -442,6 +493,8 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_temperature_mix" -> temperatureMixSql,
+    "corpus_curriculum" -> curriculumSql,
     "corpus_negatives" -> sampleNegativesSql,
     "corpus_sample_weighted" -> sampleWeightedSql,
     "corpus_sample_weighted_group" -> sampleWeightedGroupSql,

@@ -761,6 +761,72 @@ object TextOps extends QueryPack {
     * the rational-idf variant (N/df — exact arithmetic); the standard
     * ln-idf is the operator default, unit-tested (libm excluded from
     * oracles by policy). */
+  /** Okapi BM25 (rational Robertson idf — exact IEEE, hash-checkable;
+    * the ln variant is the library default, excluded by libm policy). */
+  def bm25Q(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.bm25(
+        Tables.documents(s, dir).filter(col("doc_id") < 100),
+        "doc_id", "text", logIdf = false)
+      .withColumn("dl", col("dl").cast("long")) // oracle len() is BIGINT
+      .orderBy(col("doc"), col("term"))
+
+  val bm25Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id AS doc, $toksSql AS t
+       |  FROM documents WHERE doc_id < 100),
+       |tf AS (
+       |  SELECT doc, dl, term, count(*) AS tf FROM (
+       |    SELECT doc, len(t) AS dl, unnest(t) AS term FROM toks)
+       |  GROUP BY doc, dl, term),
+       |dfreq AS (SELECT term, count(*) AS df_t FROM tf GROUP BY term),
+       |corpus AS (SELECT count(*) AS n_docs, sum(len(t)) AS dl_sum
+       |           FROM toks)
+       |SELECT doc, term, tf, CAST(dl AS BIGINT) AS dl, df_t,
+       |  ((CAST(n_docs AS DOUBLE) - df_t + 0.5) / (df_t + 0.5)) *
+       |  ((tf * (CAST(1.2 AS DOUBLE) + 1.0)) /
+       |   (tf + CAST(1.2 AS DOUBLE) * ((1.0 - 0.75) + 0.75 *
+       |      (dl / (CAST(dl_sum AS DOUBLE) / n_docs))))) AS bm25
+       |FROM tf JOIN dfreq USING (term), corpus
+       |ORDER BY doc, term""".stripMargin
+
+  /** HTML → text extraction: the WET-style tag strip over a
+    * deterministically constructed wrapper (the synthetic corpus has no
+    * markup of its own), exercising comment/script/style removal, tag
+    * spacing, and entity decode in both engines. */
+  def stripHtmlQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") < 200)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.stripHtml(concat(
+          lit("<html><head><style>p{color:red}</style></head>" +
+            "<body><!-- nav\nbar --><p class=\"x\">"),
+          col("text"),
+          lit("</p><script>var x = 1 < 2;</script>" +
+            "&amp;&nbsp;&lt;tail&gt;&quot;&#39;</body></html>")))
+          .as("clean"))
+      .orderBy(col("doc_id"))
+
+  val stripHtmlSql: String = {
+    val wrapped =
+      "'<html><head><style>p{color:red}</style></head>" +
+        "<body><!-- nav" + "\n" + "bar --><p class=\"x\">' || text || " +
+        "'</p><script>var x = 1 < 2;</script>" +
+        "&amp;&nbsp;&lt;tail&gt;&quot;&#39;</body></html>'"
+    raw"""SELECT doc_id, trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(
+         |      regexp_replace(
+         |        regexp_replace(
+         |          regexp_replace($wrapped, '(?s)<!--.*?-->', ' ', 'g'),
+         |          '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+         |        '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '<[^>]*>', ' ', 'g'),
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+         |    '&quot;', '"'), '&#39;', ''''), '&amp;', '&'),
+         |  '\s+', ' ', 'g')) AS clean
+         |FROM documents WHERE doc_id < 200
+         |ORDER BY doc_id""".stripMargin
+  }
+
   def tfidfQ(s: SparkSession, dir: String): DataFrame =
     graft.operators.TextPipeline.tfidf(
         Tables.documents(s, dir).filter(col("doc_id") < 100),
@@ -1853,6 +1919,8 @@ object TextOps extends QueryPack {
     "doc_token_ids" -> tokenIds,
     "doc_detok" -> detok,
     "doc_tfidf" -> tfidfQ,
+    "doc_bm25" -> bm25Q,
+    "doc_strip_html" -> stripHtmlQ,
     "doc_chunks" -> chunksQ,
     "doc_chunk_dedup" -> chunkDedup,
     "doc_wordpiece" -> wordpiece,
@@ -1910,6 +1978,8 @@ object TextOps extends QueryPack {
     "doc_token_ids" -> tokenIdsSql,
     "doc_detok" -> detokSql,
     "doc_tfidf" -> tfidfSql,
+    "doc_bm25" -> bm25Sql,
+    "doc_strip_html" -> stripHtmlSql,
     "doc_chunks" -> chunksSql,
     "doc_chunk_dedup" -> chunkDedupSql,
     "doc_dedup_exact" -> dedupExactSql,

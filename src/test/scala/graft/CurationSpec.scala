@@ -264,4 +264,53 @@ class CurationSpec extends AnyFunSuite {
       d.repartition(7), "g", "id", "w", 5, "q")
     assert(s.except(again).isEmpty && again.except(s).isEmpty)
   }
+
+  test("temperatureMixture upsamples small groups and caps rates at 1") {
+    // 320 'big' rows vs 80 'small': alpha=0.5 targets shares ∝ sqrt(n),
+    // so small keeps a HIGHER fraction of its rows than big
+    val d = ((0L until 320L).map(i => (i, "big")) ++
+      (320L until 400L).map(i => (i, "small"))).toDF("id", "g")
+    val s = Curation.temperatureMixture(d, "g", "id",
+      alpha = 0.5, budget = 200, seed = "t1")
+    val per = s.groupBy("g").count().as[(String, Long)].collect().toMap
+    val fracBig = per.getOrElse("big", 0L).toDouble / 320.0
+    val fracSmall = per.getOrElse("small", 0L).toDouble / 80.0
+    assert(fracSmall > fracBig,
+      s"small should keep a larger fraction: $fracSmall vs $fracBig")
+    // expected rates: sqrt(320)=17.89, sqrt(80)=8.94, sum=26.83
+    // big: 200*(17.89/26.83)/320 = 0.417; small: 200*(8.94/26.83)/80 = 0.833
+    assert(math.abs(fracBig - 0.417) < 0.15 &&
+      math.abs(fracSmall - 0.833) < 0.15)
+    // a huge budget caps every rate at 1 → everything kept
+    val all = Curation.temperatureMixture(d, "g", "id", 0.5, 10000L, "t1")
+    assert(all.count() == 400)
+    // deterministic under repartition
+    val again = Curation.temperatureMixture(
+      d.repartition(7), "g", "id", 0.5, 200L, "t1")
+    assert(s.except(again).isEmpty && again.except(s).isEmpty)
+    // alpha=1 preserves natural proportions: rates equal across groups
+    val nat = Curation.temperatureMixture(d, "g", "id", 1.0, 200L, "n1")
+    val perN = nat.groupBy("g").count().as[(String, Long)].collect().toMap
+    val fb = perN("big") / 320.0; val fs = perN("small") / 80.0
+    assert(math.abs(fb - fs) < 0.15, s"alpha=1 skewed: $fb vs $fs")
+  }
+
+  test("curriculumBuckets bands by exact percentiles, null-safe") {
+    val d = ((1 to 100).map(i => (i.toLong, Some(i.toDouble))) :+
+      (101L, Option.empty[Double])).toDF("id", "score")
+    val b = Curation.curriculumBuckets(d, "score", 4)
+    val rows = b.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(r.fieldIndex("bucket"))) -1
+       else r.getInt(r.fieldIndex("bucket")))).toMap
+    // exact quartiles of 1..100: q25=25.75, q50=50.5, q75=75.25
+    assert(rows(25) == 1 && rows(26) == 2)
+    assert(rows(50) == 2 && rows(51) == 3)
+    assert(rows(75) == 3 && rows(76) == 4 && rows(100) == 4)
+    assert(rows(101) == -1, "null score must get null bucket")
+    // ties collapse into one band: constant column → everything bucket 1
+    val const = (1L to 50L).map((_, 7.0)).toDF("id", "score")
+    val cb = Curation.curriculumBuckets(const, "score", 4)
+    assert(cb.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
+      == Seq(1))
+  }
 }

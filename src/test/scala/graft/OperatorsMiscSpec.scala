@@ -59,6 +59,30 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(got((2L, "c")) == ((1L, 1L, 1.0 * math.log(2.0))))
   }
 
+  test("bm25 matches hand computation on a tiny corpus") {
+    import graft.operators.TextPipeline
+    val docs = Seq((1L, "a b a"), (2L, "a c")).toDF("doc_id", "text")
+    // N=2, dl=(3,2), avgdl=2.5; df(a)=2, df(b)=df(c)=1
+    val k1 = 1.2; val b = 0.75
+    def sat(tf: Long, dl: Int): Double =
+      (tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / 2.5)))
+    def idfRat(dfT: Long): Double = (2.0 - dfT + 0.5) / (dfT + 0.5)
+    val got = TextPipeline.bm25(docs, "doc_id", "text", logIdf = false)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getAs[Double]("bm25")).toMap
+    assert(math.abs(got((1L, "a")) - idfRat(2) * sat(2, 3)) < 1e-15)
+    assert(math.abs(got((1L, "b")) - idfRat(1) * sat(1, 3)) < 1e-15)
+    assert(math.abs(got((2L, "c")) - idfRat(1) * sat(1, 2)) < 1e-15)
+    // log variant: ln(1 + rational idf)
+    val lg = TextPipeline.bm25(docs, "doc_id", "text", logIdf = true)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getAs[Double]("bm25")).toMap
+    assert(math.abs(lg((1L, "b")) - math.log(idfRat(1) + 1.0) * sat(1, 3))
+      < 1e-15)
+    // rarer term outscores a common one at equal tf and dl
+    assert(lg((1L, "b")) > lg((1L, "a")) / 2 && got((1L, "b")) > got((2L, "a")))
+  }
+
   test("chunkDocuments covers every token with the right stride and overlap") {
     import graft.operators.TextPipeline
     val text = (1 to 11).map(i => s"t$i").mkString(" ")

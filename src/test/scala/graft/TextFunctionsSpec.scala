@@ -14,6 +14,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Seq("the", "fast", "fox"))
   }
 
+  test("stripHtml drops tags/comments/script/style and decodes entities") {
+    val html = "<html><body><!-- nav\nbar --><style>p{}</style>" +
+      "<p>Hello&nbsp;<b>world</b></p><script>if(1 < 2){alert('x')}</script>" +
+      "R&amp;D &lt;ok&gt; &quot;q&#39;s&quot;</body></html>"
+    val got = Seq(html).toDF("text")
+      .select(stripHtml($"text")).as[String].head()
+    assert(got == "Hello world R&D <ok> \"q's\"", got)
+    // tags become word boundaries, never gluing adjacent words
+    val glued = Seq("<p>one</p><p>two</p>").toDF("text")
+      .select(stripHtml($"text")).as[String].head()
+    assert(glued == "one two")
+    // plain text passes through modulo whitespace normalization
+    val plain = Seq("just  text").toDF("text")
+      .select(stripHtml($"text")).as[String].head()
+    assert(plain == "just text")
+  }
+
   test("fingerprint is invariant to token order and duplication") {
     val df = Seq("a b c", "c b a a", "a b d").toDF("text")
       .select(fingerprint($"text").as("fp")).as[String].collect()
