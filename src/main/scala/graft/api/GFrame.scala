@@ -279,6 +279,25 @@ final case class GFrame(df: DataFrame) {
       budgetTokens, groups))
   def tfidf(idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.tfidf(df, idCol, textCol))
+  /** Corpus n-gram diversity (distinct-n) per group, n = 1..maxN. */
+  def ngramDiversity(groupCol: String, textCol: String,
+      maxN: Int = 3): GFrame =
+    GFrame(graft.operators.TextPipeline.ngramDiversity(df, groupCol,
+      textCol, maxN))
+  /** Per-doc OOV rate against the corpus's own top-k tokens. */
+  def oovStats(idCol: String, textCol: String, vocabSize: Int): GFrame =
+    GFrame(graft.operators.TextPipeline.oovStats(df, idCol, textCol,
+      vocabSize))
+  /** Snapshot diff vs a newer corpus version (added/removed/changed). */
+  def corpusDiff(newer: GFrame, idCol: String, textCol: String,
+      includeUnchanged: Boolean = false): GFrame =
+    GFrame(graft.operators.Curation.corpusDiff(df, newer.toDF, idCol,
+      textCol, includeUnchanged))
+  /** First-k-per-key-per-event-time-window rate quota. */
+  def quotaPerKeyWindow(keyCol: String, tsCol: String,
+      windowDuration: String, k: Int, tieBreakCol: String): GFrame =
+    GFrame(graft.operators.Throttle.quotaPerKeyWindow(df, keyCol, tsCol,
+      windowDuration, k, tieBreakCol))
   /** Per-(doc, term) Okapi BM25 (k1=1.2, b=0.75). */
   def bm25(idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.bm25(df, idCol, textCol))

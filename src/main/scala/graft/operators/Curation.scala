@@ -120,6 +120,29 @@ object Curation {
     df.filter(hashUnit(col(idCol), seed) < w)
   }
 
+  /** Snapshot diff between two corpus versions keyed by `idCol` — the
+    * dataset-versioning primitive (what changed between crawl N and
+    * crawl N+1 before re-running downstream curation): `added` (id only
+    * in the new version), `removed` (only in the old), `changed`
+    * (content digest differs), optionally `unchanged`. One id-keyed
+    * full outer join of md5 digests — content never shuffles, only
+    * (id, 32-byte digest); at 100 TB the cost is two scans plus one
+    * join on the id key. Compose with [[graft.operators.Dedup]]'s
+    * delta passes to re-curate only the `added`/`changed` slice. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      textCol: String, includeUnchanged: Boolean = false): DataFrame = {
+    val o = oldDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_od"))
+    val n = newDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_nd"))
+    val st = when(col("_od").isNull, lit("added"))
+      .when(col("_nd").isNull, lit("removed"))
+      .when(col("_od") =!= col("_nd"), lit("changed"))
+      .otherwise(lit("unchanged"))
+    val joined = o.join(n, Seq("_id"), "full_outer")
+      .select(col("_id").as(idCol), st.as("status"))
+    if (includeUnchanged) joined
+    else joined.filter(col("status") =!= "unchanged")
+  }
+
   /** Temperature-balanced mixture (the multilingual p ∝ n^α resampling
     * rule of XLM/mT5, Conneau & Lample 2019 §3.1): group g with n_g rows
     * gets target share p_g = n_g^α / Σ_h n_h^α of a `budget`-row output,

@@ -75,6 +75,56 @@ object TextPipeline {
         (idf * tfSat).as("bm25"))
   }
 
+  /** Corpus n-gram diversity per group (north star: the distinct-n /
+    * mode-collapse metric for synthetic-data QA — a generator stuck in
+    * loops shows collapsing distinct-ratios at higher n): for each
+    * (group, n ≤ maxN), total n-grams, distinct n-grams, and their
+    * ratio. ONE tokenize pass — every order's grams are tagged (n, gram)
+    * in-row and exploded together; counting is two-phase (gram-keyed
+    * partial, then group-keyed fold), so no countDistinct expand and the
+    * shuffle is vocabulary-bounded. */
+  def ngramDiversity(df: DataFrame, groupCol: String, textCol: String,
+      maxN: Int = 3): DataFrame = {
+    require(maxN >= 1, "need maxN >= 1")
+    val toks = df.select(col(groupCol), tokens(col(textCol)).as("_t"))
+    val tagged = (1 to maxN).map { n =>
+      val grams =
+        if (n == 1) col("_t")
+        else graft.functions.TextFunctions.tokenNgrams("_t", n)
+      transform(grams, g => struct(lit(n).as("n"), g.as("gram")))
+    }
+    toks.select(col(groupCol), explode(concat(tagged: _*)).as("ng"))
+      .select(col(groupCol), col("ng.n").as("n"), col("ng.gram").as("gram"))
+      .groupBy(col(groupCol), col("n"), col("gram"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(groupCol), col("n"))
+      .agg(sum(col("_c")).as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"))
+      .withColumn("distinct_ratio",
+        col("distinct_ngrams").cast("double") / col("total_ngrams"))
+  }
+
+  /** Out-of-vocabulary rate per document against the corpus's own
+    * top-`vocabSize` tokens — tokenizer-coverage diagnostics (which
+    * documents a fixed vocab serves badly; rising corpus OOV over crawls
+    * signals domain drift). Vocabulary selection is a distributed
+    * partial top-k (TakeOrderedAndProject on (count, token) — no global
+    * sort), broadcast back over the exploded corpus; one token-keyed
+    * count shuffle + one doc-keyed fold. */
+  def oovStats(df: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val base = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val vocab = base.groupBy(col("tok")).agg(count(lit(1)).as("_cnt"))
+      .orderBy(col("_cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("_in"))
+    base.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in").isNull, 1).otherwise(0)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens"))
+  }
+
   /** Split documents into fixed-size token windows with overlap — the
     * standard pre-tokenization chunking step for LLM training data.
     * Stride = chunkSize − overlap; the tail chunk may be short but is

@@ -293,7 +293,29 @@ object EventOps extends QueryPack {
       |  GROUP BY 1, 2)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Per-key rate quota: first 3 events per user per event-time day
+    * (ingestion throttling; WindowGroupLimit bounds the shuffle at
+    * k·partitions rows per (user, day) however hard a key floods). */
+  def quota(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Throttle.quotaPerKeyWindow(Tables.events(s, dir),
+        "user_id", "ts", "1 day", k = 3, tieBreakCol = "event_id")
+      .select(col("user_id"),
+        expr("unix_micros(ts) div 86400000000").as("win_id"),
+        col("event_id"), col("seq_in_window").cast("long").as("seq_in_window"))
+      .orderBy(col("user_id"), col("win_id"), col("seq_in_window"))
+
+  val quotaSql: String =
+    """SELECT user_id, win_id, event_id, seq_in_window FROM (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS win_id, event_id,
+      |    row_number() OVER (
+      |      PARTITION BY user_id, epoch_us(ts) // 86400000000
+      |      ORDER BY ts, event_id) AS seq_in_window
+      |  FROM events)
+      |WHERE seq_in_window <= 3
+      |ORDER BY user_id, win_id, seq_in_window""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_quota" -> quota,
     "events_transitions" -> transitions,
     "events_funnel" -> funnel,
     "events_sessionize" -> sessionize,
@@ -305,6 +327,7 @@ object EventOps extends QueryPack {
     "events_hopping" -> hopping)
 
   override def oracle: Map[String, String] = Map(
+    "events_quota" -> quotaSql,
     "events_transitions" -> transitionsSql,
     "events_funnel" -> funnelSql,
     "events_sessionize" -> sessionizeSql,

@@ -761,6 +761,90 @@ object TextOps extends QueryPack {
     * the rational-idf variant (N/df — exact arithmetic); the standard
     * ln-idf is the operator default, unit-tested (libm excluded from
     * oracles by policy). */
+  /** Corpus n-gram diversity per language, n=1..3 — the distinct-n
+    * mode-collapse metric for synthetic-data QA. */
+  def ngramDiversityQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.ngramDiversity(
+        Tables.documents(s, dir), "lang", "text", maxN = 3)
+      .orderBy(col("lang"), col("n"))
+
+  val ngramDiversitySql: String = {
+    def gramsN(n: Int) =
+      s"unnest(list_transform(generate_series(1, greatest(len(t) - ${n - 1}, 0)), " +
+        s"i -> array_to_string(t[i:i+${n - 1}], chr(31))))"
+    s"""WITH toks AS (SELECT lang, $toksSql AS t FROM documents),
+       |grams AS (
+       |  SELECT lang, 1 AS n, unnest(t) AS gram FROM toks
+       |  UNION ALL SELECT lang, 2 AS n, ${gramsN(2)} AS gram FROM toks
+       |  UNION ALL SELECT lang, 3 AS n, ${gramsN(3)} AS gram FROM toks),
+       |counted AS (
+       |  SELECT lang, n, gram, count(*) AS c FROM grams GROUP BY 1, 2, 3)
+       |SELECT lang, n, CAST(sum(c) AS BIGINT) AS total_ngrams,
+       |  CAST(count(*) AS BIGINT) AS distinct_ngrams,
+       |  CAST(count(*) AS DOUBLE) / CAST(sum(c) AS BIGINT) AS distinct_ratio
+       |FROM counted GROUP BY lang, n
+       |ORDER BY lang, n""".stripMargin
+  }
+
+  /** Per-document OOV rate against the corpus's own top-200 tokens
+    * (tokenizer-coverage diagnostics; vocabulary selection is a
+    * distributed partial top-k, no global sort). */
+  def oovQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextPipeline.oovStats(
+        Tables.documents(s, dir), "doc_id", "text", vocabSize = 200)
+      .orderBy(col("doc_id"))
+
+  val oovSql: String =
+    s"""WITH base AS (SELECT doc_id, unnest($toksSql) AS tok FROM documents),
+       |vocab AS (
+       |  SELECT tok FROM (SELECT tok, count(*) AS cnt FROM base GROUP BY tok)
+       |  ORDER BY cnt DESC, tok LIMIT 200)
+       |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_oov,
+       |  CAST(sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / count(*) AS oov_rate
+       |FROM base b LEFT JOIN vocab v USING (tok)
+       |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+
+  /** Corpus snapshot diff: old = full corpus; new = drop doc_id < 10
+    * (removed), mutate doc_id % 50 = 0 (changed), append 5 fresh ids
+    * (added) — both versions derived deterministically in each engine. */
+  def corpusDiffQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val old = docs.select(col("doc_id"), col("text"))
+    val mutated = docs.filter(col("doc_id") >= 10)
+      .select(col("doc_id"),
+        when(col("doc_id") % 50 === 0, concat(col("text"), lit(" [edited]")))
+          .otherwise(col("text")).as("text"))
+    val added = docs.filter(col("doc_id") < 5)
+      .select((col("doc_id") + lit(1000000)).as("doc_id"), col("text"))
+    graft.operators.Curation.corpusDiff(old, mutated.union(added),
+        "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  val corpusDiffSql: String =
+    """WITH oldv AS (SELECT doc_id, md5(text) AS d FROM documents),
+      |newv AS (
+      |  SELECT doc_id, md5(CASE WHEN doc_id % 50 = 0
+      |    THEN text || ' [edited]' ELSE text END) AS d
+      |  FROM documents WHERE doc_id >= 10
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, md5(text) AS d
+      |  FROM documents WHERE doc_id < 5)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.d IS NULL THEN 'added'
+      |       WHEN n.d IS NULL THEN 'removed'
+      |       WHEN o.d != n.d THEN 'changed'
+      |       ELSE 'unchanged' END AS status
+      |FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+      |WHERE (CASE WHEN o.d IS NULL THEN 'added'
+      |       WHEN n.d IS NULL THEN 'removed'
+      |       WHEN o.d != n.d THEN 'changed'
+      |       ELSE 'unchanged' END) != 'unchanged'
+      |ORDER BY doc_id""".stripMargin
+
   /** Okapi BM25 (rational Robertson idf — exact IEEE, hash-checkable;
     * the ln variant is the library default, excluded by libm policy). */
   def bm25Q(s: SparkSession, dir: String): DataFrame =
@@ -1921,6 +2005,9 @@ object TextOps extends QueryPack {
     "doc_tfidf" -> tfidfQ,
     "doc_bm25" -> bm25Q,
     "doc_strip_html" -> stripHtmlQ,
+    "doc_ngram_diversity" -> ngramDiversityQ,
+    "doc_oov" -> oovQ,
+    "corpus_diff" -> corpusDiffQ,
     "doc_chunks" -> chunksQ,
     "doc_chunk_dedup" -> chunkDedup,
     "doc_wordpiece" -> wordpiece,
@@ -1980,6 +2067,9 @@ object TextOps extends QueryPack {
     "doc_tfidf" -> tfidfSql,
     "doc_bm25" -> bm25Sql,
     "doc_strip_html" -> stripHtmlSql,
+    "doc_ngram_diversity" -> ngramDiversitySql,
+    "doc_oov" -> oovSql,
+    "corpus_diff" -> corpusDiffSql,
     "doc_chunks" -> chunksSql,
     "doc_chunk_dedup" -> chunkDedupSql,
     "doc_dedup_exact" -> dedupExactSql,

@@ -265,6 +265,18 @@ class CurationSpec extends AnyFunSuite {
     assert(s.except(again).isEmpty && again.except(s).isEmpty)
   }
 
+  test("corpusDiff classifies added/removed/changed by content digest") {
+    val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val nw = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val got = Curation.corpusDiff(old, nw, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 3L -> "changed", 4L -> "added"))
+    val full = Curation.corpusDiff(old, nw, "doc_id", "text",
+      includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full(2L) == "unchanged" && full.size == 4)
+  }
+
   test("temperatureMixture upsamples small groups and caps rates at 1") {
     // 320 'big' rows vs 80 'small': alpha=0.5 targets shares ∝ sqrt(n),
     // so small keeps a HIGHER fraction of its rows than big

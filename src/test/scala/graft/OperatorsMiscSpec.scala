@@ -182,6 +182,74 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(tr.getSeq[Int](2) == Seq(1, 1, 1, 1))
   }
 
+  test("quotaPerKeyWindow keeps first k per key per window with a deterministic tiebreak") {
+    import graft.operators.Throttle
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      (1L, t("2024-01-01 00:01:00"), 101L),
+      (1L, t("2024-01-01 00:02:00"), 103L),
+      (1L, t("2024-01-01 00:02:00"), 102L), // ts tie → event_id breaks it
+      (1L, t("2024-01-01 00:03:00"), 104L),
+      (1L, t("2024-01-01 01:05:00"), 105L), // next window: quota resets
+      (2L, t("2024-01-01 00:30:00"), 201L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = Throttle.quotaPerKeyWindow(df, "user_id", "ts", "1 hour",
+        k = 2, tieBreakCol = "event_id")
+      .select($"event_id", $"seq_in_window")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(101L -> 1, 102L -> 2, 105L -> 1, 201L -> 1), got)
+  }
+
+  test("quotaStream admits first k per (key, window) across micro-batches") {
+    import graft.operators.Throttle
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val grouped = input.toDS()
+      .map(r => Throttle.QuotaIn(r._1, r._2, r._3))
+      .groupByKey(q => (q.key, q.winStart))
+    val out = Throttle.quotaStream(grouped, k = 2)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("quota_out").start()
+    try {
+      input.addData((1L, 0L, 1L), (1L, 0L, 2L), (1L, 0L, 3L))
+      q.processAllAvailable()
+      // state persists: a later batch can't refill window (1, 0)
+      input.addData((1L, 0L, 4L), (1L, 60L, 5L), (2L, 0L, 6L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, winStart, eventId, seqInWindow FROM quota_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows == Set((1L, 0L, 1L, 1L), (1L, 0L, 2L, 2L),
+        (1L, 60L, 5L, 1L), (2L, 0L, 6L, 1L)), rows)
+    } finally q.stop()
+  }
+
+  test("ngramDiversity counts totals and distincts per group and order") {
+    import graft.operators.TextPipeline
+    val docs = Seq(("en", "a b a b"), ("en", "a b c")).toDF("lang", "text")
+    val got = TextPipeline.ngramDiversity(docs, "lang", "text", maxN = 3)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getLong(3))).toMap
+    // n=1: a,b,a,b + a,b,c → 7 total, {a,b,c} distinct
+    assert(got(1) == ((7L, 3L)))
+    // n=2: {ab,ba,ab} + {ab,bc} → 5 total, {ab,ba,bc} distinct
+    assert(got(2) == ((5L, 3L)))
+    // n=3: {aba,bab} + {abc} → 3 total, all distinct
+    assert(got(3) == ((3L, 3L)))
+  }
+
+  test("oovStats measures corpus-vocab coverage per doc") {
+    import graft.operators.TextPipeline
+    val docs = Seq((1L, "a a b"), (2L, "b c d")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1 d=1 → top-2 by (count desc, token) = {a, b}
+    val got = TextPipeline.oovStats(docs, "doc_id", "text", vocabSize = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 2L, 2.0 / 3.0)))
+  }
+
   test("stateful runningAgg accumulates across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Double)]
