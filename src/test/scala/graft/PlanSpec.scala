@@ -382,6 +382,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("quotaPerKeyWindow pre-reduces to k per group before the shuffle") {
+    val ev = graft.Tables.events(spark, dir)
+    val df = graft.operators.Throttle.quotaPerKeyWindow(
+      ev, "user_id", "ts", "1 day", k = 3, tieBreakCol = "event_id")
+    // the rate-limit must survive a key flood: WindowGroupLimit's
+    // Partial mode caps shuffled rows at k per (key, window) per
+    // partition — the flood never reaches the exchange
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial (pre-shuffle) WindowGroupLimit:\n$p")
+  }
+
+  test("bm25 broadcasts the 1-row corpus aggregate and the term df join") {
+    val docs = graft.Tables.documents(spark, dir)
+    val df = graft.operators.TextPipeline.bm25(docs, "doc_id", "text")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"(N, avgdl) must ride a broadcast, not a shuffle:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("temperatureMixture rates ride a broadcast into a map-stage filter") {
+    val docs = graft.Tables.documents(spark, dir)
+    val df = graft.operators.Curation.temperatureMixture(
+      docs, "lang", "doc_id", alpha = 0.5, budget = 100, seed = "p")
+    val p = df.queryExecution.executedPlan.toString
+    // the corpus side must join the tiny rate table via broadcast —
+    // a shuffle join here would exchange the whole corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"rate table must broadcast-join the corpus:\n$p")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
