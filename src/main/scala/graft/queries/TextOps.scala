@@ -761,6 +761,59 @@ object TextOps extends QueryPack {
     * the rational-idf variant (N/df — exact arithmetic); the standard
     * ln-idf is the operator default, unit-tested (libm excluded from
     * oracles by policy). */
+  /** Train/test leakage report: near-dup pairs (the oracle-proven
+    * MinHash+LSH screen) joined to a deterministic hash split, counted
+    * per split combination — the contamination metric you read BEFORE
+    * trusting an eval set carved from the same crawl. `leaks = true`
+    * rows are eval contamination; the fix is
+    * [[graft.operators.Curation.assignSplitLeakFree]] (group-level
+    * split), whose CurationSpec test proves this row-level split leaks
+    * on the same corpus. Scale shape = minhash pairs + two broadcast-
+    * able split joins + a 3-row aggregate. */
+  def leakageReportQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 1000)
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 4, threshold = 0.9)
+    val splits = graft.operators.Curation.assignSplit(docs, "doc_id",
+        "leak", Seq("train" -> 0.9, "test" -> 1.0))
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("_sa")),
+        "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("_sb")),
+        "id_b")
+      .select(least(col("_sa"), col("_sb")).as("split_lo"),
+        greatest(col("_sa"), col("_sb")).as("split_hi"))
+      .groupBy(col("split_lo"), col("split_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaks", col("split_lo") =!= col("split_hi"))
+      .orderBy(col("split_lo"), col("split_hi"))
+  }
+
+  val leakageReportSql: String = {
+    val u = "(('0x' || substring(md5('leak|' || CAST(doc_id AS VARCHAR))" +
+      ", 1, 15))::BIGINT::DOUBLE / 1152921504606846976.0)"
+    s"""WITH $seedsCte,
+       |docs AS (SELECT doc_id AS id, list_distinct($toksSql) AS toks
+       |         FROM documents WHERE doc_id < 1000),
+       |bnd AS (${minhashBndSql("docs", 8)}),
+       |cand AS (SELECT DISTINCT x.id AS id_a, y.id AS id_b
+       |         FROM bnd x JOIN bnd y
+       |         ON x.b = y.b AND x.k = y.k AND x.id < y.id),
+       |pairs AS (${jacVerifySql("cand", "id_a", "id_b", "docs", 0.9)}),
+       |spl AS (SELECT doc_id AS id,
+       |    CASE WHEN $u < 0.9 THEN 'train' ELSE 'test' END AS split
+       |  FROM documents WHERE doc_id < 1000)
+       |SELECT split_lo, split_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  split_lo != split_hi AS leaks
+       |FROM (SELECT least(sa.split, sb.split) AS split_lo,
+       |             greatest(sa.split, sb.split) AS split_hi
+       |      FROM pairs p JOIN spl sa ON p.id_a = sa.id
+       |      JOIN spl sb ON p.id_b = sb.id)
+       |GROUP BY split_lo, split_hi
+       |ORDER BY split_lo, split_hi""".stripMargin
+  }
+
   /** Corpus n-gram diversity per language, n=1..3 — the distinct-n
     * mode-collapse metric for synthetic-data QA. */
   def ngramDiversityQ(s: SparkSession, dir: String): DataFrame =
@@ -2008,6 +2061,7 @@ object TextOps extends QueryPack {
     "doc_ngram_diversity" -> ngramDiversityQ,
     "doc_oov" -> oovQ,
     "corpus_diff" -> corpusDiffQ,
+    "corpus_leakage_report" -> leakageReportQ,
     "doc_chunks" -> chunksQ,
     "doc_chunk_dedup" -> chunkDedup,
     "doc_wordpiece" -> wordpiece,
@@ -2070,6 +2124,7 @@ object TextOps extends QueryPack {
     "doc_ngram_diversity" -> ngramDiversitySql,
     "doc_oov" -> oovSql,
     "corpus_diff" -> corpusDiffSql,
+    "corpus_leakage_report" -> leakageReportSql,
     "doc_chunks" -> chunksSql,
     "doc_chunk_dedup" -> chunkDedupSql,
     "doc_dedup_exact" -> dedupExactSql,
