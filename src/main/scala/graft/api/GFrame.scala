@@ -482,6 +482,16 @@ final case class GFrame(df: DataFrame) {
       weights: Map[String, Double], seed: String): GFrame =
     GFrame(graft.operators.Curation.mixCorpora(df, sourceCol, idCol,
       weights, seed))
+  /** Keep the top `frac` of rows per group by score (per-source gate). */
+  def filterTopFracByGroup(groupCol: String, scoreCol: String,
+      frac: Double): GFrame =
+    GFrame(graft.operators.Curation.filterTopFracByGroup(df, groupCol,
+      scoreCol, frac))
+  /** Per-group z-score standardization (constant groups → z = 0). */
+  def standardizeByGroup(groupCol: String, valueCol: String,
+      zCol: String = "z"): GFrame =
+    GFrame(graft.operators.Curation.standardizeByGroup(df, groupCol,
+      valueCol, zCol))
   /** Temperature-balanced mixture: group share ∝ n^alpha of `budget`. */
   def temperatureMixture(groupCol: String, idCol: String, alpha: Double,
       budget: Long, seed: String): GFrame =

@@ -120,6 +120,48 @@ object Curation {
     df.filter(hashUnit(col(idCol), seed) < w)
   }
 
+  /** Keep the top `frac` of rows per group by `scoreCol` — the
+    * per-source quality gate ("top 30% by quality within each
+    * language"), which a single global threshold can't express without
+    * letting the highest-scoring source crowd out the rest. The cut is
+    * each group's exact (1−frac) percentile — a group-keyed 1-row-per-
+    * group aggregate joined back (broadcastable: group-cardinality
+    * rows) into a codegen filter. No window over the corpus, no global
+    * sort; ties at the cut are kept (>= comparison, deterministic). */
+  def filterTopFracByGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, "need 0 < frac <= 1")
+    val cuts = df.groupBy(col(groupCol))
+      .agg(pctl(scoreCol, 1.0 - frac).as("_cut"))
+    df.join(broadcast(cuts), groupCol)
+      .filter(col(scoreCol).cast("double") >= col("_cut"))
+      .drop("_cut")
+  }
+
+  /** Per-group z-score standardization of a numeric column — score
+    * calibration across sources whose raw scales differ (a perplexity
+    * of 80 means different things for code and prose). Mean and
+    * population std are decimal-exact (order-independent sums, engine-
+    * portable); the z map is one codegen stage over a broadcast join.
+    * Groups with zero variance (or a single row) get z = 0.0 rather
+    * than NULL/Inf — a constant column is "perfectly average", and a
+    * downstream threshold must not drop it by accident. */
+  def standardizeByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, zCol: String = "z"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 12)
+    val v = col(valueCol).cast("double")
+    val stats = df.groupBy(col(groupCol)).agg(
+      (sum(v.cast(dec)).cast("double") / count(v)).as("_mean"),
+      (sum((v * v).cast(dec)).cast("double") / count(v)).as("_m2"),
+      count(v).as("_n"))
+    val varPop = col("_m2") - col("_mean") * col("_mean")
+    df.join(broadcast(stats), groupCol)
+      .withColumn(zCol,
+        when(col("_n") <= 1 || varPop <= 0.0, lit(0.0))
+          .otherwise((v - col("_mean")) / sqrt(varPop)))
+      .drop("_mean", "_m2", "_n")
+  }
+
   /** Snapshot diff between two corpus versions keyed by `idCol` — the
     * dataset-versioning primitive (what changed between crawl N and
     * crawl N+1 before re-running downstream curation): `added` (id only

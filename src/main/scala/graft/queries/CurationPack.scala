@@ -472,7 +472,52 @@ object CurationPack extends QueryPack {
       |                 FROM documents) cuts
       |ORDER BY doc_id""".stripMargin
 
+  // -- per-group quality gate + score calibration --------------------------
+
+  /** Top 30% of documents per language by length — the per-source
+    * quality gate a single global cut can't express. */
+  def topFracQ(s: SparkSession, dir: String): DataFrame =
+    Curation.filterTopFracByGroup(Tables.documents(s, dir), "lang",
+        "n_chars", frac = 0.3)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val topFracSql: String =
+    """SELECT doc_id, lang, n_chars
+      |FROM documents d JOIN (
+      |  SELECT lang, quantile_cont(n_chars, 0.7) AS cut
+      |  FROM documents GROUP BY lang) c USING (lang)
+      |WHERE CAST(n_chars AS DOUBLE) >= cut
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-language z-scores of document length (decimal-exact moments,
+    * zero-variance groups map to z = 0). */
+  def standardizeQ(s: SparkSession, dir: String): DataFrame =
+    Curation.standardizeByGroup(Tables.documents(s, dir), "lang",
+        "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("z"))
+      .orderBy(col("doc_id"))
+
+  val standardizeSql: String = {
+    def dsum38(e: String) =
+      s"CAST(CAST(sum(CAST(($e) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
+    s"""SELECT doc_id, lang, n_chars,
+       |  CASE WHEN n <= 1 OR (m2 - m * m) <= 0.0 THEN 0.0
+       |       ELSE (CAST(n_chars AS DOUBLE) - m) / sqrt(m2 - m * m)
+       |  END AS z
+       |FROM documents d JOIN (
+       |  SELECT lang,
+       |    ${dsum38("CAST(n_chars AS DOUBLE)")} / count(*) AS m,
+       |    ${dsum38("CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)")}
+       |      / count(*) AS m2,
+       |    count(*) AS n
+       |  FROM documents GROUP BY lang) s USING (lang)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_top_frac" -> topFracQ,
+    "corpus_standardize" -> standardizeQ,
     "corpus_temperature_mix" -> temperatureMix,
     "corpus_curriculum" -> curriculumQ,
     "corpus_negatives" -> sampleNegativesQ,
@@ -493,6 +538,8 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_top_frac" -> topFracSql,
+    "corpus_standardize" -> standardizeSql,
     "corpus_temperature_mix" -> temperatureMixSql,
     "corpus_curriculum" -> curriculumSql,
     "corpus_negatives" -> sampleNegativesSql,

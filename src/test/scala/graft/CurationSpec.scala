@@ -265,6 +265,32 @@ class CurationSpec extends AnyFunSuite {
     assert(s.except(again).isEmpty && again.except(s).isEmpty)
   }
 
+  test("filterTopFracByGroup cuts at each group's own percentile") {
+    val d = ((1 to 100).map(i => (i.toLong, "a", i.toDouble)) ++
+      (101 to 110).map(i => (i.toLong, "b", 1000.0 + i))).toDF("id", "g", "s")
+    val kept = Curation.filterTopFracByGroup(d, "g", "s", 0.2)
+    val per = kept.groupBy("g").count().as[(String, Long)].collect().toMap
+    // group a: cut = 80th pct of 1..100 = 80.2 → keeps 81..100 (20 rows)
+    assert(per("a") == 20, per.toString)
+    // group b keeps its own top 20% — NOT wiped out by a's high scores
+    assert(per("b") >= 2 && per("b") <= 3, per.toString)
+    assert(kept.filter($"g" === "a" && $"s" < 80.0).count() == 0)
+  }
+
+  test("standardizeByGroup centers per group; constant groups get z=0") {
+    val d = (Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "a", 30.0)) ++
+      Seq((4L, "c", 7.0), (5L, "c", 7.0))).toDF("id", "g", "v")
+    val z = Curation.standardizeByGroup(d, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("z")).toMap
+    // group a: mean 20, pop std sqrt(200/3)
+    val std = math.sqrt(200.0 / 3.0)
+    assert(math.abs(z(1L) - (-10.0 / std)) < 1e-12)
+    assert(math.abs(z(2L)) < 1e-12)
+    assert(math.abs(z(3L) - 10.0 / std) < 1e-12)
+    // zero-variance group: z = 0, never NaN/Inf
+    assert(z(4L) == 0.0 && z(5L) == 0.0)
+  }
+
   test("corpusDiff classifies added/removed/changed by content digest") {
     val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
     val nw = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
