@@ -54,7 +54,13 @@ object PlanDump {
       "events_resample_ffill" ->
         "Grid resample + ffill in ONE scan, ONE shuffle, NO join: events collapse to per-(user,hour) last values in a single partial-aggregatable aggregation; each observation then explodes into its gap-run [bucket, next-1] after a lead window sharing the aggregation's partitioning — the forward fill IS the run generation, so the naive grid-join (which would plan the source twice) never exists.",
       "ds_regression" ->
-        "Per-group OLS: ONE decimal-exact moment HashAggregate (n, Sx, Sy, Sxx, Syy, Sxy) with map-side partials; slope/intercept/r2 are scalar projections of the six moments — no second pass over the data, no window.")
+        "Per-group OLS: ONE decimal-exact moment HashAggregate (n, Sx, Sy, Sxx, Syy, Sxy) with map-side partials; slope/intercept/r2 are scalar projections of the six moments — no second pass over the data, no window.",
+      "events_quota" ->
+        "Per-key rate quota: the row_number <= k predicate rewrites to a Partial WindowGroupLimit ahead of the exchange — a flooding key's surplus is cut per-partition BEFORE it can shuffle, so the limiter itself can't be flooded.",
+      "doc_bm25" ->
+        "BM25 scoring: tokenize once; (doc, dl, term) HashAggregate with map-side partials, term-df join, and the 1-row (N, avgdl) corpus aggregate rides a broadcast into the scalar score projection — no cartesian, no second corpus scan.",
+      "corpus_temperature_mix" ->
+        "Temperature mixture: group counts fold to group-cardinality rows, the decimal-exact sum-of-weights broadcasts back over them, and the rate table broadcast-joins the corpus into a codegen hashUnit filter — the corpus is scanned once and never exchanged.")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale claims\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"` at sf0.001 ")
