@@ -162,6 +162,17 @@ object Curation {
       .drop("_mean", "_m2", "_n")
   }
 
+  /** Per-group quantile (rank) normalization to [0, 1] — percent_rank
+    * within each group; the rank analog of [[standardizeByGroup]] for
+    * non-Gaussian score distributions (perplexities, lengths). Ties
+    * share a value, single-row groups get 0.0 — both engine-portable.
+    * One group-keyed sort window; group sizes bound partition memory. */
+  def quantileNormalizeByGroup(df: DataFrame, groupCol: String,
+      valueCol: String, outCol: String = "qnorm"): DataFrame =
+    df.withColumn(outCol, percent_rank().over(
+      Window.partitionBy(col(groupCol))
+        .orderBy(col(valueCol).cast("double"))))
+
   /** Snapshot diff between two corpus versions keyed by `idCol` — the
     * dataset-versioning primitive (what changed between crawl N and
     * crawl N+1 before re-running downstream curation): `added` (id only

@@ -515,7 +515,22 @@ object CurationPack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language quantile normalization of document length (rank
+    * calibration for non-Gaussian distributions). */
+  def quantileNormQ(s: SparkSession, dir: String): DataFrame =
+    Curation.quantileNormalizeByGroup(Tables.documents(s, dir), "lang",
+        "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("qnorm"))
+      .orderBy(col("doc_id"))
+
+  val quantileNormSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  percent_rank() OVER (PARTITION BY lang
+      |    ORDER BY CAST(n_chars AS DOUBLE)) AS qnorm
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_quantile_norm" -> quantileNormQ,
     "corpus_top_frac" -> topFracQ,
     "corpus_standardize" -> standardizeQ,
     "corpus_temperature_mix" -> temperatureMix,
@@ -538,6 +553,7 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_quantile_norm" -> quantileNormSql,
     "corpus_top_frac" -> topFracSql,
     "corpus_standardize" -> standardizeSql,
     "corpus_temperature_mix" -> temperatureMixSql,

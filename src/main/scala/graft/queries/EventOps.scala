@@ -314,8 +314,36 @@ object EventOps extends QueryPack {
       |WHERE seq_in_window <= 3
       |ORDER BY user_id, win_id, seq_in_window""".stripMargin
 
+  /** Daily top-2 event types by count — drift monitoring over an event
+    * stream. Two-phase: the (day, type) count aggregate combines
+    * map-side, and rank ≤ k over the (already tiny) per-day aggregate
+    * rewrites to a WindowGroupLimit; the raw corpus never meets a
+    * window. */
+  def topkDaily(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(expr("unix_micros(ts) div 86400000000").as("win_id"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("win_id"))
+          .orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rnk") <= 2)
+      .select(col("win_id"), col("rnk").cast("long").as("rnk"),
+        col("event_type"), col("n"))
+      .orderBy(col("win_id"), col("rnk"))
+
+  val topkDailySql: String =
+    """SELECT win_id, rnk, event_type, n FROM (
+      |  SELECT win_id, event_type, n, row_number() OVER (
+      |      PARTITION BY win_id ORDER BY n DESC, event_type) AS rnk
+      |  FROM (SELECT epoch_us(ts) // 86400000000 AS win_id, event_type,
+      |          count(*) AS n
+      |        FROM events GROUP BY 1, 2))
+      |WHERE rnk <= 2 ORDER BY win_id, rnk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_quota" -> quota,
+    "events_topk_daily" -> topkDaily,
     "events_transitions" -> transitions,
     "events_funnel" -> funnel,
     "events_sessionize" -> sessionize,
@@ -328,6 +356,7 @@ object EventOps extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "events_quota" -> quotaSql,
+    "events_topk_daily" -> topkDailySql,
     "events_transitions" -> transitionsSql,
     "events_funnel" -> funnelSql,
     "events_sessionize" -> sessionizeSql,

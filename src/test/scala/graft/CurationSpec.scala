@@ -291,6 +291,19 @@ class CurationSpec extends AnyFunSuite {
     assert(z(4L) == 0.0 && z(5L) == 0.0)
   }
 
+  test("quantileNormalizeByGroup ranks within group; edge cases portable") {
+    val d = (Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 3.0),
+      (4L, "a", 3.0), (5L, "b", 42.0))).toDF("id", "g", "v")
+    val q = Curation.quantileNormalizeByGroup(d, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("qnorm"))
+      .toMap
+    // group a, n=4: ranks 1,2(tie),2(tie),4 → (rank-1)/(n-1)
+    assert(q(2L) == 0.0 && q(1L) == 1.0)
+    assert(q(3L) == q(4L) && math.abs(q(3L) - 1.0 / 3.0) < 1e-15)
+    // single-row group: 0.0, not NaN
+    assert(q(5L) == 0.0)
+  }
+
   test("corpusDiff classifies added/removed/changed by content digest") {
     val old = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
     val nw = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
