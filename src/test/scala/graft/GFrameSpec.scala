@@ -423,6 +423,38 @@ class GFrameSpec extends AnyFunSuite {
     assert(hv.getAs[org.apache.spark.sql.Row]("s_mm128").length == 2)
   }
 
+  test("r7 facades: bm25, stripHtml, diversity, oov, diff, quota, curation gates") {
+    val docs = Seq((1L, "en", "<p>alpha beta</p> alpha", 20L),
+      (2L, "en", "gamma delta", 11L),
+      (3L, "fr", "epsilon zeta eta", 16L)).toDF("doc_id", "lang", "text", "n_chars")
+    val g = GFrame(docs)
+    assert(g.stripHtml("text").toDF.filter($"doc_id" === 1).head
+      .getAs[String]("text") == "alpha beta alpha")
+    assert(g.bm25("doc_id", "text").toDF.columns.contains("bm25"))
+    val div = g.ngramDiversity("lang", "text", 2).toDF
+    assert(div.count() == 4) // 2 langs x 2 orders
+    val oov = g.oovStats("doc_id", "text", 3).toDF
+    assert(oov.count() == 3 && oov.columns.contains("oov_rate"))
+    val newer = GFrame(docs.withColumn("text",
+      when($"doc_id" === 2, lit("changed!")).otherwise($"text")))
+    val diff = g.corpusDiff(newer, "doc_id", "text").toDF.collect()
+    assert(diff.map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(2L -> "changed"))
+    assert(g.temperatureMixture("lang", "doc_id", 0.5, 100L, "s")
+      .toDF.count() == 3) // budget >> corpus: everything kept
+    assert(g.curriculumBuckets("n_chars", 2).toDF
+      .select("bucket").distinct().count() == 2)
+    assert(g.filterTopFracByGroup("lang", "n_chars", 0.5).toDF
+      .count() >= 2)
+    val z = g.standardizeByGroup("lang", "n_chars").toDF
+    assert(z.filter($"doc_id" === 3).head.getAs[Double]("z") == 0.0)
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 1L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 2L))
+      .toDF("user_id", "ts", "event_id")
+    assert(GFrame(ev).quotaPerKeyWindow("user_id", "ts", "1 hour", 1,
+      "event_id").toDF.count() == 1)
+  }
+
   test("r7 facades: weighted sampling and weighted percentiles") {
     val d = (0L until 100L).map(i => (i, s"g${i % 2}", i + 1.0)).toDF("id", "g", "w")
     assert(GFrame(d).sampleWeighted("id", "w", 10, "s").toDF.count() == 10)
