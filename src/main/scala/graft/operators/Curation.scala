@@ -162,6 +162,26 @@ object Curation {
       .drop("_mean", "_m2", "_n")
   }
 
+  /** Deterministic source-interleaved training order: rows sort by
+    * (per-source sequence, source), so the output cycles
+    * src1, src2, …, srcK, src1, … — no long single-source runs, which
+    * de-correlates gradient batches after a mixture stage (the
+    * round-robin analog of [[shuffleKey]]'s uniform shuffle; order
+    * within each source is itself the seeded hash shuffle). Cost: one
+    * per-source window + the global range sort every write-ordering op
+    * ends with (writing training shards in a defined order IS a total
+    * sort; range partitioning keeps it distributed). Sources of unequal
+    * size simply drop out of the cycle when exhausted. */
+  def interleaveBySource(df: DataFrame, sourceCol: String, idCol: String,
+      seed: String, seqCol: Option[String] = None): DataFrame = {
+    val sc = seqCol.getOrElse("_seq")
+    val out = df.withColumn(sc, row_number().over(
+        Window.partitionBy(col(sourceCol))
+          .orderBy(hashUnit(col(idCol), seed), col(idCol))))
+      .orderBy(col(sc), col(sourceCol))
+    if (seqCol.isDefined) out else out.drop(sc)
+  }
+
   /** Per-group quantile (rank) normalization to [0, 1] — percent_rank
     * within each group; the rank analog of [[standardizeByGroup]] for
     * non-Gaussian score distributions (perplexities, lengths). Ties

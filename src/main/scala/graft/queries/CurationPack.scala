@@ -529,7 +529,24 @@ object CurationPack extends QueryPack {
       |    ORDER BY CAST(n_chars AS DOUBLE)) AS qnorm
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Source-interleaved training order over languages; the (seq, lang)
+    * pair encodes the cycle position, so the order is value-checkable
+    * under the driver's sorted compare. */
+  def interleaveQ(s: SparkSession, dir: String): DataFrame =
+    Curation.interleaveBySource(Tables.documents(s, dir), "lang",
+        "doc_id", "ravel", seqCol = Some("seq"))
+      .select(col("seq").cast("long").as("seq"), col("lang"), col("doc_id"))
+
+  val interleaveSql: String =
+    s"""SELECT seq, lang, doc_id FROM (
+       |  SELECT doc_id, lang, CAST(row_number() OVER (
+       |      PARTITION BY lang
+       |      ORDER BY ${uSql("doc_id", "ravel")}, doc_id) AS BIGINT) AS seq
+       |  FROM documents)
+       |ORDER BY seq, lang""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_interleave" -> interleaveQ,
     "corpus_quantile_norm" -> quantileNormQ,
     "corpus_top_frac" -> topFracQ,
     "corpus_standardize" -> standardizeQ,
@@ -553,6 +570,7 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_interleave" -> interleaveSql,
     "corpus_quantile_norm" -> quantileNormSql,
     "corpus_top_frac" -> topFracSql,
     "corpus_standardize" -> standardizeSql,

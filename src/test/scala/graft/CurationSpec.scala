@@ -291,6 +291,21 @@ class CurationSpec extends AnyFunSuite {
     assert(z(4L) == 0.0 && z(5L) == 0.0)
   }
 
+  test("interleaveBySource cycles sources; exhausted sources drop out") {
+    val d = ((1L to 6L).map((_, "a")) ++ (7L to 8L).map((_, "b")))
+      .toDF("id", "src")
+    val order = Curation.interleaveBySource(d, "src", "id", "s")
+      .collect().map(_.getString(1)).toSeq
+    // cycle a,b while b lasts (2 rounds), then a alone
+    assert(order == Seq("a", "b", "a", "b", "a", "a", "a", "a"), order)
+    // deterministic under repartition (same sequence, same rows)
+    val again = Curation.interleaveBySource(d.repartition(5), "src", "id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val base = Curation.interleaveBySource(d, "src", "id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(again == base)
+  }
+
   test("quantileNormalizeByGroup ranks within group; edge cases portable") {
     val d = (Seq((1L, "a", 5.0), (2L, "a", 1.0), (3L, "a", 3.0),
       (4L, "a", 3.0), (5L, "b", 42.0))).toDF("id", "g", "v")
