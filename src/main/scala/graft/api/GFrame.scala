@@ -482,6 +482,16 @@ final case class GFrame(df: DataFrame) {
       weights: Map[String, Double], seed: String): GFrame =
     GFrame(graft.operators.Curation.mixCorpora(df, sourceCol, idCol,
       weights, seed))
+  /** Source-interleaved training order (round-robin over sources). */
+  def interleaveBySource(sourceCol: String, idCol: String,
+      seed: String): GFrame =
+    GFrame(graft.operators.Curation.interleaveBySource(df, sourceCol,
+      idCol, seed))
+  /** Per-group quantile (rank) normalization to [0, 1]. */
+  def quantileNormalizeByGroup(groupCol: String, valueCol: String,
+      outCol: String = "qnorm"): GFrame =
+    GFrame(graft.operators.Curation.quantileNormalizeByGroup(df,
+      groupCol, valueCol, outCol))
   /** Keep the top `frac` of rows per group by score (per-source gate). */
   def filterTopFracByGroup(groupCol: String, scoreCol: String,
       frac: Double): GFrame =
