@@ -47,11 +47,21 @@ object Stats {
     * rescaled first (cov(i,i) could quantize to ≤ 0 → NaN); the upper
     * bound is 1e32 per product. */
   def corrMatrix(df: DataFrame, cols: Seq[String],
-      exact: Boolean = true): DataFrame = {
+      exact: Boolean = true,
+      inputScale: Option[Int] = None): DataFrame = {
     require(cols.size >= 2, "need at least two columns")
     require(cols.distinct.size == cols.size,
       "columns must be distinct (duplicate names would collide in the " +
         "__s_/__p_ aggregate aliases)")
+    // inputScale (exact mode): when the data is NATIVELY fixed-point
+    // (money at 2 decimals), quantize the INPUTS to DECIMAL(18,scale)
+    // — lossless at the data's own scale, and every product is then an
+    // exact decimal. Without it, products round in double at 0.5 ulp,
+    // and for |product| > 2^(52-20) that rounding can cross DuckDB's
+    // scale-in-double-space .5 boundary, flipping the last decimal
+    // digit between engines (caught by the 5× stress on ds_regression's
+    // syy moment). None keeps the generic quantize-products-at-6dp
+    // contract for data that isn't fixed-point.
     def msum(c: org.apache.spark.sql.Column) =
       if (exact) dsum(c, 6) else sum(c.cast("double"))
     val n = count(lit(1)).cast("double").as("__n")
@@ -59,11 +69,19 @@ object Stats {
     // int*int product would wrap silently at 2^31 under non-ANSI Spark
     // BEFORE reaching the decimal cast (for the gated double columns
     // the cast is a no-op, so oracle arithmetic is unchanged)
-    val sums = cols.map(c => msum(col(c).cast("double")).as(s"__s_$c"))
-    val prods = for {
-      i <- cols.indices; j <- i until cols.size
-    } yield msum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
-      .as(s"__p_${i}_$j")
+    val (sums, prods) = inputScale match {
+      case Some(sc) if exact =>
+        def q(c: String) = col(c).cast(DecimalType(18, sc))
+        (cols.map(c => sum(q(c)).cast("double").as(s"__s_$c")),
+          for { i <- cols.indices; j <- i until cols.size }
+            yield sum(q(cols(i)) * q(cols(j))).cast("double")
+              .as(s"__p_${i}_$j"))
+      case _ =>
+        (cols.map(c => msum(col(c).cast("double")).as(s"__s_$c")),
+          for { i <- cols.indices; j <- i until cols.size }
+            yield msum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
+              .as(s"__p_${i}_$j"))
+    }
     val m = df.agg(n, (sums ++ prods): _*)
     def cov(i: Int, j: Int) = {
       val (a, b) = (math.min(i, j), math.max(i, j))

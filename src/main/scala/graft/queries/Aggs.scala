@@ -351,17 +351,22 @@ object Aggs extends QueryPack {
     Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
   def aggCorrMatrix(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Stats.corrMatrix(Tables.lineitem(s, dir), corrCols)
+    // inputScale = 2: the four columns are natively 2-decimal, so the
+    // moment products are exact decimals (no double-product rounding —
+    // see Stats.corrMatrix; the 5× ds_regression lesson)
+    graft.operators.Stats.corrMatrix(Tables.lineitem(s, dir), corrCols,
+        inputScale = Some(2))
       .orderBy(col("col_a"), col("col_b"))
 
   val aggCorrMatrixSql: String = {
     val k = corrCols.size
     // via-VARCHAR double cast: correctly rounded at ≥17 significant
     // digits, unlike DuckDB's direct DECIMAL→DOUBLE (see dsumSql)
+    def d2(e: String) = s"CAST($e AS DECIMAL(18,2))"
     def s(i: Int) =
-      s"CAST(CAST(sum(CAST(${corrCols(i)} AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+      s"CAST(CAST(sum(${d2(corrCols(i))}) AS VARCHAR) AS DOUBLE)"
     def p(i: Int, j: Int) =
-      s"CAST(CAST(sum(CAST((${corrCols(i)} * ${corrCols(j)}) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+      s"CAST(CAST(sum(${d2(corrCols(i))} * ${d2(corrCols(j))}) AS VARCHAR) AS DOUBLE)"
     val moments =
       (Seq("CAST(count(*) AS DOUBLE) AS n") ++
         corrCols.indices.map(i => s"${s(i)} AS s$i") ++

@@ -406,19 +406,25 @@ object TpcDs extends QueryPack {
     * double through the VARCHAR round-trip per QueryPack.dsumSql). */
   def dsRegression(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // Per-row products in DOUBLE (IEEE-identical in both engines), then
-    // decimal-exact summation — the agg_corr_matrix moment pattern.
-    def dmom(c: org.apache.spark.sql.Column) =
-      sum(c.cast(DecimalType(38, 6))).cast("double")
+    // Inputs quantize to their NATIVE scale-2 decimals FIRST (exact for
+    // 2-decimal money/quantity data; no .5 boundary exists at the data's
+    // own scale), so every product is an exact decimal and the moment
+    // sums are exact — the former double products rounded at 0.5 ulp,
+    // and for extendedprice² > 2^33 that rounding crossed DuckDB's
+    // scale-in-double-space .5 boundary a few times per million rows
+    // (caught by the 5× stress: syy off by 1 ulp ⇒ r² off by 5). Same
+    // restructure-to-exact-decimal template as events_decayed_sum.
+    def d2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    def dmom(c: org.apache.spark.sql.Column) = sum(c).cast("double")
     val d = Tables.lineitem(s, dir).select($"l_returnflag",
       $"l_quantity".as("x"), $"l_extendedprice".as("y"))
     val m = d.groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"),
-        dmom($"x").as("sx"),
-        dmom($"y").as("sy"),
-        dmom($"x" * $"x").as("sxx"),
-        dmom($"y" * $"y").as("syy"),
-        dmom($"x" * $"y").as("sxy"))
+        dmom(d2($"x")).as("sx"),
+        dmom(d2($"y")).as("sy"),
+        dmom(d2($"x") * d2($"x")).as("sxx"),
+        dmom(d2($"y") * d2($"y")).as("syy"),
+        dmom(d2($"x") * d2($"y")).as("sxy"))
       .withColumn("nd", $"n".cast("double"))
       .withColumn("slope",
         ($"nd" * $"sxy" - $"sx" * $"sy") / ($"nd" * $"sxx" - $"sx" * $"sx"))
@@ -431,15 +437,17 @@ object TpcDs extends QueryPack {
   }
 
   val dsRegressionSql: String = {
+    def d2(e: String) = s"CAST($e AS DECIMAL(18,2))"
     def dmom(e: String) =
-      s"CAST(CAST(sum(CAST(($e) AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)"
+      s"CAST(CAST(sum($e) AS VARCHAR) AS DOUBLE)"
     s"""WITH m AS (
        |  SELECT l_returnflag, count(*) AS n,
        |    CAST(count(*) AS DOUBLE) AS nd,
-       |    ${dmom("l_quantity")} AS sx, ${dmom("l_extendedprice")} AS sy,
-       |    ${dmom("l_quantity * l_quantity")} AS sxx,
-       |    ${dmom("l_extendedprice * l_extendedprice")} AS syy,
-       |    ${dmom("l_quantity * l_extendedprice")} AS sxy
+       |    ${dmom(d2("l_quantity"))} AS sx,
+       |    ${dmom(d2("l_extendedprice"))} AS sy,
+       |    ${dmom(s"${d2("l_quantity")} * ${d2("l_quantity")}")} AS sxx,
+       |    ${dmom(s"${d2("l_extendedprice")} * ${d2("l_extendedprice")}")} AS syy,
+       |    ${dmom(s"${d2("l_quantity")} * ${d2("l_extendedprice")}")} AS sxy
        |  FROM lineitem GROUP BY l_returnflag),
        |t AS (
        |  SELECT *, (nd * sxy - sx * sy) / (nd * sxx - sx * sx) AS slope

@@ -46,11 +46,16 @@ def frame(rel):
     return [cols[i] for i in idx], sorted(out)
 
 
-def main(outdir, sfdir):
+def main(outdir, sfdir, only=None):
+    # `only`: optional regex — compare just the matching queries (the
+    # full 5x compare runs ~45 min; re-diagnosing one failure must not)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))
+    if only:
+        pat = __import__("re").compile(only)
+        oracles = {k: v for k, v in oracles.items() if pat.fullmatch(k)}
     n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
@@ -97,4 +102,5 @@ def main(outdir, sfdir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2],
+                  sys.argv[3] if len(sys.argv) > 3 else None))
