@@ -34,6 +34,53 @@ object Resample {
     * latest (`tsCol`, `tieCol`)-ordered `valueCol` per bucket, then
     * forward-fill across the dense per-key grid [min bucket, max
     * bucket]. Output: keyCol, win_id, has_obs, v_ffill. */
+  /** Time-weighted average per (key, bucket): Σ v·Δt / Σ Δt where Δt is
+    * the micros to the NEXT observation in the same bucket (the last
+    * observation of a bucket carries no weight — standard
+    * between-observations TWAP; single-observation buckets yield NULL).
+    * The value quantizes to its native fixed-point scale first, so
+    * v·Δt is an EXACT decimal (the ds_regression lesson: a double
+    * product rounds, and the two engines then disagree at the decimal
+    * boundary) — num/den convert to double once, one IEEE division.
+    * One window + one aggregation, both on the same (key, bucket)
+    * partitioning. Tie timestamps order by `tieBreakCol` so the
+    * value↔gap pairing is deterministic. */
+  def twap(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieBreakCol: String, bucketMicros: Long,
+      valueScale: Int = 2): DataFrame = {
+    val tus = expr(s"unix_micros($tsCol)")
+    val bucket = expr(floorDivExpr(s"unix_micros($tsCol)", bucketMicros))
+    val w = Window.partitionBy(col(keyCol), col("_bucket"))
+      .orderBy(col("_tus"), col(tieBreakCol))
+    val dec = org.apache.spark.sql.types.DecimalType(18, valueScale)
+    df.select(col(keyCol), col(tieBreakCol), tus.as("_tus"),
+        bucket.as("_bucket"), col(valueCol).cast(dec).as("_v"))
+      .withColumn("_dt", lead(col("_tus"), 1).over(w) - col("_tus"))
+      .groupBy(col(keyCol), col("_bucket"))
+      .agg(sum(col("_v") * col("_dt")).cast("double").as("_num"),
+        sum(col("_dt")).as("_den"))
+      .withColumn("twap",
+        when(col("_den") > 0, col("_num") / col("_den").cast("double")))
+      .withColumnRenamed("_bucket", "bucket")
+      .drop("_num", "_den")
+  }
+
+  /** Missing buckets per key: grid positions between each key's first
+    * and last active bucket with NO observation — the coverage-gap
+    * report of a feed monitor. Per-key (min, max) is one aggregate;
+    * the expected grid explodes from it (sequence — bounded by span,
+    * not corpus) and anti-joins the observed buckets. */
+  def missingBuckets(df: DataFrame, keyCol: String, tsCol: String,
+      bucketMicros: Long): DataFrame = {
+    val bucket = expr(floorDivExpr(s"unix_micros($tsCol)", bucketMicros))
+    val observed = df.select(col(keyCol), bucket.as("bucket")).distinct()
+    val spans = observed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("_lo"), max(col("bucket")).as("_hi"))
+    spans.select(col(keyCol),
+        explode(sequence(col("_lo"), col("_hi"))).as("bucket"))
+      .join(observed, Seq(keyCol, "bucket"), "left_anti")
+  }
+
   def resampleFfill(df: DataFrame, keyCol: String, tsCol: String,
       valueCol: String, tieCol: String, stepMicros: Long): DataFrame = {
     val us = s"unix_micros($tsCol)"

@@ -341,7 +341,56 @@ object EventOps extends QueryPack {
       |        FROM events GROUP BY 1, 2))
       |WHERE rnk <= 2 ORDER BY win_id, rnk""".stripMargin
 
+  /** Daily TWAP per user: exact-decimal v·Δt moments (single-event days
+    * yield NULL — no weight exists between observations). */
+  def twapQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.twap(Tables.events(s, dir), "user_id", "ts",
+        "value", tieBreakCol = "event_id", bucketMicros = 86400000000L)
+      .select(col("user_id"), col("bucket"), col("twap"))
+      .orderBy(col("user_id"), col("bucket"))
+
+  val twapSql: String =
+    """SELECT user_id, bucket,
+      |  CASE WHEN den > 0
+      |    THEN CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE)
+      |  END AS twap
+      |FROM (
+      |  SELECT user_id, bucket, sum(v * dt) AS num, sum(dt) AS den
+      |  FROM (
+      |    SELECT user_id, bucket, v,
+      |      lead(tus) OVER (PARTITION BY user_id, bucket
+      |        ORDER BY tus, event_id) - tus AS dt
+      |    FROM (SELECT user_id, epoch_us(ts) AS tus,
+      |            epoch_us(ts) // 86400000000 AS bucket,
+      |            CAST(value AS DECIMAL(18,2)) AS v, event_id
+      |          FROM events))
+      |  GROUP BY user_id, bucket)
+      |ORDER BY user_id, bucket""".stripMargin
+
+  /** Coverage gaps: days inside each user's active span with no events
+    * (the feed-monitor report). */
+  def gapsQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Resample.missingBuckets(Tables.events(s, dir),
+        "user_id", "ts", bucketMicros = 86400000000L)
+      .orderBy(col("user_id"), col("bucket"))
+
+  val gapsSql: String =
+    """WITH obs AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS bucket
+      |  FROM events),
+      |spans AS (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      |          FROM obs GROUP BY user_id)
+      |SELECT s.user_id, g.bucket
+      |FROM spans s, LATERAL (SELECT unnest(generate_series(s.lo, s.hi))
+      |                       AS bucket) g
+      |WHERE NOT EXISTS (SELECT 1 FROM obs o
+      |                  WHERE o.user_id = s.user_id
+      |                    AND o.bucket = g.bucket)
+      |ORDER BY user_id, bucket""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_twap" -> twapQ,
+    "events_gaps" -> gapsQ,
     "events_quota" -> quota,
     "events_topk_daily" -> topkDaily,
     "events_transitions" -> transitions,
@@ -355,6 +404,8 @@ object EventOps extends QueryPack {
     "events_hopping" -> hopping)
 
   override def oracle: Map[String, String] = Map(
+    "events_twap" -> twapSql,
+    "events_gaps" -> gapsSql,
     "events_quota" -> quotaSql,
     "events_topk_daily" -> topkDailySql,
     "events_transitions" -> transitionsSql,

@@ -226,6 +226,42 @@ class OperatorsMiscSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("twap weights values by time-to-next within bucket") {
+    import graft.operators.Resample
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // bucket 0 (same hour): 10.0 held 60 s, 20.0 held 120 s, 30.0 last
+      (1L, t("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, t("2024-01-01 00:01:00"), 20.0, 2L),
+      (1L, t("2024-01-01 00:03:00"), 30.0, 3L),
+      // next hour: single event → NULL twap
+      (1L, t("2024-01-01 01:30:00"), 99.0, 4L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val got = Resample.twap(ev, "user_id", "ts", "value", "event_id",
+        bucketMicros = 3600000000L)
+      .orderBy("bucket").collect()
+    val twap0 = got(0).getAs[Double]("twap")
+    assert(math.abs(twap0 - (10.0 * 60 + 20.0 * 120) / 180.0) < 1e-12)
+    assert(got(1).isNullAt(got(1).fieldIndex("twap")))
+  }
+
+  test("missingBuckets reports in-span days with no events") {
+    import graft.operators.Resample
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, t("2024-01-01 12:00:00")), (1L, t("2024-01-04 12:00:00")),
+      (2L, t("2024-01-02 00:00:00"))
+    ).toDF("user_id", "ts")
+    val got = Resample.missingBuckets(ev, "user_id", "ts", 86400000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // user 1 active days 1 and 4 → days 2, 3 missing; user 2 spans one day
+    val d0 = ev.selectExpr("unix_micros(ts) div 86400000000")
+      .orderBy("ts").head.getLong(0)
+    assert(got == Set((1L, d0 + 1), (1L, d0 + 2)), got)
+  }
+
   test("ngramDiversity counts totals and distincts per group and order") {
     import graft.operators.TextPipeline
     val docs = Seq(("en", "a b a b"), ("en", "a b c")).toDF("lang", "text")
