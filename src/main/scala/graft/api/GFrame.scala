@@ -416,6 +416,16 @@ final case class GFrame(df: DataFrame) {
       .select((col("pos") + 1).as("rank"), col("col.term").as("term"),
         col("col.cnt").as("cnt"), col("col.err").as("err")))
   /** Regular-grid resample + forward fill (operators/Resample). */
+  /** Between-observations TWAP per (key, bucket); exact-decimal v·Δt. */
+  def twap(keyCol: String, tsCol: String, valueCol: String,
+      tieBreakCol: String, bucketMicros: Long): GFrame =
+    GFrame(graft.operators.Resample.twap(df, keyCol, tsCol, valueCol,
+      tieBreakCol, bucketMicros))
+  /** In-span buckets with no observations (coverage-gap report). */
+  def missingBuckets(keyCol: String, tsCol: String,
+      bucketMicros: Long): GFrame =
+    GFrame(graft.operators.Resample.missingBuckets(df, keyCol, tsCol,
+      bucketMicros))
   def resampleFfill(keyCol: String, tsCol: String, valueCol: String,
       tieCol: String, stepMicros: Long): GFrame =
     GFrame(graft.operators.Resample.resampleFfill(df, keyCol, tsCol,
