@@ -293,6 +293,31 @@ object TextFunctions {
     "fr" -> Seq("le", "la", "et", "merge"),
     "zh" -> Seq("的", "是", "filter"))
 
+  /** Language-ID with CONFIDENCE: (lang, hits, margin) where margin is
+    * top1 − top2 profile hit counts — the filterable signal langId's
+    * bare argmax hides (margin 0 = a coin flip between profiles; docs
+    * below a margin threshold go to a human / a heavier model). Integer
+    * arithmetic end-to-end, engine-portable. */
+  def langIdWithMargin(toks: Column): Column = {
+    val scores = langProfiles.map { case (_, ws) => hitCount(toks, ws) }
+    val sorted = sort_array(array(scores: _*), asc = false)
+    struct(langId(toks).as("lang"),
+      element_at(sorted, 1).as("hits"),
+      (element_at(sorted, 1) - element_at(sorted, 2)).as("margin"))
+  }
+
+  /** Out-of-band sentence separator for [[sentences]] (ASCII RS). */
+  val SentSep = "\u001E"
+
+  /** Sentence segmentation: split after `.`/`!`/`?` followed by
+    * whitespace — the pre-chunking step RAG and curation pipelines
+    * need before windowing. A deliberate regex heuristic (abbreviations
+    * like "Dr. Smith" over-split; the fix is model-based segmentation,
+    * out of engine scope). Backreference-in-rewrite only — no
+    * lookaround — so java.util.regex and RE2 agree; pure codegen map. */
+  def sentences(c: Column): Column =
+    split(regexp_replace(c, "([.!?])\\s+", "$1" + SentSep), SentSep)
+
   /** Count of tokens that hit a word set (with multiplicity). */
   def hitCount(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)

@@ -761,6 +761,72 @@ object TextOps extends QueryPack {
     * the rational-idf variant (N/df — exact arithmetic); the standard
     * ln-idf is the operator default, unit-tested (libm excluded from
     * oracles by policy). */
+  /** Sentence segmentation (split after ./!/? + whitespace — the
+    * pre-chunking step; heuristic by design, see
+    * TextFunctions.sentences). */
+  def sentencesQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).filter(col("doc_id") < 50)
+      // synthetic docs have no punctuation: plant deterministic
+      // sentence ends every few words so the splitter has work to do
+      .select(col("doc_id"), regexp_replace(col("text"),
+        "(\\w+ \\w+ \\w+ \\w+ \\w+)", "$1.").as("_marked"))
+      .select(col("doc_id"), posexplode(
+        graft.functions.TextFunctions.sentences(col("_marked")))
+        .as(Seq("sent_idx", "sentence")))
+      .filter(col("sentence") =!= "")
+      .orderBy(col("doc_id"), col("sent_idx"))
+
+  val sentencesSql: String =
+    raw"""SELECT doc_id, sent_idx, sentence FROM (
+         |  SELECT doc_id, generate_subscripts(l, 1) - 1 AS sent_idx,
+         |    unnest(l) AS sentence
+         |  FROM (
+         |    SELECT doc_id, string_split(regexp_replace(
+         |      regexp_replace(text, '(\w+ \w+ \w+ \w+ \w+)', '\1.', 'g'),
+         |      '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)) AS l
+         |    FROM documents WHERE doc_id < 50))
+         |WHERE sentence != ''
+         |ORDER BY doc_id, sent_idx""".stripMargin
+
+  /** Language-ID with confidence margin (top1 − top2 profile hits) —
+    * the filterable signal a bare argmax hides. */
+  def langidMarginQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), graft.functions.TextFunctions
+        .langIdWithMargin(graft.functions.TextFunctions.tokens(col("text")))
+        .as("_m"))
+      .select(col("doc_id"), col("_m.lang").as("lang_detected"),
+        col("_m.hits").cast("long").as("hits"),
+        col("_m.margin").cast("long").as("margin")) // oracle len() is BIGINT
+      .orderBy(col("doc_id"))
+
+  val langidMarginSql: String = {
+    val profiles = graft.functions.TextFunctions.langProfiles
+    val hitCols = profiles.map { case (l, _) => l -> s"h_$l" }
+    val hitDefs = profiles.map { case (l, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString("(", ", ", ")")
+      s"len(list_filter($toksSql, t -> t IN $inList)) AS h_$l"
+    }.mkString(",\n      ")
+    val arr = hitCols.map(_._2).mkString("[", ", ", "]")
+    // argmax with ties broken in PROFILE order (en, es, de, fr, zh) —
+    // mirror of TextFunctions.langId's foldRight
+    val argmax = hitCols.init.zipWithIndex
+      .foldRight(s"'${hitCols.last._1}'") {
+        case (((l, e), i), rest) =>
+          val others = hitCols.drop(i + 1).map(_._2)
+          val hi = if (others.size == 1) others.head
+            else s"greatest(${others.mkString(", ")})"
+          s"CASE WHEN $e >= $hi THEN '$l' ELSE $rest END"
+      }
+    s"""SELECT doc_id, $argmax AS lang_detected,
+       |  list_reverse_sort($arr)[1] AS hits,
+       |  list_reverse_sort($arr)[1] - list_reverse_sort($arr)[2] AS margin
+       |FROM (SELECT doc_id,
+       |      $hitDefs
+       |    FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Train/test leakage report: near-dup pairs (the oracle-proven
     * MinHash+LSH screen) joined to a deterministic hash split, counted
     * per split combination — the contamination metric you read BEFORE
@@ -2059,6 +2125,8 @@ object TextOps extends QueryPack {
     "doc_bm25" -> bm25Q,
     "doc_strip_html" -> stripHtmlQ,
     "doc_ngram_diversity" -> ngramDiversityQ,
+    "doc_sentences" -> sentencesQ,
+    "doc_langid_margin" -> langidMarginQ,
     "doc_oov" -> oovQ,
     "corpus_diff" -> corpusDiffQ,
     "corpus_leakage_report" -> leakageReportQ,
@@ -2122,6 +2190,8 @@ object TextOps extends QueryPack {
     "doc_bm25" -> bm25Sql,
     "doc_strip_html" -> stripHtmlSql,
     "doc_ngram_diversity" -> ngramDiversitySql,
+    "doc_sentences" -> sentencesSql,
+    "doc_langid_margin" -> langidMarginSql,
     "doc_oov" -> oovSql,
     "corpus_diff" -> corpusDiffSql,
     "corpus_leakage_report" -> leakageReportSql,

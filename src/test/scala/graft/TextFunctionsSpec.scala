@@ -31,6 +31,32 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(plain == "just text")
   }
 
+  test("sentences splits after terminal punctuation + whitespace") {
+    val got = Seq("One two. Three four! Five? Six")
+      .toDF("t").select(graft.functions.TextFunctions.sentences($"t")).as[Seq[String]].head()
+    assert(got == Seq("One two.", "Three four!", "Five?", "Six"))
+    // no trailing whitespace split → single sentence stays whole
+    val one = Seq("no terminal punctuation here")
+      .toDF("t").select(graft.functions.TextFunctions.sentences($"t")).as[Seq[String]].head()
+    assert(one == Seq("no terminal punctuation here"))
+    // documented heuristic: abbreviations over-split
+    val abbr = Seq("Dr. Smith arrived.")
+      .toDF("t").select(graft.functions.TextFunctions.sentences($"t")).as[Seq[String]].head()
+    assert(abbr == Seq("Dr.", "Smith arrived."))
+  }
+
+  test("langIdWithMargin exposes the argmax confidence") {
+    val got = Seq(
+      "the cat and the hat of it",   // clearly en
+      "el the"                       // en/es tie → margin 0, en by order
+    ).toDF("t")
+      .select(langIdWithMargin(tokens($"t")).as("m"))
+      .select($"m.lang", $"m.hits", $"m.margin")
+      .as[(String, Int, Int)].collect()
+    assert(got(0)._1 == "en" && got(0)._3 > 0)
+    assert(got(1)._1 == "en" && got(1)._3 == 0, got(1).toString)
+  }
+
   test("fingerprint is invariant to token order and duplication") {
     val df = Seq("a b c", "c b a a", "a b d").toDF("text")
       .select(fingerprint($"text").as("fp")).as[String].collect()
