@@ -441,6 +441,82 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("quotaPerKeyWindow never exceeds k and never reorders survivors") {
+    import graft.operators.Throttle
+    val gen = for {
+      n <- Gen.choose(1, 120)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(1L, 4L)
+        tsSec <- Gen.choose(0L, 7200L) // spans 3 hourly windows
+      } yield (key, tsSec))
+    } yield rows
+    forAll(gen, n = 15) { rows =>
+      val df = rows.zipWithIndex.map { case ((k, sec), i) =>
+        (k, new java.sql.Timestamp(sec * 1000L), i.toLong)
+      }.toDF("key", "ts", "eid")
+      val kept = Throttle.quotaPerKeyWindow(df, "key", "ts", "1 hour",
+          k = 3, tieBreakCol = "eid")
+        .select($"key", $"eid", $"seq_in_window").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // per (key, hour): at most 3, and they are the FIRST 3 by (ts, eid)
+      val byKeyWin = kept.groupBy { case (k, eid, _) =>
+        (k, rows(eid.toInt)._2 / 3600) }
+      byKeyWin.foreach { case ((k, win), g) =>
+        assert(g.length <= 3)
+        val expect = rows.zipWithIndex
+          .filter { case ((rk, sec), _) => rk == k && sec / 3600 == win }
+          .sortBy { case ((_, sec), i) => (sec, i) }.take(3).map(_._2.toLong)
+        assert(g.map(_._2).sorted.toSeq == expect.sorted,
+          s"wrong survivors for ($k,$win)")
+      }
+    }
+  }
+
+  test("temperatureMixture: alpha=1 keeps natural shares; lower alpha flattens") {
+    import graft.operators.Curation
+    val d = ((0L until 900L).map(i => (i, "big")) ++
+      (900L until 1000L).map(i => (i, "small"))).toDF("id", "g")
+    def shares(alpha: Double): (Double, Double) = {
+      val kept = Curation.temperatureMixture(d, "g", "id", alpha, 500L, "pp")
+        .groupBy("g").count().as[(String, Long)].collect().toMap
+      (kept.getOrElse("big", 0L).toDouble / 900.0,
+        kept.getOrElse("small", 0L).toDouble / 100.0)
+    }
+    val (b1, s1) = shares(1.0)
+    val (b5, s5) = shares(0.5)
+    // flattening: the small group's keep-rate ADVANTAGE grows as alpha drops
+    assert(s5 / b5 > s1 / b1 + 0.5,
+      s"alpha=0.5 should favor small more: a1=($b1,$s1) a05=($b5,$s5)")
+  }
+
+  test("interleaveBySource emits a prefix-balanced order") {
+    import graft.operators.Curation
+    val gen = Gen.choose(2, 5).flatMap(k =>
+      Gen.listOfN(k, Gen.choose(3, 30)).map(_.zipWithIndex))
+    forAll(gen, n = 10) { sizes =>
+      var id = 0L
+      val rows = sizes.flatMap { case (n, s) =>
+        (0 until n).map { _ => id += 1; (id, s"s$s") } }
+      val order = Curation.interleaveBySource(
+        rows.toDF("id", "src"), "src", "id", "x")
+        .collect().map(_.getString(1))
+      // after any prefix, per-source counts differ by at most 1 among
+      // sources that are not yet exhausted
+      val totals = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val seen = scala.collection.mutable.Map.empty[String, Int]
+      order.zipWithIndex.foreach { case (s, i) =>
+        seen(s) = seen.getOrElse(s, 0) + 1
+        val active = totals.filter { case (src, tot) =>
+          seen.getOrElse(src, 0) < tot }
+        if (active.size > 1) {
+          val counts = active.keys.map(src => seen.getOrElse(src, 0))
+          assert(counts.max - counts.min <= 1,
+            s"unbalanced prefix at $i: $seen totals=$totals")
+        }
+      }
+    }
+  }
+
   test("winnowChars detection guarantee holds on random strings with planted overlap") {
     // The SubstringDedup cross-chunk pass rests on this theorem: ANY
     // shared substring of >= k+w-1 chars yields a shared fingerprint.
