@@ -97,4 +97,34 @@ object Layout {
       .write.mode("overwrite").parquet(path)
     df.sparkSession.read.parquet(path)
   }
+
+  /** Compact a parquet directory into ~`targetFileBytes` output files —
+    * the small-files maintenance job (a streaming sink or an
+    * over-parallel write leaves thousands of KB-sized files whose
+    * per-file open/footer cost then dominates every downstream scan).
+    * The output file count derives from the directory's ACTUAL byte
+    * size (driver-side file listing — metadata, not data), and the
+    * rewrite is one round-robin repartition: no shuffle key needed, no
+    * skew possible. Optionally sorts within files by `sortCols` so
+    * min/max footer stats stay selective after compaction. Returns the
+    * re-read compacted frame. */
+  def compact(spark: org.apache.spark.sql.SparkSession, inPath: String,
+      outPath: String, targetFileBytes: Long = 128L << 20,
+      sortCols: Seq[String] = Nil): DataFrame = {
+    require(targetFileBytes > 0, "need targetFileBytes > 0")
+    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hadoopPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hadoopPath).getLength
+    val files = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val shaped =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(files,
+            sortCols.map(org.apache.spark.sql.functions.col): _*)
+          .sortWithinPartitions(
+            sortCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(files)
+    shaped.write.mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath)
+  }
 }

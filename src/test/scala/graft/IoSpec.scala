@@ -231,6 +231,30 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/h").count() == 128L * 128)
   }
 
+  test("compact coalesces a many-file directory to the byte-derived count") {
+    import java.nio.file.Files
+    val base = Files.createTempDirectory("graft_compact").toString
+    // fragment: 64 tiny files
+    spark.range(0, 10000).selectExpr("id", "id % 7 AS k")
+      .repartition(64).write.parquet(s"$base/frag")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/frag") == 64)
+    val bytes = new java.io.File(s"$base/frag").listFiles
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    // target half the directory size → exactly 2 output files
+    val out = graft.sources.Layout.compact(spark, s"$base/frag",
+      s"$base/tight", targetFileBytes = (bytes + 1) / 2,
+      sortCols = Seq("id"))
+    assert(parquetFiles(s"$base/tight") == 2,
+      s"got ${parquetFiles(s"$base/tight")} files")
+    assert(out.count() == 10000)
+    // sorted compaction keeps footer stats selective: a range predicate
+    // prunes at least one of the two row-group sets
+    val pruned = spark.read.parquet(s"$base/tight").filter("id < 100")
+    assert(pruned.count() == 100)
+  }
+
   test("InterleaveBits is the Morton code (hand fixtures + clamping)") {
     import graft.plans.ZOrderImpl.interleave
     assert(interleave(2, Array(0L, 0L)) == 0L)
