@@ -50,6 +50,31 @@ object Validate {
         "min_str", "max_str")
   }
 
+  /** Join-key skew profile — the pre-join diagnosis that decides
+    * between a plain shuffle join, broadcast, and salting
+    * ([[Salting]]): distribution of per-key group sizes (count
+    * quantiles + max) plus the top heavy keys. One key-keyed count
+    * (map-side partial), then a tiny aggregate over group sizes and a
+    * partial top-k — the raw table is scanned once; nothing
+    * driver-side but the k-row report. A `p99 ≪ max` gap is the skew
+    * signature: one salted key, not a uniformly heavy distribution. */
+  def joinKeyProfile(df: DataFrame, keyCol: String,
+      topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val dist = counts.agg(
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"),
+      expr("percentile(cnt, 0.5)").as("p50"),
+      expr("percentile(cnt, 0.99)").as("p99"))
+    val heavy = counts
+      .orderBy(col("cnt").desc, col(keyCol).cast("string"))
+      .limit(topK)
+      .select(col(keyCol).cast("string").as("heavy_key"), col("cnt"))
+    heavy.crossJoin(broadcast(dist))
+      .select(col("heavy_key"), col("cnt").as("heavy_cnt"),
+        col("n_keys"), col("max_cnt"), col("p50"), col("p99"))
+  }
+
   /** Per-rule violation counts, all rules in one pass: each rule is a
     * boolean Column that should hold for every row. */
   def checkRows(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {

@@ -249,6 +249,30 @@ object MiscPack extends QueryPack {
     * HLL mode is the scale default — see Validate.profile). Integer and
     * string columns only: min/max stringification of floats is
     * engine-formatting territory. */
+  /** Join-key skew profile on orders.o_custkey — the p99≪max gap is
+    * the salting signal. Top-5 heavy keys + group-size quantiles. */
+  def dqJoinProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Validate.joinKeyProfile(Tables.orders(s, dir),
+        "o_custkey", topK = 5)
+      .orderBy(org.apache.spark.sql.functions.col("heavy_cnt").desc,
+        org.apache.spark.sql.functions.col("heavy_key"))
+
+  val dqJoinProfileSql: String =
+    """WITH counts AS (
+      |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey),
+      |dist AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+      |    CAST(max(cnt) AS BIGINT) AS max_cnt,
+      |    quantile_cont(cnt, 0.5) AS p50, quantile_cont(cnt, 0.99) AS p99
+      |  FROM counts),
+      |heavy AS (
+      |  SELECT CAST(o_custkey AS VARCHAR) AS heavy_key,
+      |    CAST(cnt AS BIGINT) AS heavy_cnt
+      |  FROM counts ORDER BY cnt DESC, CAST(o_custkey AS VARCHAR) LIMIT 5)
+      |SELECT heavy_key, heavy_cnt, n_keys, max_cnt, p50, p99
+      |FROM heavy, dist
+      |ORDER BY heavy_cnt DESC, heavy_key""".stripMargin
+
   def dqProfile(s: SparkSession, dir: String): DataFrame =
     graft.operators.Validate.profile(Tables.orders(s, dir),
         Seq("o_custkey", "o_orderstatus", "o_orderpriority"), exact = true)
@@ -913,6 +937,7 @@ object MiscPack extends QueryPack {
     "agg_hll_rollup" -> hllRollup,
     "agg_cms_freq" -> cmsFrequencies,
     "dq_rule_audit" -> dqRuleAudit,
+    "dq_join_profile" -> dqJoinProfile,
     "dq_profile" -> dqProfile,
     "cdc_merge" -> cdcMerge,
     "agg_kmv_distinct" -> kmvDistinct,
@@ -943,6 +968,7 @@ object MiscPack extends QueryPack {
     "agg_kmv_rollup" -> kmvRollupSql,
     "agg_topk_heavy" -> topkHeavySql,
     "dq_rule_audit" -> dqRuleAuditSql,
+    "dq_join_profile" -> dqJoinProfileSql,
     "dq_profile" -> dqProfileSql,
     "cdc_merge" -> cdcMergeSql,
     "agg_kmv_distinct" -> kmvDistinctSql,

@@ -175,6 +175,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(0).getAs[Int]("rank") == 1)
   }
 
+  test("joinKeyProfile surfaces the skew signature") {
+    import graft.operators.Validate
+    // one hot key (1000 rows) over a uniform background (10 each)
+    val d = ((0L until 1000L).map(_ => 7L) ++
+      (1L to 50L).flatMap(k => Seq.fill(10)(k * 100))).toDF("k")
+    val got = Validate.joinKeyProfile(d, "k", topK = 3).collect()
+    assert(got.length == 3)
+    val top = got.map(r => r.getAs[String]("heavy_key") ->
+      r.getAs[Long]("heavy_cnt")).toMap
+    assert(top("7") == 1000L)
+    val r0 = got.head
+    assert(r0.getAs[Long]("n_keys") == 51)
+    assert(r0.getAs[Long]("max_cnt") == 1000L)
+    // the signature: the bulk quantile stays at the background size,
+    // max explodes (with 51 keys p99 interpolates INTO the outlier —
+    // 505 here — which is itself informative; p50 is the bulk)
+    assert(r0.getAs[Double]("p50") == 10.0 &&
+      r0.getAs[Long]("max_cnt") > 50 * r0.getAs[Double]("p50"))
+  }
+
   test("hardNegatives caps similarity below the near-dup ceiling") {
     val emb = Seq(
       (0L, Seq(1.0f, 0.0f)),
