@@ -279,6 +279,23 @@ final case class GFrame(df: DataFrame) {
       budgetTokens, groups))
   def tfidf(idCol: String, textCol: String): GFrame =
     GFrame(graft.operators.TextPipeline.tfidf(df, idCol, textCol))
+  /** Sentence segmentation into an array column. */
+  def sentences(textCol: String, outCol: String = "sentences"): GFrame =
+    GFrame(df.withColumn(outCol,
+      graft.functions.TextFunctions.sentences(col(textCol))))
+  /** Language-ID with confidence: adds lang / hits / margin columns. */
+  def langIdMargin(textCol: String): GFrame = {
+    val m = graft.functions.TextFunctions.langIdWithMargin(
+      graft.functions.TextFunctions.tokens(col(textCol)))
+    GFrame(df.withColumn("_m", m)
+      .withColumn("lang_detected", col("_m.lang"))
+      .withColumn("lang_hits", col("_m.hits"))
+      .withColumn("lang_margin", col("_m.margin"))
+      .drop("_m"))
+  }
+  /** Join-key skew profile (pre-join shuffle/broadcast/salt decision). */
+  def joinKeyProfile(keyCol: String, topK: Int = 5): GFrame =
+    GFrame(graft.operators.Validate.joinKeyProfile(df, keyCol, topK))
   /** Corpus n-gram diversity (distinct-n) per group, n = 1..maxN. */
   def ngramDiversity(groupCol: String, textCol: String,
       maxN: Int = 3): GFrame =
