@@ -120,6 +120,19 @@ object Curation {
     df.filter(hashUnit(col(idCol), seed) < w)
   }
 
+  /** Null-safe broadcast join of a per-group 1-row-per-group table
+    * back onto the corpus: a plain equi-join on the group column
+    * SILENTLY DROPS rows whose group is NULL (null ≠ null), and a
+    * sampler/calibrator must never lose rows that way — the NULL group
+    * is a group like any other (groupBy already aggregates it). */
+  private def joinGroupStats(df: DataFrame, stats: DataFrame,
+      groupCol: String): DataFrame = {
+    val g = "__grp_" + groupCol
+    df.join(broadcast(stats.withColumnRenamed(groupCol, g)),
+        col(groupCol) <=> col(g))
+      .drop(g)
+  }
+
   /** Keep the top `frac` of rows per group by `scoreCol` — the
     * per-source quality gate ("top 30% by quality within each
     * language"), which a single global threshold can't express without
@@ -133,7 +146,7 @@ object Curation {
     require(frac > 0.0 && frac <= 1.0, "need 0 < frac <= 1")
     val cuts = df.groupBy(col(groupCol))
       .agg(pctl(scoreCol, 1.0 - frac).as("_cut"))
-    df.join(broadcast(cuts), groupCol)
+    joinGroupStats(df, cuts, groupCol)
       .filter(col(scoreCol).cast("double") >= col("_cut"))
       .drop("_cut")
   }
@@ -155,7 +168,7 @@ object Curation {
       (sum((v * v).cast(dec)).cast("double") / count(v)).as("_m2"),
       count(v).as("_n"))
     val varPop = col("_m2") - col("_mean") * col("_mean")
-    df.join(broadcast(stats), groupCol)
+    joinGroupStats(df, stats, groupCol)
       .withColumn(zCol,
         when(col("_n") <= 1 || varPop <= 0.0, lit(0.0))
           .otherwise((v - col("_mean")) / sqrt(varPop)))
@@ -204,8 +217,13 @@ object Curation {
     * delta passes to re-curate only the `added`/`changed` slice. */
   def corpusDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       textCol: String, includeUnchanged: Boolean = false): DataFrame = {
-    val o = oldDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_od"))
-    val n = newDf.select(col(idCol).as("_id"), md5(col(textCol)).as("_nd"))
+    // NULL text must digest to a sentinel, not NULL: md5(null) = null
+    // would make a null-text doc present in BOTH versions look "added"
+    // (its old digest is null ⇒ first branch fires). The sentinel can't
+    // collide with a real digest (md5 hex is 32 chars).
+    def dig(c: Column) = coalesce(md5(c), lit("<null-text>"))
+    val o = oldDf.select(col(idCol).as("_id"), dig(col(textCol)).as("_od"))
+    val n = newDf.select(col(idCol).as("_id"), dig(col(textCol)).as("_nd"))
     val st = when(col("_od").isNull, lit("added"))
       .when(col("_nd").isNull, lit("removed"))
       .when(col("_od") =!= col("_nd"), lit("changed"))
@@ -252,7 +270,7 @@ object Curation {
       .select(col(groupCol),
         least(lit(1.0), lit(budget.toDouble) * (pw(col("_n_g")) /
           col("_w_sum")) / col("_n_g")).as("_rate"))
-    df.join(broadcast(rates), groupCol)
+    joinGroupStats(df, rates, groupCol)
       .filter(hashUnit(col(idCol), seed) < col("_rate"))
       .drop("_rate")
   }

@@ -329,6 +329,26 @@ class CurationSpec extends AnyFunSuite {
       includeUnchanged = true)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(full(2L) == "unchanged" && full.size == 4)
+    // null text present in both versions is UNCHANGED, not "added"
+    // (md5(null) = null would misfire the added branch)
+    val o2 = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("doc_id", "text")
+    val n2 = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val d2 = Curation.corpusDiff(o2, n2, "doc_id", "text",
+      includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d2 == Map(1L -> "unchanged", 2L -> "changed"), d2.toString)
+  }
+
+  test("per-group stats ops keep null-group rows (null-safe join)") {
+    val d = Seq((1L, Some("a"), 10.0), (2L, Some("a"), 20.0),
+      (3L, Option.empty[String], 5.0), (4L, Option.empty[String], 6.0))
+      .toDF("id", "g", "v")
+    assert(Curation.filterTopFracByGroup(d, "g", "v", 1.0).count() == 4)
+    assert(Curation.standardizeByGroup(d, "g", "v").count() == 4)
+    assert(Curation.temperatureMixture(d, "g", "id", 0.5, 1000L, "s")
+      .count() == 4, "budget >> corpus keeps everything incl. null group")
   }
 
   test("temperatureMixture upsamples small groups and caps rates at 1") {
