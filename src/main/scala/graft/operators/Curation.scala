@@ -201,10 +201,20 @@ object Curation {
     * share a value, single-row groups get 0.0 — both engine-portable.
     * One group-keyed sort window; group sizes bound partition memory. */
   def quantileNormalizeByGroup(df: DataFrame, groupCol: String,
-      valueCol: String, outCol: String = "qnorm"): DataFrame =
-    df.withColumn(outCol, percent_rank().over(
-      Window.partitionBy(col(groupCol))
-        .orderBy(col(valueCol).cast("double"))))
+      valueCol: String, outCol: String = "qnorm"): DataFrame = {
+    // NULL scores get NULL qnorm and are EXCLUDED from the ranking
+    // denominator (same contract as curriculumBuckets). Ranking them
+    // instead would be engine-divergent anyway: Spark default-orders
+    // nulls FIRST, DuckDB LAST, so a null would claim rank 0 on one
+    // engine and 1 on the other.
+    val ranked = df.filter(col(valueCol).isNotNull)
+      .withColumn(outCol, percent_rank().over(
+        Window.partitionBy(col(groupCol))
+          .orderBy(col(valueCol).cast("double"))))
+    val nulls = df.filter(col(valueCol).isNull)
+      .withColumn(outCol, lit(null).cast("double"))
+    ranked.unionByName(nulls)
+  }
 
   /** Snapshot diff between two corpus versions keyed by `idCol` — the
     * dataset-versioning primitive (what changed between crawl N and

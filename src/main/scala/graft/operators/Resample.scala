@@ -53,7 +53,13 @@ object Resample {
     val w = Window.partitionBy(col(keyCol), col("_bucket"))
       .orderBy(col("_tus"), col(tieBreakCol))
     val dec = org.apache.spark.sql.types.DecimalType(18, valueScale)
-    df.select(col(keyCol), col(tieBreakCol), tus.as("_tus"),
+    // null-valued observations are excluded UP FRONT: kept in the lead
+    // chain they would contribute their Δt to the denominator while
+    // adding nothing to the numerator, silently dragging the average
+    // toward zero; excluded, their time attributes to the previous
+    // observation (the standard unknown-sample treatment).
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol), col(tieBreakCol), tus.as("_tus"),
         bucket.as("_bucket"), col(valueCol).cast(dec).as("_v"))
       .withColumn("_dt", lead(col("_tus"), 1).over(w) - col("_tus"))
       .groupBy(col(keyCol), col("_bucket"))

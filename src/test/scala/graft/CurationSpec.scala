@@ -317,6 +317,15 @@ class CurationSpec extends AnyFunSuite {
     assert(q(3L) == q(4L) && math.abs(q(3L) - 1.0 / 3.0) < 1e-15)
     // single-row group: 0.0, not NaN
     assert(q(5L) == 0.0)
+    // null score → null qnorm, EXCLUDED from the denominator: the
+    // non-null ranks are unchanged by adding a null row to group a
+    val withNull = d.union(
+      Seq((6L, "a", Option.empty[Double])).toDF("id", "g", "v"))
+    val q2 = Curation.quantileNormalizeByGroup(withNull, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Double]("qnorm"))).toMap
+    assert(q2(6L).isEmpty)
+    assert(q2(1L).contains(1.0) && q2(2L).contains(0.0))
   }
 
   test("corpusDiff classifies added/removed/changed by content digest") {

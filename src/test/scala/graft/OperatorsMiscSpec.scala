@@ -244,6 +244,15 @@ class OperatorsMiscSpec extends AnyFunSuite {
     val twap0 = got(0).getAs[Double]("twap")
     assert(math.abs(twap0 - (10.0 * 60 + 20.0 * 120) / 180.0) < 1e-12)
     assert(got(1).isNullAt(got(1).fieldIndex("twap")))
+    // a null-valued observation is excluded up front: its time window
+    // attributes to the PREVIOUS value instead of diluting the average
+    val withNull = ev.union(Seq(
+      (1L, t("2024-01-01 00:02:00"), Option.empty[Double], 9L))
+      .toDF("user_id", "ts", "value", "event_id"))
+    val t0 = Resample.twap(withNull, "user_id", "ts", "value", "event_id",
+        bucketMicros = 3600000000L)
+      .orderBy("bucket").head.getAs[Double]("twap")
+    assert(t0 == twap0, s"null observation changed twap: $t0 vs $twap0")
   }
 
   test("missingBuckets reports in-span days with no events") {
