@@ -509,6 +509,16 @@ final case class GFrame(df: DataFrame) {
       weights: Map[String, Double], seed: String): GFrame =
     GFrame(graft.operators.Curation.mixCorpora(df, sourceCol, idCol,
       weights, seed))
+  /** Scrub docs sharing ≥ minShared winnow fingerprints with `evalDf`. */
+  def decontaminate(evalDf: GFrame, idCol: String, textCol: String,
+      minShared: Int = 3): GFrame =
+    GFrame(graft.operators.Curation.decontaminate(df, evalDf.toDF,
+      idCol, textCol, minShared))
+  /** Per-group modified z-score (median/MAD robust outlier rule). */
+  def modifiedZByGroup(groupCol: String, valueCol: String,
+      zCol: String = "mz"): GFrame =
+    GFrame(graft.operators.Curation.modifiedZByGroup(df, groupCol,
+      valueCol, zCol))
   /** Source-interleaved training order (round-robin over sources). */
   def interleaveBySource(sourceCol: String, idCol: String,
       seed: String): GFrame =

@@ -195,6 +195,54 @@ object Curation {
     if (seqCol.isDefined) out else out.drop(sc)
   }
 
+  /** Remove train documents that share ≥ `minShared` winnowing
+    * fingerprints with ANY eval document — cross-dataset n-gram
+    * decontamination (the benchmark-leak scrub run before training;
+    * complements [[assignSplitLeakFree]], which prevents leaks only
+    * within one corpus). Winnowing gives the guarantee: any shared
+    * token run of ≥ k+w−1 tokens yields a shared fingerprint
+    * ([[graft.operators.TextPipeline.winnowFingerprints]], MOSS). At
+    * scale: fingerprint sets shuffle 8-byte keys; the eval side
+    * reduces to a distinct-fp table (benchmark-sized — broadcastable);
+    * one join + one per-doc count + one anti-join. */
+  def decontaminate(train: DataFrame, evalDf: DataFrame, idCol: String,
+      textCol: String, minShared: Int = 3, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    require(minShared >= 1, "need minShared >= 1")
+    val tf = graft.operators.TextPipeline
+      .winnowFingerprints(train, idCol, textCol, k, w)
+    val ef = graft.operators.TextPipeline
+      .winnowFingerprints(evalDf, idCol, textCol, k, w)
+      .select(col("fp")).distinct()
+    val contaminated = tf.join(broadcast(ef), "fp")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("_shared"))
+      .filter(col("_shared") >= minShared)
+      .select(col(idCol))
+    train.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Per-group modified z-score (Iglewicz–Hoaglin): 0.6745·(v − med) /
+    * MAD, the robust outlier rule that survives the outliers it hunts
+    * (mean/std get dragged by them; median/MAD don't). Per-group
+    * median + MAD are two exact-percentile group aggregates, each
+    * null-safe-broadcast back; zero-MAD groups (>50% identical values)
+    * get z = 0 rather than ±Inf. Flag |mz| > 3.5 downstream. */
+  def modifiedZByGroup(df: DataFrame, groupCol: String, valueCol: String,
+      zCol: String = "mz"): DataFrame = {
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol)).agg(pctl(valueCol, 0.5).as("_med"))
+    val dev = joinGroupStats(df, med, groupCol)
+      .withColumn("_dev", abs(v - col("_med")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg(call_function("percentile", col("_dev"), lit(0.5)).as("_mad"))
+    joinGroupStats(dev, mad, groupCol)
+      .withColumn(zCol,
+        when(v.isNull, lit(null).cast("double"))
+          .when(col("_mad") <= 0.0, lit(0.0))
+          .otherwise(lit(0.6745) * (v - col("_med")) / col("_mad")))
+      .drop("_med", "_dev", "_mad")
+  }
+
   /** Per-group quantile (rank) normalization to [0, 1] — percent_rank
     * within each group; the rank analog of [[standardizeByGroup]] for
     * non-Gaussian score distributions (perplexities, lengths). Ties

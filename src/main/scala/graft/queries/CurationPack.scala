@@ -545,7 +545,31 @@ object CurationPack extends QueryPack {
        |  FROM documents)
        |ORDER BY seq, lang""".stripMargin
 
+  /** Per-language modified z-scores of document length (Iglewicz–
+    * Hoaglin robust outlier rule). */
+  def modifiedZQ(s: SparkSession, dir: String): DataFrame =
+    Curation.modifiedZByGroup(Tables.documents(s, dir), "lang", "n_chars")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("mz"))
+      .orderBy(col("doc_id"))
+
+  val modifiedZSql: String =
+    """SELECT doc_id, lang, n_chars,
+      |  CASE WHEN mad <= 0.0 THEN 0.0
+      |       ELSE CAST(0.6745 AS DOUBLE)
+      |         * (CAST(n_chars AS DOUBLE) - med) / mad END AS mz
+      |FROM documents d
+      |JOIN (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      |      FROM documents GROUP BY lang) m USING (lang)
+      |JOIN (SELECT lang,
+      |        quantile_cont(abs(CAST(n_chars AS DOUBLE) - med), 0.5) AS mad
+      |      FROM documents
+      |      JOIN (SELECT lang, quantile_cont(n_chars, 0.5) AS med
+      |            FROM documents GROUP BY lang) mm USING (lang)
+      |      GROUP BY lang) s USING (lang)
+      |ORDER BY doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "outlier_modified_z" -> modifiedZQ,
     "corpus_interleave" -> interleaveQ,
     "corpus_quantile_norm" -> quantileNormQ,
     "corpus_top_frac" -> topFracQ,
@@ -570,6 +594,7 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "outlier_modified_z" -> modifiedZSql,
     "corpus_interleave" -> interleaveSql,
     "corpus_quantile_norm" -> quantileNormSql,
     "corpus_top_frac" -> topFracSql,

@@ -827,6 +827,44 @@ object TextOps extends QueryPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Cross-dataset n-gram decontamination: train = doc_id ≥ 50 scrubbed
+    * against eval = doc_id < 50 at ≥ 3 shared winnow fingerprints
+    * (69/450 train docs flagged on this corpus — a real split). */
+  def decontaminateQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.Curation.decontaminate(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+        "doc_id", "text", minShared = 3)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  val decontaminateSql: String =
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |grams AS (
+       |  SELECT doc_id, g.i AS i,
+       |    CAST(('0x' || substring(
+       |      md5(t[g.i] || ' ' || t[g.i + 1] || ' ' || t[g.i + 2]),
+       |      1, 15)) AS BIGINT) AS h
+       |  FROM toks,
+       |    LATERAL unnest(generate_series(1, greatest(len(t) - 2, 0)))
+       |      AS g(i)),
+       |wins AS (
+       |  SELECT doc_id,
+       |    min(h) OVER (PARTITION BY doc_id ORDER BY i
+       |                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY i) AS rn,
+       |    count(*) OVER (PARTITION BY doc_id) AS ng
+       |  FROM grams),
+       |fps AS (SELECT DISTINCT doc_id, fp FROM wins WHERE rn <= ng - 3),
+       |bad AS (
+       |  SELECT t.doc_id FROM (SELECT * FROM fps WHERE doc_id >= 50) t
+       |  JOIN (SELECT DISTINCT fp FROM fps WHERE doc_id < 50) e USING (fp)
+       |  GROUP BY t.doc_id HAVING count(*) >= 3)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= 50 AND doc_id NOT IN (SELECT doc_id FROM bad)
+       |ORDER BY doc_id""".stripMargin
+
   /** Train/test leakage report: near-dup pairs (the oracle-proven
     * MinHash+LSH screen) joined to a deterministic hash split, counted
     * per split combination — the contamination metric you read BEFORE
@@ -2130,6 +2168,7 @@ object TextOps extends QueryPack {
     "doc_oov" -> oovQ,
     "corpus_diff" -> corpusDiffQ,
     "corpus_leakage_report" -> leakageReportQ,
+    "corpus_decontaminate" -> decontaminateQ,
     "doc_chunks" -> chunksQ,
     "doc_chunk_dedup" -> chunkDedup,
     "doc_wordpiece" -> wordpiece,
@@ -2195,6 +2234,7 @@ object TextOps extends QueryPack {
     "doc_oov" -> oovSql,
     "corpus_diff" -> corpusDiffSql,
     "corpus_leakage_report" -> leakageReportSql,
+    "corpus_decontaminate" -> decontaminateSql,
     "doc_chunks" -> chunksSql,
     "doc_chunk_dedup" -> chunkDedupSql,
     "doc_dedup_exact" -> dedupExactSql,

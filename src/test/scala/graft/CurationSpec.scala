@@ -350,6 +350,43 @@ class CurationSpec extends AnyFunSuite {
     assert(d2 == Map(1L -> "unchanged", 2L -> "changed"), d2.toString)
   }
 
+  test("decontaminate removes train docs overlapping eval by >= minShared fps") {
+    // train doc 1 copies eval doc 10's text (max overlap); train doc 2
+    // is disjoint vocabulary
+    val evalDf = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val kept = Curation.decontaminate(train, evalDf, "doc_id", "text",
+      minShared = 1).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L), s"contaminated doc survived: $kept")
+    // a high threshold lets the overlap through
+    val lax = Curation.decontaminate(train, evalDf, "doc_id", "text",
+      minShared = 100).count()
+    assert(lax == 2)
+  }
+
+  test("modifiedZByGroup is robust to the outlier it flags") {
+    val d = ((1L to 9L).map(i => (i, "a", 10.0)) :+ (10L, "a", 1000.0))
+      .toDF("id", "g", "v")
+    val z = Curation.modifiedZByGroup(d, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("mz")).toMap
+    // median 10, MAD 0 → all-zero group? No: MAD of 9×0 and 1×990 = 0 →
+    // zero-MAD fallback gives 0 — use a group with real spread instead
+    val d2 = (Seq((1L, 1.0), (2L, 2.0), (3L, 3.0), (4L, 4.0), (5L, 5.0),
+      (6L, 100.0))).map { case (i, v) => (i, "b", v) }.toDF("id", "g", "v")
+    val z2 = Curation.modifiedZByGroup(d2, "g", "v")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Double]("mz")).toMap
+    // median 3.5, MAD = median(2.5,1.5,.5,.5,1.5,96.5) = 1.5
+    assert(math.abs(z2(6L) - 0.6745 * 96.5 / 1.5) < 1e-9, z2.toString)
+    assert(math.abs(z2(3L) - 0.6745 * -0.5 / 1.5) < 1e-9)
+    assert(z2(6L) > 3.5 && math.abs(z2(3L)) < 3.5)
+    // the degenerate >50%-identical group maps to 0, never Inf
+    assert(z.values.forall(v => !v.isInfinite && !v.isNaN))
+  }
+
   test("per-group stats ops keep null-group rows (null-safe join)") {
     val d = Seq((1L, Some("a"), 10.0), (2L, Some("a"), 20.0),
       (3L, Option.empty[String], 5.0), (4L, Option.empty[String], 6.0))
