@@ -251,4 +251,10 @@ object HashVariants {
     column(XxHash32Expr(expression(c), seed))
   def byteCast(c: Column, bigEndian: Boolean = true): Column =
     column(ByteCastExpr(expression(c), bigEndian))
+  /** Spark's codegen XXH64 with an explicit seed (the `functions.xxhash64`
+    * façade hardwires seed 42; the reference's xxhash_64 vectors use
+    * seed 0 — cpp/tests/hashing/xxhash_64_test.cpp:126). */
+  def xxhash64Seeded(c: Column, seed: Long): Column =
+    column(org.apache.spark.sql.catalyst.expressions.XxHash64(
+      Seq(expression(c)), seed))
 }

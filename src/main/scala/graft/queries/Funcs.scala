@@ -347,23 +347,90 @@ object Funcs extends QueryPack {
       |  hex(p_partkey) AS key_hex
       |FROM part ORDER BY p_partkey""".stripMargin
 
-  /** The reference's remaining hash variants (hashing.hpp:72
-    * murmurhash3_x64_128, hashing.hpp:176 xxhash_32) plus Spark-native
-    * murmur3_x86_32 / xxhash64 — all engine-native kernels with no
-    * DuckDB analog, so rows-only by documented policy; bit-exactness is
-    * proven against the reference's own test vectors in ExpressionsSpec
-    * (cpp/tests/hashing/murmurhash3_x64_128_test.cpp,
-    * xxhash_32_test.cpp). */
+  /** Reference-vector conformance gate for the hash variants DuckDB
+    * cannot compute (hashing.hpp:72 murmurhash3_x64_128, hashing.hpp:176
+    * xxhash_32, hashing.hpp:196 xxhash_64): every row evaluates one
+    * kernel IN-PLAN over a reference test input and emits
+    * `ok = computed == expected_literal`, with the expected literals
+    * lifted from the reference's own published vectors
+    * (cpp/tests/hashing/murmurhash3_x64_128_test.cpp:66,87 seeds 0 and
+    * 7; xxhash_32_test.cpp:15,28,43 int/double/string;
+    * xxhash_64_test.cpp:131 strings, seed 0 via [[graft.plans
+    * .HashVariants.xxhash64Seeded]]). DuckDB can't run the kernels but
+    * CAN hash-match the boolean table — the same in-plan-bound move that
+    * turned the sketch family oracle-green in round 7. Mismatch ⇒ the
+    * row flips false ⇒ the driver's value-hash diverges. */
   def hashVariants(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.plans.HashVariants
-    Tables.part(s, dir).select($"p_partkey",
-        HashVariants.murmur3x64_128($"p_name").getField("h1").as("mm128_h1"),
-        HashVariants.murmur3x64_128($"p_name").getField("h2").as("mm128_h2"),
-        HashVariants.xxhash32($"p_name").as("xx32"),
-        hash($"p_name").as("mm32"),
-        xxhash64($"p_name").as("xx64"))
-      .orderBy($"p_partkey")
+    def ul(x: String): Long = java.lang.Long.parseUnsignedLong(x)
+    val strs = Seq(
+      "The", "quick", "brown fox", "jumps over the lazy dog.",
+      "I am Jack's complete lack of null value",
+      "A very long (greater than 128 bytes/characters) to test a very " +
+        "long string. 2nd half of the very long string to verify the " +
+        "long string hashing happening.",
+      "Some multi-byte characters here: ééé", "ééé", "ééé ééé",
+      "ééé ééé ééé ééé", "", "!@#$%^&*(())", "0123456789",
+      "{}|:<>?,./;[]=-")
+    val mm0 = Seq("3481043174314896794", "1981901315483788749",
+      "1418748153263580713", "11224732510765974842", "10813495276579975748",
+      "8563282101401420087", "7289234017606107350", "225672801045596944",
+      "14927688838032769435", "7513581995808204968", "0",
+      "14163495587303857889", "4581940570640870180", "18164432652839101653")
+      .map(ul)
+    val mm7 = Seq("5091211404759866125", "12948345853121693662",
+      "14974420008081159223", "4475830656132398742", "15724398074328467356",
+      "4091324140202743991", "7130403777725115865", "11087585763075301159",
+      "12568262854562899547", "2679775340886828858", "17582832888865278351",
+      "5264478748926531221", "8863578460974333747", "11176802453047055260")
+      .map(ul)
+    val xx64 = Seq("4686269239494003989", "6715983472207430822",
+      "8148134898123095730", "17291005374665645904", "2631835514925512071",
+      "4181420602165187991", "8749004388517322364", "17701789113925815768",
+      "8612485687958712810", "5148645515269989956", "17241709254077376921",
+      "7379359170906687646", "4566581271137380327", "17962149534752128981")
+      .map(ul)
+    val strDf = strs.indices
+      .map(i => (i, strs(i), mm0(i), mm7(i), xx64(i)))
+      .toDF("case_id", "t", "e0", "e7", "e64")
+    val fm0 = strDf.select(lit("mm128_h1_seed0").as("family"), $"case_id",
+      (HashVariants.murmur3x64_128($"t", 0L).getField("h1") === $"e0").as("ok"))
+    val fm7 = strDf.select(lit("mm128_h1_seed7").as("family"), $"case_id",
+      (HashVariants.murmur3x64_128($"t", 7L).getField("h1") === $"e7").as("ok"))
+    val f64 = strDf.select(lit("xxhash64_seed0").as("family"), $"case_id",
+      (HashVariants.xxhash64Seeded($"t", 0L) === $"e64").as("ok"))
+    val fxi = Seq((0, 0, 148298089L), (1, 42, 1161967057L),
+        (2, 825, 1066694813L))
+      .toDF("case_id", "v", "e")
+      .select(lit("xx32_int_seed0").as("family"), $"case_id",
+        (HashVariants.xxhash32($"v", 0).cast("long")
+          .bitwiseAND(lit(0xFFFFFFFFL)) === $"e").as("ok"))
+    val fxd = Seq((0, -8.0, 2276435783L), (1, 25.0, 3120212431L),
+        (2, 90.0, 3454197470L))
+      .toDF("case_id", "v", "e")
+      .select(lit("xx32_double_seed42").as("family"), $"case_id",
+        (HashVariants.xxhash32($"v", 42).cast("long")
+          .bitwiseAND(lit(0xFFFFFFFFL)) === $"e").as("ok"))
+    val fxs = Seq((0, "I", 320624298L), (1, "am", 1612654309L),
+        (2, "AI", 1409499009L))
+      .toDF("case_id", "v", "e")
+      .select(lit("xx32_str_seed825").as("family"), $"case_id",
+        (HashVariants.xxhash32($"v", 825).cast("long")
+          .bitwiseAND(lit(0xFFFFFFFFL)) === $"e").as("ok"))
+    fm0.union(fm7).union(f64).union(fxi).union(fxd).union(fxs)
+      .orderBy($"family", $"case_id")
+  }
+
+  /** DuckDB oracle for [[hashVariants]]: the all-true boolean table. */
+  val hashVariantsSql: String = {
+    val fams = Seq("mm128_h1_seed0" -> 14, "mm128_h1_seed7" -> 14,
+      "xxhash64_seed0" -> 14, "xx32_int_seed0" -> 3,
+      "xx32_double_seed42" -> 3, "xx32_str_seed825" -> 3)
+    val rows =
+      for ((f, n) <- fams; i <- 0 until n) yield s"('$f', $i, true)"
+    s"""SELECT * FROM (VALUES ${rows.mkString(", ")})
+       |AS t(family, case_id, ok) ORDER BY family, case_id""".stripMargin
   }
 
   /** JSONPath extraction (json/json.hpp:27 get_json_object). */
@@ -662,6 +729,7 @@ object Funcs extends QueryPack {
     "cond_case" -> condCaseSql,
     "math_funcs" -> mathFuncsSql,
     "hash_funcs" -> hashFuncsSql,
+    "hash_variants" -> hashVariantsSql,
     "json_funcs" -> jsonFuncsSql,
     "json_roundtrip" -> jsonRoundtripSql)
 }

@@ -1148,18 +1148,45 @@ object TextOps extends QueryPack {
        |WHERE rn = 1 ORDER BY digest""".stripMargin
 
   /** Exact duplicated substrings (resolve_duplicates,
-    * nvtext/deduplicate.hpp:66) — CORPUS-complete since round 7: the
-    * chunk-local suffix-array pass plus the winnowing cross-chunk
-    * candidate/verify pass (see SubstringDedup's object doc) find every
-    * duplicate regardless of which chunks its occurrences land in.
-    * Rows-only (no tractable SQL analog); exactness covered by
-    * DedupSpec's planted cross-doc AND cross-chunk duplicate tests.
-    * Deterministic: range-partitioned chunks on doc_id, sorted output. */
+    * nvtext/deduplicate.hpp:66) — CORPUS-complete since round 7 (chunk-
+    * local suffix-array pass + winnowing cross-chunk candidate/verify
+    * pass, see SubstringDedup's object doc), and FULLY oracle-gated
+    * since round 8 via a lossless canonicalization: the resolved set is
+    * projected to the set of all minWidth-char grams of the emitted
+    * duplicates, which equals EXACTLY the brute-force set of
+    * minWidth-grams occurring ≥ 2 times in the corpus.
+    *
+    * Why the two sets coincide (both directions):
+    *  - ⊇ every emitted dup_text is a common prefix of ≥ 2 distinct
+    *    corpus suffixes, so each of its minWidth-grams occurs at ≥ 2
+    *    distinct positions;
+    *  - ⊆ any minWidth-gram with ≥ 2 occurrences spans a suffix-array
+    *    interval of ≥ 2 suffixes; some adjacent pair in that interval
+    *    has lcp ≥ minWidth (co-chunked case) or winnowing guarantees a
+    *    shared fingerprint → a verified pair (cross-chunk case), so the
+    *    gram is a prefix of some emitted dup_text.
+    * The DuckDB oracle computes the brute-force side directly (corpus
+    * is small at the gate's SF); the SA/winnowing internals stay
+    * covered by DedupSpec's planted cross-doc AND cross-chunk tests. */
   def substringDups(s: SparkSession, dir: String): DataFrame =
     graft.operators.SubstringDedup.resolveDuplicates(
         Tables.documents(s, dir).filter(col("doc_id") < 30),
         "doc_id", "text", minWidth = 15, chunks = 4)
-      .orderBy(col("dup_text"))
+      .select(explode(expr(
+        "transform(sequence(1, length(dup_text) - 14), i -> substring(dup_text, i, 15))"))
+        .as("gram"))
+      .distinct()
+      .orderBy(col("gram"))
+
+  /** Brute-force oracle: all 15-char grams with ≥ 2 occurrences
+    * (positions, not documents — overlapping within-doc repeats count,
+    * matching the suffix-array semantics). */
+  val substringDupsSql: String =
+    """SELECT gram FROM (
+      |  SELECT unnest(list_transform(generate_series(1, greatest(len(text) - 14, 0)),
+      |    s -> substr(text, s, 15))) AS gram
+      |  FROM documents WHERE doc_id < 30)
+      |GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin
 
   /** END-TO-END curation pipeline — the flagship composition: score →
     * language filter → quality filter → normalized exact dedup (keep
@@ -1211,8 +1238,15 @@ object TextOps extends QueryPack {
   /** Train/eval CONTAMINATION detection (resolve_duplicates_pair,
     * nvtext/deduplicate.hpp:95): substrings appearing in BOTH corpora —
     * here the even/odd doc_id halves stand in for train and eval sets.
-    * Rows-only (no tractable SQL analog); cross-source exactness is
-    * covered by DedupSpec's planted-duplicate tests. */
+    * Oracle-gated via the same lossless gram canonicalization as
+    * [[substringDups]]: the emitted cross-source duplicates, projected
+    * to minWidth-grams, equal EXACTLY the brute-force set of
+    * minWidth-grams present in both sources (each emitted dup_text
+    * occurs in both corpora ⇒ so do its grams; conversely a gram in
+    * both corpora either co-chunks — its suffix-array interval then
+    * holds suffixes of both sources, forcing a cross-source adjacency
+    * with lcp ≥ minWidth — or cross-chunks, where winnowing guarantees
+    * a shared fingerprint and the tagged verify emits it). */
   def contamination(s: SparkSession, dir: String): DataFrame =
     // tagged single-scan form: filtering even/odd into two frames and
     // unioning them would scan documents twice
@@ -1220,7 +1254,21 @@ object TextOps extends QueryPack {
         Tables.documents(s, dir).filter(col("doc_id") < 60)
           .withColumn("src", pmod(col("doc_id"), lit(2))),
         "doc_id", "text", "src", minWidth = 15, chunks = 2)
-      .orderBy(col("dup_text"))
+      .select(explode(expr(
+        "transform(sequence(1, length(dup_text) - 14), i -> substring(dup_text, i, 15))"))
+        .as("gram"))
+      .distinct()
+      .orderBy(col("gram"))
+
+  /** Brute-force oracle: 15-char grams occurring in BOTH the even and
+    * the odd doc_id halves. */
+  val contaminationSql: String =
+    """SELECT gram FROM (
+      |  SELECT doc_id % 2 AS src,
+      |    unnest(list_transform(generate_series(1, greatest(len(text) - 14, 0)),
+      |      s -> substr(text, s, 15))) AS gram
+      |  FROM documents WHERE doc_id < 60)
+      |GROUP BY gram HAVING count(DISTINCT src) = 2 ORDER BY gram""".stripMargin
 
   /** PII redaction (training-data scrub pass). The synthetic corpus
     * contains no PII, so each doc is salted with a deterministic email /
@@ -2237,6 +2285,8 @@ object TextOps extends QueryPack {
     "corpus_decontaminate" -> decontaminateSql,
     "doc_chunks" -> chunksSql,
     "doc_chunk_dedup" -> chunkDedupSql,
+    "doc_substring_dups" -> substringDupsSql,
+    "doc_contamination" -> contaminationSql,
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,
     "doc_dedup_normalized" -> dedupNormalizedSql,
