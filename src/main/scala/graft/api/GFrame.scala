@@ -494,11 +494,12 @@ final case class GFrame(df: DataFrame) {
   /** Deterministic contrastive negatives: k partner ids per anchor. */
   def sampleNegatives(idCol: String, k: Int, seed: String): GFrame =
     GFrame(graft.operators.Curation.sampleNegatives(df, idCol, k, seed))
-  /** PageRank over (srcCol, dstCol) edges — link-based quality prior. */
+  /** PageRank over (srcCol, dstCol) edges — link-based quality prior.
+    * `exact = true` = bit-replayable fixed-point sums (oracle mode). */
   def pageRank(srcCol: String, dstCol: String, damping: Double = 0.85,
-      iters: Int = 10): GFrame =
+      iters: Int = 10, exact: Boolean = false): GFrame =
     GFrame(graft.operators.LinkAnalysis.pageRank(df, srcCol, dstCol,
-      damping, iters))
+      damping, iters, exact))
   /** Per-group type-1 weighted percentiles (integer-exact thresholds). */
   def weightedPercentiles(groupCol: String, valueCol: String,
       weightCol: String, ps: Seq[(String, Long, Long)]): GFrame =

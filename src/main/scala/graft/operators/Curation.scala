@@ -158,7 +158,10 @@ object Curation {
     * portable); the z map is one codegen stage over a broadcast join.
     * Groups with zero variance (or a single row) get z = 0.0 rather
     * than NULL/Inf — a constant column is "perfectly average", and a
-    * downstream threshold must not drop it by accident. */
+    * downstream threshold must not drop it by accident. NULL inputs
+    * stay NULL in every group (consistent with [[modifiedZByGroup]] /
+    * [[quantileNormalizeByGroup]]): a missing score has no z, even in
+    * a degenerate group. */
   def standardizeByGroup(df: DataFrame, groupCol: String,
       valueCol: String, zCol: String = "z"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 12)
@@ -170,7 +173,8 @@ object Curation {
     val varPop = col("_m2") - col("_mean") * col("_mean")
     joinGroupStats(df, stats, groupCol)
       .withColumn(zCol,
-        when(col("_n") <= 1 || varPop <= 0.0, lit(0.0))
+        when(v.isNull, lit(null).cast("double"))
+          .when(col("_n") <= 1 || varPop <= 0.0, lit(0.0))
           .otherwise((v - col("_mean")) / sqrt(varPop)))
       .drop("_mean", "_m2", "_n")
   }
@@ -441,7 +445,13 @@ object Curation {
       .join(indexed.select(col("__idx").as("__nidx"),
         col(idCol).as(s"neg_$idCol")), "__nidx")
       .select(col(idCol), col("__j").as("neg_rank"), col(s"neg_$idCol"))
-    negs
+    // materialize (n·k small rows) so `indexed` can be released NOW
+    // rather than leaking cache for the life of the session; the
+    // eager cut also spares callers the double zipWithIndex job the
+    // persist existed to avoid
+    val out = negs.localCheckpoint()
+    indexed.unpersist()
+    out
   }
 
   /** Quality-ranked dedup survivor selection: within each duplicate

@@ -69,11 +69,26 @@ object LinkAnalysis {
     * (and spares a driver-side delta aggregation per iteration);
     * PageRank at d = 0.85 contracts error by ~0.85^k, so 20-30
     * iterations reach ~1e-2..1e-3 relative accuracy — curation ranks
-    * care about ordering, which stabilizes much earlier. */
+    * care about ordering, which stabilizes much earlier.
+    *
+    * `exact = true` switches the two per-iteration sums (contribution
+    * aggregate + dangling mass) to dyadic fixed-point (2^-45
+    * quantized decimal) so the result is bit-identical across engines
+    * and partitionings — the oracle-gate mode. The default (`false`)
+    * uses plain double sums: at 100 TB edge scale the exact mode pays
+    * two decimal(38,0) casts PER EDGE PER ITERATION purely for
+    * replayability, while the quantity curation actually consumes —
+    * the rank ORDERING — is insensitive to sub-ulp summation drift
+    * (adjacent ranks differ by far more than n·2^-53 accumulated
+    * error after tens of iterations; ties would already be broken by
+    * id downstream). Measured saving recorded in SCALING.md. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      damping: Double = 0.85, iters: Int = 10): DataFrame = {
+      damping: Double = 0.85, iters: Int = 10,
+      exact: Boolean = false): DataFrame = {
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     require(iters >= 1, "need iters >= 1")
+    val sumFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (exact) psum else (c => sum(c))
     val e = edges
       .select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
@@ -85,7 +100,11 @@ object LinkAnalysis {
       .distinct()
       .persist()
     val n = nodes.count()
-    if (n == 0) { e.unpersist(); return nodes.withColumn("r", lit(0.0)) }
+    if (n == 0) {
+      val empty = nodes.withColumn("r", lit(0.0)).localCheckpoint()
+      e.unpersist(); nodes.unpersist()
+      return empty
+    }
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // the DANGLING SET is static — only the mass changes per iteration;
     // without this a naive formulation recomputes the whole distinct-
@@ -107,11 +126,11 @@ object LinkAnalysis {
     for (i <- 1 to iters) {
       val dangling = ranks
         .join(danglingNodes, Seq("id"), "left_semi")
-        .agg(coalesce(psum(col("r")), lit(0.0)).as("mass"))
+        .agg(coalesce(sumFn(col("r")), lit(0.0)).as("mass"))
       val contribs = ed
         .join(ranks, ed("src") === ranks("id"))
         .select(col("dst"), (col("r") / col("deg")).as("c"))
-        .groupBy(col("dst")).agg(psum(col("c")).as("contrib"))
+        .groupBy(col("dst")).agg(sumFn(col("c")).as("contrib"))
       ranks = nodes
         .join(contribs, nodes("id") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))

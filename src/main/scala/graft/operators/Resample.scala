@@ -26,8 +26,11 @@ object Resample {
     * `div` truncates toward zero, which for negative coordinates makes
     * bucket 0 twice every other bucket's width; `%` follows the
     * dividend's sign, so a negative remainder means truncation rounded
-    * toward zero and we step one bucket down. */
-  private[operators] def floorDivExpr(x: String, n: Long): String =
+    * toward zero and we step one bucket down. Public: the query packs
+    * share it so their day-bucket ids stay floor-aligned with the
+    * DuckDB `//` oracles and with `window()` partitioning even for
+    * pre-1970 timestamps. */
+  def floorDivExpr(x: String, n: Long): String =
     s"(($x) div ${n}L) - (case when ($x) % ${n}L < 0 then 1 else 0 end)"
 
   /** Downsample `df` to `stepMicros` buckets per `keyCol`, carrying the

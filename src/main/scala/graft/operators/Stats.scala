@@ -107,8 +107,14 @@ object Stats {
     * row ranks) — this is the survey-weighting / importance-weighted
     * quantile every curation pipeline ends up hand-rolling.
     *
-    * Weights are truncated to integers (pre-scale fractional weights),
-    * and each threshold test is `den·cum ≥ num·total` — pure integer
+    * Weights must be positive (zero/negative weights would make the
+    * running cumulative sum non-monotone and every threshold silently
+    * wrong — they are rejected here, not dropped) and are rounded
+    * HALF_UP to integers (pre-scale fractional weights for more
+    * resolution; both Spark `round` and the oracle's `round()` agree
+    * on positive halves, unlike `cast(long)` which truncates while
+    * DuckDB's CAST rounds). Each threshold test is then
+    * `den·cum ≥ num·total` — pure integer
     * arithmetic, so no float rounding can flip a boundary row on
     * either engine: results are deterministic and oracle-checkable.
     *
@@ -128,10 +134,15 @@ object Stats {
         s"$name: need 0 <= num <= den, den > 0 (got $num/$den)")
     }
     import org.apache.spark.sql.expressions.Window
+    val wLong = round(col(weightCol).cast("double")).cast("long")
     val byValue = df
       .filter(col(valueCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn("__w1", wLong)
+      .withColumn("__w1", when(col("__w1") > 0, col("__w1")).otherwise(
+        raise_error(concat(lit(s"weightedPercentiles: non-positive weight in $weightCol: "),
+          col(weightCol).cast("string")))))
       .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(col("__w1")).as("__w"))
     val run = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val whole = Window.partitionBy(col(groupCol))
     val aggs = ps.map { case (name, num, den) =>

@@ -402,7 +402,7 @@ object Aggs extends QueryPack {
   val aggWeightedPctlSql: String =
     """WITH byv AS (
       |  SELECT l_returnflag, l_extendedprice AS v,
-      |    sum(CAST(l_quantity AS BIGINT)) AS w
+      |    sum(CAST(round(CAST(l_quantity AS DOUBLE)) AS BIGINT)) AS w
       |  FROM lineitem
       |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
       |  GROUP BY 1, 2),

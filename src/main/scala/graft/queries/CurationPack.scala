@@ -502,7 +502,8 @@ object CurationPack extends QueryPack {
     def dsum38(e: String) =
       s"CAST(CAST(sum(CAST(($e) AS DECIMAL(38,12))) AS VARCHAR) AS DOUBLE)"
     s"""SELECT doc_id, lang, n_chars,
-       |  CASE WHEN n <= 1 OR (m2 - m * m) <= 0.0 THEN 0.0
+       |  CASE WHEN n_chars IS NULL THEN NULL
+       |       WHEN n <= 1 OR (m2 - m * m) <= 0.0 THEN 0.0
        |       ELSE (CAST(n_chars AS DOUBLE) - m) / sqrt(m2 - m * m)
        |  END AS z
        |FROM documents d JOIN (

@@ -300,7 +300,8 @@ object EventOps extends QueryPack {
     graft.operators.Throttle.quotaPerKeyWindow(Tables.events(s, dir),
         "user_id", "ts", "1 day", k = 3, tieBreakCol = "event_id")
       .select(col("user_id"),
-        expr("unix_micros(ts) div 86400000000").as("win_id"),
+        expr(graft.operators.Resample.floorDivExpr("unix_micros(ts)",
+          86400000000L)).as("win_id"),
         col("event_id"), col("seq_in_window").cast("long").as("seq_in_window"))
       .orderBy(col("user_id"), col("win_id"), col("seq_in_window"))
 
@@ -321,7 +322,8 @@ object EventOps extends QueryPack {
     * window. */
   def topkDaily(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(expr("unix_micros(ts) div 86400000000").as("win_id"),
+      .groupBy(expr(graft.operators.Resample.floorDivExpr(
+          "unix_micros(ts)", 86400000000L)).as("win_id"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
       .withColumn("rnk", row_number().over(

@@ -872,7 +872,7 @@ object MiscPack extends QueryPack {
       .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
       .select(($"o_custkey" * 2).as("src"), ($"l_suppkey" * 2 + 1).as("dst"))
     graft.operators.LinkAnalysis
-      .pageRank(edges, "src", "dst", prDamping, prIters)
+      .pageRank(edges, "src", "dst", prDamping, prIters, exact = true)
       .orderBy($"id")
   }
 

@@ -334,14 +334,25 @@ class OperatorsMiscSpec extends AnyFunSuite {
     // mass conservation: sum of ranks stays 1 even with dangling nodes
     assert(math.abs(rd.sum - 1.0) < 1e-9)
     // determinism across physical partitionings (the fixed-point-sum
-    // contract): star + chain, 13-way repartition must be bit-equal
+    // contract, exact mode): star + chain, 13-way repartition must be
+    // bit-equal
     val g = ((1L to 30L).map(i => (i, 0L)) ++ Seq((0L, 31L), (31L, 32L)))
       .toDF("s", "d")
-    val a = LinkAnalysis.pageRank(g, "s", "d", iters = 6)
+    val a = LinkAnalysis.pageRank(g, "s", "d", iters = 6, exact = true)
       .orderBy("id").collect().toSeq
-    val b = LinkAnalysis.pageRank(g.repartition(13), "s", "d", iters = 6)
+    val b = LinkAnalysis.pageRank(g.repartition(13), "s", "d", iters = 6,
+        exact = true)
       .orderBy("id").collect().toSeq
     assert(a == b)
+    // production mode (plain double sums) agrees with exact mode to
+    // well under any rank gap — the ordering-stability argument for
+    // exact = false being the default
+    val p = LinkAnalysis.pageRank(g, "s", "d", iters = 6)
+      .orderBy("id").collect().toSeq
+    assert(p.size == a.size)
+    a.zip(p).foreach { case (x, y) =>
+      assert(math.abs(x.getDouble(1) - y.getDouble(1)) < 1e-9)
+    }
     // the hub (in-degree 30) must outrank every leaf
     val ranks = a.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ranks(0L) > ranks(1L) * 10)
