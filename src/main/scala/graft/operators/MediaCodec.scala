@@ -1,17 +1,24 @@
 package graft.operators
 
-/** REAL pure-JVM media codecs for the two uncompressed container
-  * formats that need no native libraries: RIFF/WAVE PCM-16 audio and
-  * BMP 24-bit uncompressed images. These upgrade half of Multimodal's
-  * "decode is stubbed" caveat: the WAV/BMP paths of
-  * [[Multimodal.decodeMedia]] are genuine byte-level decodes (chunk
-  * walking, padding, bottom-up row order, channel interleave), with
-  * compressed formats (JPEG/MP3/H.264) remaining the documented
-  * native-codec swap-in point.
+/** REAL pure-JVM media codecs — no native libraries anywhere:
   *
-  * Both decoders fail LOUDLY on malformed input (wrong magic,
-  * truncated chunks, unsupported bpp/compression) — a corrupt payload
-  * must surface, not decode to garbage features.
+  *  - RIFF/WAVE PCM-16 audio and BMP 24-bit images are hand-written
+  *    byte-level codecs (chunk walking, padding, bottom-up row order,
+  *    channel interleave);
+  *  - compressed images (PNG / JPEG / GIF) go through the JDK's own
+  *    `javax.imageio` plugins, which are pure Java and ship in every
+  *    JDK — the "container has no codecs" constraint never applied to
+  *    images ([[imageDecode]] / [[pngEncode]] / [[jpegEncode]]).
+  *
+  * Compressed AUDIO/VIDEO (MP3, H.264, …) remains the one genuinely
+  * unsupported family: the JDK has no decoder and the container no
+  * native libs — [[Multimodal.decodeMedia]] surfaces those mimes as
+  * null-stats rows rather than guessing.
+  *
+  * All decoders fail LOUDLY on malformed input (wrong magic,
+  * truncated chunks, unsupported bpp/compression, undecodable
+  * stream) — a corrupt payload must surface, not decode to garbage
+  * features.
   */
 object MediaCodec {
 
@@ -161,5 +168,75 @@ object MediaCodec {
       row += 1
     }
     (width, height, rgb)
+  }
+
+  /** PNG writer via the JDK's pure-Java ImageIO plugin: 24-bit RGB,
+    * input row-major top-down triplets. PNG is lossless, so
+    * encode → [[imageDecode]] round-trips every pixel bit-exact. */
+  def pngEncode(width: Int, height: Int,
+      rgbTopDown: Array[Byte]): Array[Byte] =
+    imageEncode(width, height, rgbTopDown, "png")
+
+  /** JPEG writer via the JDK's pure-Java ImageIO plugin. LOSSY — use
+    * for exercising the decode path, never for exact round-trips. */
+  def jpegEncode(width: Int, height: Int,
+      rgbTopDown: Array[Byte]): Array[Byte] =
+    imageEncode(width, height, rgbTopDown, "jpg")
+
+  /** GIF writer via the JDK's ImageIO plugin (palette format — exact
+    * only for images with ≤256 distinct colors). */
+  def gifEncode(width: Int, height: Int,
+      rgbTopDown: Array[Byte]): Array[Byte] =
+    imageEncode(width, height, rgbTopDown, "gif")
+
+  private def imageEncode(width: Int, height: Int, rgbTopDown: Array[Byte],
+      fmt: String): Array[Byte] = {
+    require(width > 0 && height > 0, "dimensions must be positive")
+    require(rgbTopDown.length == width * height * 3,
+      s"need ${width * height * 3} RGB bytes, got ${rgbTopDown.length}")
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = (y * width + x) * 3
+        img.setRGB(x, y, ((rgbTopDown(p) & 0xff) << 16) |
+          ((rgbTopDown(p + 1) & 0xff) << 8) | (rgbTopDown(p + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    // never spill through ImageIO's tmp-file cache on executors
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, fmt, out),
+      s"no JDK ImageIO writer for format '$fmt'")
+    out.toByteArray
+  }
+
+  /** Compressed-image reader via JDK ImageIO (PNG / JPEG / GIF / and
+    * whatever other pure-Java plugins the JDK registers): returns
+    * (width, height, RGB triplets row-major top-down), converting any
+    * source color model (palette, grayscale, CMYK-decoded) to sRGB.
+    * Undecodable bytes throw — ImageIO returning null is a loud
+    * failure here, not a null row. */
+  def imageDecode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(b != null && b.length > 0, "empty image payload")
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    require(img != null, "not a decodable image payload (PNG/JPEG/GIF)")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = img.getRGB(0, 0, w, h, null, 0, w)
+    val rgb = new Array[Byte](w * h * 3)
+    var i = 0
+    while (i < px.length) {
+      rgb(i * 3) = ((px(i) >> 16) & 0xff).toByte
+      rgb(i * 3 + 1) = ((px(i) >> 8) & 0xff).toByte
+      rgb(i * 3 + 2) = (px(i) & 0xff).toByte
+      i += 1
+    }
+    (w, h, rgb)
   }
 }

@@ -7,14 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing (north star).
   *
   * Media is modeled as opaque `binary` payload columns plus a typed
-  * metadata struct — the Spark-side schema, partitioning, and batch
-  * shape are real; the actual codec step is STUBBED with a deterministic
-  * fake (this container has no image/audio native libs). Swapping in a
-  * real decoder is a drop-in change at exactly TWO points: the per-row
-  * [[decodeStub]] and the batched [[stubDecodeBatch]] (behind
-  * [[decodeFeaturesBatched]]) — at scale that step becomes a vectorized
-  * Arrow UDF or a mapPartitions over a JNI codec, keyed by the same
-  * schema.
+  * metadata struct. Decoding is REAL for every format a pure JVM can
+  * handle — WAV/BMP via hand-written byte codecs and PNG/JPEG/GIF via
+  * the JDK's own `javax.imageio` plugins ([[MediaCodec]]); the only
+  * remaining unsupported family is compressed AUDIO/VIDEO (MP3,
+  * H.264, …), for which the JDK ships no decoder and this container
+  * no native libs — those mimes surface as null-stats rows in
+  * [[decodeMedia]], never as fabricated values. At cluster scale the
+  * same batched mapPartitions shape swaps in a JNI/GPU codec without
+  * touching schema, partitioning, or batch contract.
   */
 object Multimodal {
 
@@ -35,9 +36,11 @@ object Multimodal {
       encode(col(textCol), "UTF-8").as("payload"),
       lit("application/octet-stream").as("mime"))
 
-  /** STUB decode ??? — real implementation requires native codecs.
-    * Deterministic fake: byte length + pseudo-dimensions derived from the
-    * payload digest, so downstream feature plumbing is testable. */
+  /** Codec-free payload probe: byte length + pseudo-dimensions derived
+    * from the payload digest. For pipelines whose payloads are opaque
+    * (mimes nothing can decode) this keeps the downstream feature
+    * plumbing exercised end-to-end; real decoding lives in
+    * [[decodeMedia]]. Deterministic, so oracle-checkable. */
   def decodeStub(df: DataFrame): DataFrame =
     df.withColumn("n_bytes", octet_length(col("payload")))
       .withColumn("fake_width", ascii(substring(md5(col("payload")), 1, 1)))
@@ -82,9 +85,13 @@ object Multimodal {
       .toDF("media_id", "n_bytes", "feature")
   }
 
-  /** The stubbed batch codec ??? — a real implementation decodes/resizes
-    * the batch in one native call. Deterministic fake: 8 floats from the
-    * payload's MD5. */
+  /** Content-fingerprint batch featurizer: 8 floats from the payload's
+    * MD5 — the deterministic fallback feature for payloads no codec
+    * claims (identical payloads ⇒ identical features ⇒ cosine 1, so
+    * exact-duplicate retrieval still works on opaque media). Real
+    * image payloads get real decoded features via
+    * [[imageFeaturesBatched]]; a production A/V embedding model would
+    * slot in here with the same one-call-per-batch contract. */
   private def stubDecodeBatch(payloads: Seq[Array[Byte]]): Seq[Array[Float]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     payloads.map { p =>
@@ -100,16 +107,19 @@ object Multimodal {
       zcr: Option[Double], width: Option[Int], height: Option[Int],
       mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
 
-  /** REAL decode for the mime types a pure JVM can handle — audio/wav
-    * (RIFF PCM-16 via [[MediaCodec.wavDecode]]: duration, RMS, peak,
-    * zero-crossing rate) and image/bmp ([[MediaCodec.bmpDecode]]:
-    * dimensions + channel means) — inside the SAME batched
-    * mapPartitions contract as [[decodeFeaturesBatched]]. Other mimes
-    * yield a null-stats row rather than failing the batch (the
-    * compressed-codec swap-in point); a MALFORMED payload of a claimed
-    * wav/bmp mime still fails loudly. All stats are doubles computed
-    * in double space (no float truncation), so they are
-    * oracle-comparable when payloads are synthesized deterministically. */
+  /** REAL decode for every mime type a pure JVM can handle —
+    * audio/wav (RIFF PCM-16 via [[MediaCodec.wavDecode]]: duration,
+    * RMS, peak, zero-crossing rate), image/bmp
+    * ([[MediaCodec.bmpDecode]]) and image/png / image/jpeg / image/gif
+    * (JDK `javax.imageio` via [[MediaCodec.imageDecode]]): dimensions
+    * + channel means — inside the SAME batched mapPartitions contract
+    * as [[decodeFeaturesBatched]]. Mimes with no JVM decoder
+    * (compressed A/V) yield a null-stats row rather than failing the
+    * batch; a MALFORMED payload of a claimed decodable mime still
+    * fails loudly. All stats are doubles computed in double space (no
+    * float truncation), so they are oracle-comparable when payloads
+    * are synthesized deterministically (PNG losslessly; JPEG up to
+    * its quantization error, gated by in-plan bounds). */
   def decodeMedia(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -150,20 +160,9 @@ object Multimodal {
                 width = None, height = None,
                 mean_r = None, mean_g = None, mean_b = None)
             case "image/bmp" =>
-              val (w, h, rgb) = MediaCodec.bmpDecode(payload)
-              var (sr, sg, sb) = (0L, 0L, 0L)
-              var i = 0
-              while (i < rgb.length) {
-                sr += rgb(i) & 0xff
-                sg += rgb(i + 1) & 0xff
-                sb += rgb(i + 2) & 0xff
-                i += 3
-              }
-              val px = (w * h).toDouble
-              MediaStats(id, mime, nb, None, None, None, None,
-                width = Some(w), height = Some(h),
-                mean_r = Some(sr / px), mean_g = Some(sg / px),
-                mean_b = Some(sb / px))
+              imageStats(id, mime, nb, MediaCodec.bmpDecode(payload))
+            case "image/png" | "image/jpeg" | "image/gif" =>
+              imageStats(id, mime, nb, MediaCodec.imageDecode(payload))
             case _ =>
               MediaStats(id, if (mime == null) "unknown" else mime, nb,
                 None, None, None, None, None, None, None, None, None)
@@ -171,5 +170,23 @@ object Multimodal {
         }
       }
       .toDF()
+  }
+
+  private def imageStats(id: Long, mime: String, nb: Int,
+      decoded: (Int, Int, Array[Byte])): MediaStats = {
+    val (w, h, rgb) = decoded
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    var i = 0
+    while (i < rgb.length) {
+      sr += rgb(i) & 0xff
+      sg += rgb(i + 1) & 0xff
+      sb += rgb(i + 2) & 0xff
+      i += 3
+    }
+    val px = (w * h).toDouble
+    MediaStats(id, mime, nb, None, None, None, None,
+      width = Some(w), height = Some(h),
+      mean_r = Some(sr / px), mean_g = Some(sg / px),
+      mean_b = Some(sb / px))
   }
 }

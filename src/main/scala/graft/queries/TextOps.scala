@@ -1337,35 +1337,64 @@ object TextOps extends QueryPack {
       |  ascii(substring(md5(text), 2, 1)) AS fake_height
       |FROM documents ORDER BY media_id""".stripMargin
 
-  /** REAL media decode round trip (upgrades half the codec stub): per
-    * doc, ENCODE a deterministic RIFF/WAVE PCM-16 payload (constant
-    * amplitude (doc_id%1000+1)*16 shorts, 64 samples @8 kHz mono) and a
-    * solid-color 24-bit BMP (w=doc_id%4+1, h=doc_id%3+1), then run the
-    * genuine byte-level decoders ([[graft.operators.MediaCodec]]) and
-    * emit audio stats (duration/RMS/peak/ZCR) and image stats
-    * (dims/channel means). Every stat is analytically predictable from
-    * doc_id in exact double arithmetic, so DuckDB recomputes the
-    * EXPECTED values without decoding — a true encode→decode→stats
-    * round-trip oracle. */
+  /** REAL media decode round trip across all four JVM-decodable
+    * formats: per doc, ENCODE a deterministic RIFF/WAVE PCM-16 payload
+    * (constant amplitude (doc_id%1000+1)*16 shorts, 64 samples @8 kHz
+    * mono), a solid-color 24-bit BMP (w=doc_id%4+1, h=doc_id%3+1), a
+    * solid-color PNG (w=doc_id%5+1, h=doc_id%2+1 — lossless, so the
+    * decoded channel means replay exactly), and a solid-color JPEG
+    * (w=doc_id%4+2, h=doc_id%3+2 — LOSSY, so its means are gated by
+    * in-plan |decoded−expected| ≤ 8 bounds that project to 1.0, the
+    * sketch-accuracy-gate pattern), then run the genuine decoders
+    * ([[graft.operators.MediaCodec]]: hand-written WAV/BMP byte
+    * codecs, JDK `javax.imageio` for PNG/JPEG) and emit audio stats
+    * (duration/RMS/peak/ZCR) and image stats (dims/channel means).
+    * Every emitted value is analytically predictable from doc_id, so
+    * DuckDB recomputes the EXPECTED table without decoding — a true
+    * encode→decode→stats round-trip oracle. Compressed payload sizes
+    * are encoder-dependent, so n_bytes is nulled for PNG/JPEG rows
+    * (it is meaningless for a compressed container anyway). */
   def mediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.MediaCodec
     val ids = Tables.documents(s, dir)
       .select(col("doc_id").cast("long")).as[Long]
+    def solid(w: Int, h: Int, r: Long, g: Long, b: Long): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => (i % 3 match {
+        case 0 => r
+        case 1 => g
+        case _ => b
+      }).toByte)
     val media = ids.mapPartitions(_.flatMap { id =>
       val amp = ((id % 1000) + 1).toInt * 16
       val wav = MediaCodec.wavEncode(Array.fill(64)(amp.toShort), 8000, 1)
       val w = (id % 4 + 1).toInt
       val h = (id % 3 + 1).toInt
-      val rgb = Array.tabulate(w * h * 3)(i => (i % 3 match {
-        case 0 => id % 256
-        case 1 => (id * 7) % 256
-        case _ => (id * 13) % 256
-      }).toByte)
-      val bmp = MediaCodec.bmpEncode(w, h, rgb)
-      Iterator((id, wav, "audio/wav"), (id, bmp, "image/bmp"))
+      val bmp = MediaCodec.bmpEncode(w, h,
+        solid(w, h, id % 256, (id * 7) % 256, (id * 13) % 256))
+      val wp = (id % 5 + 1).toInt
+      val hp = (id % 2 + 1).toInt
+      val png = MediaCodec.pngEncode(wp, hp,
+        solid(wp, hp, id % 256, (id * 11) % 256, (id * 17) % 256))
+      val wj = (id % 4 + 2).toInt
+      val hj = (id % 3 + 2).toInt
+      val jpg = MediaCodec.jpegEncode(wj, hj,
+        solid(wj, hj, (id * 3) % 256, (id * 5) % 256, (id * 7) % 256))
+      Iterator((id, wav, "audio/wav"), (id, bmp, "image/bmp"),
+        (id, png, "image/png"), (id, jpg, "image/jpeg"))
     }).toDF("media_id", "payload", "mime")
-    Multimodal.decodeMedia(media).orderBy(col("mime"), col("media_id"))
+    def jpegGate(c: String, expected: org.apache.spark.sql.Column) =
+      when(col("mime") === "image/jpeg",
+        when(abs(col(c) - expected) <= 8.0, lit(1.0)).otherwise(col(c)))
+        .otherwise(col(c))
+    Multimodal.decodeMedia(media)
+      .withColumn("n_bytes",
+        when(col("mime").isin("image/png", "image/jpeg"),
+          lit(null).cast("int")).otherwise(col("n_bytes")))
+      .withColumn("mean_r", jpegGate("mean_r", (col("media_id") * 3) % 256))
+      .withColumn("mean_g", jpegGate("mean_g", (col("media_id") * 5) % 256))
+      .withColumn("mean_b", jpegGate("mean_b", (col("media_id") * 7) % 256))
+      .orderBy(col("mime"), col("media_id"))
   }
 
   val mediaDecodeSql: String =
@@ -1388,6 +1417,21 @@ object TextOps extends QueryPack {
       |  CAST((doc_id * 13) % 256 AS DOUBLE)
       |FROM (SELECT doc_id, doc_id % 4 + 1 AS w, doc_id % 3 + 1 AS h
       |      FROM documents)
+      |UNION ALL
+      |SELECT doc_id, 'image/png', CAST(NULL AS INT),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS DOUBLE),
+      |  CAST(doc_id % 5 + 1 AS INT), CAST(doc_id % 2 + 1 AS INT),
+      |  CAST(doc_id % 256 AS DOUBLE), CAST((doc_id * 11) % 256 AS DOUBLE),
+      |  CAST((doc_id * 17) % 256 AS DOUBLE)
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, 'image/jpeg', CAST(NULL AS INT),
+      |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+      |  CAST(NULL AS DOUBLE),
+      |  CAST(doc_id % 4 + 2 AS INT), CAST(doc_id % 3 + 2 AS INT),
+      |  1.0, 1.0, 1.0
+      |FROM documents
       |ORDER BY mime, media_id""".stripMargin
 
   /** Multimodal retrieval composition: ingest → BATCHED stub decode →

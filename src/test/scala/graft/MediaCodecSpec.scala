@@ -55,6 +55,55 @@ class MediaCodecSpec extends AnyFunSuite {
       MediaCodec.bmpDecode(Array.fill[Byte](60)(7)))
   }
 
+  test("PNG round-trips bit-exact through JDK ImageIO") {
+    // distinct-pixel 3x2 including byte-sign-edge values
+    val rgb = Array[Byte](
+      0, 127, -1, 10, 20, 30, -128, 5, 77,
+      200.toByte, 100, 50, 1, 2, 3, 255.toByte, 254.toByte, 253.toByte)
+    val bytes = MediaCodec.pngEncode(3, 2, rgb)
+    assert(bytes.length > 8 &&
+      (bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte)) // PNG magic
+    val (w, h, decoded) = MediaCodec.imageDecode(bytes)
+    assert(w == 3 && h == 2)
+    assert(decoded.toSeq == rgb.toSeq)
+    intercept[IllegalArgumentException](
+      MediaCodec.imageDecode(Array.fill[Byte](64)(9)))
+  }
+
+  test("GIF solid color round-trips exactly (palette format)") {
+    val rgb = Array.fill(4 * 3)(Seq[Byte](33, 66, 99)).flatten.toArray
+    val (w, h, decoded) = MediaCodec.imageDecode(
+      MediaCodec.gifEncode(4, 3, rgb))
+    assert(w == 4 && h == 3 && decoded.toSeq == rgb.toSeq)
+  }
+
+  test("JPEG decode: dims exact, solid-color channel means within the in-plan bound") {
+    // sweep the exact color family doc_media_decode synthesizes; the
+    // query's gate is |decoded_mean - expected| <= 8.0 per channel —
+    // assert the true worst case stays under it with margin
+    var worst = 0.0
+    for (id <- 0L until 256L) {
+      val (r, g, b) = ((id * 3) % 256, (id * 5) % 256, (id * 7) % 256)
+      val w = (id % 4 + 2).toInt
+      val h = (id % 3 + 2).toInt
+      val rgb = Array.tabulate(w * h * 3)(i => (i % 3 match {
+        case 0 => r
+        case 1 => g
+        case _ => b
+      }).toByte)
+      val (dw, dh, dec) = MediaCodec.imageDecode(
+        MediaCodec.jpegEncode(w, h, rgb))
+      assert(dw == w && dh == h)
+      for (c <- 0 until 3) {
+        val mean = dec.indices.filter(_ % 3 == c)
+          .map(i => (dec(i) & 0xff).toDouble).sum / (w * h)
+        val exp = Seq(r, g, b)(c).toDouble
+        worst = math.max(worst, math.abs(mean - exp))
+      }
+    }
+    assert(worst <= 6.0, s"worst JPEG solid-color mean error $worst")
+  }
+
   test("decodeMedia computes exact audio and image stats; unknown mime yields nulls") {
     // square wave +A/-A: rms = peak = A/32768, zcr = 1 (every step flips)
     val a: Short = 8192
@@ -62,10 +111,13 @@ class MediaCodecSpec extends AnyFunSuite {
       Array.tabulate(32)(i => if (i % 2 == 0) a else (-a).toShort), 16000, 1)
     val bmp = MediaCodec.bmpEncode(2, 1,
       Array[Byte](100, 0, 0, 50, 0, 0)) // R 100 and 50, G = B = 0
+    val png = MediaCodec.pngEncode(2, 2,
+      Array[Byte](8, 16, 24, 8, 16, 24, 8, 16, 24, 8, 16, 24))
     val media = Seq(
       (1L, wav, "audio/wav"),
       (2L, bmp, "image/bmp"),
-      (3L, Array[Byte](1, 2, 3), "video/mp4"))
+      (3L, Array[Byte](1, 2, 3), "video/mp4"),
+      (4L, png, "image/png"))
       .toDF("media_id", "payload", "mime")
     val got = Multimodal.decodeMedia(media).orderBy($"media_id").collect()
     val audio = got(0)
@@ -81,5 +133,11 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(other.isNullAt(other.fieldIndex("rms")) &&
       other.isNullAt(other.fieldIndex("width")))
     assert(other.getAs[Int]("n_bytes") == 3)
+    val pngRow = got(3)
+    assert(pngRow.getAs[Int]("width") == 2 &&
+      pngRow.getAs[Int]("height") == 2)
+    assert(pngRow.getAs[Double]("mean_r") == 8.0 &&
+      pngRow.getAs[Double]("mean_g") == 16.0 &&
+      pngRow.getAs[Double]("mean_b") == 24.0)
   }
 }
