@@ -38,6 +38,37 @@ object Throttle {
       .drop("_win")
   }
 
+  /** Keep the first `k` events per key per HOPPING (sliding) event-time
+    * window: duration `windowDuration`, advancing every
+    * `slideDuration`. Each event belongs to duration/slide overlapping
+    * windows — Spark's `window(ts, D, S)` expands the row into its
+    * containing windows (an `Expand`, partition-local, no shuffle),
+    * and the same row_number ≤ k predicate then rewrites to a
+    * WindowGroupLimit partial top-k per (key, window start) BEFORE the
+    * shuffle, so a flooding key is cut to k·partitions rows per window
+    * on the map side exactly like the tumbling variant. Because
+    * windows overlap, the window identity is part of the output:
+    * returns (input columns, win_start epoch-micros, seq_in_window) —
+    * one row per (event, containing window) that survives the quota.
+    *
+    * The streaming twin is [[quotaStream]] unchanged: its state key
+    * already is (key, winStart), so hopping admission is the same
+    * operator fed one QuotaIn per containing window (the
+    * `window()`-expand done by the feed). */
+  def quotaPerKeyHoppingWindow(df: DataFrame, keyCol: String,
+      tsCol: String, windowDuration: String, slideDuration: String,
+      k: Int, tieBreakCol: String): DataFrame = {
+    require(k > 0, "need k > 0")
+    val win = window(col(tsCol), windowDuration, slideDuration)
+    val w = Window.partitionBy(col(keyCol), col("_win.start"))
+      .orderBy(col(tsCol), col(tieBreakCol))
+    df.withColumn("_win", win)
+      .withColumn("win_start", unix_micros(col("_win.start")))
+      .withColumn("seq_in_window", row_number().over(w))
+      .filter(col("seq_in_window") <= k)
+      .drop("_win")
+  }
+
   /** One stream event for [[quotaStream]]. `winStart` is the tumbling
     * window bucket (floor(ts / window)·window in epoch micros) — keyed
     * jointly with the entity key, so state is one Long per active

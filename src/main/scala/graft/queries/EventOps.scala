@@ -315,6 +315,33 @@ object EventOps extends QueryPack {
       |WHERE seq_in_window <= 3
       |ORDER BY user_id, win_id, seq_in_window""".stripMargin
 
+  /** Hopping-window quota: first 3 events per user per 1-day window
+    * advancing every 12 h — each event sits in TWO overlapping windows
+    * and is admitted (or cut) independently in each, so the output
+    * carries the window identity. Same WindowGroupLimit partial-top-k
+    * shape as [[quota]] (plan-asserted in PlanSpec); the Expand that
+    * fans each row into its containing windows is partition-local. */
+  def quotaHopping(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Throttle.quotaPerKeyHoppingWindow(
+        Tables.events(s, dir), "user_id", "ts", "1 day", "12 hours",
+        k = 3, tieBreakCol = "event_id")
+      .select(col("user_id"), col("win_start"), col("event_id"),
+        col("seq_in_window").cast("long").as("seq_in_window"))
+      .orderBy(col("user_id"), col("win_start"), col("seq_in_window"))
+
+  val quotaHoppingSql: String =
+    """SELECT user_id, win_start, event_id, seq_in_window FROM (
+      |  SELECT user_id, win_start, event_id, row_number() OVER (
+      |      PARTITION BY user_id, win_start ORDER BY ts, event_id
+      |    ) AS seq_in_window
+      |  FROM (
+      |    SELECT user_id, event_id, ts,
+      |      ((epoch_us(ts) // 43200000000) - g.i) * 43200000000 AS win_start
+      |    FROM events
+      |    CROSS JOIN (SELECT i FROM generate_series(0, 1) t(i)) g))
+      |WHERE seq_in_window <= 3
+      |ORDER BY user_id, win_start, seq_in_window""".stripMargin
+
   /** Daily top-2 event types by count — drift monitoring over an event
     * stream. Two-phase: the (day, type) count aggregate combines
     * map-side, and rank ≤ k over the (already tiny) per-day aggregate
@@ -394,6 +421,7 @@ object EventOps extends QueryPack {
     "events_twap" -> twapQ,
     "events_gaps" -> gapsQ,
     "events_quota" -> quota,
+    "events_quota_hopping" -> quotaHopping,
     "events_topk_daily" -> topkDaily,
     "events_transitions" -> transitions,
     "events_funnel" -> funnel,
@@ -409,6 +437,7 @@ object EventOps extends QueryPack {
     "events_twap" -> twapSql,
     "events_gaps" -> gapsSql,
     "events_quota" -> quotaSql,
+    "events_quota_hopping" -> quotaHoppingSql,
     "events_topk_daily" -> topkDailySql,
     "events_transitions" -> transitionsSql,
     "events_funnel" -> funnelSql,

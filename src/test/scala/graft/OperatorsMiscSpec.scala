@@ -226,6 +226,62 @@ class OperatorsMiscSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quotaPerKeyHoppingWindow admits per overlapping window independently") {
+    import graft.operators.Throttle
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    // 1 h window sliding 30 min; events at :00, :10, :40, :50.
+    // Window [−30,:30): sees :00,:10 → both admitted (k=2).
+    // Window [:00,1:00): sees all four → :00,:10 admitted, :40,:50 cut.
+    // Window [:30,1:30): sees :40,:50 → both admitted.
+    val df = Seq(
+      (1L, t("2024-01-01 00:00:00"), 1L),
+      (1L, t("2024-01-01 00:10:00"), 2L),
+      (1L, t("2024-01-01 00:40:00"), 3L),
+      (1L, t("2024-01-01 00:50:00"), 4L)
+    ).toDF("user_id", "ts", "event_id")
+    val got = Throttle.quotaPerKeyHoppingWindow(df, "user_id", "ts",
+        "1 hour", "30 minutes", k = 2, tieBreakCol = "event_id")
+      .select($"win_start", $"event_id", $"seq_in_window")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val h = 3600000000L
+    val base = df.select(unix_micros(min($"ts"))).head.getLong(0)
+    assert(got == Set(
+      (base - h / 2, 1L, 1), (base - h / 2, 2L, 2),
+      (base, 1L, 1), (base, 2L, 2),
+      (base + h / 2, 3L, 1), (base + h / 2, 4L, 2)), got)
+  }
+
+  test("quotaStream handles hopping windows via per-window feed expansion") {
+    import graft.operators.Throttle
+    implicit val sqlCtx = spark.sqlContext
+    // event → one QuotaIn per containing window (D = 2·S): event e at
+    // slide-bucket b feeds winStarts b and b−1
+    val input = MemoryStream[(Long, Long, Long)]
+    val grouped = input.toDS()
+      .flatMap(r => Seq(Throttle.QuotaIn(r._1, r._2, r._3),
+        Throttle.QuotaIn(r._1, r._2 - 1, r._3)))
+      .groupByKey(q => (q.key, q.winStart))
+    val out = Throttle.quotaStream(grouped, k = 1)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("quota_hop_out").start()
+    try {
+      input.addData((1L, 5L, 10L))
+      q.processAllAvailable()
+      input.addData((1L, 5L, 11L), (1L, 6L, 12L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT key, winStart, eventId FROM quota_hop_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      // window 4: ev10 first; window 5: ev10 first (11,12 cut);
+      // window 6: ev12 first
+      assert(rows == Set((1L, 4L, 10L), (1L, 5L, 10L), (1L, 6L, 12L)),
+        rows)
+    } finally q.stop()
+  }
+
   test("twap weights values by time-to-next within bucket") {
     import graft.operators.Resample
     import java.sql.Timestamp

@@ -395,6 +395,24 @@ class PlanSpec extends AnyFunSuite {
       s"expected a Partial (pre-shuffle) WindowGroupLimit:\n$p")
   }
 
+  test("quotaPerKeyHoppingWindow keeps the partial top-k and a local Expand") {
+    val ev = graft.Tables.events(spark, dir)
+    val df = graft.operators.Throttle.quotaPerKeyHoppingWindow(
+      ev, "user_id", "ts", "1 day", "12 hours", k = 3,
+      tieBreakCol = "event_id")
+    val p = df.queryExecution.executedPlan.toString
+    // same guarantee as tumbling: flood cut to k per (key, window
+    // start) on the map side, before the exchange
+    assert(p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      s"expected a Partial (pre-shuffle) WindowGroupLimit:\n$p")
+    // the window fan-out (2 windows/event) is an Expand, and exactly
+    // ONE exchange follows it — the fan-out itself must not shuffle
+    assert(p.contains("Expand"), s"expected window Expand:\n$p")
+    assert("Exchange".r.findAllIn(p).size == 1,
+      s"hopping quota should shuffle exactly once:\n$p")
+  }
+
   test("bm25 broadcasts the 1-row corpus aggregate and the term df join") {
     val docs = graft.Tables.documents(spark, dir)
     val df = graft.operators.TextPipeline.bm25(docs, "doc_id", "text")
