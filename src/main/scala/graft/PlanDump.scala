@@ -60,14 +60,27 @@ object PlanDump {
       "doc_bm25" ->
         "BM25 scoring: tokenize once; (doc, dl, term) HashAggregate with map-side partials, term-df join, and the 1-row (N, avgdl) corpus aggregate rides a broadcast into the scalar score projection — no cartesian, no second corpus scan.",
       "corpus_temperature_mix" ->
-        "Temperature mixture: group counts fold to group-cardinality rows, the decimal-exact sum-of-weights broadcasts back over them, and the rate table broadcast-joins the corpus into a codegen hashUnit filter — the corpus is scanned once and never exchanged.")
+        "Temperature mixture: group counts fold to group-cardinality rows, the decimal-exact sum-of-weights broadcasts back over them, and the rate table broadcast-joins the corpus into a codegen hashUnit filter — the corpus is scanned once and never exchanged.",
+      "q11_important_stock" ->
+        "Scalar-threshold vs per-group aggregate: the threshold branch's ReusedExchange picks up the per-part value exchange at runtime (AQE stage reuse), so lineitem is scanned and pair-aggregated ONCE even though the frame is consumed twice; the 1-row threshold rides an IdentityBroadcast. (Executed adaptive plan — static explain shows the pre-reuse doubled tree.)",
+      "q20_potential_promotion" ->
+        "Correlated-EXISTS chain in one fact pass: availqty and the 1997 shipped quantity are two sums of ONE (part,supp) HashAggregate over a single lineitem scan (BIGINT fixed-point, map-side partial); the threshold filter then semi-joins supplier — no second scan, no window.")
+    // queries whose evidence IS the runtime plan (AQE stage reuse only
+    // materializes after execution): run them, dump the final plan
+    val executed = Set("q11_important_stock", "q20_potential_promotion")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale claims\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"` at sf0.001 ")
     sb.append("(plans are shape-identical at any SF; AQE on).\n")
     picks.foreach { case (name, why) =>
-      val p = SparkEntry.queries(name)(spark, dir).queryExecution
-        .explainString(ExplainMode.fromString("formatted"))
+      val df = SparkEntry.queries(name)(spark, dir)
+      val p =
+        if (executed(name)) {
+          df.collect()
+          df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==")(0) + "\n"
+        } else df.queryExecution
+          .explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n$why\n\n```\n$p```\n")
     }
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),

@@ -26,21 +26,27 @@ import QueryPack._
 object Tpch3 extends QueryPack {
 
   /** Derived partsupp: one row per observed (part, supplier) pair.
-    * supplycost/availqty are deterministic (min / exact decimal sum);
+    * supplycost/availqty are deterministic (min / exact integer sum);
     * one shuffle on the pair key, uniform cardinality — at 100 TB this
-    * is a plain map-side-combined aggregate over the fact table. */
+    * is a plain map-side-combined aggregate over the fact table.
+    * TPC-H quantities are integral by spec, so the availqty sum runs
+    * in BIGINT (one codegen add per row) instead of decimal — same
+    * exactness contract, measurably cheaper over the ~|lineitem|-sized
+    * pair cardinality (the pair agg barely combines: most (part,supp)
+    * pairs occur once, so this aggregate's per-row cost IS the
+    * query's hot loop). */
   private def partsupp(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
       .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
       .agg(min($"l_extendedprice" / $"l_quantity").as("ps_supplycost"),
-        dsum($"l_quantity", 2).as("ps_availqty"))
+        sum($"l_quantity".cast("long")).cast("double").as("ps_availqty"))
   }
 
   private val partsuppSql: String =
     s"""SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
        |    min(l_extendedprice / l_quantity) AS ps_supplycost,
-       |    ${dsumSql("l_quantity", 2)} AS ps_availqty
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS ps_availqty
        |  FROM lineitem GROUP BY 1, 2""".stripMargin
 
   /** Q2 minimum-cost supplier: for each EUROPE part of one size/type,
@@ -92,12 +98,20 @@ object Tpch3 extends QueryPack {
     * ReuseExchange dedups it; the one-row threshold side broadcasts. */
   def q11(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // per-pair inventory value quantized by FLOOR at 4 decimals and
+    // summed as a LONG (fixed-point) — order-independent exactness
+    // like a decimal(18,4) sum at a fraction of the agg cost, and
+    // floor (unlike round) is tie-free so both engines quantize the
+    // identical IEEE product identically by construction (the psum
+    // pattern, LinkAnalysis.scala). Headroom: Σ|value|·1e4 < 2^63
+    // ≈ 9e14 units per part, far above any SF
     val byPart = partsupp(s, dir)
       .join(broadcast(Tables.supplier(s, dir)), $"ps_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_3")),
         $"s_nationkey" === $"n_nationkey")
       .groupBy($"ps_partkey")
-      .agg(dsum($"ps_supplycost" * $"ps_availqty", 4).as("value"))
+      .agg((sum(floor($"ps_supplycost" * $"ps_availqty" * 1e4)
+        .cast("long")).cast("double") / 1e4).as("value"))
     val threshold = byPart
       .agg((dsum($"value", 4) * lit(0.001)).as("threshold"))
     byPart.crossJoin(broadcast(threshold))
@@ -110,7 +124,8 @@ object Tpch3 extends QueryPack {
     s"""WITH ps AS ($partsuppSql),
        |bp AS (
        |  SELECT ps_partkey,
-       |    ${dsumSql("ps_supplycost * ps_availqty", 4)} AS value
+       |    CAST(sum(CAST(floor(ps_supplycost * ps_availqty * 1e4)
+       |      AS BIGINT)) AS DOUBLE) / 1e4 AS value
        |  FROM ps
        |  JOIN supplier ON ps_suppkey = s_suppkey
        |  JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_3'
@@ -137,9 +152,9 @@ object Tpch3 extends QueryPack {
     // correlated-EXISTS inner-join semantics, at half the fact scans.
     val pairAgg = Tables.lineitem(s, dir)
       .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
-      .agg(dsum($"l_quantity", 2).as("ps_availqty"),
-        dsum(when(year($"l_shipdate") === 1997, $"l_quantity"), 2)
-          .as("qty_1997"))
+      .agg(sum($"l_quantity".cast("long")).cast("double").as("ps_availqty"),
+        sum(when(year($"l_shipdate") === 1997, $"l_quantity").cast("long"))
+          .cast("double").as("qty_1997"))
     val eligible = pairAgg
       .join(broadcast(smallParts), $"ps_partkey" === $"p_partkey")
       .filter($"ps_availqty" > lit(0.5) * $"qty_1997")
@@ -156,7 +171,8 @@ object Tpch3 extends QueryPack {
   val q20Sql: String =
     s"""WITH ps AS ($partsuppSql),
        |shipped AS (
-       |  SELECT l_partkey, l_suppkey, ${dsumSql("l_quantity", 2)} AS qty_1997
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS qty_1997
        |  FROM lineitem WHERE year(l_shipdate) = 1997 GROUP BY 1, 2)
        |SELECT s_suppkey, s_name, s_acctbal
        |FROM supplier
