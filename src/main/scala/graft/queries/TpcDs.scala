@@ -718,6 +718,237 @@ object TpcDs extends QueryPack {
       |WHERE first_express < first_standard
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Correlated scalar-subquery decorrelation (PDS-DS Q1 shape:
+    * "customers whose returns exceed 1.2x their state's average"): the
+    * correlated `> (SELECT 1.2*avg ... WHERE same nation)` becomes ONE
+    * window average over the per-customer aggregate — the subquery
+    * never re-executes per row and the fact is scanned once. The
+    * window runs over |customers-with-returns| rows, not the fact. */
+  def dsReturnsAboveAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perCust = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("ret_rev"))
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+    val byNation = Window.partitionBy($"n_name")
+    perCust
+      .withColumn("nation_avg",
+        (sum($"ret_rev".cast(DecimalType(28, 6))).over(byNation)
+          .cast("double") / count(lit(1)).over(byNation)))
+      .filter($"ret_rev" > lit(1.2) * $"nation_avg")
+      .select($"n_name", $"c_custkey", $"ret_rev", $"nation_avg")
+      .orderBy($"n_name", $"c_custkey")
+  }
+
+  val dsReturnsAboveAvgSql: String =
+    s"""SELECT n_name, c_custkey, ret_rev, nation_avg FROM (
+       |  SELECT n_name, c_custkey, ret_rev,
+       |    CAST(CAST(sum(CAST(ret_rev AS DECIMAL(28,6)))
+       |        OVER (PARTITION BY n_name) AS VARCHAR) AS DOUBLE) /
+       |      count(*) OVER (PARTITION BY n_name) AS nation_avg
+       |  FROM (
+       |    SELECT o_custkey,
+       |      ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS ret_rev
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |    WHERE l_returnflag = 'R' GROUP BY o_custkey)
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey)
+       |WHERE ret_rev > 1.2 * nation_avg
+       |ORDER BY n_name, c_custkey""".stripMargin
+
+  /** Multi-fact FULL OUTER coverage rollup (PDS-DS Q97: customers per
+    * channel-combination): the express and standard order "channels"
+    * aggregate independently to distinct customer sets, FULL OUTER
+    * join on the key, and the presence pattern folds to three counts.
+    * Both inputs shuffle once on the join key; the outer join is the
+    * shape under test (conditional counts of one scan would dodge it). */
+  def dsChannelCoverage(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val isExpress = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+    val ex = Tables.orders(s, dir).filter(isExpress)
+      .select($"o_custkey".as("ek")).distinct()
+    val st = Tables.orders(s, dir).filter(!isExpress)
+      .select($"o_custkey".as("sk")).distinct()
+    ex.join(st, $"ek" === $"sk", "full_outer")
+      .agg(
+        count(when($"ek".isNotNull && $"sk".isNotNull, 1))
+          .as("both_channels"),
+        count(when($"ek".isNotNull && $"sk".isNull, 1)).as("express_only"),
+        count(when($"ek".isNull && $"sk".isNotNull, 1)).as("standard_only"))
+  }
+
+  val dsChannelCoverageSql: String =
+    """SELECT
+      |  count(*) FILTER (WHERE ek IS NOT NULL AND sk IS NOT NULL)
+      |    AS both_channels,
+      |  count(*) FILTER (WHERE ek IS NOT NULL AND sk IS NULL)
+      |    AS express_only,
+      |  count(*) FILTER (WHERE ek IS NULL AND sk IS NOT NULL)
+      |    AS standard_only
+      |FROM (SELECT DISTINCT o_custkey AS ek FROM orders
+      |      WHERE o_orderpriority IN ('1-URGENT','2-HIGH')) e
+      |FULL OUTER JOIN
+      |     (SELECT DISTINCT o_custkey AS sk FROM orders
+      |      WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')) s
+      |ON ek = sk""".stripMargin
+
+  /** INTERSECT chain over fact-derived sets (PDS-DS Q38: customers
+    * active in every channel — here, every one of three consecutive
+    * order years), rolled up per market segment. Spark plans each
+    * INTERSECT as a distinct + semi-join pair on the already-distinct
+    * year slices; at scale that is three key-only shuffles, never a
+    * row-wise triple self-join of orders. */
+  def dsInAllChannels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def custsOf(yr: Int) = Tables.orders(s, dir)
+      .filter(year($"o_orderdate") === yr)
+      .select($"o_custkey").distinct()
+    custsOf(1995).intersect(custsOf(1996)).intersect(custsOf(1997))
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val dsInAllChannelsSql: String =
+    """SELECT c_mktsegment, count(*) AS n_customers
+      |FROM (
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** HAVING-subquery membership (PDS-DS Q23 "frequent items" flavor):
+    * parts appearing in more than 35 distinct orders qualify; yearly
+    * revenue then sums over only the qualifying parts via a LEFT SEMI
+    * join. The qualifying set is an aggregate-with-HAVING — a second
+    * pass over the fact is inherent to the shape (the set must be
+    * complete before the detail filter), but both passes prune to
+    * 3 columns and the semi join carries partkeys only. */
+  def dsHavingThreshold(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val freqParts = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(countDistinct($"l_orderkey").as("n_ord"))
+      .filter($"n_ord" > 35)
+      .select($"l_partkey".as("fp"))
+    Tables.lineitem(s, dir)
+      .join(freqParts, $"l_partkey" === $"fp", "left_semi")
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("freq_rev"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"o_year")
+  }
+
+  val dsHavingThresholdSql: String =
+    s"""SELECT year(o_orderdate) AS o_year,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS freq_rev,
+       |  count(*) AS n_lines
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_partkey IN (
+       |  SELECT l_partkey FROM lineitem
+       |  GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) > 35)
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** Multi-fact outer-join ROLLUP (PDS-DS Q80 channel report shape):
+    * gross sales and returned revenue aggregate independently at
+    * (year, supplier-nation) granularity, LEFT OUTER join (a nation-
+    * year with no returns keeps its sales), returns coalesce to 0,
+    * and a ROLLUP re-aggregates to nation subtotals and a grand
+    * total. Facts are pre-shrunk to group granularity BEFORE the
+    * outer join, so the join and the rollup both run over
+    * |years|x|nations| rows. */
+  def dsMultiFactRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def base = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
+    val sales = base
+      .groupBy(year($"o_orderdate").as("o_year"), $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("gross"))
+    val returns = base
+      .filter($"l_returnflag" === "R")
+      .groupBy(year($"o_orderdate").as("r_year"), $"n_name".as("r_nation"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+        .as("ret"))
+    sales
+      .join(returns, $"o_year" === $"r_year" && $"n_name" === $"r_nation",
+        "left_outer")
+      .withColumn("ret0", coalesce($"ret", lit(0.0)))
+      .rollup($"o_year", $"n_name")
+      .agg(dsum($"gross", 6).as("gross_rev"),
+        dsum($"ret0", 6).as("returned_rev"),
+        (dsum($"gross", 6) - dsum($"ret0", 6)).as("net_rev"))
+      .orderBy(asc_nulls_first("o_year"), asc_nulls_first("n_name"))
+  }
+
+  val dsMultiFactRollupSql: String =
+    s"""WITH base AS (
+       |  SELECT year(o_orderdate) AS o_year, n_name, l_returnflag,
+       |    l_extendedprice * (1.0 - l_discount) AS rev
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  JOIN nation ON s_nationkey = n_nationkey),
+       |sales AS (
+       |  SELECT o_year, n_name, ${dsumSql("rev", 6)} AS gross
+       |  FROM base GROUP BY 1, 2),
+       |returns AS (
+       |  SELECT o_year AS r_year, n_name AS r_nation,
+       |    ${dsumSql("rev", 6)} AS ret
+       |  FROM base WHERE l_returnflag = 'R' GROUP BY 1, 2)
+       |SELECT o_year, n_name,
+       |  ${dsumSql("gross", 6)} AS gross_rev,
+       |  ${dsumSql("ret0", 6)} AS returned_rev,
+       |  ${dsumSql("gross", 6)} - ${dsumSql("ret0", 6)} AS net_rev
+       |FROM (
+       |  SELECT o_year, n_name, gross, coalesce(ret, 0.0) AS ret0
+       |  FROM sales LEFT OUTER JOIN returns
+       |    ON o_year = r_year AND n_name = r_nation)
+       |GROUP BY ROLLUP (o_year, n_name)
+       |ORDER BY o_year ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin
+
+  /** Excess-discount revenue (PDS-DS Q92: rows whose discount exceeds
+    * 1.3x the item's average): the correlated per-part average
+    * decorrelates into a window over the 1997 slice partitioned by
+    * part — one scan, one part-keyed shuffle, no aggregate-then-
+    * rejoin of the same slice. */
+  def dsExcessDiscount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.lineitem(s, dir)
+      .filter(year($"l_shipdate") === 1997)
+    val byPart = Window.partitionBy($"l_partkey")
+    slice
+      .withColumn("avg_disc",
+        sum($"l_discount".cast(DecimalType(18, 6))).over(byPart)
+          .cast("double") / count(lit(1)).over(byPart))
+      .filter($"l_discount" > lit(1.3) * $"avg_disc")
+      .agg(dsum($"l_extendedprice", 6).as("excess_rev"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val dsExcessDiscountSql: String =
+    s"""SELECT ${dsumSql("l_extendedprice", 6)} AS excess_rev,
+       |  count(*) AS n_lines
+       |FROM (
+       |  SELECT l_extendedprice, l_discount,
+       |    CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,6)))
+       |        OVER (PARTITION BY l_partkey) AS VARCHAR) AS DOUBLE) /
+       |      count(*) OVER (PARTITION BY l_partkey) AS avg_disc
+       |  FROM lineitem WHERE year(l_shipdate) = 1997)
+       |WHERE l_discount > 1.3 * avg_disc""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_timeband_counts" -> dsTimebandCounts,
     "ds_sequential_purchase" -> dsSequentialPurchase,
@@ -736,7 +967,13 @@ object TpcDs extends QueryPack {
     "ds_cohort_retention" -> dsCohortRetention,
     "ds_channel_report" -> dsChannelReport,
     "ds_repeat_customers" -> dsRepeatCustomers,
-    "ds_no_returns" -> dsNoReturns)
+    "ds_no_returns" -> dsNoReturns,
+    "ds_returns_above_avg" -> dsReturnsAboveAvg,
+    "ds_channel_coverage" -> dsChannelCoverage,
+    "ds_in_all_channels" -> dsInAllChannels,
+    "ds_having_threshold" -> dsHavingThreshold,
+    "ds_multi_fact_rollup" -> dsMultiFactRollup,
+    "ds_excess_discount" -> dsExcessDiscount)
 
   override def oracle: Map[String, String] = Map(
     "ds_timeband_counts" -> dsTimebandCountsSql,
@@ -756,5 +993,11 @@ object TpcDs extends QueryPack {
     "ds_cohort_retention" -> dsCohortRetentionSql,
     "ds_channel_report" -> dsChannelReportSql,
     "ds_repeat_customers" -> dsRepeatCustomersSql,
-    "ds_no_returns" -> dsNoReturnsSql)
+    "ds_no_returns" -> dsNoReturnsSql,
+    "ds_returns_above_avg" -> dsReturnsAboveAvgSql,
+    "ds_channel_coverage" -> dsChannelCoverageSql,
+    "ds_in_all_channels" -> dsInAllChannelsSql,
+    "ds_having_threshold" -> dsHavingThresholdSql,
+    "ds_multi_fact_rollup" -> dsMultiFactRollupSql,
+    "ds_excess_discount" -> dsExcessDiscountSql)
 }
