@@ -46,9 +46,12 @@ def frame(rel):
     return [cols[i] for i in idx], sorted(out)
 
 
-def main(outdir, sfdir, only=None):
+def run_compare(outdir, sfdir, only=None):
+    """Compare all dumped queries; print progress; return
+    {name: "pass" | "fail:<reason>"} (importable from envelope.py)."""
     # `only`: optional regex — compare just the matching queries (the
     # full 5x compare runs ~45 min; re-diagnosing one failure must not)
+    results = {}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
@@ -56,7 +59,6 @@ def main(outdir, sfdir, only=None):
     if only:
         pat = __import__("re").compile(only)
         oracles = {k: v for k, v in oracles.items() if pat.fullmatch(k)}
-    n_pass = n_fail = 0
     for name, sql in sorted(oracles.items()):
         try:
             got = con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
@@ -65,7 +67,7 @@ def main(outdir, sfdir, only=None):
             ecols, erows = frame(exp)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
-            n_fail += 1
+            results[name] = f"fail:error:{type(e).__name__}"
             continue
         # The driver sorts result frames with pandas, which factorizes
         # each column; list/struct columns arrive as numpy arrays /
@@ -80,25 +82,32 @@ def main(outdir, sfdir, only=None):
             print(f"FAIL {name}: nested result columns {nested} would "
                   f"crash the driver's pandas comparator — reshape to "
                   f"scalars (posexplode / array_to_string)")
-            n_fail += 1
+            results[name] = "fail:nested_columns"
             continue
         if gcols != ecols:
             print(f"FAIL {name}: columns {gcols} != {ecols}")
-            n_fail += 1
+            results[name] = "fail:columns"
         elif len(grows) != len(erows):
             print(f"FAIL {name}: rows {len(grows)} != {len(erows)}")
-            n_fail += 1
+            results[name] = "fail:rowcount"
         elif grows != erows:
             bad = next(i for i, (a, b) in enumerate(zip(grows, erows)) if a != b)
             print(f"FAIL {name}: first diff at sorted row {bad}:")
             print(f"  spark : {grows[bad]}")
             print(f"  duckdb: {erows[bad]}")
-            n_fail += 1
+            results[name] = "fail:values"
         else:
             print(f"PASS {name} ({len(grows)} rows)")
-            n_pass += 1
+            results[name] = "pass"
+    n_pass = sum(1 for v in results.values() if v == "pass")
+    n_fail = len(results) - n_pass
     print(f"== {n_pass} pass, {n_fail} fail")
-    return 1 if n_fail else 0
+    return results
+
+
+def main(outdir, sfdir, only=None):
+    results = run_compare(outdir, sfdir, only)
+    return 1 if any(v != "pass" for v in results.values()) else 0
 
 
 if __name__ == "__main__":

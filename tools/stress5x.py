@@ -67,9 +67,8 @@ def copy_duckdb(con, src, dst, keys, copies):
     con.sql(f"COPY ({q}) TO '{dst}' (FORMAT PARQUET)")
 
 
-def main():
-    src_dir, dst_dir = sys.argv[1], sys.argv[2]
-    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+def build(src_dir, dst_dir, copies):
+    """Build the N-times dir (callable from tools/envelope.py)."""
     os.makedirs(dst_dir, exist_ok=True)
     con = duckdb.connect()
     for t, keys in KEYMAP.items():
@@ -81,6 +80,12 @@ def main():
             copy_duckdb(con, src, dst, keys, copies)
         n = con.sql(f"SELECT count(*) FROM '{dst}'").fetchone()[0]
         print(f'{t}: {n} rows')
+
+
+def main():
+    src_dir, dst_dir = sys.argv[1], sys.argv[2]
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    build(src_dir, dst_dir, copies)
 
 
 if __name__ == '__main__':
