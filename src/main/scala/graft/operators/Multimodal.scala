@@ -4,6 +4,16 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+/** Decoded-media stats row: nulls mark the non-applicable modality.
+  * Top-level (not nested in the object) so the encoder's generated
+  * serializer codegen can reference the class — nested it trips a
+  * Janino resolution failure and every row falls back to interpreted
+  * projection. */
+case class MediaStats(media_id: Long, mime: String, n_bytes: Int,
+    duration_s: Option[Double], rms: Option[Double], peak: Option[Double],
+    zcr: Option[Double], width: Option[Int], height: Option[Int],
+    mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
+
 /** Multimodal (image/audio/video) column plumbing (north star).
   *
   * Media is modeled as opaque `binary` payload columns plus a typed
@@ -100,12 +110,6 @@ object Multimodal {
       d.take(8).map(b => java.lang.Byte.toUnsignedInt(b) / 255.0f)
     }
   }
-
-  /** Decoded-media stats row: nulls mark the non-applicable modality. */
-  private case class MediaStats(media_id: Long, mime: String, n_bytes: Int,
-      duration_s: Option[Double], rms: Option[Double], peak: Option[Double],
-      zcr: Option[Double], width: Option[Int], height: Option[Int],
-      mean_r: Option[Double], mean_g: Option[Double], mean_b: Option[Double])
 
   /** REAL decode for every mime type a pure JVM can handle —
     * audio/wav (RIFF PCM-16 via [[MediaCodec.wavDecode]]: duration,
