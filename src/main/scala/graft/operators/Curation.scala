@@ -514,6 +514,76 @@ object Curation {
         expr("percentile(__dev, 0.5)").as("mad"))
   }
 
+  /** Distribution-drift report: per-group Kolmogorov–Smirnov statistic
+    * and binned total-variation distance of an integer metric against a
+    * designated reference group (the "did source X's length/quality
+    * distribution move vs the trusted corpus?" monitor that gates
+    * retraining-data refreshes).
+    *
+    * Both statistics are computed as EXACT integer-numerator rationals —
+    * `KS = max_v |C_ref(v)·n_g − C_g(v)·n_ref| / (n_ref·n_g)` and
+    * `TVD = Σ_bins |c_g,b·n_ref − c_ref,b·n_g| / (2·n_ref·n_g)` — so no
+    * transcendental (the PSI's ln) and no order-dependent float sum ever
+    * enters; the one double division of two exactly-represented operands
+    * is IEEE-correctly-rounded in every engine, making the report
+    * bit-reproducible and DuckDB-oracle-checkable.
+    *
+    * Scale shape: ONE map-side-combined aggregation reduces the corpus
+    * to per-(group, value) counts — everything downstream (value grid ×
+    * group cross, cumulative windows, per-bin folds) runs on that
+    * histogram-sized summary, never on rows. Counts multiply into
+    * DECIMAL(38,0) so n_ref·n_g stays exact past 2^63 (10^11-row groups). */
+  def driftReport(df: DataFrame, groupCol: String, valueCol: String,
+      refGroup: String, binWidth: Long = 8): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    def dec(c: Column) = c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
+    val counts = df
+      .filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    val nRef = totals.filter(col("g") === refGroup)
+      .select(col("n").as("n_ref"))
+    val refCounts = counts.filter(col("g") === refGroup)
+      .select(col("v"), col("c").as("cr"))
+    val others = totals.filter(col("g") =!= refGroup)
+      .select(col("g"), col("n").as("n_g"))
+    // Full value grid per group: removes the outer-join asymmetry so one
+    // cumulative window serves both CDFs. Histogram-sized by construction.
+    val grid = others.crossJoin(broadcast(counts.select(col("v")).distinct()))
+    val cgSide = counts.select(col("g").as("__cg_g"), col("v").as("__cg_v"),
+      col("c").as("cg"))
+    val rSide = refCounts.select(col("v").as("__rv"), col("cr"))
+    val joined = grid
+      .join(cgSide,
+        col("g") === col("__cg_g") && col("v") === col("__cg_v"), "left")
+      .drop("__cg_g", "__cg_v")
+      .join(broadcast(rSide), col("v") === col("__rv"), "left")
+      .drop("__rv")
+      .na.fill(0L, Seq("cg", "cr"))
+      .crossJoin(broadcast(nRef))
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val cum = joined
+      .withColumn("Cg", sum(col("cg")).over(w))
+      .withColumn("Cr", sum(col("cr")).over(w))
+    val ks = cum.groupBy(col("g"), col("n_g"), col("n_ref"))
+      .agg(max(abs(dec(col("Cr")) * dec(col("n_g")) -
+        dec(col("Cg")) * dec(col("n_ref")))).as("ks_num"))
+    val tvd = joined
+      .groupBy(col("g"), expr(Resample.floorDivExpr("v", binWidth)).as("bin"))
+      .agg(sum(col("cg")).as("bg"), sum(col("cr")).as("br"),
+        first(col("n_g")).as("n_g"), first(col("n_ref")).as("n_ref"))
+      .groupBy(col("g"))
+      .agg(sum(abs(dec(col("bg")) * dec(col("n_ref")) -
+        dec(col("br")) * dec(col("n_g")))).as("tvd_num"))
+    val den = dec(col("n_g")) * dec(col("n_ref"))
+    ks.join(tvd, "g")
+      .select(col("g").as(groupCol), col("n_g").cast("long").as("n_rows"),
+        (col("ks_num").cast("double") / den.cast("double")).as("ks"),
+        (col("tvd_num").cast("double") /
+          (den * lit(2)).cast("double")).as("tvd"))
+  }
+
   /** Winsorize: CLAMP values to the [lo, hi] quantiles instead of
     * dropping rows (the alternative to [[filterOutliersIqr]] when row
     * count must be preserved). Same shape: one exact-percentile 1-row

@@ -569,7 +569,68 @@ object CurationPack extends QueryPack {
       |      GROUP BY lang) s USING (lang)
       |ORDER BY doc_id""".stripMargin
 
+  /** Per-source distribution drift of document length vs the reference
+    * source src0: exact-rational KS statistic + binned total-variation
+    * distance (the refresh-gating monitor — see
+    * [[Curation.driftReport]] for why no PSI/ln ever enters). */
+  def driftQ(s: SparkSession, dir: String): DataFrame =
+    Curation.driftReport(Tables.documents(s, dir), "source", "n_chars",
+        refGroup = "src0", binWidth = 64)
+      .orderBy(col("source"))
+
+  /** Oracle replays the same integer-numerator construction; products
+    * stay in DECIMAL(18,0)×DECIMAL(18,0) (DuckDB rejects 38×38
+    * multiplies) and every decimal→double crossing routes through
+    * VARCHAR (the dsumSql cast hazard). */
+  val driftSql: String =
+    """WITH c AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v,
+      |             CAST(count(*) AS BIGINT) AS c
+      |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
+      |n AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY g),
+      |nr AS (SELECT n FROM n WHERE g = 'src0'),
+      |r AS (SELECT v, c AS cr FROM c WHERE g = 'src0'),
+      |grid AS (SELECT o.g, o.n AS n_g, x.v
+      |         FROM (SELECT g, n FROM n WHERE g <> 'src0') o
+      |         CROSS JOIN (SELECT DISTINCT v FROM c) x),
+      |j AS (SELECT grid.g, grid.n_g, grid.v,
+      |        COALESCE(cg.c, 0) AS cg, COALESCE(r.cr, 0) AS cr
+      |      FROM grid
+      |      LEFT JOIN c cg ON cg.g = grid.g AND cg.v = grid.v
+      |      LEFT JOIN r ON r.v = grid.v),
+      |cum AS (SELECT g, n_g,
+      |          CAST(sum(cg) OVER (PARTITION BY g ORDER BY v)
+      |               AS DECIMAL(18,0)) AS Cg,
+      |          CAST(sum(cr) OVER (PARTITION BY g ORDER BY v)
+      |               AS DECIMAL(18,0)) AS Cr
+      |        FROM j),
+      |ks AS (SELECT g, n_g,
+      |         max(abs(Cr * CAST(n_g AS DECIMAL(18,0))
+      |               - Cg * CAST((SELECT n FROM nr) AS DECIMAL(18,0))))
+      |           AS ks_num
+      |       FROM cum GROUP BY g, n_g),
+      |tv AS (SELECT g,
+      |         sum(abs(CAST(bg AS DECIMAL(18,0))
+      |                   * CAST((SELECT n FROM nr) AS DECIMAL(18,0))
+      |               - CAST(br AS DECIMAL(18,0))
+      |                   * CAST(n_g AS DECIMAL(18,0)))) AS tvd_num
+      |       FROM (SELECT g, n_g, v // 64 AS bin,
+      |               sum(cg) AS bg, sum(cr) AS br
+      |             FROM j GROUP BY g, n_g, v // 64) b
+      |       GROUP BY g)
+      |SELECT ks.g AS source, CAST(ks.n_g AS BIGINT) AS n_rows,
+      |  CAST(CAST(ks_num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(ks.n_g AS DECIMAL(18,0))
+      |        * CAST((SELECT n FROM nr) AS DECIMAL(18,0)) AS VARCHAR)
+      |        AS DOUBLE) AS ks,
+      |  CAST(CAST(tvd_num AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(ks.n_g AS DECIMAL(18,0))
+      |        * CAST((SELECT n FROM nr) AS DECIMAL(18,0))
+      |        * 2 AS VARCHAR) AS DOUBLE) AS tvd
+      |FROM ks JOIN tv ON ks.g = tv.g
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_drift" -> driftQ,
     "outlier_modified_z" -> modifiedZQ,
     "corpus_interleave" -> interleaveQ,
     "corpus_quantile_norm" -> quantileNormQ,
@@ -595,6 +656,7 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_drift" -> driftSql,
     "outlier_modified_z" -> modifiedZSql,
     "corpus_interleave" -> interleaveSql,
     "corpus_quantile_norm" -> quantileNormSql,

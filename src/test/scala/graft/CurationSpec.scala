@@ -445,4 +445,30 @@ class CurationSpec extends AnyFunSuite {
     assert(cb.select("bucket").distinct().collect().map(_.getInt(0)).toSeq
       == Seq(1))
   }
+
+  test("driftReport: zero drift for an identical copy, ordered planted drift") {
+    // ref: uniform 0..99; same: identical distribution; shifted: +50;
+    // far: disjoint support. KS/TVD must order same < shifted < far.
+    val rows =
+      (0L until 200L).map(i => ("ref", i % 100)) ++
+        (0L until 200L).map(i => ("same", i % 100)) ++
+        (0L until 200L).map(i => ("shifted", i % 100 + 50)) ++
+        (0L until 200L).map(i => ("far", i % 100 + 1000))
+    val df = rows.toDF("src", "v")
+    val rep = Curation.driftReport(df, "src", "v", "ref", binWidth = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rep.keySet == Set("same", "shifted", "far"))
+    assert(rep("same") == ((200L, 0.0, 0.0)))
+    val (_, ksS, tvdS) = rep("shifted")
+    val (_, ksF, tvdF) = rep("far")
+    assert(ksS == 0.5 && tvdS == 0.5) // half the mass moved off-support
+    assert(ksF == 1.0 && tvdF == 1.0) // disjoint support saturates both
+    // null metric rows are excluded, not counted into n_rows
+    val withNull = df.union(Seq(("shifted", null.asInstanceOf[java.lang.Long]))
+      .toDF("src", "v").select(col("src"), col("v").cast("long")))
+    val n2 = Curation.driftReport(withNull, "src", "v", "ref")
+      .filter(col("src") === "shifted").select("n_rows").as[Long].head()
+    assert(n2 == 200L)
+  }
 }

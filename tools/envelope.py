@@ -47,11 +47,15 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None):
 
     print(f"== running graft.Verify over {stress_dir}")
     env = dict(os.environ, SPARK_GRAFT_CPUS="16")
-    cp = f"/opt/spark/jars/*:{repo}/target/scala-2.13/classes"
+    # GRAFT_CLASSES: snapshot dir override so `sbt compile` can keep
+    # running while a long envelope pass reads a frozen class tree.
+    classes = os.environ.get("GRAFT_CLASSES",
+                             f"{repo}/target/scala-2.13/classes")
+    cp = f"/opt/spark/jars/*:{classes}"
     rc = subprocess.call(
         ["java", "-Xmx48g"] + ADD_OPENS +
         ["-cp", cp, "graft.Verify", stress_dir, vout],
-        cwd=repo, stdout=sys.stdout, stderr=subprocess.DEVNULL)
+        cwd=repo, env=env, stdout=sys.stdout, stderr=subprocess.DEVNULL)
     if rc != 0:
         print(f"Verify exited {rc}", file=sys.stderr)
         return 1
