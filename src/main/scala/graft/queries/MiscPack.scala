@@ -876,6 +876,51 @@ object MiscPack extends QueryPack {
       .orderBy($"id")
   }
 
+  /** Triangle count + local clustering coefficient per supplier over
+    * the co-supply graph (suppliers sharing a part). The operator's
+    * degree orientation bounds wedge fan-out by oriented out-degree —
+    * see [[graft.operators.LinkAnalysis.triangleStats]]. */
+  def trianglesQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ps = Tables.lineitem(s, dir)
+      .select($"l_partkey".as("pk"), $"l_suppkey".as("sk")).distinct()
+    val other = ps.select($"pk".as("pk2"), $"sk".as("sk2"))
+    val edges = ps.join(other, $"pk" === $"pk2" && $"sk" < $"sk2")
+      .select($"sk".as("src"), $"sk2".as("dst"))
+    graft.operators.LinkAnalysis.triangleStats(edges, "src", "dst")
+      .orderBy($"id")
+  }
+
+  val trianglesSql: String =
+    """WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS s
+      |            FROM lineitem),
+      |e AS (SELECT DISTINCT a.s AS u, b.s AS v
+      |      FROM ps a JOIN ps b ON a.pk = b.pk AND a.s < b.s),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree
+      |        FROM (SELECT u AS id FROM e
+      |              UNION ALL SELECT v AS id FROM e) n GROUP BY id),
+      |o AS (SELECT CASE WHEN d1.degree < d2.degree
+      |                    OR (d1.degree = d2.degree AND e.u < e.v)
+      |                  THEN e.u ELSE e.v END AS lo,
+      |             CASE WHEN d1.degree < d2.degree
+      |                    OR (d1.degree = d2.degree AND e.u < e.v)
+      |                  THEN e.v ELSE e.u END AS hi
+      |      FROM e JOIN deg d1 ON d1.id = e.u JOIN deg d2 ON d2.id = e.v),
+      |w AS (SELECT o1.lo AS p, o1.hi AS x, o2.hi AS y
+      |      FROM o o1 JOIN o o2 ON o1.lo = o2.lo AND o1.hi < o2.hi),
+      |t AS (SELECT p, x, y FROM w JOIN e ON w.x = e.u AND w.y = e.v),
+      |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS triangles
+      |       FROM (SELECT p AS id FROM t UNION ALL SELECT x AS id FROM t
+      |             UNION ALL SELECT y AS id FROM t) c GROUP BY id)
+      |SELECT deg.id, deg.degree,
+      |  CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+      |  CASE WHEN deg.degree < 2 THEN NULL
+      |       ELSE CAST(COALESCE(pn.triangles, 0) * 2 AS DOUBLE)
+      |            / CAST(deg.degree * (deg.degree - 1) AS DOUBLE)
+      |  END AS clustering
+      |FROM deg LEFT JOIN pn ON pn.id = deg.id
+      |ORDER BY deg.id""".stripMargin
+
   val pageRankSql: String = {
     // unrolled power iteration: one (contrib, dangling, rank) CTE trio
     // per step, replaying the operator's arithmetic op-for-op. All
@@ -926,6 +971,7 @@ object MiscPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
+    "graph_triangles" -> trianglesQ,
     "agg_theta_setops" -> thetaSetOps,
     "agg_kmv_rollup" -> kmvRollup,
     "agg_topk_heavy" -> topkHeavy,
@@ -964,6 +1010,7 @@ object MiscPack extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
+    "graph_triangles" -> trianglesSql,
     "agg_theta_setops" -> thetaSetOpsSql,
     "agg_kmv_rollup" -> kmvRollupSql,
     "agg_topk_heavy" -> topkHeavySql,

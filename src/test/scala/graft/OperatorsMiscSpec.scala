@@ -413,4 +413,36 @@ class OperatorsMiscSpec extends AnyFunSuite {
     val ranks = a.map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(ranks(0L) > ranks(1L) * 10)
   }
+
+  test("triangleStats: analytic counts on K4, paths, and a closed star") {
+    import spark.implicits._
+    import graft.operators.LinkAnalysis
+    def stats(edges: Seq[(Long, Long)]) =
+      LinkAnalysis.triangleStats(edges.toDF("s", "d"), "s", "d")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) Double.NaN else r.getDouble(3))).toMap
+    // K4: every node degree 3, in 3 triangles, clustering 1.0 —
+    // duplicate/reversed/self-loop inputs must canonicalize away
+    val k4 = for {
+      i <- 0L to 3L; j <- 0L to 3L if i != j
+    } yield (i, j)
+    val s4 = stats(k4 ++ Seq((1L, 1L), (2L, 3L)))
+    assert(s4.size == 4 && s4.values.forall(_ == ((3L, 3L, 1.0))))
+    // path 0-1-2: no triangles; endpoints have degree 1 → NULL clustering
+    val sp = stats(Seq((0L, 1L), (1L, 2L)))
+    assert(sp(1L) == ((2L, 0L, 0.0)))
+    assert(sp(0L)._2 == 0L && sp(0L)._3.isNaN)
+    // star 0-{1..5} + one closing edge 1-2: exactly one triangle,
+    // hub clustering = 2/(6*5), leaf 1 clustering = 2/(2*1) = 1
+    val st = stats((1L to 5L).map(i => (0L, i)) ++ Seq((1L, 2L)))
+    assert(st(0L) == ((5L, 1L, 2.0 / 20.0)))
+    assert(st(1L) == ((2L, 1L, 1.0)) && st(3L)._2 == 0L)
+    // orientation invariance: physical partitioning can't change counts
+    val rep = LinkAnalysis.triangleStats(
+      k4.toDF("s", "d").repartition(7), "s", "d")
+      .orderBy("id").collect().toSeq
+    assert(rep.map(_.getLong(2)).toSet == Set(3L))
+  }
 }
