@@ -370,6 +370,49 @@ object EventOps extends QueryPack {
       |        FROM events GROUP BY 1, 2))
       |WHERE rnk <= 2 ORDER BY win_id, rnk""".stripMargin
 
+  /** Pairwise event-type association rules over (user, day) baskets —
+    * support / confidence / lift as exact integer-numerator rationals
+    * ([[graft.operators.MarketBasket.associationRules]]). */
+  def assocQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.MarketBasket.associationRules(
+      Tables.events(s, dir)
+        .withColumn("day", expr(graft.operators.Resample.floorDivExpr(
+          "unix_micros(ts)", 86400000000L))),
+      Seq("user_id", "day"), "event_type", minCount = 2)
+      .orderBy(col("item_a"), col("item_b"))
+
+  val assocSql: String =
+    """WITH b AS (SELECT DISTINCT user_id,
+      |             epoch_us(ts) // 86400000000 AS day,
+      |             event_type AS item
+      |           FROM events
+      |           WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+      |             AND ts IS NOT NULL),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets
+      |      FROM (SELECT DISTINCT user_id, day FROM b) x),
+      |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS c_item
+      |       FROM b GROUP BY item),
+      |p AS (SELECT a.item AS item_a, c.item AS item_b,
+      |        CAST(count(*) AS BIGINT) AS c_ab
+      |      FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+      |                       AND a.item < c.item
+      |      GROUP BY 1, 2
+      |      HAVING count(*) >= 2)
+      |SELECT item_a, item_b, n.n_baskets, ia.c_item AS c_a,
+      |  ib.c_item AS c_b, c_ab,
+      |  CAST(c_ab AS DOUBLE) / CAST(n.n_baskets AS DOUBLE) AS support,
+      |  CAST(c_ab AS DOUBLE) / CAST(ia.c_item AS DOUBLE) AS conf_a_b,
+      |  CAST(c_ab AS DOUBLE) / CAST(ib.c_item AS DOUBLE) AS conf_b_a,
+      |  CAST(CAST(CAST(c_ab AS DECIMAL(18,0))
+      |      * CAST(n.n_baskets AS DECIMAL(18,0)) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(CAST(ia.c_item AS DECIMAL(18,0))
+      |      * CAST(ib.c_item AS DECIMAL(18,0)) AS VARCHAR) AS DOUBLE)
+      |    AS lift
+      |FROM p JOIN ic ia ON ia.item = p.item_a
+      |JOIN ic ib ON ib.item = p.item_b
+      |CROSS JOIN n
+      |ORDER BY item_a, item_b""".stripMargin
+
   /** Daily TWAP per user: exact-decimal v·Δt moments (single-event days
     * yield NULL — no weight exists between observations). */
   def twapQ(s: SparkSession, dir: String): DataFrame =
@@ -425,6 +468,7 @@ object EventOps extends QueryPack {
     "events_topk_daily" -> topkDaily,
     "events_transitions" -> transitions,
     "events_funnel" -> funnel,
+    "events_assoc" -> assocQ,
     "events_sessionize" -> sessionize,
     "events_tumbling" -> tumbling,
     "events_asof_prev" -> asofPrevSignup,
@@ -441,6 +485,7 @@ object EventOps extends QueryPack {
     "events_topk_daily" -> topkDailySql,
     "events_transitions" -> transitionsSql,
     "events_funnel" -> funnelSql,
+    "events_assoc" -> assocSql,
     "events_sessionize" -> sessionizeSql,
     "events_tumbling" -> tumblingSql,
     "events_asof_prev" -> asofPrevSignupSql,

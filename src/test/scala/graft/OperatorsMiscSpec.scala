@@ -414,6 +414,34 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L) * 10)
   }
 
+  test("associationRules: exact support/confidence/lift on planted baskets") {
+    import spark.implicits._
+    import graft.operators.MarketBasket
+    // 4 baskets; duplicate presence rows must not inflate counts
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z"),
+      (4L, "y"))
+    val df = rows.toDF("b", "item")
+    val r = MarketBasket.associationRules(df, Seq("b"), "item")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x).toMap
+    assert(r.keySet == Set(("x", "y"), ("x", "z")))
+    val xy = r(("x", "y"))
+    assert(xy.getLong(2) == 4 && xy.getLong(3) == 3 && xy.getLong(4) == 3 &&
+      xy.getLong(5) == 2)
+    assert(xy.getDouble(6) == 0.5 && xy.getDouble(7) == 2.0 / 3.0 &&
+      xy.getDouble(8) == 2.0 / 3.0 && xy.getDouble(9) == 8.0 / 9.0)
+    assert(r(("x", "z")).getDouble(9) == 4.0 / 3.0)
+    // absolute-count threshold drops the singleton pair; null items ignored
+    val r2 = MarketBasket.associationRules(
+      df.union(Seq((5L, null.asInstanceOf[String])).toDF("b", "item")),
+      Seq("b"), "item", minCount = 2)
+      .collect()
+    assert(r2.length == 1 && r2.head.getString(0) == "x" &&
+      r2.head.getString(1) == "y" && r2.head.getLong(2) == 4)
+  }
+
   test("triangleStats: analytic counts on K4, paths, and a closed star") {
     import spark.implicits._
     import graft.operators.LinkAnalysis
