@@ -949,7 +949,216 @@ object TpcDs extends QueryPack {
        |  FROM lineitem WHERE year(l_shipdate) = 1997)
        |WHERE l_discount > 1.3 * avg_disc""".stripMargin
 
+  /** Deviation-from-average windows (DS Q47/Q57 shape): monthly revenue
+    * per brand band, each month carrying its brand-year average plus
+    * the neighboring months (lag/lead), filtered to months deviating
+    * >30% from that average. Aggregate FIRST (one shuffle over the
+    * fact), then all three windows run over the tiny monthly frame. */
+  def dsDeviationWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // the monthly total stays DECIMAL end-to-end (rev_dec) so the
+    // brand-year window re-sum is decimal→decimal exact; only the
+    // OUTPUT crosses to double (a double→decimal round-trip would hit
+    // DuckDB's double-space scaling mis-round — hazard #2)
+    val monthly = Tables.lineitem(s, dir)
+      .groupBy(($"l_suppkey" % 10).as("brand"),
+        year($"l_shipdate").as("y"), month($"l_shipdate").as("m"))
+      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(18, 6))).as("rev_dec"))
+      .withColumn("rev", $"rev_dec".cast("double"))
+    val byYear = Window.partitionBy($"brand", $"y")
+    val seq0 = Window.partitionBy($"brand").orderBy($"y", $"m")
+    monthly
+      .withColumn("avg_rev",
+        sum($"rev_dec".cast(DecimalType(28, 6))).over(byYear)
+          .cast("double") / count(lit(1)).over(byYear))
+      .withColumn("prev_rev", lag($"rev", 1).over(seq0))
+      .withColumn("next_rev", lead($"rev", 1).over(seq0))
+      .filter($"avg_rev" > 0 &&
+        abs($"rev" - $"avg_rev") > lit(0.3) * $"avg_rev")
+      .select($"brand", $"y", $"m", $"rev", $"avg_rev",
+        $"prev_rev", $"next_rev")
+      .orderBy($"brand", $"y", $"m")
+  }
+
+  val dsDeviationWindowSql: String =
+    s"""SELECT brand, y, m, rev, avg_rev, prev_rev, next_rev
+       |FROM (
+       |  SELECT brand, y, m,
+       |    CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS rev,
+       |    CAST(CAST(sum(CAST(rev_dec AS DECIMAL(28,6)))
+       |        OVER (PARTITION BY brand, y) AS VARCHAR) AS DOUBLE) /
+       |      count(*) OVER (PARTITION BY brand, y) AS avg_rev,
+       |    lag(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE), 1)
+       |      OVER (PARTITION BY brand ORDER BY y, m) AS prev_rev,
+       |    lead(CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE), 1)
+       |      OVER (PARTITION BY brand ORDER BY y, m) AS next_rev
+       |  FROM (
+       |    SELECT l_suppkey % 10 AS brand, year(l_shipdate) AS y,
+       |      month(l_shipdate) AS m,
+       |      sum(CAST(l_extendedprice * (1.0 - l_discount)
+       |        AS DECIMAL(18,6))) AS rev_dec
+       |    FROM lineitem GROUP BY 1, 2, 3))
+       |WHERE avg_rev > 0 AND abs(rev - avg_rev) > 0.3 * avg_rev
+       |ORDER BY brand, y, m""".stripMargin
+
+  /** Returns netting (DS Q93 shape): a synthetic returns fact (the 'R'
+    * rows return half their quantity, keyed by (orderkey, linenumber))
+    * LEFT OUTER joined back to sales; net quantity per customer, top 10.
+    * The join is key-equi on the sales key — one co-partitioned shuffle
+    * pair, at most one return row per sale. All quantities integral. */
+  def dsReturnsNet(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sales = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_linenumber", $"o_custkey",
+        $"l_quantity".cast("long").as("qty"))
+    val returns = Tables.lineitem(s, dir)
+      .filter($"l_returnflag" === "R")
+      .select($"l_orderkey".as("r_orderkey"),
+        $"l_linenumber".as("r_linenumber"),
+        ($"l_quantity".cast("long") / 2).cast("long").as("ret_qty"))
+    sales
+      .join(returns, $"l_orderkey" === $"r_orderkey" &&
+        $"l_linenumber" === $"r_linenumber", "left")
+      .groupBy($"o_custkey")
+      .agg(sum($"qty" - coalesce($"ret_qty", lit(0L))).as("net_qty"),
+        count($"ret_qty").as("n_returned"))
+      .withColumn("rnk", row_number().over(
+        Window.orderBy($"net_qty".desc, $"o_custkey")))
+      .filter($"rnk" <= 10)
+      .select($"rnk".cast("long").as("rnk"), $"o_custkey", $"net_qty",
+        $"n_returned")
+      .orderBy($"rnk")
+  }
+
+  val dsReturnsNetSql: String =
+    """SELECT rnk, o_custkey, net_qty, n_returned
+      |FROM (
+      |  SELECT o_custkey, net_qty, n_returned, row_number() OVER (
+      |      ORDER BY net_qty DESC, o_custkey) AS rnk
+      |  FROM (
+      |    SELECT o_custkey,
+      |      CAST(sum(qty - COALESCE(ret_qty, 0)) AS BIGINT) AS net_qty,
+      |      count(ret_qty) AS n_returned
+      |    FROM (
+      |      SELECT s.o_custkey, s.qty, r.ret_qty
+      |      FROM (SELECT l_orderkey, l_linenumber, o_custkey,
+      |              CAST(l_quantity AS BIGINT) AS qty
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey) s
+      |      LEFT JOIN (SELECT l_orderkey, l_linenumber,
+      |                   CAST(l_quantity AS BIGINT) // 2 AS ret_qty
+      |                 FROM lineitem WHERE l_returnflag = 'R') r
+      |        ON s.l_orderkey = r.l_orderkey
+      |       AND s.l_linenumber = r.l_linenumber)
+      |    GROUP BY o_custkey))
+      |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
+  /** Rollup + rank-within-grouping-level (DS Q36 shape): discounted/
+    * gross revenue ratio at (returnflag, linestatus), per-flag
+    * subtotal, and grand total in one ROLLUP, then each linestatus
+    * ranked INSIDE its flag by ratio — the rank partitions on the
+    * GROUPING level, Q36's lochierarchy trick. */
+  def dsMarginRollupRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rolled = Tables.lineitem(s, dir)
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(DecimalType(18, 6))).as("disc_dec"),
+        sum($"l_extendedprice".cast(DecimalType(18, 6))).as("gross_dec"),
+        grouping_id().as("lochierarchy"))
+      .select($"l_returnflag", $"l_linestatus",
+        $"lochierarchy".cast("long").as("lochierarchy"),
+        ($"disc_dec".cast("double") / $"gross_dec".cast("double"))
+          .as("ratio"))
+    rolled
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy($"lochierarchy", $"l_returnflag")
+          .orderBy($"ratio", $"l_linestatus")))
+      .select($"lochierarchy", $"l_returnflag", $"l_linestatus",
+        $"ratio", $"rnk".cast("long").as("rnk"))
+      .orderBy($"lochierarchy".desc, $"l_returnflag".asc_nulls_first,
+        $"rnk", $"l_linestatus".asc_nulls_first)
+  }
+
+  val dsMarginRollupRankSql: String =
+    """SELECT lochierarchy, l_returnflag, l_linestatus, ratio,
+      |  row_number() OVER (PARTITION BY lochierarchy, l_returnflag
+      |    ORDER BY ratio, l_linestatus) AS rnk
+      |FROM (
+      |  SELECT l_returnflag, l_linestatus,
+      |    CAST(grouping(l_returnflag) AS BIGINT) * 2
+      |      + CAST(grouping(l_linestatus) AS BIGINT) AS lochierarchy,
+      |    CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |        AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+      |      / CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6)))
+      |        AS VARCHAR) AS DOUBLE) AS ratio
+      |  FROM lineitem
+      |  GROUP BY ROLLUP (l_returnflag, l_linestatus))
+      |ORDER BY lochierarchy DESC, l_returnflag ASC NULLS FIRST, rnk,
+      |  l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** Cross-channel tolerance (DS Q58 shape): per-part revenue split
+    * across three synthetic channels (linenumber mod 3); keep parts
+    * where EVERY channel sits within ±20% of the three-channel
+    * average. The tolerance test is integer-scaled decimal
+    * (15·r_i vs 4·S and 6·S, since 0.8·S/3 = 4S/15) so no decimal
+    * division or double rounding can disagree between engines. */
+  def dsCrossChannelTolerance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def chan(k: Int) =
+      sum(when($"l_linenumber" % 3 === k,
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(DecimalType(18, 6))).otherwise(lit(null)))
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(coalesce(chan(0), lit(0).cast(DecimalType(18, 6))).as("r0"),
+        coalesce(chan(1), lit(0).cast(DecimalType(18, 6))).as("r1"),
+        coalesce(chan(2), lit(0).cast(DecimalType(18, 6))).as("r2"))
+    val s3 = ($"r0" + $"r1" + $"r2").cast(DecimalType(28, 6))
+    def within(r: org.apache.spark.sql.Column) = {
+      val r15 = (r.cast(DecimalType(28, 6)) * 15).cast(DecimalType(38, 6))
+      r15 >= (s3 * 4).cast(DecimalType(38, 6)) &&
+        r15 <= (s3 * 6).cast(DecimalType(38, 6))
+    }
+    perPart
+      .filter(within($"r0") && within($"r1") && within($"r2"))
+      .select($"l_partkey", $"r0".cast("double").as("r0"),
+        $"r1".cast("double").as("r1"), $"r2".cast("double").as("r2"))
+      .orderBy($"l_partkey")
+  }
+
+  val dsCrossChannelToleranceSql: String =
+    """SELECT l_partkey,
+      |  CAST(CAST(r0 AS VARCHAR) AS DOUBLE) AS r0,
+      |  CAST(CAST(r1 AS VARCHAR) AS DOUBLE) AS r1,
+      |  CAST(CAST(r2 AS VARCHAR) AS DOUBLE) AS r2
+      |FROM (
+      |  SELECT l_partkey,
+      |    CAST(COALESCE(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) FILTER (l_linenumber % 3 = 0),
+      |      0) AS DECIMAL(18,6)) AS r0,
+      |    CAST(COALESCE(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) FILTER (l_linenumber % 3 = 1),
+      |      0) AS DECIMAL(18,6)) AS r1,
+      |    CAST(COALESCE(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |      AS DECIMAL(18,6))) FILTER (l_linenumber % 3 = 2),
+      |      0) AS DECIMAL(18,6)) AS r2
+      |  FROM lineitem GROUP BY l_partkey)
+      |WHERE r0 * 15 >= (r0 + r1 + r2) * 4
+      |  AND r0 * 15 <= (r0 + r1 + r2) * 6
+      |  AND r1 * 15 >= (r0 + r1 + r2) * 4
+      |  AND r1 * 15 <= (r0 + r1 + r2) * 6
+      |  AND r2 * 15 >= (r0 + r1 + r2) * 4
+      |  AND r2 * 15 <= (r0 + r1 + r2) * 6
+      |ORDER BY l_partkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_deviation_window" -> dsDeviationWindow,
+    "ds_returns_net" -> dsReturnsNet,
+    "ds_margin_rollup_rank" -> dsMarginRollupRank,
+    "ds_cross_channel_tolerance" -> dsCrossChannelTolerance,
     "ds_timeband_counts" -> dsTimebandCounts,
     "ds_sequential_purchase" -> dsSequentialPurchase,
     "ds_union_weekday" -> dsUnionWeekday,
@@ -976,6 +1185,10 @@ object TpcDs extends QueryPack {
     "ds_excess_discount" -> dsExcessDiscount)
 
   override def oracle: Map[String, String] = Map(
+    "ds_deviation_window" -> dsDeviationWindowSql,
+    "ds_returns_net" -> dsReturnsNetSql,
+    "ds_margin_rollup_rank" -> dsMarginRollupRankSql,
+    "ds_cross_channel_tolerance" -> dsCrossChannelToleranceSql,
     "ds_timeband_counts" -> dsTimebandCountsSql,
     "ds_sequential_purchase" -> dsSequentialPurchaseSql,
     "ds_union_weekday" -> dsUnionWeekdaySql,
