@@ -500,6 +500,28 @@ final case class GFrame(df: DataFrame) {
       iters: Int = 10, exact: Boolean = false): GFrame =
     GFrame(graft.operators.LinkAnalysis.pageRank(df, srcCol, dstCol,
       damping, iters, exact))
+  /** BFS hop distance from `sourceId` — (id, level) for reachable
+    * nodes; frontier-sized shuffles, edges partitioned once. */
+  def bfsLevels(srcCol: String, dstCol: String, sourceId: Long,
+      maxLevels: Int = 30): GFrame =
+    GFrame(graft.operators.LinkAnalysis.bfsLevels(df, srcCol, dstCol,
+      sourceId, maxLevels))
+  /** Per-node triangle count + clustering coefficient (degree-oriented
+    * wedge join — fan-out bounded by oriented out-degree). */
+  def triangleStats(srcCol: String, dstCol: String): GFrame =
+    GFrame(graft.operators.LinkAnalysis.triangleStats(df, srcCol, dstCol))
+  /** Pairwise association rules (support/confidence/lift, exact
+    * rationals) over distinct items per basket key. */
+  def associationRules(basketCols: Seq[String], itemCol: String,
+      minCount: Long = 1L): GFrame =
+    GFrame(graft.operators.MarketBasket.associationRules(df, basketCols,
+      itemCol, minCount))
+  /** Per-group KS + total-variation drift vs a reference group
+    * (exact integer-numerator rationals; no PSI/ln). */
+  def driftReport(groupCol: String, valueCol: String, refGroup: String,
+      binWidth: Long = 8): GFrame =
+    GFrame(graft.operators.Curation.driftReport(df, groupCol, valueCol,
+      refGroup, binWidth))
   /** Per-group type-1 weighted percentiles (integer-exact thresholds). */
   def weightedPercentiles(groupCol: String, valueCol: String,
       weightCol: String, ps: Seq[(String, Long, Long)]): GFrame =

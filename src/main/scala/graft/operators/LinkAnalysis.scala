@@ -157,6 +157,65 @@ object LinkAnalysis {
     ranks
   }
 
+  /** Single-source BFS levels (unweighted shortest-path distance) over
+    * a directed graph — the reachability / hop-distance primitive the
+    * recursive-CTE family expresses in SQL engines.
+    *
+    * Frontier expansion: each round joins the CURRENT frontier (only
+    * the nodes first reached last round) against the src-partitioned
+    * edge set, anti-joins already-visited nodes, and appends the new
+    * level. The edge set is repartitioned and persisted ONCE; every
+    * iteration shuffles frontier-sized row sets, never |E|. Rounds
+    * stop early when the frontier empties (visited is a driver-visible
+    * count per round — one tiny action on a frontier-sized frame, the
+    * legitimate kind of driver decision). `maxLevels` bounds adversarial
+    * diameters the same way pageRank fixes its iteration count.
+    * Visited/frontier frames are localCheckpoint-ed per round: each is
+    * referenced by the next round's anti-join AND the final union, so
+    * uncut lineage would double per level (the pageRank lesson).
+    *
+    * Returns (id, level) for every node reachable from `sourceId`
+    * (level 0 = the source itself). */
+  def bfsLevels(edges: DataFrame, srcCol: String, dstCol: String,
+      sourceId: Long, maxLevels: Int = 30): DataFrame = {
+    require(maxLevels >= 1, "maxLevels must be >= 1")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val ed = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter($"src".isNotNull && $"dst".isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist()
+    var visited = Seq((sourceId, 0)).toDF("id", "level").localCheckpoint()
+    var frontier = visited
+    var lvl = 0
+    var frontierSize = 1L
+    while (frontierSize > 0 && lvl < maxLevels) {
+      lvl += 1
+      val next = frontier.join(ed, $"id" === $"src")
+        .select($"dst".as("id")).distinct()
+        .join(visited.select($"id".as("__seen")), $"id" === $"__seen",
+          "left_anti")
+        .withColumn("level", lit(lvl))
+        .localCheckpoint()
+      frontierSize = next.count()
+      if (frontierSize > 0) {
+        val merged = visited.union(next).localCheckpoint()
+        if (frontier ne visited)
+          org.apache.spark.sql.graftshim.CheckpointUtil.free(frontier)
+        org.apache.spark.sql.graftshim.CheckpointUtil.free(visited)
+        visited = merged
+        frontier = next
+      } else {
+        org.apache.spark.sql.graftshim.CheckpointUtil.free(next)
+      }
+    }
+    ed.unpersist()
+    visited.select($"id", $"level".cast("long").as("level"))
+  }
+
   /** Per-node triangle count + local clustering coefficient over an
     * undirected graph (the community-density signal that complements
     * [[pageRank]]'s centrality in source-quality priors).

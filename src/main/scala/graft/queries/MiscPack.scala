@@ -876,6 +876,54 @@ object MiscPack extends QueryPack {
       .orderBy($"id")
   }
 
+  /** BFS hop-distance from the minimum node of a sparse undirected
+    * customer↔supplier graph (low-quantity purchases only, so the
+    * graph has real depth). Spark side is frontier expansion
+    * ([[graft.operators.LinkAnalysis.bfsLevels]], 6 levels); the oracle
+    * unrolls six frontier joins and takes min(level) — exact on cyclic
+    * graphs where a naive recursive CTE on (id, level) would not
+    * terminate. */
+  def bfsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .filter($"l_quantity" < 3)
+      .select(($"o_custkey" * 2).as("a"), ($"l_suppkey" * 2 + 1).as("b"))
+    val edges = base.union(base.select($"b".as("a"), $"a".as("b")))
+    // deterministic source: the minimum node id (1-value action on a
+    // 1-row aggregate — summary-sized by construction)
+    val src = edges.agg(min($"a")).as[Long].head()
+    graft.operators.LinkAnalysis.bfsLevels(edges, "a", "b", src,
+        maxLevels = 6)
+      .orderBy($"id")
+  }
+
+  val bfsSql: String = {
+    val edge =
+      """SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |      WHERE l_quantity < 3""".stripMargin
+    s"""WITH e0 AS ($edge),
+       |e AS (SELECT src, dst FROM e0
+       |      UNION SELECT dst AS src, src AS dst FROM e0),
+       |l0 AS (SELECT CAST(min(src) AS BIGINT) AS id FROM e),
+       |l1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l0 ON e.src = l0.id),
+       |l2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l1 ON e.src = l1.id),
+       |l3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l2 ON e.src = l2.id),
+       |l4 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l3 ON e.src = l3.id),
+       |l5 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l4 ON e.src = l4.id),
+       |l6 AS (SELECT DISTINCT e.dst AS id FROM e JOIN l5 ON e.src = l5.id),
+       |lv AS (SELECT id, 0 AS level FROM l0
+       |  UNION ALL SELECT id, 1 FROM l1
+       |  UNION ALL SELECT id, 2 FROM l2
+       |  UNION ALL SELECT id, 3 FROM l3
+       |  UNION ALL SELECT id, 4 FROM l4
+       |  UNION ALL SELECT id, 5 FROM l5
+       |  UNION ALL SELECT id, 6 FROM l6)
+       |SELECT id, CAST(min(level) AS BIGINT) AS level
+       |FROM lv GROUP BY id ORDER BY id""".stripMargin
+  }
+
   /** Triangle count + local clustering coefficient per supplier over
     * the co-supply graph (suppliers sharing a part). The operator's
     * degree orientation bounds wedge fan-out by oriented out-degree —
@@ -972,6 +1020,7 @@ object MiscPack extends QueryPack {
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_pagerank" -> pageRankQ,
     "graph_triangles" -> trianglesQ,
+    "graph_bfs_levels" -> bfsQ,
     "agg_theta_setops" -> thetaSetOps,
     "agg_kmv_rollup" -> kmvRollup,
     "agg_topk_heavy" -> topkHeavy,
@@ -1011,6 +1060,7 @@ object MiscPack extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "graph_pagerank" -> pageRankSql,
     "graph_triangles" -> trianglesSql,
+    "graph_bfs_levels" -> bfsSql,
     "agg_theta_setops" -> thetaSetOpsSql,
     "agg_kmv_rollup" -> kmvRollupSql,
     "agg_topk_heavy" -> topkHeavySql,

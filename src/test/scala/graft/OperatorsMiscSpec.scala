@@ -414,6 +414,26 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L) * 10)
   }
 
+  test("bfsLevels: chain distances, cycle termination, maxLevels bound") {
+    import spark.implicits._
+    import graft.operators.LinkAnalysis
+    // chain 0→1→2→3 plus a back-edge 3→0 (cycle) and an island 9→10
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (9L, 10L))
+      .toDF("s", "d")
+    val lv = LinkAnalysis.bfsLevels(g, "s", "d", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L)) // island absent
+    // maxLevels truncates the frontier expansion
+    val lv2 = LinkAnalysis.bfsLevels(g, "s", "d", 0L, maxLevels = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv2 == Map(0L -> 0L, 1L -> 1L, 2L -> 2L))
+    // shortest path wins when a longer route exists: 0→5 direct + 0→1→5
+    val g2 = Seq((0L, 1L), (1L, 5L), (0L, 5L)).toDF("s", "d")
+    val lv3 = LinkAnalysis.bfsLevels(g2, "s", "d", 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lv3(5L) == 1L)
+  }
+
   test("associationRules: exact support/confidence/lift on planted baskets") {
     import spark.implicits._
     import graft.operators.MarketBasket
