@@ -299,6 +299,79 @@ object Windows extends QueryPack {
       |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** Rolling 5-row OLS slope/intercept of value against the per-user
+    * observation index (trend detection over a sliding frame — the
+    * window sibling of ds_regression's per-group OLS). All four moments
+    * are exact (integer x from row_number, DECIMAL y), so
+    * num = n·Σxy − Σx·Σy and den = n·Σx² − (Σx)² are exact on both
+    * engines; slope is their one IEEE division and the intercept chain
+    * runs on already-identical doubles. */
+  def winRollingSlope(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val w = ord.rowsBetween(-4, Window.currentRow)
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 2))
+    Tables.events(s, dir)
+      .withColumn("x", row_number().over(ord).cast("long"))
+      .withColumn("yd", $"value".cast(DecimalType(18, 2)))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum($"x").over(w))
+      .withColumn("sxx", sum($"x" * $"x").over(w))
+      .withColumn("sy", sum($"yd").over(w))
+      .withColumn("sxy", sum(dec($"x" * $"yd")).over(w))
+      .withColumn("den", $"n" * $"sxx" - $"sx" * $"sx")
+      // counts stay DECIMAL(10,0) so the cross-products keep total
+      // precision <= 38 on BOTH engines (DuckDB rejects 28x28 multiplies)
+      .withColumn("num",
+        $"n".cast(DecimalType(10, 0)) * dec($"sxy") -
+          $"sx".cast(DecimalType(10, 0)) * dec($"sy"))
+      .select($"user_id", $"event_id", $"n",
+        when($"den" > 0, $"num".cast("double") / $"den".cast("double"))
+          .otherwise(lit(null).cast("double")).as("slope"),
+        when($"den" > 0,
+          ($"sy".cast("double") -
+            ($"num".cast("double") / $"den".cast("double")) *
+              $"sx".cast("double")) / $"n".cast("double"))
+          .otherwise(lit(null).cast("double")).as("intercept"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winRollingSlopeSql: String =
+    """SELECT user_id, event_id, n,
+      |  CASE WHEN den > 0 THEN
+      |    CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE)
+      |  END AS slope,
+      |  CASE WHEN den > 0 THEN
+      |    (CAST(CAST(sy AS VARCHAR) AS DOUBLE)
+      |      - (CAST(CAST(num AS VARCHAR) AS DOUBLE) / CAST(den AS DOUBLE))
+      |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+      |  END AS intercept
+      |FROM (
+      |  SELECT user_id, event_id, n, sx, sy, den,
+      |    CAST(n AS DECIMAL(10,0)) * sxy
+      |      - CAST(sx AS DECIMAL(10,0)) * sy AS num
+      |  FROM (
+      |    SELECT user_id, event_id,
+      |      CAST(count(*) OVER w AS BIGINT) AS n,
+      |      CAST(sum(x) OVER w AS BIGINT) AS sx,
+      |      CAST(sum(x * x) OVER w AS BIGINT) AS sxx,
+      |      CAST(sum(yd) OVER w AS DECIMAL(28,2)) AS sy,
+      |      CAST(sum(CAST(x * yd AS DECIMAL(28,2))) OVER w
+      |        AS DECIMAL(28,2)) AS sxy,
+      |      CAST(count(*) OVER w AS BIGINT)
+      |        * CAST(sum(x * x) OVER w AS BIGINT)
+      |        - CAST(sum(x) OVER w AS BIGINT)
+      |        * CAST(sum(x) OVER w AS BIGINT) AS den
+      |    FROM (
+      |      SELECT user_id, event_id, ts,
+      |        CAST(row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts, event_id) AS BIGINT) AS x,
+      |        CAST(value AS DECIMAL(18,2)) AS yd
+      |      FROM events)
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)))
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Linear null interpolation (cudf Series.interpolate, pandas
     * method='index') along the event_id axis per user — straight-line
     * value between nearest non-null neighbors; leading nulls stay null,
@@ -442,6 +515,7 @@ object Windows extends QueryPack {
     "win_ffill" -> winFfill,
     "win_interpolate" -> winInterpolate,
     "win_rolling_std" -> winRollingStd,
+    "win_rolling_slope" -> winRollingSlope,
     "win_scan_minmax" -> winScanMinMax)
 
   override def oracle: Map[String, String] = Map(
@@ -458,5 +532,6 @@ object Windows extends QueryPack {
     "win_ffill" -> winFfillSql,
     "win_interpolate" -> winInterpolateSql,
     "win_rolling_std" -> winRollingStdSql,
+    "win_rolling_slope" -> winRollingSlopeSql,
     "win_scan_minmax" -> winScanMinMaxSql)
 }
