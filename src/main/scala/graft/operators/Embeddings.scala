@@ -3,6 +3,7 @@ package graft.operators
 import graft.plans.GraftExpressions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Embedding-vector transforms (north star: similarity search and
   * storage at 100 TB). Everything here is a pure per-row map stage —
@@ -89,5 +90,38 @@ object Embeddings {
       .otherwise(raise_error(concat(
         lit(s"randomProject: expected $inDim-dim vector, got "),
         coalesce(size(vec).cast("string"), lit("null")))))
+  }
+
+  /** 2^45 dyadic scale for the exact centroid sums (the LinkAnalysis
+    * psum contract): 2^-45 is ~7 decimal orders below float32 epsilon
+    * at unit magnitude, so the quantization never moves a centroid by
+    * anything an embedding consumer can observe. */
+  private val Two45 = 35184372088832.0
+
+  /** Per-group mean embedding (class prototypes / cluster centroids —
+    * the label-conditioned summary that SemDeDup-style pruning and
+    * nearest-class-mean classification consume).
+    *
+    * Output one row per (group, dim): `groupCol, dim, n_vecs, centroid`
+    * — row-per-dimension (not a vector column) so the result is
+    * oracle-comparable and the aggregation is a single (group, dim)-
+    * keyed map-side-combinable sum at any scale; re-assembling a vector
+    * column is one array_agg away when needed.
+    *
+    * Determinism: each component sum is dyadic fixed point —
+    * floor(v·2^45) summed exactly as DECIMAL(38,0) — so the result is
+    * independent of partitioning and engine (plain double sums would
+    * vary with Spark's partial-aggregate order). Vectors shorter than
+    * the longest one simply contribute nothing to the missing dims
+    * (n_vecs is per-(group, dim)). */
+  def centroidsByGroup(df: DataFrame, groupCol: String,
+      vecCol: String): DataFrame = {
+    df.filter(col(vecCol).isNotNull)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("v").cast("double") * lit(Two45))
+          .cast(DecimalType(38, 0))).cast("double") / lit(Two45) /
+          count(lit(1)).cast("double")).as("centroid"))
   }
 }

@@ -1777,6 +1777,29 @@ object TextOps extends QueryPack {
        |      FROM embeddings)
        |ORDER BY vec_id, pos""".stripMargin
 
+  /** Per-label mean embedding (class prototypes), one row per
+    * (label, dim); dyadic fixed-point sums make the mean independent
+    * of partitioning and engine ([[Embeddings.centroidsByGroup]]). */
+  def embedCentroids(s: SparkSession, dir: String): DataFrame =
+    Embeddings.centroidsByGroup(Tables.embeddings(s, dir), "label",
+        "embedding")
+      .select(col("label").cast("long").as("label"), col("dim"),
+        col("n_vecs"), col("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  val embedCentroidsSql: String =
+    """SELECT CAST(label AS BIGINT) AS label, dim,
+      |  CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(CAST(sum(CAST(floor(CAST(v AS DOUBLE) * 35184372088832.0)
+      |    AS BIGINT)) AS VARCHAR) AS DOUBLE)
+      |    / 35184372088832.0 / CAST(count(*) AS DOUBLE) AS centroid
+      |FROM (SELECT label,
+      |        CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+      |        unnest(embedding) AS v
+      |      FROM embeddings WHERE embedding IS NOT NULL)
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
+
   /** Per-vector uint8 scalar quantization (north star: 4× embedding
     * storage shrink). Codegen kernel (plans/ArrayQuantizeU8), zero
     * shuffle; floor/clamp arithmetic is IEEE-exact so the codes are
@@ -2306,6 +2329,7 @@ object TextOps extends QueryPack {
     "embed_neardup" -> embedNearDup,
     "embed_neardup_lsh" -> embedNearDupLsh,
     "embed_normalize" -> embedNormalize,
+    "embed_centroids" -> embedCentroids,
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
     "embed_semdedup" -> embedSemDedup,
@@ -2371,6 +2395,7 @@ object TextOps extends QueryPack {
     "doc_multimodal_embed" -> multimodalEmbedSql,
     "embed_neardup" -> embedNearDupSql,
     "embed_normalize" -> embedNormalizeSql,
+    "embed_centroids" -> embedCentroidsSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_project" -> embedProjectSql,
     "doc_dedup_delta" -> dedupDeltaSql,
