@@ -924,6 +924,38 @@ object MiscPack extends QueryPack {
        |FROM lv GROUP BY id ORDER BY id""".stripMargin
   }
 
+  /** Weakly-connected components of the sparse purchase graph via
+    * pointer-jumping label propagation ([[graft.operators.Dedup
+    * .nearDupClusters]] — O(log diameter) rounds; the probe graph's
+    * eccentricity is ~8–16, reached in 4–5 jumps). The oracle computes
+    * the same component minima by DuckDB's recursive transitive
+    * closure — an independent evaluation strategy, exact because
+    * (node, reached) pairs are a finite set. */
+  def componentsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), $"o_orderkey" === $"l_orderkey")
+      .filter($"l_quantity" < 1.5)
+      .select(($"o_custkey" * 2).as("id_a"), ($"l_suppkey" * 2 + 1).as("id_b"))
+      .distinct()
+    graft.operators.Dedup.nearDupClusters(pairs)
+      .orderBy($"id")
+  }
+
+  val componentsSql: String =
+    """WITH RECURSIVE
+      |e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      |       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |       WHERE l_quantity < 1.5),
+      |e AS (SELECT a AS src, b AS dst FROM e0
+      |      UNION SELECT b AS src, a AS dst FROM e0),
+      |n AS (SELECT DISTINCT src AS id FROM e),
+      |rr AS (SELECT id AS nd, id AS m FROM n
+      |       UNION
+      |       SELECT rr.nd, e.dst AS m FROM rr JOIN e ON e.src = rr.m)
+      |SELECT nd AS id, CAST(min(m) AS BIGINT) AS cluster
+      |FROM rr GROUP BY nd ORDER BY id""".stripMargin
+
   /** Triangle count + local clustering coefficient per supplier over
     * the co-supply graph (suppliers sharing a part). The operator's
     * degree orientation bounds wedge fan-out by oriented out-degree —
@@ -1021,6 +1053,7 @@ object MiscPack extends QueryPack {
     "graph_pagerank" -> pageRankQ,
     "graph_triangles" -> trianglesQ,
     "graph_bfs_levels" -> bfsQ,
+    "graph_components" -> componentsQ,
     "agg_theta_setops" -> thetaSetOps,
     "agg_kmv_rollup" -> kmvRollup,
     "agg_topk_heavy" -> topkHeavy,
@@ -1061,6 +1094,7 @@ object MiscPack extends QueryPack {
     "graph_pagerank" -> pageRankSql,
     "graph_triangles" -> trianglesSql,
     "graph_bfs_levels" -> bfsSql,
+    "graph_components" -> componentsSql,
     "agg_theta_setops" -> thetaSetOpsSql,
     "agg_kmv_rollup" -> kmvRollupSql,
     "agg_topk_heavy" -> topkHeavySql,
