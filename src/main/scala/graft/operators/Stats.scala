@@ -125,6 +125,44 @@ object Stats {
     * on the group key (same partitioning as the pre-aggregate: no
     * second shuffle), one conditional-min final aggregate. All
     * requested percentiles ride in the single pass. */
+  /** Contingency table with exact independence diagnostics for two
+    * categorical columns — the "is lang independent of source?"
+    * dependence audit run before stratified sampling trusts a single
+    * stratification key.
+    *
+    * Per (a, b) cell: observed count `o`, row/col totals `r`/`c`, grand
+    * total `n`, and two EXACT integer quantities — `e_num = r·c` (the
+    * expected count's numerator over denominator n) and
+    * `resid_num = n·o − r·c` (the χ² residual's numerator; its sign is
+    * the over/under-representation direction and `resid_num = 0` iff
+    * the cell is exactly independent). No division ever happens, so
+    * every column is engine-exact; consumers derive e = e_num/n and
+    * χ² terms as resid_num²/(n·r·c) at whatever precision they need.
+    *
+    * Scale shape: one (a, b)-keyed map-side-combined count over the
+    * corpus; the margins are two aggregations OF THAT summary plus two
+    * broadcast joins — everything after the first pass is
+    * |domain(a)|×|domain(b)|-sized. */
+  def contingency(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(38, 0))
+    val cells = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("a")).agg(sum(col("o")).as("r"))
+    val cols0 = cells.groupBy(col("b")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n"))
+    cells
+      .join(broadcast(rows), "a")
+      .join(broadcast(cols0), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("a").as(aCol), col("b").as(bCol), col("o"), col("r"),
+        col("c"), col("n"),
+        (dec(col("r")) * dec(col("c"))).as("e_num"),
+        (dec(col("n")) * dec(col("o")) - dec(col("r")) * dec(col("c")))
+          .as("resid_num"))
+  }
+
   def weightedPercentiles(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String,
       ps: Seq[(String, Long, Long)]): DataFrame = {

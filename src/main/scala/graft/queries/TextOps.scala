@@ -1777,6 +1777,34 @@ object TextOps extends QueryPack {
        |      FROM embeddings)
        |ORDER BY vec_id, pos""".stripMargin
 
+  /** lang × source contingency table with exact independence
+    * diagnostics ([[graft.operators.Stats.contingency]]): e_num = r·c
+    * and resid_num = n·o − r·c are integers, so the dependence audit
+    * is engine-exact with no division anywhere. */
+  def contingencyQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.contingency(Tables.documents(s, dir),
+        "lang", "source")
+      .select(col("lang"), col("source"), col("o"),
+        col("r").as("n_row"), col("c").as("n_col"), col("n"),
+        col("e_num").cast("long").as("e_num"),
+        col("resid_num").cast("long").as("resid_num"))
+      .orderBy(col("lang"), col("source"))
+
+  val contingencySql: String =
+    """WITH cells AS (SELECT lang AS a, source AS b,
+      |                 CAST(count(*) AS BIGINT) AS o
+      |               FROM documents
+      |               WHERE lang IS NOT NULL AND source IS NOT NULL
+      |               GROUP BY 1, 2),
+      |rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS n_row FROM cells GROUP BY a),
+      |ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS n_col FROM cells GROUP BY b),
+      |t AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      |SELECT cells.a AS lang, cells.b AS source, o, rt.n_row, ct.n_col, t.n,
+      |  CAST(rt.n_row * ct.n_col AS BIGINT) AS e_num,
+      |  CAST(t.n * o - rt.n_row * ct.n_col AS BIGINT) AS resid_num
+      |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t
+      |ORDER BY lang, source""".stripMargin
+
   /** Per-label mean embedding (class prototypes), one row per
     * (label, dim); dyadic fixed-point sums make the mean independent
     * of partitioning and engine ([[Embeddings.centroidsByGroup]]). */
@@ -2330,6 +2358,7 @@ object TextOps extends QueryPack {
     "embed_neardup_lsh" -> embedNearDupLsh,
     "embed_normalize" -> embedNormalize,
     "embed_centroids" -> embedCentroids,
+    "stats_contingency" -> contingencyQ,
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
     "embed_semdedup" -> embedSemDedup,
@@ -2396,6 +2425,7 @@ object TextOps extends QueryPack {
     "embed_neardup" -> embedNearDupSql,
     "embed_normalize" -> embedNormalizeSql,
     "embed_centroids" -> embedCentroidsSql,
+    "stats_contingency" -> contingencySql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_project" -> embedProjectSql,
     "doc_dedup_delta" -> dedupDeltaSql,

@@ -414,6 +414,28 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L) * 10)
   }
 
+  test("contingency: exact zero residuals iff independent") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // independent 2x2: margins (30, 10) x (20, 20) over n = 40
+    val ind = (Seq.fill(15)(("x", "p")) ++ Seq.fill(15)(("x", "q")) ++
+      Seq.fill(5)(("y", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val ri = Stats.contingency(ind, "a", "b").collect()
+    assert(ri.length == 4 && ri.forall(r =>
+      r.getDecimal(7).longValueExact() == 0L))
+    // dependent: diagonal-heavy
+    val dep = (Seq.fill(20)(("x", "p")) ++ Seq.fill(20)(("y", "q")) ++
+      Seq.fill(2)(("x", "q"))).toDF("a", "b")
+    val rd = Stats.contingency(dep, "a", "b")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getDecimal(7).longValueExact()).toMap
+    assert(rd(("x", "p")) > 0 && rd(("y", "q")) > 0 && rd(("x", "q")) < 0)
+    // e_num = r*c and the table sums to n per margin
+    val n = Stats.contingency(dep, "a", "b")
+      .select(sum($"o")).as[Long].head()
+    assert(n == 42L)
+  }
+
   test("bfsLevels: chain distances, cycle termination, maxLevels bound") {
     import spark.implicits._
     import graft.operators.LinkAnalysis
