@@ -370,6 +370,53 @@ object EventOps extends QueryPack {
       |        FROM events GROUP BY 1, 2))
       |WHERE rnk <= 2 ORDER BY win_id, rnk""".stripMargin
 
+  /** Trailing-window anomaly detection: each event compared to the
+    * mean/std of its user's previous 9 observations (current row
+    * EXCLUDED — the monitor must not contaminate its own baseline);
+    * emit rows beyond 2σ once 5 priors exist. Decimal-exact moments
+    * (the win_rolling_std contract); the σ comparison runs on
+    * identical doubles in both engines. */
+  def anomalyQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-9, -1)
+    val n = count(lit(1)).over(w).cast("double")
+    val sx = sum($"value".cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .over(w).cast("double")
+    val sxx = sum(($"value" * $"value")
+      .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+      .over(w).cast("double")
+    Tables.events(s, dir)
+      .withColumn("base_n", n)
+      .withColumn("base_mean", sx / n)
+      .withColumn("base_std",
+        sqrt((sxx - sx * sx / n) / (n - lit(1.0))))
+      .filter($"base_n" >= 5 && $"base_std" > 0 &&
+        abs($"value" - $"base_mean") > lit(2.0) * $"base_std")
+      .select($"user_id", $"event_id", $"value",
+        $"base_n".cast("long").as("base_n"), $"base_mean", $"base_std")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val anomalySql: String =
+    """SELECT user_id, event_id, value,
+      |  CAST(base_n AS BIGINT) AS base_n, base_mean, base_std
+      |FROM (
+      |  SELECT user_id, event_id, value, base_n, sx / base_n AS base_mean,
+      |    sqrt((sxx - sx * sx / base_n) / (base_n - 1.0)) AS base_std
+      |  FROM (
+      |    SELECT user_id, event_id, value,
+      |      CAST(count(*) OVER w AS DOUBLE) AS base_n,
+      |      CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+      |      CAST(sum(CAST((value * value) AS DECIMAL(38,6))) OVER w
+      |        AS DOUBLE) AS sxx
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN 9 PRECEDING AND 1 PRECEDING)))
+      |WHERE base_n >= 5 AND base_std > 0
+      |  AND abs(value - base_mean) > 2.0 * base_std
+      |ORDER BY user_id, event_id""".stripMargin
+
   /** Pairwise event-type association rules over (user, day) baskets —
     * support / confidence / lift as exact integer-numerator rationals
     * ([[graft.operators.MarketBasket.associationRules]]). */
@@ -469,6 +516,7 @@ object EventOps extends QueryPack {
     "events_transitions" -> transitions,
     "events_funnel" -> funnel,
     "events_assoc" -> assocQ,
+    "events_anomaly" -> anomalyQ,
     "events_sessionize" -> sessionize,
     "events_tumbling" -> tumbling,
     "events_asof_prev" -> asofPrevSignup,
@@ -486,6 +534,7 @@ object EventOps extends QueryPack {
     "events_transitions" -> transitionsSql,
     "events_funnel" -> funnelSql,
     "events_assoc" -> assocSql,
+    "events_anomaly" -> anomalySql,
     "events_sessionize" -> sessionizeSql,
     "events_tumbling" -> tumblingSql,
     "events_asof_prev" -> asofPrevSignupSql,
