@@ -401,4 +401,79 @@ object StatefulOps {
         merged.iterator.map(e => WROut(group, e.id, e.weight))
     }
   }
+
+  case class DriftOut(winStart: Long, n: Long, ksNum: Long, tvdNum: Long,
+    den: Long)
+
+  implicit private val driftStateEnc: Encoder[Map[Long, Long]] =
+    Encoders.kryo[Map[Long, Long]]
+  implicit private val driftOutEnc: Encoder[DriftOut] =
+    Encoders.product[DriftOut]
+
+  /** The exact-rational drift numerators shared with the batch
+    * operator's contract ([[graft.operators.Curation.driftReport]],
+    * binWidth = 1): KS = max_v |C_ref·n_g − C_g·n_ref| and
+    * TVD numerator = Σ_v |c_g·n_ref − c_ref·n_g|, both over the common
+    * denominator n_ref·n_g — pure integer arithmetic, so the streaming
+    * and batch paths can never drift from EACH OTHER. */
+  private[graft] def driftNums(g: Map[Long, Long],
+      ref: Map[Long, Long]): (Long, Long, Long) = {
+    val ng = g.values.sum
+    val nr = ref.values.sum
+    var cg = 0L; var cr = 0L; var ks = 0L; var tvd = 0L
+    (g.keySet ++ ref.keySet).toSeq.sorted.foreach { v =>
+      val dg = g.getOrElse(v, 0L); val dr = ref.getOrElse(v, 0L)
+      cg += dg; cr += dr
+      ks = math.max(ks, math.abs(cr * ng - cg * nr))
+      tvd += math.abs(dg * nr - dr * ng)
+    }
+    (ks, tvd, nr * ng)
+  }
+
+  /** Streaming distribution-drift monitor — the per-window twin of the
+    * batch [[graft.operators.Curation.driftReport]]: per event-time
+    * window, accumulate a histogram of an integer metric in state;
+    * when the watermark closes the window (event-time timeout at
+    * winStart + winMillis), emit ONE row of exact integer drift
+    * numerators against the broadcast reference histogram. State per
+    * window is the metric's value histogram (domain-bounded, not
+    * row-bounded); rows strictly behind the watermark are dropped by
+    * Spark before they reach the operator. Consumers alert on
+    * ksNum/den or tvdNum/(2·den) exceeding a threshold.
+    *
+    * Rows are (eventTime, metric) TUPLES of the watermarked dataset's
+    * ORIGINAL columns — group with `ds.groupByKey(win of _._1)`, no
+    * mapValues: re-serializing the value would mint new attributes that
+    * lose the watermark tag and the analyzer rejects the event-time
+    * timeout (the sessionizeStream contract). */
+  def driftStream(
+      grouped: KeyValueGroupedDataset[Long, (java.sql.Timestamp, Long)],
+      refCounts: Map[Long, Long], winMillis: Long): Dataset[DriftOut] = {
+    require(winMillis > 0, "winMillis must be positive")
+    require(refCounts.nonEmpty && refCounts.values.forall(_ > 0),
+      "reference histogram must be non-empty with positive counts")
+    grouped.flatMapGroupsWithState[Map[Long, Long], DriftOut](
+      OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+      case (winStart, rows, state: GroupState[Map[Long, Long]]) =>
+        if (state.hasTimedOut) {
+          val hist = state.getOption.getOrElse(Map.empty)
+          state.remove()
+          val (ks, tvd, den) = driftNums(hist, refCounts)
+          Iterator.single(
+            DriftOut(winStart, hist.values.sum, ks, tvd, den))
+        } else {
+          var hist = state.getOption.getOrElse(Map.empty[Long, Long])
+          rows.foreach { case (_, v) =>
+            hist = hist.updated(v, hist.getOrElse(v, 0L) + 1L)
+          }
+          state.update(hist)
+          // EventTimeTimeout rejects timestamps <= current watermark —
+          // a window the watermark already passed fires next batch
+          val close = winStart + winMillis
+          state.setTimeoutTimestamp(
+            math.max(close, state.getCurrentWatermarkMs() + 1))
+          Iterator.empty
+        }
+    }
+  }
 }

@@ -47,6 +47,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("driftStream emits exact KS/TVD numerators when the watermark closes a window") {
+    import spark.implicits._
+    import graft.streaming.StatefulOps
+    implicit val sqlCtx = spark.sqlContext
+    // reference: uniform over {0..3}, 8 each
+    val ref = (0L to 3L).map(_ -> 8L).toMap
+    val winMs = 60L * 60 * 1000 // 1h windows
+    val input = MemoryStream[(Timestamp, Long)]
+    val withWm = input.toDF().toDF("ts", "v").withWatermark("ts", "0 seconds")
+    val grouped = withWm.as[(Timestamp, Long)]
+      .groupByKey(r => (r._1.getTime / winMs) * winMs)
+    val out = StatefulOps.driftStream(grouped, ref, winMs)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("drift_out").start()
+    try {
+      // window A (00:xx): same shape as ref (uniform {0..3} x2) →
+      // zero drift; spread over two batches to exercise state merge
+      input.addData((ts("2024-01-01 00:01:00"), 0L),
+        (ts("2024-01-01 00:02:00"), 1L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 00:03:00"), 2L),
+        (ts("2024-01-01 00:04:00"), 3L))
+      q.processAllAvailable()
+      // window B (01:xx): disjoint support {10} → saturated drift
+      input.addData((ts("2024-01-01 01:30:00"), 10L))
+      q.processAllAvailable()
+      // advance the watermark past both windows
+      input.addData((ts("2024-01-01 05:00:00"), 0L))
+      q.processAllAvailable()
+      input.addData((ts("2024-01-01 06:00:00"), 0L))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT winStart, n, ksNum, tvdNum, den FROM drift_out ORDER BY winStart")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+      assert(got.length >= 2, s"expected two closed windows, got ${got.toSeq}")
+      val (_, nA, ksA, tvdA, denA) = got(0)
+      // identical shape: numerators exactly zero
+      assert(nA == 4L && ksA == 0L && tvdA == 0L && denA == 32L * 4L,
+        s"window A not exact-zero drift: ${got(0)}")
+      val (_, nB, ksB, tvdB, denB) = got(1)
+      // disjoint support: KS = 1 and TVD = 1 exactly (num == den, 2*num == 2*den)
+      assert(nB == 1L && ksB == denB && tvdB == 2L * denB,
+        s"window B not saturated: ${got(1)}")
+      // twin contract: the in-JVM numerators equal the batch formula
+      val (k2, t2, d2) = StatefulOps.driftNums(Map(10L -> 1L), ref)
+      assert((ksB, tvdB, denB) == ((k2, t2, d2)))
+    } finally q.stop()
+  }
+
   test("late rows behind the watermark don't kill or stretch sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
