@@ -433,6 +433,33 @@ class PlanSpec extends AnyFunSuite {
       s"rate table must broadcast-join the corpus:\n$p")
   }
 
+  test("triangleStats and associationRules plan equi-joins — no nested loop") {
+    val tri = plan("graph_triangles")
+    assert(!tri.contains("CartesianProduct") &&
+      !tri.contains("BroadcastNestedLoopJoin"),
+      "wedge close must be an equi-join on (x, y)")
+    val assoc = plan("events_assoc")
+    assert(!assoc.contains("CartesianProduct"),
+      "pair mining must equi-join on the basket key")
+    // the margins/totals ride broadcasts into the rule assembly
+    assert(assoc.contains("BroadcastExchange") ||
+      assoc.contains("BroadcastNestedLoopJoin"),
+      "item counts and n_baskets must broadcast")
+  }
+
+  test("driftReport and contingency reduce to summary-sized plans after one count") {
+    val drift = plan("corpus_drift")
+    // exactly one aggregation reads the corpus; the value grid rides a
+    // broadcast cross of the summary, never a corpus-sized shuffle
+    assert(drift.contains("BroadcastExchange"),
+      "value grid / ref counts must broadcast")
+    val cont = plan("stats_contingency")
+    assert(cont.contains("BroadcastExchange"),
+      "contingency margins must broadcast into the cell join")
+    assert(!cont.contains("CartesianProduct"),
+      "only the 1-row total may cross-join (as a broadcast NLJ)")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
