@@ -1154,7 +1154,84 @@ object TpcDs extends QueryPack {
       |  AND r2 * 15 <= (r0 + r1 + r2) * 6
       |ORDER BY l_partkey""".stripMargin
 
+  /** Cross-channel growth comparison (DS Q31 shape): quarterly 1997
+    * revenue per nation in two synthetic channels (linenumber parity);
+    * keep (nation, quarter-transition)s where the web channel grew
+    * FASTER than the store channel. The growth comparison
+    * web_next/web_prev > store_next/store_prev is evaluated
+    * DIVISION-FREE as web_next·store_prev > store_next·web_prev over
+    * exact decimals (both prevs required positive), so no rounding can
+    * flip a boundary nation on either engine. */
+  def dsGrowthCompare(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // integer micro-units: (18,6) decimals scale exactly to DECIMAL(19,0)
+    // integers, whose products stay scale-0 under Spark's precision cap
+    // (no scale digits exist to round) and under DuckDB's 38-digit limit
+    def iu(c: org.apache.spark.sql.Column) =
+      (c * lit(1000000L)).cast(DecimalType(19, 0))
+    val q = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .filter(year($"l_shipdate") === 1997)
+      .groupBy($"n_name", quarter($"l_shipdate").as("qtr"))
+      .agg(
+        coalesce(sum(when($"l_linenumber" % 2 === 0,
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast(DecimalType(18, 6)))), lit(0).cast(DecimalType(18, 6)))
+          .as("web"),
+        coalesce(sum(when($"l_linenumber" % 2 === 1,
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+            .cast(DecimalType(18, 6)))), lit(0).cast(DecimalType(18, 6)))
+          .as("store"))
+    val w = Window.partitionBy($"n_name").orderBy($"qtr")
+    q.withColumn("web_prev", lag($"web", 1).over(w))
+      .withColumn("store_prev", lag($"store", 1).over(w))
+      .filter($"web_prev".isNotNull && $"web_prev" > 0 &&
+        $"store_prev" > 0 &&
+        iu($"web") * iu($"store_prev") >
+          iu($"store") * iu($"web_prev"))
+      .select($"n_name", $"qtr".cast("long").as("qtr"),
+        $"web_prev".cast("double").as("web_prev"),
+        $"web".cast("double").as("web"),
+        $"store_prev".cast("double").as("store_prev"),
+        $"store".cast("double").as("store"))
+      .orderBy($"n_name", $"qtr")
+  }
+
+  val dsGrowthCompareSql: String =
+    """SELECT n_name, qtr,
+      |  CAST(CAST(web_prev AS VARCHAR) AS DOUBLE) AS web_prev,
+      |  CAST(CAST(web AS VARCHAR) AS DOUBLE) AS web,
+      |  CAST(CAST(store_prev AS VARCHAR) AS DOUBLE) AS store_prev,
+      |  CAST(CAST(store AS VARCHAR) AS DOUBLE) AS store
+      |FROM (
+      |  SELECT n_name, qtr, web, store,
+      |    lag(web, 1) OVER (PARTITION BY n_name ORDER BY qtr) AS web_prev,
+      |    lag(store, 1) OVER (PARTITION BY n_name ORDER BY qtr) AS store_prev
+      |  FROM (
+      |    SELECT n_name, CAST(quarter(l_shipdate) AS BIGINT) AS qtr,
+      |      CAST(COALESCE(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |        AS DECIMAL(18,6))) FILTER (l_linenumber % 2 = 0), 0)
+      |        AS DECIMAL(18,6)) AS web,
+      |      CAST(COALESCE(sum(CAST(l_extendedprice * (1.0 - l_discount)
+      |        AS DECIMAL(18,6))) FILTER (l_linenumber % 2 = 1), 0)
+      |        AS DECIMAL(18,6)) AS store
+      |    FROM lineitem
+      |    JOIN orders ON l_orderkey = o_orderkey
+      |    JOIN customer ON o_custkey = c_custkey
+      |    JOIN nation ON c_nationkey = n_nationkey
+      |    WHERE year(l_shipdate) = 1997
+      |    GROUP BY 1, 2))
+      |WHERE web_prev IS NOT NULL AND web_prev > 0 AND store_prev > 0
+      |  AND CAST(CAST(web AS DECIMAL(28,6)) * 1000000 AS DECIMAL(19,0))
+      |      * CAST(CAST(store_prev AS DECIMAL(28,6)) * 1000000 AS DECIMAL(19,0))
+      |    > CAST(CAST(store AS DECIMAL(28,6)) * 1000000 AS DECIMAL(19,0))
+      |      * CAST(CAST(web_prev AS DECIMAL(28,6)) * 1000000 AS DECIMAL(19,0))
+      |ORDER BY n_name, qtr""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_growth_compare" -> dsGrowthCompare,
     "ds_deviation_window" -> dsDeviationWindow,
     "ds_returns_net" -> dsReturnsNet,
     "ds_margin_rollup_rank" -> dsMarginRollupRank,
@@ -1185,6 +1262,7 @@ object TpcDs extends QueryPack {
     "ds_excess_discount" -> dsExcessDiscount)
 
   override def oracle: Map[String, String] = Map(
+    "ds_growth_compare" -> dsGrowthCompareSql,
     "ds_deviation_window" -> dsDeviationWindowSql,
     "ds_returns_net" -> dsReturnsNetSql,
     "ds_margin_rollup_rank" -> dsMarginRollupRankSql,
