@@ -64,7 +64,13 @@ object PlanDump {
       "q11_important_stock" ->
         "Scalar-threshold vs per-group aggregate: the threshold branch's ReusedExchange picks up the per-part value exchange at runtime (AQE stage reuse), so lineitem is scanned and pair-aggregated ONCE even though the frame is consumed twice; the 1-row threshold rides an IdentityBroadcast. (Executed adaptive plan — static explain shows the pre-reuse doubled tree.)",
       "q20_potential_promotion" ->
-        "Correlated-EXISTS chain in one fact pass: availqty and the 1997 shipped quantity are two sums of ONE (part,supp) HashAggregate over a single lineitem scan (BIGINT fixed-point, map-side partial); the threshold filter then semi-joins supplier — no second scan, no window.")
+        "Correlated-EXISTS chain in one fact pass: availqty and the 1997 shipped quantity are two sums of ONE (part,supp) HashAggregate over a single lineitem scan (BIGINT fixed-point, map-side partial); the threshold filter then semi-joins supplier — no second scan, no window.",
+      "graph_triangles" ->
+        "Degree-oriented triangle counting: the wedge close is an equi-SortMergeJoin on (x, y) against the undirected edge set — no CartesianProduct or nested loop; orientation bounds each pivot's fan-out by its oriented out-degree, so a hot node cannot explode the wedge join.",
+      "corpus_drift" ->
+        "Distribution drift: ONE map-side-combinable (source, value) HashAggregate reads the corpus; the value grid and reference counts ride BroadcastExchanges over that histogram-sized summary, and the KS/TVD folds are windows/aggregates of the summary — the corpus is never exchanged.",
+      "events_assoc" ->
+        "Association rules: presence established by one (basket, item) HashAggregate-distinct; the pair self-join is key-equi on the basket key (fan-out bounded by basket width); item margins and the 1-row basket total broadcast into the final rational-metric projection.")
     // queries whose evidence IS the runtime plan (AQE stage reuse only
     // materializes after execution): run them, dump the final plan
     val executed = Set("q11_important_stock", "q20_potential_promotion")
