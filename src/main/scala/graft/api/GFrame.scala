@@ -500,6 +500,14 @@ final case class GFrame(df: DataFrame) {
       iters: Int = 10, exact: Boolean = false): GFrame =
     GFrame(graft.operators.LinkAnalysis.pageRank(df, srcCol, dstCol,
       damping, iters, exact))
+  /** Contingency table with exact independence diagnostics —
+    * e_num = r·c and resid_num = n·o − r·c per cell, no division. */
+  def contingency(aCol: String, bCol: String): GFrame =
+    GFrame(graft.operators.Stats.contingency(df, aCol, bCol))
+  /** Per-group mean embedding (class prototypes), one row per
+    * (group, dim); dyadic fixed-point sums — partitioning-independent. */
+  def centroidsByGroup(groupCol: String, vecCol: String): GFrame =
+    GFrame(graft.operators.Embeddings.centroidsByGroup(df, groupCol, vecCol))
   /** BFS hop distance from `sourceId` — (id, level) for reachable
     * nodes; frontier-sized shuffles, edges partitioned once. */
   def bfsLevels(srcCol: String, dstCol: String, sourceId: Long,
