@@ -14,8 +14,13 @@ import QueryPack._
   */
 object IoPack extends QueryPack {
 
-  private def scratch(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_io/$name"
+  // per-JVM scratch root: two concurrent drivers (a Verify run racing a
+  // test suite) once collided on the fixed path and corrupted a layout
+  // mid-write — the pid suffix makes every JVM's write-then-read private
+  private val scratchRoot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_io_${ProcessHandle.current().pid()}"
+
+  private def scratch(name: String): String = s"$scratchRoot/$name"
 
   /** CSV write → read with dtype inference (csv.hpp:1350,1755). */
   def csvRoundTrip(s: SparkSession, dir: String): DataFrame = {
