@@ -1230,7 +1230,101 @@ object TpcDs extends QueryPack {
       |      * CAST(CAST(web_prev AS DECIMAL(28,6)) * 1000000 AS DECIMAL(19,0))
       |ORDER BY n_name, qtr""".stripMargin
 
+  /** Wide monthly shipping report (DS Q66 shape): 12 month × 2
+    * ship-band conditional sums in ONE scan — 24 FILTER aggregates
+    * instead of 24 subqueries; one (nation, year)-keyed shuffle. */
+  def dsMonthlyPivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def m(mo: Int, lowQty: Boolean) = {
+      val base = month($"l_shipdate") === mo &&
+        (if (lowQty) $"l_quantity" < 26 else $"l_quantity" >= 26)
+      sum(when(base, ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast(DecimalType(18, 6)))).cast("double")
+    }
+    val cols = (1 to 12).flatMap { mo =>
+      Seq(m(mo, lowQty = true).as(f"low_m$mo%02d"),
+        m(mo, lowQty = false).as(f"high_m$mo%02d"))
+    }
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .filter(year($"l_shipdate") === 1996)
+      .groupBy($"n_name")
+      .agg(cols.head, cols.tail: _*)
+      .orderBy($"n_name")
+  }
+
+  val dsMonthlyPivotSql: String = {
+    val cols = (1 to 12).flatMap { mo =>
+      Seq(
+        s"""  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+           |    AS DECIMAL(18,6)))
+           |    FILTER (month(l_shipdate) = $mo AND l_quantity < 26)
+           |    AS VARCHAR) AS DOUBLE) AS low_m${"%02d".format(mo)}""".stripMargin,
+        s"""  CAST(CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+           |    AS DECIMAL(18,6)))
+           |    FILTER (month(l_shipdate) = $mo AND l_quantity >= 26)
+           |    AS VARCHAR) AS DOUBLE) AS high_m${"%02d".format(mo)}""".stripMargin)
+    }.mkString(",\n")
+    s"""SELECT n_name,
+       |$cols
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |WHERE year(l_shipdate) = 1996
+       |GROUP BY n_name ORDER BY n_name""".stripMargin
+  }
+
+  /** Return-rate ranking (DS Q49 shape): per synthetic channel
+    * (linenumber mod 3), each part's returned-vs-shipped quantity
+    * ratio, top 5 per channel. Quantities are integral, so the rate is
+    * one exact-operand IEEE division; equal doubles tie-break on
+    * partkey identically in both engines. */
+  def dsReturnRateRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.lineitem(s, dir)
+      .groupBy(($"l_linenumber" % 3).cast("long").as("channel"),
+        $"l_partkey")
+      .agg(
+        sum(when($"l_returnflag" === "R", $"l_quantity".cast("long"))
+          .otherwise(lit(0L))).as("ret_qty"),
+        sum($"l_quantity".cast("long")).as("tot_qty"))
+      .filter($"tot_qty" >= 100)
+      .withColumn("rate",
+        $"ret_qty".cast("double") / $"tot_qty".cast("double"))
+    per.withColumn("rnk", row_number().over(
+        Window.partitionBy($"channel")
+          .orderBy($"rate".desc, $"l_partkey")))
+      .filter($"rnk" <= 5)
+      .select($"channel", $"rnk".cast("long").as("rnk"), $"l_partkey",
+        $"ret_qty", $"tot_qty", $"rate")
+      .orderBy($"channel", $"rnk")
+  }
+
+  val dsReturnRateRankSql: String =
+    """SELECT channel, rnk, l_partkey, ret_qty, tot_qty, rate
+      |FROM (
+      |  SELECT channel, l_partkey, ret_qty, tot_qty, rate,
+      |    row_number() OVER (PARTITION BY channel
+      |      ORDER BY rate DESC, l_partkey) AS rnk
+      |  FROM (
+      |    SELECT channel, l_partkey, ret_qty, tot_qty,
+      |      CAST(ret_qty AS DOUBLE) / CAST(tot_qty AS DOUBLE) AS rate
+      |    FROM (
+      |      SELECT CAST(l_linenumber % 3 AS BIGINT) AS channel, l_partkey,
+      |        CAST(sum(CASE WHEN l_returnflag = 'R'
+      |          THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+      |          AS ret_qty,
+      |        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS tot_qty
+      |      FROM lineitem GROUP BY 1, 2)
+      |    WHERE tot_qty >= 100))
+      |WHERE rnk <= 5 ORDER BY channel, rnk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_monthly_pivot" -> dsMonthlyPivot,
+    "ds_return_rate_rank" -> dsReturnRateRank,
     "ds_growth_compare" -> dsGrowthCompare,
     "ds_deviation_window" -> dsDeviationWindow,
     "ds_returns_net" -> dsReturnsNet,
@@ -1262,6 +1356,8 @@ object TpcDs extends QueryPack {
     "ds_excess_discount" -> dsExcessDiscount)
 
   override def oracle: Map[String, String] = Map(
+    "ds_monthly_pivot" -> dsMonthlyPivotSql,
+    "ds_return_rate_rank" -> dsReturnRateRankSql,
     "ds_growth_compare" -> dsGrowthCompareSql,
     "ds_deviation_window" -> dsDeviationWindowSql,
     "ds_returns_net" -> dsReturnsNetSql,
