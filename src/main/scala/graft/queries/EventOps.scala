@@ -42,6 +42,57 @@ object EventOps extends QueryPack {
       |FROM x GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Daily bounce-rate report (product analytics over the
+    * sessionizer): per session-start day, sessions / single-event
+    * bounces / bounce rate (one exact-integer-operand IEEE division)
+    * and exact-decimal mean session duration. */
+  def bounceRate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sess = graft.operators.Sessionize
+      .summarize(Tables.events(s, dir), "user_id", "ts", "value", 1800L)
+    sess
+      .groupBy(expr(graft.operators.Resample.floorDivExpr(
+        "start_us", 86400000000L)).as("day"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"n_events" === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum($"duration_us").as("total_dur_us"))
+      .select($"day", $"n_sessions", $"n_bounces",
+        ($"n_bounces".cast("double") / $"n_sessions".cast("double"))
+          .as("bounce_rate"),
+        ($"total_dur_us".cast("double") / $"n_sessions".cast("double"))
+          .as("mean_dur_us"))
+      .orderBy($"day")
+  }
+
+  val bounceRateSql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      |      (PARTITION BY user_id ORDER BY ts) AS gap_us
+      |  FROM events),
+      |x AS (
+      |  SELECT user_id, ts,
+      |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+      |      THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS session_idx
+      |  FROM g),
+      |sess AS (
+      |  SELECT user_id, session_idx,
+      |    CAST(count(*) AS BIGINT) AS n_events,
+      |    min(epoch_us(ts)) AS start_us,
+      |    max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      |  FROM x GROUP BY user_id, session_idx)
+      |SELECT start_us // 86400000000 AS day,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_bounces,
+      |  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS bounce_rate,
+      |  CAST(CAST(sum(duration_us) AS BIGINT) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS mean_dur_us
+      |FROM sess GROUP BY 1 ORDER BY day""".stripMargin
+
   /** Tumbling 5-minute window aggregation (window(col, "5 minutes")
     * analog, expressed as an integer window id so the oracle is exact). */
   def tumbling(s: SparkSession, dir: String): DataFrame =
@@ -517,6 +568,7 @@ object EventOps extends QueryPack {
     "events_funnel" -> funnel,
     "events_assoc" -> assocQ,
     "events_anomaly" -> anomalyQ,
+    "events_bounce_rate" -> bounceRate,
     "events_sessionize" -> sessionize,
     "events_tumbling" -> tumbling,
     "events_asof_prev" -> asofPrevSignup,
@@ -535,6 +587,7 @@ object EventOps extends QueryPack {
     "events_funnel" -> funnelSql,
     "events_assoc" -> assocSql,
     "events_anomaly" -> anomalySql,
+    "events_bounce_rate" -> bounceRateSql,
     "events_sessionize" -> sessionizeSql,
     "events_tumbling" -> tumblingSql,
     "events_asof_prev" -> asofPrevSignupSql,
