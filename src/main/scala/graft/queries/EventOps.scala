@@ -151,6 +151,62 @@ object EventOps extends QueryPack {
       sum($"first_purchase_us" - $"signup_us").as("total_gap_us"))
   }
 
+  /** Three-step ORDERED funnel (view → click → purchase): each step's
+    * timestamp is the user's first qualifying event AT OR AFTER the
+    * previous step — per-user min aggregates chained through two
+    * co-keyed joins (no window over raw events, no self-join blowup);
+    * one final 1-row rollup with exact-integer-operand rate divisions. */
+  def funnelSteps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    def firstAtOrAfter(tpe: String, prev: DataFrame, prevCol: String,
+        outCol: String): DataFrame =
+      ev.filter($"event_type" === tpe)
+        .select($"user_id", unix_micros($"ts").as("__t"))
+        .join(prev, "user_id")
+        .filter(col("__t") >= col(prevCol))
+        .groupBy($"user_id", col(prevCol))
+        .agg(min($"__t").as(outCol))
+    val s1 = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min(unix_micros($"ts")).as("t1"))
+    val s2 = firstAtOrAfter("click", s1, "t1", "t2")
+    val s3 = firstAtOrAfter("purchase", s2.select($"user_id", $"t2"),
+      "t2", "t3")
+    s1.join(s2.select($"user_id", $"t2"), Seq("user_id"), "left")
+      .join(s3.select($"user_id", $"t3"), Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_view"),
+        count($"t2").as("n_click"),
+        count($"t3").as("n_purchase"),
+        (count($"t2").cast("double") / count(lit(1)).cast("double"))
+          .as("r_view_click"),
+        (count($"t3").cast("double") /
+          when(count($"t2") === 0, lit(null).cast("long"))
+            .otherwise(count($"t2")).cast("double")).as("r_click_purchase"))
+  }
+
+  val funnelStepsSql: String =
+    """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+      |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+      |       FROM events e JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND epoch_us(e.ts) >= s1.t1
+      |       GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.t2
+      |       GROUP BY e.user_id)
+      |SELECT count(*) AS n_view,
+      |  count(t2) AS n_click,
+      |  count(t3) AS n_purchase,
+      |  CAST(count(t2) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+      |    AS r_view_click,
+      |  CAST(count(t3) AS DOUBLE)
+      |    / CAST(CASE WHEN count(t2) = 0 THEN NULL ELSE count(t2) END
+      |      AS DOUBLE) AS r_click_purchase
+      |FROM s1
+      |LEFT JOIN s2 ON s1.user_id = s2.user_id
+      |LEFT JOIN s3 ON s1.user_id = s3.user_id""".stripMargin
+
   val funnelSql: String =
     """WITH s AS (SELECT user_id, min(epoch_us(ts)) AS signup_us
       |           FROM events WHERE event_type = 'signup' GROUP BY user_id),
@@ -566,6 +622,7 @@ object EventOps extends QueryPack {
     "events_topk_daily" -> topkDaily,
     "events_transitions" -> transitions,
     "events_funnel" -> funnel,
+    "events_funnel_steps" -> funnelSteps,
     "events_assoc" -> assocQ,
     "events_anomaly" -> anomalyQ,
     "events_bounce_rate" -> bounceRate,
@@ -585,6 +642,7 @@ object EventOps extends QueryPack {
     "events_topk_daily" -> topkDailySql,
     "events_transitions" -> transitionsSql,
     "events_funnel" -> funnelSql,
+    "events_funnel_steps" -> funnelStepsSql,
     "events_assoc" -> assocSql,
     "events_anomaly" -> anomalySql,
     "events_bounce_rate" -> bounceRateSql,
