@@ -629,7 +629,36 @@ object CurationPack extends QueryPack {
       |FROM ks JOIN tv ON ks.g = tv.g
       |ORDER BY source""".stripMargin
 
+  /** Per-source exact-duplicate rate (the dedup-stage health report):
+    * docs, distinct texts (md5 digest), duplicate rows, and the rate
+    * as one exact-integer-operand division. One digest-keyed count —
+    * the same shuffle the dedup itself performs. */
+  def dupRateQ(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(coalesce(md5(col("text")), lit("<null>")))
+          .as("n_distinct"))
+      .select(col("source"), col("n_docs"), col("n_distinct"),
+        (col("n_docs") - col("n_distinct")).as("n_dups"),
+        ((col("n_docs") - col("n_distinct")).cast("double") /
+          col("n_docs").cast("double")).as("dup_rate"))
+      .orderBy(col("source"))
+
+  val dupRateSql: String =
+    """SELECT source, n_docs, n_distinct,
+      |  n_docs - n_distinct AS n_dups,
+      |  CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+      |    AS dup_rate
+      |FROM (
+      |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT COALESCE(md5(text), '<null>')) AS BIGINT)
+      |      AS n_distinct
+      |  FROM documents GROUP BY source)
+      |ORDER BY source""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_dup_rate" -> dupRateQ,
     "corpus_drift" -> driftQ,
     "outlier_modified_z" -> modifiedZQ,
     "corpus_interleave" -> interleaveQ,
@@ -656,6 +685,7 @@ object CurationPack extends QueryPack {
     "doc_neardup_clusters" -> neardupClusters)
 
   override def oracle: Map[String, String] = Map(
+    "corpus_dup_rate" -> dupRateSql,
     "corpus_drift" -> driftSql,
     "outlier_modified_z" -> modifiedZSql,
     "corpus_interleave" -> interleaveSql,
