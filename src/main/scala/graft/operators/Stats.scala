@@ -163,6 +163,53 @@ object Stats {
           .as("resid_num"))
   }
 
+  /** Mann-Whitney U rank-sum test between two groups of an integral
+    * value column — the nonparametric "did the quality-score
+    * distribution shift between these two sources?" check that needs no
+    * normality assumption (pairs with the parametric z-scores of
+    * standardizeByGroup and the distributional KS/TVD drift report).
+    *
+    * Formulation is count-based, NOT rank-based: ranking every row
+    * needs a global sort, but U only depends on per-VALUE counts —
+    * `U_a = Σ_v cA(v)·(#B below v) + ½·cA(v)·cB(v)`. So the corpus
+    * collapses to one map-side-combined (value → cA, cB) aggregate
+    * first, and the running "#B strictly below" window runs over
+    * |distinct values| rows (summary-sized by assumption — scores,
+    * grades, quantities; the single-partition window is deliberate and
+    * cheap there). Doubled U values (`u2_*`) and the tie-correction
+    * Σ(t³−t) stay pure integers, so both engines agree bit-for-bit;
+    * the normal-approximation z is derived from those exact integers
+    * with a fixed IEEE expression tree (identical on both engines).
+    * Checks: u2_a + u2_b = 2·n_a·n_b always holds. */
+  def mannWhitney(df: DataFrame, groupCol: String, valueCol: String,
+      labelA: String, labelB: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = col(valueCol).cast("long")
+    val perValue = df
+      .filter(col(groupCol).isin(labelA, labelB) && col(valueCol).isNotNull)
+      .groupBy(v.as("__v"))
+      .agg(sum(when(col(groupCol) === labelA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(groupCol) === labelB, 1L).otherwise(0L)).as("cb"))
+    val below = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("ca") + col("cb")
+    val agg = perValue
+      .withColumn("cb_below", coalesce(sum(col("cb")).over(below), lit(0L)))
+      .withColumn("ca_below", coalesce(sum(col("ca")).over(below), lit(0L)))
+      .agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"),
+        sum(col("ca") * (col("cb_below") * 2 + col("cb"))).as("u2_a"),
+        sum(col("cb") * (col("ca_below") * 2 + col("ca"))).as("u2_b"),
+        sum((t * t * t - t).cast(DecimalType(38, 0))).as("tie_cubes"))
+    val n = col("n_a") + col("n_b")
+    val varNum = (col("n_a") * col("n_b")).cast("double") *
+      ((n + 1).cast("double") -
+        col("tie_cubes").cast("double") / (n * (n - 1)).cast("double")) / 12.0
+    agg.select(col("n_a"), col("n_b"), col("u2_a"), col("u2_b"),
+      col("tie_cubes").cast("long").as("tie_cubes"),
+      ((col("u2_a") - col("n_a") * col("n_b")).cast("double") /
+        (sqrt(varNum) * 2.0)).as("z"))
+  }
+
   def weightedPercentiles(df: DataFrame, groupCol: String,
       valueCol: String, weightCol: String,
       ps: Seq[(String, Long, Long)]): DataFrame = {

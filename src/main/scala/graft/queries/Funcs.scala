@@ -520,6 +520,41 @@ object Funcs extends QueryPack {
          |      FROM part)
          |ORDER BY p_partkey""".stripMargin
 
+  /** Case conversion + character mapping long tail: capitalize / title /
+    * is_title (strings/capitalize.hpp:49,80,112), per-character translate
+    * with deletion (strings/translate.hpp:53 — unmapped chars in the
+    * shorter `to` are removed), filter_characters (translate.hpp:91 —
+    * keep-only-in-range, expressed as a negated char class), and findall
+    * (findall.hpp:44 — all matches as a list, joined to a string for the
+    * driver's comparator). Every function is a codegen'd built-in; one
+    * map stage, no shuffle. DuckDB has no initcap, so the oracle title-
+    * cases by word-splitting — identical on single-space part names. */
+  def strCaseConvert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey",
+        concat(upper(substring($"p_name", 1, 1)),
+          lower(substring($"p_name", 2, 1000000))).as("cap"),
+        initcap($"p_name").as("title"),
+        ($"p_name" === initcap($"p_name")).as("is_title"),
+        translate($"p_name", "aeiou", "123").as("tr"),
+        regexp_replace($"p_name", "[^a-z ]", "").as("filt"),
+        array_join(regexp_extract_all($"p_name", lit("[aeiou]+"), lit(0)),
+          ",").as("fa"))
+      .orderBy($"p_partkey")
+  }
+
+  val strCaseConvertSql: String =
+    """SELECT p_partkey,
+      |  upper(p_name[1]) || lower(p_name[2:]) AS cap,
+      |  array_to_string(list_transform(string_split(p_name, ' '),
+      |      w -> upper(w[1]) || lower(w[2:])), ' ') AS title,
+      |  p_name = array_to_string(list_transform(string_split(p_name, ' '),
+      |      w -> upper(w[1]) || lower(w[2:])), ' ') AS is_title,
+      |  translate(p_name, 'aeiou', '123') AS tr,
+      |  regexp_replace(p_name, '[^a-z ]', '', 'g') AS filt,
+      |  array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS fa
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Duration ↔ string conversions (strings/convert/convert_durations
     * .hpp to_durations/from_durations, "%D days %H:%M:%S"): synthetic
     * second counts spanning both the bare-HMS and day-component forms,
@@ -686,6 +721,7 @@ object Funcs extends QueryPack {
     "str_record_linkage" -> strRecordLinkage,
     "str_sorted_neighborhood" -> strSortedNeighborhood,
     "str_durations" -> strDurations,
+    "str_case_convert" -> strCaseConvert,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
     "dt_calendar" -> dtCalendar,
@@ -713,6 +749,7 @@ object Funcs extends QueryPack {
     "str_record_linkage" -> strRecordLinkageSql,
     "str_sorted_neighborhood" -> strSortedNeighborhoodSql,
     "str_durations" -> strDurationsSql,
+    "str_case_convert" -> strCaseConvertSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,
     "dt_calendar" -> dtCalendarSql,

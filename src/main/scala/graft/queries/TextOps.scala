@@ -1805,6 +1805,50 @@ object TextOps extends QueryPack {
       |FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN t
       |ORDER BY lang, source""".stripMargin
 
+  /** Mann-Whitney U rank-sum test: did returned (R) lineitems ship in
+    * different quantities than normal (N) ones? Count-based U (no
+    * global rank sort — see [[graft.operators.Stats.mannWhitney]]),
+    * doubled-U and tie-correction integers exact on both engines, z
+    * derived from them with a fixed IEEE expression tree. */
+  def rankTestQ(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Stats.mannWhitney(Tables.lineitem(s, dir),
+      "l_returnflag", "l_quantity", "R", "N")
+
+  val rankTestSql: String =
+    """WITH pv AS (
+      |  SELECT CAST(l_quantity AS BIGINT) AS v,
+      |    CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS ca,
+      |    CAST(sum(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS cb
+      |  FROM lineitem
+      |  WHERE l_returnflag IN ('R', 'N') AND l_quantity IS NOT NULL
+      |  GROUP BY 1),
+      |w AS (
+      |  SELECT *,
+      |    CAST(coalesce(sum(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cb_below,
+      |    CAST(coalesce(sum(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS ca_below
+      |  FROM pv),
+      |a AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+      |    CAST(sum(ca * (cb_below * 2 + cb)) AS BIGINT) AS u2_a,
+      |    CAST(sum(cb * (ca_below * 2 + ca)) AS BIGINT) AS u2_b,
+      |    CAST(sum((ca + cb) * (ca + cb) * (ca + cb) - (ca + cb))
+      |      AS BIGINT) AS tie_cubes
+      |  FROM w)
+      |SELECT n_a, n_b, u2_a, u2_b, tie_cubes,
+      |  CAST(u2_a - n_a * n_b AS DOUBLE) /
+      |    (sqrt(CAST(n_a * n_b AS DOUBLE) *
+      |      (CAST(n_a + n_b + 1 AS DOUBLE) -
+      |       CAST(tie_cubes AS DOUBLE) /
+      |         CAST((n_a + n_b) * (n_a + n_b - 1) AS DOUBLE)) / 12.0) * 2.0)
+      |    AS z
+      |FROM a""".stripMargin
+
   /** Per-label mean embedding (class prototypes), one row per
     * (label, dim); dyadic fixed-point sums make the mean independent
     * of partitioning and engine ([[Embeddings.centroidsByGroup]]). */
@@ -2359,6 +2403,7 @@ object TextOps extends QueryPack {
     "embed_normalize" -> embedNormalize,
     "embed_centroids" -> embedCentroids,
     "stats_contingency" -> contingencyQ,
+    "stats_rank_test" -> rankTestQ,
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
     "embed_semdedup" -> embedSemDedup,
@@ -2426,6 +2471,7 @@ object TextOps extends QueryPack {
     "embed_normalize" -> embedNormalizeSql,
     "embed_centroids" -> embedCentroidsSql,
     "stats_contingency" -> contingencySql,
+    "stats_rank_test" -> rankTestSql,
     "embed_quantize" -> embedQuantizeSql,
     "embed_project" -> embedProjectSql,
     "doc_dedup_delta" -> dedupDeltaSql,

@@ -1322,7 +1322,165 @@ object TpcDs extends QueryPack {
       |    WHERE tot_qty >= 100))
       |WHERE rnk <= 5 ORDER BY channel, rnk""".stripMargin
 
+  /** PDS-DS Q23 shape (pdsds_queries/q23): revenue from FREQUENT items
+    * bought by BEST customers. Frequent = parts whose distinct-order
+    * count exceeds 1.2× the per-part average (the integer-exact
+    * cross-multiplied form `5·n_ord·n_parts > 6·total_ord_pairs`, so no
+    * float threshold can flip a boundary part between engines); best =
+    * customers whose total quantity exceeds half the maximum customer
+    * total (Q23's `> 50/100 · max(csales)` predicate, decimal-exact).
+    * Both qualifier sets are aggregate-sized (≤ |parts| / ≤ |customers|
+    * rows, two columns) and enter the final pass as BROADCAST semi
+    * joins — the fact table is scanned, never shuffled on a new key.
+    * The per-part and per-customer qualifier aggregates are each one
+    * key-shuffle of pre-combined partials. */
+  def dsFrequentBest(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val fact = li.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+    // frequent parts: distinct-order count vs 1.2x the average, exact
+    val perPart = li.groupBy($"l_partkey")
+      .agg(countDistinct($"l_orderkey").as("n_ord"))
+    val totals = perPart.agg(count(lit(1)).as("n_parts"),
+      sum($"n_ord").as("tot_ord"))
+    val freq = perPart.join(broadcast(totals),
+        $"n_ord" * $"n_parts" * 5 > $"tot_ord" * 6)
+      .select($"l_partkey".as("fp_partkey"))
+    // best customers: total quantity > 0.5 * max customer total (integer qty)
+    val perCust = fact.groupBy($"o_custkey")
+      .agg(sum($"l_quantity".cast("bigint")).as("cust_qty"))
+    val maxQty = perCust.agg(max($"cust_qty").as("max_qty"))
+    val best = perCust.join(broadcast(maxQty),
+        $"cust_qty" * 2 > $"max_qty")
+      .select($"o_custkey".as("bc_custkey"))
+    fact
+      .join(broadcast(freq), $"l_partkey" === $"fp_partkey", "left_semi")
+      .join(broadcast(best), $"o_custkey" === $"bc_custkey", "left_semi")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(count(lit(1)).as("n_lines"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
+      .orderBy($"o_year")
+  }
+
+  val dsFrequentBestSql: String =
+    s"""WITH per_part AS (
+       |  SELECT l_partkey, count(DISTINCT l_orderkey) AS n_ord
+       |  FROM lineitem GROUP BY l_partkey),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_parts,
+       |               CAST(sum(n_ord) AS BIGINT) AS tot_ord FROM per_part),
+       |freq AS (
+       |  SELECT l_partkey FROM per_part, tot
+       |  WHERE n_ord * n_parts * 5 > tot_ord * 6),
+       |per_cust AS (
+       |  SELECT o_custkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+       |    AS cust_qty
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY o_custkey),
+       |mx AS (SELECT max(cust_qty) AS max_qty FROM per_cust),
+       |best AS (SELECT o_custkey FROM per_cust, mx
+       |         WHERE cust_qty * 2 > max_qty)
+       |SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       |  count(*) AS n_lines,
+       |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE l_partkey IN (SELECT l_partkey FROM freq)
+       |  AND o_custkey IN (SELECT o_custkey FROM best)
+       |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** PDS-DS Q39 shape (pdsds_queries/q39): per (part, ship-month)
+    * demand mean / stdev / coefficient of variation, keep high-variance
+    * cells (cov > 0.55), then self-join CONSECUTIVE months per part —
+    * the "unstable demand two months running" inventory audit. All
+    * moments come from pure BIGINT sums (quantity is integral), so the
+    * doubles both engines derive are bit-identical; the consecutive-
+    * month join is equi on (partkey, month+1) — a key shuffle of
+    * aggregate-sized rows only, never the fact table. */
+  def dsDemandCov(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mo = (year($"l_shipdate") * 12 + month($"l_shipdate") - 1)
+      .cast("long")
+    val cells = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey", mo.as("mo"))
+      .agg(count(lit(1)).as("n"),
+        sum($"l_quantity".cast("bigint")).as("s"),
+        sum(($"l_quantity" * $"l_quantity").cast("bigint")).as("ssq"))
+      .filter($"n" > 1)
+      .withColumn("mean", $"s".cast("double") / $"n")
+      .withColumn("cov",
+        sqrt(($"n" * $"ssq" - $"s" * $"s").cast("double") /
+          ($"n" * ($"n" - 1))) / $"mean")
+      .filter($"cov" > 0.55)
+      .select($"l_partkey", $"mo", $"cov")
+    cells.as("a")
+      .join(cells.as("b"),
+        $"a.l_partkey" === $"b.l_partkey" && $"b.mo" === $"a.mo" + 1)
+      .select($"a.l_partkey".as("l_partkey"), $"a.mo".as("mo1"),
+        $"a.cov".as("cov1"), $"b.cov".as("cov2"))
+      .orderBy($"l_partkey", $"mo1")
+  }
+
+  val dsDemandCovSql: String =
+    """WITH cells AS (
+      |  SELECT l_partkey,
+      |    CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 AS BIGINT) AS mo,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(sum(CAST(l_quantity * l_quantity AS BIGINT)) AS BIGINT) AS ssq
+      |  FROM lineitem GROUP BY 1, 2),
+      |cov AS (
+      |  SELECT l_partkey, mo,
+      |    sqrt(CAST(n * ssq - s * s AS DOUBLE) / (n * (n - 1)))
+      |      / (CAST(s AS DOUBLE) / n) AS cov
+      |  FROM cells WHERE n > 1)
+      |SELECT a.l_partkey AS l_partkey, a.mo AS mo1,
+      |  a.cov AS cov1, b.cov AS cov2
+      |FROM cov a JOIN cov b
+      |  ON a.l_partkey = b.l_partkey AND b.mo = a.mo + 1
+      |WHERE a.cov > 0.55 AND b.cov > 0.55
+      |ORDER BY l_partkey, mo1""".stripMargin
+
+  /** PDS-DS Q87 shape (pdsds_queries/q87): customers present in the
+    * first behavioral segment but in NEITHER of the other two (bulk
+    * buyers who never saw a double-digit discount nor high tax) — the
+    * EXCEPT-chain twin of [[dsAllChannelCustomers]]'s INTERSECT. Each
+    * leg reduces to a distinct custkey set before combining
+    * (aggregate-sized set ops, one key-shuffle each); the dimension
+    * joins are broadcast. */
+  def dsExceptCustomers(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val fact = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
+    def leg(pred: org.apache.spark.sql.Column) =
+      fact.filter(pred).select($"o_custkey").distinct()
+    val only = leg($"l_quantity" > 48)
+      .except(leg($"l_discount" >= 0.10))
+      .except(leg($"l_tax" >= 0.08))
+    only
+      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy($"n_name")
+  }
+
+  val dsExceptCustomersSql: String =
+    """WITH f AS (
+      |  SELECT o_custkey, l_quantity, l_discount, l_tax
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |solo AS (
+      |  SELECT DISTINCT o_custkey FROM f WHERE l_quantity > 48
+      |  EXCEPT SELECT DISTINCT o_custkey FROM f WHERE l_discount >= 0.10
+      |  EXCEPT SELECT DISTINCT o_custkey FROM f WHERE l_tax >= 0.08)
+      |SELECT n_name, count(*) AS n_customers
+      |FROM solo
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_frequent_best" -> dsFrequentBest,
+    "ds_demand_cov" -> dsDemandCov,
+    "ds_except_customers" -> dsExceptCustomers,
     "ds_monthly_pivot" -> dsMonthlyPivot,
     "ds_return_rate_rank" -> dsReturnRateRank,
     "ds_growth_compare" -> dsGrowthCompare,
@@ -1356,6 +1514,9 @@ object TpcDs extends QueryPack {
     "ds_excess_discount" -> dsExcessDiscount)
 
   override def oracle: Map[String, String] = Map(
+    "ds_frequent_best" -> dsFrequentBestSql,
+    "ds_demand_cov" -> dsDemandCovSql,
+    "ds_except_customers" -> dsExceptCustomersSql,
     "ds_monthly_pivot" -> dsMonthlyPivotSql,
     "ds_return_rate_rank" -> dsReturnRateRankSql,
     "ds_growth_compare" -> dsGrowthCompareSql,

@@ -436,6 +436,31 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(n == 42L)
   }
 
+  test("mannWhitney: hand-computed U, tie correction, z; invariant holds") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // A = {1,2,3}, B = {2,3,4}: U_A = 2, U_B = 7 (ties at 2 and 3
+    // contribute a half each), tie term = 2*(2^3-2) = 12
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3),
+      ("b", 4)).toDF("g", "v")
+    val r = Stats.mannWhitney(df, "g", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 3L)
+    assert(r.getLong(2) == 4L && r.getLong(3) == 14L) // doubled U
+    assert(r.getLong(4) == 12L)
+    // z from the exact integers: (4-9) / (2*sqrt(9*(7 - 12/30)/12))
+    assert(math.abs(r.getDouble(5) - (-5.0 / (2.0 * math.sqrt(4.95)))) < 1e-12)
+    // u2_a + u2_b = 2 * n_a * n_b on arbitrary data
+    val big = (1 to 200).map(i => (if (i % 3 == 0) "a" else "b", i % 17))
+      .toDF("g", "v")
+    val rb = Stats.mannWhitney(big, "g", "v", "a", "b").collect().head
+    assert(rb.getLong(2) + rb.getLong(3) == 2 * rb.getLong(0) * rb.getLong(1))
+    // rows outside the two labels and null values are ignored
+    val noisy = df.union(Seq(("c", 9), ("a", 100)).toDF("g", "v"))
+      .union(Seq(("a", null.asInstanceOf[Integer])).toDF("g", "v"))
+    val rn = Stats.mannWhitney(noisy, "g", "v", "a", "b").collect().head
+    assert(rn.getLong(0) == 4L && rn.getLong(1) == 3L)
+  }
+
   test("bfsLevels: chain distances, cycle termination, maxLevels bound") {
     import spark.implicits._
     import graft.operators.LinkAnalysis
