@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Scalar function library coverage (SURVEY.md §2.8 — cpp/src/strings,
   * cpp/include/cudf/datetime.hpp, binaryop.hpp, unary.hpp, replace.hpp,
@@ -555,6 +556,58 @@ object Funcs extends QueryPack {
       |  array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS fa
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Numeric ↔ string conversion long tail (strings/convert/
+    * convert_booleans.hpp to/from_booleans, convert_integers.hpp
+    * to/from_integers incl. signed + whitespace-trimmed parse,
+    * convert_floats.hpp to_floats — from_floats is checked as a
+    * round-trip boolean because shortest-repr FORMATTING is engine-
+    * divergent by design, like round() — convert_fixed_point.hpp
+    * to/from_fixed_point via DECIMAL(12,2), and convert_lists.hpp
+    * bracket formatting). All casts/concats → one codegen map stage,
+    * no shuffle. */
+  def strNumericConvert(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select($"p_partkey",
+        // from_integers + to_integers: signed and padded parse
+        concat(lit("-"), $"p_partkey".cast("string")).cast("long")
+          .as("neg_int"),
+        concat(lit("  "), $"p_size".cast("string"), lit(" ")).cast("long")
+          .as("ws_int"),
+        // to/from_booleans
+        ($"p_size" % 2 === 0).cast("string").as("bool_str"),
+        when($"p_size" > 25, lit("true")).otherwise(lit("false"))
+          .cast("boolean").as("b_parsed"),
+        // to_floats: parse a constructed decimal string exactly
+        concat($"p_size".cast("string"), lit(".5")).cast("double")
+          .as("f_parsed"),
+        // from_floats as a round-trip invariant (format → parse → ==)
+        ($"p_retailprice".cast("string").cast("double") ===
+          $"p_retailprice").as("f_rt"),
+        // to/from_fixed_point: string → DECIMAL(12,2) → string
+        concat($"p_size".cast("string"), lit(".25"))
+          .cast(DecimalType(12, 2)).cast("string").as("dec_rt"),
+        // convert_lists: bracketed element-joined formatting
+        concat(lit("["), $"p_size".cast("string"), lit(","),
+          ($"p_size" + 1).cast("string"), lit("]")).as("list_str"))
+      .orderBy($"p_partkey")
+  }
+
+  val strNumericConvertSql: String =
+    """SELECT p_partkey,
+      |  CAST('-' || CAST(p_partkey AS VARCHAR) AS BIGINT) AS neg_int,
+      |  CAST('  ' || CAST(p_size AS VARCHAR) || ' ' AS BIGINT) AS ws_int,
+      |  CAST(p_size % 2 = 0 AS VARCHAR) AS bool_str,
+      |  CAST(CASE WHEN p_size > 25 THEN 'true' ELSE 'false' END
+      |    AS BOOLEAN) AS b_parsed,
+      |  CAST(CAST(p_size AS VARCHAR) || '.5' AS DOUBLE) AS f_parsed,
+      |  CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE) = p_retailprice
+      |    AS f_rt,
+      |  CAST(CAST(CAST(p_size AS VARCHAR) || '.25' AS DECIMAL(12,2))
+      |    AS VARCHAR) AS dec_rt,
+      |  '[' || CAST(p_size AS VARCHAR) || ',' ||
+      |    CAST(p_size + 1 AS VARCHAR) || ']' AS list_str
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Duration ↔ string conversions (strings/convert/convert_durations
     * .hpp to_durations/from_durations, "%D days %H:%M:%S"): synthetic
     * second counts spanning both the bare-HMS and day-component forms,
@@ -722,6 +775,7 @@ object Funcs extends QueryPack {
     "str_sorted_neighborhood" -> strSortedNeighborhood,
     "str_durations" -> strDurations,
     "str_case_convert" -> strCaseConvert,
+    "str_numeric_convert" -> strNumericConvert,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
     "dt_calendar" -> dtCalendar,
@@ -750,6 +804,7 @@ object Funcs extends QueryPack {
     "str_sorted_neighborhood" -> strSortedNeighborhoodSql,
     "str_durations" -> strDurationsSql,
     "str_case_convert" -> strCaseConvertSql,
+    "str_numeric_convert" -> strNumericConvertSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,
     "dt_calendar" -> dtCalendarSql,

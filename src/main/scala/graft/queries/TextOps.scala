@@ -1630,6 +1630,37 @@ object TextOps extends QueryPack {
        |WHERE rank <= 3 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** ANN quality gate: recall@3 of the IVF scale path against the
+    * brute-force ground truth, per query — the acceptance metric every
+    * production ANN deployment tracks before swapping the exact path
+    * out. Both legs are the already-gated operators ([[embedKnn]],
+    * [[embedKnnIvf]]); the recall join touches only the two k-row
+    * top-k sets per query, and `recall = hits / k` is one IEEE
+    * division of exact integers — identical on both engines. */
+  def embedAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.knnBrute(emb, q, k = 3)
+      .select(col("q_id"), col("n_id"))
+    val approx = Similarity.knnIvf(emb, q, k = 3, nCells = 16, nprobe = 2)
+      .select(col("q_id").as("a_qid"), col("n_id").as("a_nid"))
+    exact
+      .join(approx, col("q_id") === col("a_qid") &&
+        col("n_id") === col("a_nid"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(col("a_nid")).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / lit(3.0))
+      .orderBy(col("q_id"))
+  }
+
+  val embedAnnRecallSql: String =
+    s"""WITH ex AS ($embedKnnSql),
+       |ap AS ($embedKnnIvfSql)
+       |SELECT e.q_id AS q_id, CAST(count(a.n_id) AS BIGINT) AS n_hits,
+       |  CAST(count(a.n_id) AS DOUBLE) / 3.0 AS recall
+       |FROM ex e LEFT JOIN ap a ON e.q_id = a.q_id AND e.n_id = a.n_id
+       |GROUP BY e.q_id ORDER BY q_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs, exact all-pairs form (the north
     * star's fifth dedup method). Threshold 0.4: the synthetic embeddings
     * are near-orthogonal (max pairwise cosine ≈ 0.51), so a production
@@ -2398,6 +2429,7 @@ object TextOps extends QueryPack {
     "embed_hard_negatives" -> embedHardNegatives,
     "embed_knn_lsh" -> embedKnnLsh,
     "embed_knn_ivf" -> embedKnnIvf,
+    "embed_ann_recall" -> embedAnnRecall,
     "embed_neardup" -> embedNearDup,
     "embed_neardup_lsh" -> embedNearDupLsh,
     "embed_normalize" -> embedNormalize,
@@ -2463,6 +2495,7 @@ object TextOps extends QueryPack {
     "embed_hard_negatives" -> embedHardNegativesSql,
     "embed_knn_lsh" -> embedKnnLshSql,
     "embed_knn_ivf" -> embedKnnIvfSql,
+    "embed_ann_recall" -> embedAnnRecallSql,
     "embed_semdedup" -> embedSemDedupSql,
     "embed_exemplars" -> embedExemplarsSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
