@@ -504,6 +504,13 @@ final case class GFrame(df: DataFrame) {
     * e_num = r·c and resid_num = n·o − r·c per cell, no division. */
   def contingency(aCol: String, bCol: String): GFrame =
     GFrame(graft.operators.Stats.contingency(df, aCol, bCol))
+  /** Mann-Whitney U rank-sum test between two groups of an integral
+    * value column — count-based (no global rank sort); doubled-U and
+    * tie-correction exact integers plus the normal-approximation z. */
+  def mannWhitney(groupCol: String, valueCol: String, labelA: String,
+      labelB: String): GFrame =
+    GFrame(graft.operators.Stats.mannWhitney(df, groupCol, valueCol,
+      labelA, labelB))
   /** Per-group mean embedding (class prototypes), one row per
     * (group, dim); dyadic fixed-point sums — partitioning-independent. */
   def centroidsByGroup(groupCol: String, vecCol: String): GFrame =

@@ -403,6 +403,14 @@ class GFrameSpec extends AnyFunSuite {
     assert(rs.map(_.getBoolean(2)).toSeq == Seq(true, false, true))
   }
 
+  test("round-8 façade additions: mannWhitney") {
+    val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3),
+      ("b", 4)).toDF("g", "v")
+    val r = GFrame(df).mannWhitney("g", "v", "a", "b").toDF.head
+    assert(r.getLong(2) == 4L && r.getLong(3) == 14L,
+      "doubled U values via the facade match the operator")
+  }
+
   test("r7 facades: repeatRows, byteCast, token replace/filter, hashVariants") {
     val df = Seq((1L, "the fast cat ran"), (2L, "a dog")).toDF("id", "text")
     val rep = GFrame(df).repeatRows("id").toDF.collect()

@@ -460,6 +460,19 @@ class PlanSpec extends AnyFunSuite {
       "only the 1-row total may cross-join (as a broadcast NLJ)")
   }
 
+  test("ds_frequent_best qualifier sets enter as broadcast semi joins") {
+    val p = plan("ds_frequent_best")
+    // the frequent-parts and best-customers sets are aggregate-sized;
+    // they must semi-join the fact scan via broadcast, never shuffle it
+    assert(p.contains("LeftSemi"), "qualifier joins must be semi joins")
+    assert(p.contains("BroadcastHashJoin"),
+      "qualifier sets must broadcast into the fact scan")
+    assert(!p.contains("SortMergeJoin") ||
+      p.split("SortMergeJoin").length - 1 <=
+        p.split("BroadcastHashJoin").length - 1,
+      s"fact must not shuffle on the qualifier keys:\n$p")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
