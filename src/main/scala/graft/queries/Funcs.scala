@@ -197,6 +197,47 @@ object Funcs extends QueryPack {
       |    AS days_to_98
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Fixed-frequency timestamp rounding (datetime.hpp:258
+    * ceil_datetimes, :275 floor_datetimes, :292 round_datetimes —
+    * the sub-day-frequency family date_trunc can't express): floor /
+    * ceil / round-half-up to the hour, and floor-to-15-min /
+    * round-to-minute, all as exact integer-micros arithmetic
+    * (floorDivExpr keeps pre-epoch instants floor-aligned on both
+    * engines; half-up is this engine's documented contract). One
+    * codegen map stage. */
+  def dtRoundFreq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val us = "unix_micros(ts)"
+    def fd(x: String, n: Long) = graft.operators.Resample.floorDivExpr(x, n)
+    val H = 3600000000L
+    val M = 60000000L
+    val Q = 900000000L
+    Tables.events(s, dir).select($"event_id", $"ts",
+        expr(s"timestamp_micros((${fd(us, H)}) * ${H}L)").as("floor_h"),
+        expr(s"timestamp_micros((${fd(s"$us + ${H - 1}L", H)}) * ${H}L)")
+          .as("ceil_h"),
+        expr(s"timestamp_micros((${fd(s"$us + ${H / 2}L", H)}) * ${H}L)")
+          .as("round_h"),
+        expr(s"timestamp_micros((${fd(us, Q)}) * ${Q}L)").as("floor_15m"),
+        expr(s"timestamp_micros((${fd(s"$us + ${M / 2}L", M)}) * ${M}L)")
+          .as("round_min"))
+      .orderBy($"event_id")
+  }
+
+  val dtRoundFreqSql: String =
+    """SELECT event_id, ts,
+      |  make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+      |    AS floor_h,
+      |  make_timestamp(((epoch_us(ts) + 3599999999) // 3600000000)
+      |    * 3600000000) AS ceil_h,
+      |  make_timestamp(((epoch_us(ts) + 1800000000) // 3600000000)
+      |    * 3600000000) AS round_h,
+      |  make_timestamp((epoch_us(ts) // 900000000) * 900000000)
+      |    AS floor_15m,
+      |  make_timestamp(((epoch_us(ts) + 30000000) // 60000000)
+      |    * 60000000) AS round_min
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** Char-type predicates (strings/char_types.hpp
     * all_characters_of_type): whole-string class tests via anchored
     * patterns that parse identically in Java regex and DuckDB RE2. */
@@ -788,6 +829,7 @@ object Funcs extends QueryPack {
     "dt_extract_date" -> dtExtractDate,
     "dt_extract_time" -> dtExtractTime,
     "dt_arith" -> dtArith,
+    "dt_round_freq" -> dtRoundFreq,
     "null_handling" -> nullHandling,
     "cond_case" -> condCase,
     "math_funcs" -> mathFuncs,
@@ -817,6 +859,7 @@ object Funcs extends QueryPack {
     "dt_extract_date" -> dtExtractDateSql,
     "dt_extract_time" -> dtExtractTimeSql,
     "dt_arith" -> dtArithSql,
+    "dt_round_freq" -> dtRoundFreqSql,
     "null_handling" -> nullHandlingSql,
     "cond_case" -> condCaseSql,
     "math_funcs" -> mathFuncsSql,
