@@ -1477,8 +1477,57 @@ object TpcDs extends QueryPack {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** PDS-DS Q44 shape (pdsds_queries/q44): best-10 and worst-10 parts
+    * by average order quantity, paired by rank position — the
+    * two-ended leaderboard. Each end is a TakeOrderedAndProject
+    * partial top-k (no global sort of the per-part aggregate); the
+    * 10-row heads then get rank indexes in a single trivial partition
+    * and pair by rank. Ordering key is one IEEE division of exact
+    * BIGINT sums (identical both engines), partkey tie-broken. */
+  def dsTwoEndedRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val perPart = Tables.lineitem(s, dir)
+      .groupBy($"l_partkey")
+      .agg(sum($"l_quantity".cast("bigint")).as("s"),
+        count(lit(1)).as("n"))
+      .withColumn("avg_qty", $"s".cast("double") / $"n")
+    def head10(asc: Boolean) = {
+      val sorted =
+        if (asc) perPart.orderBy($"avg_qty".asc, $"l_partkey")
+        else perPart.orderBy($"avg_qty".desc, $"l_partkey")
+      val w =
+        if (asc) Window.orderBy($"avg_qty".asc, $"l_partkey")
+        else Window.orderBy($"avg_qty".desc, $"l_partkey")
+      sorted.limit(10).withColumn("rnk", row_number().over(w))
+    }
+    head10(asc = false)
+      .select($"rnk", $"l_partkey".as("best_part"),
+        $"avg_qty".as("best_avg"))
+      .join(head10(asc = true)
+        .select($"rnk", $"l_partkey".as("worst_part"),
+          $"avg_qty".as("worst_avg")), Seq("rnk"))
+      .orderBy($"rnk")
+  }
+
+  val dsTwoEndedRankSql: String =
+    """WITH pp AS (
+      |  SELECT l_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+      |      AS s, CAST(count(*) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY l_partkey),
+      |av AS (SELECT l_partkey, CAST(s AS DOUBLE) / n AS avg_qty FROM pp),
+      |best AS (
+      |  SELECT row_number() OVER (ORDER BY avg_qty DESC, l_partkey) AS rnk,
+      |    l_partkey AS best_part, avg_qty AS best_avg FROM av),
+      |worst AS (
+      |  SELECT row_number() OVER (ORDER BY avg_qty ASC, l_partkey) AS rnk,
+      |    l_partkey AS worst_part, avg_qty AS worst_avg FROM av)
+      |SELECT rnk, best_part, best_avg, worst_part, worst_avg
+      |FROM best JOIN worst USING (rnk)
+      |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_frequent_best" -> dsFrequentBest,
+    "ds_two_ended_rank" -> dsTwoEndedRank,
     "ds_demand_cov" -> dsDemandCov,
     "ds_except_customers" -> dsExceptCustomers,
     "ds_monthly_pivot" -> dsMonthlyPivot,
@@ -1515,6 +1564,7 @@ object TpcDs extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "ds_frequent_best" -> dsFrequentBestSql,
+    "ds_two_ended_rank" -> dsTwoEndedRankSql,
     "ds_demand_cov" -> dsDemandCovSql,
     "ds_except_customers" -> dsExceptCustomersSql,
     "ds_monthly_pivot" -> dsMonthlyPivotSql,

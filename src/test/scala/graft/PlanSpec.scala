@@ -473,6 +473,18 @@ class PlanSpec extends AnyFunSuite {
       s"fact must not shuffle on the qualifier keys:\n$p")
   }
 
+  test("ds_two_ended_rank: both top-k ends are partial (TakeOrdered), one fact scan") {
+    val df = SparkEntry.queries("ds_two_ended_rank")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      "each end must be a partial top-k, not a global sort")
+    // the two ends' per-part aggregates are identical subtrees; AQE
+    // must reuse the exchange so the fact is scanned once at runtime
+    assert(p.contains("ReusedExchange"),
+      s"the two ends must share one lineitem scan:\n$p")
+  }
+
   test("ngramLmScore joins the doc stream against model tables, no cartesian blowup") {
     val docs = graft.Tables.documents(spark, dir)
     val scored = graft.operators.TextPipeline.ngramLmScore(
