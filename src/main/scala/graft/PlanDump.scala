@@ -70,10 +70,15 @@ object PlanDump {
       "corpus_drift" ->
         "Distribution drift: ONE map-side-combinable (source, value) HashAggregate reads the corpus; the value grid and reference counts ride BroadcastExchanges over that histogram-sized summary, and the KS/TVD folds are windows/aggregates of the summary — the corpus is never exchanged.",
       "events_assoc" ->
-        "Association rules: presence established by one (basket, item) HashAggregate-distinct; the pair self-join is key-equi on the basket key (fan-out bounded by basket width); item margins and the 1-row basket total broadcast into the final rational-metric projection.")
+        "Association rules: presence established by one (basket, item) HashAggregate-distinct; the pair self-join is key-equi on the basket key (fan-out bounded by basket width); item margins and the 1-row basket total broadcast into the final rational-metric projection.",
+      "ds_frequent_best" ->
+        "Frequent-items x best-customers (Q23 shape): both qualifier sets reduce to aggregate-sized (key) tables and enter the final pass as BroadcastHashJoin LeftSemi — the fact scan is filtered in place, never shuffled on a qualifier key; the two 1-row thresholds ride broadcasts into integer-exact cross-multiplied predicates.",
+      "ds_two_ended_rank" ->
+        "Two-ended leaderboard (Q44 shape): each end is a TakeOrderedAndProject partial top-k over the per-part aggregate; at runtime AQE's ReusedExchange dedupes the two identical aggregates, so the fact is scanned and aggregated ONCE. (Executed adaptive plan.)")
     // queries whose evidence IS the runtime plan (AQE stage reuse only
     // materializes after execution): run them, dump the final plan
-    val executed = Set("q11_important_stock", "q20_potential_promotion")
+    val executed = Set("q11_important_stock", "q20_potential_promotion",
+      "ds_two_ended_rank")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence for the scale claims\n\n")
     sb.append("Generated by `sbt \"runMain graft.PlanDump\"` at sf0.001 ")
