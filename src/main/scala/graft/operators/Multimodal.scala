@@ -176,6 +176,55 @@ object Multimodal {
       .toDF()
   }
 
+  /** Nearest-neighbor image resize to (dstW, dstH): decode (BMP via
+    * the byte codec, PNG/JPEG/GIF via the JDK), resample with the
+    * integer mapping src = dst·srcDim/dstDim (floor — deterministic on
+    * any JVM, no filtering kernel ambiguity), re-encode as BMP
+    * (lossless and size-predictable, so the resized payload can
+    * re-enter [[decodeMedia]] for a full resize→re-encode→re-decode
+    * round trip). Same partition-local batch contract as
+    * [[decodeMedia]] — a JNI/GPU resampler slots in per batch.
+    * Non-image mimes pass through untouched with resized=false. */
+  def resizeImages(df: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+    require(dstW > 0 && dstH > 0, "target dims must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"), col("mime"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (id, payload, mime) =>
+          val decoded = mime match {
+            case "image/bmp" => Some(MediaCodec.bmpDecode(payload))
+            case "image/png" | "image/jpeg" | "image/gif" =>
+              Some(MediaCodec.imageDecode(payload))
+            case _ => None
+          }
+          decoded match {
+            case Some((sw, sh, rgb)) =>
+              val out = new Array[Byte](dstW * dstH * 3)
+              var y = 0
+              while (y < dstH) {
+                val sy = y * sh / dstH
+                var x = 0
+                while (x < dstW) {
+                  val sx = x * sw / dstW
+                  val si = (sy * sw + sx) * 3
+                  val di = (y * dstW + x) * 3
+                  out(di) = rgb(si)
+                  out(di + 1) = rgb(si + 1)
+                  out(di + 2) = rgb(si + 2)
+                  x += 1
+                }
+                y += 1
+              }
+              (id, MediaCodec.bmpEncode(dstW, dstH, out), "image/bmp", true)
+            case None => (id, payload, mime, false)
+          }
+        }
+      }
+      .toDF("media_id", "payload", "mime", "resized")
+  }
+
   private def imageStats(id: Long, mime: String, nb: Int,
       decoded: (Int, Int, Array[Byte])): MediaStats = {
     val (w, h, rgb) = decoded

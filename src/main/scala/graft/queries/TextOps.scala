@@ -1434,6 +1434,63 @@ object TextOps extends QueryPack {
       |FROM documents
       |ORDER BY mime, media_id""".stripMargin
 
+  /** REAL image resize round trip ([[Multimodal.resizeImages]]):
+    * per doc, encode a GRADIENT image (r varies by column, g by row,
+    * b constant — so the resample MAPPING is observable, not just the
+    * dimensions) as a BMP (media_id = 2·doc) and a PNG (2·doc+1, both
+    * lossless), nearest-neighbor resize to 2×2, re-encode as BMP, and
+    * re-decode with the genuine decoder. The 2×2 output samples source
+    * columns {0, ⌊w/2⌋} and rows {0, ⌊h/2⌋}, so every channel mean is
+    * an exact half-sum of two integers — DuckDB recomputes the whole
+    * expected table from media_id without touching a pixel. */
+  def mediaResize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.{MediaCodec, Multimodal}
+    val ids = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+    def grad(w: Int, h: Int, m: Long): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val px = i / 3
+        val x = px % w
+        val y = px / w
+        (i % 3 match {
+          case 0 => (x * 40 + m) % 256
+          case 1 => (y * 40 + m * 7) % 256
+          case _ => (m * 13) % 256
+        }).toByte
+      }
+    val media = ids.mapPartitions(_.flatMap { id =>
+      val w = (id % 4 + 2).toInt
+      val h = (id % 3 + 2).toInt
+      val mb = id * 2
+      val mp = id * 2 + 1
+      val wp = (id % 5 + 2).toInt
+      Iterator(
+        (mb, MediaCodec.bmpEncode(w, h, grad(w, h, mb)), "image/bmp"),
+        (mp, MediaCodec.pngEncode(wp, 2, grad(wp, 2, mp)), "image/png"))
+    }).toDF("media_id", "payload", "mime")
+    Multimodal.decodeMedia(Multimodal.resizeImages(media, 2, 2))
+      .select(col("media_id"), col("mime"), col("n_bytes"),
+        col("width"), col("height"),
+        col("mean_r"), col("mean_g"), col("mean_b"))
+      .orderBy(col("media_id"))
+  }
+
+  val mediaResizeSql: String =
+    """WITH m AS (
+      |  SELECT doc_id * 2 AS media_id,
+      |    (doc_id % 4) + 2 AS w, (doc_id % 3) + 2 AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id * 2 + 1, (doc_id % 5) + 2, 2 FROM documents)
+      |SELECT media_id, 'image/bmp' AS mime, CAST(70 AS INT) AS n_bytes,
+      |  CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+      |  (CAST(media_id % 256 AS DOUBLE) +
+      |    ((w // 2) * 40 + media_id) % 256) / 2.0 AS mean_r,
+      |  (CAST((media_id * 7) % 256 AS DOUBLE) +
+      |    ((h // 2) * 40 + media_id * 7) % 256) / 2.0 AS mean_g,
+      |  CAST((media_id * 13) % 256 AS DOUBLE) AS mean_b
+      |FROM m ORDER BY media_id""".stripMargin
+
   /** Multimodal retrieval composition: ingest → BATCHED stub decode →
     * digest-derived features → exact cosine top-3. Oracle-checked:
     * the stub feature is unsigned(md5_byte_i)/255.0f for i < 8 over the
@@ -2424,6 +2481,7 @@ object TextOps extends QueryPack {
     "doc_pack_bins" -> packBins,
     "doc_multimodal" -> multimodal,
     "doc_media_decode" -> mediaDecode,
+    "doc_media_resize" -> mediaResize,
     "doc_multimodal_embed" -> multimodalEmbed,
     "embed_knn" -> embedKnn,
     "embed_hard_negatives" -> embedHardNegatives,
@@ -2491,6 +2549,7 @@ object TextOps extends QueryPack {
     "doc_pack_bins" -> packBinsSql,
     "doc_multimodal" -> multimodalSql,
     "doc_media_decode" -> mediaDecodeSql,
+    "doc_media_resize" -> mediaResizeSql,
     "embed_knn" -> embedKnnSql,
     "embed_hard_negatives" -> embedHardNegativesSql,
     "embed_knn_lsh" -> embedKnnLshSql,

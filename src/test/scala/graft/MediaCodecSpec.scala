@@ -140,4 +140,40 @@ class MediaCodecSpec extends AnyFunSuite {
       pngRow.getAs[Double]("mean_g") == 16.0 &&
       pngRow.getAs[Double]("mean_b") == 24.0)
   }
+
+  test("resizeImages: nearest-neighbor mapping, identity round trip, passthrough") {
+    // 4x2 gradient: r = x*10, g = y*100, b = 5
+    val rgb = Array.tabulate(4 * 2 * 3) { i =>
+      val px = i / 3
+      (i % 3 match {
+        case 0 => (px % 4) * 10
+        case 1 => (px / 4) * 100
+        case _ => 5
+      }).toByte
+    }
+    val src = Seq(
+      (1L, MediaCodec.bmpEncode(4, 2, rgb), "image/bmp"),
+      (2L, MediaCodec.pngEncode(4, 2, rgb), "image/png"),
+      (3L, Array[Byte](1, 2), "application/zstd"))
+      .toDF("media_id", "payload", "mime")
+    val out = Multimodal.resizeImages(src, 2, 2)
+      .collect().sortBy(_.getLong(0))
+    // downscale picks source columns {0, 2} and rows {0, 1}
+    val (w1, h1, p1) = MediaCodec.bmpDecode(out(0).getAs[Array[Byte]]("payload"))
+    assert(w1 == 2 && h1 == 2)
+    assert(p1.map(_ & 0xff).toSeq == Seq(0, 0, 5, 20, 0, 5, 0, 100, 5, 20, 100, 5))
+    // PNG input resamples to the same pixels (lossless decode)
+    val (_, _, p2) = MediaCodec.bmpDecode(out(1).getAs[Array[Byte]]("payload"))
+    assert(p2.toSeq == p1.toSeq)
+    assert(out(0).getAs[String]("mime") == "image/bmp" &&
+      out(1).getAs[Boolean]("resized"))
+    // non-image rows pass through byte-identical
+    assert(!out(2).getAs[Boolean]("resized") &&
+      out(2).getAs[Array[Byte]]("payload").toSeq == Seq[Byte](1, 2))
+    // identity resize round-trips every pixel
+    val same = Multimodal.resizeImages(src.filter($"media_id" === 1), 4, 2)
+      .collect().head
+    val (_, _, p3) = MediaCodec.bmpDecode(same.getAs[Array[Byte]]("payload"))
+    assert(p3.toSeq == rgb.toSeq)
+  }
 }
