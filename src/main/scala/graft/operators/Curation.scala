@@ -105,6 +105,26 @@ object Curation {
       .drop("_rn")
   }
 
+  /** Bootstrap (with-replacement) sampling: each row is emitted once
+    * per accepted draw among `draws` independent portable-hash
+    * Bernoulli(p) trials — E[copies] = draws·p per row, the
+    * resample-with-replacement primitive bagging and bootstrap
+    * confidence intervals need (the reference's sample(replace=True);
+    * every other sampler here is without-replacement). Each
+    * (row, draw) trial hashes (seed | draw#id), so the resample set is
+    * deterministic, engine-replayable, and invariant to partitioning
+    * and cluster layout; the per-row explode is a map stage — zero
+    * shuffle — and the emitted draw_idx keeps the resamples
+    * distinguishable downstream (per-draw aggregation = the bootstrap
+    * distribution). */
+  def bootstrapSample(df: DataFrame, idCol: String, draws: Int,
+      p: Double, seed: String): DataFrame = {
+    require(draws > 0 && p > 0 && p <= 1, "need draws > 0, 0 < p <= 1")
+    df.withColumn("draw_idx", explode(sequence(lit(0), lit(draws - 1))))
+      .filter(hashUnit(
+        concat_ws("#", col("draw_idx"), col(idCol)), seed) < p)
+  }
+
   /** Weighted mixture sampling: keep a row iff its [[hashUnit]] is below
     * the weight of its source, e.g. `Map("en" -> 0.9, "zh" -> 0.25)` —
     * the corpus-mixing stage that rebalances sources before training.

@@ -61,6 +61,31 @@ object CurationPack extends QueryPack {
        |      FROM g JOIN reps r ON g.dig = r.dig) g
        |ORDER BY doc_id""".stripMargin
 
+  /** Bootstrap resampling ([[Curation.bootstrapSample]]): 8 independent
+    * with-replacement half-corpus draws, then the per-draw doc count
+    * and total chars — i.e. the BOOTSTRAP DISTRIBUTION of a corpus
+    * statistic, computed in one zero-shuffle explode + one aggregate.
+    * Every (row, draw) membership is the portable hash both engines
+    * compute, so the 8-row distribution replays exactly. */
+  def bootstrapQ(s: SparkSession, dir: String): DataFrame =
+    Curation.bootstrapSample(Tables.documents(s, dir), "doc_id",
+        draws = 8, p = 0.5, seed = "graft")
+      .groupBy(col("draw_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars").cast("bigint")).as("sum_chars"))
+      .orderBy(col("draw_idx"))
+
+  val bootstrapSql: String = {
+    val u = uSql("CAST(draw_idx AS VARCHAR) || '#' || " +
+      "CAST(doc_id AS VARCHAR)", "graft")
+    s"""SELECT draw_idx, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM (SELECT doc_id, n_chars, unnest(range(0, 8)) AS draw_idx
+       |      FROM documents)
+       |WHERE $u < 0.5
+       |GROUP BY draw_idx ORDER BY draw_idx""".stripMargin
+  }
+
   // -- per-source quota sampling -------------------------------------------
 
   def sampleGroup(s: SparkSession, dir: String): DataFrame =
@@ -673,6 +698,7 @@ object CurationPack extends QueryPack {
     "corpus_split" -> split,
     "corpus_split_leakfree" -> splitLeakFree,
     "corpus_sample_group" -> sampleGroup,
+    "corpus_bootstrap" -> bootstrapQ,
     "corpus_mixture" -> mixture,
     "corpus_survivors" -> survivors,
     "corpus_shuffle" -> shuffle,
@@ -700,6 +726,7 @@ object CurationPack extends QueryPack {
     "corpus_split" -> splitSql,
     "corpus_split_leakfree" -> splitLeakFreeSql,
     "corpus_sample_group" -> sampleGroupSql,
+    "corpus_bootstrap" -> bootstrapSql,
     "corpus_mixture" -> mixtureSql,
     "corpus_survivors" -> survivorsSql,
     "corpus_shuffle" -> shuffleSql,

@@ -471,4 +471,28 @@ class CurationSpec extends AnyFunSuite {
       .filter(col("src") === "shifted").select("n_rows").as[Long].head()
     assert(n2 == 200L)
   }
+
+  test("bootstrapSample: deterministic, layout-invariant, per-draw independent") {
+    import spark.implicits._
+    val df = (1L to 400L).toDF("id")
+    val a = Curation.bootstrapSample(df, "id", draws = 4, p = 0.5, "s")
+      .select("id", "draw_idx").as[(Long, Int)].collect().sorted.toSeq
+    // deterministic across runs and across partition layouts
+    val b = Curation.bootstrapSample(df.repartition(7), "id", 4, 0.5, "s")
+      .select("id", "draw_idx").as[(Long, Int)].collect().sorted.toSeq
+    assert(a == b)
+    // a row appears at most once per draw; copies range over 0..draws
+    assert(a.distinct.size == a.size)
+    val copies = a.groupBy(_._1).view.mapValues(_.size)
+    assert(copies.values.max <= 4)
+    // with-replacement: some row is drawn more than once, some never
+    assert(copies.values.exists(_ >= 2))
+    assert(copies.size < 400 || copies.values.exists(_ == 0))
+    // expected volume 400*4*0.5 = 800, binomial sd ~20 — wide 5-sd gate
+    assert(math.abs(a.size - 800) < 100, s"got ${a.size}")
+    // draws are independent trials: draw 0's kept set differs from draw 1's
+    val d0 = a.collect { case (id, 0) => id }.toSet
+    val d1 = a.collect { case (id, 1) => id }.toSet
+    assert(d0 != d1)
+  }
 }
