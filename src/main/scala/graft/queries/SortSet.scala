@@ -171,8 +171,41 @@ object SortSet extends QueryPack {
       |  FROM orders)
       |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
 
+  /** The other two duplicate_keep_options (stream_compaction.hpp
+    * KEEP_LAST, KEEP_NONE — [[dedupKeepFirst]] covers KEEP_FIRST):
+    * one window pass computes both — the keep-LAST row per customer
+    * (rn over the reversed order) and the keep-NONE membership flag
+    * (group count = 1, i.e. rows with no duplicate at all). One
+    * shuffle, shared partition key. */
+  def dedupKeepVariants(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val byKey = Window.partitionBy($"o_custkey")
+    val wDesc = byKey.orderBy($"o_orderdate".desc, $"o_orderkey".desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(wDesc))
+      .withColumn("n_orders", count(lit(1)).over(byKey))
+      .filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("last_orderkey"),
+        $"o_orderdate".as("last_orderdate"), $"n_orders",
+        ($"n_orders" === 1).as("keep_none"))
+      .orderBy($"o_custkey")
+  }
+
+  val dedupKeepVariantsSql: String =
+    """SELECT o_custkey, o_orderkey AS last_orderkey,
+      |  o_orderdate AS last_orderdate, n_orders, n_orders = 1 AS keep_none
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_orderdate,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+      |    CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT)
+      |      AS n_orders
+      |  FROM orders)
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sort_multi_nulls" -> sortMultiNulls,
+    "dedup_keep_variants" -> dedupKeepVariants,
     "topk" -> topK,
     "limit_offset" -> limitOffset,
     "set_union_all" -> unionAll,
@@ -184,6 +217,7 @@ object SortSet extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "sort_multi_nulls" -> sortMultiNullsSql,
+    "dedup_keep_variants" -> dedupKeepVariantsSql,
     "topk" -> topKSql,
     "limit_offset" -> limitOffsetSql,
     "set_union_all" -> unionAllSql,
