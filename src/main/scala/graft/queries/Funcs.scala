@@ -597,6 +597,35 @@ object Funcs extends QueryPack {
       |  array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS fa
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** String attributes (strings/attributes.hpp: count_characters:46,
+    * count_bytes:66, code_points:84): char vs UTF-8-byte length split
+    * on names with multibyte content mixed in, plus the first/last
+    * code points (the full code-point LIST is nested — the driver's
+    * comparator rejects lists, so the query projects its ends; the
+    * list form is `TextFunctions`-composable via transform/ascii).
+    * All built-ins, one map stage. */
+  def strAttributes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val mixed = concat($"p_name", lit(" déjà-vu€"))
+    Tables.part(s, dir).select($"p_partkey",
+        length(mixed).as("n_chars"),
+        octet_length(mixed).as("n_bytes"),
+        ascii(mixed).as("first_cp"),
+        ascii(substring(mixed, -1, 1)).as("last_cp"),
+        (octet_length(mixed) > length(mixed)).as("is_multibyte"))
+      .orderBy($"p_partkey")
+  }
+
+  val strAttributesSql: String =
+    """SELECT p_partkey,
+      |  length(m) AS n_chars,
+      |  CAST(octet_length(encode(m)) AS INT) AS n_bytes,
+      |  CAST(unicode(m) AS INT) AS first_cp,
+      |  CAST(unicode(m[-1]) AS INT) AS last_cp,
+      |  octet_length(encode(m)) > length(m) AS is_multibyte
+      |FROM (SELECT p_partkey, p_name || ' déjà-vu€' AS m FROM part)
+      |ORDER BY p_partkey""".stripMargin
+
   /** Numeric ↔ string conversion long tail (strings/convert/
     * convert_booleans.hpp to/from_booleans, convert_integers.hpp
     * to/from_integers incl. signed + whitespace-trimmed parse,
@@ -817,6 +846,7 @@ object Funcs extends QueryPack {
     "str_durations" -> strDurations,
     "str_case_convert" -> strCaseConvert,
     "str_numeric_convert" -> strNumericConvert,
+    "str_attributes" -> strAttributes,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
     "dt_calendar" -> dtCalendar,
@@ -847,6 +877,7 @@ object Funcs extends QueryPack {
     "str_durations" -> strDurationsSql,
     "str_case_convert" -> strCaseConvertSql,
     "str_numeric_convert" -> strNumericConvertSql,
+    "str_attributes" -> strAttributesSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,
     "dt_calendar" -> dtCalendarSql,
