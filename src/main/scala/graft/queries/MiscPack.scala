@@ -530,6 +530,39 @@ object MiscPack extends QueryPack {
       |  count(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Fixed-point rounding (round.hpp:63 on DECIMAL columns — EXACT,
+    * unlike binary-double round, which stays excluded from oracles):
+    * HALF_UP at positive and negative digit positions on an exact
+    * decimal product. HALF_EVEN (cudf's other rounding_method; Spark
+    * `bround`) has no portable DuckDB twin and is unit-tested
+    * engine-side instead (OperatorsMiscSpec). Results stringified —
+    * decimals hash engine-dependently through the driver. */
+  def decimalRound(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val d = ($"l_extendedprice".cast(DecimalType(12, 2)) *
+      $"l_discount".cast(DecimalType(8, 6))).cast(DecimalType(20, 8))
+    Tables.lineitem(s, dir)
+      .select(($"l_orderkey" * 10 + $"l_linenumber").as("line_id"),
+        d.cast("string").as("exact"),
+        round(d, 2).cast("string").as("r2"),
+        round(d, 0).cast("string").as("r0"),
+        round(d, -2).cast("string").as("rneg2"))
+      .orderBy($"line_id")
+  }
+
+  val decimalRoundSql: String =
+    """SELECT l_orderkey * 10 + l_linenumber AS line_id,
+      |  CAST(d AS VARCHAR) AS exact,
+      |  CAST(round(d, 2) AS VARCHAR) AS r2,
+      |  CAST(round(d, 0) AS VARCHAR) AS r0,
+      |  CAST(round(d, -2) AS VARCHAR) AS rneg2
+      |FROM (SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |       CAST(l_discount AS DECIMAL(8,6)) AS DECIMAL(20,8)) AS d
+      |  FROM lineitem)
+      |ORDER BY line_id""".stripMargin
+
   /** lower/upper_bound searchsorted (search.hpp:62,104) with explicit
     * edges via codegen'd list scan — oracle mirrors the same lambda. */
   def searchSorted(s: SparkSession, dir: String): DataFrame = {
@@ -1075,6 +1108,7 @@ object MiscPack extends QueryPack {
     "cdc_merge" -> cdcMerge,
     "agg_kmv_distinct" -> kmvDistinct,
     "decimal_arith" -> decimalArith,
+    "decimal_round" -> decimalRound,
     "subquery_scalar" -> subqueryScalar,
     "bin_label" -> binLabel,
     "bin_qcut" -> binQcut,
@@ -1112,6 +1146,7 @@ object MiscPack extends QueryPack {
     "encode_factorize" -> encodeFactorizeSql,
     "search_sorted" -> searchSortedSql,
     "decimal_arith" -> decimalArithSql,
+    "decimal_round" -> decimalRoundSql,
     "subquery_scalar" -> subqueryScalarSql,
     "bin_label" -> binLabelSql,
     "bin_qcut" -> binQcutSql,

@@ -461,6 +461,22 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(rn.getLong(0) == 4L && rn.getLong(1) == 3L)
   }
 
+  test("fixed-point HALF_EVEN rounding (bround) ties to the even digit") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // cudf round.hpp HALF_EVEN on DECIMAL: .5 ties round to even
+    val rows = Seq("0.25", "0.35", "-0.25", "2.5", "3.5", "0.26")
+      .toDF("s")
+      .select(bround(col("s").cast(DecimalType(10, 2)), 1).cast("string")
+        .as("r1"), bround(col("s").cast(DecimalType(10, 2)), 0)
+        .cast("string").as("r0"))
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("0.2", "0.4", "-0.2", "2.5", "3.5", "0.3"))
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("0", "0", "0", "2", "4", "0"))
+  }
+
   test("bfsLevels: chain distances, cycle termination, maxLevels bound") {
     import spark.implicits._
     import graft.operators.LinkAnalysis
