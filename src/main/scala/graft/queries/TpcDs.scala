@@ -1477,6 +1477,56 @@ object TpcDs extends QueryPack {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** PDS-DS Q28 shape (pdsds_queries/q28): per-band count / DISTINCT
+    * count / average over OVERLAPPING predicate bands (quantity range
+    * AND (price-range OR discount-range)), fused into ONE scan — a row
+    * can satisfy several bands, so this is conditional aggregation,
+    * not a groupBy. The four `count(DISTINCT when(band, price))`
+    * children plan as one Expand(×5) over the single scan — the
+    * engine-standard multi-distinct rewrite: 5× intermediate rows but
+    * still one pass and one shuffle, vs Q28's naive six scans.
+    * Averages are exact decimal sums divided once. */
+  def dsBandDistincts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+    val price = $"l_extendedprice"
+    def band(qLo: Int, qHi: Int, pLo: Int, pHi: Int, dLo: Double) =
+      $"l_quantity".between(qLo, qHi) &&
+        (price.between(pLo, pHi) || $"l_discount" >= dLo)
+    val bands = Seq(
+      "b1" -> band(1, 10, 1000, 20000, 0.09),
+      "b2" -> band(11, 20, 20000, 40000, 0.08),
+      "b3" -> band(21, 35, 40000, 70000, 0.07),
+      "b4" -> band(36, 50, 70000, 100000, 0.06))
+    val aggs = bands.flatMap { case (n, p) =>
+      Seq(
+        count(when(p, price)).as(s"${n}_n"),
+        countDistinct(when(p, price)).as(s"${n}_nd"),
+        (dsum(when(p, price), 6) /
+          count(when(p, price)).cast("double")).as(s"${n}_avg"))
+    }
+    li.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val dsBandDistinctsSql: String = {
+    def b(qLo: Int, qHi: Int, pLo: Int, pHi: Int, dLo: Double) =
+      s"(l_quantity BETWEEN $qLo AND $qHi AND " +
+        s"(l_extendedprice BETWEEN $pLo AND $pHi OR l_discount >= $dLo))"
+    val preds = Seq(
+      "b1" -> b(1, 10, 1000, 20000, 0.09),
+      "b2" -> b(11, 20, 20000, 40000, 0.08),
+      "b3" -> b(21, 35, 40000, 70000, 0.07),
+      "b4" -> b(36, 50, 70000, 100000, 0.06))
+    val cols = preds.map { case (n, p) =>
+      val cse = s"CASE WHEN $p THEN l_extendedprice END"
+      s"""  CAST(count($cse) AS BIGINT) AS ${n}_n,
+         |  CAST(count(DISTINCT $cse) AS BIGINT) AS ${n}_nd,
+         |  (${dsumSql(cse, 6)} / CAST(count($cse) AS DOUBLE)) AS ${n}_avg"""
+        .stripMargin
+    }.mkString(",\n")
+    s"SELECT\n$cols\nFROM lineitem"
+  }
+
   /** PDS-DS Q44 shape (pdsds_queries/q44): best-10 and worst-10 parts
     * by average order quantity, paired by rank position — the
     * two-ended leaderboard. Each end is a TakeOrderedAndProject
@@ -1527,6 +1577,7 @@ object TpcDs extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ds_frequent_best" -> dsFrequentBest,
+    "ds_band_distincts" -> dsBandDistincts,
     "ds_two_ended_rank" -> dsTwoEndedRank,
     "ds_demand_cov" -> dsDemandCov,
     "ds_except_customers" -> dsExceptCustomers,
@@ -1564,6 +1615,7 @@ object TpcDs extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "ds_frequent_best" -> dsFrequentBestSql,
+    "ds_band_distincts" -> dsBandDistinctsSql,
     "ds_two_ended_rank" -> dsTwoEndedRankSql,
     "ds_demand_cov" -> dsDemandCovSql,
     "ds_except_customers" -> dsExceptCustomersSql,
