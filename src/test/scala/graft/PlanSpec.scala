@@ -473,6 +473,14 @@ class PlanSpec extends AnyFunSuite {
       s"fact must not shuffle on the qualifier keys:\n$p")
   }
 
+  test("ds_band_distincts: four distinct-counts fuse into one scan via Expand") {
+    val p = plan("ds_band_distincts")
+    assert(p.contains("Expand"),
+      "multi-distinct must rewrite through Expand, not multiple scans")
+    val scans = p.split("\\(1\\) Scan parquet").length - 1
+    assert(scans == 1, s"expected exactly one lineitem scan:\n$p")
+  }
+
   test("ds_two_ended_rank: both top-k ends are partial (TakeOrdered), one fact scan") {
     val df = SparkEntry.queries("ds_two_ended_rank")(spark, dir)
     df.collect()
