@@ -511,6 +511,18 @@ final case class GFrame(df: DataFrame) {
       labelB: String): GFrame =
     GFrame(graft.operators.Stats.mannWhitney(df, groupCol, valueCol,
       labelA, labelB))
+  /** Bootstrap (with-replacement) resampling: `draws` independent
+    * portable-hash Bernoulli(p) trials per row, zero-shuffle;
+    * per-draw_idx aggregation yields the bootstrap distribution. */
+  def bootstrapSample(idCol: String, draws: Int, p: Double,
+      seed: String): GFrame =
+    GFrame(graft.operators.Curation.bootstrapSample(df, idCol, draws,
+      p, seed))
+  /** Nearest-neighbor image resize over (media_id, payload, mime) rows
+    * — deterministic integer resample, lossless BMP re-encode;
+    * non-image mimes pass through. */
+  def resizeImages(dstW: Int, dstH: Int): GFrame =
+    GFrame(graft.operators.Multimodal.resizeImages(df, dstW, dstH))
   /** Per-group mean embedding (class prototypes), one row per
     * (group, dim); dyadic fixed-point sums — partitioning-independent. */
   def centroidsByGroup(groupCol: String, vecCol: String): GFrame =

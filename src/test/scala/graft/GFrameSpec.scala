@@ -403,12 +403,22 @@ class GFrameSpec extends AnyFunSuite {
     assert(rs.map(_.getBoolean(2)).toSeq == Seq(true, false, true))
   }
 
-  test("round-8 façade additions: mannWhitney") {
+  test("round-8 façade additions: mannWhitney, bootstrapSample, resizeImages") {
     val df = Seq(("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3),
       ("b", 4)).toDF("g", "v")
     val r = GFrame(df).mannWhitney("g", "v", "a", "b").toDF.head
     assert(r.getLong(2) == 4L && r.getLong(3) == 14L,
       "doubled U values via the facade match the operator")
+    val bs = GFrame((1L to 50L).toDF("id"))
+      .bootstrapSample("id", draws = 3, p = 0.5, seed = "s").toDF
+    assert(bs.columns.contains("draw_idx") && bs.count() > 0)
+    val img = Seq((1L,
+      graft.operators.MediaCodec.bmpEncode(2, 2, Array.fill(12)(7.toByte)),
+      "image/bmp")).toDF("media_id", "payload", "mime")
+    val rz = GFrame(img).resizeImages(1, 1).toDF.head
+    val (w, h, _) = graft.operators.MediaCodec.bmpDecode(
+      rz.getAs[Array[Byte]]("payload"))
+    assert(w == 1 && h == 1)
   }
 
   test("r7 facades: repeatRows, byteCast, token replace/filter, hashVariants") {

@@ -461,6 +461,29 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(rn.getLong(0) == 4L && rn.getLong(1) == 3L)
   }
 
+  test("mannWhitney matches the classical rank-sum formulation on random data") {
+    import spark.implicits._
+    import graft.operators.Stats
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val data = Seq.fill(120)(
+        (if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(12)))
+      val df = data.toDF("g", "v")
+      val r = Stats.mannWhitney(df, "g", "v", "a", "b").collect().head
+      // brute force via mid-ranks: 2·rank(v) = 2·|{u < v}| + |{u = v}| + 1;
+      // U_a = R_a − n_a(n_a+1)/2, doubled to stay integral under .5 ranks
+      val all = data.map(_._2)
+      def below(v: Int) = all.count(_ < v).toLong
+      def eq(v: Int) = all.count(_ == v).toLong
+      val as = data.filter(_._1 == "a").map(_._2)
+      val na = as.size.toLong
+      val twoRa = as.map(v => 2 * below(v) + eq(v) + 1).sum
+      val u2a = twoRa - na * (na + 1)
+      assert(r.getLong(0) == na)
+      assert(r.getLong(2) == u2a, s"count-based U != rank-sum U")
+    }
+  }
+
   test("fixed-point HALF_EVEN rounding (bround) ties to the even digit") {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
