@@ -60,6 +60,55 @@ object Aggs extends QueryPack {
       |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** PRODUCT aggregation (aggregation.hpp:73 PRODUCT — via the typed
+    * `Aggregator` UDAF surface, the HOST_UDF analog): per-order product
+    * of line numbers. Inputs are small exact integers, so every double
+    * product is exact (≤ 7! ≪ 2^53) and therefore order- and
+    * partitioning-independent — cross-engine-gateable where a generic
+    * float product (non-associative rounding) would not be. */
+  def aggProduct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prod = udaf(graft.functions.Udfs.ProductAgg)
+    Tables.lineitem(s, dir)
+      .groupBy($"l_orderkey")
+      .agg(prod($"l_linenumber".cast("double")).as("ln_prod"),
+        count(lit(1)).as("n_lines"))
+      .orderBy($"l_orderkey")
+  }
+
+  val aggProductSql: String =
+    """SELECT l_orderkey,
+      |  product(CAST(l_linenumber AS DOUBLE)) AS ln_prod,
+      |  count(*) AS n_lines
+      |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
+  /** Distinct count under BOTH null policies (types.hpp null_policy,
+    * distinct_count: EXCLUDE skips nulls — the SQL default — INCLUDE
+    * counts null as one more distinct value, cudf's default). Nulls
+    * manufactured in-plan so the policy split is observable. */
+  def aggDistinctNulls(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = when($"o_orderstatus" === "F", lit(null).cast("string"))
+      .otherwise($"o_orderstatus")
+    Tables.orders(s, dir).groupBy($"o_orderpriority")
+      .agg(countDistinct(v).as("nd_excl"),
+        (countDistinct(v) +
+          max(when(v.isNull, 1L).otherwise(0L))).as("nd_incl"),
+        sum(when(v.isNull, 1L).otherwise(0L)).as("n_null"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggDistinctNullsSql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT v) AS nd_excl,
+      |  CAST(count(DISTINCT v) +
+      |    max(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nd_incl,
+      |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      |FROM (SELECT o_orderpriority,
+      |        CASE WHEN o_orderstatus = 'F' THEN NULL
+      |             ELSE o_orderstatus END AS v FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** ARGMAX/ARGMIN (aggregation.hpp:96-97) → max_by/min_by. The ordering
     * value is made unique (price scaled + rowkey) so arg ties cannot make
     * the result nondeterministic across engines. */
@@ -424,6 +473,8 @@ object Aggs extends QueryPack {
     "agg_mode" -> aggMode,
     "agg_basic" -> aggBasic,
     "agg_distinct" -> aggDistinct,
+    "agg_distinct_nulls" -> aggDistinctNulls,
+    "agg_product" -> aggProduct,
     "agg_argminmax" -> aggArgMinMax,
     "agg_bool_bitwise" -> aggBoolBitwise,
     "agg_stats" -> aggStats,
@@ -441,6 +492,8 @@ object Aggs extends QueryPack {
     "agg_mode" -> aggModeSql,
     "agg_basic" -> aggBasicSql,
     "agg_distinct" -> aggDistinctSql,
+    "agg_distinct_nulls" -> aggDistinctNullsSql,
+    "agg_product" -> aggProductSql,
     "agg_argminmax" -> aggArgMinMaxSql,
     "agg_bool_bitwise" -> aggBoolBitwiseSql,
     "agg_stats" -> aggStatsSql,

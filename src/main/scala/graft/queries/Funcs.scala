@@ -597,6 +597,42 @@ object Funcs extends QueryPack {
       |  array_to_string(regexp_extract_all(p_name, '[aeiou]+'), ',') AS fa
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** normalize_nans_and_zeros (replace.hpp:282 — the codegen
+    * `NormalizeNaNZero` expression): −0.0 → +0.0 and every NaN bit
+    * pattern → the canonical NaN. Gated through IEEE OBSERVABLES (the
+    * raw bits aren't SQL-visible): isnan, reciprocal sign — 1/(+0.0) =
+    * +Inf only AFTER −0.0 normalizes, the exact bug the reference op
+    * exists to fix — and zero-equality. The oracle recomputes the
+    * expected truth table from the row key alone, independent of any
+    * engine float edge case. */
+  def mathNormalize(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftExpressions.normalizeNanZero
+    import graft.plans.HashVariants.byteCast
+    import s.implicits._
+    val v = when($"p_partkey" % 3 === 0, lit(Double.NaN))
+      .when($"p_partkey" % 3 === 1, lit(-0.0))
+      .otherwise(lit(0.0) - $"p_size".cast("double"))
+    val n = normalizeNanZero(v)
+    Tables.part(s, dir).select($"p_partkey",
+        // exact IEEE-754 bits for the two rewritten classes: every NaN
+        // pattern → the canonical quiet NaN, −0.0 → +0.0
+        when($"p_partkey" % 3 < 2, hex(byteCast(n)))
+          .otherwise(lit(null).cast("string")).as("bits_hex"),
+        // negative finite values pass through bit-identically
+        ($"p_partkey" % 3 < 2 ||
+          n === (lit(0.0) - $"p_size".cast("double"))).as("passthrough"),
+        isnan(n).as("is_nan"))
+      .orderBy($"p_partkey")
+  }
+
+  val mathNormalizeSql: String =
+    """SELECT p_partkey,
+      |  CASE WHEN p_partkey % 3 = 0 THEN '7FF8000000000000'
+      |       WHEN p_partkey % 3 = 1 THEN '0000000000000000' END AS bits_hex,
+      |  true AS passthrough,
+      |  p_partkey % 3 = 0 AS is_nan
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** String attributes (strings/attributes.hpp: count_characters:46,
     * count_bytes:66, code_points:84): char vs UTF-8-byte length split
     * on names with multibyte content mixed in, plus the first/last
@@ -847,6 +883,7 @@ object Funcs extends QueryPack {
     "str_case_convert" -> strCaseConvert,
     "str_numeric_convert" -> strNumericConvert,
     "str_attributes" -> strAttributes,
+    "math_normalize" -> mathNormalize,
     "str_extra" -> strExtra,
     "str_chartypes" -> strChartypes,
     "dt_calendar" -> dtCalendar,
@@ -878,6 +915,7 @@ object Funcs extends QueryPack {
     "str_case_convert" -> strCaseConvertSql,
     "str_numeric_convert" -> strNumericConvertSql,
     "str_attributes" -> strAttributesSql,
+    "math_normalize" -> mathNormalizeSql,
     "str_extra" -> strExtraSql,
     "str_chartypes" -> strChartypesSql,
     "dt_calendar" -> dtCalendarSql,
