@@ -512,12 +512,13 @@ final case class GFrame(df: DataFrame) {
     GFrame(graft.operators.Stats.mannWhitney(df, groupCol, valueCol,
       labelA, labelB))
   /** Bootstrap (with-replacement) resampling: `draws` independent
-    * portable-hash Bernoulli(p) trials per row, zero-shuffle;
-    * per-draw_idx aggregation yields the bootstrap distribution. */
-  def bootstrapSample(idCol: String, draws: Int, p: Double,
+    * Poisson(lambda) multiplicities per row inverted from the portable
+    * hash (a row can repeat within a draw), zero-shuffle; per-draw_idx
+    * aggregation yields the bootstrap distribution. */
+  def bootstrapSample(idCol: String, draws: Int, lambda: Double,
       seed: String): GFrame =
     GFrame(graft.operators.Curation.bootstrapSample(df, idCol, draws,
-      p, seed))
+      lambda, seed))
   /** Nearest-neighbor image resize over (media_id, payload, mime) rows
     * — deterministic integer resample, lossless BMP re-encode;
     * non-image mimes pass through. */

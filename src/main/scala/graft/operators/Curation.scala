@@ -105,24 +105,53 @@ object Curation {
       .drop("_rn")
   }
 
-  /** Bootstrap (with-replacement) sampling: each row is emitted once
-    * per accepted draw among `draws` independent portable-hash
-    * Bernoulli(p) trials — E[copies] = draws·p per row, the
-    * resample-with-replacement primitive bagging and bootstrap
-    * confidence intervals need (the reference's sample(replace=True);
-    * every other sampler here is without-replacement). Each
-    * (row, draw) trial hashes (seed | draw#id), so the resample set is
+  /** Cumulative Poisson(lambda) CDF values F(0), F(1), … up to the
+    * first K with tail mass below 1e-12 — the shared threshold grid
+    * [[bootstrapSample]] and its DuckDB oracle both compare the
+    * portable hash against (literal-for-literal, so the two engines
+    * can never disagree on a multiplicity). */
+  def poissonCdfs(lambda: Double): Seq[Double] = {
+    require(lambda > 0 && lambda <= 8, "need 0 < lambda <= 8")
+    val out = Seq.newBuilder[Double]
+    var pmf = math.exp(-lambda); var cdf = pmf; var k = 0
+    out += cdf
+    while (1.0 - cdf > 1e-12 && k < 64) {
+      k += 1; pmf *= lambda / k; cdf += pmf; out += cdf
+    }
+    out.result()
+  }
+
+  /** Bootstrap (with-replacement) resampling: per (row, draw) the
+    * multiplicity m is drawn from Poisson(lambda) by inverting the CDF
+    * on the portable [[hashUnit]] — the Poisson bootstrap, the
+    * distributed-scale stand-in for multinomial n-out-of-n resampling
+    * (the reference's sample(replace=True); every other sampler here
+    * is without-replacement). A row can therefore appear SEVERAL times
+    * within one resample (copy_idx distinguishes the copies), which is
+    * what gives per-draw statistics genuine bootstrap variance — a
+    * Bernoulli keep/drop per draw would cap multiplicity at 1 and
+    * yield the narrower m-out-of-n subsampling distribution instead.
+    * Each (row, draw) hashes (seed | draw#id), so the resample set is
     * deterministic, engine-replayable, and invariant to partitioning
     * and cluster layout; the per-row explode is a map stage — zero
-    * shuffle — and the emitted draw_idx keeps the resamples
+    * shuffle — and draw_idx keeps the `draws` resamples
     * distinguishable downstream (per-draw aggregation = the bootstrap
-    * distribution). */
+    * distribution). E[copies per draw] = lambda; lambda = 1 is the
+    * classic full-size bootstrap, lambda < 1 a Poissonized
+    * m-out-of-n. */
   def bootstrapSample(df: DataFrame, idCol: String, draws: Int,
-      p: Double, seed: String): DataFrame = {
-    require(draws > 0 && p > 0 && p <= 1, "need draws > 0, 0 < p <= 1")
-    df.withColumn("draw_idx", explode(sequence(lit(0), lit(draws - 1))))
-      .filter(hashUnit(
-        concat_ws("#", col("draw_idx"), col(idCol)), seed) < p)
+      lambda: Double, seed: String): DataFrame = {
+    require(draws > 0, "need draws > 0")
+    val cdfs = poissonCdfs(lambda)
+    val withDraw = df.withColumn("draw_idx",
+      explode(sequence(lit(0), lit(draws - 1))))
+    val u = hashUnit(concat_ws("#", col("draw_idx"), col(idCol)), seed)
+    val mult = cdfs.map(t => when(u >= lit(t), 1).otherwise(0))
+      .reduce(_ + _)
+    withDraw.withColumn("__mult", mult)
+      .filter(col("__mult") > 0)
+      .withColumn("copy_idx", explode(sequence(lit(1), col("__mult"))))
+      .drop("__mult")
   }
 
   /** Weighted mixture sampling: keep a row iff its [[hashUnit]] is below
@@ -564,6 +593,13 @@ object Curation {
     val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("n"))
     val nRef = totals.filter(col("g") === refGroup)
       .select(col("n").as("n_ref"))
+    // A typo'd reference group must fail LOUDLY: the crossJoin below
+    // would otherwise annihilate every group and a drift monitor that
+    // gates retraining refreshes would read "no drift" forever. One
+    // 1-row action on the histogram-sized totals frame — negligible.
+    require(!nRef.isEmpty,
+      s"driftReport: reference group '$refGroup' has no non-null rows " +
+        s"in $groupCol/$valueCol — refusing to emit an empty report")
     val refCounts = counts.filter(col("g") === refGroup)
       .select(col("v"), col("c").as("cr"))
     val others = totals.filter(col("g") =!= refGroup)

@@ -212,6 +212,11 @@ object LinkAnalysis {
         org.apache.spark.sql.graftshim.CheckpointUtil.free(next)
       }
     }
+    // the final frontier's rows already live in visited (it was unioned
+    // in the round that produced it) — free its checkpoint blocks too,
+    // or every call leaks one frontier-sized RDD until session end
+    if (frontier ne visited)
+      org.apache.spark.sql.graftshim.CheckpointUtil.free(frontier)
     ed.unpersist()
     visited.select($"id", $"level".cast("long").as("level"))
   }

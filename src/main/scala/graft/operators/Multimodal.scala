@@ -187,6 +187,11 @@ object Multimodal {
     * Non-image mimes pass through untouched with resized=false. */
   def resizeImages(df: DataFrame, dstW: Int, dstH: Int): DataFrame = {
     require(dstW > 0 && dstH > 0, "target dims must be positive")
+    // All index math below runs in Long: x*sw and dstW*dstH*3 overflow
+    // Int around 50k-pixel edges, turning into negative indices /
+    // array sizes — fail loudly at the boundary instead.
+    require(dstW.toLong * dstH * 3 <= Int.MaxValue,
+      s"target ${dstW}x$dstH exceeds a JVM byte-array (w*h*3 > 2^31-1)")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("payload"), col("mime"))
@@ -201,13 +206,15 @@ object Multimodal {
           }
           decoded match {
             case Some((sw, sh, rgb)) =>
+              require(sw.toLong * sh * 3 <= Int.MaxValue,
+                s"decoded ${sw}x$sh exceeds a JVM byte-array")
               val out = new Array[Byte](dstW * dstH * 3)
               var y = 0
               while (y < dstH) {
-                val sy = y * sh / dstH
+                val sy = (y.toLong * sh / dstH).toInt
                 var x = 0
                 while (x < dstW) {
-                  val sx = x * sw / dstW
+                  val sx = (x.toLong * sw / dstW).toInt
                   val si = (sy * sw + sx) * 3
                   val di = (y * dstW + x) * 3
                   out(di) = rgb(si)

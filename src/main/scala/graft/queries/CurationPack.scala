@@ -62,14 +62,16 @@ object CurationPack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
 
   /** Bootstrap resampling ([[Curation.bootstrapSample]]): 8 independent
-    * with-replacement half-corpus draws, then the per-draw doc count
-    * and total chars — i.e. the BOOTSTRAP DISTRIBUTION of a corpus
-    * statistic, computed in one zero-shuffle explode + one aggregate.
-    * Every (row, draw) membership is the portable hash both engines
-    * compute, so the 8-row distribution replays exactly. */
+    * Poisson(0.5) with-replacement draws (per-(row,draw) multiplicity
+    * inverted from the portable hash, so one resample can hold SEVERAL
+    * copies of a document), then the per-draw resample size and total
+    * chars — i.e. the BOOTSTRAP DISTRIBUTION of a corpus statistic,
+    * computed in one zero-shuffle explode + one aggregate. The oracle
+    * replays the identical Poisson-CDF threshold literals, so the 8-row
+    * distribution (including multiplicities) matches bit-for-bit. */
   def bootstrapQ(s: SparkSession, dir: String): DataFrame =
     Curation.bootstrapSample(Tables.documents(s, dir), "doc_id",
-        draws = 8, p = 0.5, seed = "graft")
+        draws = 8, lambda = 0.5, seed = "graft")
       .groupBy(col("draw_idx"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars").cast("bigint")).as("sum_chars"))
@@ -78,11 +80,16 @@ object CurationPack extends QueryPack {
   val bootstrapSql: String = {
     val u = uSql("CAST(draw_idx AS VARCHAR) || '#' || " +
       "CAST(doc_id AS VARCHAR)", "graft")
-    s"""SELECT draw_idx, CAST(count(*) AS BIGINT) AS n_docs,
-       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-       |FROM (SELECT doc_id, n_chars, unnest(range(0, 8)) AS draw_idx
-       |      FROM documents)
-       |WHERE $u < 0.5
+    val mult = Curation.poissonCdfs(0.5)
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""SELECT draw_idx, CAST(sum(mult) AS BIGINT) AS n_docs,
+       |  CAST(sum(mult * n_chars) AS BIGINT) AS sum_chars
+       |FROM (SELECT draw_idx, n_chars, $mult AS mult
+       |      FROM (SELECT draw_idx, n_chars, $u AS u
+       |            FROM (SELECT doc_id, n_chars,
+       |                  unnest(range(0, 8)) AS draw_idx
+       |                  FROM documents)))
        |GROUP BY draw_idx ORDER BY draw_idx""".stripMargin
   }
 

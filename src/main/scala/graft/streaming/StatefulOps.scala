@@ -418,16 +418,28 @@ object StatefulOps {
     * and batch paths can never drift from EACH OTHER. */
   private[graft] def driftNums(g: Map[Long, Long],
       ref: Map[Long, Long]): (Long, Long, Long) = {
-    val ng = g.values.sum
-    val nr = ref.values.sum
-    var cg = 0L; var cr = 0L; var ks = 0L; var tvd = 0L
+    // Cross-products accumulate in BigInt, mirroring the batch
+    // operator's DECIMAL(38,0) exactness (n_ref·n_g overflows Long past
+    // ~3e9-count histograms); emission narrows back to Long with a
+    // LOUD failure rather than a silent wrap, so the "streaming can
+    // never drift from batch" contract holds or aborts, never lies.
+    val ng = BigInt(g.values.sum)
+    val nr = BigInt(ref.values.sum)
+    var cg = BigInt(0); var cr = BigInt(0)
+    var ks = BigInt(0); var tvd = BigInt(0)
     (g.keySet ++ ref.keySet).toSeq.sorted.foreach { v =>
-      val dg = g.getOrElse(v, 0L); val dr = ref.getOrElse(v, 0L)
+      val dg = BigInt(g.getOrElse(v, 0L)); val dr = BigInt(ref.getOrElse(v, 0L))
       cg += dg; cr += dr
-      ks = math.max(ks, math.abs(cr * ng - cg * nr))
-      tvd += math.abs(dg * nr - dr * ng)
+      ks = ks.max((cr * ng - cg * nr).abs)
+      tvd += (dg * nr - dr * ng).abs
     }
-    (ks, tvd, nr * ng)
+    def toL(x: BigInt, what: String): Long = {
+      require(x.isValidLong,
+        s"driftStream $what numerator $x exceeds Long; widen DriftOut " +
+          "to decimal before monitoring histograms this hot")
+      x.toLong
+    }
+    (toL(ks, "KS"), toL(tvd, "TVD"), toL(nr * ng, "denominator"))
   }
 
   /** Streaming distribution-drift monitor — the per-window twin of the

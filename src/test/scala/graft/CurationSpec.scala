@@ -475,24 +475,32 @@ class CurationSpec extends AnyFunSuite {
   test("bootstrapSample: deterministic, layout-invariant, per-draw independent") {
     import spark.implicits._
     val df = (1L to 400L).toDF("id")
-    val a = Curation.bootstrapSample(df, "id", draws = 4, p = 0.5, "s")
-      .select("id", "draw_idx").as[(Long, Int)].collect().sorted.toSeq
+    val a = Curation.bootstrapSample(df, "id", draws = 4, lambda = 0.5, "s")
+      .select("id", "draw_idx", "copy_idx")
+      .as[(Long, Int, Int)].collect().sorted.toSeq
     // deterministic across runs and across partition layouts
     val b = Curation.bootstrapSample(df.repartition(7), "id", 4, 0.5, "s")
-      .select("id", "draw_idx").as[(Long, Int)].collect().sorted.toSeq
+      .select("id", "draw_idx", "copy_idx")
+      .as[(Long, Int, Int)].collect().sorted.toSeq
     assert(a == b)
-    // a row appears at most once per draw; copies range over 0..draws
+    // copy_idx distinguishes within-draw copies, so rows are unique keys
     assert(a.distinct.size == a.size)
-    val copies = a.groupBy(_._1).view.mapValues(_.size)
-    assert(copies.values.max <= 4)
-    // with-replacement: some row is drawn more than once, some never
-    assert(copies.values.exists(_ >= 2))
-    assert(copies.size < 400 || copies.values.exists(_ == 0))
-    // expected volume 400*4*0.5 = 800, binomial sd ~20 — wide 5-sd gate
-    assert(math.abs(a.size - 800) < 100, s"got ${a.size}")
+    // genuine with-replacement: some (row, draw) has multiplicity >= 2
+    val perDraw = a.groupBy(t => (t._1, t._2)).view.mapValues(_.size)
+    assert(perDraw.values.exists(_ >= 2),
+      "Poisson(0.5) over 1600 trials must produce a multiplicity >= 2")
+    // ...and multiplicities follow the inverse-CDF: max is small
+    assert(perDraw.values.max <= 8)
+    // some row is never drawn in some draw (P[m=0] = e^-0.5 ~ 0.61)
+    assert(perDraw.size < 1600)
+    // expected volume 400*4*0.5 = 800, sd ~28 — wide 5-sd gate
+    assert(math.abs(a.size - 800) < 150, s"got ${a.size}")
     // draws are independent trials: draw 0's kept set differs from draw 1's
-    val d0 = a.collect { case (id, 0) => id }.toSet
-    val d1 = a.collect { case (id, 1) => id }.toSet
+    val d0 = a.collect { case (id, 0, _) => id }.toSet
+    val d1 = a.collect { case (id, 1, _) => id }.toSet
     assert(d0 != d1)
+    // per-(row,draw) multiplicity matches a driver-side Poisson inversion
+    val cdfs = Curation.poissonCdfs(0.5)
+    assert(cdfs.head > 0.60 && cdfs.head < 0.61 && cdfs.last > 1 - 1e-12)
   }
 }

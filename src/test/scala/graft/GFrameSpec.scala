@@ -410,7 +410,7 @@ class GFrameSpec extends AnyFunSuite {
     assert(r.getLong(2) == 4L && r.getLong(3) == 14L,
       "doubled U values via the facade match the operator")
     val bs = GFrame((1L to 50L).toDF("id"))
-      .bootstrapSample("id", draws = 3, p = 0.5, seed = "s").toDF
+      .bootstrapSample("id", draws = 3, lambda = 0.5, seed = "s").toDF
     assert(bs.columns.contains("draw_idx") && bs.count() > 0)
     val img = Seq((1L,
       graft.operators.MediaCodec.bmpEncode(2, 2, Array.fill(12)(7.toByte)),
