@@ -74,7 +74,9 @@ object PlanDump {
       "ds_frequent_best" ->
         "Frequent-items x best-customers (Q23 shape): both qualifier sets reduce to aggregate-sized (key) tables and enter the final pass as BroadcastHashJoin LeftSemi — the fact scan is filtered in place, never shuffled on a qualifier key; the two 1-row thresholds ride broadcasts into integer-exact cross-multiplied predicates.",
       "ds_two_ended_rank" ->
-        "Two-ended leaderboard (Q44 shape): each end is a TakeOrderedAndProject partial top-k over the per-part aggregate; at runtime AQE's ReusedExchange dedupes the two identical aggregates, so the fact is scanned and aggregated ONCE. (Executed adaptive plan.)")
+        "Two-ended leaderboard (Q44 shape): each end is a TakeOrderedAndProject partial top-k over the per-part aggregate; at runtime AQE's ReusedExchange dedupes the two identical aggregates, so the fact is scanned and aggregated ONCE. (Executed adaptive plan.)",
+      "ds_or_exists" ->
+        "OR-of-EXISTS decorrelation (Q35/Q69 shape): the conjunctive EXISTS plans as a LeftSemi hash join on o_custkey and the two disjunctive EXISTS become ExistenceJoin mark-joins whose boolean marks OR in a post-join Filter — three equi-joins, each probe side pre-filtered before its exchange, no CartesianProduct anywhere.")
     // queries whose evidence IS the runtime plan (AQE stage reuse only
     // materializes after execution): run them, dump the final plan
     val executed = Set("q11_important_stock", "q20_potential_promotion",

@@ -14,7 +14,7 @@ object SparkEntry {
   /** All query packs, each covering a slice of the SURVEY §2 inventory. */
   private def packs: Seq[QueryPack] =
     Seq(Tpch, Tpch2, Tpch3, TpcDs, Joins, Aggs, Windows, SortSet, Funcs,
-      Nested, TextOps, EventOps, IoPack, MiscPack, CurationPack)
+      Nested, TextOps, EventOps, IoPack, MiscPack, CurationPack, StreamPack)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -91,6 +91,28 @@ object IoPack extends QueryPack {
        |  min(c_custkey) AS min_key, max(c_name) AS max_name
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** The §2.1 pluggable-source (DSv2) row exercised INSIDE the gate —
+    * datasource.hpp's pluggability contract: write a customer slice
+    * through the registered `graft-avro` source's two-phase-commit
+    * BatchWrite, read it back through its ScanBuilder (which prunes to
+    * the columns this aggregate references — PlanSpec asserts the
+    * pruned read schema), and aggregate per segment. */
+  def avroDsv2RoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch("avro_dsv2_customer")
+    Tables.customer(s, dir)
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+      .write.format("graft-avro").mode("overwrite").save(path)
+    s.read.format("graft-avro").load(path)
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n"), dsum($"c_acctbal", 2).as("sum_bal"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val avroDsv2RoundTripSql: String =
+    s"""SELECT c_mktsegment, count(*) AS n, ${dsumSql("c_acctbal", 2)} AS sum_bal
+       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** Custom-delimiter text records (text/multibyte_split.hpp:37):
     * write ';'-separated records, read with lineSep, aggregate lengths. */
   def textDelim(s: SparkSession, dir: String): DataFrame = {
@@ -195,6 +217,7 @@ object IoPack extends QueryPack {
     "io_json_roundtrip" -> jsonRoundTrip,
     "io_orc_roundtrip" -> orcRoundTrip,
     "io_avro_roundtrip" -> avroRoundTrip,
+    "io_avro_dsv2_roundtrip" -> avroDsv2RoundTrip,
     "io_text_delim" -> textDelim,
     "io_bucketed_join" -> bucketedJoin,
     "io_partition_prune" -> partitionPrune,
@@ -205,6 +228,7 @@ object IoPack extends QueryPack {
     "io_json_roundtrip" -> jsonRoundTripSql,
     "io_orc_roundtrip" -> orcRoundTripSql,
     "io_avro_roundtrip" -> avroRoundTripSql,
+    "io_avro_dsv2_roundtrip" -> avroDsv2RoundTripSql,
     "io_text_delim" -> textDelimSql,
     "io_bucketed_join" -> bucketedJoinSql,
     "io_partition_prune" -> partitionPruneSql,

@@ -1,0 +1,301 @@
+package graft.queries
+
+import java.sql.Timestamp
+
+import graft.Tables
+import graft.streaming.{Replay, StatefulOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated STREAMING queries (SURVEY.md §2.10): each entry replays
+  * a fixed micro-batch schedule of the events table through a
+  * StatefulOps twin via [[graft.streaming.Replay]] and exposes the
+  * final emitted table — the same rows a DuckDB batch SQL over the
+  * same parquet computes, because every twin is contractually equal to
+  * its batch operator under any batch schedule (mergeable state /
+  * in-order feed / exact integer numerators).
+  *
+  * Determinism ground rules shared by all entries:
+  *  - feeds are time-ordered slices (plus far-future sentinel batches
+  *    where event-time timers must drain), so no row is ever
+  *    watermark-dropped and the replay equals the batch semantics;
+  *  - every double that crosses an aggregation is integer-valued
+  *    (round(value*100)) so float summation order cannot matter;
+  *  - session/window times are millisecond-truncated in BOTH engines
+  *    (java.sql.Timestamp.getTime carries ms), oracle side via
+  *    (epoch_us(ts) // 1000).
+  */
+object StreamPack extends QueryPack {
+
+  /** Oracle SQL for the portable md5-60 hash unit (same pipeline as
+    * Curation.hashUnit / PortableHash.md5_60). */
+  private def uSql(keyExpr: String, seed: String): String =
+    s"(('0x' || substring(md5('$seed|' || CAST($keyExpr AS VARCHAR)), 1, 15))" +
+      "::BIGINT::DOUBLE / 1152921504606846976.0)"
+
+  private val Batches = 4
+
+  // -- incremental per-key aggregation --------------------------------------
+
+  /** streaming_groupby parity, end-to-end: runningAgg over 4 time-ordered
+    * micro-batches; the gate row is each key's LAST Update-mode emission
+    * (= final state = whole-stream aggregate). */
+  def runningAggQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("value"))
+      .orderBy("ts", "event_type")
+      .as[(Timestamp, String, Double)].collect().toSeq
+      .map { case (_, et, v) => (et, math.round(v * 100).toDouble) }
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches), "update") { ds =>
+      StatefulOps.runningAgg(ds.groupByKey(_._1)).toDF()
+    }
+    val w = Window.partitionBy(col("key")).orderBy(col("batch_id").desc)
+    out.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select(col("key"), col("count").as("cnt"), col("sum").as("total"))
+      .orderBy("key")
+  }
+
+  val runningAggSql: String =
+    """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS cnt,
+      |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) AS total
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -- streaming exact dedup ------------------------------------------------
+
+  /** streamingDedup exactly-once proof: every (user_id, event_type) key
+    * survives the whole replay EXACTLY once (n_emitted = 1 for every
+    * distinct key — a dropped-dup bug would push a key to 2+, a
+    * lost-row bug would drop its row). Watermark delay exceeds the
+    * corpus span so no dedup state is evicted mid-replay. */
+  def dedupQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("event_type"))
+      .orderBy("ts", "user_id")
+      .as[(Timestamp, Long, String)].collect().toSeq
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches), "append") { ds =>
+      StatefulOps.streamingDedup(ds.toDF("ts", "user_id", "event_type"),
+        "ts", "40 days", Seq("user_id", "event_type"))
+    }
+    out.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_emitted"))
+      .orderBy("user_id", "event_type")
+  }
+
+  val dedupSql: String =
+    """SELECT user_id, event_type, CAST(1 AS BIGINT) AS n_emitted
+      |FROM (SELECT DISTINCT user_id, event_type FROM events)
+      |ORDER BY user_id, event_type""".stripMargin
+
+  // -- event-time sessionization -------------------------------------------
+
+  private val GapMs = 2L * 60 * 60 * 1000 // 2h session gap
+
+  /** sessionizeStream vs the batch gaps-and-islands oracle: 2h gap,
+    * 10-minute watermark, time-ordered feed; two far-future sentinel
+    * batches (excluded user −1) advance the watermark so every real
+    * session's event-time timer fires before the replay ends. */
+  def sessionizeQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("value"))
+      .orderBy("ts", "user_id")
+      .as[(Timestamp, Long, Double)].collect().toSeq
+      .map { case (t, u, v) => (u, t, math.round(v * 100).toDouble) }
+    val maxMs = rows.map(_._2.getTime).max
+    val day = 86400000L
+    val sentinels = Seq(
+      Seq((-1L, new Timestamp(maxMs + 30 * day), 0.0)),
+      Seq((-1L, new Timestamp(maxMs + 31 * day), 0.0)))
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
+      "append") { ds =>
+      val wm = ds.toDF("user", "ts", "value").withWatermark("ts", "10 minutes")
+      StatefulOps.sessionizeStream(
+        wm.as[(Long, Timestamp, Double)].groupByKey(_._1), GapMs).toDF()
+    }
+    out.filter(col("user") >= 0)
+      .select(col("user").as("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val sessionizeSql: String =
+    s"""WITH e AS (SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS tus,
+       |             CAST(round(value * 100) AS DOUBLE) AS v FROM events),
+       |o AS (SELECT user_id, tus, v,
+       |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+       |      FROM e),
+       |m AS (SELECT user_id, tus, v,
+       |        sum(CASE WHEN prev IS NULL OR tus - prev > ${GapMs * 1000}
+       |            THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY tus
+       |                ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM o)
+       |SELECT user_id, CAST(min(tus) AS BIGINT) AS start_us,
+       |  CAST(max(tus) AS BIGINT) AS end_us,
+       |  CAST(count(*) AS BIGINT) AS n_events,
+       |  CAST(sum(v) AS DOUBLE) AS sum_value
+       |FROM m GROUP BY user_id, sid
+       |ORDER BY user_id, start_us""".stripMargin
+
+  // -- streaming drift monitor ---------------------------------------------
+
+  private val WinMs = 7L * 86400000 // 7-day tumbling drift windows
+
+  /** driftStream vs a per-window SQL replay of the exact integer
+    * KS/TVD numerators (binWidth 1): metric = round(value·100) mod 7,
+    * reference histogram = the 'view' rows' metric distribution
+    * (computed batch-side and broadcast, exactly as a production
+    * monitor would pin a trusted-corpus histogram). Sentinel batches
+    * close every real window; the sentinels' own window never fires
+    * (its close time stays past the final watermark). */
+  def driftQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"),
+        (round(col("value") * 100).cast("long") % 7).as("v"))
+    val ref = ev.filter(col("event_type") === "view")
+      .groupBy("v").count()
+      .as[(Long, Long)].collect().toMap
+    val rows = ev.orderBy("ts", "v").select("ts", "v")
+      .as[(Timestamp, Long)].collect().toSeq
+    val maxMs = rows.map(_._1.getTime).max
+    val day = 86400000L
+    val sentinels = Seq(
+      Seq((new Timestamp(maxMs + 60 * day), 0L)),
+      Seq((new Timestamp(maxMs + 61 * day), 0L)))
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
+      "append") { ds =>
+      val wm = ds.toDF("ts", "v").withWatermark("ts", "1 hour")
+      StatefulOps.driftStream(
+        wm.as[(Timestamp, Long)].groupByKey(r => (r._1.getTime / WinMs) * WinMs),
+        ref, WinMs).toDF()
+    }
+    out.select(col("winStart").as("win_start"), col("n"),
+        col("ksNum").as("ks_num"), col("tvdNum").as("tvd_num"), col("den"))
+      .orderBy("win_start")
+  }
+
+  val driftSql: String =
+    s"""WITH e AS (SELECT ((epoch_us(ts) // 1000) // $WinMs) * $WinMs AS w,
+       |             CAST(round(value * 100) AS BIGINT) % 7 AS v,
+       |             event_type FROM events),
+       |g AS (SELECT w, v, CAST(count(*) AS BIGINT) AS cg FROM e GROUP BY 1, 2),
+       |r AS (SELECT v, CAST(count(*) AS BIGINT) AS cr FROM e
+       |      WHERE event_type = 'view' GROUP BY 1),
+       |ng AS (SELECT w, CAST(sum(cg) AS BIGINT) AS n_g FROM g GROUP BY w),
+       |nr AS (SELECT CAST(sum(cr) AS BIGINT) AS n FROM r),
+       |vals AS (SELECT v FROM g UNION SELECT v FROM r),
+       |grid AS (SELECT ng.w, ng.n_g, vals.v FROM ng CROSS JOIN vals),
+       |j AS (SELECT grid.w, grid.n_g, grid.v,
+       |        COALESCE(g.cg, 0) AS cg, COALESCE(r.cr, 0) AS cr
+       |      FROM grid LEFT JOIN g ON g.w = grid.w AND g.v = grid.v
+       |      LEFT JOIN r ON r.v = grid.v),
+       |cum AS (SELECT w, n_g, cg, cr,
+       |          sum(cg) OVER (PARTITION BY w ORDER BY v) AS acc_g,
+       |          sum(cr) OVER (PARTITION BY w ORDER BY v) AS acc_r
+       |        FROM j)
+       |SELECT w AS win_start, n_g AS n,
+       |  CAST(max(abs(acc_r * n_g - acc_g * (SELECT n FROM nr))) AS BIGINT)
+       |    AS ks_num,
+       |  CAST(sum(abs(cg * (SELECT n FROM nr) - cr * n_g)) AS BIGINT)
+       |    AS tvd_num,
+       |  CAST(n_g * (SELECT n FROM nr) AS BIGINT) AS den
+       |FROM cum GROUP BY w, n_g ORDER BY win_start""".stripMargin
+
+  // -- streaming weighted reservoir ----------------------------------------
+
+  private val ReservoirK = 10
+
+  /** weightedReservoirStream vs the batch weighted sample: per
+    * event_type, the k = 10 events with the smallest portable
+    * priorities q = u/weight after the ENTIRE replay (each group's
+    * last Update-mode emission = its merged final reservoir). */
+  def reservoirQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("event_type"), col("event_id"), col("value"))
+      .orderBy("ts", "event_id")
+      .as[(Timestamp, String, Long, Double)].collect().toSeq
+      .map { case (_, et, id, v) => StatefulOps.WRIn(et, id, v) }
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches), "update") { ds =>
+      StatefulOps.weightedReservoirStream(
+        ds.groupByKey(_.group), ReservoirK, "graft").toDF()
+    }
+    val lastBatch = out.groupBy("group").agg(max("batch_id").as("__mb"))
+    out.join(lastBatch, "group").filter(col("batch_id") === col("__mb"))
+      .select(col("group").as("event_type"), col("id").as("event_id"),
+        col("weight"))
+      .orderBy("event_type", "event_id")
+  }
+
+  val reservoirSql: String =
+    s"""SELECT event_type, event_id, value AS weight FROM (
+       |  SELECT event_type, event_id, value,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY ${uSql("event_id", "graft")} / value, event_id) AS rn
+       |  FROM events WHERE value > 0 AND NOT isnan(value))
+       |WHERE rn <= $ReservoirK ORDER BY event_type, event_id""".stripMargin
+
+  // -- streaming as-of join -------------------------------------------------
+
+  /** asofJoinStream vs a batch "latest reference at-or-before" window
+    * replay: views are the reference stream (side L), clicks the probe
+    * stream (side R), both fed time-ordered through one tagged union —
+    * so the append-mode stream equals the batch as-of join exactly
+    * (the data has zero same-user same-ms view/click collisions, so
+    * the L-before-R tie rule never has to break a real tie). */
+  def asofQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("ts"), col("user_id"),
+        when(col("event_type") === "view", "L").otherwise("R").as("side"),
+        col("value"))
+      .orderBy("ts", "user_id")
+      .as[(Timestamp, Long, String, Double)].collect().toSeq
+      .map { case (t, u, sd, v) => StatefulOps.AsOfIn(u, t, sd, v) }
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches), "append") { ds =>
+      StatefulOps.asofJoinStream(ds.groupByKey(_.key)).toDF()
+    }
+    out.select(col("key").as("user_id"), col("right_ts_us"),
+        col("right_value"), col("left_ts_us"), col("left_value"))
+      .orderBy("user_id", "right_ts_us")
+  }
+
+  val asofSql: String =
+    """WITH u AS (
+      |  SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS tus, value,
+      |         CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS sd
+      |  FROM events WHERE event_type IN ('view', 'click')),
+      |o AS (SELECT user_id, tus, value, sd,
+      |        last_value(CASE WHEN sd = 0 THEN tus END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY tus, sd
+      |                ROWS UNBOUNDED PRECEDING) AS l_ts,
+      |        last_value(CASE WHEN sd = 0 THEN value END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY tus, sd
+      |                ROWS UNBOUNDED PRECEDING) AS l_val
+      |      FROM u)
+      |SELECT user_id, CAST(tus AS BIGINT) AS right_ts_us,
+      |  value AS right_value, CAST(l_ts AS BIGINT) AS left_ts_us,
+      |  l_val AS left_value
+      |FROM o WHERE sd = 1 ORDER BY user_id, right_ts_us""".stripMargin
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_running_agg" -> runningAggQ,
+    "stream_dedup" -> dedupQ,
+    "stream_sessionize" -> sessionizeQ,
+    "stream_drift" -> driftQ,
+    "stream_weighted_reservoir" -> reservoirQ,
+    "stream_asof" -> asofQ)
+
+  override def oracle: Map[String, String] = Map(
+    "stream_running_agg" -> runningAggSql,
+    "stream_dedup" -> dedupSql,
+    "stream_sessionize" -> sessionizeSql,
+    "stream_drift" -> driftSql,
+    "stream_weighted_reservoir" -> reservoirSql,
+    "stream_asof" -> asofSql)
+}

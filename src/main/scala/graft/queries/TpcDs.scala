@@ -1575,7 +1575,51 @@ object TpcDs extends QueryPack {
       |FROM best JOIN worst USING (rnk)
       |WHERE rnk <= 10 ORDER BY rnk""".stripMargin
 
+  /** DS Q35/Q69 family — the OR-of-EXISTS decorrelation shape: report
+    * customers with any pre-1997 order AND a disjunctive existential
+    * over two "channels" (urgent-priority vs low-priority orders).
+    * Written as SQL EXISTS-in-disjunction ON PURPOSE: Catalyst's
+    * RewritePredicateSubquery turns the conjunctive EXISTS into a
+    * left-semi join and the two disjunctive EXISTS into ExistenceJoin
+    * mark-joins OR-ed in a post-join filter — three hash joins on
+    * o_custkey, no cartesian, each probe side pre-filtered before the
+    * shuffle (PLANS.md carries the formatted plan). */
+  def dsOrExists(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("graft_oe_cust")
+    Tables.orders(s, dir).createOrReplaceTempView("graft_oe_ord")
+    s.sql("""
+      SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+        CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal
+      FROM graft_oe_cust c
+      WHERE EXISTS (SELECT 1 FROM graft_oe_ord o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        AND (EXISTS (SELECT 1 FROM graft_oe_ord o2
+                     WHERE o2.o_custkey = c.c_custkey
+                       AND o2.o_orderpriority = '1-URGENT')
+          OR EXISTS (SELECT 1 FROM graft_oe_ord o3
+                     WHERE o3.o_custkey = c.c_custkey
+                       AND o3.o_orderpriority = '5-LOW'))
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  }
+
+  val dsOrExistsSql: String =
+    s"""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+       |  ${dsumSql("c_acctbal", 4)} AS sum_bal
+       |FROM customer c
+       |WHERE EXISTS (SELECT 1 FROM orders o
+       |              WHERE o.o_custkey = c.c_custkey
+       |                AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+       |  AND (EXISTS (SELECT 1 FROM orders o2
+       |               WHERE o2.o_custkey = c.c_custkey
+       |                 AND o2.o_orderpriority = '1-URGENT')
+       |    OR EXISTS (SELECT 1 FROM orders o3
+       |               WHERE o3.o_custkey = c.c_custkey
+       |                 AND o3.o_orderpriority = '5-LOW'))
+       |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_or_exists" -> dsOrExists,
     "ds_frequent_best" -> dsFrequentBest,
     "ds_band_distincts" -> dsBandDistincts,
     "ds_two_ended_rank" -> dsTwoEndedRank,
@@ -1649,5 +1693,6 @@ object TpcDs extends QueryPack {
     "ds_in_all_channels" -> dsInAllChannelsSql,
     "ds_having_threshold" -> dsHavingThresholdSql,
     "ds_multi_fact_rollup" -> dsMultiFactRollupSql,
-    "ds_excess_discount" -> dsExcessDiscountSql)
+    "ds_excess_discount" -> dsExcessDiscountSql,
+    "ds_or_exists" -> dsOrExistsSql)
 }

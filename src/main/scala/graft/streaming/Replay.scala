@@ -1,0 +1,77 @@
+package graft.streaming
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Row, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Deterministic micro-batch replay harness — the evidence bridge that
+  * lets the streaming twins join the batch oracle gate.
+  *
+  * A fixed batch schedule is fed through a MemoryStream into the
+  * caller-built streaming pipeline; every micro-batch's output is
+  * captured via foreachBatch (tagged with its batch_id) and the union
+  * is returned as a plain DataFrame. Because each StatefulOps twin is
+  * contractually equal to its batch operator after ANY batch schedule
+  * (mergeable state, exact integer numerators, in-order feeds), the
+  * replayed FINAL table is expressible as one DuckDB SQL over the same
+  * parquet input — which is exactly what the correctness gate checks.
+  *
+  * Reference analog: cpp/tests/groupby feeds fixed row batches through
+  * the streaming groupby and asserts on the final table; this harness
+  * is that test shape, industrialized into gate queries.
+  *
+  * Scale note: the harness COLLECTS the driver table to build the
+  * schedule — that is the verification rig's bounded feed (the driver
+  * replaces Kafka), not the operators' execution model; the stateful
+  * operators themselves run distributed over however many partitions
+  * the stream shuffles into. */
+object Replay {
+
+  /** Chunk a pre-ordered row seq into `n` contiguous micro-batches
+    * (the fixed schedule). Deterministic for a deterministic input
+    * order; n never exceeds the row count. */
+  def timeSlices[T](rows: Seq[T], n: Int): Seq[Seq[T]] = {
+    require(n > 0, "need n > 0")
+    if (rows.isEmpty) Seq.empty
+    else rows.grouped(math.max(1, (rows.size + n - 1) / n)).toSeq
+  }
+
+  /** Feed `batches` through `build`'s streaming pipeline one
+    * processAllAvailable at a time and return every emitted row,
+    * prefixed with the micro-batch id that emitted it (column
+    * `batch_id` — Update-mode consumers keep each key's latest batch;
+    * Append-mode consumers simply ignore it).
+    *
+    * A final processAllAvailable runs after the last batch so
+    * watermark-advance-only batches (event-time timers) drain. */
+  def run[In: Encoder](spark: SparkSession, batches: Seq[Seq[In]],
+      outputMode: String)(build: Dataset[In] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[In]
+    val out = build(input.toDS())
+    val schema = out.schema
+    val buf = ArrayBuffer.empty[Row]
+    val q = out.writeStream.outputMode(outputMode)
+      .foreachBatch { (df: Dataset[Row], id: Long) =>
+        val rows = df.collect()
+        buf.synchronized {
+          buf ++= rows.map(r => Row.fromSeq(id +: r.toSeq))
+        }
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b)
+        q.processAllAvailable()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.asJava,
+      StructType(StructField("batch_id", LongType, nullable = false) +:
+        schema.fields))
+  }
+}

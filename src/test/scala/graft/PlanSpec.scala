@@ -111,6 +111,17 @@ class PlanSpec extends AnyFunSuite {
       "vocab resolution must broadcast, not shuffle")
   }
 
+  test("io_avro_dsv2_roundtrip: pruning reaches the DSv2 scan (gate query)") {
+    // The gate query writes 4 columns through the graft-avro BatchWrite
+    // but aggregates only (c_mktsegment, c_acctbal) — the ScanBuilder's
+    // pruneColumns must shrink the DSv2 read schema to exactly those.
+    val p = plan("io_avro_dsv2_roundtrip")
+    assert(p.contains("ReadSchema: struct<c_acctbal:double,c_mktsegment:string>")
+        || p.contains("ReadSchema: struct<c_mktsegment:string,c_acctbal:double>"),
+      s"DSv2 scan must read only the two referenced columns:\n$p")
+    assert(!p.contains("c_name"), "pruned column c_name must not reach the scan")
+  }
+
   test("q2 decorrelates the per-part min into one window, dims broadcast") {
     val p = plan("q2_min_cost_supplier")
     val lineitemScans = p.linesIterator

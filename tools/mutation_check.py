@@ -1,0 +1,114 @@
+#!/usr/bin/env python3
+"""Gate-sensitivity (mutation) check: prove the oracle gate can FAIL.
+
+The correctness gate has been all-green for several rounds; an all-green
+gate is only trustworthy if planted bugs turn rows red. This script
+injects deliberate one-line semantic mutations into library/query code,
+recompiles, runs ONLY the affected gate query through Verify + the
+DuckDB compare, records whether the row went red, and reverts the
+mutation. Output: MUTATION_r<N>.json with one record per mutation;
+exit 1 if any planted bug was NOT caught.
+
+Usage: python3 tools/mutation_check.py [sf_dir] [out_json]
+"""
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else str(REPO / "MUTATION_r09.json")
+
+# (name, file, old, new, gate query) — each `old` must occur in the file;
+# the FIRST occurrence is mutated. Chosen to span evidence classes:
+# keep-policy, window frames, streaming state, bit-level hashing, and the
+# portable-hash sampling pipeline.
+MUTATIONS = [
+    ("dedup-keep-last",
+     "src/main/scala/graft/operators/Dedup.scala",
+     "val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))",
+     "val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).desc)",
+     "dedup_keep_first"),
+    ("window-frame-off-by-one",
+     "src/main/scala/graft/queries/Windows.scala",
+     ".rowsBetween(-4, Window.currentRow)\n    val sx",
+     ".rowsBetween(-3, Window.currentRow)\n    val sx",
+     "win_rolling_std"),
+    ("session-gap-divided",
+     "src/main/scala/graft/streaming/StatefulOps.scala",
+     "if (n > 0 && tUs - end > gapMillis * 1000) {",
+     "if (n > 0 && tUs - end > gapMillis * 100) {",
+     "stream_sessionize"),
+    ("murmur-fmix-constant-bitflip",
+     "src/main/scala/graft/plans/HashVariants.scala",
+     "x ^= x >>> 33; x *= 0xff51afd7ed558ccdL",
+     "x ^= x >>> 33; x *= 0xff51afd7ed558cccL",
+     "hash_variants"),
+    ("portable-hash-scale",
+     "src/main/scala/graft/operators/Curation.scala",
+     ".cast(\"double\") / lit(1152921504606846976.0) // 2^60",
+     ".cast(\"double\") / lit(576460752303423488.0) // 2^60",
+     "corpus_split"),
+]
+
+
+def run(cmd, env=None, timeout=900):
+    e = dict(**__import__("os").environ)
+    if env:
+        e.update(env)
+    return subprocess.run(cmd, cwd=REPO, env=e, capture_output=True,
+                          text=True, timeout=timeout)
+
+
+def compare_red(query):
+    """Run Verify + compare for one query; return True if the gate row
+    is RED (mutation caught) — a Verify crash also counts as caught
+    (the gate records errors as failures)."""
+    out_dir = "/tmp/mutcheck"
+    r = run(["sbt", "-batch", f"runMain graft.Verify {SF} {out_dir}"],
+            env={"SPARK_GRAFT_ONLY": query, "SPARK_GRAFT_CPUS": "8"})
+    if "[verify] 1 dumped, 0 failed" not in r.stdout:
+        return True, "verify-crashed"
+    c = run(["python3", "tools/compare_local.py", out_dir, SF, query])
+    red = c.returncode != 0
+    return red, (c.stdout.strip().splitlines() or ["?"])[0][:200]
+
+
+def main():
+    dirty = run(["git", "status", "--porcelain"]).stdout.strip()
+    if dirty:
+        print("refusing to run with a dirty working tree:\n" + dirty)
+        return 2
+    results = []
+    try:
+        for name, relpath, old, new, query in MUTATIONS:
+            path = REPO / relpath
+            src = path.read_text()
+            assert old in src, f"{name}: pattern not found in {relpath}"
+            path.write_text(src.replace(old, new, 1))
+            comp = run(["sbt", "-batch", "compile"])
+            if "done compiling" not in comp.stdout and comp.returncode != 0:
+                caught, detail = True, "does-not-compile"
+            else:
+                caught, detail = compare_red(query)
+            run(["git", "checkout", "--", relpath])
+            results.append({"mutation": name, "file": relpath,
+                            "query": query, "caught": caught,
+                            "detail": detail})
+            print(f"{'CAUGHT' if caught else 'MISSED'} {name} -> {query}: "
+                  f"{detail}")
+    finally:
+        run(["git", "checkout", "--", "src"])
+        # leave the tree compiled clean for whoever runs next
+        run(["sbt", "-batch", "compile"])
+    Path(OUT).write_text(json.dumps(
+        {"sf": SF, "mutations": results,
+         "all_caught": all(r["caught"] for r in results)}, indent=2))
+    print(f"== {sum(r['caught'] for r in results)}/{len(results)} caught "
+          f"-> {OUT}")
+    return 0 if all(r["caught"] for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
