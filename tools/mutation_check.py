@@ -25,11 +25,14 @@ OUT = sys.argv[2] if len(sys.argv) > 2 else str(REPO / "MUTATION_r09.json")
 # keep-policy, window frames, streaming state, bit-level hashing, and the
 # portable-hash sampling pipeline.
 MUTATIONS = [
-    ("dedup-keep-last",
-     "src/main/scala/graft/operators/Dedup.scala",
-     "val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol))",
-     "val w = Window.partitionBy(md5(col(textCol))).orderBy(col(idCol).desc)",
-     "dedup_keep_first"),
+    # Rounding-mode swap (HALF_UP -> HALF_EVEN): the sf0.01 decimal
+    # product has 1115 exact scale-2 half-ties, every one of which
+    # rounds differently under bround.
+    ("rounding-half-even",
+     "src/main/scala/graft/queries/MiscPack.scala",
+     "round(d, 2).cast(\"string\").as(\"r2\"),",
+     "bround(d, 2).cast(\"string\").as(\"r2\"),",
+     "decimal_round"),
     ("window-frame-off-by-one",
      "src/main/scala/graft/queries/Windows.scala",
      ".rowsBetween(-4, Window.currentRow)\n    val sx",
@@ -76,9 +79,11 @@ def compare_red(query):
 
 
 def main():
-    dirty = run(["git", "status", "--porcelain"]).stdout.strip()
+    # only src/ must be clean (mutations are applied + reverted there);
+    # tools/docs churn in the same checkout is harmless
+    dirty = run(["git", "status", "--porcelain", "src"]).stdout.strip()
     if dirty:
-        print("refusing to run with a dirty working tree:\n" + dirty)
+        print("refusing to run with uncommitted src/ changes:\n" + dirty)
         return 2
     results = []
     try:
