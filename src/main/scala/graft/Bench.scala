@@ -42,7 +42,7 @@ object Bench {
     // through the reader (a bare count() is answered from row-group
     // metadata and reads nothing; hash(*) would reject map columns),
     // so this is steady-state priming for the whole table.
-    import org.apache.spark.sql.functions.{col, count}
+    import org.apache.spark.sql.functions.{col, count, lit}
     def warmTable(name: String): Unit =
       try {
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -100,16 +100,83 @@ object Bench {
     // 3-decimal values, < 1 KB) and write the full per-query map to
     // bench.json for inspection.
     val headline = results.filter(_._1.matches("q\\d+_.*"))
+
+    // ---- standing TPC-H 10x axis (round-8 verdict ask #7): at sf0.1
+    // the 22-query subtotal is ~15 s where JVM/job overhead dominates
+    // and sub-30% regressions vanish below the noise floor; timing the
+    // same queries against a 10x key-shifted copy (~sf1) makes per-query
+    // plan costs visible. The copy is built once per machine (marker
+    // file) with the same key-offset construction the stress envelope
+    // uses, so referential integrity holds. Skipped when SPARK_GRAFT_ONLY
+    // scopes a local iteration or SPARK_GRAFT_10X=0.
+    val tenX: Seq[(String, Double)] =
+      if (only.isDefined || sys.env.get("SPARK_GRAFT_10X").contains("0")) Nil
+      else try {
+        val tag = new java.io.File(sfDir).getName
+        val dir10 = s"${System.getProperty("java.io.tmpdir")}/graft_tpch10x_$tag"
+        val marker = new java.io.File(dir10, "_SUCCESS_10X")
+        if (!marker.exists()) {
+          val keyMap = Seq(
+            "region" -> Seq("r_regionkey"),
+            "nation" -> Seq("n_nationkey", "n_regionkey"),
+            "customer" -> Seq("c_custkey", "c_nationkey"),
+            "supplier" -> Seq("s_suppkey", "s_nationkey"),
+            "part" -> Seq("p_partkey"),
+            "orders" -> Seq("o_orderkey", "o_custkey"),
+            "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+          keyMap.foreach { case (t, keys) =>
+            val df = spark.read.parquet(s"$sfDir/$t.parquet")
+            (0 until 10).map { c =>
+              keys.foldLeft(df) { (d, k) =>
+                d.withColumn(k, (col(k) + lit(c * 10000000L))
+                  .cast(df.schema(k).dataType))
+              }
+            }.reduce(_ union _)
+              .write.mode("overwrite").parquet(s"$dir10/$t.parquet")
+          }
+          marker.createNewFile()
+        }
+        // warm the two fact tables so the first timed query doesn't
+        // absorb the cold read (same rationale as warmTable above)
+        Seq("lineitem", "orders").foreach { t =>
+          val df = spark.read.parquet(s"$dir10/$t.parquet")
+          val cs = df.columns.map(c => count(col(c)).as(c))
+          df.agg(cs.head, cs.tail: _*).collect()
+        }
+        val tpch = selected.filter(_._1.matches("q\\d+_.*"))
+        tpch.map { case (name, fn) =>
+          val t1 = {
+            val t0 = System.nanoTime()
+            try { fn(spark, dir10).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => -1.0 }
+          }
+          // min-of-2 (same contention-immunity rule as the main loop)
+          val t2 = if (t1 >= 0) {
+            val t0 = System.nanoTime()
+            try { fn(spark, dir10).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => t1 }
+          } else t1
+          name -> (if (t1 < 0) t1 else math.min(t1, t2))
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] 10x axis skipped: ${e.getMessage}")
+        Nil
+      }
+    val tenXsec = tenX.map(_._2).filter(_ >= 0).sum
+
     // tpch_sec: the q1-q22 subtotal — a stable cross-round comparison
     // while the total query count keeps growing round over round
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","n":${results.size},"failed":${failedNames.size},"reruns":$reruns""" +
-      s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}"""
+      s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}""" +
+      (if (tenX.nonEmpty) s""","tpch10x_sec":${fmt(tenXsec)}""" else "")
     val line = s"""$prefix,"queries":${jmap(headline)},"sf":"$sfDir"}"""
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val full =
       s"""$prefix,"failed_queries":$failedJson,"queries":${jmap(results)}""" +
-        s""","first_runs":${jmap(firstRuns)},"sf":"$sfDir"}"""
+        s""","first_runs":${jmap(firstRuns)}""" +
+        (if (tenX.nonEmpty) s""","tpch10x":${jmap(tenX)}""" else "") +
+        s""","sf":"$sfDir"}"""
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
       (full + "\n").getBytes("UTF-8"))
     println(line)

@@ -20,6 +20,10 @@ content so cross-copy pairs stop being near-dups:
   components. A coordinate permutation is orthogonal, so ALL
   within-copy cosines are preserved exactly, while cross-copy cosines
   fall to chance (<< any near-dup threshold).
+- customer: copy c's names get the suffix x<c> (>= 2 edits between any
+  two copies of one name, so edit-distance-<=1 fuzzy joins stop
+  pairing copies; within-copy distances are unchanged because every
+  name in a copy carries the same suffix).
 
 Deterministic, engine-agnostic (both Spark and the DuckDB oracle read
 the same perturbed parquet), and referentially consistent with the
@@ -83,13 +87,28 @@ def _embeddings(src_dir, dst, copies):
          for name in t.column_names}, schema=t.schema), dst)
 
 
+def _customer_names(dst_dir):
+    import duckdb
+    con = duckdb.connect()
+    p = f"{dst_dir}/customer.parquet"
+    tmp = p + ".detwin"
+    con.sql(f"""COPY (SELECT * REPLACE (
+        CASE WHEN c_custkey >= {B}
+             THEN c_name || 'x' || CAST(c_custkey // {B} AS VARCHAR)
+             ELSE c_name END AS c_name)
+      FROM '{p}') TO '{tmp}' (FORMAT PARQUET)""")
+    import os
+    os.replace(tmp, p)
+
+
 def build(src_dir, dst_dir, copies):
-    """Twin-copy every table, then overwrite documents + embeddings
-    with the de-twinned (content-perturbed) versions."""
+    """Twin-copy every table, then overwrite documents / embeddings /
+    customer names with the de-twinned (content-perturbed) versions."""
     stress5x.build(src_dir, dst_dir, copies)
     _documents(src_dir, f"{dst_dir}/documents.parquet", copies)
     _embeddings(src_dir, f"{dst_dir}/embeddings.parquet", copies)
-    print(f"de-twinned documents/embeddings across {copies} copies")
+    _customer_names(dst_dir)
+    print(f"de-twinned documents/embeddings/customer across {copies} copies")
 
 
 if __name__ == "__main__":
