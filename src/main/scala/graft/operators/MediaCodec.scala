@@ -22,6 +22,11 @@ package graft.operators
   */
 object MediaCodec {
 
+  /** Image-decode call counter (test instrumentation): local-mode specs
+    * assert a fused resize->stats pipeline decodes each payload ONCE.
+    * LongAdder so concurrent executor threads never contend. */
+  private[graft] val imageDecodes = new java.util.concurrent.atomic.LongAdder
+
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
   private def le32(b: Array[Byte], o: Int): Int =
@@ -136,6 +141,7 @@ object MediaCodec {
     * top-down). 24-bit uncompressed only; bottom-up or top-down
     * (negative height) row order both handled. */
   def bmpDecode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    imageDecodes.increment()
     require(b.length >= 54 && b(0) == 'B' && b(1) == 'M', "not a BMP payload")
     val dataOff = le32(b, 10)
     val hdrSize = le32(b, 14)
@@ -222,6 +228,7 @@ object MediaCodec {
     * Undecodable bytes throw — ImageIO returning null is a loud
     * failure here, not a null row. */
   def imageDecode(b: Array[Byte]): (Int, Int, Array[Byte]) = {
+    imageDecodes.increment()
     require(b != null && b.length > 0, "empty image payload")
     javax.imageio.ImageIO.setUseCache(false)
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))

@@ -129,51 +129,56 @@ object Multimodal {
     import spark.implicits._
     df.select(col("media_id").cast("long"), col("payload"), col("mime"))
       .as[(Long, Array[Byte], String)]
-      .mapPartitions { it =>
-        it.map { case (id, payload, mime) =>
-          val nb = if (payload == null) 0 else payload.length
-          mime match {
-            case "audio/wav" =>
-              val (rate, channels, samples) = MediaCodec.wavDecode(payload)
-              val frames = samples.length / channels
-              var sumSq = 0.0
-              var peak = 0.0
-              var crossings = 0L
-              var i = 0
-              while (i < samples.length) {
-                val v = samples(i).toDouble
-                sumSq += v * v
-                val a = math.abs(v)
-                if (a > peak) peak = a
-                // per-channel sign changes (interleaved: stride channels)
-                if (i >= channels &&
-                    (samples(i) < 0) != (samples(i - channels) < 0))
-                  crossings += 1
-                i += 1
-              }
-              val n = samples.length.toDouble
-              MediaStats(id, mime, nb,
-                duration_s = Some(frames.toDouble / rate),
-                // empty data chunk is VALID wav: all stats define to 0,
-                // never NaN (0.0/0.0 would poison downstream compares)
-                rms = Some(if (samples.isEmpty) 0.0
-                  else math.sqrt(sumSq / n) / 32768.0),
-                peak = Some(peak / 32768.0),
-                zcr = Some(if (samples.length > channels)
-                  crossings.toDouble / (samples.length - channels) else 0.0),
-                width = None, height = None,
-                mean_r = None, mean_g = None, mean_b = None)
-            case "image/bmp" =>
-              imageStats(id, mime, nb, MediaCodec.bmpDecode(payload))
-            case "image/png" | "image/jpeg" | "image/gif" =>
-              imageStats(id, mime, nb, MediaCodec.imageDecode(payload))
-            case _ =>
-              MediaStats(id, if (mime == null) "unknown" else mime, nb,
-                None, None, None, None, None, None, None, None, None)
-          }
-        }
-      }
+      .mapPartitions(_.map { case (id, payload, mime) =>
+        statsRow(id, payload, mime)
+      })
       .toDF()
+  }
+
+  /** The one per-row decode+stats kernel shared by [[decodeMedia]] and
+    * the decoded-frame fast path [[statsFromDecoded]]. */
+  private def statsRow(id: Long, payload: Array[Byte],
+      mime: String): MediaStats = {
+    val nb = if (payload == null) 0 else payload.length
+    mime match {
+      case "audio/wav" =>
+        val (rate, channels, samples) = MediaCodec.wavDecode(payload)
+        val frames = samples.length / channels
+        var sumSq = 0.0
+        var peak = 0.0
+        var crossings = 0L
+        var i = 0
+        while (i < samples.length) {
+          val v = samples(i).toDouble
+          sumSq += v * v
+          val a = math.abs(v)
+          if (a > peak) peak = a
+          // per-channel sign changes (interleaved: stride channels)
+          if (i >= channels &&
+              (samples(i) < 0) != (samples(i - channels) < 0))
+            crossings += 1
+          i += 1
+        }
+        val n = samples.length.toDouble
+        MediaStats(id, mime, nb,
+          duration_s = Some(frames.toDouble / rate),
+          // empty data chunk is VALID wav: all stats define to 0,
+          // never NaN (0.0/0.0 would poison downstream compares)
+          rms = Some(if (samples.isEmpty) 0.0
+            else math.sqrt(sumSq / n) / 32768.0),
+          peak = Some(peak / 32768.0),
+          zcr = Some(if (samples.length > channels)
+            crossings.toDouble / (samples.length - channels) else 0.0),
+          width = None, height = None,
+          mean_r = None, mean_g = None, mean_b = None)
+      case "image/bmp" =>
+        imageStats(id, mime, nb, MediaCodec.bmpDecode(payload))
+      case "image/png" | "image/jpeg" | "image/gif" =>
+        imageStats(id, mime, nb, MediaCodec.imageDecode(payload))
+      case _ =>
+        MediaStats(id, if (mime == null) "unknown" else mime, nb,
+          None, None, None, None, None, None, None, None, None)
+    }
   }
 
   /** Nearest-neighbor image resize to (dstW, dstH): decode (BMP via
@@ -185,7 +190,18 @@ object Multimodal {
     * round trip). Same partition-local batch contract as
     * [[decodeMedia]] — a JNI/GPU resampler slots in per batch.
     * Non-image mimes pass through untouched with resized=false. */
-  def resizeImages(df: DataFrame, dstW: Int, dstH: Int): DataFrame = {
+  def resizeImages(df: DataFrame, dstW: Int, dstH: Int): DataFrame =
+    resizeImagesDecoded(df, dstW, dstH)
+      .select(col("media_id"), col("payload"), col("mime"), col("resized"))
+
+  /** [[resizeImages]] that also CARRIES the resized frame's decoded
+    * pixels (columns width, height, rgb — null for non-image rows), so
+    * a downstream stats/feature stage ([[statsFromDecoded]]) reuses
+    * them instead of re-decoding the payload it just encoded: one
+    * decode per payload across a resize→stats pipeline. The BMP
+    * payload is still emitted (lossless, size-predictable), so the
+    * frame can ALSO re-enter any payload-shaped consumer. */
+  def resizeImagesDecoded(df: DataFrame, dstW: Int, dstH: Int): DataFrame = {
     require(dstW > 0 && dstH > 0, "target dims must be positive")
     // All index math below runs in Long: x*sw and dstW*dstH*3 overflow
     // Int around 50k-pixel edges, turning into negative indices /
@@ -224,12 +240,39 @@ object Multimodal {
                 }
                 y += 1
               }
-              (id, MediaCodec.bmpEncode(dstW, dstH, out), "image/bmp", true)
-            case None => (id, payload, mime, false)
+              (id, MediaCodec.bmpEncode(dstW, dstH, out), "image/bmp", true,
+                Some(dstW), Some(dstH), out)
+            case None =>
+              (id, payload, mime, false, None: Option[Int], None: Option[Int],
+                null: Array[Byte])
           }
         }
       }
-      .toDF("media_id", "payload", "mime", "resized")
+      .toDF("media_id", "payload", "mime", "resized", "width", "height", "rgb")
+  }
+
+  /** [[decodeMedia]]-shaped stats over a frame that may already carry
+    * decoded pixels (the width/height/rgb columns of
+    * [[resizeImagesDecoded]]): rows with rgb present compute image
+    * stats straight from the carried pixels — ZERO codec calls — and
+    * only rgb-null rows (audio, passthrough mimes) fall back to the
+    * shared decode kernel. `statsFromDecoded(resizeImagesDecoded(x))`
+    * is row-identical to `decodeMedia(resizeImages(x))` with half the
+    * decodes (MediaCodecSpec pins both claims via the codec's decode
+    * counter). */
+  def statsFromDecoded(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("payload"), col("mime"),
+        col("width").cast("int"), col("height").cast("int"), col("rgb"))
+      .as[(Long, Array[Byte], String, Option[Int], Option[Int], Array[Byte])]
+      .mapPartitions(_.map {
+        case (id, payload, mime, Some(w), Some(h), rgb) if rgb != null =>
+          imageStats(id, mime, if (payload == null) 0 else payload.length,
+            (w, h, rgb))
+        case (id, payload, mime, _, _, _) => statsRow(id, payload, mime)
+      })
+      .toDF()
   }
 
   private def imageStats(id: Long, mime: String, nb: Int,

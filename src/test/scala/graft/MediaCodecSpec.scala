@@ -176,4 +176,40 @@ class MediaCodecSpec extends AnyFunSuite {
     val (_, _, p3) = MediaCodec.bmpDecode(same.getAs[Array[Byte]]("payload"))
     assert(p3.toSeq == rgb.toSeq)
   }
+
+  test("fused resize->stats decodes each payload once and matches the re-decode pipeline") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => ((i * 7) % 256).toByte)
+    val src = Seq(
+      (1L, MediaCodec.bmpEncode(4, 3, rgb), "image/bmp"),
+      (2L, MediaCodec.pngEncode(4, 3, rgb), "image/png"),
+      (3L, MediaCodec.wavEncode(Array[Short](100, -100, 50), 8000, 1),
+        "audio/wav"))
+      .toDF("media_id", "payload", "mime")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("media_id", "mime", "n_bytes", "width", "height",
+        "mean_r", "mean_g", "mean_b", "duration_s", "rms")
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long].toInt).toSeq
+    // row-identity: fused pipeline == resize-then-re-decode pipeline
+    val fused = rows(Multimodal.statsFromDecoded(
+      Multimodal.resizeImagesDecoded(src, 2, 2)))
+    val redecoded = rows(Multimodal.decodeMedia(
+      Multimodal.resizeImages(src, 2, 2)))
+    assert(fused == redecoded, s"$fused vs $redecoded")
+    // decode economy: the fused pipeline decodes each image payload
+    // exactly once (2 images); the re-decode pipeline pays twice
+    def decodesDuring(body: => Unit): Long = {
+      val before = MediaCodec.imageDecodes.sum()
+      body
+      MediaCodec.imageDecodes.sum() - before
+    }
+    val nFused = decodesDuring {
+      Multimodal.statsFromDecoded(
+        Multimodal.resizeImagesDecoded(src, 2, 2)).collect()
+    }
+    val nRedecode = decodesDuring {
+      Multimodal.decodeMedia(Multimodal.resizeImages(src, 2, 2)).collect()
+    }
+    assert(nFused == 2, s"fused pipeline decoded $nFused times, want 2")
+    assert(nRedecode == 4, s"re-decode pipeline decoded $nRedecode, want 4")
+  }
 }
