@@ -237,7 +237,39 @@ object Joins extends QueryPack {
       |  AND epoch_us(p.ts) < epoch_us(s.ts) + 604800000000
       |ORDER BY purchase_id, signup_id""".stripMargin
 
+  /** Power-law skewed equi-join through explicit n-way salting
+    * ([[graft.operators.Salting.saltedJoin]], the 100 TB hot-key tool):
+    * a synthetic zipf-ish probe — ~43% of lineitem (l_linenumber <= 3)
+    * hammers key 1, the rest spread over their real orderkeys — joins
+    * the orders dimension on the salted composite key. The salt is a
+    * deterministic row hash, so the salted join's RESULT equals a plain
+    * join's exactly (the oracle is the plain DuckDB join); what changes
+    * is the physical shuffle: the hot key's rows split across 8 salt
+    * buckets instead of one task. SCALING.md carries the salted-vs-raw
+    * wall-time axis at 10x. */
+  def joinSkewedSalted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = Tables.lineitem(s, dir).select(
+      when($"l_linenumber" <= 3, lit(1L)).otherwise($"l_orderkey").as("k"),
+      $"l_quantity")
+    val dim = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), $"o_orderpriority")
+    graft.operators.Salting.saltedJoin(probe, dim, "k", n = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity", 2).as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val joinSkewedSaltedSql: String =
+    s"""SELECT o_orderpriority, count(*) AS n,
+       |  ${dsumSql("l_quantity", 2)} AS sum_qty
+       |FROM (SELECT CASE WHEN l_linenumber <= 3 THEN 1
+       |             ELSE l_orderkey END AS k, l_quantity FROM lineitem) p
+       |JOIN orders o ON p.k = o.o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skewed_salted" -> joinSkewedSalted,
     "join_interval_grid" -> joinIntervalGrid,
     "join_mark" -> joinMark,
     "join_inner" -> joinInner,
@@ -251,6 +283,7 @@ object Joins extends QueryPack {
     "join_nullsafe" -> joinNullSafe)
 
   override def oracle: Map[String, String] = Map(
+    "join_skewed_salted" -> joinSkewedSaltedSql,
     "join_interval_grid" -> joinIntervalGridSql,
     "join_mark" -> joinMarkSql,
     "join_inner" -> joinInnerSql,
