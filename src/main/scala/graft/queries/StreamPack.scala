@@ -140,6 +140,46 @@ object StreamPack extends QueryPack {
        |FROM m GROUP BY user_id, sid
        |ORDER BY user_id, start_us""".stripMargin
 
+  /** [[sessionizeQ]] through the transformWithState API + RocksDB
+    * state store ([[StatefulOps.sessionizeStreamTws]]) — the Spark-4.x
+    * successor path, gated by the SAME gaps-and-islands oracle: the two
+    * state APIs share advanceSession, so their gate rows must be
+    * byte-identical or one of them regressed. */
+  def sessionizeTwsQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val prev = s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = Tables.events(s, dir)
+        .select(col("ts"), col("user_id"), col("value"))
+        .orderBy("ts", "user_id")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+        .map { case (t, u, v) => (u, t, math.round(v * 100).toDouble) }
+      val maxMs = rows.map(_._2.getTime).max
+      val day = 86400000L
+      val sentinels = Seq(
+        Seq((-1L, new Timestamp(maxMs + 30 * day), 0.0)),
+        Seq((-1L, new Timestamp(maxMs + 31 * day), 0.0)))
+      val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
+        "append") { ds =>
+        val wm = ds.toDF("user", "ts", "value")
+          .withWatermark("ts", "10 minutes")
+        StatefulOps.sessionizeStreamTws(
+          wm.as[(Long, Timestamp, Double)].groupByKey(_._1), GapMs).toDF()
+      }
+      out.filter(col("user") >= 0)
+        .select(col("user").as("user_id"), col("start_us"), col("end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "start_us")
+    } finally prev match {
+      case Some(p) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   // -- streaming drift monitor ---------------------------------------------
 
   private val WinMs = 7L * 86400000 // 7-day tumbling drift windows
@@ -287,6 +327,7 @@ object StreamPack extends QueryPack {
     "stream_running_agg" -> runningAggQ,
     "stream_dedup" -> dedupQ,
     "stream_sessionize" -> sessionizeQ,
+    "stream_sessionize_tws" -> sessionizeTwsQ,
     "stream_drift" -> driftQ,
     "stream_weighted_reservoir" -> reservoirQ,
     "stream_asof" -> asofQ)
@@ -295,6 +336,7 @@ object StreamPack extends QueryPack {
     "stream_running_agg" -> runningAggSql,
     "stream_dedup" -> dedupSql,
     "stream_sessionize" -> sessionizeSql,
+    "stream_sessionize_tws" -> sessionizeSql,
     "stream_drift" -> driftSql,
     "stream_weighted_reservoir" -> reservoirSql,
     "stream_asof" -> asofSql)
