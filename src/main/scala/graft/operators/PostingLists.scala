@@ -67,5 +67,15 @@ private[graft] object PostingLists {
         explode(slice(col("__ids"), col("__i") + lit(2), size(col("__ids"))))
           .as("b"))
       .filter(col("a") =!= col("b"))
+      // hint("merge") on the PAIR frame: its static size estimate is the
+      // pre-explode row count, so without it the planner statically
+      // broadcasts what is actually the QUADRATIC side of every
+      // downstream verify join (measured: a 9.8 GiB attempted broadcast
+      // of semdedup pairs at a 25x corpus — hard failure at
+      // spark.sql.maxBroadcastTableBytes). The hint forces sort-merge
+      // from static planning; AQE may still downgrade to broadcast, but
+      // only from ACTUAL runtime stage sizes — the only safe basis at
+      // 100 TB, where neither pairs nor payloads fit one executor.
+      .hint("merge")
   }
 }

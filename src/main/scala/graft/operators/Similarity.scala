@@ -488,10 +488,15 @@ object Similarity {
       .select(col("id"), col("cell_id"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2norm(col(vecCol)).as("norm"))
+    // the pair frame carries candidatePairs' merge hint (see
+    // PostingLists: its static size estimate is pre-explode, which
+    // would otherwise statically broadcast the quadratic side —
+    // measured as a 9.8 GiB attempted broadcast at a 25x corpus)
     PostingLists.candidatePairs(assigned, "id", "cell_id")
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .join(vecs.select(col("id").as("id_a"), col("vec").as("vec_a"),
         col("norm").as("norm_a")), "id_a")
+      .hint("merge")
       .join(vecs.select(col("id").as("id_b"), col("vec").as("vec_b"),
         col("norm").as("norm_b")), "id_b")
       .withColumn("sim",
