@@ -268,7 +268,25 @@ object Joins extends QueryPack {
        |JOIN orders o ON p.k = o.o_orderkey
        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** The unsalted control for [[joinSkewedSalted]] — same skewed probe,
+    * plain equi-join, AQE skew-split left to do what it can. Same oracle
+    * (results must be identical); BENCH carries the salted-vs-raw
+    * wall-time pair every round, SCALING.md the large-axis comparison. */
+  def joinSkewedRaw(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val probe = Tables.lineitem(s, dir).select(
+      when($"l_linenumber" <= 3, lit(1L)).otherwise($"l_orderkey").as("k"),
+      $"l_quantity")
+    val dim = Tables.orders(s, dir)
+      .select($"o_orderkey".as("k"), $"o_orderpriority")
+    probe.join(dim, "k")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity", 2).as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "join_skewed_raw" -> joinSkewedRaw,
     "join_skewed_salted" -> joinSkewedSalted,
     "join_interval_grid" -> joinIntervalGrid,
     "join_mark" -> joinMark,
@@ -283,6 +301,7 @@ object Joins extends QueryPack {
     "join_nullsafe" -> joinNullSafe)
 
   override def oracle: Map[String, String] = Map(
+    "join_skewed_raw" -> joinSkewedSaltedSql,
     "join_skewed_salted" -> joinSkewedSaltedSql,
     "join_interval_grid" -> joinIntervalGridSql,
     "join_mark" -> joinMarkSql,
