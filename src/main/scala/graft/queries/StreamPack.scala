@@ -180,6 +180,37 @@ object StreamPack extends QueryPack {
     }
   }
 
+  /** [[sessionizeQ]] across a CRASH-RESTART: half the schedule runs
+    * under one query, the query stops, a fresh instance resumes from
+    * the checkpoint and consumes the rest ([[Replay.runWithRestart]]).
+    * Oracle is the SAME gaps-and-islands SQL — so the gate proves
+    * state-store recovery plus the parquet sink's exactly-once commit
+    * log give a result indistinguishable from an unbroken run. */
+  def restartQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"), col("value"))
+      .orderBy("ts", "user_id")
+      .as[(Timestamp, Long, Double)].collect().toSeq
+      .map { case (t, u, v) => (u, t, math.round(v * 100).toDouble) }
+    val maxMs = rows.map(_._2.getTime).max
+    val day = 86400000L
+    val sentinels = Seq(
+      Seq((-1L, new Timestamp(maxMs + 30 * day), 0.0)),
+      Seq((-1L, new Timestamp(maxMs + 31 * day), 0.0)))
+    val (first, second) = Replay.timeSlices(rows, Batches)
+      .splitAt(Batches / 2)
+    val out = Replay.runWithRestart(s, first, second ++ sentinels) { ds =>
+      val wm = ds.toDF("user", "ts", "value").withWatermark("ts", "10 minutes")
+      StatefulOps.sessionizeStream(
+        wm.as[(Long, Timestamp, Double)].groupByKey(_._1), GapMs).toDF()
+    }
+    out.filter(col("user") >= 0)
+      .select(col("user").as("user_id"), col("start_us"), col("end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "start_us")
+  }
+
   // -- streaming drift monitor ---------------------------------------------
 
   private val WinMs = 7L * 86400000 // 7-day tumbling drift windows
@@ -328,6 +359,7 @@ object StreamPack extends QueryPack {
     "stream_dedup" -> dedupQ,
     "stream_sessionize" -> sessionizeQ,
     "stream_sessionize_tws" -> sessionizeTwsQ,
+    "stream_restart" -> restartQ,
     "stream_drift" -> driftQ,
     "stream_weighted_reservoir" -> reservoirQ,
     "stream_asof" -> asofQ)
@@ -337,6 +369,7 @@ object StreamPack extends QueryPack {
     "stream_dedup" -> dedupSql,
     "stream_sessionize" -> sessionizeSql,
     "stream_sessionize_tws" -> sessionizeSql,
+    "stream_restart" -> sessionizeSql,
     "stream_drift" -> driftSql,
     "stream_weighted_reservoir" -> reservoirSql,
     "stream_asof" -> asofSql)

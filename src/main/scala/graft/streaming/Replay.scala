@@ -74,4 +74,42 @@ object Replay {
       StructType(StructField("batch_id", LongType, nullable = false) +:
         schema.fields))
   }
+
+  /** [[run]] with a CRASH-RESTART in the middle: the first schedule
+    * half runs under query 1 (parquet sink + checkpoint), the query
+    * stops, a NEW query instance starts from the same checkpoint and
+    * consumes the rest. The stateful operator must recover its state
+    * store and the sink log must suppress replayed offsets — the final
+    * parquet table equals the no-restart run's, which is what the gate
+    * row compares against the batch oracle. Append-mode pipelines only
+    * (the parquet sink's commit log is the exactly-once half of the
+    * proof). */
+  def runWithRestart[In: Encoder](spark: SparkSession,
+      firstBatches: Seq[Seq[In]], secondBatches: Seq[Seq[In]])(
+      build: Dataset[In] => DataFrame): DataFrame = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft_replay_rs")
+      .toString
+    val (out, ckpt) = (s"$base/out", s"$base/ckpt")
+    val input = MemoryStream[In]
+    def start() = build(input.toDS()).writeStream
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").format("parquet").option("path", out).start()
+    val q1 = start()
+    try {
+      firstBatches.foreach { b =>
+        if (b.nonEmpty) input.addData(b)
+        q1.processAllAvailable()
+      }
+    } finally q1.stop()
+    val q2 = start()
+    try {
+      secondBatches.foreach { b =>
+        if (b.nonEmpty) input.addData(b)
+        q2.processAllAvailable()
+      }
+      q2.processAllAvailable()
+    } finally q2.stop()
+    spark.read.parquet(out)
+  }
 }

@@ -9,13 +9,17 @@ nothing about the operators' real scaling. This builder keeps the
 key-offset referential copy for every table but PERTURBS the copied
 content so cross-copy pairs stop being near-dups:
 
-- documents: in copy c >= 1, every 8th word is replaced by a
+- documents: in copy c >= 1, every 4th word is replaced by a
   copy-specific token (zq<c>x<i%97>) and n_chars is recomputed. Exact
   in-copy duplicates stay exact (identical perturbation), in-copy
   near-dups stay near (same positional rule), but two copies of one
-  document now differ in ~12% of words — every shingle window overlaps
-  a replaced word with high probability, so banded-minhash / winnowing
-  / substring-gram collisions across copies vanish.
+  document now differ in 25% of words, capping clean runs at 3 tokens
+  — below the winnowing guarantee (k+w-1 = 6 shared tokens force a
+  shared fingerprint) and short enough that 3-gram shingle Jaccard
+  across copies falls to ~0.14 << the 0.8 near-dup threshold, so
+  banded-minhash / winnowing / substring-gram collisions across copies
+  vanish (an 8-word cadence left 7-token clean runs and 957k cross-copy
+  winnow pairs at 25x).
 - embeddings: copy c's vectors are circularly shifted by (7*c) % dim
   components. A coordinate permutation is orthogonal, so ALL
   within-copy cosines are preserved exactly, while cross-copy cosines
@@ -45,7 +49,7 @@ def perturb_text(text, c):
     if text is None or c == 0:
         return text
     words = text.split(" ")
-    for i in range(0, len(words), 8):
+    for i in range(0, len(words), 4):
         words[i] = f"zq{c}x{i % 97}"
     return " ".join(words)
 

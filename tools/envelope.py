@@ -84,10 +84,12 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
     classes = os.environ.get("GRAFT_CLASSES",
                              f"{repo}/target/scala-2.13/classes")
     cp = f"/opt/spark/jars/*:{classes}"
-    rc = subprocess.call(
-        ["java", "-Xmx48g"] + ADD_OPENS +
-        ["-cp", cp, "graft.Verify", stress_dir, vout],
-        cwd=repo, env=env, stdout=sys.stdout, stderr=subprocess.DEVNULL)
+    errlog = os.path.join(workdir, "verify.stderr")
+    with open(errlog, "w") as ef:
+        rc = subprocess.call(
+            ["java", "-Xmx48g"] + ADD_OPENS +
+            ["-cp", cp, "graft.Verify", stress_dir, vout],
+            cwd=repo, env=env, stdout=sys.stdout, stderr=ef)
     if rc != 0:
         print(f"Verify exited {rc}", file=sys.stderr)
         return 1
