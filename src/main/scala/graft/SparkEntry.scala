@@ -11,8 +11,10 @@ import graft.queries._
   */
 object SparkEntry {
 
-  /** All query packs, each covering a slice of the SURVEY §2 inventory. */
-  private def packs: Seq[QueryPack] =
+  /** All query packs, each covering a slice of the SURVEY §2 inventory.
+    * Single source of truth: tests iterate this val, so registering a
+    * new pack can never desynchronize the uniqueness check. */
+  val packs: Seq[QueryPack] =
     Seq(Tpch, Tpch2, Tpch3, TpcDs, Joins, Aggs, Windows, SortSet, Funcs,
       Nested, TextOps, EventOps, IoPack, MiscPack, CurationPack, StreamPack)
 

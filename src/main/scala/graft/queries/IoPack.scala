@@ -113,6 +113,32 @@ object IoPack extends QueryPack {
     s"""SELECT c_mktsegment, count(*) AS n, ${dsumSql("c_acctbal", 2)} AS sum_bal
        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Arrow interop round trip (interop.hpp:504,622 to_arrow/from_arrow)
+    * exercised INSIDE the gate: a lineitem slice (long, double, string,
+    * timestamp) converts per-partition to Arrow IPC record batches and
+    * back via [[org.apache.spark.sql.graftshim.ArrowBridge]], then
+    * aggregates — the oracle reads the ORIGINAL parquet, so the row only
+    * matches if the Arrow round trip preserved every value (timestamp
+    * timezone/unit handling is the classic interop pitfall). */
+  def arrowRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val slice = Tables.lineitem(s, dir)
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag", $"l_shipdate")
+    org.apache.spark.sql.graftshim.ArrowBridge.roundTrip(slice)
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity", 2).as("sum_qty"),
+        min($"l_shipdate").as("min_ship"), max($"l_shipdate").as("max_ship"),
+        max($"l_orderkey").as("max_key"))
+      .orderBy($"l_returnflag")
+  }
+
+  val arrowRoundTripSql: String =
+    s"""SELECT l_returnflag, count(*) AS n,
+       |  ${dsumSql("l_quantity", 2)} AS sum_qty,
+       |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+       |  max(l_orderkey) AS max_key
+       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Custom-delimiter text records (text/multibyte_split.hpp:37):
     * write ';'-separated records, read with lineSep, aggregate lengths. */
   def textDelim(s: SparkSession, dir: String): DataFrame = {
@@ -218,6 +244,7 @@ object IoPack extends QueryPack {
     "io_orc_roundtrip" -> orcRoundTrip,
     "io_avro_roundtrip" -> avroRoundTrip,
     "io_avro_dsv2_roundtrip" -> avroDsv2RoundTrip,
+    "io_arrow_roundtrip" -> arrowRoundTrip,
     "io_text_delim" -> textDelim,
     "io_bucketed_join" -> bucketedJoin,
     "io_partition_prune" -> partitionPrune,
@@ -229,6 +256,7 @@ object IoPack extends QueryPack {
     "io_orc_roundtrip" -> orcRoundTripSql,
     "io_avro_roundtrip" -> avroRoundTripSql,
     "io_avro_dsv2_roundtrip" -> avroDsv2RoundTripSql,
+    "io_arrow_roundtrip" -> arrowRoundTripSql,
     "io_text_delim" -> textDelimSql,
     "io_bucketed_join" -> bucketedJoinSql,
     "io_partition_prune" -> partitionPruneSql,

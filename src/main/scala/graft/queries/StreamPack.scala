@@ -36,6 +36,16 @@ object StreamPack extends QueryPack {
 
   private val Batches = 4
 
+  /** Driver-side half-AWAY-FROM-ZERO ×100 rounding — matches DuckDB's
+    * round(value * 100) exactly. java's math.round is half-UP (toward
+    * +∞), which diverges on negative exact .5 halves; current event
+    * values are non-negative so the two agree, but the gate contract is
+    * that rounding can never matter for ANY corpus. */
+  private def r100(v: Double): Double = {
+    val x = v * 100
+    if (x < 0) -math.floor(-x + 0.5) else math.floor(x + 0.5)
+  }
+
   // -- incremental per-key aggregation --------------------------------------
 
   /** streaming_groupby parity, end-to-end: runningAgg over 4 time-ordered
@@ -47,7 +57,7 @@ object StreamPack extends QueryPack {
       .select(col("ts"), col("event_type"), col("value"))
       .orderBy("ts", "event_type")
       .as[(Timestamp, String, Double)].collect().toSeq
-      .map { case (_, et, v) => (et, math.round(v * 100).toDouble) }
+      .map { case (_, et, v) => (et, r100(v)) }
     val out = Replay.run(s, Replay.timeSlices(rows, Batches), "update") { ds =>
       StatefulOps.runningAgg(ds.groupByKey(_._1)).toDF()
     }
@@ -103,7 +113,7 @@ object StreamPack extends QueryPack {
       .select(col("ts"), col("user_id"), col("value"))
       .orderBy("ts", "user_id")
       .as[(Timestamp, Long, Double)].collect().toSeq
-      .map { case (t, u, v) => (u, t, math.round(v * 100).toDouble) }
+      .map { case (t, u, v) => (u, t, r100(v)) }
     val maxMs = rows.map(_._2.getTime).max
     val day = 86400000L
     val sentinels = Seq(
@@ -155,7 +165,7 @@ object StreamPack extends QueryPack {
         .select(col("ts"), col("user_id"), col("value"))
         .orderBy("ts", "user_id")
         .as[(Timestamp, Long, Double)].collect().toSeq
-        .map { case (t, u, v) => (u, t, math.round(v * 100).toDouble) }
+        .map { case (t, u, v) => (u, t, r100(v)) }
       val maxMs = rows.map(_._2.getTime).max
       val day = 86400000L
       val sentinels = Seq(
@@ -192,7 +202,7 @@ object StreamPack extends QueryPack {
       .select(col("ts"), col("user_id"), col("value"))
       .orderBy("ts", "user_id")
       .as[(Timestamp, Long, Double)].collect().toSeq
-      .map { case (t, u, v) => (u, t, math.round(v * 100).toDouble) }
+      .map { case (t, u, v) => (u, t, r100(v)) }
     val maxMs = rows.map(_._2.getTime).max
     val day = 86400000L
     val sentinels = Seq(
@@ -233,10 +243,18 @@ object StreamPack extends QueryPack {
     val rows = ev.orderBy("ts", "v").select("ts", "v")
       .as[(Timestamp, Long)].collect().toSeq
     val maxMs = rows.map(_._1.getTime).max
-    val day = 86400000L
+    // Sentinels aligned to the START of a WinMs window 10 windows past
+    // the corpus (both inside the SAME window, 1h apart): the final
+    // watermark is sentinel2 − 1h = w1, strictly before the sentinel
+    // window's close w1 + WinMs, so the sentinels' own window provably
+    // never fires for ANY corpus — while the watermark after sentinel 1
+    // (w1 − 1h) exceeds every real window's close by ≥ 9 windows.
+    // (The previous maxMs + 60d sentinels only happened to satisfy this
+    // for the current corpus's phase within the 7-day grid.)
+    val w1 = (maxMs / WinMs + 10) * WinMs
     val sentinels = Seq(
-      Seq((new Timestamp(maxMs + 60 * day), 0L)),
-      Seq((new Timestamp(maxMs + 61 * day), 0L)))
+      Seq((new Timestamp(w1), 0L)),
+      Seq((new Timestamp(w1 + 3600000L), 0L)))
     val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
       "append") { ds =>
       val wm = ds.toDF("ts", "v").withWatermark("ts", "1 hour")
@@ -354,6 +372,208 @@ object StreamPack extends QueryPack {
       |  l_val AS left_value
       |FROM o WHERE sd = 1 ORDER BY user_id, right_ts_us""".stripMargin
 
+  // -- stream-stream LEFT OUTER interval join --------------------------------
+
+  private val IntervalUs = 10L * 60 * 1000 * 1000 // clicks within 10 min
+
+  /** Stream-stream LEFT OUTER interval join with watermark-gated null
+    * emission — the bounded-state contract: each view joins every click
+    * of the same user within 10 minutes AFTER it; a view with no such
+    * click may emit (null-padded) only once BOTH watermarks prove no
+    * matching click can still arrive — which is also when Spark evicts
+    * its join state, the property that bounds state at 100 TB. Both
+    * sides replay from ONE tagged MemoryStream (a documented stream
+    * self-join), each branch carrying its own watermark; sentinel rows
+    * on BOTH sides (user −1, filtered post-join) advance the min-of-two
+    * watermark so every unmatched view drains before the replay ends. */
+  def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("ts"), col("user_id"),
+        when(col("event_type") === "view", "V").otherwise("C").as("side"))
+      .orderBy("ts", "user_id", "side")
+      .as[(Timestamp, Long, String)].collect().toSeq
+      // ms-truncate HERE: unlike the StatefulOps twins (which read
+      // .getTime themselves) the raw ts column flows into Spark SQL,
+      // which would otherwise keep parquet's microseconds
+      .map { case (t, u, sd) => (new Timestamp(t.getTime), u, sd) }
+    val maxMs = rows.map(_._1.getTime).max
+    val day = 86400000L
+    val sentinels = (30 to 32).map { d =>
+      Seq((new Timestamp(maxMs + d * day), -1L, "V"),
+        (new Timestamp(maxMs + d * day), -1L, "C"))
+    }
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
+      "append") { ds =>
+      val tagged = ds.toDF("ts", "user_id", "side")
+      val views = tagged.filter(col("side") === "V")
+        .select(col("user_id"), col("ts").as("v_ts"))
+        .withWatermark("v_ts", "10 minutes")
+      val clicks = tagged.filter(col("side") === "C")
+        .select(col("user_id").as("c_user"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "10 minutes")
+      views.join(clicks,
+        views("user_id") === clicks("c_user") &&
+          col("c_ts") >= col("v_ts") &&
+          col("c_ts") <= col("v_ts") + expr("INTERVAL 10 MINUTES"),
+        "left_outer")
+        .select(col("user_id"), col("v_ts"), col("c_ts"))
+    }
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_micros(col("v_ts")).as("v_us"),
+        unix_micros(col("c_ts")).as("c_us"))
+      .orderBy("user_id", "v_us", "c_us")
+  }
+
+  val intervalJoinSql: String =
+    s"""WITH v AS (SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS v_us
+       |           FROM events WHERE event_type = 'view'),
+       |c AS (SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS c_us
+       |      FROM events WHERE event_type = 'click')
+       |SELECT v.user_id, CAST(v.v_us AS BIGINT) AS v_us,
+       |  CAST(c.c_us AS BIGINT) AS c_us
+       |FROM v LEFT JOIN c ON c.user_id = v.user_id
+       |  AND c.c_us >= v.v_us AND c.c_us <= v.v_us + $IntervalUs
+       |ORDER BY v.user_id, v_us, c_us""".stripMargin
+
+  // -- chained stateful ops: sessionize, then re-key --------------------------
+
+  private val DayUs = 86400000000L
+
+  /** Chained stateful operators in ONE streaming query — the 100 TB
+    * re-keying shape: stage 1 holds per-user session_window state (2h
+    * gap), stage 2 re-keys the CLOSED sessions by a derived size class
+    * and holds per-day-window counts. Spark 3.4+ chains the two when
+    * stage 2 windows over the stage-1 window column (event time =
+    * window_time = session end − 1µs).
+    *
+    * Sentinels (user −1) advance the watermark through both stages and
+    * are dropped AFTER the replay by a window-start cutoff — NOT by a
+    * mid-query filter: a `user_id >= 0` filter between the stages gets
+    * pushed by Catalyst below the EventTimeWatermark node (user_id is a
+    * grouping column), so sentinel rows would never reach the watermark
+    * tracker and the tail sessions would never close (observed: the
+    * last two day-windows silently missing). The cutoff is provable for
+    * any corpus: real day windows start ≤ maxTs + gap, sentinel windows
+    * start ≥ maxTs + 29d, and the cutoff sits at maxTs + 7d. */
+  def rekeyQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.events(s, dir)
+      .select(col("ts"), col("user_id"))
+      .orderBy("ts", "user_id")
+      .as[(Timestamp, Long)].collect().toSeq
+      .map { case (t, u) => (new Timestamp(t.getTime), u) }
+    val maxMs = rows.map(_._1.getTime).max
+    val day = 86400000L
+    val sentinels = (30 to 32).map(d =>
+      Seq((new Timestamp(maxMs + d * day), -1L)))
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
+      "append") { ds =>
+      val sessions = ds.toDF("ts", "user_id")
+        .withWatermark("ts", "10 minutes")
+        .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+      sessions
+        .withColumn("size_class",
+          when(col("n_events") >= 3, "multi").otherwise("small"))
+        .groupBy(window(col("session_window"), "1 day"), col("size_class"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events"))
+    }
+    val cutoffUs = (maxMs + 7 * day) * 1000L
+    out.filter(unix_micros(col("window.start")) < cutoffUs)
+      .select(unix_micros(col("window.start")).as("win_us"),
+        col("size_class"), col("n_sessions"), col("n_events"))
+      .orderBy("win_us", "size_class")
+  }
+
+  val rekeySql: String =
+    s"""WITH e AS (SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS tus
+       |           FROM events),
+       |o AS (SELECT user_id, tus,
+       |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
+       |      FROM e),
+       |m AS (SELECT user_id, tus,
+       |        sum(CASE WHEN prev IS NULL OR tus - prev >= ${GapMs * 1000}
+       |            THEN 1 ELSE 0 END)
+       |          OVER (PARTITION BY user_id ORDER BY tus
+       |                ROWS UNBOUNDED PRECEDING) AS sid
+       |      FROM o),
+       |sess AS (SELECT user_id, sid, count(*) AS n_events,
+       |           max(tus) + ${GapMs * 1000} AS end_us
+       |         FROM m GROUP BY 1, 2),
+       |cls AS (SELECT ((end_us - 1) // $DayUs) * $DayUs AS win_us,
+       |          CASE WHEN n_events >= 3 THEN 'multi' ELSE 'small' END
+       |            AS size_class,
+       |          n_events
+       |        FROM sess)
+       |SELECT CAST(win_us AS BIGINT) AS win_us, size_class,
+       |  CAST(count(*) AS BIGINT) AS n_sessions,
+       |  CAST(sum(n_events) AS BIGINT) AS n_events
+       |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // -- streaming ingest curation ---------------------------------------------
+
+  private val QualityFloor = 0.62
+  private val EchoOffset = 1000000L
+
+  /** Streaming ingest curation in one query: PII redaction → token
+    * quality gate → content-digest exact dedup (the batch curation
+    * stages compose unchanged on a stream — the stateless maps are the
+    * SAME TextPipeline/TextFunctions code, dedup is the watermark-
+    * bounded stateful stage). The feed interleaves every 3rd document
+    * with a later byte-identical ECHO row under a shifted doc_id: a
+    * correct pipeline admits each passing original exactly once and
+    * drops every echo (digest already seen), so the final table is the
+    * batch curation SQL over the original documents — any dropped
+    * original, admitted echo, redaction or quality divergence goes red. */
+  def curationQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextOps.saltedText(col("text"), col("doc_id")).as("text2"))
+      .orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    val maxId = docs.map(_._1).max
+    val base = 1704067200000L // 2024-01-01T00:00:00Z
+    val originals = docs.map { case (id, t) =>
+      (new Timestamp(base + id * 1000L), id, t)
+    }
+    val echoes = docs.collect { case (id, t) if id % 3 == 0 =>
+      (new Timestamp(base + (maxId + 10 + id) * 1000L), id + EchoOffset, t)
+    }
+    val feed = (originals ++ echoes).sortBy(_._1.getTime)
+    val out = Replay.run(s, Replay.timeSlices(feed, Batches), "append") { ds =>
+      val red = graft.operators.TextPipeline.redactPii(
+        ds.toDF("ts", "doc_id", "text"), "text")
+      val scored = red
+        .withColumn("toks", graft.functions.TextFunctions.tokens(col("redacted")))
+        .withColumn("quality", graft.functions.TextFunctions.qualityScore("toks"))
+        .filter(size(col("toks")) >= 5 && col("quality") >= QualityFloor)
+        .withColumn("digest", md5(col("redacted")))
+      StatefulOps.streamingDedup(scored, "ts", "400 days", Seq("digest"))
+    }
+    out.select(col("doc_id"), size(col("toks")).cast("int").as("n_tok"),
+        col("quality"), col("digest"))
+      .orderBy("doc_id")
+  }
+
+  val curationSql: String = {
+    val toks = TextOps.toksSqlOf("redacted")
+    s"""WITH red AS (
+       |  SELECT doc_id, ${TextOps.redactChainSql("text2")} AS redacted
+       |  FROM (SELECT doc_id, ${TextOps.saltedTextSql} AS text2
+       |        FROM documents)),
+       |q AS (SELECT doc_id, toks, ${TextOps.qualityExprSql} AS quality,
+       |        md5(redacted) AS digest
+       |      FROM (SELECT doc_id, redacted, $toks AS toks FROM red)
+       |      WHERE len(toks) >= 5)
+       |SELECT doc_id, CAST(len(toks) AS INT) AS n_tok, quality, digest
+       |FROM q WHERE quality >= $QualityFloor
+       |ORDER BY doc_id""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_running_agg" -> runningAggQ,
     "stream_dedup" -> dedupQ,
@@ -362,7 +582,10 @@ object StreamPack extends QueryPack {
     "stream_restart" -> restartQ,
     "stream_drift" -> driftQ,
     "stream_weighted_reservoir" -> reservoirQ,
-    "stream_asof" -> asofQ)
+    "stream_asof" -> asofQ,
+    "stream_interval_join" -> intervalJoinQ,
+    "stream_rekey" -> rekeyQ,
+    "stream_curation" -> curationQ)
 
   override def oracle: Map[String, String] = Map(
     "stream_running_agg" -> runningAggSql,
@@ -372,5 +595,8 @@ object StreamPack extends QueryPack {
     "stream_restart" -> sessionizeSql,
     "stream_drift" -> driftSql,
     "stream_weighted_reservoir" -> reservoirSql,
-    "stream_asof" -> asofSql)
+    "stream_asof" -> asofSql,
+    "stream_interval_join" -> intervalJoinSql,
+    "stream_rekey" -> rekeySql,
+    "stream_curation" -> curationSql)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Embeddings, Multimodal, SegmentDedup, Similarity}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** LLM-data-pipeline operators over documents/embeddings (SURVEY.md
@@ -18,6 +18,11 @@ import org.apache.spark.sql.functions._
 object TextOps extends QueryPack {
 
   private val toksSql = raw"string_split_regex(lower(trim(text)), '\s+')"
+
+  /** [[toksSql]] over an arbitrary input expression — shared with
+    * StreamPack's curation gate so tokenization can never drift. */
+  private[queries] def toksSqlOf(expr: String): String =
+    raw"string_split_regex(lower(trim($expr)), '\s+')"
 
   /** Exact dedup groups by content digest (north star: exact dedup). */
   def dedupExact(s: SparkSession, dir: String): DataFrame =
@@ -224,7 +229,7 @@ object TextOps extends QueryPack {
   /** Shared SQL fragment for the quality formula over a `toks` list
     * column — used by BOTH doc_quality and the composed doc_curation
     * oracle so the two can never drift. */
-  private val qualityExprSql: String =
+  private[queries] val qualityExprSql: String =
     """0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
       |  + 0.3 * (1.0 - CAST(len(list_filter(toks,
       |      t -> list_contains(['the','a','and','of'], t))) AS DOUBLE) / len(toks))
@@ -1275,32 +1280,44 @@ object TextOps extends QueryPack {
     * IP / phone before scrubbing — the oracle applies the IDENTICAL
     * patterns (both engines share [[TextPipeline.PiiPatterns]], which is
     * dialect-portable regex by construction). */
+  /** Deterministic PII salt over (doc_id, text) — the synthetic corpus
+    * contains no PII, so each doc gets a doc_id-keyed email / IP /
+    * phone appended before scrubbing. Shared (with [[saltedTextSql]])
+    * by doc_redact_pii and StreamPack's streaming curation gate. */
+  private[queries] def saltedText(text: Column, id: Column): Column =
+    concat(text,
+      lit(" contact user"), id, lit("@mail.example or 10.0."),
+      pmod(id, lit(256)), lit(".7 or call +1 (555) 123-"),
+      lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
+
+  /** DuckDB twin of [[saltedText]] over columns (doc_id, text). */
+  private[queries] val saltedTextSql: String =
+    "text || ' contact user' || doc_id || " +
+      "'@mail.example or 10.0.' || (doc_id % 256) || " +
+      "'.7 or call +1 (555) 123-' || " +
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+
+  /** DuckDB twin of TextPipeline.redactPii's chained regexp_replace.
+    * DuckDB single-quoted literals are escape-free: the pattern strings
+    * embed verbatim (they contain no quotes by construction). */
+  private[queries] def redactChainSql(inner: String): String =
+    graft.operators.TextPipeline.PiiPatterns.foldLeft(inner) {
+      case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
+    }
+
   def redactPii(s: SparkSession, dir: String): DataFrame = {
     val salted = Tables.documents(s, dir).select(col("doc_id"),
-      concat(col("text"),
-        lit(" contact user"), col("doc_id"), lit("@mail.example or 10.0."),
-        pmod(col("doc_id"), lit(256)), lit(".7 or call +1 (555) 123-"),
-        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"))
-        .as("text2"))
+      saltedText(col("text"), col("doc_id")).as("text2"))
     graft.operators.TextPipeline.redactPii(salted, "text2")
       .select(col("doc_id"), col("redacted"))
       .orderBy(col("doc_id"))
   }
 
-  val redactPiiSql: String = {
-    // DuckDB single-quoted literals are escape-free: the pattern strings
-    // embed verbatim (they contain no quotes by construction)
-    val inner = graft.operators.TextPipeline.PiiPatterns.foldLeft("text2") {
-      case (c, (pat, rep)) => s"regexp_replace($c, '$pat', '$rep', 'g')"
-    }
-    s"""SELECT doc_id, $inner AS redacted
-       |FROM (SELECT doc_id, text || ' contact user' || doc_id ||
-       |        '@mail.example or 10.0.' || (doc_id % 256) ||
-       |        '.7 or call +1 (555) 123-' ||
-       |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text2
+  val redactPiiSql: String =
+    s"""SELECT doc_id, ${redactChainSql("text2")} AS redacted
+       |FROM (SELECT doc_id, $saltedTextSql AS text2
        |      FROM documents)
        |ORDER BY doc_id""".stripMargin
-  }
 
   /** Sequence packing: documents → token-budget bins, windows
     * parallelized across hash-derived pack groups. */

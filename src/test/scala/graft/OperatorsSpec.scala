@@ -526,11 +526,7 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("query names are unique across packs (toMap would silently drop dups)") {
-    val packs = Seq(queries.Tpch, queries.Tpch2, queries.Tpch3, queries.TpcDs,
-      queries.Joins, queries.Aggs, queries.Windows, queries.SortSet,
-      queries.Funcs, queries.Nested, queries.TextOps, queries.EventOps,
-      queries.IoPack, queries.MiscPack, queries.CurationPack)
-    val all = packs.flatMap(_.queries.keys)
+    val all = SparkEntry.packs.flatMap(_.queries.keys)
     val dups = all.groupBy(identity).filter(_._2.size > 1).keys
     assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(",")}")
     assert(all.size == SparkEntry.queries.size)
