@@ -27,6 +27,13 @@ object Bench {
       // Periodic GC caps that regardless of heap size — the same setting
       // a long-lived 100 TB driver needs (default is 30 min).
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Static conf, must be set before the session exists: the codegen
+      // class cache defaults to 100 entries, and a 320+-query suite
+      // churns far more generated classes than that — each eviction
+      // re-runs Janino on the next execution, which showed up as
+      // first-run-vs-rerun drift concentrated in compile-heavy queries
+      // (round-9 reruns crept 46 -> 63). Size it to hold the suite.
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -42,7 +49,7 @@ object Bench {
     // through the reader (a bare count() is answered from row-group
     // metadata and reads nothing; hash(*) would reject map columns),
     // so this is steady-state priming for the whole table.
-    import org.apache.spark.sql.functions.{col, count, lit}
+    import org.apache.spark.sql.functions.{col, count, lit, max}
     def warmTable(name: String): Unit =
       try {
         val df = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -124,17 +131,44 @@ object Bench {
             "part" -> Seq("p_partkey"),
             "orders" -> Seq("o_orderkey", "o_custkey"),
             "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+          // The per-copy key offset must exceed EVERY key in EVERY
+          // table (keys cross-reference: o_custkey -> c_custkey), and
+          // it must be one shared value so referential integrity holds
+          // across tables. A fixed 10M was only safe below sf~2.5;
+          // derive the next power of ten above the global max instead.
+          val globalMax = keyMap.map { case (t, keys) =>
+            val df = spark.read.parquet(s"$sfDir/$t.parquet")
+            val maxes = keys.map(k => max(col(k).cast("long")).as(k))
+            df.agg(maxes.head, maxes.tail: _*).collect()(0)
+              .toSeq.map(_.asInstanceOf[Long]).max
+          }.max
+          val offset = {
+            var p = 10000000L
+            while (p <= globalMax) p *= 10
+            p
+          }
+          // Build into a temp dir and rename into place so a concurrent
+          // bench process never reads a half-built copy (the marker
+          // alone was racy: overwrite-in-place while another run reads).
+          val tmp10 = s"$dir10.tmp_${ProcessHandle.current().pid()}"
           keyMap.foreach { case (t, keys) =>
             val df = spark.read.parquet(s"$sfDir/$t.parquet")
             (0 until 10).map { c =>
               keys.foldLeft(df) { (d, k) =>
-                d.withColumn(k, (col(k) + lit(c * 10000000L))
+                d.withColumn(k, (col(k) + lit(c * offset))
                   .cast(df.schema(k).dataType))
               }
             }.reduce(_ union _)
-              .write.mode("overwrite").parquet(s"$dir10/$t.parquet")
+              .write.mode("overwrite").parquet(s"$tmp10/$t.parquet")
           }
-          marker.createNewFile()
+          new java.io.File(tmp10, "_SUCCESS_10X").createNewFile()
+          if (!new java.io.File(tmp10).renameTo(new java.io.File(dir10))) {
+            // another process won the race — use its copy if complete,
+            // else fail the axis (caught below), never read half-builds
+            require(marker.exists(), "10x copy rename lost and no winner")
+            org.apache.commons.io.FileUtils.deleteDirectory(
+              new java.io.File(tmp10))
+          }
         }
         // warm the two fact tables so the first timed query doesn't
         // absorb the cold read (same rationale as warmTable above)
@@ -165,10 +199,19 @@ object Bench {
     val tenXsec = tenX.map(_._2).filter(_ >= 0).sum
 
     // tpch_sec: the q1-q22 subtotal — a stable cross-round comparison
-    // while the total query count keeps growing round over round
+    // while the total query count keeps growing round over round.
+    // stream_sec/batch_sec: the stream_* replay rows carry a fixed
+    // per-trigger harness cost (~0.3-0.5 s x triggers) that is
+    // verification-rig overhead, invariant to data scale — reported on
+    // their own axis so the batch total stays comparable across rounds
+    // and real batch regressions aren't drowned by added stream gates.
+    val streamSec = results
+      .filter(_._1.startsWith("stream_")).map(_._2).filter(_ >= 0).sum
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","n":${results.size},"failed":${failedNames.size},"reruns":$reruns""" +
       s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}""" +
+      s""","batch_sec":${fmt(total - streamSec)}""" +
+      s""","stream_sec":${fmt(streamSec)}""" +
       (if (tenX.nonEmpty) s""","tpch10x_sec":${fmt(tenXsec)}""" else "")
     val line = s"""$prefix,"queries":${jmap(headline)},"sf":"$sfDir"}"""
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -177,7 +220,11 @@ object Bench {
         s""","first_runs":${jmap(firstRuns)}""" +
         (if (tenX.nonEmpty) s""","tpch10x":${jmap(tenX)}""" else "") +
         s""","sf":"$sfDir"}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+    // A scoped run (SPARK_GRAFT_ONLY) must never overwrite the repo's
+    // standing full-suite bench.json artifact — round-9 lesson: a
+    // 2-query experiment snapshot got committed as the headline record.
+    val benchOut = if (only.isDefined) "bench_scoped.json" else "bench.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(benchOut),
       (full + "\n").getBytes("UTF-8"))
     println(line)
     spark.stop()
