@@ -535,13 +535,18 @@ object StreamPack extends QueryPack {
         TextOps.saltedText(col("text"), col("doc_id")).as("text2"))
       .orderBy("doc_id")
       .as[(Long, String)].collect().toSeq
-    val maxId = docs.map(_._1).max
     val base = 1704067200000L // 2024-01-01T00:00:00Z
-    val originals = docs.map { case (id, t) =>
-      (new Timestamp(base + id * 1000L), id, t)
+    // RANK-based synthetic timestamps (1 s apart), not id-based: ids at
+    // a stress copy reach c*10M, and id-seconds would stretch the feed
+    // span past the 400-day dedup watermark — evicting early digests
+    // before their echoes arrive and breaking the gate at scale. The
+    // rank span is 2n+10 seconds for ANY id domain.
+    val n = docs.size
+    val originals = docs.zipWithIndex.map { case ((id, t), r) =>
+      (new Timestamp(base + r * 1000L), id, t)
     }
-    val echoes = docs.collect { case (id, t) if id % 3 == 0 =>
-      (new Timestamp(base + (maxId + 10 + id) * 1000L), id + EchoOffset, t)
+    val echoes = docs.zipWithIndex.collect { case ((id, t), r) if id % 3 == 0 =>
+      (new Timestamp(base + (n + 10 + r) * 1000L), id + EchoOffset, t)
     }
     val feed = (originals ++ echoes).sortBy(_._1.getTime)
     val out = Replay.run(s, Replay.timeSlices(feed, Batches), "append") { ds =>
@@ -574,6 +579,102 @@ object StreamPack extends QueryPack {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // -- foreachBatch ingest screens -------------------------------------------
+
+  /** Streaming fuzzy-match ingest screen ([[graft.operators.FuzzyJoin
+    * .fuzzyScreenBatch]], SymSpell deletion neighborhoods, k = 1)
+    * replayed over micro-batches: the corpus variant index is built and
+    * persisted ONCE, each batch equi-joins it on 8-byte variant hashes,
+    * exact-verifies with levenshtein, and anti-joins the matches away.
+    * The probe feed is derived from customer names — every 20th key a
+    * 1-substitution typo variant (must be REJECTED), other sampled keys
+    * a clearly-novel suffix form (must be ADMITTED); the oracle is the
+    * brute-force NOT EXISTS levenshtein <= 1 screen in DuckDB, so both
+    * decisions are checked for every probe. */
+  def fuzzyScreenQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val customers = Tables.customer(s, dir)
+    val screen = graft.operators.FuzzyJoin.fuzzyScreenBatch(
+      customers.select(col("c_name")), "c_name", 1)
+    try {
+      val probes = customers.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 20 === 0,
+            concat(lit("q"), expr("substring(c_name, 2, 1000000)")))
+            .otherwise(concat(col("c_name"), lit(" zqxj"))).as("probe"))
+        .orderBy("c_custkey").as[(Long, String)].collect().toSeq
+      val out = Replay.runForeachBatch(s,
+        Replay.timeSlices(probes, Batches)) { df =>
+        screen(df.toDF("probe_key", "c_name"))
+      }
+      out.select(col("probe_key"), col("c_name").as("probe"))
+        .orderBy("probe_key")
+    } finally screen.close() // replay already materialized; index freed
+  }
+
+  val fuzzyScreenSql: String =
+    """WITH probes AS (
+      |  SELECT c_custkey AS probe_key,
+      |    CASE WHEN c_custkey % 20 = 0 THEN 'q' || substring(c_name, 2)
+      |         ELSE c_name || ' zqxj' END AS probe
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |names AS (SELECT DISTINCT c_name FROM customer)
+      |SELECT p.probe_key, p.probe FROM probes p
+      |WHERE NOT EXISTS (SELECT 1 FROM names n
+      |                  WHERE levenshtein(p.probe, n.c_name) <= 1)
+      |ORDER BY p.probe_key""".stripMargin
+
+  /** Streaming segment-scrub ingest screen ([[graft.operators
+    * .SegmentDedup.segmentScreenBatch]]): known corpus segments (tokens
+    * — the synthetic corpus is single-line) are removed from every
+    * stream document, order-preserving reassembly, kept/total counts.
+    * Corpus = even doc_ids, stream = odd; the segment doc-frequency
+    * index is built and persisted once, each micro-batch anti-joins it. */
+  def segmentScreenQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.documents(s, dir).filter(col("doc_id") % 2 === 0)
+      .withColumn("text", trim(col("text")))
+    val screen = graft.operators.SegmentDedup.segmentScreenBatch(
+      corpus, "doc_id", "text", delimRegex = "\\s+", joinSep = " ")
+    try {
+      val feed = Tables.documents(s, dir).filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), trim(col("text")).as("text"))
+        .orderBy("doc_id").as[(Long, String)].collect().toSeq
+      val out = Replay.runForeachBatch(s,
+        Replay.timeSlices(feed, Batches)) { df =>
+        screen(df.toDF("doc_id", "text"))
+      }
+      out.select(col("doc_id"), col("cleaned"), col("n_segs"),
+          col("n_removed"))
+        .orderBy("doc_id")
+    } finally screen.close()
+  }
+
+  val segmentScreenSql: String =
+    raw"""WITH segs AS (
+         |  SELECT doc_id,
+         |    unnest(string_split_regex(trim(text), '\s+')) AS seg,
+         |    unnest(range(1, len(string_split_regex(trim(text), '\s+')) + 1))
+         |      AS seg_no
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |cseg AS (SELECT DISTINCT unnest(string_split_regex(trim(text), '\s+'))
+         |           AS seg
+         |         FROM documents WHERE doc_id % 2 = 0),
+         |kept AS (SELECT s.doc_id, s.seg_no, s.seg FROM segs s
+         |         WHERE s.seg NOT IN (SELECT seg FROM cseg)),
+         |agg AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_no)
+         |          AS cleaned,
+         |        count(*) AS n_kept FROM kept GROUP BY doc_id),
+         |tot AS (SELECT doc_id, count(*) AS n_segs FROM segs GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.cleaned, '') AS cleaned,
+         |  CAST(coalesce(t.n_segs, 0) AS BIGINT) AS n_segs,
+         |  CAST(coalesce(t.n_segs, 0) - coalesce(a.n_kept, 0) AS BIGINT)
+         |    AS n_removed
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 1) d
+         |LEFT JOIN tot t ON t.doc_id = d.doc_id
+         |LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_running_agg" -> runningAggQ,
     "stream_dedup" -> dedupQ,
@@ -585,7 +686,9 @@ object StreamPack extends QueryPack {
     "stream_asof" -> asofQ,
     "stream_interval_join" -> intervalJoinQ,
     "stream_rekey" -> rekeyQ,
-    "stream_curation" -> curationQ)
+    "stream_curation" -> curationQ,
+    "stream_fuzzy_screen" -> fuzzyScreenQ,
+    "stream_segment_screen" -> segmentScreenQ)
 
   override def oracle: Map[String, String] = Map(
     "stream_running_agg" -> runningAggSql,
@@ -598,5 +701,7 @@ object StreamPack extends QueryPack {
     "stream_asof" -> asofSql,
     "stream_interval_join" -> intervalJoinSql,
     "stream_rekey" -> rekeySql,
-    "stream_curation" -> curationSql)
+    "stream_curation" -> curationSql,
+    "stream_fuzzy_screen" -> fuzzyScreenSql,
+    "stream_segment_screen" -> segmentScreenSql)
 }

@@ -75,6 +75,46 @@ object Replay {
         schema.fields))
   }
 
+  /** [[run]] for the foreachBatch-shaped ingest screens: feed `batches`
+    * through a MemoryStream and apply a BATCH DataFrame function to
+    * every micro-batch (the idiomatic Spark wiring for screens whose
+    * anti-join probe side derives from the stream itself — see
+    * [[StatefulOps.nearDupScreenBatch]]). The union of the per-batch
+    * outputs is returned, batch_id-prefixed like [[run]]. The screen's
+    * corpus index stays persisted across batches, which is exactly the
+    * reuse contract the gate is proving. */
+  def runForeachBatch[In: Encoder](spark: SparkSession,
+      batches: Seq[Seq[In]])(f: DataFrame => DataFrame): DataFrame = {
+    require(batches.exists(_.nonEmpty), "need at least one non-empty batch")
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[In]
+    val buf = ArrayBuffer.empty[Row]
+    @volatile var schema: StructType = null
+    val q = input.toDS().toDF().writeStream
+      .foreachBatch { (df: Dataset[Row], id: Long) =>
+        val out = f(df)
+        val rows = out.collect()
+        buf.synchronized {
+          if (schema == null) schema = out.schema
+          buf ++= rows.map(r => Row.fromSeq(id +: r.toSeq))
+        }
+        ()
+      }
+      .start()
+    try {
+      batches.foreach { b =>
+        if (b.nonEmpty) input.addData(b)
+        q.processAllAvailable()
+      }
+      q.processAllAvailable()
+    } finally q.stop()
+    require(schema != null, "no micro-batch ran")
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(buf.asJava,
+      StructType(StructField("batch_id", LongType, nullable = false) +:
+        schema.fields))
+  }
+
   /** [[run]] with a CRASH-RESTART in the middle: the first schedule
     * half runs under query 1 (parquet sink + checkpoint), the query
     * stops, a NEW query instance starts from the same checkpoint and

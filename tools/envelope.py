@@ -58,11 +58,19 @@ def _bench(repo, cp, sf_dir, only, outdir):
     if rc != 0:
         print(f"Bench exited {rc}", file=sys.stderr)
         return {}
-    return json.load(open(os.path.join(outdir, "bench.json")))["queries"]
+    # scoped runs (SPARK_GRAFT_ONLY set) write bench_scoped.json so they
+    # can never clobber a repo-root bench.json; keep the old name as a
+    # fallback for pre-change class builds
+    for name in ("bench_scoped.json", "bench.json"):
+        p = os.path.join(outdir, name)
+        if os.path.exists(p):
+            return json.load(open(p))["queries"]
+    print("no bench output found", file=sys.stderr)
+    return {}
 
 
 def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
-         only=None, use_detwin=False):
+         only=None, use_detwin=False, with_times=False):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     workdir = workdir or f"/tmp/envelope_r{rnd}"
     stress_dir = os.path.join(workdir, f"sf_x{copies}")
@@ -71,8 +79,15 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
 
     t0 = time.time()
     kind = "de-twinned" if use_detwin else "twin"
-    print(f"== building {copies}x {kind} copy of {sf_dir} -> {stress_dir}")
-    (detwin if use_detwin else stress5x).build(sf_dir, stress_dir, copies)
+    # a completed copy is immutable — reuse it across rounds (the marker
+    # is written only after build() returns, so half-builds never match)
+    marker = os.path.join(stress_dir, f"_GRAFT_{kind.replace('-', '')}_OK")
+    if os.path.exists(marker):
+        print(f"== reusing existing {copies}x {kind} copy at {stress_dir}")
+    else:
+        print(f"== building {copies}x {kind} copy of {sf_dir} -> {stress_dir}")
+        (detwin if use_detwin else stress5x).build(sf_dir, stress_dir, copies)
+        open(marker, "w").close()
 
     print(f"== running graft.Verify over {stress_dir}"
           + (f" (only={only})" if only else ""))
@@ -108,7 +123,7 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
         "verify_failed": failed_dump,
         "queries": results,
     }
-    if use_detwin and only:
+    if (use_detwin or with_times) and only:
         # time axis: the same families at 1x and at Nx, per-query ratios
         print(f"== timing families at 1x and {copies}x")
         t1 = _bench(repo, cp, sf_dir, only, os.path.join(workdir, "b1"))
@@ -119,7 +134,8 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
             q: round(tn[q] / t1[q], 2)
             for q in tn if q in t1 and t1[q] > 0 and tn[q] > 0}
     out["elapsed_sec"] = round(time.time() - t0, 1)
-    suffix = f"_detwin{copies}x" if use_detwin else ""
+    suffix = (f"_detwin{copies}x" if use_detwin
+              else f"_{copies}x" if with_times else "")
     path = os.path.join(repo, f"ENVELOPE_r{rnd:02d}{suffix}.json")
     json.dump(out, open(path, "w"), indent=1, sort_keys=True)
     print(f"== wrote {path}: {out['n_pass']} pass, {out['n_fail']} fail, "
@@ -128,11 +144,12 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
 
 
 if __name__ == "__main__":
-    args = [a for a in sys.argv[1:] if a != "--detwin"]
+    args = [a for a in sys.argv[1:] if a not in ("--detwin", "--times")]
     use_detwin = "--detwin" in sys.argv
+    with_times = "--times" in sys.argv  # 1x-vs-Nx timing without detwin
     rnd = int(args[0])
     sf = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     copies = int(args[2]) if len(args) > 2 else 5
     wd = args[3] if len(args) > 3 else None
     only = args[4] if len(args) > 4 else None
-    sys.exit(main(rnd, sf, copies, wd, only, use_detwin))
+    sys.exit(main(rnd, sf, copies, wd, only, use_detwin, with_times))
