@@ -27,6 +27,11 @@ object Bench {
       // Periodic GC caps that regardless of heap size — the same setting
       // a long-lived 100 TB driver needs (default is 30 min).
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Survive long GC pauses / host contention: a starved local-mode
+      // heartbeat (>120 s default) drops the in-process executor
+      // unrecoverably (see Verify for the full rationale).
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       // Static conf, must be set before the session exists: the codegen
       // class cache defaults to 100 entries, and a 320+-query suite
       // churns far more generated classes than that — each eviction

@@ -15,6 +15,15 @@ object Verify {
       // See Bench: keep ContextCleaner alive on large heaps across a
       // ~190-query run (driver GC may otherwise never fire).
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // Long full-GC pauses on a 25x stress dir (or CPU contention from
+      // a concurrent build) can starve the local executor's heartbeat
+      // past the 120 s default; in local mode the dropped executor is
+      // unrecoverable and every later query fails with
+      // RpcEndpointNotFoundException. A stress-verify run is batch work,
+      // not latency-sensitive — wait out pauses instead of declaring
+      // the (in-process!) executor dead.
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
