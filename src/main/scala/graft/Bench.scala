@@ -83,35 +83,6 @@ object Bench {
         }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    // Noise immunity (round-6 lesson): a shared machine injected phantom
-    // 30 s outliers into single-shot timings (isolated re-runs: 1-3 s).
-    // Any query whose first run exceeds 1 s gets a second run and we keep
-    // the MIN — the minimum over runs is the plan cost, anything above it
-    // is contention/GC. Fast queries aren't re-run, so the overhead is
-    // bounded by the tail, not 2x the whole suite. First-run values are
-    // preserved in bench.json ("first_runs") for drift inspection.
-    val rerunThresholdSec = 1.0
-    val firstRuns = selected.map { case (name, fn) => name -> timeOne(name, fn) }
-    var reruns = 0
-    val results = selected.zip(firstRuns).map { case ((name, fn), (_, t1)) =>
-      if (t1 > rerunThresholdSec) {
-        reruns += 1
-        val t2 = timeOne(name, fn)
-        name -> (if (t2 < 0) t1 else math.min(t1, t2))
-      } else name -> t1
-    }
-    val failedNames = results.collect { case (n, v) if v < 0 => n }
-    def fmt(v: Double) = f"$v%.3f"
-    def jmap(rs: Seq[(String, Double)]) =
-      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    // The driver keeps only the LAST 2000 chars of stdout and parses the
-    // metric line out of that tail (rounds 1-3 recorded `parsed: null`
-    // because the full 143-query map made the line ~5 KB — the tail began
-    // mid-line). Print a compact line (headline TPC-H queries only,
-    // 3-decimal values, < 1 KB) and write the full per-query map to
-    // bench.json for inspection.
-    val headline = results.filter(_._1.matches("q\\d+_.*"))
 
     // ---- standing TPC-H 10x axis (round-8 verdict ask #7): at sf0.1
     // the 22-query subtotal is ~15 s where JVM/job overhead dominates
@@ -121,6 +92,21 @@ object Bench {
     // file) with the same key-offset construction the stress envelope
     // uses, so referential integrity holds. Skipped when SPARK_GRAFT_ONLY
     // scopes a local iteration or SPARK_GRAFT_10X=0.
+    //
+    // PROTOCOL (round-10 lesson): this axis runs FIRST in the session —
+    // BENCH_r10 recorded tpch10x_sec=71.3 s vs a reproducible ~22 s
+    // because the axis ran LAST, after 329 queries + 93 reruns + an
+    // in-session copy rebuild, and min-of-2 can't help when both runs
+    // sit in the same contended tail. Running it before the main suite
+    // isolates it from self-inflicted load; a /proc/loadavg sentinel is
+    // recorded at axis start so a contaminated snapshot is identifiable;
+    // and when the min-of-2 spread exceeds 2x (contention signature) a
+    // third pass runs and the min is kept.
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val tenXLoad = loadavg()
     val tenX: Seq[(String, Double)] =
       if (only.isDefined || sys.env.get("SPARK_GRAFT_10X").contains("0")) Nil
       else try {
@@ -183,25 +169,76 @@ object Bench {
           df.agg(cs.head, cs.tail: _*).collect()
         }
         val tpch = selected.filter(_._1.matches("q\\d+_.*"))
-        tpch.map { case (name, fn) =>
-          val t1 = {
-            val t0 = System.nanoTime()
-            try { fn(spark, dir10).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => -1.0 }
+        def run10(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, dir10).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] 10x $name FAILED: ${e.getMessage}")
+            -1.0
           }
-          // min-of-2 (same contention-immunity rule as the main loop)
-          val t2 = if (t1 >= 0) {
-            val t0 = System.nanoTime()
-            try { fn(spark, dir10).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => t1 }
-          } else t1
-          name -> (if (t1 < 0) t1 else math.min(t1, t2))
+        }
+        tpch.map { case (name, fn) =>
+          val t1 = run10(name, fn)
+          if (t1 < 0) name -> t1
+          else {
+            // min-of-2 (same contention-immunity rule as the main loop);
+            // a >2x spread between the two runs is the contention
+            // signature (plan cost is the reproducible minimum) — take a
+            // third pass rather than trust either sample.
+            val t2 = run10(name, fn)
+            val best2 = if (t2 < 0) t1 else math.min(t1, t2)
+            val spread = if (t2 > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0
+            val best =
+              if (spread > 2.0) {
+                val t3 = run10(name, fn)
+                if (t3 < 0) best2 else math.min(best2, t3)
+              } else best2
+            name -> best
+          }
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] 10x axis skipped: ${e.getMessage}")
         Nil
       }
     val tenXsec = tenX.map(_._2).filter(_ >= 0).sum
+
+    // Noise immunity (round-6 lesson): a shared machine injected phantom
+    // 30 s outliers into single-shot timings (isolated re-runs: 1-3 s).
+    // Any query whose first run exceeds 1 s gets a second run and we keep
+    // the MIN — the minimum over runs is the plan cost, anything above it
+    // is contention/GC. Fast queries aren't re-run, so the overhead is
+    // bounded by the tail, not 2x the whole suite. First-run values are
+    // preserved in bench.json ("first_runs") for drift inspection.
+    val rerunThresholdSec = 1.0
+    val mainLoad = loadavg()
+    val firstRuns = selected.map { case (name, fn) => name -> timeOne(name, fn) }
+    // Rerun accounting split by CAUSE (round-10 verdict ask #5): the 13
+    // stream_* replay rows are >1 s BY CONSTRUCTION (multi-trigger replay
+    // harness), so they rerun structurally every round; only the batch
+    // rows that crossed 1 s measure contention/creep. Reported separately
+    // so "reruns rose" can be read as structure vs machine load.
+    var rerunsStream = 0
+    var rerunsBatch = 0
+    val results = selected.zip(firstRuns).map { case ((name, fn), (_, t1)) =>
+      if (t1 > rerunThresholdSec) {
+        if (name.startsWith("stream_")) rerunsStream += 1 else rerunsBatch += 1
+        val t2 = timeOne(name, fn)
+        name -> (if (t2 < 0) t1 else math.min(t1, t2))
+      } else name -> t1
+    }
+    val reruns = rerunsStream + rerunsBatch
+    val failedNames = results.collect { case (n, v) if v < 0 => n }
+    def fmt(v: Double) = f"$v%.3f"
+    def jmap(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    // The driver keeps only the LAST 2000 chars of stdout and parses the
+    // metric line out of that tail (rounds 1-3 recorded `parsed: null`
+    // because the full 143-query map made the line ~5 KB — the tail began
+    // mid-line). Print a compact line (headline TPC-H queries only,
+    // 3-decimal values, < 1 KB) and write the full per-query map to
+    // bench.json for inspection.
+    val headline = results.filter(_._1.matches("q\\d+_.*"))
 
     // tpch_sec: the q1-q22 subtotal — a stable cross-round comparison
     // while the total query count keeps growing round over round.
@@ -214,6 +251,8 @@ object Bench {
       .filter(_._1.startsWith("stream_")).map(_._2).filter(_ >= 0).sum
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","n":${results.size},"failed":${failedNames.size},"reruns":$reruns""" +
+      s""","reruns_stream":$rerunsStream,"reruns_batch":$rerunsBatch""" +
+      s""","load_10x":${fmt(tenXLoad)},"load_main":${fmt(mainLoad)}""" +
       s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}""" +
       s""","batch_sec":${fmt(total - streamSec)}""" +
       s""","stream_sec":${fmt(streamSec)}""" +

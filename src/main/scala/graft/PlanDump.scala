@@ -96,9 +96,35 @@ object PlanDump {
           .explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n$why\n\n```\n$p```\n")
     }
+    // opt_runtime_filter needs its confs ACTIVE at explain time (the
+    // bloom probe is an optimizer rewrite), and the gate query itself
+    // returns a checkpointed result whose plan is a LogicalRDD — so the
+    // evidence comes from the un-checkpointed builder under the same
+    // confs the gate materializes with.
+    locally {
+      val confs = graft.queries.MiscPack.runtimeFilterConfs
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val p = graft.queries.MiscPack.runtimeFilterPlan(spark, dir)
+          .queryExecution.explainString(ExplainMode.fromString("formatted"))
+        require(p.contains("might_contain"),
+          "runtime bloom filter missing from opt_runtime_filter plan")
+        sb.append("\n## opt_runtime_filter\n\n")
+        sb.append("Runtime semi-join prefilter: the selective orders ")
+        sb.append("filter is injected as a bloom `might_contain` probe on ")
+        sb.append("the lineitem side BEFORE its exchange — shuffle input ")
+        sb.append("is cut ahead of the join (oracle-gated answer; confs ")
+        sb.append("as in MiscPack.runtimeFilterConfs).\n\n")
+        sb.append(s"```\n$p```\n")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
       sb.toString.getBytes("UTF-8"))
-    println(s"PLANS.md written (${picks.size} plans)")
+    println(s"PLANS.md written (${picks.size + 1} plans)")
     spark.stop()
   }
 }

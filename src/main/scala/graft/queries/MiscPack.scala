@@ -1087,7 +1087,62 @@ object MiscPack extends QueryPack {
        |SELECT id, r FROM r$prIters ORDER BY id""".stripMargin
   }
 
+  /** Runtime semi-join prefilter (SURVEY §4.1; reference analog:
+    * python/cudf_polars/cudf_polars/experimental/join_filter_pushdown.py
+    * :1-50): a selective dimension filter becomes, via Spark's
+    * InjectRuntimeFilter rule, a bloom-filter probe (`might_contain`)
+    * on the FACT side of a shuffle join — shuffle input is cut BEFORE
+    * the join, the 100 TB win the reference's semi-join pushdown
+    * targets. This builder is the plan shape; [[optRuntimeFilter]]
+    * materializes it under the runtime-filter confs, and PlanDump pins
+    * `might_contain` on the lineitem side with the same confs. */
+  def runtimeFilterPlan(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val ord = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        QueryPack.dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
+          .as("revenue"))
+      .orderBy("l_returnflag")
+  }
+
+  /** Confs that arm the rewrite. Thresholds are lowered because the
+    * testdata is tiny; at cluster scale the DEFAULTS (10 GB application
+    * side) gate the same rewrite. Broadcast joins skip runtime filters
+    * (the broadcast itself is the prefilter), so the shuffle join the
+    * rewrite targets — which the fact join IS at 100 TB — is forced. */
+  val runtimeFilterConfs: Seq[(String, String)] = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+  /** Gate row: the ANSWER under the runtime-filter rewrite must equal
+    * the plain SQL oracle. The rewrite is an optimizer rule that reads
+    * session conf at execution, so the result materializes eagerly
+    * (localCheckpoint) while the confs are in force, then every conf is
+    * restored so no later gate inherits them. */
+  def optRuntimeFilter(s: SparkSession, dir: String): DataFrame = {
+    val saved = runtimeFilterConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    runtimeFilterConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    try runtimeFilterPlan(s, dir).localCheckpoint(true)
+    finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  val optRuntimeFilterSql: String =
+    s"""SELECT l_returnflag, count(*) AS n_items,
+       |  ${QueryPack.dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderpriority = '1-URGENT'
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "opt_runtime_filter" -> optRuntimeFilter,
     "graph_pagerank" -> pageRankQ,
     "graph_triangles" -> trianglesQ,
     "graph_bfs_levels" -> bfsQ,
@@ -1130,6 +1185,7 @@ object MiscPack extends QueryPack {
       |ORDER BY user_id, event_id""".stripMargin
 
   override def oracle: Map[String, String] = Map(
+    "opt_runtime_filter" -> optRuntimeFilterSql,
     "graph_pagerank" -> pageRankSql,
     "graph_triangles" -> trianglesSql,
     "graph_bfs_levels" -> bfsSql,

@@ -385,11 +385,21 @@ object StreamPack extends QueryPack {
     * sides replay from ONE tagged MemoryStream (a documented stream
     * self-join), each branch carrying its own watermark; sentinel rows
     * on BOTH sides (user −1, filtered post-join) advance the min-of-two
-    * watermark so every unmatched view drains before the replay ends. */
+    * watermark so every unmatched view drains before the replay ends.
+    *
+    * Feed: a deterministic 1-in-5 user slice (user_id % 5 = 4, same
+    * predicate in the oracle SQL). The gate's sensitivity lives in
+    * schedule STRUCTURE — unmatched views, matches straddling batch
+    * boundaries, watermark crossings — all of which are per-user and
+    * fully preserved by a user-keyed slice; replaying all 100k rows
+    * only multiplied replay cost 5x without adding a failure mode
+    * (round-10 verdict ask #4; mutation check re-proven on the join
+    * bound). */
   def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = Tables.events(s, dir)
       .filter(col("event_type").isin("view", "click"))
+      .filter(col("user_id") % 5 === 4)
       .select(col("ts"), col("user_id"),
         when(col("event_type") === "view", "V").otherwise("C").as("side"))
       .orderBy("ts", "user_id", "side")
@@ -428,9 +438,11 @@ object StreamPack extends QueryPack {
 
   val intervalJoinSql: String =
     s"""WITH v AS (SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS v_us
-       |           FROM events WHERE event_type = 'view'),
+       |           FROM events
+       |           WHERE event_type = 'view' AND user_id % 5 = 4),
        |c AS (SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS c_us
-       |      FROM events WHERE event_type = 'click')
+       |      FROM events
+       |      WHERE event_type = 'click' AND user_id % 5 = 4)
        |SELECT v.user_id, CAST(v.v_us AS BIGINT) AS v_us,
        |  CAST(c.c_us AS BIGINT) AS c_us
        |FROM v LEFT JOIN c ON c.user_id = v.user_id
@@ -456,10 +468,19 @@ object StreamPack extends QueryPack {
     * tracker and the tail sessions would never close (observed: the
     * last two day-windows silently missing). The cutoff is provable for
     * any corpus: real day windows start ≤ maxTs + gap, sentinel windows
-    * start ≥ maxTs + 29d, and the cutoff sits at maxTs + 7d. */
+    * start ≥ maxTs + 29d, and the cutoff sits at maxTs + 7d.
+    *
+    * Feed: the same deterministic 1-in-5 user slice as the interval
+    * join (user_id % 5 = 4, mirrored in the oracle SQL) — both stages
+    * key on user (then on windows derived from per-user sessions), so
+    * a user-keyed slice preserves every failure mode (sessions
+    * straddling batch boundaries, day-window re-keying, sentinel
+    * drainage) at a fifth of the replay cost (round-10 ask #4;
+    * mutation check re-proven on the session gap). */
   def rekeyQ(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rows = Tables.events(s, dir)
+      .filter(col("user_id") % 5 === 4)
       .select(col("ts"), col("user_id"))
       .orderBy("ts", "user_id")
       .as[(Timestamp, Long)].collect().toSeq
@@ -490,7 +511,7 @@ object StreamPack extends QueryPack {
 
   val rekeySql: String =
     s"""WITH e AS (SELECT user_id, (epoch_us(ts) // 1000) * 1000 AS tus
-       |           FROM events),
+       |           FROM events WHERE user_id % 5 = 4),
        |o AS (SELECT user_id, tus,
        |        lag(tus) OVER (PARTITION BY user_id ORDER BY tus) AS prev
        |      FROM e),

@@ -29,6 +29,25 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * the stream shuffles into. */
 object Replay {
 
+  /** State partitions for the replay rig. Streaming fixes the state
+    * store count to spark.sql.shuffle.partitions at first trigger, and
+    * every trigger then pays a per-partition state-store round trip
+    * (with RocksDB: a native instance each). At the session default
+    * (= cores = 32) a bounded ≤100k-row replay feed pays 32 store
+    * visits per stateful op per trigger for ~600 rows each — pure
+    * fixed cost, 4x what the feed needs. 8 keeps the operators
+    * genuinely distributed (multi-partition shuffles, cross-partition
+    * watermark min) while sizing rig overhead to the feed; production
+    * streams size this to load, not to the verification rig. */
+  private val RigPartitions = "8"
+
+  private def withRigPartitions[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, RigPartitions)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Chunk a pre-ordered row seq into `n` contiguous micro-batches
     * (the fixed schedule). Deterministic for a deterministic input
     * order; n never exceeds the row count. */
@@ -47,7 +66,8 @@ object Replay {
     * A final processAllAvailable runs after the last batch so
     * watermark-advance-only batches (event-time timers) drain. */
   def run[In: Encoder](spark: SparkSession, batches: Seq[Seq[In]],
-      outputMode: String)(build: Dataset[In] => DataFrame): DataFrame = {
+      outputMode: String)(build: Dataset[In] => DataFrame): DataFrame =
+    withRigPartitions(spark) {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[In]
     val out = build(input.toDS())
@@ -84,7 +104,8 @@ object Replay {
     * corpus index stays persisted across batches, which is exactly the
     * reuse contract the gate is proving. */
   def runForeachBatch[In: Encoder](spark: SparkSession,
-      batches: Seq[Seq[In]])(f: DataFrame => DataFrame): DataFrame = {
+      batches: Seq[Seq[In]])(f: DataFrame => DataFrame): DataFrame =
+    withRigPartitions(spark) {
     require(batches.exists(_.nonEmpty), "need at least one non-empty batch")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[In]
@@ -126,7 +147,8 @@ object Replay {
     * proof). */
   def runWithRestart[In: Encoder](spark: SparkSession,
       firstBatches: Seq[Seq[In]], secondBatches: Seq[Seq[In]])(
-      build: Dataset[In] => DataFrame): DataFrame = {
+      build: Dataset[In] => DataFrame): DataFrame =
+    withRigPartitions(spark) {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_replay_rs")
       .toString

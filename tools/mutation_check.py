@@ -53,6 +53,22 @@ MUTATIONS = [
      ".cast(\"double\") / lit(1152921504606846976.0) // 2^60",
      ".cast(\"double\") / lit(576460752303423488.0) // 2^60",
      "corpus_split"),
+    # Round-11: re-prove the two slimmed stream gates (1-in-5 user
+    # slice) still trip on their core semantics.
+    # Interval-join upper bound off by a minute: every view/click pair
+    # landing in the (9, 10] minute band drops from the join output.
+    ("interval-join-bound-shrunk",
+     "src/main/scala/graft/queries/StreamPack.scala",
+     "col(\"c_ts\") <= col(\"v_ts\") + expr(\"INTERVAL 10 MINUTES\"),",
+     "col(\"c_ts\") <= col(\"v_ts\") + expr(\"INTERVAL 9 MINUTES\"),",
+     "stream_interval_join"),
+    # Rekey stage-1 session gap halved: sessions split, shifting both
+    # the size-class counts and the day-window re-aggregation.
+    ("rekey-session-gap-halved",
+     "src/main/scala/graft/queries/StreamPack.scala",
+     "session_window(col(\"ts\"), \"2 hours\")",
+     "session_window(col(\"ts\"), \"1 hour\")",
+     "stream_rekey"),
 ]
 
 
