@@ -2,7 +2,8 @@ package graft.examples
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 
 /** Measures the runtime semi-join prefilter's row cut (the evidence
   * behind the opt_runtime_filter gate): runs
@@ -19,7 +20,12 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 object RuntimeFilterProbe {
 
   private def finalPlan(p: SparkPlan): SparkPlan = p match {
-    case a: AdaptiveSparkPlanExec => a.executedPlan
+    case a: AdaptiveSparkPlanExec => finalPlan(a.executedPlan)
+    // AQE stage / exchange-reuse wrappers expose their subtree via
+    // .plan / .child, NOT via children (which is Nil) — unwrap or the
+    // walk sees an empty tree.
+    case q: QueryStageExec => finalPlan(q.plan)
+    case r: ReusedExchangeExec => finalPlan(r.child)
     case other => other
   }
 

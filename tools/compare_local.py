@@ -8,7 +8,7 @@ matching oracle SQL from <out>/oracle_sql.json in DuckDB against the
 testdata parquet tables, sorts columns by name and rows by all columns,
 and compares values exactly (mirrors the driver's described behavior).
 """
-import json, math, sys
+import json, math, os, sys
 
 import duckdb
 
@@ -53,6 +53,13 @@ def run_compare(outdir, sfdir, only=None):
     # full 5x compare runs ~45 min; re-diagnosing one failure must not)
     results = {}
     con = duckdb.connect()
+    # DuckDB defaults to 1 thread in this environment; the quadratic
+    # pair oracles (embed_neardup at a 25x copy = 1.25B candidate
+    # pairs) are hours single-threaded and minutes parallel.
+    try:
+        con.sql(f"SET threads={max(4, (os.cpu_count() or 8) - 8)}")
+    except Exception:
+        pass
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracles = json.load(open(f"{outdir}/oracle_sql.json"))

@@ -89,25 +89,35 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
         (detwin if use_detwin else stress5x).build(sf_dir, stress_dir, copies)
         open(marker, "w").close()
 
-    print(f"== running graft.Verify over {stress_dir}"
-          + (f" (only={only})" if only else ""))
-    env = dict(os.environ, SPARK_GRAFT_CPUS="16")
-    if only:
-        env["SPARK_GRAFT_ONLY"] = only
     # GRAFT_CLASSES: snapshot dir override so `sbt compile` can keep
     # running while a long envelope pass reads a frozen class tree.
     classes = os.environ.get("GRAFT_CLASSES",
                              f"{repo}/target/scala-2.13/classes")
     cp = f"/opt/spark/jars/*:{classes}"
-    errlog = os.path.join(workdir, "verify.stderr")
-    with open(errlog, "w") as ef:
-        rc = subprocess.call(
-            ["java", "-Xmx48g"] + ADD_OPENS +
-            ["-cp", cp, "graft.Verify", stress_dir, vout],
-            cwd=repo, env=env, stdout=sys.stdout, stderr=ef)
-    if rc != 0:
-        print(f"Verify exited {rc}", file=sys.stderr)
-        return 1
+    # GRAFT_ENVELOPE_RESUME=1: reuse an existing COMPLETE Verify dump in
+    # vout (marker: _failed.json == [] and every selected query has a
+    # dump dir) — a 25x Verify pass is ~40 CPU-minutes; a compare-phase
+    # interruption must not force its rerun.
+    resume = os.environ.get("GRAFT_ENVELOPE_RESUME") == "1" and \
+        os.path.exists(os.path.join(vout, "_failed.json")) and \
+        json.load(open(os.path.join(vout, "_failed.json"))) == []
+    if resume:
+        print(f"== resuming: reusing complete Verify dump in {vout}")
+    else:
+        print(f"== running graft.Verify over {stress_dir}"
+              + (f" (only={only})" if only else ""))
+        env = dict(os.environ, SPARK_GRAFT_CPUS="16")
+        if only:
+            env["SPARK_GRAFT_ONLY"] = only
+        errlog = os.path.join(workdir, "verify.stderr")
+        with open(errlog, "w") as ef:
+            rc = subprocess.call(
+                ["java", "-Xmx48g"] + ADD_OPENS +
+                ["-cp", cp, "graft.Verify", stress_dir, vout],
+                cwd=repo, env=env, stdout=sys.stdout, stderr=ef)
+        if rc != 0:
+            print(f"Verify exited {rc}", file=sys.stderr)
+            return 1
 
     print("== DuckDB compare")
     results = compare_local.run_compare(vout, stress_dir, only)
