@@ -155,6 +155,69 @@ object TpcDs extends QueryPack {
        |GROUP BY o_custkey HAVING count(*) >= 2
        |ORDER BY o_custkey""".stripMargin
 
+  /** Week-matrix self-join (DS Q59 shape): ONE (nation, week) aggregate
+    * pivots orders into 7 weekday-revenue columns, then the matrix
+    * self-joins on (nation, week = week + 52) to emit per-weekday
+    * year-over-year ratios. The self-join runs over the AGGREGATE
+    * (|nations| × 52 rows) — at 100 TB the fact is scanned/shuffled
+    * once into the matrix and the quadratic-looking "same week next
+    * year" alignment is an equi-join on a frame thousands of rows
+    * small, broadcast by AQE. Week/weekday derive from day arithmetic
+    * off a fixed Monday epoch (1995-01-02), not ISO-week functions,
+    * so both engines bucket identically near year boundaries. */
+  def dsWeekMatrix(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val days = datediff($"o_orderdate", lit("1995-01-02").cast("date"))
+    val base = Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .select($"c_nationkey".as("nation"),
+        floor(days / 7).cast("long").as("wseq"),
+        pmod(days, lit(7)).cast("int").as("dow"),
+        $"o_totalprice")
+    def dayCol(k: Int) =
+      dsum(when($"dow" === k, $"o_totalprice"), 2).as(s"d$k")
+    val weekly = base.groupBy($"nation", $"wseq")
+      .agg(dayCol(0), dayCol(1), dayCol(2), dayCol(3), dayCol(4),
+        dayCol(5), dayCol(6))
+    val y1 = weekly.filter($"wseq" >= 0 && $"wseq" <= 51)
+      .select(Seq($"nation", $"wseq") ++
+        (0 to 6).map(k => col(s"d$k").as(s"y1_d$k")): _*)
+    val y2 = weekly
+      .select(Seq($"nation".as("n2"), ($"wseq" - 52).as("w2")) ++
+        (0 to 6).map(k => col(s"d$k").as(s"y2_d$k")): _*)
+    def ratio(k: Int) =
+      when(col(s"y1_d$k") > 0 && col(s"y2_d$k").isNotNull,
+        col(s"y2_d$k") / col(s"y1_d$k")).as(s"r$k")
+    y1.join(y2, $"nation" === $"n2" && $"wseq" === $"w2")
+      .select(Seq($"nation", $"wseq") ++ (0 to 6).map(ratio): _*)
+      .orderBy($"nation", $"wseq")
+  }
+
+  val dsWeekMatrixSql: String = {
+    def d(k: Int) =
+      dsumSql(s"CASE WHEN dow = $k THEN o_totalprice END", 2) + s" AS d$k"
+    val ratios = (0 to 6).map(k =>
+      s"CASE WHEN y1.d$k > 0 AND y2.d$k IS NOT NULL " +
+        s"THEN y2.d$k / y1.d$k END AS r$k").mkString(",\n  ")
+    s"""WITH base AS (
+       |  SELECT c_nationkey AS nation,
+       |    CAST(floor(date_diff('day', DATE '1995-01-02', o_orderdate)
+       |      / 7.0) AS BIGINT) AS wseq,
+       |    ((date_diff('day', DATE '1995-01-02', o_orderdate) % 7) + 7)
+       |      % 7 AS dow,
+       |    o_totalprice
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |weekly AS (
+       |  SELECT nation, wseq, ${(0 to 6).map(d).mkString(", ")}
+       |  FROM base GROUP BY 1, 2)
+       |SELECT y1.nation, y1.wseq,
+       |  $ratios
+       |FROM weekly y1 JOIN weekly y2
+       |  ON y1.nation = y2.nation AND y2.wseq = y1.wseq + 52
+       |WHERE y1.wseq BETWEEN 0 AND 51
+       |ORDER BY y1.nation, y1.wseq""".stripMargin
+  }
+
   /** Year-over-year growth (DS Q74/Q11 shape): yearly aggregate →
     * lag window → growth ratio. The window runs over the AGGREGATE
     * (|years| rows, one per year), not the fact table — the unpartitioned
@@ -1645,6 +1708,7 @@ object TpcDs extends QueryPack {
     "ds_cumulative_compare" -> dsCumulativeCompare,
     "ds_sales_ranking" -> dsSalesRanking,
     "ds_yoy_growth" -> dsYoyGrowth,
+    "ds_week_matrix" -> dsWeekMatrix,
     "ds_multi_band" -> dsMultiBand,
     "ds_cohort_retention" -> dsCohortRetention,
     "ds_channel_report" -> dsChannelReport,
@@ -1683,6 +1747,7 @@ object TpcDs extends QueryPack {
     "ds_cumulative_compare" -> dsCumulativeCompareSql,
     "ds_sales_ranking" -> dsSalesRankingSql,
     "ds_yoy_growth" -> dsYoyGrowthSql,
+    "ds_week_matrix" -> dsWeekMatrixSql,
     "ds_multi_band" -> dsMultiBandSql,
     "ds_cohort_retention" -> dsCohortRetentionSql,
     "ds_channel_report" -> dsChannelReportSql,

@@ -119,8 +119,15 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
             print(f"Verify exited {rc}", file=sys.stderr)
             return 1
 
-    print("== DuckDB compare")
-    results = compare_local.run_compare(vout, stress_dir, only)
+    # GRAFT_COMPARE_ONLY: narrower regex for the DuckDB-compare step
+    # alone (verify + timing still cover `only`). Needed when a family
+    # member's ORACLE is O(n^2) in DuckDB (embed_neardup = 1.25B
+    # brute-force pairs at 25x — hours) while the engine side is
+    # banded/bucketed and completes fine: those rows exact-compare at a
+    # smaller multiple in a separate envelope run and time-ratio here.
+    cmp_only = os.environ.get("GRAFT_COMPARE_ONLY", only)
+    print(f"== DuckDB compare (only={cmp_only})")
+    results = compare_local.run_compare(vout, stress_dir, cmp_only)
     failed_dump = json.load(open(os.path.join(vout, "_failed.json")))
     out = {
         "round": rnd,
@@ -128,6 +135,7 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
         "copies": copies,
         "detwinned": use_detwin,
         "only": only,
+        "compare_only": cmp_only,
         "n_pass": sum(1 for v in results.values() if v == "pass"),
         "n_fail": sum(1 for v in results.values() if v != "pass"),
         "verify_failed": failed_dump,
