@@ -240,4 +240,42 @@ object Stats {
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Per-group winsorization: clamp `valueCol` to the group's type-1
+    * [lo, hi] quantile cuts (lo = smallest v whose cumulative count
+    * reaches loNum/loDen of the group, ditto hi) — the outlier-capping
+    * step of a feature/curation pipeline (reference analog: the
+    * clamp/clip scalar of copying.hpp:39 with data-derived bounds).
+    *
+    * Scale shape: the rank math runs over PER-(group, value) COUNTS
+    * (one row per distinct value — the same pre-aggregation as
+    * [[weightedPercentiles]]), never a raw-row sort; the cuts frame is
+    * |groups| rows and broadcast-joins back onto the fact. Type-1
+    * (select an actual data value, integer threshold arithmetic) keeps
+    * the cut engine-portable — no interpolation mode to disagree on.
+    * Returns `df` + `lo_cut`, `hi_cut`, and `<valueCol>_w` (clamped). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      loNum: Long, loDen: Long, hiNum: Long, hiDen: Long): DataFrame = {
+    require(loDen > 0 && hiDen > 0 && loNum >= 0 && hiNum >= 0 &&
+      loNum <= loDen && hiNum <= hiDen && loNum * hiDen <= hiNum * loDen,
+      s"need 0 <= lo <= hi <= 1 (got $loNum/$loDen, $hiNum/$hiDen)")
+    import org.apache.spark.sql.expressions.Window
+    val byValue = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__w"))
+    val run = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val whole = Window.partitionBy(col(groupCol))
+    val cuts = byValue
+      .withColumn("__cum", sum(col("__w")).over(run))
+      .withColumn("__tot", sum(col("__w")).over(whole))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(col("__cum") * loDen >= col("__tot") * loNum,
+          col(valueCol))).as("lo_cut"),
+        min(when(col("__cum") * hiDen >= col("__tot") * hiNum,
+          col(valueCol))).as("hi_cut"))
+    df.join(broadcast(cuts), Seq(groupCol))
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("lo_cut")), col("hi_cut")))
+  }
 }

@@ -466,7 +466,50 @@ object Aggs extends QueryPack {
       |  min(CASE WHEN cum * 10 >= tot * 9 THEN v END) AS wp90
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Per-group winsorize ([[graft.operators.Stats.winsorize]]): events
+    * values clamped to the per-type type-1 [p05, p95] cuts, then a
+    * decimal-exact summary of the clamped column + clip counts. The
+    * cut selection is integer threshold arithmetic over per-value
+    * counts, so both engines pick identical boundary values. */
+  def aggWinsorize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clipped = graft.operators.Stats.winsorize(
+      Tables.events(s, dir).select($"event_type", $"value"),
+      "event_type", "value", 1L, 20L, 19L, 20L)
+    clipped.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        first($"lo_cut").as("lo_cut"), first($"hi_cut").as("hi_cut"),
+        dsum($"value_w").as("sum_w"),
+        sum(when($"value" < $"lo_cut", 1L).otherwise(0L)).as("n_lo"),
+        sum(when($"value" > $"hi_cut", 1L).otherwise(0L)).as("n_hi"))
+      .orderBy($"event_type")
+  }
+
+  val aggWinsorizeSql: String =
+    s"""WITH byv AS (
+       |  SELECT event_type, value AS v, count(*) AS w
+       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |c AS (
+       |  SELECT event_type, v,
+       |    sum(w) OVER (PARTITION BY event_type ORDER BY v) AS cum,
+       |    sum(w) OVER (PARTITION BY event_type) AS tot
+       |  FROM byv),
+       |cuts AS (
+       |  SELECT event_type,
+       |    min(CASE WHEN cum * 20 >= tot * 1 THEN v END) AS lo_cut,
+       |    min(CASE WHEN cum * 20 >= tot * 19 THEN v END) AS hi_cut
+       |  FROM c GROUP BY 1)
+       |SELECT e.event_type, count(*) AS n, lo_cut, hi_cut,
+       |  ${dsumSql("least(greatest(e.value, lo_cut), hi_cut)")} AS sum_w,
+       |  CAST(sum(CASE WHEN e.value < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_lo,
+       |  CAST(sum(CASE WHEN e.value > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_hi
+       |FROM events e JOIN cuts USING (event_type)
+       |GROUP BY 1, lo_cut, hi_cut ORDER BY 1""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorize" -> aggWinsorize,
     "agg_weighted_pctl" -> aggWeightedPctl,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_skew_kurt" -> aggSkewKurt,
@@ -486,6 +529,7 @@ object Aggs extends QueryPack {
     "agg_histogram" -> aggHistogram)
 
   override def oracle: Map[String, String] = Map(
+    "agg_winsorize" -> aggWinsorizeSql,
     "agg_weighted_pctl" -> aggWeightedPctlSql,
     "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_skew_kurt" -> aggSkewKurtSql,

@@ -461,6 +461,35 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(rn.getLong(0) == 4L && rn.getLong(1) == 3L)
   }
 
+  test("winsorize: type-1 cuts, clamping, pass-through inside the cuts") {
+    import spark.implicits._
+    import graft.operators.Stats
+    // 20 values 1..20 in one group: p05 cut = smallest v with cum*20
+    // >= tot (= 1), p95 cut = smallest v with cum*20 >= 19*tot (= 19)
+    val df = (1 to 20).map(i => ("g", i.toDouble)).toDF("k", "v")
+    val w = Stats.winsorize(df, "k", "v", 1L, 20L, 19L, 20L)
+    val rows = w.select($"v", $"lo_cut", $"hi_cut", $"v_w").collect()
+    assert(rows.forall(r => r.getDouble(1) == 1.0 && r.getDouble(2) == 19.0))
+    assert(rows.forall { r =>
+      val (v, cl) = (r.getDouble(0), r.getDouble(3))
+      cl == math.min(math.max(v, 1.0), 19.0)
+    })
+    // only the value above hi_cut is altered here
+    assert(rows.count(r => r.getDouble(0) != r.getDouble(3)) == 1)
+    // tighter cuts on a skewed two-group frame: cuts are PER GROUP and
+    // every clamped value lies inside [lo_cut, hi_cut]
+    val sk = ((1 to 99).map(i => ("a", 1.0)) ++ Seq(("a", 1000.0)) ++
+      (1 to 50).map(i => ("b", i.toDouble))).toDF("k", "v")
+    val ws = Stats.winsorize(sk, "k", "v", 1L, 4L, 3L, 4L)
+      .select($"k", $"lo_cut", $"hi_cut", $"v_w").collect()
+    assert(ws.forall(r =>
+      r.getDouble(3) >= r.getDouble(1) && r.getDouble(3) <= r.getDouble(2)))
+    val aCut = ws.filter(_.getString(0) == "a").head
+    assert(aCut.getDouble(1) == 1.0 && aCut.getDouble(2) == 1.0)
+    val bCut = ws.filter(_.getString(0) == "b").head
+    assert(bCut.getDouble(1) == 13.0 && bCut.getDouble(2) == 38.0)
+  }
+
   test("mannWhitney matches the classical rank-sum formulation on random data") {
     import spark.implicits._
     import graft.operators.Stats
