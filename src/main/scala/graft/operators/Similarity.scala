@@ -116,13 +116,44 @@ object Similarity {
   def lshBucket(vecCol: String, bits: Int): Column =
     (0 until bits).map(b => signBit(col(vecCol), b, b)).reduce(_ + _)
 
+  /** Corpus-adaptive LSH width: the smallest b in [minBits, maxBits]
+    * with n ≤ targetBucket·2^b — expected bucket occupancy stays ≤
+    * targetBucket at ANY corpus size, so within-bucket candidate pairs
+    * grow ∝ n·targetBucket instead of ∝ n²/2^const. Measured need: the
+    * round-11 25× de-twinned envelope clocked fixed bits=4 at a 485×
+    * time ratio for 25× data (~n^1.9 — 16 buckets held 3k vectors
+    * each); this rule returns 9 there and the pair count re-linearizes.
+    * Pure integer comparisons (no log2 float-boundary hazard) so the
+    * DuckDB oracle reproduces the choice exactly from count(*). */
+  def autoLshBits(n: Long, targetBucket: Long = 125L,
+      minBits: Int = 4, maxBits: Int = 12): Int = {
+    var b = minBits
+    while (b < maxBits && n > (targetBucket << b)) b += 1
+    b
+  }
+
+  /** Corpus-adaptive SemDeDup cell count: ~250 vectors per k-means
+    * cell (floor 8, cap 65536), keeping within-cell pair work ∝
+    * n·250 — a FIXED cell count makes it ∝ n²/K (measured 197× time at
+    * 25× data with K=8). Integer arithmetic, oracle-reproducible. */
+  def autoCells(n: Long): Int =
+    math.min(65536L, math.max(8L, (n + 249) / 250)).toInt
+
+  /** Plane-index stride between LSH tables: table t draws planes
+    * t*LshPlaneStride + b. The stride is FIXED at the autoLshBits cap
+    * so each table's plane IDENTITY is independent of the chosen
+    * width — a corpus-adaptive `bits` only gates how many of the same
+    * planes contribute, which is what lets oracle SQL embed static
+    * plane literals and switch them on by a count-derived width. */
+  final val LshPlaneStride = 12
+
   /** All `tables` bucket ids of a vector as array<struct<t,bucket>> —
-    * table t uses planes t*bits .. t*bits+bits-1, so tables are
+    * table t uses planes t*LshPlaneStride .. +bits-1, so tables are
     * independent hashes; explode to get one (vector, table) row each. */
   private def lshTableBuckets(vec: Column, bits: Int, tables: Int): Column =
     array((0 until tables).map { t =>
       struct(lit(t).as("t"),
-        (0 until bits).map(b => signBit(vec, t * bits + b, b))
+        (0 until bits).map(b => signBit(vec, t * LshPlaneStride + b, b))
           .reduce(_ + _).as("bucket"))
     }: _*)
 
@@ -480,8 +511,11 @@ object Similarity {
     * cross-key pair dedup is needed; the verify joins vectors back by
     * id (a plain scan + norm, not the assignment subtree). */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int, iters: Int = 2): DataFrame = {
-    val model = collectModel(kmeansCentroids(df, nCells, iters, idCol, vecCol))
+      threshold: Double, nCells: Int = 0, iters: Int = 2): DataFrame = {
+    // nCells <= 0 = corpus-adaptive (default): ~250 vectors per cell
+    // keeps within-cell pair work ∝ n, not ∝ n²/K (see autoCells).
+    val k = if (nCells > 0) nCells else autoCells(df.count())
+    val model = collectModel(kmeansCentroids(df, k, iters, idCol, vecCol))
     // row-local broadcast-model assignment — zero shuffle, runs ONCE
     val assigned = assignNearestCells(
         df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", model)
@@ -611,11 +645,17 @@ object Similarity {
     * side; see PostingLists). Verification joins vectors back per
     * candidate, ∝ candidate count, not corpus². */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, bits: Int = 3, tables: Int = 12): DataFrame = {
+      threshold: Double, bits: Int = 0, tables: Int = 12): DataFrame = {
+    // bits <= 0 = corpus-adaptive (the default and the 100 TB path):
+    // one footer-cheap count sizes the tables so bucket occupancy —
+    // and with it candidate-pair cost — stays flat as the corpus
+    // grows. The count is a planning action (like AQE's runtime
+    // stats), not a per-row driver loop.
+    val nbits = if (bits > 0) bits else autoLshBits(df.count())
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2norm(col(vecCol)).as("norm"))
     val banded = vecs.select(col("id"),
-      explode(lshTableBuckets(col("vec"), bits, tables)).as("tb"))
+      explode(lshTableBuckets(col("vec"), nbits, tables)).as("tb"))
     val cand = PostingLists.candidatePairs(banded, "id", "tb")
       .select(col("a").as("id_a"), col("b").as("id_b"))
       .dropDuplicates("id_a", "id_b")

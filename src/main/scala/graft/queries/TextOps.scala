@@ -1771,18 +1771,45 @@ object TextOps extends QueryPack {
     * plane literals t·bits..t·bits+bits−1, candidates are distinct
     * (id_a < id_b) sharing any (table, bucket), then exact cosine ≥
     * threshold — the identical double arithmetic on both sides. */
+  /** Corpus-adaptive width (bits = 0 → [[Similarity.autoLshBits]]):
+    * the round-11 25× envelope measured fixed bits=4 at a 485× time
+    * ratio for 25× data (16 buckets × 3k vectors each — within-bucket
+    * pairs quadratic); the adaptive rule keeps expected bucket
+    * occupancy ≤ 125 at any SF. The oracle reproduces the width choice
+    * from count(*) with the SAME integer thresholds and gates each
+    * static plane literal by it (plane identity is width-independent —
+    * [[Similarity.LshPlaneStride]]). */
   def embedNearDupLsh(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDupPairs(
         Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.4,
-        bits = 4, tables = 8)
+        bits = 0, tables = 8)
       .orderBy(col("id_a"), col("id_b"))
+
+  /** SQL twin of [[Similarity.autoLshBits]](n, 125, 4, 12): the CASE
+    * thresholds are 125·2^b — integer comparisons, no log2 float
+    * hazard. */
+  private val nbitsSql: String =
+    "CASE " + (4 until 12).map(b =>
+      s"WHEN count(*) <= ${125L << b} THEN $b ").mkString + "ELSE 12 END"
+
+  /** Dynamic-width bucket id: 12 statically-embedded plane terms for
+    * table `table` (stride 12 — Similarity.LshPlaneStride), each
+    * switched on when its bit index is below the count-derived width
+    * `nb.nbits`. */
+  private def lshBucketSqlDyn(vec: String, table: Int): String =
+    (0 until 12).map { b =>
+      s"(CASE WHEN $b < nb.nbits AND " +
+        s"${dpSql(vec, planeLit(table * 12 + b))} > 0 " +
+        s"THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
 
   val embedNearDupLshSql: String = {
     val tb = (0 until 8).map { t =>
-      s"SELECT vec_id, $t AS t, ${lshBucketSql("embedding", 4, t)} AS bucket" +
-        " FROM embeddings"
+      s"SELECT vec_id, $t AS t, ${lshBucketSqlDyn("embedding", t)}" +
+        s" AS bucket FROM embeddings CROSS JOIN nb"
     }.mkString("\nUNION ALL\n")
-    s"""WITH tb AS ($tb),
+    s"""WITH nb AS (SELECT $nbitsSql AS nbits FROM embeddings),
+       |tb AS ($tb),
        |cand AS (
        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM tb a JOIN tb b
@@ -2048,10 +2075,16 @@ object TextOps extends QueryPack {
     * selected, the Lloyd update accumulates in exact fixed-point
     * (VectorMeanFixedAgg — order-independent, so the trained model is
     * bit-identical across engines), and the oracle unrolls both
-    * iterations in SQL with the same integer arithmetic. */
+    * iterations in SQL with the same integer arithmetic.
+    *
+    * Cell count is corpus-adaptive (nCells = 0 →
+    * [[Similarity.autoCells]], ~250 vectors/cell): the round-11 25×
+    * envelope measured FIXED K=8 at a 197× time ratio for 25× data
+    * (within-cell pairs ∝ n²/K); the oracle recomputes the same K from
+    * count(*) so the trained model still matches bit-for-bit. */
   def embedSemDedup(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticDedupPairs(Tables.embeddings(s, dir), "vec_id",
-        "embedding", threshold = 0.4, nCells = 8, iters = 2)
+        "embedding", threshold = 0.4, nCells = 0, iters = 2)
       .orderBy(col("id_a"), col("id_b"))
 
   /** One Lloyd centroid update in the oracle's exact fixed-point form:
@@ -2078,11 +2111,13 @@ object TextOps extends QueryPack {
        |    GROUP BY cell_id, pos)
        |  GROUP BY cell_id) u ON u.cell_id = p.cell_id""".stripMargin
 
-  /** The shared fixed-point k-means replay (8 cells, 2 Lloyd
-    * iterations over the embeddings table) as a CTE chain; `af` is the
-    * final (n_id, n_vec, cell_id) assignment and `c2` the trained
-    * centroids — both bit-identical to the engine's model. */
-  private val kmeans8Cte: String = {
+  /** The shared fixed-point k-means replay (`limitSql` seed cells, 2
+    * Lloyd iterations over the embeddings table) as a CTE chain; `af`
+    * is the final (n_id, n_vec, cell_id) assignment and `c2` the
+    * trained centroids — both bit-identical to the engine's model.
+    * The iteration CTEs are K-agnostic (per-row argmax over whatever
+    * s0 holds), so a dynamic K only changes the seed LIMIT. */
+  private def kmeansCte(limitSql: String): String = {
     // kmeansCentroids widens to double BEFORE seeding/assignment
     val vecs = "SELECT vec_id AS n_id, " +
       "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS n_vec " +
@@ -2091,7 +2126,7 @@ object TextOps extends QueryPack {
     val s0 = s"""SELECT row_number() OVER (ORDER BY u, n_id) - 1 AS cell_id,
        |  n_vec AS c_vec FROM (
        |  SELECT n_id, n_vec, ${ivfUSql("n_id")} AS u
-       |  FROM ($vecs) ORDER BY u, n_id LIMIT 8)""".stripMargin
+       |  FROM ($vecs) ORDER BY u, n_id LIMIT $limitSql)""".stripMargin
     val a1 = assignCellsSql("SELECT * FROM vecs", "SELECT * FROM s0", 1)
     val c1 = lloydUpdateSql("SELECT * FROM a1", "SELECT * FROM vecs",
       "SELECT * FROM s0")
@@ -2108,8 +2143,16 @@ object TextOps extends QueryPack {
        |af AS ($af)""".stripMargin
   }
 
+  private val kmeans8Cte: String = kmeansCte("8")
+
+  /** SQL twin of [[Similarity.autoCells]]: ~250 vectors per cell,
+    * floor 8, cap 65536 — integer arithmetic only. */
+  private val kmeansAutoCte: String = kmeansCte(
+    "(SELECT least(65536, greatest(8, (count(*) + 249) // 250)) " +
+      "FROM embeddings)")
+
   val embedSemDedupSql: String =
-    s"""WITH $kmeans8Cte
+    s"""WITH $kmeansAutoCte
        |SELECT id_a, id_b, sim FROM (
        |  SELECT x.n_id AS id_a, y.n_id AS id_b,
        |    ${cosSql("ex.embedding", "ey.embedding")} AS sim
