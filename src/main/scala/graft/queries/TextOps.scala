@@ -1283,19 +1283,34 @@ object TextOps extends QueryPack {
   /** Deterministic PII salt over (doc_id, text) — the synthetic corpus
     * contains no PII, so each doc gets a doc_id-keyed email / IP /
     * phone appended before scrubbing. Shared (with [[saltedTextSql]])
-    * by doc_redact_pii and StreamPack's streaming curation gate. */
+    * by doc_redact_pii and StreamPack's streaming curation gate.
+    *
+    * The trailing ` ref doc<id-as-letters>` token survives redaction
+    * on purpose (letters only — matches no PII pattern at ANY id
+    * width): the corpus plants byte-identical duplicate documents for
+    * the dedup family, and without an id-dependent survivor the
+    * POST-redaction digests of two distinct originals collide — found
+    * at the round-11 de-twinned 5× envelope, where stream_curation's
+    * dedup stage (correctly) dropped 36 later twins that the
+    * no-dedup batch oracle kept. The digit→letter translate (not the
+    * raw id) is what makes the token redaction-proof: a ≥9-digit
+    * stress-copy id would otherwise re-match the phone pattern. */
   private[queries] def saltedText(text: Column, id: Column): Column =
     concat(text,
       lit(" contact user"), id, lit("@mail.example or 10.0."),
       pmod(id, lit(256)), lit(".7 or call +1 (555) 123-"),
-      lpad(pmod(id, lit(10000)).cast("string"), 4, "0"))
+      lpad(pmod(id, lit(10000)).cast("string"), 4, "0"),
+      lit(" ref doc"),
+      translate(id.cast("string"), "0123456789", "abcdefghij"))
 
   /** DuckDB twin of [[saltedText]] over columns (doc_id, text). */
   private[queries] val saltedTextSql: String =
     "text || ' contact user' || doc_id || " +
       "'@mail.example or 10.0.' || (doc_id % 256) || " +
       "'.7 or call +1 (555) 123-' || " +
-      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+      "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ref doc' || " +
+      "translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')"
 
   /** DuckDB twin of TextPipeline.redactPii's chained regexp_replace.
     * DuckDB single-quoted literals are escape-free: the pattern strings

@@ -142,6 +142,35 @@ class EmbeddingsSpec extends AnyFunSuite {
       s"zero vector must be excluded, got ${z.toSeq}")
   }
 
+  test("autoLshBits / autoCells: integer thresholds, floors, caps") {
+    import graft.operators.Similarity.{autoCells, autoLshBits}
+    // floor: tiny corpora stay at minBits
+    assert(autoLshBits(0) == 4 && autoLshBits(200) == 4)
+    // exact boundary is INCLUSIVE (n <= 125*2^b): 2000 stays at 4,
+    // 2001 moves to 5 — no float-rounding ambiguity possible
+    assert(autoLshBits(2000) == 4 && autoLshBits(2001) == 5)
+    assert(autoLshBits(4000) == 5 && autoLshBits(4001) == 6)
+    // the 25x envelope corpus (50k) lands at 9: 125*2^9 = 64000
+    assert(autoLshBits(50000) == 9)
+    // cap: never exceeds maxBits regardless of n
+    assert(autoLshBits(Long.MaxValue / 4) == 12)
+    // occupancy invariant across four decades: n / 2^bits <= 125
+    for (n <- Seq(1000L, 10000L, 100000L, 1000000L, 100000000L)) {
+      val b = autoLshBits(n)
+      assert(b == 12 || n <= (125L << b), s"occupancy broken at n=$n")
+    }
+    // cells: floor 8, ~250 per cell, cap 65536
+    assert(autoCells(0) == 8 && autoCells(2000) == 8)
+    assert(autoCells(2001) == 9 && autoCells(50000) == 200)
+    assert(autoCells(Long.MaxValue / 4) == 65536)
+    // SQL-twin parity spot check: DuckDB-side formula is
+    // least(65536, greatest(8, (n + 249) // 250)) — same integers
+    for (n <- Seq(1L, 250L, 251L, 2000L, 2001L, 49999L, 50000L)) {
+      val sqlTwin = math.min(65536L, math.max(8L, (n + 249) / 250)).toInt
+      assert(autoCells(n) == sqlTwin)
+    }
+  }
+
   test("ngramLmScore matches hand-computed smoothed bigram means") {
     val ref = Seq((0L, "a b a"), (1L, "b a")).toDF("id", "text")
     val docs = Seq((10L, "a b c"), (11L, "a"), (12L, "")).toDF("id", "text")

@@ -154,6 +154,12 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
     out["elapsed_sec"] = round(time.time() - t0, 1)
     suffix = (f"_detwin{copies}x" if use_detwin
               else f"_{copies}x" if with_times else "")
+    # GRAFT_ENVELOPE_TAG: extra filename tag so a scoped follow-up run
+    # (e.g. just the round's new queries) can't clobber the round's
+    # main artifact of the same copies/detwin shape.
+    tag = os.environ.get("GRAFT_ENVELOPE_TAG", "")
+    if tag:
+        suffix = f"_{tag}{suffix}"
     path = os.path.join(repo, f"ENVELOPE_r{rnd:02d}{suffix}.json")
     json.dump(out, open(path, "w"), indent=1, sort_keys=True)
     print(f"== wrote {path}: {out['n_pass']} pass, {out['n_fail']} fail, "
