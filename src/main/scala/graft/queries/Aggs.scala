@@ -109,6 +109,35 @@ object Aggs extends QueryPack {
       |             ELSE o_orderstatus END AS v FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** distinct_count nan_policy (types.hpp nan_policy NAN_IS_VALID /
+    * NAN_IS_NULL — the floating twin of [[aggDistinctNulls]]'s
+    * null_policy): NaNs planted on a deterministic key residue, then
+    * the distinct count once with NaN as a countable value (both
+    * engines group all NaNs as one — IEEE equality is overridden in
+    * grouping) and once with NaN mapped to NULL (excluded). */
+  def aggDistinctNan(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val v = when(pmod($"o_orderkey", lit(7)) === 0,
+      lit(Double.NaN)).otherwise($"o_totalprice")
+    Tables.orders(s, dir).groupBy($"o_orderpriority")
+      .agg(countDistinct(v).as("nd_nan_valid"),
+        countDistinct(when(isnan(v), lit(null).cast("double"))
+          .otherwise(v)).as("nd_nan_null"),
+        sum(when(isnan(v), 1L).otherwise(0L)).as("n_nan"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val aggDistinctNanSql: String =
+    """SELECT o_orderpriority,
+      |  count(DISTINCT v) AS nd_nan_valid,
+      |  count(DISTINCT CASE WHEN isnan(v) THEN NULL ELSE v END)
+      |    AS nd_nan_null,
+      |  CAST(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT) AS n_nan
+      |FROM (SELECT o_orderpriority,
+      |        CASE WHEN o_orderkey % 7 = 0 THEN 'NaN'::DOUBLE
+      |             ELSE o_totalprice END AS v FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** ARGMAX/ARGMIN (aggregation.hpp:96-97) → max_by/min_by. The ordering
     * value is made unique (price scaled + rowkey) so arg ties cannot make
     * the result nondeterministic across engines. */
@@ -510,6 +539,7 @@ object Aggs extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_winsorize" -> aggWinsorize,
+    "agg_distinct_nan" -> aggDistinctNan,
     "agg_weighted_pctl" -> aggWeightedPctl,
     "agg_corr_matrix" -> aggCorrMatrix,
     "agg_skew_kurt" -> aggSkewKurt,
@@ -530,6 +560,7 @@ object Aggs extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "agg_winsorize" -> aggWinsorizeSql,
+    "agg_distinct_nan" -> aggDistinctNanSql,
     "agg_weighted_pctl" -> aggWeightedPctlSql,
     "agg_corr_matrix" -> aggCorrMatrixSql,
     "agg_skew_kurt" -> aggSkewKurtSql,
