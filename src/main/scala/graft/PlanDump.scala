@@ -76,7 +76,11 @@ object PlanDump {
       "ds_two_ended_rank" ->
         "Two-ended leaderboard (Q44 shape): each end is a TakeOrderedAndProject partial top-k over the per-part aggregate; at runtime AQE's ReusedExchange dedupes the two identical aggregates, so the fact is scanned and aggregated ONCE. (Executed adaptive plan.)",
       "ds_or_exists" ->
-        "OR-of-EXISTS decorrelation (Q35/Q69 shape): the conjunctive EXISTS plans as a LeftSemi hash join on o_custkey and the two disjunctive EXISTS become ExistenceJoin mark-joins whose boolean marks OR in a post-join Filter — three equi-joins, each probe side pre-filtered before its exchange, no CartesianProduct anywhere.")
+        "OR-of-EXISTS decorrelation (Q35/Q69 shape): the conjunctive EXISTS plans as a LeftSemi hash join on o_custkey and the two disjunctive EXISTS become ExistenceJoin mark-joins whose boolean marks OR in a post-join Filter — three equi-joins, each probe side pre-filtered before its exchange, no CartesianProduct anywhere.",
+      "ds_week_matrix" ->
+        "Week-matrix self-join (Q59 shape): customer broadcasts into orders, ONE (nation, week) conditional-agg pivot with map-side partials, and the 52-week alignment join's BOTH inputs are that aggregate — the fact is never exchanged after the pivot shuffle and the join frame is |nations|×52 rows.",
+      "agg_winsorize" ->
+        "Per-group winsorize: the type-1 cut selection windows over per-(group, value) COUNTS (HashAggregate feeds the rank window — never a raw-row sort), and the |groups|-row cuts frame re-enters via BroadcastHashJoin; the clamp is a codegen projection over the fact scan.")
     // queries whose evidence IS the runtime plan (AQE stage reuse only
     // materializes after execution): run them, dump the final plan
     val executed = Set("q11_important_stock", "q20_potential_promotion",
