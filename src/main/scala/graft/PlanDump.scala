@@ -126,9 +126,13 @@ object PlanDump {
         case (k, None) => spark.conf.unset(k)
       }
     }
+    val body = sb.toString
     java.nio.file.Files.write(java.nio.file.Paths.get("PLANS.md"),
-      sb.toString.getBytes("UTF-8"))
-    println(s"PLANS.md written (${picks.size + 1} plans)")
+      body.getBytes("UTF-8"))
+    // count the emitted section headings, not picks.size + a hardcoded
+    // constant — any plan appended outside `picks` is counted for free
+    val nPlans = body.linesIterator.count(_.startsWith("## "))
+    println(s"PLANS.md written ($nPlans plans)")
     spark.stop()
   }
 }

@@ -31,12 +31,19 @@ object RuntimeFilterProbe {
 
   private def metricSum(p: SparkPlan, pred: SparkPlan => Boolean): Long = {
     var total = 0L
+    // ReusedExchangeExec resolves to the SAME subtree instance as the
+    // original exchange — an identity-visited set keeps each physical
+    // node's metric counted once, or reuse would double the evidence.
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
     def walk(n: SparkPlan): Unit = {
       val resolved = finalPlan(n)
-      if (pred(resolved)) total += resolved.metrics.get("numOutputRows")
-        .map(_.value).getOrElse(0L)
-      resolved.children.foreach(walk)
-      resolved.subqueries.foreach(walk)
+      if (seen.add(resolved)) {
+        if (pred(resolved)) total += resolved.metrics.get("numOutputRows")
+          .map(_.value).getOrElse(0L)
+        resolved.children.foreach(walk)
+        resolved.subqueries.foreach(walk)
+      }
     }
     walk(p)
     total

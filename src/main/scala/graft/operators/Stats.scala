@@ -276,6 +276,9 @@ object Stats {
           col(valueCol))).as("hi_cut"))
     df.join(broadcast(cuts), Seq(groupCol))
       .withColumn(s"${valueCol}_w",
-        least(greatest(col(valueCol), col("lo_cut")), col("hi_cut")))
+        // NULL stays NULL: Spark's least/greatest SKIP nulls, so the
+        // unguarded clamp would fabricate lo_cut for a missing datum.
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("lo_cut")), col("hi_cut"))))
   }
 }

@@ -499,25 +499,36 @@ object Aggs extends QueryPack {
     * values clamped to the per-type type-1 [p05, p95] cuts, then a
     * decimal-exact summary of the clamped column + clip counts. The
     * cut selection is integer threshold arithmetic over per-value
-    * counts, so both engines pick identical boundary values. */
+    * counts, so both engines pick identical boundary values. The feed
+    * PLANTS NULLs (event_id % 97 == 0) so the gate exercises the
+    * NULL-preserving clamp — without the isNotNull guard in
+    * [[graft.operators.Stats.winsorize]], NULL would be fabricated as
+    * lo_cut and sum_w / n_null would diverge from the oracle. */
   def aggWinsorize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val feed = Tables.events(s, dir).select($"event_type",
+      when(pmod($"event_id", lit(97L)) === 0L, lit(null).cast("double"))
+        .otherwise($"value").as("value"))
     val clipped = graft.operators.Stats.winsorize(
-      Tables.events(s, dir).select($"event_type", $"value"),
-      "event_type", "value", 1L, 20L, 19L, 20L)
+      feed, "event_type", "value", 1L, 20L, 19L, 20L)
     clipped.groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         first($"lo_cut").as("lo_cut"), first($"hi_cut").as("hi_cut"),
         dsum($"value_w").as("sum_w"),
         sum(when($"value" < $"lo_cut", 1L).otherwise(0L)).as("n_lo"),
-        sum(when($"value" > $"hi_cut", 1L).otherwise(0L)).as("n_hi"))
+        sum(when($"value" > $"hi_cut", 1L).otherwise(0L)).as("n_hi"),
+        sum(when($"value_w".isNull, 1L).otherwise(0L)).as("n_null"))
       .orderBy($"event_type")
   }
 
   val aggWinsorizeSql: String =
-    s"""WITH byv AS (
+    s"""WITH feed AS (
+       |  SELECT event_type,
+       |    CASE WHEN event_id % 97 = 0 THEN NULL ELSE value END AS value
+       |  FROM events),
+       |byv AS (
        |  SELECT event_type, value AS v, count(*) AS w
-       |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+       |  FROM feed WHERE value IS NOT NULL GROUP BY 1, 2),
        |c AS (
        |  SELECT event_type, v,
        |    sum(w) OVER (PARTITION BY event_type ORDER BY v) AS cum,
@@ -529,12 +540,15 @@ object Aggs extends QueryPack {
        |    min(CASE WHEN cum * 20 >= tot * 19 THEN v END) AS hi_cut
        |  FROM c GROUP BY 1)
        |SELECT e.event_type, count(*) AS n, lo_cut, hi_cut,
-       |  ${dsumSql("least(greatest(e.value, lo_cut), hi_cut)")} AS sum_w,
+       |  ${dsumSql("CASE WHEN e.value IS NULL THEN NULL" +
+                   " ELSE least(greatest(e.value, lo_cut), hi_cut) END")} AS sum_w,
        |  CAST(sum(CASE WHEN e.value < lo_cut THEN 1 ELSE 0 END) AS BIGINT)
        |    AS n_lo,
        |  CAST(sum(CASE WHEN e.value > hi_cut THEN 1 ELSE 0 END) AS BIGINT)
-       |    AS n_hi
-       |FROM events e JOIN cuts USING (event_type)
+       |    AS n_hi,
+       |  CAST(sum(CASE WHEN e.value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_null
+       |FROM feed e JOIN cuts USING (event_type)
        |GROUP BY 1, lo_cut, hi_cut ORDER BY 1""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -488,6 +488,18 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(aCut.getDouble(1) == 1.0 && aCut.getDouble(2) == 1.0)
     val bCut = ws.filter(_.getString(0) == "b").head
     assert(bCut.getDouble(1) == 13.0 && bCut.getDouble(2) == 38.0)
+    // a NULL value stays NULL (least/greatest skip nulls; unguarded the
+    // clamp would fabricate lo_cut for a missing datum) and does NOT
+    // shift the cuts (cut selection already excludes NULLs)
+    val wn = ((1 to 20).map(i => ("g", Some(i.toDouble))) :+
+      ("g", Option.empty[Double])).toDF("k", "v")
+    val nr = Stats.winsorize(wn, "k", "v", 1L, 20L, 19L, 20L)
+      .select($"v", $"lo_cut", $"hi_cut", $"v_w").collect()
+    val nullRow = nr.filter(_.isNullAt(0)).head
+    assert(nullRow.isNullAt(3))
+    assert(nullRow.getDouble(1) == 1.0 && nullRow.getDouble(2) == 19.0)
+    assert(nr.filter(!_.isNullAt(0)).forall(r =>
+      r.getDouble(3) == math.min(math.max(r.getDouble(0), 1.0), 19.0)))
   }
 
   test("mannWhitney matches the classical rank-sum formulation on random data") {

@@ -95,12 +95,22 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
                              f"{repo}/target/scala-2.13/classes")
     cp = f"/opt/spark/jars/*:{classes}"
     # GRAFT_ENVELOPE_RESUME=1: reuse an existing COMPLETE Verify dump in
-    # vout (marker: _failed.json == [] and every selected query has a
-    # dump dir) — a 25x Verify pass is ~40 CPU-minutes; a compare-phase
-    # interruption must not force its rerun.
+    # vout (markers: _failed.json == [] AND _scope.json's recorded
+    # SPARK_GRAFT_ONLY matches this invocation's — a complete dump from
+    # a previous NARROWER run must not masquerade as a full-scope one) —
+    # a 25x Verify pass is ~40 CPU-minutes; a compare-phase interruption
+    # must not force its rerun.
+    scope_path = os.path.join(vout, "_scope.json")
+    scope_ok = os.path.exists(scope_path) and \
+        json.load(open(scope_path)).get("only") == only
     resume = os.environ.get("GRAFT_ENVELOPE_RESUME") == "1" and \
         os.path.exists(os.path.join(vout, "_failed.json")) and \
-        json.load(open(os.path.join(vout, "_failed.json"))) == []
+        json.load(open(os.path.join(vout, "_failed.json"))) == [] and \
+        scope_ok
+    if os.environ.get("GRAFT_ENVELOPE_RESUME") == "1" and not resume \
+            and os.path.exists(os.path.join(vout, "_failed.json")):
+        print(f"== NOT resuming: dump scope mismatch or incomplete "
+              f"(want only={only!r})")
     if resume:
         print(f"== resuming: reusing complete Verify dump in {vout}")
     else:
@@ -118,6 +128,9 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
         if rc != 0:
             print(f"Verify exited {rc}", file=sys.stderr)
             return 1
+        # record the dump's selection scope so a later RESUME can verify
+        # it covers what that invocation wants (see resume gate above)
+        json.dump({"only": only}, open(scope_path, "w"))
 
     # GRAFT_COMPARE_ONLY: narrower regex for the DuckDB-compare step
     # alone (verify + timing still cover `only`). Needed when a family
