@@ -80,7 +80,9 @@ object PlanDump {
       "ds_week_matrix" ->
         "Week-matrix self-join (Q59 shape): customer broadcasts into orders, ONE (nation, week) conditional-agg pivot with map-side partials, and the 52-week alignment join's BOTH inputs are that aggregate — the fact is never exchanged after the pivot shuffle and the join frame is |nations|×52 rows.",
       "agg_winsorize" ->
-        "Per-group winsorize: the type-1 cut selection windows over per-(group, value) COUNTS (HashAggregate feeds the rank window — never a raw-row sort), and the |groups|-row cuts frame re-enters via BroadcastHashJoin; the clamp is a codegen projection over the fact scan.")
+        "Per-group winsorize: the type-1 cut selection windows over per-(group, value) COUNTS (HashAggregate feeds the rank window — never a raw-row sort), and the |groups|-row cuts frame re-enters via BroadcastHashJoin; the clamp is a codegen projection over the fact scan.",
+      "ds_resale_chain" ->
+        "Resale chain (Q64 shape): BOTH channel-year slices HashAggregate to |parts|-row frames BEFORE the fact-fact resale join — each side's year/priority filter is pushed into its orders scan, lineitem reduces map-side per partkey, and the resale join + part-dimension lookup run over aggregate-sized inputs; raw fact rows never reach a join exchange.")
     // queries whose evidence IS the runtime plan (AQE stage reuse only
     // materializes after execution): run them, dump the final plan
     val executed = Set("q11_important_stock", "q20_potential_promotion",

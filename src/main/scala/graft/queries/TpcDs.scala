@@ -1681,7 +1681,78 @@ object TpcDs extends QueryPack {
        |                 AND o3.o_orderpriority = '5-LOW'))
        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
 
+  /** Resale chain (DS Q64 shape, pdsds_queries/q64): parts sold
+    * through the URGENT channel in 1996 and RESOLD through the
+    * standard channel in 1997 at least as many times — a fact⋈fact
+    * self-join through the shared part dimension with TWO-SIDED
+    * aggregation. The Q64 discipline this gate pins (PLANS.md): each
+    * channel-year slice reduces to a |parts|-row aggregate BEFORE the
+    * fact-fact join, so at 100 TB the fact is scanned twice with the
+    * year/priority filters pushed to parquet, each side combines
+    * map-side into its partkey aggregate, and the resale join + the
+    * part-dimension lookup run over aggregate-sized frames (broadcast
+    * under AQE) — raw fact rows never reach a join exchange. Revenue
+    * goes through decimal so the two engines' sum order can't skew
+    * doubles; the qty condition is exact BIGINT. */
+  def dsResaleChain(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val urgent = Seq("1-URGENT", "2-HIGH")
+    def side(yr: Int, inUrgent: Boolean, tag: String) = {
+      val pri = $"o_orderpriority".isin(urgent: _*)
+      // range predicate, not year(): it reaches the parquet scan as a
+      // PushedFilter (row-group skip + partition pruning at scale)
+      val ord = Tables.orders(s, dir)
+        .filter($"o_orderdate" >= lit(s"$yr-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit(s"${yr + 1}-01-01").cast("timestamp") &&
+          (if (inUrgent) pri else !pri))
+        .select($"o_orderkey")
+      Tables.lineitem(s, dir)
+        .join(ord, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as(s"${tag}_n"),
+          sum($"l_quantity".cast("bigint")).as(s"${tag}_qty"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
+            .as(s"${tag}_rev"))
+    }
+    val first = side(1996, inUrgent = true, "sale")
+    val resale = side(1997, inUrgent = false, "resale")
+    first.join(resale, Seq("l_partkey"))
+      .filter($"resale_n" >= $"sale_n")
+      .join(broadcast(Tables.part(s, dir)
+        .select($"p_partkey", $"p_brand", $"p_type")),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_partkey".as("partkey"), $"p_brand", $"p_type",
+        $"sale_n", $"sale_qty", $"sale_rev",
+        $"resale_n", $"resale_qty", $"resale_rev")
+      .orderBy($"partkey")
+  }
+
+  val dsResaleChainSql: String = {
+    def side(yr: Int, op: String, tag: String) =
+      s"""  SELECT l_partkey,
+         |    CAST(count(*) AS BIGINT) AS ${tag}_n,
+         |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS ${tag}_qty,
+         |    ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)}
+         |      AS ${tag}_rev
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |  WHERE o_orderdate >= TIMESTAMP '$yr-01-01 00:00:00'
+         |    AND o_orderdate < TIMESTAMP '${yr + 1}-01-01 00:00:00'
+         |    AND o_orderpriority $op ('1-URGENT','2-HIGH')
+         |  GROUP BY 1""".stripMargin
+    s"""WITH sale AS (
+       |${side(1996, "IN", "sale")}),
+       |resale AS (
+       |${side(1997, "NOT IN", "resale")})
+       |SELECT l_partkey AS partkey, p_brand, p_type,
+       |  sale_n, sale_qty, sale_rev, resale_n, resale_qty, resale_rev
+       |FROM sale JOIN resale USING (l_partkey)
+       |JOIN part ON l_partkey = p_partkey
+       |WHERE resale_n >= sale_n
+       |ORDER BY partkey""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ds_resale_chain" -> dsResaleChain,
     "ds_or_exists" -> dsOrExists,
     "ds_frequent_best" -> dsFrequentBest,
     "ds_band_distincts" -> dsBandDistincts,
@@ -1722,6 +1793,7 @@ object TpcDs extends QueryPack {
     "ds_excess_discount" -> dsExcessDiscount)
 
   override def oracle: Map[String, String] = Map(
+    "ds_resale_chain" -> dsResaleChainSql,
     "ds_frequent_best" -> dsFrequentBestSql,
     "ds_band_distincts" -> dsBandDistinctsSql,
     "ds_two_ended_rank" -> dsTwoEndedRankSql,
