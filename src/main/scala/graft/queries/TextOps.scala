@@ -1800,6 +1800,61 @@ object TextOps extends QueryPack {
         bits = 0, tables = 8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Boundary gate for the corpus-adaptive granularity rules
+    * ([[Similarity.autoLshBits]] / [[Similarity.autoCells]] — the
+    * round-11 fixed-granularity fixes): slices of the events table
+    * sized to STRADDLE the integer thresholds (2000 is a boundary of
+    * BOTH rules: 125·2^4 for bits and the ⌈n/250⌉ cell step; 4000 the
+    * next bits step; 100 exercises the floor clamps). Each engine
+    * counts every slice itself and derives width/cells from ITS OWN
+    * count — the Spark side calls the real Scala functions on the
+    * aggregated counts (rule-sized driver compute, |sizes| rows), the
+    * oracle recomputes with the same integer CASE arithmetic — so the
+    * row hash fails if either engine's threshold rule drifts by even
+    * one. Slices are offsets from min(event_id), so the gate is
+    * well-defined on stress copies too. */
+  def embedAutoGranularity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sizes = Seq(100L, 1999L, 2000L, 2001L, 2250L, 2251L,
+      4000L, 4001L, 8000L, 8001L)
+    val ev = Tables.events(s, dir).select($"event_id")
+    // 1-row aggregates: min, then ONE distributed pass of conditional
+    // counts (|sizes| columns); the rule itself runs driver-side on
+    // those counts — that is the point: the gate exercises the REAL
+    // Scala functions, not a SQL re-implementation of them.
+    val mn = ev.agg(min($"event_id")).head().getLong(0)
+    val counts = ev.agg(
+      sizes.map(k => count(when($"event_id" - mn < k, 1)).as(s"n_$k")).head,
+      sizes.map(k => count(when($"event_id" - mn < k, 1)).as(s"n_$k")).tail: _*)
+      .head()
+    val rows = sizes.zipWithIndex.map { case (k, i) =>
+      val n = counts.getLong(i)
+      (k, n, Similarity.autoLshBits(n).toLong,
+        Similarity.autoCells(n).toLong)
+    }
+    rows.toDF("slice_size", "n", "lsh_bits", "cells")
+      .orderBy($"slice_size")
+  }
+
+  val embedAutoGranularitySql: String = {
+    val sizes = Seq(100L, 1999L, 2000L, 2001L, 2250L, 2251L,
+      4000L, 4001L, 8000L, 8001L)
+    val vals = sizes.map(k => s"($k)").mkString(",")
+    val bitsCase = "CASE " + (4 until 12).map(b =>
+      s"WHEN n <= ${125L << b} THEN $b ").mkString + "ELSE 12 END"
+    s"""WITH m AS (SELECT min(event_id) AS mn FROM events),
+       |s(sz) AS (VALUES $vals),
+       |c AS (
+       |  SELECT sz, (SELECT count(*) FROM events, m
+       |              WHERE event_id - mn < sz) AS n
+       |  FROM s)
+       |SELECT CAST(sz AS BIGINT) AS slice_size, CAST(n AS BIGINT) AS n,
+       |  CAST($bitsCase AS BIGINT) AS lsh_bits,
+       |  CAST(least(65536, greatest(8, (n + 249) // 250)) AS BIGINT)
+       |    AS cells
+       |FROM c ORDER BY slice_size""".stripMargin
+  }
+
   /** SQL twin of [[Similarity.autoLshBits]](n, 125, 4, 12): the CASE
     * thresholds are 125·2^b — integer comparisons, no log2 float
     * hazard. */
@@ -2569,6 +2624,7 @@ object TextOps extends QueryPack {
     "embed_ann_recall" -> embedAnnRecall,
     "embed_neardup" -> embedNearDup,
     "embed_neardup_lsh" -> embedNearDupLsh,
+    "embed_auto_granularity" -> embedAutoGranularity,
     "embed_normalize" -> embedNormalize,
     "embed_centroids" -> embedCentroids,
     "stats_contingency" -> contingencyQ,
@@ -2637,6 +2693,7 @@ object TextOps extends QueryPack {
     "embed_semdedup" -> embedSemDedupSql,
     "embed_exemplars" -> embedExemplarsSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
+    "embed_auto_granularity" -> embedAutoGranularitySql,
     "doc_multimodal_embed" -> multimodalEmbedSql,
     "embed_neardup" -> embedNearDupSql,
     "embed_normalize" -> embedNormalizeSql,
