@@ -154,6 +154,32 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), "returned-order exclusion must be anti join")
   }
 
+  test("ds_resale_chain pre-aggregates BOTH sides before the fact-fact join") {
+    val p = plan("ds_resale_chain")
+    // Q64 discipline: the resale self-join's inputs are partkey
+    // aggregates, never raw fact rows — each branch must finish its
+    // HashAggregate before any non-broadcast join, and the year range
+    // + priority filters must reach the orders scans as pushed filters.
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "year range not pushed to the orders scan")
+    assert(p.contains("In(o_orderpriority"),
+      "priority filter not pushed to the orders scan")
+    // exactly ONE non-broadcast join may exist (the resale join over
+    // the two aggregates); everything else must be broadcast
+    val tree = p.split("\\(1\\) Scan")(0)
+    val smjLines = tree.linesIterator.zipWithIndex.filter { case (l, _) =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+    }.toSeq
+    assert(smjLines.size == 1,
+      s"expected exactly the one resale join, got ${smjLines.size}")
+    // both of its input branches must aggregate: 4 HashAggregates
+    // (2 partial + 2 final) sit BELOW the join line in the tree
+    val below = tree.linesIterator.drop(smjLines.head._2 + 1).toSeq
+    val aggsBelow = below.count(_.contains("HashAggregate"))
+    assert(aggsBelow >= 4,
+      s"expected >=4 HashAggregates under the resale join, got $aggsBelow")
+  }
+
   test("packSequences windows across pack groups, not one global partition") {
     val df = graft.operators.TextPipeline.packSequences(
       graft.Tables.documents(spark, dir), "doc_id", "text", 200, groups = 8)
