@@ -69,6 +69,26 @@ MUTATIONS = [
      "session_window(col(\"ts\"), \"2 hours\")",
      "session_window(col(\"ts\"), \"1 hour\")",
      "stream_rekey"),
+    # Round-12: the winsorize NULL guard (ADVICE-r11) — dropping the
+    # isNotNull wrapper regresses to the least/greatest null-skip bug
+    # (NULL fabricated as lo_cut); the gate feed plants NULLs
+    # specifically so sum_w / n_null turn red here.
+    ("winsorize-null-guard-dropped",
+     "src/main/scala/graft/operators/Stats.scala",
+     "when(col(valueCol).isNotNull,\n"
+     "          least(greatest(col(valueCol), col(\"lo_cut\")), "
+     "col(\"hi_cut\"))))",
+     "least(greatest(col(valueCol), col(\"lo_cut\")), col(\"hi_cut\")))",
+     "agg_winsorize"),
+    # Round-12: the adaptive-width threshold rule — an off-by-one in
+    # the strict comparison (> -> >=) moves the 2000-boundary slice to
+    # 5 bits; the boundary gate's straddling sizes exist to catch
+    # exactly this drift.
+    ("auto-lsh-bits-boundary-off-by-one",
+     "src/main/scala/graft/operators/Similarity.scala",
+     "while (b < maxBits && n > (targetBucket << b)) b += 1",
+     "while (b < maxBits && n >= (targetBucket << b)) b += 1",
+     "embed_auto_granularity"),
 ]
 
 
