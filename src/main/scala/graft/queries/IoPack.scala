@@ -238,6 +238,35 @@ object IoPack extends QueryPack {
        |FROM lineitem WHERE l_suppkey <= 10
        |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin
 
+  /** 3-D Z-order layout ([[graft.plans.InterleaveBits]] is k-dim; the
+    * 2-dim gate above leaves the k > 2 claim spec-only): lineitem
+    * clustered on (l_partkey, l_suppkey, l_quantity) and filtered on
+    * the THIRD dimension — the one neither a linear sort nor a 2-dim
+    * curve serves. Results must be layout-independent (the oracle
+    * reads the raw parquet); the per-file min/max tightness in all
+    * three dims is asserted quantitatively in IoSpec. */
+  def zorder3Prune(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity", $"l_extendedprice")
+    Layout.writeZOrdered(li, scratch("zorder3_lineitem"),
+        Seq("l_partkey", "l_suppkey", "l_quantity"))
+      .filter($"l_quantity" <= 5)
+      .groupBy($"l_quantity".cast("long").as("qty"))
+      .agg(count(lit(1)).as("n"), dsum($"l_extendedprice", 2).as("sum_price"),
+        min($"l_partkey").as("min_part"), max($"l_partkey").as("max_part"),
+        min($"l_suppkey").as("min_supp"), max($"l_suppkey").as("max_supp"))
+      .orderBy($"qty")
+  }
+
+  val zorder3PruneSql: String =
+    s"""SELECT CAST(l_quantity AS BIGINT) AS qty, count(*) AS n,
+       |  ${dsumSql("l_extendedprice", 2)} AS sum_price,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM lineitem WHERE l_quantity <= 5
+       |GROUP BY 1 ORDER BY qty""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_csv_roundtrip" -> csvRoundTrip,
     "io_json_roundtrip" -> jsonRoundTrip,
@@ -248,7 +277,8 @@ object IoPack extends QueryPack {
     "io_text_delim" -> textDelim,
     "io_bucketed_join" -> bucketedJoin,
     "io_partition_prune" -> partitionPrune,
-    "io_zorder_prune" -> zorderPrune)
+    "io_zorder_prune" -> zorderPrune,
+    "io_zorder3_prune" -> zorder3Prune)
 
   override def oracle: Map[String, String] = Map(
     "io_csv_roundtrip" -> csvRoundTripSql,
@@ -260,5 +290,6 @@ object IoPack extends QueryPack {
     "io_text_delim" -> textDelimSql,
     "io_bucketed_join" -> bucketedJoinSql,
     "io_partition_prune" -> partitionPruneSql,
-    "io_zorder_prune" -> zorderPruneSql)
+    "io_zorder_prune" -> zorderPruneSql,
+    "io_zorder3_prune" -> zorder3PruneSql)
 }

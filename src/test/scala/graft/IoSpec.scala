@@ -186,6 +186,41 @@ class IoSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/z").count() == 128L * 128)
   }
 
+  test("3-D z-ordered layout keeps file min/max tight in ALL dimensions") {
+    // 32x32x32 uniform cube, one row per cell; 16 files. An aligned
+    // Morton split cuts the cube into 2x2x4-ish blocks, so a z < 4
+    // predicate (the bottom eighth) overlaps a minority of files —
+    // while a linear x-sort spreads every z value across ALL of them.
+    val base = Files.createTempDirectory("graft_zorder3").toString
+    val cube = spark.range(32L * 32 * 32)
+      .select((col("id") % 32).as("x"),
+        ((col("id") / 32) % 32).as("y"),
+        (col("id") / (32 * 32)).as("z"))
+    graft.sources.Layout.writeZOrdered(cube, s"$base/z",
+      Seq("x", "y", "z"), bits = 5, files = 16)
+    cube.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/l")
+    def filesOverlapping(dir: String, c: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(dir)
+        .groupBy(col("_metadata.file_path"))
+        .agg(min(col(c)).as("mn"), max(col(c)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    // 2048-cell Morton blocks allocate the 11 varying low bits 4/4/3
+    // across x/y/z (x varies fastest), giving 16x16x8 aligned boxes:
+    // the z<=3 slab overlaps 1/4 of aligned files, x<=3 and y<=3 half.
+    // Bound each dim at 12 (range-sampling misalignment allowed) —
+    // the linear layout's non-leading dims give the full 16.
+    for (d <- Seq("x", "y", "z"))
+      assert(filesOverlapping(s"$base/z", d, 0, 3) <= 12,
+        s"3-D z-order must prune dimension $d")
+    assert(filesOverlapping(s"$base/z", "z", 0, 3) <= 8,
+      "the coarsest dimension must prune hardest")
+    assert(filesOverlapping(s"$base/l", "z", 0, 3) == 16,
+      "linear sort cannot prune its non-leading dimensions")
+    assert(spark.read.parquet(s"$base/z").count() == 32L * 32 * 32)
+  }
+
   test("Hilbert index: bijective, consecutive positions grid-adjacent") {
     import graft.plans.HilbertImpl.xy2d
     // enumerate the full order-4 grid (16x16): d must be a bijection
