@@ -78,7 +78,7 @@ object PlanDump {
       "ds_or_exists" ->
         "OR-of-EXISTS decorrelation (Q35/Q69 shape): the conjunctive EXISTS plans as a LeftSemi hash join on o_custkey and the two disjunctive EXISTS become ExistenceJoin mark-joins whose boolean marks OR in a post-join Filter — three equi-joins, each probe side pre-filtered before its exchange, no CartesianProduct anywhere.",
       "ds_week_matrix" ->
-        "Week-matrix self-join (Q59 shape): customer broadcasts into orders, ONE (nation, week) conditional-agg pivot with map-side partials, and the 52-week alignment join's BOTH inputs are that aggregate — the fact is never exchanged after the pivot shuffle and the join frame is |nations|×52 rows.",
+        "Week matrix (Q59 shape), r12 single-scan form: the two week ranges are disjoint, so ONE (nation, aligned-week) conditional aggregation computes BOTH years' weekday pivots from a single orders scan (date range pushed to the scan, customer broadcast) and the 52-week alignment self-join is gone entirely — zero joins after the pivot shuffle.",
       "agg_winsorize" ->
         "Per-group winsorize: the type-1 cut selection windows over per-(group, value) COUNTS (HashAggregate feeds the rank window — never a raw-row sort), and the |groups|-row cuts frame re-enters via BroadcastHashJoin; the clamp is a codegen projection over the fact scan.",
       "ds_resale_chain" ->

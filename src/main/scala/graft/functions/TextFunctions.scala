@@ -318,6 +318,22 @@ object TextFunctions {
   def sentences(c: Column): Column =
     split(regexp_replace(c, "([.!?])\\s+", "$1" + SentSep), SentSep)
 
+  /** 3-way split on the LAST occurrence of `sep`
+    * (strings/split/partition.hpp:100 rpartition, the companion of
+    * [[strPartition]]): struct(head, sep, tail); `sep` absent →
+    * ("", "", whole) — the pandas str.rpartition contract the
+    * reference mirrors. Last-occurrence position from one reversed
+    * instr; a single codegen map, no iteration. */
+  def strRpartition(c: Column, sep: String): Column = {
+    val rp = instr(reverse(c), sep.reverse)
+    val p = length(c) - rp - lit(sep.length) + 2 // 1-based start, last hit
+    when(rp > 0, struct(
+        c.substr(lit(1), p - 1).as("head"),
+        lit(sep).as("sep"),
+        c.substr(p + lit(sep.length), length(c)).as("tail")))
+      .otherwise(struct(lit("").as("head"), lit("").as("sep"), c.as("tail")))
+  }
+
   /** Count of tokens that hit a word set (with multiplicity). */
   def hitCount(toks: Column, words: Seq[String]): Column = {
     val set = array(words.map(lit): _*)

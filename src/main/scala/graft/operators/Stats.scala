@@ -281,4 +281,68 @@ object Stats {
         when(col(valueCol).isNotNull,
           least(greatest(col(valueCol), col("lo_cut")), col("hi_cut"))))
   }
+
+  /** Table rows at quantile positions (quantiles.hpp:89 `quantiles` —
+    * gathers WHOLE ROWS of the input at quantile indices of its
+    * multi-column sort order), with the reference's non-arithmetic
+    * interpolation strategies — LOWER / HIGHER / NEAREST only, exactly
+    * as quantiles.cu:72 enforces for row gathering.
+    *
+    * Index rule ported from quantiles_util.hpp:73-88: val = q·(n−1),
+    * lower = ⌊val⌋, higher = ⌈val⌉, nearest = nearbyint(val) — i.e.
+    * HALF-TO-EVEN. Quantiles enter as exact rationals (num, den) and
+    * all three indices derive in pure INTEGER arithmetic
+    * (a = num·(n−1); a div/mod den; tie ⇔ 2·rem = den resolves to the
+    * even neighbor), so any engine replays them exactly; for dyadic
+    * fractions this equals the reference's double computation
+    * bit-for-bit.
+    *
+    * Scale shape: one count, one distributed range sort feeding
+    * zipWithIndex (the sampleNegatives dense-rank pattern — never a
+    * single-partition window), then a filter keeps the ≤|q| wanted
+    * indices; only the |q| result rows ever reach the driver (the
+    * output IS |q|-sized — same class as Similarity.collectModel).
+    * `sortCols` must be a TOTAL order (include a unique tiebreaker)
+    * or the gathered rows are nondeterministic — same caveat as the
+    * reference's unstable sorted_order. */
+  def rowsAtQuantiles(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
+      qs: Seq[(Long, Long)], interp: String): DataFrame = {
+    require(Seq("lower", "higher", "nearest").contains(interp),
+      s"row quantiles need a non-arithmetic interpolation, got $interp")
+    val spark = df.sparkSession
+    val n = df.count()
+    require(n > 0, "row quantiles require at least one input row")
+    def idxOf(num: Long, den: Long): Long = {
+      require(den > 0 && num >= 0 && num <= den, s"bad quantile $num/$den")
+      if (n < 2) 0L
+      else {
+        val a = num * (n - 1)
+        val lo = a / den
+        val rem = a % den
+        interp match {
+          case "lower" => lo
+          case "higher" => if (rem > 0) lo + 1 else lo
+          case "nearest" =>
+            if (2 * rem < den) lo
+            else if (2 * rem > den) lo + 1
+            else lo + (lo % 2) // exact tie: round to the even index
+        }
+      }
+    }
+    val targets = qs.map { case (num, den) => (num, den, idxOf(num, den)) }
+    val wanted = targets.map(_._3).toSet
+    val sorted = df.orderBy(sortCols: _*)
+    val schema = sorted.schema
+    val hits = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.collect {
+        case (row, i) if wanted(i) =>
+          org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+      },
+      schema.add("__idx", "long"))
+    import spark.implicits._
+    val qFrame = targets.toDF("q_num", "q_den", "__idx")
+    qFrame.join(broadcast(hits), "__idx")
+      .withColumn("interp", lit(interp))
+      .drop("__idx")
+  }
 }

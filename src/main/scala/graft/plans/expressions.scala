@@ -923,11 +923,68 @@ case class BloomMightContain(child: Expression,
     copy(child = c)
 }
 
+/** Greedy width-wrap (strings/wrap.hpp:61). Kernel semantics
+  * (cpp/src/strings/wrap.cu:44-73, ported by contract, not by code):
+  * walk the characters once; every whitespace char (≤ 0x20) becomes a
+  * space; once the current line reaches `width` characters, the LAST
+  * such space flips to a newline. The kernel measures each line from
+  * the previous break character itself, so the first line fits `width`
+  * characters and every subsequent line `width − 1` — preserved
+  * exactly (it is the reference's observable contract). Rewrite is
+  * in-place: output length always equals input length, and a word
+  * longer than the window is never split (wrap.hpp example 1: "12345"
+  * at width 3 is unchanged). Positions count code points, matching the
+  * kernel's character iterator. */
+case class WrapText(child: Expression, width: Int) extends UnaryExpression {
+  require(width > 0, "Positive wrap width required")
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"wrap needs string, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any = UTF8String.fromString(
+    WrapTextImpl.wrap(v.asInstanceOf[UTF8String].toString, width))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = UTF8String.fromString(" +
+      s"graft.plans.WrapTextImpl.wrap($c.toString(), $width));")
+  override protected def withNewChildInternal(c: Expression): WrapText =
+    copy(child = c)
+}
+
+object WrapTextImpl {
+  def wrap(s: String, width: Int): String = {
+    val out = s.toCharArray
+    var lastSpaceIdx = -1 // char (UTF-16) index of the pending space
+    var lastSpacePos = -1 // code-point position of the pending space
+    var spos = 0          // code-point position of the current line start
+    var pos = 0           // code-point position of the cursor
+    var i = 0
+    while (i < out.length) {
+      val cp = s.codePointAt(i)
+      if (cp <= ' '.toInt) {
+        out(i) = ' '; lastSpaceIdx = i; lastSpacePos = pos
+      }
+      if (pos - spos >= width && lastSpaceIdx >= 0) {
+        out(lastSpaceIdx) = '\n'
+        spos = lastSpacePos
+        lastSpaceIdx = -1; lastSpacePos = -1
+      }
+      pos += 1
+      i += Character.charCount(cp)
+    }
+    new String(out)
+  }
+}
+
 object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
 
   def normalizeNanZero(c: Column): Column = column(NormalizeNaNZero(expression(c)))
   def porterStem(c: Column): Column = column(PorterStem(expression(c)))
+  def wrapText(c: Column, width: Int): Column =
+    column(WrapText(expression(c), width))
   def dotProduct(a: Column, b: Column): Column =
     column(DotProduct(expression(a), expression(b)))
   def jaroWinkler(a: Column, b: Column): Column =

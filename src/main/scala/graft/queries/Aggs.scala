@@ -551,7 +551,59 @@ object Aggs extends QueryPack {
        |FROM feed e JOIN cuts USING (event_type)
        |GROUP BY 1, lo_cut, hi_cut ORDER BY 1""".stripMargin
 
+  /** Whole-row gather at quantile positions (quantiles.hpp:89
+    * `quantiles`, the table form — distinct from the scalar
+    * `quantile`): rows of lineitem at q ∈ {0, ¼, ½, ¾, ⅞, 1} of the
+    * (price, orderkey, linenumber) total order, under all three
+    * non-arithmetic interpolation strategies the reference permits for
+    * row gathering (LOWER / HIGHER / NEAREST with half-to-even —
+    * quantiles_util.hpp:73-88). Both engines derive the indices with
+    * the same integer rational arithmetic, so the gate is hash-exact;
+    * the oracle replays via row_number. Dyadic fractions make the
+    * integer rule coincide with the reference's double math. */
+  def aggRowsQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, dir)
+      .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    val qs = Seq((0L, 1L), (1L, 4L), (1L, 2L), (3L, 4L), (7L, 8L), (1L, 1L))
+    val sortCols = Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber")
+    Seq("lower", "higher", "nearest")
+      .map(ip => graft.operators.Stats.rowsAtQuantiles(li, sortCols, qs, ip))
+      .reduce(_ unionByName _)
+      .select($"q_num", $"q_den", $"interp",
+        $"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      .orderBy($"q_num".cast("double") / $"q_den", $"interp")
+  }
+
+  val aggRowsQuantilesSql: String =
+    """WITH s AS (
+      |  SELECT l_extendedprice, l_orderkey, l_linenumber,
+      |    row_number() OVER (
+      |      ORDER BY l_extendedprice, l_orderkey, l_linenumber) - 1 AS idx
+      |  FROM lineitem),
+      |nn AS (SELECT count(*) AS n FROM lineitem),
+      |qs(q_num, q_den) AS (VALUES (0,1),(1,4),(1,2),(3,4),(7,8),(1,1)),
+      |tgt AS (
+      |  SELECT q_num, q_den, interp,
+      |    CASE WHEN interp = 'lower' THEN a // q_den
+      |         WHEN interp = 'higher'
+      |           THEN a // q_den + CASE WHEN a % q_den > 0 THEN 1 ELSE 0 END
+      |         ELSE CASE WHEN 2 * (a % q_den) < q_den THEN a // q_den
+      |                   WHEN 2 * (a % q_den) > q_den THEN a // q_den + 1
+      |                   ELSE a // q_den + (a // q_den) % 2 END
+      |    END AS idx
+      |  FROM (SELECT q_num, q_den, interp, q_num * (n - 1) AS a
+      |        FROM qs CROSS JOIN nn
+      |        CROSS JOIN (VALUES ('lower'), ('higher'), ('nearest'))
+      |          i(interp)))
+      |SELECT CAST(t.q_num AS BIGINT) AS q_num,
+      |  CAST(t.q_den AS BIGINT) AS q_den, t.interp,
+      |  s.l_orderkey, s.l_linenumber, s.l_extendedprice
+      |FROM tgt t JOIN s ON s.idx = t.idx
+      |ORDER BY CAST(t.q_num AS DOUBLE) / t.q_den, t.interp""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rows_quantiles" -> aggRowsQuantiles,
     "agg_winsorize" -> aggWinsorize,
     "agg_distinct_nan" -> aggDistinctNan,
     "agg_weighted_pctl" -> aggWeightedPctl,
@@ -573,6 +625,7 @@ object Aggs extends QueryPack {
     "agg_histogram" -> aggHistogram)
 
   override def oracle: Map[String, String] = Map(
+    "agg_rows_quantiles" -> aggRowsQuantilesSql,
     "agg_winsorize" -> aggWinsorizeSql,
     "agg_distinct_nan" -> aggDistinctNanSql,
     "agg_weighted_pctl" -> aggWeightedPctlSql,

@@ -873,7 +873,55 @@ object Funcs extends QueryPack {
       |    PARTITION BY p_name ORDER BY jw DESC, match) AS rn FROM cand)
       |WHERE rn = 1 ORDER BY p_name""".stripMargin
 
+  /** Kernel-exact width-wrap + LAST-occurrence 3-way partition.
+    * [[graft.plans.WrapText]] ports the wrap kernel's observable
+    * contract (strings/wrap.hpp:61, cpp/src/strings/wrap.cu:44-73):
+    * in-place char walk, break at the last whitespace once the window
+    * fills, ASYMMETRIC caps — width characters on the first line,
+    * width − 1 after (the break char occupies a window slot) — which
+    * the regex wrap already gated under `str_extra` cannot express.
+    * The oracle replays the same greedy contract as a DuckDB
+    * list_reduce word-fold — equivalent on single-spaced text whose
+    * words fit the window (p_name: lowercase color words ≤ 10 chars
+    * < width − 1). rpartition (split/partition.hpp:100; absent →
+    * ("", "", whole)) completes the partition pair; the separator 'o'
+    * is present in some names and absent in others, so BOTH branches
+    * hash into the gate. One codegen map stage — scales as a scan. */
+  def strWrapPartition(s: SparkSession, dir: String): DataFrame = {
+    import graft.plans.GraftExpressions.wrapText
+    import graft.functions.TextFunctions.strRpartition
+    import s.implicits._
+    val rpt = strRpartition($"p_name", "o")
+    Tables.part(s, dir).select($"p_partkey",
+        wrapText($"p_name", 12).as("wrapped"),
+        rpt.getField("head").as("rp_head"),
+        rpt.getField("sep").as("rp_sep"),
+        rpt.getField("tail").as("rp_tail"))
+      .orderBy($"p_partkey")
+  }
+
+  val strWrapPartitionSql: String = {
+    // last-line length and per-line cap derived from the accumulator:
+    // no newline yet = first line (cap 12), else cap 11
+    val lastlen = "CASE WHEN strpos(reverse(acc), chr(10)) = 0 " +
+      "THEN length(acc) ELSE strpos(reverse(acc), chr(10)) - 1 END"
+    val cap = "CASE WHEN strpos(reverse(acc), chr(10)) = 0 THEN 12 ELSE 11 END"
+    s"""SELECT p_partkey,
+       |  list_reduce(string_split(p_name, ' '), (acc, x) -> acc ||
+       |    CASE WHEN ($lastlen) + 1 + length(x) <= ($cap)
+       |         THEN ' ' ELSE chr(10) END || x) AS wrapped,
+       |  CASE WHEN strpos(reverse(p_name), 'o') > 0
+       |       THEN p_name[1:length(p_name) - strpos(reverse(p_name), 'o')]
+       |       ELSE '' END AS rp_head,
+       |  CASE WHEN strpos(reverse(p_name), 'o') > 0 THEN 'o' ELSE '' END AS rp_sep,
+       |  CASE WHEN strpos(reverse(p_name), 'o') > 0
+       |       THEN p_name[length(p_name) - strpos(reverse(p_name), 'o') + 2:]
+       |       ELSE p_name END AS rp_tail
+       |FROM part ORDER BY p_partkey""".stripMargin
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "str_wrap_partition" -> strWrapPartition,
     "str_fuzzy_join" -> strFuzzyJoin,
     "str_jaro_winkler" -> strJaroWinkler,
     "str_jw_blocked_join" -> strJwBlockedJoin,
@@ -906,6 +954,7 @@ object Funcs extends QueryPack {
     "json_roundtrip" -> jsonRoundtrip)
 
   override def oracle: Map[String, String] = Map(
+    "str_wrap_partition" -> strWrapPartitionSql,
     "str_fuzzy_join" -> strFuzzyJoinSql,
     "str_jaro_winkler" -> strJaroWinklerSql,
     "str_jw_blocked_join" -> strJwBlockedJoinSql,

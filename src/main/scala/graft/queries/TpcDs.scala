@@ -155,41 +155,51 @@ object TpcDs extends QueryPack {
        |GROUP BY o_custkey HAVING count(*) >= 2
        |ORDER BY o_custkey""".stripMargin
 
-  /** Week-matrix self-join (DS Q59 shape): ONE (nation, week) aggregate
-    * pivots orders into 7 weekday-revenue columns, then the matrix
-    * self-joins on (nation, week = week + 52) to emit per-weekday
-    * year-over-year ratios. The self-join runs over the AGGREGATE
-    * (|nations| × 52 rows) — at 100 TB the fact is scanned/shuffled
-    * once into the matrix and the quadratic-looking "same week next
-    * year" alignment is an equi-join on a frame thousands of rows
-    * small, broadcast by AQE. Week/weekday derive from day arithmetic
-    * off a fixed Monday epoch (1995-01-02), not ISO-week functions,
-    * so both engines bucket identically near year boundaries. */
+  /** Week-matrix (DS Q59 shape): per-weekday revenue ratios, this week
+    * vs the same week next year. r11 shipped the literal Q59 shape — a
+    * (nation, week) pivot self-joined on week = week + 52 — which
+    * scanned the orders fact TWICE (the branches filter different week
+    * ranges, so ReusedExchange can't merge them). r12: the two ranges
+    * are DISJOINT (weeks 0–51 vs 52–103), so ONE conditional
+    * aggregation keyed by the ALIGNED week computes both years' pivots
+    * in a single fact scan and the self-join vanishes; groups lacking
+    * either year's rows are dropped, preserving the inner-join
+    * contract exactly (the oracle keeps the independent join
+    * formulation). The week range is restated as literal o_orderdate
+    * bounds so it reaches the parquet scan as pushed filters.
+    * Week/weekday derive from day arithmetic off a fixed Monday epoch
+    * (1995-01-02), not ISO-week functions, so both engines bucket
+    * identically near year boundaries. */
   def dsWeekMatrix(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val days = datediff($"o_orderdate", lit("1995-01-02").cast("date"))
+    // wseq ∈ [0, 103]  ⇔  o_orderdate ∈ [epoch, epoch + 104·7 − 1 days]
     val base = Tables.orders(s, dir)
+      .filter($"o_orderdate" >= lit("1995-01-02").cast("date") &&
+        $"o_orderdate" <= lit("1996-12-29").cast("date"))
       .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .select($"c_nationkey".as("nation"),
         floor(days / 7).cast("long").as("wseq"),
         pmod(days, lit(7)).cast("int").as("dow"),
         $"o_totalprice")
-    def dayCol(k: Int) =
-      dsum(when($"dow" === k, $"o_totalprice"), 2).as(s"d$k")
-    val weekly = base.groupBy($"nation", $"wseq")
-      .agg(dayCol(0), dayCol(1), dayCol(2), dayCol(3), dayCol(4),
-        dayCol(5), dayCol(6))
-    val y1 = weekly.filter($"wseq" >= 0 && $"wseq" <= 51)
-      .select(Seq($"nation", $"wseq") ++
-        (0 to 6).map(k => col(s"d$k").as(s"y1_d$k")): _*)
-    val y2 = weekly
-      .select(Seq($"nation".as("n2"), ($"wseq" - 52).as("w2")) ++
-        (0 to 6).map(k => col(s"d$k").as(s"y2_d$k")): _*)
+    val y1row = $"wseq" <= 51
+    def yDay(y: Int, k: Int) = {
+      val cond = if (y == 1) y1row && $"dow" === k else !y1row && $"dow" === k
+      dsum(when(cond, $"o_totalprice"), 2).as(s"y${y}_d$k")
+    }
     def ratio(k: Int) =
       when(col(s"y1_d$k") > 0 && col(s"y2_d$k").isNotNull,
         col(s"y2_d$k") / col(s"y1_d$k")).as(s"r$k")
-    y1.join(y2, $"nation" === $"n2" && $"wseq" === $"w2")
-      .select(Seq($"nation", $"wseq") ++ (0 to 6).map(ratio): _*)
+    val aggs =
+      Seq(count(when(y1row, lit(1))).as("n1"),
+        count(when(!y1row, lit(1))).as("n2")) ++
+        (for (y <- 1 to 2; k <- 0 to 6) yield yDay(y, k))
+    base
+      .withColumn("aw", when(y1row, $"wseq").otherwise($"wseq" - 52))
+      .groupBy($"nation", $"aw")
+      .agg(aggs.head, aggs.tail: _*)
+      .filter($"n1" > 0 && $"n2" > 0)
+      .select(Seq($"nation", $"aw".as("wseq")) ++ (0 to 6).map(ratio): _*)
       .orderBy($"nation", $"wseq")
   }
 

@@ -461,6 +461,44 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(topInts.nonEmpty && topInts.head.getString(0).forall(_.isDigit))
   }
 
+  test("WrapText matches the wrap kernel contract (wrap.hpp examples + caps)") {
+    import graft.plans.WrapTextImpl.wrap
+    // wrap.hpp:36-50 doc examples, verbatim
+    assert(wrap("12345", 3) == "12345")         // overlong word never split
+    assert(wrap("thesé", 3) == "thesé")
+    assert(wrap("ARE THE", 3) == "ARE\nTHE")
+    assert(wrap("tést strings", 3) == "tést\nstrings")
+    assert(wrap("", 3) == "")
+    assert(wrap("the quick brown fox jumped over the lazy brown dog", 12) ==
+      "the quick\nbrown fox\njumped over\nthe lazy\nbrown dog")
+    assert(wrap("hello, world", 12) == "hello, world") // exactly width fits
+    // asymmetric caps: the break char occupies a window slot, so the
+    // first line fits `width` chars but later lines only `width - 1` —
+    // "ef gh" is exactly 5 = width yet must still break
+    assert(wrap("ab cd ef gh ij kl", 5) == "ab cd\nef\ngh\nij\nkl")
+    val w = wrap("aa bb cc dd ee ff gg hh", 6)
+    val lines = w.split("\n")
+    assert(lines.head.length <= 6 && lines.tail.forall(_.length <= 5),
+      s"caps violated: $w")
+    // output length always equals input length (in-place rewrite)
+    val rnd = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val words = (0 to rnd.nextInt(12)).map(_ =>
+        "abcdefghij".take(1 + rnd.nextInt(9)))
+      val s = words.mkString(" ")
+      val out = wrap(s, 4 + rnd.nextInt(10))
+      assert(out.length == s.length, s"length changed: '$s' -> '$out'")
+      assert(out.replace('\n', ' ') == s, s"non-space chars changed: '$out'")
+    }
+    // whitespace conversion: tabs/newlines become spaces or breaks
+    assert(wrap("a\tb\nc", 20) == "a b c")
+    // expression path: codegen and null behavior
+    val df = Seq(Some("ARE THE"), None).toDF("s")
+      .select(GraftExpressions.wrapText($"s", 3).as("w"))
+    assert(df.as[Option[String]].collect().toSeq ==
+      Seq(Some("ARE\nTHE"), None))
+  }
+
   test("NYSIIS and Refined Soundex match commons-codec on fixtures and fuzz") {
     import graft.plans.PhoneticExtraImpl
     val ny = new org.apache.commons.codec.language.Nysiis

@@ -570,4 +570,54 @@ class OperatorsSpec extends AnyFunSuite {
       .orderBy("g").collect()
     assert(n(0).getDouble(1) == brute("a", 1L, 2L))
   }
+
+  test("Stats.rowsAtQuantiles gathers the kernel's LOWER/HIGHER/NEAREST rows") {
+    import spark.implicits._
+    // n = 8 values 10..80: q = 1/2 → val = 3.5, an exact tie —
+    // LOWER picks idx 3 (40), HIGHER idx 4 (50), NEAREST rounds
+    // half-to-EVEN → idx 4 (50), matching nearbyint(3.5) = 4
+    val df = (1 to 8).map(i => (i * 10, s"r$i")).toDF("v", "tag")
+    def got(interp: String, num: Long, den: Long): (Int, String) = {
+      val r = graft.operators.Stats
+        .rowsAtQuantiles(df, Seq($"v"), Seq((num, den)), interp)
+        .select($"v", $"tag").head()
+      (r.getInt(0), r.getString(1))
+    }
+    assert(got("lower", 1, 2) == ((40, "r4")))
+    assert(got("higher", 1, 2) == ((50, "r5")))
+    assert(got("nearest", 1, 2) == ((50, "r5")))
+    // val = 7·7/8 = 6.125 → lower 6, higher 7, nearest 6
+    assert(got("lower", 7, 8)._1 == 70)
+    assert(got("higher", 7, 8)._1 == 80)
+    assert(got("nearest", 7, 8)._1 == 70)
+    // q = 0 and q = 1 pin first/last; whole rows ride along
+    assert(got("nearest", 0, 1) == ((10, "r1")))
+    assert(got("nearest", 1, 1) == ((80, "r8")))
+    // tie at val = 0.5 (n = 2): half-to-even → idx 0, like nearbyint(0.5)
+    val two = Seq((1, "a"), (2, "b")).toDF("v", "tag")
+    val t = graft.operators.Stats
+      .rowsAtQuantiles(two, Seq($"v"), Seq((1L, 2L)), "nearest").head()
+    assert(t.getAs[Int]("v") == 1)
+    // brute-force referee across every q/interp on random data
+    val rnd = new scala.util.Random(11)
+    val vals = Seq.fill(37)(rnd.nextInt(1000)).distinct
+    val rdf = vals.map(v => (v, s"t$v")).toDF("v", "tag")
+    val sortedVals = vals.sorted
+    val m = sortedVals.length
+    for ((num, den) <- Seq((1L, 4L), (1L, 2L), (3L, 4L), (2L, 3L));
+         interp <- Seq("lower", "higher", "nearest")) {
+      val a = num * (m - 1); val lo = a / den; val rem = a % den
+      val expectIdx = interp match {
+        case "lower" => lo
+        case "higher" => if (rem > 0) lo + 1 else lo
+        case "nearest" =>
+          if (2 * rem < den) lo else if (2 * rem > den) lo + 1
+          else lo + (lo % 2)
+      }
+      val r = graft.operators.Stats
+        .rowsAtQuantiles(rdf, Seq($"v"), Seq((num, den)), interp).head()
+      assert(r.getAs[Int]("v") == sortedVals(expectIdx.toInt),
+        s"q=$num/$den $interp")
+    }
+  }
 }

@@ -180,6 +180,20 @@ class PlanSpec extends AnyFunSuite {
       s"expected >=4 HashAggregates under the resale join, got $aggsBelow")
   }
 
+  test("ds_week_matrix: one orders scan, pushed date range, no self-join") {
+    val p = plan("ds_week_matrix")
+    val ordersScans = p.linesIterator
+      .count(l => l.contains("Location") && l.contains("orders.parquet"))
+    assert(ordersScans == 1,
+      s"the aligned-week conditional agg must scan orders ONCE, " +
+        s"got $ordersScans:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "week range must reach the orders scan as a pushed date bound")
+    // the only join left is the broadcastable customer dimension
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the week self-join must be gone (conditional agg), dims broadcast:\n$p")
+  }
+
   test("packSequences windows across pack groups, not one global partition") {
     val df = graft.operators.TextPipeline.packSequences(
       graft.Tables.documents(spark, dir), "doc_id", "text", 200, groups = 8)

@@ -179,6 +179,29 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got(1) == (("nodash", "", "")))
   }
 
+  test("strRpartition splits on LAST separator; absent sep yields empty head") {
+    // fixtures mirror the reference's rpartition test rows
+    // (cpp/tests/strings/split_tests.cpp:1013): "a_bc_déf" splits at the
+    // LAST underscore; a trailing separator leaves an empty tail;
+    // a multi-char separator resolves its last occurrence
+    val got = Seq("a_bc_déf", "a__bc", "_ab_cd", "ab_cd_", "nodash", "")
+      .toDF("s")
+      .select(strRpartition($"s", "_").as("p"))
+      .select($"p.head", $"p.sep", $"p.tail")
+      .as[(String, String, String)].collect()
+    assert(got(0) == (("a_bc", "_", "déf")))
+    assert(got(1) == (("a_", "_", "bc")))
+    assert(got(2) == (("_ab", "_", "cd")))
+    assert(got(3) == (("ab_cd", "_", "")))
+    assert(got(4) == (("", "", "nodash")))
+    assert(got(5) == (("", "", "")))
+    val multi = Seq("xabyabz").toDF("s")
+      .select(strRpartition($"s", "ab").as("p"))
+      .select($"p.head", $"p.sep", $"p.tail")
+      .as[(String, String, String)].head()
+    assert(multi == (("xaby", "ab", "z")))
+  }
+
   test("url encode/decode round trip and parse_url components") {
     val got = Seq("a b&c=d/é").toDF("s")
       .select(url_encode($"s").as("e"),
