@@ -894,6 +894,12 @@ object Funcs extends QueryPack {
     val rpt = strRpartition($"p_name", "o")
     Tables.part(s, dir).select($"p_partkey",
         wrapText($"p_name", 12).as("wrapped"),
+        // width 9 sits BELOW the longest word (10 chars), so lines
+        // overflow and break boundaries land densely — this is the
+        // column that keeps the gate sensitive to window off-by-ones
+        // (the width-12 column alone never observes one on this
+        // corpus: measured 0/2000 rows change under `> width`)
+        wrapText($"p_name", 9).as("wrapped9"),
         rpt.getField("head").as("rp_head"),
         rpt.getField("sep").as("rp_sep"),
         rpt.getField("tail").as("rp_tail"))
@@ -905,11 +911,15 @@ object Funcs extends QueryPack {
     // no newline yet = first line (cap 12), else cap 11
     val lastlen = "CASE WHEN strpos(reverse(acc), chr(10)) = 0 " +
       "THEN length(acc) ELSE strpos(reverse(acc), chr(10)) - 1 END"
-    val cap = "CASE WHEN strpos(reverse(acc), chr(10)) = 0 THEN 12 ELSE 11 END"
+    def cap(w: Int) =
+      s"CASE WHEN strpos(reverse(acc), chr(10)) = 0 THEN $w ELSE ${w - 1} END"
+    def wrapFold(w: Int) =
+      s"""list_reduce(string_split(p_name, ' '), (acc, x) -> acc ||
+         |    CASE WHEN ($lastlen) + 1 + length(x) <= (${cap(w)})
+         |         THEN ' ' ELSE chr(10) END || x)""".stripMargin
     s"""SELECT p_partkey,
-       |  list_reduce(string_split(p_name, ' '), (acc, x) -> acc ||
-       |    CASE WHEN ($lastlen) + 1 + length(x) <= ($cap)
-       |         THEN ' ' ELSE chr(10) END || x) AS wrapped,
+       |  ${wrapFold(12)} AS wrapped,
+       |  ${wrapFold(9)} AS wrapped9,
        |  CASE WHEN strpos(reverse(p_name), 'o') > 0
        |       THEN p_name[1:length(p_name) - strpos(reverse(p_name), 'o')]
        |       ELSE '' END AS rp_head,

@@ -89,6 +89,31 @@ MUTATIONS = [
      "while (b < maxBits && n > (targetBucket << b)) b += 1",
      "while (b < maxBits && n >= (targetBucket << b)) b += 1",
      "embed_auto_granularity"),
+    # Round-12 session 2: the week-matrix single-scan rewrite must keep
+    # the inner-join contract — dropping the "both years present" guard
+    # (n1 > 0 -> n1 >= 0) admits (nation, week) cells that have only
+    # next-year rows, which the join-form oracle never emits.
+    ("week-matrix-missing-year-admitted",
+     "src/main/scala/graft/queries/TpcDs.scala",
+     ".filter($\"n1\" > 0 && $\"n2\" > 0)",
+     ".filter($\"n1\" >= 0 && $\"n2\" > 0)",
+     "ds_week_matrix"),
+    # Wrap kernel window off-by-one (>= width -> > width) widens every
+    # line cap by one char — the asymmetric-cap contract the gate's
+    # word-fold oracle replays turns red on any tight boundary.
+    ("wrap-window-off-by-one",
+     "src/main/scala/graft/plans/expressions.scala",
+     "if (pos - spos >= width && lastSpaceIdx >= 0) {",
+     "if (pos - spos > width && lastSpaceIdx >= 0) {",
+     "str_wrap_partition"),
+    # Row-quantile index base n-1 -> n: q = 1 now targets index n
+    # (past the end), so its three rows vanish and most other indices
+    # shift — red at ANY corpus size, including stress multiples.
+    ("row-quantile-index-base-shifted",
+     "src/main/scala/graft/operators/Stats.scala",
+     "val a = num * (n - 1)",
+     "val a = num * n",
+     "agg_rows_quantiles"),
 ]
 
 
@@ -121,9 +146,19 @@ def main():
     if dirty:
         print("refusing to run with uncommitted src/ changes:\n" + dirty)
         return 2
+    # GRAFT_MUTATIONS=<regex>: run only matching mutation names and MERGE
+    # their records into an existing OUT artifact (re-prove one gate's
+    # sensitivity without paying the full 12-compile sweep).
+    mfilter = __import__("os").environ.get("GRAFT_MUTATIONS")
+    selected = MUTATIONS
+    if mfilter:
+        import re
+        pat = re.compile(mfilter)
+        selected = [m for m in MUTATIONS if pat.fullmatch(m[0])]
+        assert selected, f"no mutation matches {mfilter!r}"
     results = []
     try:
-        for name, relpath, old, new, query in MUTATIONS:
+        for name, relpath, old, new, query in selected:
             path = REPO / relpath
             src = path.read_text()
             assert old in src, f"{name}: pattern not found in {relpath}"
@@ -143,6 +178,10 @@ def main():
         run(["git", "checkout", "--", "src"])
         # leave the tree compiled clean for whoever runs next
         run(["sbt", "-batch", "compile"])
+    if mfilter and Path(OUT).exists():
+        prior = json.loads(Path(OUT).read_text())["mutations"]
+        fresh = {r["mutation"] for r in results}
+        results = [r for r in prior if r["mutation"] not in fresh] + results
     Path(OUT).write_text(json.dumps(
         {"sf": SF, "mutations": results,
          "all_caught": all(r["caught"] for r in results)}, indent=2))
