@@ -51,15 +51,27 @@ object SegmentDedup {
     * (seg, salt) — map-side partials collapse repeats early and the hot
     * segment spreads over `saltBuckets` reducers — then sum the
     * per-salt counts, exact because an id lands in exactly one salt
-    * bucket. Output stays one row per distinct segment. */
+    * bucket. Output stays one row per distinct segment.
+    *
+    * `saltBuckets <= 0` (default) derives the salt width from the
+    * session's reduce-side parallelism (2× shuffle partitions, floor
+    * 64) — a fixed 64 caps how far the hottest segment can spread once
+    * a cluster runs hundreds of reducers (the r11 adaptive-granularity
+    * rule applied to skew spreading). Result-invariant for ANY width:
+    * the per-salt distincts sum exactly. */
   def segmentDocFreq(df: DataFrame, idCol: String, textCol: String,
-      delimRegex: String, saltBuckets: Int = 64): DataFrame =
+      delimRegex: String, saltBuckets: Int = 0): DataFrame = {
+    val buckets =
+      if (saltBuckets > 0) saltBuckets
+      else math.max(64,
+        df.sparkSession.sessionState.conf.numShufflePartitions * 2)
     segments(df, idCol, textCol, delimRegex)
       .groupBy(col("seg"),
-        pmod(xxhash64(col(idCol)), lit(saltBuckets)).as("__salt"))
+        pmod(xxhash64(col(idCol)), lit(buckets)).as("__salt"))
       .agg(countDistinct(col(idCol)).as("__d"), count(lit(1)).as("__n"))
       .groupBy(col("seg"))
       .agg(sum(col("__d")).as("df_docs"), sum(col("__n")).as("n_occur"))
+  }
 
   /** Reassemble (id, seg_no, seg) rows into one text row per id,
     * preserving segment order, with kept/total counts. The per-doc

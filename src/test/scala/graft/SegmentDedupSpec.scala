@@ -25,6 +25,13 @@ class SegmentDedupSpec extends AnyFunSuite {
     assert(f("subscribe to our newsletter") == 3L)
     assert(f("all rights reserved") == 2L)
     assert(f("unique opening line") == 1L)
+    // salt width is a pure spreading knob: any bucket count sums to the
+    // same exact distincts (the adaptive default must change nothing)
+    for (b <- Seq(1, 3, 64)) {
+      val fb = SegmentDedup.segmentDocFreq(docs, "doc_id", "text", "\n", b)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(fb == f, s"saltBuckets=$b changed results")
+    }
   }
 
   test("removeFrequentSegments drops boilerplate, keeps order, keeps empty docs") {
