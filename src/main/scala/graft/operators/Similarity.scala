@@ -322,6 +322,168 @@ object Similarity {
     }(Encoders.row(outSchema))
   }
 
+  /** Public flat nearest-cell assignment over an explicit centroid
+    * frame — the broadcast-model map stage every IVF/SemDeDup path
+    * uses internally, exposed for callers that bring their own
+    * quantizer. One row per (input row, probe), nearest cell first;
+    * rows with null vectors/elements get no row (see
+    * [[assignNearestCells]]'s contract). */
+  def assignCells(df: DataFrame, vecCol: String, centroids: DataFrame,
+      cellCol: String = "cell_id", nprobe: Int = 1): DataFrame =
+    assignNearestCells(df, vecCol, collectModel(centroids), cellCol, nprobe)
+
+  /** Hierarchical (two-level) nearest-cell assignment — the O(n·√K)
+    * remedy for flat assignment's O(n·K) scoring (the SemDeDup
+    * asymptote documented in SCALING.md "Known scale caveats"): the K
+    * cell centroids are grouped DRIVER-SIDE into S ≈ ⌈√K⌉ super-cells
+    * (a tiny Lloyd over the MODEL itself — K×dim doubles, never the
+    * corpus), each row scores the S super-centroids, descends into its
+    * `superProbes` nearest super-cells, and argmaxes only their
+    * children: S + superProbes·K/S dots per row instead of K. Cell
+    * IDENTITY is unchanged — children are the flat model's centroids
+    * with their ids — so posting lists, exemplars, and screens compose
+    * unchanged. Approximate ONLY at super-cell boundaries (a row whose
+    * true cell lives in a non-probed super-cell gets its best probed
+    * cell); `superProbes >= S` recovers the flat argmax EXACTLY
+    * (spec-asserted), and identical vectors always land in the same
+    * cell, so duplicate recall is unaffected. Tie/NaN/zero-norm rules
+    * mirror [[assignNearestCells]] (smallest id wins, NaN-greatest,
+    * zero-norm centroids lose every argmax). */
+  def assignCellsHierarchical(df: DataFrame, vecCol: String,
+      centroids: DataFrame, cellCol: String = "cell_id",
+      superProbes: Int = 2, superCells: Int = 0): DataFrame = {
+    require(superProbes >= 1, "superProbes must be >= 1")
+    val model = collectModel(centroids)
+    if (model.isEmpty)
+      return df.limit(0).withColumn(cellCol, lit(null).cast(LongType))
+    val (bc, cellType) = prepareModel(df.sparkSession, model)
+    val (ids, vecs, norms) = bc.value
+    val k = vecs.length
+    val s = if (superCells > 0) math.min(superCells, k)
+      else math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    // driver-side Lloyd over the k centroids: seeds = every ⌈k/s⌉-th
+    // centroid in ascending-id order (deterministic, spread across the
+    // id range); cosine argmax with the same beats()/smallest-index
+    // tie rule the row-level assignment uses
+    def beats(a: Double, b: Double): Boolean =
+      a > b || (a.isNaN && !b.isNaN)
+    var superVecs = Array.tabulate(s)(j => vecs((j.toLong * k / s).toInt))
+    var members: Array[Array[Int]] = null
+    var it = 0
+    while (it < 4) {
+      val superNorms = superVecs.map(v => math.sqrt(seqDot(v, v)))
+      val grouped = Array.fill(s)(List.newBuilder[Int])
+      var c = 0
+      while (c < k) {
+        var best = 0
+        var bestSim = Double.NegativeInfinity
+        var j = 0
+        while (j < s) {
+          val den = norms(c) * superNorms(j)
+          val sim = if (den == 0.0) Double.NegativeInfinity
+            else seqDot(vecs(c), superVecs(j)) / den
+          if (j == 0 || beats(sim, bestSim)) { best = j; bestSim = sim }
+          j += 1
+        }
+        grouped(best) += c
+        c += 1
+      }
+      members = grouped.map(_.result().toArray) // ascending by model idx
+      // mean update; empty super-cells keep their previous vector
+      superVecs = Array.tabulate(s) { j =>
+        val m = members(j)
+        if (m.isEmpty) superVecs(j)
+        else {
+          val dim = vecs(m(0)).length
+          val acc = new Array[Double](dim)
+          m.foreach { ci =>
+            val v = vecs(ci); var d = 0
+            while (d < dim) { acc(d) += v(d); d += 1 }
+          }
+          var d = 0
+          while (d < dim) { acc(d) /= m.length; d += 1 }
+          acc
+        }
+      }
+      it += 1
+    }
+    val superNorms = superVecs.map(v => math.sqrt(seqDot(v, v)))
+    val hierBc = df.sparkSession.sparkContext.broadcast(
+      (ids, vecs, norms, superVecs, superNorms, members))
+    bc.destroy() // model arrays live on in hierBc; the flat broadcast
+    // handle itself was only ever read driver-side
+    val vecIdx = df.schema.fieldIndex(vecCol)
+    val outSchema = df.schema.add(cellCol, cellType, nullable = false)
+    val probes = math.min(superProbes, s)
+    df.mapPartitions { rows =>
+      val (ids, vecs, norms, sVecs, sNorms, kids) = hierBc.value
+      rows.flatMap { row =>
+        if (row.isNullAt(vecIdx)) Iterator.empty
+        else {
+          val raw = row.getSeq[Any](vecIdx)
+          val v = new Array[Double](raw.length)
+          var i = 0
+          var anyNull = false
+          raw.foreach { x =>
+            x match {
+              case f: Float => v(i) = f.toDouble
+              case d: Double => v(i) = d
+              case n: java.lang.Number => v(i) = n.doubleValue()
+              case null => anyNull = true
+            }
+            i += 1
+          }
+          if (anyNull) Iterator.empty
+          else {
+            val vn = math.sqrt(seqDot(v, v))
+            val nS = sVecs.length
+            val sSims = new Array[Double](nS)
+            var j = 0
+            while (j < nS) {
+              val den = vn * sNorms(j)
+              sSims(j) = if (den == 0.0) Double.NegativeInfinity
+                else seqDot(v, sVecs(j)) / den
+              j += 1
+            }
+            // top `probes` super-cells by repeated argmax
+            val used = new Array[Boolean](nS)
+            var bestSim = Double.NegativeInfinity
+            var kid = -1
+            var p = 0
+            while (p < probes) {
+              var bj = -1; var m = 0
+              while (m < nS) {
+                if (!used(m) && (bj < 0 || beats(sSims(m), sSims(bj)))) bj = m
+                m += 1
+              }
+              used(bj) = true
+              // children are ascending model indices = ascending id, so
+              // a strict-greater scan keeps the smallest id on ties;
+              // across super-cells, `best < kidIdx` ordering ties break
+              // to the smaller model index because beats() is strict
+              val ch = kids(bj)
+              var x = 0
+              while (x < ch.length) {
+                val c = ch(x)
+                val den = vn * norms(c)
+                val sim = if (den == 0.0) Double.NegativeInfinity
+                  else seqDot(v, vecs(c)) / den
+                if (kid < 0 || beats(sim, bestSim) ||
+                    (sim == bestSim && c < kid)) {
+                  kid = c; bestSim = sim
+                }
+                x += 1
+              }
+              p += 1
+            }
+            if (kid < 0) Iterator.empty // all probed supers empty
+            else Iterator.single(Row.fromSeq(row.toSeq :+ ids(kid)))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Seed tag for the deterministic quantizer-seed ordering: seeds are
     * the nCells corpus rows with the smallest
     * Curation.hashUnit(id, SeedTag) — the engine-portable md5-derived

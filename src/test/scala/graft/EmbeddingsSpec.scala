@@ -171,6 +171,49 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("assignCellsHierarchical: exact at full probe width, high boundary " +
+    "agreement at superProbes=2, duplicates co-located, deterministic") {
+    val rnd = new scala.util.Random(42)
+    // 12 well-separated cluster directions in R^8, 40 points each with
+    // small noise — the regime SemDeDup assignment actually runs in
+    val dirs = Array.fill(12)(Array.fill(8)(rnd.nextGaussian()))
+    val pts = for (c <- dirs.indices; j <- 0 until 40) yield {
+      val v = dirs(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (c * 1000L + j, v)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(df, nCells = 12, iters = 3)
+    val flat = Similarity.assignCells(df, "embedding", cents)
+      .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toMap
+    // probing every super-cell scores every child -> identical argmax
+    val full = Similarity.assignCellsHierarchical(df, "embedding", cents,
+        superProbes = 1000)
+      .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toMap
+    assert(full == flat, "superProbes >= S must recover the flat argmax")
+    // narrow probing: agreement stays high (boundary effect only)
+    val hier = Similarity.assignCellsHierarchical(df, "embedding", cents,
+        superProbes = 2)
+      .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toMap
+    assert(hier.keySet == flat.keySet, "every row must be assigned")
+    val agree = hier.count { case (id, c) => flat(id) == c }
+    assert(agree >= (hier.size * 0.9).toInt,
+      s"agreement ${agree}/${hier.size} below bound")
+    // identical vectors score identically at every level -> same cell,
+    // so near-dup recall survives hierarchical assignment
+    val dup = Seq((900001L, pts.head._2), (900002L, pts.head._2))
+      .toDF("vec_id", "embedding")
+    val dupCells = Similarity.assignCellsHierarchical(
+        df.unionByName(dup), "embedding", cents, superProbes = 2)
+      .filter($"vec_id" >= 900000L)
+      .select($"cell_id").as[Int].collect().toSet
+    assert(dupCells.size == 1, "planted duplicates split across cells")
+    // determinism under physical reshuffle
+    val re = Similarity.assignCellsHierarchical(
+        df.repartition(7), "embedding", cents, superProbes = 2)
+      .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toMap
+    assert(re == hier, "assignment must be partition-invariant")
+  }
+
   test("ngramLmScore matches hand-computed smoothed bigram means") {
     val ref = Seq((0L, "a b a"), (1L, "b a")).toDF("id", "text")
     val docs = Seq((10L, "a b c"), (11L, "a"), (12L, "")).toDF("id", "text")
