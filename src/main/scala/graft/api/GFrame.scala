@@ -731,10 +731,15 @@ final case class GStrOps(gf: GFrame, c: String) {
     add("slice", substring(col(c), start + 1, math.max(stop - start, 0)))
   def split(sep: String): GFrame =
     add("split", org.apache.spark.sql.functions.split(col(c), java.util.regex.Pattern.quote(sep)))
+  /** cudf s.str.wrap — since r12 the KERNEL-exact char walk
+    * (plans.WrapText; asymmetric width caps, words never split), not
+    * the regex approximation TextFunctions.wrap keeps for str_extra. */
   def wrap(width: Int): GFrame =
-    add("wrap", graft.functions.TextFunctions.wrap(col(c), width))
+    add("wrap", graft.plans.GraftExpressions.wrapText(col(c), width))
   def partition(sep: String): GFrame =
     add("partition", graft.functions.TextFunctions.strPartition(col(c), sep))
+  def rpartition(sep: String): GFrame =
+    add("rpartition", graft.functions.TextFunctions.strRpartition(col(c), sep))
   def findMultiple(targets: Seq[String]): GFrame =
     add("find", graft.functions.TextFunctions.findMultiple(col(c), targets))
   def normalize(): GFrame =

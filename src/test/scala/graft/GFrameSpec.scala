@@ -179,10 +179,12 @@ class GFrameSpec extends AnyFunSuite {
     val s = GFrame(Seq(Tuple1("a-b c")).toDF("s"))
       .str("s").wrap(3)
       .str("s").partition("-")
+      .str("s").rpartition("-")
       .str("s").isalpha()
       .toDF.head()
     assert(s.getAs[String]("s_wrap") == "a-b\nc")
     assert(s.getAs[org.apache.spark.sql.Row]("s_partition").getString(0) == "a")
+    assert(s.getAs[org.apache.spark.sql.Row]("s_rpartition").getString(2) == "b c")
     assert(!s.getAs[Boolean]("s_isalpha"))
   }
 
