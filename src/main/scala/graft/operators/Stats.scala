@@ -306,13 +306,21 @@ object Stats {
     * or the gathered rows are nondeterministic — same caveat as the
     * reference's unstable sorted_order. */
   def rowsAtQuantiles(df: DataFrame, sortCols: Seq[org.apache.spark.sql.Column],
-      qs: Seq[(Long, Long)], interp: String): DataFrame = {
-    require(Seq("lower", "higher", "nearest").contains(interp),
-      s"row quantiles need a non-arithmetic interpolation, got $interp")
+      qs: Seq[(Long, Long)], interp: String): DataFrame =
+    rowsAtQuantilesMulti(df, sortCols, qs, Seq(interp))
+
+  /** Multi-strategy form: every (q, interp) pair from ONE count and ONE
+    * distributed sort — the three-strategy gate would otherwise pay the
+    * range sort once per interpolation. */
+  def rowsAtQuantilesMulti(df: DataFrame,
+      sortCols: Seq[org.apache.spark.sql.Column],
+      qs: Seq[(Long, Long)], interps: Seq[String]): DataFrame = {
+    interps.foreach(i => require(Seq("lower", "higher", "nearest").contains(i),
+      s"row quantiles need a non-arithmetic interpolation, got $i"))
     val spark = df.sparkSession
     val n = df.count()
     require(n > 0, "row quantiles require at least one input row")
-    def idxOf(num: Long, den: Long): Long = {
+    def idxOf(num: Long, den: Long, interp: String): Long = {
       require(den > 0 && num >= 0 && num <= den, s"bad quantile $num/$den")
       if (n < 2) 0L
       else {
@@ -329,8 +337,11 @@ object Stats {
         }
       }
     }
-    val targets = qs.map { case (num, den) => (num, den, idxOf(num, den)) }
-    val wanted = targets.map(_._3).toSet
+    val targets = for {
+      interp <- interps
+      (num, den) <- qs
+    } yield (num, den, interp, idxOf(num, den, interp))
+    val wanted = targets.map(_._4).toSet
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema
     val hits = spark.createDataFrame(
@@ -340,9 +351,8 @@ object Stats {
       },
       schema.add("__idx", "long"))
     import spark.implicits._
-    val qFrame = targets.toDF("q_num", "q_den", "__idx")
+    val qFrame = targets.toDF("q_num", "q_den", "interp", "__idx")
     qFrame.join(broadcast(hits), "__idx")
-      .withColumn("interp", lit(interp))
       .drop("__idx")
   }
 }

@@ -567,9 +567,8 @@ object Aggs extends QueryPack {
       .select($"l_extendedprice", $"l_orderkey", $"l_linenumber")
     val qs = Seq((0L, 1L), (1L, 4L), (1L, 2L), (3L, 4L), (7L, 8L), (1L, 1L))
     val sortCols = Seq($"l_extendedprice", $"l_orderkey", $"l_linenumber")
-    Seq("lower", "higher", "nearest")
-      .map(ip => graft.operators.Stats.rowsAtQuantiles(li, sortCols, qs, ip))
-      .reduce(_ unionByName _)
+    graft.operators.Stats.rowsAtQuantilesMulti(li, sortCols, qs,
+        Seq("lower", "higher", "nearest")) // one count + ONE sort for all 3
       .select($"q_num", $"q_den", $"interp",
         $"l_orderkey", $"l_linenumber", $"l_extendedprice")
       .orderBy($"q_num".cast("double") / $"q_den", $"interp")
