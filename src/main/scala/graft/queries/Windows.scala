@@ -501,7 +501,33 @@ object Windows extends QueryPack {
       |FROM lineitem
       |ORDER BY l_returnflag, l_shipdate""".stripMargin
 
+  /** Grouped PRODUCT scan (aggregation.hpp:78 PRODUCT as a scan kind —
+    * groupby.hpp:237 grouped scan; cudf Series.cumprod): Spark has no
+    * built-in product aggregate, so the custom ProductAgg Aggregator
+    * (the §2.12 UDAF surface) runs AS A WINDOW FUNCTION over a trailing
+    * 4-row frame. Values are l_linenumber (1..7), so every product is
+    * an exact small integer (≤ 7⁴ = 2401) in double at any SF and the
+    * gate hash-matches DuckDB's NATIVE product() window — two
+    * independent implementations of the same scan. */
+  def winCumprod(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val pr = udaf(graft.functions.Udfs.ProductAgg)
+    val w = Window.partitionBy($"l_orderkey").orderBy($"l_linenumber")
+      .rowsBetween(-3, Window.currentRow)
+    Tables.lineitem(s, dir).select($"l_orderkey", $"l_linenumber",
+        pr($"l_linenumber".cast("double")).over(w).as("cumprod"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val winCumprodSql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  product(CAST(l_linenumber AS DOUBLE)) OVER (
+      |    PARTITION BY l_orderkey ORDER BY l_linenumber
+      |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cumprod
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_cumprod" -> winCumprod,
     "win_count_distinct" -> winCountDistinct,
     "win_nth_value" -> winNth,
     "win_topk" -> winTopK,
@@ -519,6 +545,7 @@ object Windows extends QueryPack {
     "win_scan_minmax" -> winScanMinMax)
 
   override def oracle: Map[String, String] = Map(
+    "win_cumprod" -> winCumprodSql,
     "win_count_distinct" -> winCountDistinctSql,
     "win_nth_value" -> winNthSql,
     "win_topk" -> winTopKSql,
