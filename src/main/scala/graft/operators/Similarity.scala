@@ -254,68 +254,80 @@ object Similarity {
     assignNearestCells(df, vecCol, bc, cellType, cellCol, nprobe)
   }
 
+  /** NaN-greatest strict compare: a beats b iff a > b, or a is NaN and
+    * b is not — Spark's descending NullsLast/NaN-greatest sort order.
+    * Shared by the flat and hierarchical assignment paths so their
+    * tie semantics can never diverge. */
+  private def beatsSim(a: Double, b: Double): Boolean =
+    a > b || (a.isNaN && !b.isNaN)
+
+  /** Decode a row's vector cell into doubles; null when the row has no
+    * defined vector (null cell or null element) — the shared skip rule
+    * of both assignment paths. */
+  private def decodeVec(row: Row, vecIdx: Int): Array[Double] = {
+    if (row.isNullAt(vecIdx)) return null
+    val raw = row.getSeq[Any](vecIdx)
+    val v = new Array[Double](raw.length)
+    var i = 0
+    val it = raw.iterator
+    while (it.hasNext) {
+      it.next() match {
+        case f: Float => v(i) = f.toDouble
+        case d: Double => v(i) = d
+        case n: java.lang.Number => v(i) = n.doubleValue()
+        case null => return null
+      }
+      i += 1
+    }
+    v
+  }
+
+  /** Cosine with the shared zero-norm guard: 0/0 would be NaN, and the
+    * NaN-greatest compare would then assign EVERY row to a single
+    * all-zero centroid (one giant cell = the corpus-squared blowup IVF
+    * exists to avoid). Cosine to a zero vector is undefined — −Inf
+    * makes such a centroid lose every argmax; an all-zero INPUT row
+    * falls deterministically into the first cell. */
+  private def guardedCosine(v: Array[Double], vn: Double,
+      c: Array[Double], cn: Double): Double = {
+    val den = vn * cn
+    if (den == 0.0) Double.NegativeInfinity else seqDot(v, c) / den
+  }
+
   private def assignNearestCells(df: DataFrame, vecCol: String,
       bc: ModelBc, cellType: org.apache.spark.sql.types.DataType,
       cellCol: String, nprobe: Int): DataFrame = {
     val vecIdx = df.schema.fieldIndex(vecCol)
     val outSchema = df.schema.add(cellCol, cellType, nullable = false)
-    // NaN-greatest strict compare: a beats b iff a > b, or a is NaN and
-    // b is not — Spark's descending NullsLast/NaN-greatest sort order
-    def beats(a: Double, b: Double): Boolean =
-      a > b || (a.isNaN && !b.isNaN)
     df.mapPartitions { it =>
       val (ids, vecs, norms) = bc.value
       val k = vecs.length
       val probes = math.min(nprobe, k)
       it.flatMap { row =>
-        if (row.isNullAt(vecIdx)) Iterator.empty
+        val v = decodeVec(row, vecIdx)
+        if (v == null) Iterator.empty // no defined cell for this row
         else {
-          val raw = row.getSeq[Any](vecIdx)
-          val v = new Array[Double](raw.length)
-          var i = 0
-          var anyNull = false
-          raw.foreach { x =>
-            x match {
-              case f: Float => v(i) = f.toDouble
-              case d: Double => v(i) = d
-              case n: java.lang.Number => v(i) = n.doubleValue()
-              case null => anyNull = true
-            }
-            i += 1
+          val vn = math.sqrt(seqDot(v, v))
+          val sims = new Array[Double](k)
+          var c = 0
+          while (c < k) {
+            sims(c) = guardedCosine(v, vn, vecs(c), norms(c))
+            c += 1
           }
-          if (anyNull) Iterator.empty // null element -> no defined cell
-          else {
-            val vn = math.sqrt(seqDot(v, v))
-            val sims = new Array[Double](k)
-            var c = 0
-            while (c < k) {
-              // zero-norm guard: 0/0 would be NaN, and the NaN-greatest
-              // compare would then assign EVERY row to a single all-zero
-              // centroid (one giant cell = the corpus-squared blowup IVF
-              // exists to avoid). Cosine to a zero vector is undefined —
-              // -Inf makes such a centroid lose every argmax; an all-zero
-              // INPUT row falls deterministically into the first cell.
-              val den = vn * norms(c)
-              sims(c) =
-                if (den == 0.0) Double.NegativeInfinity
-                else seqDot(v, vecs(c)) / den
-              c += 1
+          // repeated argmax: O(k·nprobe), no per-row allocation
+          // beyond the sims buffer; nprobe « k always
+          val used = new Array[Boolean](k)
+          val base = row.toSeq
+          Iterator.tabulate(probes) { _ =>
+            var best = -1
+            var j = 0
+            while (j < k) {
+              if (!used(j) && (best < 0 || beatsSim(sims(j), sims(best))))
+                best = j
+              j += 1
             }
-            // repeated argmax: O(k·nprobe), no per-row allocation
-            // beyond the sims buffer; nprobe « k always
-            val used = new Array[Boolean](k)
-            val base = row.toSeq
-            Iterator.tabulate(probes) { _ =>
-              var best = -1
-              var j = 0
-              while (j < k) {
-                if (!used(j) && (best < 0 || beats(sims(j), sims(best))))
-                  best = j
-                j += 1
-              }
-              used(best) = true
-              Row.fromSeq(base :+ ids(best))
-            }
+            used(best) = true
+            Row.fromSeq(base :+ ids(best))
           }
         }
       }
@@ -418,67 +430,57 @@ object Similarity {
     df.mapPartitions { rows =>
       val (ids, vecs, norms, sVecs, sNorms, kids) = hierBc.value
       rows.flatMap { row =>
-        if (row.isNullAt(vecIdx)) Iterator.empty
+        val v = decodeVec(row, vecIdx)
+        if (v == null) Iterator.empty
         else {
-          val raw = row.getSeq[Any](vecIdx)
-          val v = new Array[Double](raw.length)
-          var i = 0
-          var anyNull = false
-          raw.foreach { x =>
-            x match {
-              case f: Float => v(i) = f.toDouble
-              case d: Double => v(i) = d
-              case n: java.lang.Number => v(i) = n.doubleValue()
-              case null => anyNull = true
-            }
-            i += 1
+          val vn = math.sqrt(seqDot(v, v))
+          val nS = sVecs.length
+          val sSims = new Array[Double](nS)
+          // Lloyd can strand a super-cell with zero members (it keeps
+          // its stale vector); probing one would both waste a probe
+          // slot and, at superProbes=1, silently DROP the row — mark
+          // empties used up front so only populated supers are probed
+          // (every centroid belongs to exactly one super, so at least
+          // one populated super always exists).
+          val used = new Array[Boolean](nS)
+          var populated = 0
+          var j = 0
+          while (j < nS) {
+            sSims(j) = guardedCosine(v, vn, sVecs(j), sNorms(j))
+            if (kids(j).isEmpty) used(j) = true else populated += 1
+            j += 1
           }
-          if (anyNull) Iterator.empty
-          else {
-            val vn = math.sqrt(seqDot(v, v))
-            val nS = sVecs.length
-            val sSims = new Array[Double](nS)
-            var j = 0
-            while (j < nS) {
-              val den = vn * sNorms(j)
-              sSims(j) = if (den == 0.0) Double.NegativeInfinity
-                else seqDot(v, sVecs(j)) / den
-              j += 1
+          var bestSim = Double.NegativeInfinity
+          var kid = -1
+          var p = 0
+          val nProbes = math.min(probes, populated)
+          while (p < nProbes) {
+            var bj = -1; var m = 0
+            while (m < nS) {
+              if (!used(m) && (bj < 0 || beatsSim(sSims(m), sSims(bj)))) bj = m
+              m += 1
             }
-            // top `probes` super-cells by repeated argmax
-            val used = new Array[Boolean](nS)
-            var bestSim = Double.NegativeInfinity
-            var kid = -1
-            var p = 0
-            while (p < probes) {
-              var bj = -1; var m = 0
-              while (m < nS) {
-                if (!used(m) && (bj < 0 || beats(sSims(m), sSims(bj)))) bj = m
-                m += 1
+            used(bj) = true
+            // candidate rule mirrors the flat scan's first-wins-on-tie
+            // over ascending model indices: a child replaces the
+            // incumbent iff it strictly beats it, OR neither beats the
+            // other (equal, or both NaN) and its index — hence id — is
+            // smaller. With superProbes >= S this reproduces the flat
+            // argmax exactly, NaN rows included.
+            val ch = kids(bj)
+            var x = 0
+            while (x < ch.length) {
+              val c = ch(x)
+              val sim = guardedCosine(v, vn, vecs(c), norms(c))
+              if (kid < 0 || beatsSim(sim, bestSim) ||
+                  (!beatsSim(bestSim, sim) && c < kid)) {
+                kid = c; bestSim = sim
               }
-              used(bj) = true
-              // children are ascending model indices = ascending id, so
-              // a strict-greater scan keeps the smallest id on ties;
-              // across super-cells, `best < kidIdx` ordering ties break
-              // to the smaller model index because beats() is strict
-              val ch = kids(bj)
-              var x = 0
-              while (x < ch.length) {
-                val c = ch(x)
-                val den = vn * norms(c)
-                val sim = if (den == 0.0) Double.NegativeInfinity
-                  else seqDot(v, vecs(c)) / den
-                if (kid < 0 || beats(sim, bestSim) ||
-                    (sim == bestSim && c < kid)) {
-                  kid = c; bestSim = sim
-                }
-                x += 1
-              }
-              p += 1
+              x += 1
             }
-            if (kid < 0) Iterator.empty // all probed supers empty
-            else Iterator.single(Row.fromSeq(row.toSeq :+ ids(kid)))
+            p += 1
           }
+          Iterator.single(Row.fromSeq(row.toSeq :+ ids(kid)))
         }
       }
     }(Encoders.row(outSchema))

@@ -344,15 +344,23 @@ object Stats {
     val wanted = targets.map(_._4).toSet
     val sorted = df.orderBy(sortCols: _*)
     val schema = sorted.schema
+    // persist the sorted rows: zipWithIndex launches its own
+    // partition-size job before the filtering job, and without the
+    // cache BOTH would re-execute the range sort
+    val srdd = sorted.rdd.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hits = spark.createDataFrame(
-      sorted.rdd.zipWithIndex.collect {
+      srdd.zipWithIndex.collect {
         case (row, i) if wanted(i) =>
           org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
       },
       schema.add("__idx", "long"))
     import spark.implicits._
     val qFrame = targets.toDF("q_num", "q_den", "interp", "__idx")
-    qFrame.join(broadcast(hits), "__idx")
+    val out = qFrame.join(broadcast(hits), "__idx")
       .drop("__idx")
+      .localCheckpoint() // |q|-sized; lets the sort cache free NOW
+    srdd.unpersist()
+    out
   }
 }

@@ -1823,10 +1823,9 @@ object TextOps extends QueryPack {
     // those counts — that is the point: the gate exercises the REAL
     // Scala functions, not a SQL re-implementation of them.
     val mn = ev.agg(min($"event_id")).head().getLong(0)
-    val counts = ev.agg(
-      sizes.map(k => count(when($"event_id" - mn < k, 1)).as(s"n_$k")).head,
-      sizes.map(k => count(when($"event_id" - mn < k, 1)).as(s"n_$k")).tail: _*)
-      .head()
+    val countCols =
+      sizes.map(k => count(when($"event_id" - mn < k, 1)).as(s"n_$k"))
+    val counts = ev.agg(countCols.head, countCols.tail: _*).head()
     val rows = sizes.zipWithIndex.map { case (k, i) =>
       val n = counts.getLong(i)
       (k, n, Similarity.autoLshBits(n).toLong,

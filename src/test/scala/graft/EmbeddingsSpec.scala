@@ -212,6 +212,25 @@ class EmbeddingsSpec extends AnyFunSuite {
         df.repartition(7), "embedding", cents, superProbes = 2)
       .select($"vec_id", $"cell_id").as[(Long, Int)].collect().toMap
     assert(re == hier, "assignment must be partition-invariant")
+    // superProbes=1 must still assign EVERY row — empty super-cells
+    // (Lloyd strands them with stale vectors) are excluded from probe
+    // selection, never silently dropping the row
+    val one = Similarity.assignCellsHierarchical(df, "embedding", cents,
+        superProbes = 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(one == flat.keySet, "superProbes=1 dropped rows")
+    // a NaN-element vector ranks NaN-greatest everywhere; at full probe
+    // width the hierarchical tie rule must land on the same (smallest)
+    // cell id the flat scan picks
+    val nanRow = Seq((777777L, Array(Float.NaN, 1f, 0f, 0f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val both = df.unionByName(nanRow)
+    val fNan = Similarity.assignCells(both, "embedding", cents)
+      .filter($"vec_id" === 777777L).select($"cell_id").as[Int].head()
+    val hNan = Similarity.assignCellsHierarchical(both, "embedding", cents,
+        superProbes = 1000)
+      .filter($"vec_id" === 777777L).select($"cell_id").as[Int].head()
+    assert(hNan == fNan, s"NaN-tie divergence: hier $hNan vs flat $fNan")
   }
 
   test("ngramLmScore matches hand-computed smoothed bigram means") {

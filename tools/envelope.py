@@ -101,8 +101,15 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
     # a 25x Verify pass is ~40 CPU-minutes; a compare-phase interruption
     # must not force its rerun.
     scope_path = os.path.join(vout, "_scope.json")
-    scope_ok = os.path.exists(scope_path) and \
-        json.load(open(scope_path)).get("only") == only
+    # a kill between open(scope_path, "w") truncating and the dump
+    # completing leaves invalid JSON — exactly the interruption RESUME
+    # exists to survive; treat an unreadable scope as a mismatch
+    # instead of crashing every subsequent run
+    try:
+        scope_ok = os.path.exists(scope_path) and \
+            json.load(open(scope_path)).get("only") == only
+    except (json.JSONDecodeError, OSError):
+        scope_ok = False
     resume = os.environ.get("GRAFT_ENVELOPE_RESUME") == "1" and \
         os.path.exists(os.path.join(vout, "_failed.json")) and \
         json.load(open(os.path.join(vout, "_failed.json"))) == [] and \
