@@ -114,6 +114,13 @@ MUTATIONS = [
      "val a = num * (n - 1)",
      "val a = num * n",
      "agg_rows_quantiles"),
+    # PRODUCT-scan frame shrunk by one row: every 4-deep window loses a
+    # factor — the UDAF-in-window composition must honor the frame.
+    ("cumprod-frame-shrunk",
+     "src/main/scala/graft/queries/Windows.scala",
+     ".rowsBetween(-3, Window.currentRow)\n    Tables.lineitem",
+     ".rowsBetween(-2, Window.currentRow)\n    Tables.lineitem",
+     "win_cumprod"),
 ]
 
 
