@@ -42,6 +42,35 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    def loadavg(): Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split("\\s+")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // Loadavg-gated cooldown (round-11 ask #1, extended round-13 to the
+    // session START): wait until the 1-min loadavg decays below
+    // SPARK_GRAFT_COOLDOWN_LOAD (default 2.0, the judge's idle bar),
+    // bounded by SPARK_GRAFT_COOLDOWN_MAX_SEC (default 360 s) so a busy
+    // co-tenant can never stall the bench forever. Returns the wait so
+    // it can be recorded (never part of a timed axis).
+    def awaitIdle(): Double = {
+      val t0 = System.nanoTime()
+      val target = sys.env.get("SPARK_GRAFT_COOLDOWN_LOAD")
+        .map(_.toDouble).getOrElse(2.0)
+      val maxSec = sys.env.get("SPARK_GRAFT_COOLDOWN_MAX_SEC")
+        .map(_.toDouble).getOrElse(360.0)
+      while (loadavg() > target &&
+          (System.nanoTime() - t0) / 1e9 < maxSec)
+        Thread.sleep(5000)
+      (System.nanoTime() - t0) / 1e9
+    }
+    // Round-12 lesson (BENCH_r12: load_10x=2.80 -> a contaminated
+    // 38.0 s 10x axis): the r12 cooldown gated only the AXIS BOUNDARY;
+    // the driver runs Verify immediately before Bench, so the session
+    // can START hot. Gate here, BEFORE the warmups, so the 10x axis
+    // inherits an idle machine (the warmups themselves are seconds and
+    // barely move a 1-min EMA).
+    val cooldownStartSec = awaitIdle()
+
     // One JVM/codegen warmup pass on the smallest SF so the first timed
     // query doesn't absorb cold-start (classloading, Janino, shuffle init).
     try SparkEntry.entry(spark).count()
@@ -102,10 +131,6 @@ object Bench {
     // recorded at axis start so a contaminated snapshot is identifiable;
     // and when the min-of-2 spread exceeds 2x (contention signature) a
     // third pass runs and the min is kept.
-    def loadavg(): Double =
-      try scala.io.Source.fromFile("/proc/loadavg").mkString
-        .split("\\s+")(0).toDouble
-      catch { case _: Throwable => -1.0 }
     val tenXLoad = loadavg()
     val tenX: Seq[(String, Double)] =
       if (only.isDefined || sys.env.get("SPARK_GRAFT_10X").contains("0")) Nil
@@ -212,18 +237,11 @@ object Bench {
     // SPARK_GRAFT_COOLDOWN_MAX_SEC (default 360 s) so a busy co-tenant
     // can never stall the bench forever. The wait is recorded as
     // cooldown_sec and is NOT part of any timed axis.
-    val cooldownT0 = System.nanoTime()
-    if (tenX.nonEmpty) {
-      val target = sys.env.get("SPARK_GRAFT_COOLDOWN_LOAD")
-        .map(_.toDouble).getOrElse(2.0)
-      val maxSec = sys.env.get("SPARK_GRAFT_COOLDOWN_MAX_SEC")
-        .map(_.toDouble).getOrElse(360.0)
-      System.gc() // release 10x-axis shuffle/broadcast driver state now
-      while (loadavg() > target &&
-          (System.nanoTime() - cooldownT0) / 1e9 < maxSec)
-        Thread.sleep(5000)
-    }
-    val cooldownSec = (System.nanoTime() - cooldownT0) / 1e9
+    val cooldownSec =
+      if (tenX.nonEmpty) {
+        System.gc() // release 10x-axis shuffle/broadcast driver state now
+        awaitIdle()
+      } else 0.0
 
     // Noise immunity (round-6 lesson): a shared machine injected phantom
     // 30 s outliers into single-shot timings (isolated re-runs: 1-3 s).
@@ -277,6 +295,7 @@ object Bench {
       s""","reruns_stream":$rerunsStream,"reruns_batch":$rerunsBatch""" +
       s""","load_10x":${fmt(tenXLoad)},"load_main":${fmt(mainLoad)}""" +
       s""","cooldown_sec":${fmt(cooldownSec)}""" +
+      s""","cooldown_start_sec":${fmt(cooldownStartSec)}""" +
       s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}""" +
       s""","batch_sec":${fmt(total - streamSec)}""" +
       s""","stream_sec":${fmt(streamSec)}""" +

@@ -197,17 +197,20 @@ object TextFunctions {
 
   /** 3-way split on the FIRST occurrence of `sep` (cudf strings
     * partition, python/cudf str.partition): struct(head, sep, tail);
-    * when `sep` is absent → (whole, "", ""). */
+    * when `sep` is absent → (whole, "", ""); NULL input → NULL struct
+    * (the reference null-propagates rather than fabricating fields). */
   def strPartition(c: Column, sep: String): Column = {
+    require(sep.nonEmpty, "partition separator must be non-empty")
     val pos = instr(c, sep)
-    when(pos > 0, struct(
-        substring_index(c, sep, 1).as("head"),
-        lit(sep).as("sep"),
-        expr_substr_after(c, sep).as("tail")))
-      .otherwise(struct(c.as("head"), lit("").as("sep"), lit("").as("tail")))
+    when(c.isNotNull,
+      when(pos > 0, struct(
+          substring_index(c, sep, 1).as("head"),
+          lit(sep).as("sep"),
+          expr_substr_after(c, sep).as("tail")))
+        .otherwise(struct(c.as("head"), lit("").as("sep"), lit("").as("tail"))))
   }
   private def expr_substr_after(c: Column, sep: String): Column =
-    c.substr(instr(c, sep) + sep.length, length(c))
+    c.substr(instr(c, sep) + sep.codePointCount(0, sep.length), length(c))
 
   /** Seconds (non-negative BIGINT) → "D days HH:MM:SS" duration string
     * (strings/convert/convert_durations.hpp to_durations, %D days
@@ -321,17 +324,38 @@ object TextFunctions {
   /** 3-way split on the LAST occurrence of `sep`
     * (strings/split/partition.hpp:100 rpartition, the companion of
     * [[strPartition]]): struct(head, sep, tail); `sep` absent →
-    * ("", "", whole) — the pandas str.rpartition contract the
-    * reference mirrors. Last-occurrence position from one reversed
-    * instr; a single codegen map, no iteration. */
+    * ("", "", whole); NULL input → NULL struct (null-propagating like
+    * the reference). Last-occurrence position from one reversed instr;
+    * a single codegen map, no iteration. The separator is reversed by
+    * CODE POINTS (Spark's reverse() is code-point-wise, so a UTF-16
+    * char reverse would split surrogate pairs and never match a
+    * non-BMP separator). */
   def strRpartition(c: Column, sep: String): Column = {
-    val rp = instr(reverse(c), sep.reverse)
-    val p = length(c) - rp - lit(sep.length) + 2 // 1-based start, last hit
-    when(rp > 0, struct(
-        c.substr(lit(1), p - 1).as("head"),
-        lit(sep).as("sep"),
-        c.substr(p + lit(sep.length), length(c)).as("tail")))
-      .otherwise(struct(lit("").as("head"), lit("").as("sep"), c.as("tail")))
+    require(sep.nonEmpty, "rpartition separator must be non-empty")
+    val rp = instr(reverse(c), reverseCodePoints(sep))
+    // sep length in CODE POINTS: Spark's length()/substr() are
+    // code-point-wise, java's String.length is UTF-16 units
+    val sepLen = sep.codePointCount(0, sep.length)
+    val p = length(c) - rp - lit(sepLen) + 2 // 1-based start, last hit
+    when(c.isNotNull,
+      when(rp > 0, struct(
+          c.substr(lit(1), p - 1).as("head"),
+          lit(sep).as("sep"),
+          c.substr(p + lit(sepLen), length(c)).as("tail")))
+        .otherwise(struct(lit("").as("head"), lit("").as("sep"), c.as("tail"))))
+  }
+
+  /** Reverse a string by Unicode code points (surrogate pairs kept
+    * intact) — the literal-side twin of Spark's code-point reverse(). */
+  private def reverseCodePoints(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = s.length
+    while (i > 0) {
+      val cp = s.codePointBefore(i)
+      sb.appendCodePoint(cp)
+      i -= Character.charCount(cp)
+    }
+    sb.toString
   }
 
   /** Count of tokens that hit a word set (with multiplicity). */

@@ -139,6 +139,17 @@ object Similarity {
   def autoCells(n: Long): Int =
     math.min(65536L, math.max(8L, (n + 249) / 250)).toInt
 
+  /** Cell-count threshold above which [[semanticDedupPairs]] routes
+    * assignment through [[assignCellsHierarchical]] (O(n·√K)) instead
+    * of the flat O(n·K) argmax. 4096 cells ⇔ n ≈ 1.02M vectors under
+    * [[autoCells]]; below it the flat scan's K dots per row cost less
+    * than a shuffle's worth of wall clock at any corpus that small,
+    * and the flat path stays bit-reproducible for the oracle gates.
+    * At the threshold the two-level descent does S + 2·K/S ≈ 192 dots
+    * per row instead of 4096 (21×); measured 4.2× end-to-end at
+    * K = 16384 (examples/HierAssignProbe). */
+  final val HierKThreshold = 4096
+
   /** Plane-index stride between LSH tables: table t draws planes
     * t*LshPlaneStride + b. The stride is FIXED at the autoLshBits cap
     * so each table's plane IDENTITY is independent of the chosen
@@ -679,10 +690,22 @@ object Similarity {
     // nCells <= 0 = corpus-adaptive (default): ~250 vectors per cell
     // keeps within-cell pair work ∝ n, not ∝ n²/K (see autoCells).
     val k = if (nCells > 0) nCells else autoCells(df.count())
-    val model = collectModel(kmeansCentroids(df, k, iters, idCol, vecCol))
-    // row-local broadcast-model assignment — zero shuffle, runs ONCE
-    val assigned = assignNearestCells(
-        df.select(col(idCol).as("id"), col(vecCol).as("vec")), "vec", model)
+    val cents = kmeansCentroids(df, k, iters, idCol, vecCol)
+    val rows = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // row-local broadcast-model assignment — zero shuffle, runs ONCE.
+    // Above HierKThreshold cells, the flat O(n·K) scoring dominates the
+    // whole op (the SCALING.md SemDeDup asymptote: autoCells reaches
+    // 4096 at n = 1.024M vectors) — switch to the O(n·√K) two-level
+    // descent. Duplicate RECALL is unaffected by construction:
+    // identical vectors score identically at every level, so they land
+    // in the same cell and still pair (spec-asserted on planted dups);
+    // only near-dup pairs straddling a super-cell boundary can be
+    // missed, the same tradeoff SemDeDup already accepts at cell
+    // boundaries. Below the threshold the flat argmax is kept —
+    // bit-reproducible and oracle-gated.
+    val assigned = (if (k >= HierKThreshold)
+        assignCellsHierarchical(rows, "vec", cents, superProbes = 2)
+      else assignNearestCells(rows, "vec", collectModel(cents)))
       .select(col("id"), col("cell_id"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2norm(col(vecCol)).as("norm"))

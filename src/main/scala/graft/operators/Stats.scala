@@ -317,9 +317,29 @@ object Stats {
       qs: Seq[(Long, Long)], interps: Seq[String]): DataFrame = {
     interps.foreach(i => require(Seq("lower", "higher", "nearest").contains(i),
       s"row quantiles need a non-arithmetic interpolation, got $i"))
+    // the gather appends these internal/output names; a clash would
+    // make the join ambiguous — fail loudly instead
+    val reserved = Seq("__idx", "q_num", "q_den", "interp")
+    val clash = df.schema.fieldNames.toSet.intersect(reserved.toSet)
+    require(clash.isEmpty,
+      s"input columns clash with reserved quantile-gather names: $clash")
     val spark = df.sparkSession
     val n = df.count()
-    require(n > 0, "row quantiles require at least one input row")
+    if (n == 0) {
+      // reference parity: cudf::quantiles of an empty table is an
+      // empty table (quantiles.hpp:89), not an error — return the
+      // output schema ((q_num, q_den, interp) ++ input fields) empty
+      val outSchema = org.apache.spark.sql.types.StructType(
+        Seq(org.apache.spark.sql.types.StructField("q_num",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("q_den",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("interp",
+              org.apache.spark.sql.types.StringType, nullable = true)) ++
+          df.schema.fields)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
     def idxOf(num: Long, den: Long, interp: String): Long = {
       require(den > 0 && num >= 0 && num <= den, s"bad quantile $num/$den")
       if (n < 2) 0L

@@ -1174,8 +1174,15 @@ object TextOps extends QueryPack {
     * is small at the gate's SF); the SA/winnowing internals stay
     * covered by DedupSpec's planted cross-doc AND cross-chunk tests. */
   def substringDups(s: SparkSession, dir: String): DataFrame =
+    // doc_id % 10M < 30: the stress/detwin builders offset copied ids
+    // by copy*10M, so this keeps the SAME 30 documents at plain sf dirs
+    // (ids < 10M) while admitting every stress copy of them — the gate
+    // corpus now grows N× with the stress multiple, making envelope
+    // time ratios REAL scale evidence for SubstringDedup (the r12
+    // filter `doc_id < 30` pinned the corpus at 30 docs forever). The
+    // brute-force 15-gram oracle stays linear in corpus chars.
     graft.operators.SubstringDedup.resolveDuplicates(
-        Tables.documents(s, dir).filter(col("doc_id") < 30),
+        Tables.documents(s, dir).filter(col("doc_id") % 10000000L < 30),
         "doc_id", "text", minWidth = 15, chunks = 4)
       .select(explode(expr(
         "transform(sequence(1, length(dup_text) - 14), i -> substring(dup_text, i, 15))"))
@@ -1190,7 +1197,7 @@ object TextOps extends QueryPack {
     """SELECT gram FROM (
       |  SELECT unnest(list_transform(generate_series(1, greatest(len(text) - 14, 0)),
       |    s -> substr(text, s, 15))) AS gram
-      |  FROM documents WHERE doc_id < 30)
+      |  FROM documents WHERE doc_id % 10000000 < 30)
       |GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin
 
   /** END-TO-END curation pipeline — the flagship composition: score →
@@ -2231,6 +2238,33 @@ object TextOps extends QueryPack {
        |  JOIN embeddings ey ON ey.vec_id = y.n_id)
        |WHERE sim >= 0.4 ORDER BY id_a, id_b""".stripMargin
 
+  /** Hierarchical two-level cell assignment at FULL probe width —
+    * promotes the O(n·√K) scale path ([[Similarity
+    * .assignCellsHierarchical]], the SemDeDup O(n·K) assignment
+    * remedy) from spec-only to oracle-green: with superProbes ≥ S the
+    * descent probes every populated super-cell, so the argmax is
+    * bit-identical to the flat assignment the oracle replays (same
+    * smallest-id tie rule, same NaN-greatest ordering, zero-norm
+    * centroids lose every argmax). K = 8 ⇒ S = ⌈√8⌉ = 3;
+    * superProbes = 8 ≥ S covers the width even if the driver-side
+    * Lloyd strands empty super-cells. The oracle is the SAME
+    * fixed-point k-means replay the flat gates use — if the
+    * hierarchical descent diverged from flat anywhere on this corpus,
+    * the row hash would fail. */
+  def embedHierAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 2)
+    Similarity.assignCellsHierarchical(
+        emb.select(col("vec_id"), col("embedding")),
+        "embedding", cents, superProbes = 8)
+      .select(col("vec_id"), col("cell_id"))
+      .orderBy(col("vec_id"))
+  }
+
+  val embedHierAssignSql: String =
+    s"""WITH $kmeans8Cte
+       |SELECT n_id AS vec_id, cell_id FROM af ORDER BY vec_id""".stripMargin
+
   /** Diverse coreset: one exemplar per k-means cell (SemDeDup's dual —
     * Similarity.semanticExemplars). Oracle replays the identical
     * fixed-point model; sim doubles and the (sim desc, id) exemplar
@@ -2631,6 +2665,7 @@ object TextOps extends QueryPack {
     "embed_quantize" -> embedQuantize,
     "embed_project" -> embedProject,
     "embed_semdedup" -> embedSemDedup,
+    "embed_hier_assign" -> embedHierAssign,
     "embed_exemplars" -> embedExemplars,
     "doc_dedup_delta" -> dedupDelta,
     "doc_dedup_delta_near" -> dedupDeltaNear)
@@ -2690,6 +2725,7 @@ object TextOps extends QueryPack {
     "embed_knn_ivf" -> embedKnnIvfSql,
     "embed_ann_recall" -> embedAnnRecallSql,
     "embed_semdedup" -> embedSemDedupSql,
+    "embed_hier_assign" -> embedHierAssignSql,
     "embed_exemplars" -> embedExemplarsSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "embed_auto_granularity" -> embedAutoGranularitySql,

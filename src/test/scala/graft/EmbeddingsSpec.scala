@@ -233,6 +233,42 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(hNan == fNan, s"NaN-tie divergence: hier $hNan vs flat $fNan")
   }
 
+  test("semanticDedupPairs auto-switches to hierarchical assignment at " +
+    "HierKThreshold with planted-duplicate recall intact") {
+    val rnd = new scala.util.Random(7)
+    val dirs = Array.fill(10)(Array.fill(8)(rnd.nextGaussian()))
+    val base = for (c <- dirs.indices; j <- 0 until 30) yield {
+      val v = dirs(c).map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (c * 1000L + j, v)
+    }
+    // plant 15 EXACT duplicate pairs spread across the clusters:
+    // identical vectors score identically at every descent level, so
+    // they must co-locate and pair regardless of assignment path
+    val planted = base.take(15).map { case (id, v) => (id + 500000L, v) }
+    val df = (base ++ planted).toDF("vec_id", "embedding")
+    // requesting nCells >= HierKThreshold flips semanticDedupPairs onto
+    // assignCellsHierarchical (superProbes = 2); the tiny corpus keeps
+    // the spec fast — the switch keys on the REQUESTED cell count
+    assert(Similarity.HierKThreshold == 4096)
+    val pairs = Similarity.semanticDedupPairs(df, "vec_id", "embedding",
+        threshold = 0.999, nCells = Similarity.HierKThreshold)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    base.take(15).foreach { case (id, _) =>
+      assert(pairs.contains((id, id + 500000L)),
+        s"planted duplicate ($id, ${id + 500000L}) lost by the switch")
+    }
+    // precision stays 1.0 by construction: every emitted pair really
+    // clears the cosine threshold — no same-cell fabrications
+    val vecs = df.as[(Long, Array[Float])].collect().toMap
+    pairs.foreach { case (a, b) =>
+      val (va, vb) = (vecs(a).map(_.toDouble), vecs(b).map(_.toDouble))
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val sim = dot / (math.sqrt(va.map(x => x * x).sum) *
+        math.sqrt(vb.map(x => x * x).sum))
+      assert(sim >= 0.999, s"pair ($a,$b) below threshold: $sim")
+    }
+  }
+
   test("ngramLmScore matches hand-computed smoothed bigram means") {
     val ref = Seq((0L, "a b a"), (1L, "b a")).toDF("id", "text")
     val docs = Seq((10L, "a b c"), (11L, "a"), (12L, "")).toDF("id", "text")

@@ -620,4 +620,22 @@ class OperatorsSpec extends AnyFunSuite {
         s"q=$num/$den $interp")
     }
   }
+
+  test("Stats.rowsAtQuantiles: empty input yields an empty gather " +
+      "(reference parity), reserved-name clashes fail loudly") {
+    import spark.implicits._
+    // cudf::quantiles of an empty table is an empty table, not an error
+    val empty = Seq.empty[(Int, String)].toDF("v", "tag")
+    val out = graft.operators.Stats
+      .rowsAtQuantiles(empty, Seq($"v"), Seq((1L, 2L)), "nearest")
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("q_num", "q_den", "interp", "v", "tag"))
+    // an input column named like an internal/output column would make
+    // the gather's join ambiguous — rejected up front
+    val clash = Seq((1, 0L)).toDF("v", "q_num")
+    intercept[IllegalArgumentException] {
+      graft.operators.Stats
+        .rowsAtQuantiles(clash, Seq($"v"), Seq((1L, 2L)), "lower")
+    }
+  }
 }

@@ -202,6 +202,40 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(multi == (("xaby", "ab", "z")))
   }
 
+  test("partition pair: null input propagates to a NULL struct; " +
+      "non-BMP separators match (code-point reverse); empty sep rejected") {
+    // null in -> null struct out (reference null-propagation), both ways
+    val nulls = Seq[String](null).toDF("s")
+      .select(strPartition($"s", "-").as("p"), strRpartition($"s", "-").as("r"))
+      .collect()(0)
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    // U+1D11E (musical G clef) is a surrogate PAIR in UTF-16: a char
+    // reverse of the separator would split it and never match Spark's
+    // code-point reverse; a code-point reverse finds the last hit
+    val clef = "𝄞"
+    val gotNb = Seq(s"a${clef}b${clef}c").toDF("s")
+      .select(strRpartition($"s", clef).as("p"))
+      .select($"p.head", $"p.sep", $"p.tail")
+      .as[(String, String, String)].head()
+    assert(gotNb == ((s"a${clef}b", clef, "c")))
+    // multi-char separator CONTAINING a non-BMP char
+    val sep2 = s"x${clef}y"
+    val gotNb2 = Seq(s"A${sep2}B${sep2}C").toDF("s")
+      .select(strRpartition($"s", sep2).as("p"))
+      .select($"p.head", $"p.sep", $"p.tail")
+      .as[(String, String, String)].head()
+    assert(gotNb2 == ((s"A${sep2}B", sep2, "C")))
+    // first-occurrence twin shares the code-point length arithmetic
+    val gotFb = Seq(s"a${clef}b${clef}c").toDF("s")
+      .select(strPartition($"s", clef).as("p"))
+      .select($"p.head", $"p.sep", $"p.tail")
+      .as[(String, String, String)].head()
+    assert(gotFb == (("a", clef, s"b${clef}c")))
+    // empty separator: fail loudly like pandas/cudf, not (whole,"","")
+    intercept[IllegalArgumentException](strPartition($"s", ""))
+    intercept[IllegalArgumentException](strRpartition($"s", ""))
+  }
+
   test("url encode/decode round trip and parse_url components") {
     val got = Seq("a b&c=d/é").toDF("s")
       .select(url_encode($"s").as("e"),
