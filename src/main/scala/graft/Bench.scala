@@ -290,6 +290,11 @@ object Bench {
     // and real batch regressions aren't drowned by added stream gates.
     val streamSec = results
       .filter(_._1.startsWith("stream_")).map(_._2).filter(_ >= 0).sum
+    // rig_sec: the null-op replay baseline (stream_rig_baseline —
+    // interval_join's exact feed + trigger schedule through an identity
+    // select). Any stream row minus this is attributable operator cost.
+    val rigSec = results.collectFirst {
+      case ("stream_rig_baseline", v) if v >= 0 => v }
     val prefix = s"""{"metric":"total","value":${fmt(total)},"unit":"sec"""" +
       s""","n":${results.size},"failed":${failedNames.size},"reruns":$reruns""" +
       s""","reruns_stream":$rerunsStream,"reruns_batch":$rerunsBatch""" +
@@ -299,6 +304,7 @@ object Bench {
       s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}""" +
       s""","batch_sec":${fmt(total - streamSec)}""" +
       s""","stream_sec":${fmt(streamSec)}""" +
+      rigSec.map(v => s""","rig_sec":${fmt(v)}""").getOrElse("") +
       (if (tenX.nonEmpty) s""","tpch10x_sec":${fmt(tenXsec)}""" else "")
     val line = s"""$prefix,"queries":${jmap(headline)},"sf":"$sfDir"}"""
     val failedJson = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -151,7 +151,20 @@ object SubstringDedup {
     * two strings produces a shared fingerprint VALUE in both (equal
     * content ⇒ equal rolling hash ⇒ equal window minimum over the
     * aligned region). O(n) time, ~2/(w+1) selection density. */
-  private[graft] def winnowChars(s: String, k: Int, w: Int): Array[Long] = {
+  private[graft] def winnowChars(s: String, k: Int, w: Int): Array[Long] =
+    winnowCharsPos(s, k, w).map(_._2)
+
+  /** [[winnowChars]] with the selected POSITIONS (one entry per
+    * distinct selected position, in order): the cross-chunk pass needs
+    * positions to extract the context grams around each selected
+    * k-gram. The guarantee sharpens positionally: for any duplicated
+    * substring G of exactly k+w−1 chars, the window spanning G's w
+    * k-gram positions lies fully inside G, so its minimum — the same
+    * k-gram CONTENT at every occurrence of G — is selected at every
+    * occurrence; a gram containing the selected k-gram is recoverable
+    * from the position alone. */
+  private[graft] def winnowCharsPos(s: String, k: Int,
+      w: Int): Array[(Int, Long)] = {
     val n = s.length
     val g = n - k + 1
     if (g < w) return Array.empty
@@ -169,17 +182,17 @@ object SubstringDedup {
       hs(i) = h
       i += 1
     }
-    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val out = scala.collection.mutable.LinkedHashSet.empty[Int]
     val dq = new java.util.ArrayDeque[Int]()
     i = 0
     while (i < g) {
       while (!dq.isEmpty && hs(dq.peekLast()) >= hs(i)) dq.pollLast()
       dq.addLast(i)
       if (dq.peekFirst() <= i - w) dq.pollFirst()
-      if (i >= w - 1) out += hs(dq.peekFirst())
+      if (i >= w - 1) out += dq.peekFirst()
       i += 1
     }
-    out.toArray
+    out.iterator.map(p => (p, hs(p))).toArray
   }
 
   /** Exact common substrings (≥ minWidth chars) of a candidate pair —
@@ -214,24 +227,79 @@ object SubstringDedup {
       .sortWithinPartitions(col("__chunk"), col("__id")) // fixed concat order
       .localCheckpoint()
 
-  /** Pass 2: fingerprints spanning ≥2 chunks → candidate doc pairs →
-    * exact per-pair suffix-array verify. `crossSourceOnly` adds the
-    * resolve_duplicates_pair constraint (pair must span sources). */
+  /** Pass 2: winnow-fingerprint discovery → EXACT gram-text
+    * verification → candidate doc pairs spanning ≥2 chunks → exact
+    * per-pair suffix-array verify. `crossSourceOnly` adds the
+    * resolve_duplicates_pair constraint (pair must span sources).
+    *
+    * Why the gram-text middle stage (round 13): candidates keyed on
+    * raw fingerprint VALUES degenerate to all-pairs on natural text —
+    * at the original k = ⌈minWidth/2⌉ = 8, common English 8-grams put
+    * most of the corpus in a few posting lists (measured on the 25×
+    * gate corpus: the hottest 8-char fp listed 450 of 750 docs;
+    * candidate pairs saturated C(n,2); the gate rode at ~n^1.5). The
+    * fix has two parts. (a) k = minWidth−1, w = 2 — the guarantee
+    * k+w−1 = minWidth still holds, selection density rises from
+    * 2/(w+1) = 0.22 to 0.67 per char (a constant, still linear), but a
+    * (minWidth−1)-char fingerprint is selective where an 8-char one is
+    * not. (b) occurrences of REPEATED fp values (count ≥ 2 — the only
+    * ones that can pair) extract their ≤2 overlapping minWidth-char
+    * context grams as TEXT, and candidate pairs are generated from
+    * posting lists keyed on the exact gram — so a candidate pair
+    * SHARES a real duplicated minWidth-gram by construction (no hash
+    * or hot-fp false pairs survive to the quadratic stage), and the
+    * pair-verify cost is proportional to the corpus's true duplicate
+    * structure, the same bound the reference's global suffix array
+    * pays. Miss-freedom is the sharpened winnowing guarantee (see
+    * [[winnowCharsPos]]): every occurrence of a duplicated
+    * minWidth-gram selects the same inside-gram k-gram, so the gram
+    * text materializes at every occurrence.
+    *
+    * Remaining documented caveat: a gram duplicated across m documents
+    * yields an m-id posting list → C(m,2) verify pairs (real
+    * duplicates — the same hot-cluster caveat as MinHash banding). */
   private def crossChunkDups(chunked: DataFrame, minWidth: Int,
       crossSourceOnly: Boolean): DataFrame = {
     val spark = chunked.sparkSession
     import spark.implicits._
-    val k = (minWidth + 1) / 2
-    val w = minWidth - k + 1 // guarantee threshold k+w-1 = minWidth
+    val k = minWidth - 1
+    val w = 2 // guarantee threshold k+w-1 = minWidth
     val fps = chunked
       .select($"__id", $"__chunk", $"__src", $"__t")
       .as[(String, Int, Int, String)]
       .flatMap { case (id, ch, src, t) =>
-        winnowChars(t, k, w).map(fp => (id, ch, src, fp)) }
-      .toDF("__id", "__chunk", "__src", "fp")
+        winnowCharsPos(t, k, w).map { case (pos, fp) =>
+          (id, ch, src, pos, fp) } }
+      .toDF("__id", "__chunk", "__src", "pos", "fp")
+    // fp values with a single occurrence can never pair — drop their
+    // occurrences before any text is shipped (on a mostly-unique
+    // corpus this leaves only the true duplicate structure)
+    val hot = fps.groupBy($"fp").agg(count(lit(1)).as("__n"))
+      .filter($"__n" >= 2).select($"fp")
+    val hotOcc = fps.join(hot, "fp")
+      .groupBy($"__id", $"__chunk", $"__src")
+      .agg(collect_list($"pos").as("poss"))
+    // exact context grams: every minWidth-gram containing the selected
+    // k-gram (k = minWidth−1 ⇒ starts pos−1 and pos, clamped)
+    val grams = hotOcc
+      .join(chunked.select($"__id", $"__src", $"__t"), Seq("__id", "__src"))
+      // pin the decode order: the join reorders to (keys, left, right)
+      .select($"__id", $"__chunk", $"__src", $"poss", $"__t")
+      .as[(String, Int, Int, Seq[Int], String)]
+      .flatMap { case (id, ch, src, poss, t) =>
+        val starts = scala.collection.mutable.SortedSet.empty[Int]
+        poss.foreach { p =>
+          var s0 = math.max(0, p - (minWidth - k))
+          val s1 = math.min(p, t.length - minWidth)
+          while (s0 <= s1) { starts += s0; s0 += 1 }
+        }
+        starts.iterator.map(s0 =>
+          (id, ch, src, t.substring(s0, s0 + minWidth)))
+      }
+      .toDF("__id", "__chunk", "__src", "gram")
     val cand0 = PostingLists.candidatePairs(
-        fps.select(struct($"__id", $"__chunk", $"__src").as("p"), $"fp"),
-        "p", "fp", distinctIds = true)
+        grams.select(struct($"__id", $"__chunk", $"__src").as("p"), $"gram"),
+        "p", "gram", distinctIds = true)
       .filter($"a.__chunk" =!= $"b.__chunk") // same-chunk: pass 1 is exact
     // Join texts back on (id, src), not id alone: in pair mode the same
     // id may exist in BOTH sources, and an id-only join would attach the

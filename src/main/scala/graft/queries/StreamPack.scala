@@ -395,7 +395,11 @@ object StreamPack extends QueryPack {
     * only multiplied replay cost 5x without adding a failure mode
     * (round-10 verdict ask #4; mutation check re-proven on the join
     * bound). */
-  def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+  /** The interval-join gate's feed + sentinel schedule, shared with
+    * [[rigBaselineQ]] so the null-op baseline replays EXACTLY the same
+    * triggers and row volumes as the heaviest stream gate. */
+  private def intervalFeed(s: SparkSession, dir: String)
+      : (Seq[(Timestamp, Long, String)], Seq[Seq[(Timestamp, Long, String)]]) = {
     import s.implicits._
     val rows = Tables.events(s, dir)
       .filter(col("event_type").isin("view", "click"))
@@ -414,6 +418,12 @@ object StreamPack extends QueryPack {
       Seq((new Timestamp(maxMs + d * day), -1L, "V"),
         (new Timestamp(maxMs + d * day), -1L, "C"))
     }
+    (rows, sentinels)
+  }
+
+  def intervalJoinQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rows, sentinels) = intervalFeed(s, dir)
     val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
       "append") { ds =>
       val tagged = ds.toDF("ts", "user_id", "side")
@@ -448,6 +458,38 @@ object StreamPack extends QueryPack {
        |FROM v LEFT JOIN c ON c.user_id = v.user_id
        |  AND c.c_us >= v.v_us AND c.c_us <= v.v_us + $IntervalUs
        |ORDER BY v.user_id, v_us, c_us""".stripMargin
+
+  /** Null-op replay baseline — the verification RIG's own cost,
+    * isolated (round-12 verdict ask #5): exactly [[intervalJoinQ]]'s
+    * feed slice and trigger schedule (Batches + 3 sentinel triggers)
+    * through an IDENTITY streaming select — no state store, no
+    * watermark, no join. bench.json surfaces this row as `rig_sec`,
+    * so any stream gate's time decomposes into harness floor (this
+    * row: MemoryStream feed + per-trigger planning +
+    * foreachBatch collect) vs attributable operator cost, and a
+    * future stream regression is readable as rig vs operator. The
+    * oracle is the same slice batch-side — identity is still a
+    * correctness contract (no row lost or duplicated across
+    * triggers). */
+  def rigBaselineQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (rows, sentinels) = intervalFeed(s, dir)
+    val out = Replay.run(s, Replay.timeSlices(rows, Batches) ++ sentinels,
+      "append") { ds =>
+      ds.toDF("ts", "user_id", "side")
+        .select(col("user_id"), col("ts"), col("side"))
+    }
+    out.filter(col("user_id") >= 0)
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("side"))
+      .orderBy("user_id", "t_us", "side")
+  }
+
+  val rigBaselineSql: String =
+    """SELECT user_id, CAST((epoch_us(ts) // 1000) * 1000 AS BIGINT) AS t_us,
+      |  CASE WHEN event_type = 'view' THEN 'V' ELSE 'C' END AS side
+      |FROM events
+      |WHERE event_type IN ('view', 'click') AND user_id % 5 = 4
+      |ORDER BY user_id, t_us, side""".stripMargin
 
   // -- chained stateful ops: sessionize, then re-key --------------------------
 
@@ -709,7 +751,8 @@ object StreamPack extends QueryPack {
     "stream_rekey" -> rekeyQ,
     "stream_curation" -> curationQ,
     "stream_fuzzy_screen" -> fuzzyScreenQ,
-    "stream_segment_screen" -> segmentScreenQ)
+    "stream_segment_screen" -> segmentScreenQ,
+    "stream_rig_baseline" -> rigBaselineQ)
 
   override def oracle: Map[String, String] = Map(
     "stream_running_agg" -> runningAggSql,
@@ -724,5 +767,6 @@ object StreamPack extends QueryPack {
     "stream_rekey" -> rekeySql,
     "stream_curation" -> curationSql,
     "stream_fuzzy_screen" -> fuzzyScreenSql,
-    "stream_segment_screen" -> segmentScreenSql)
+    "stream_segment_screen" -> segmentScreenSql,
+    "stream_rig_baseline" -> rigBaselineSql)
 }

@@ -37,6 +37,29 @@ import compare_local
 import detwin
 import stress5x
 
+# Gates whose INPUT is deliberately capped to a fixed id range for
+# oracle feasibility or compare-volume reasons (see SCALING.md
+# "Fixed-input gates"): at any stress multiple these process the same
+# rows after a scan-and-discard filter, so their time_ratio entries
+# measure the scan, NOT the operator — the artifact tags them so a
+# ratio can never be misread as scale evidence (the round-12 verdict's
+# doc_substring_dups finding; that gate now scales via doc_id % 10M).
+FIXED_INPUT = {
+    "doc_jaccard_pairs": "doc_id < 150; exact all-pairs oracle is O(n^2)",
+    "doc_containment_pairs": "doc_id < 150; exact all-pairs oracle is O(n^2)",
+    "doc_minhash_pairs": "doc_id < 1000; oracle unrolls band joins",
+    "doc_minhash_ngram_pairs": "doc_id < 1000; oracle unrolls band joins",
+    "doc_simhash_pairs": "doc_id < 1000; pigeonhole oracle is O(n^2)",
+    "corpus_leakage_report": "doc_id < 1000; minhash-pair oracle",
+    "doc_neardup_clusters": "doc_id < 150; recursive-CTE closure oracle",
+    "doc_dedup_delta_near": "base < 250, delta 250..400; O(base*delta) oracle",
+    "doc_contamination": "doc_id < 60; brute-force gram oracle",
+    "doc_sentences": "doc_id < 50; per-sentence compare volume",
+    "doc_bm25": "doc_id < 100; per-(doc,term) compare volume",
+    "doc_tfidf": "doc_id < 100; per-(doc,term) compare volume",
+    "doc_strip_html": "doc_id < 200; full-text compare volume",
+}
+
 ADD_OPENS = [
     f"--add-opens=java.base/{p}=ALL-UNNAMED" for p in [
         "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
@@ -160,6 +183,10 @@ def main(rnd, sf_dir="/root/testdata/sf0.1", copies=5, workdir=None,
         "n_fail": sum(1 for v in results.values() if v != "pass"),
         "verify_failed": failed_dump,
         "queries": results,
+        # fixed-input rows: pass/fail is real, time_ratio is NOT scale
+        # evidence (the operator reruns on the same capped rows)
+        "fixed_input": {q: FIXED_INPUT[q] for q in sorted(results)
+                        if q in FIXED_INPUT},
     }
     if (use_detwin or with_times) and only:
         # time axis: the same families at 1x and at Nx, per-query ratios

@@ -121,6 +121,18 @@ MUTATIONS = [
      ".rowsBetween(-3, Window.currentRow)\n    Tables.lineitem",
      ".rowsBetween(-2, Window.currentRow)\n    Tables.lineitem",
      "win_cumprod"),
+    # Round-13: the hierarchical descent's probe width forced to 1 —
+    # rows whose flat-argmax cell lives outside their single best
+    # super-cell get a different cell, so the full-probe-width gate
+    # (bit-identical-to-flat contract) turns red. Chosen over the
+    # verdict-suggested empty-super-guard drop, which is UNOBSERVABLE
+    # at full width by construction (every populated super is probed
+    # regardless — the r12 "can the gate express the bug?" lesson).
+    ("hier-probe-width-forced-to-one",
+     "src/main/scala/graft/operators/Similarity.scala",
+     "val nProbes = math.min(probes, populated)",
+     "val nProbes = math.min(1, populated)",
+     "embed_hier_assign"),
 ]
 
 
