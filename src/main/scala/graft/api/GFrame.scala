@@ -94,6 +94,11 @@ final case class GFrame(df: DataFrame) {
   def diff(valueCol: String, partitionBy: Seq[String], orderBy: String): GFrame =
     GFrame(df.withColumn(s"${valueCol}_diff",
       col(valueCol) - lag(col(valueCol), 1).over(orderedWin(partitionBy, orderBy))))
+  /** pandas GroupBy.cumcount: 0-based position of the row within its
+    * group in `orderBy` order (row_number − 1). */
+  def cumcount(partitionBy: Seq[String], orderBy: String): GFrame =
+    GFrame(df.withColumn("cumcount",
+      row_number().over(orderedWin(partitionBy, orderBy)) - 1))
   def pctChange(valueCol: String, partitionBy: Seq[String], orderBy: String): GFrame = {
     val prev = lag(col(valueCol), 1).over(orderedWin(partitionBy, orderBy))
     GFrame(df.withColumn(s"${valueCol}_pct_change", (col(valueCol) - prev) / prev))

@@ -190,6 +190,23 @@ object TextFunctions {
   def wrap(c: Column, width: Int): Column =
     rtrim(regexp_replace(c, s"(\\S.{0,${width - 1}})(\\s+|$$)", "$1\n"), "\n")
 
+  /** Center-pad to `width` with `fill` (strings/padding.hpp:46 pad with
+    * side_type::BOTH = Python str.center): total pad splits
+    * left = ⌊pad/2⌋, right gets the extra char on odd pads; strings
+    * already ≥ width pass through unchanged. lpad/rpad take the length
+    * as an EXPRESSION here (per-row left target), which the typed
+    * functions API doesn't expose — call_function reaches the same
+    * codegen'd StringLPad/StringRPad. */
+  def padCenter(c: Column, width: Int, fill: String): Column = {
+    require(fill.length == 1, "center pad takes a single fill char")
+    val len = length(c)
+    val left = floor((lit(width) - len) / 2).cast("int")
+    when(len >= width, c).otherwise(
+      call_function("rpad",
+        call_function("lpad", c, (len + left).cast("int"), lit(fill)),
+        lit(width), lit(fill)))
+  }
+
   /** Positions of each target within the string (strings/find_multiple
     * .hpp:46): 0-based first occurrence, -1 if absent. */
   def findMultiple(c: Column, targets: Seq[String]): Column =

@@ -20,19 +20,27 @@ import org.apache.spark.sql.functions._
   *     within-document repeats.
   *  2. CROSS-CHUNK pass: character-level winnowing fingerprints
   *     (Schleimer-Wilkerson-Aiken 2003, k-char rolling hash + w-window
-  *     minimum with k+w−1 = minWidth) GUARANTEE that any substring of
-  *     ≥ minWidth chars shared by two documents yields a shared
-  *     fingerprint value. Fingerprints that span ≥2 chunks generate
-  *     candidate doc pairs (posting-list join — ids and 8-byte hashes
-  *     shuffle, never texts), each verified EXACTLY by a two-document
-  *     suffix array. False-positive hash collisions die in the verify;
-  *     misses are impossible by the winnowing theorem.
+  *     minimum with k = minWidth−1, w = 2, so k+w−1 = minWidth)
+  *     GUARANTEE that any substring of ≥ minWidth chars shared by two
+  *     documents yields a shared fingerprint value at every
+  *     occurrence. Occurrences of REPEATED fingerprint values extract
+  *     their ≤2 overlapping minWidth-char context grams as exact text;
+  *     candidate doc pairs come from posting lists keyed on the GRAM
+  *     (so every candidate pair shares a real duplicated
+  *     minWidth-gram — no hash or hot-fingerprint false pairs reach
+  *     the quadratic stage; the round-13 fix, see crossChunkDups);
+  *     each pair is verified EXACTLY by a two-document suffix array.
   *
   * Cost shape at 100 TB: pass 1 is one range shuffle + linear local
-  * work; pass 2 shuffles ~2/(w+1) fingerprints per char and joins texts
-  * only for candidate pairs. A fingerprint shared by many docs fans out
-  * quadratically in its posting list — the same documented caveat as
-  * MinHash LSH banding (hot n-grams ⇒ hot bands there too).
+  * work (chunk count corpus-adaptive via autoChunks, so per-task SA
+  * memory stays bounded at any corpus); pass 2 shuffles ~0.67
+  * fingerprints per char, ships gram-sized text only for repeated
+  * fingerprints (∝ duplicated content, ~zero on mostly-unique
+  * corpora), and pair-verifies ∝ the corpus's TRUE duplicate
+  * structure. A gram duplicated across m documents still fans out
+  * C(m,2) in its posting list — the same documented caveat as MinHash
+  * LSH banding (hot clusters ⇒ hot bands there too); SCALING.md's
+  * round-13 section carries the measured time-vs-structure table.
   */
 object SubstringDedup {
 
@@ -40,6 +48,26 @@ object SubstringDedup {
     * matches crossing it are truncated, so no emitted duplicate spans
     * documents. */
   private final val Sep = '\u0000'
+
+  /** Corpus-adaptive chunk count (pass `chunks <= 0` to the resolvers):
+    * one chunk per ~4M characters, floor 4 — the round-11 granularity
+    * lesson (ANY compile-time blocking granularity breaks past its
+    * tuning scale) applied to the suffix-array pass: a FIXED chunk
+    * count means per-chunk SAs grow linearly with the corpus, and the
+    * SA pass needs ~8-16 bytes/char of task memory, so chunk size must
+    * stay executor-bounded at ANY corpus. Output is chunk-count
+    * invariant (spec-asserted), so adaptivity never changes results. */
+  def autoChunks(totalChars: Long, targetChars: Long = 4000000L): Int =
+    math.max(4L, math.min(1000000L,
+      (totalChars + targetChars - 1) / targetChars)).toInt
+
+  /** Resolve an explicit or adaptive (`chunks <= 0`) chunk count; the
+    * adaptive path pays one aggregate over the text column. */
+  private def resolveChunks(df: DataFrame, textCol: String,
+      chunks: Int): Int =
+    if (chunks > 0) chunks
+    else autoChunks(Option(df.agg(sum(length(col(textCol)))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L))
 
   /** Prefix-doubling suffix array, O(n log² n) — exact and allocation-
     * light; n is bounded by the chunk's character count. */
@@ -328,13 +356,14 @@ object SubstringDedup {
     * reference's 4x temp + 4x output note). Deterministic: chunk
     * assignment is a range partition on `idCol`. */
   def resolveDuplicates(df: DataFrame, idCol: String, textCol: String,
-      minWidth: Int, chunks: Int = 16): DataFrame = {
+      minWidth: Int, chunks: Int = 0): DataFrame = {
     require(minWidth > 8, "min_width must be > 8 (deduplicate.hpp:62)")
     val spark = df.sparkSession
     import spark.implicits._
     // null text would reach StringBuilder.append as the literal
     // "null" (fabricated corpus content) — dropped inside chunk()
-    val chunked = chunk(df, idCol, textCol, lit(0), chunks)
+    val chunked = chunk(df, idCol, textCol, lit(0),
+      resolveChunks(df, textCol, chunks))
     val local = chunked.select($"__t").as[String]
       .mapPartitions(it =>
         chunkDuplicates(it.map((_, 0)).toSeq, minWidth, crossSourceOnly = false))
@@ -351,14 +380,14 @@ object SubstringDedup {
     * equal doc-final suffixes straddle the sources (shuffle-fetch order
     * is otherwise arbitrary). */
   def resolveDuplicatesTagged(df: DataFrame, idCol: String, textCol: String,
-      srcCol: String, minWidth: Int, chunks: Int = 16): DataFrame = {
+      srcCol: String, minWidth: Int, chunks: Int = 0): DataFrame = {
     require(minWidth > 8, "min_width must be > 8 (deduplicate.hpp:90)")
     val spark = df.sparkSession
     import spark.implicits._
     // null text appends as "null"; a null src crashes the primitive
     // Int decoder mid-job — both are malformed input, dropped up front
     val chunked = chunk(df.filter(col(srcCol).isNotNull),
-      idCol, textCol, col(srcCol), chunks)
+      idCol, textCol, col(srcCol), resolveChunks(df, textCol, chunks))
     val local = chunked.select($"__t", $"__src").as[(String, Int)]
       .mapPartitions(it =>
         chunkDuplicates(it.toSeq, minWidth, crossSourceOnly = true))
@@ -373,7 +402,7 @@ object SubstringDedup {
     * co-range-partitioned on id, and scanned in one suffix array per
     * chunk; only cross-source adjacencies emit. */
   def resolveDuplicatesPair(df1: DataFrame, df2: DataFrame, idCol: String,
-      textCol: String, minWidth: Int, chunks: Int = 16): DataFrame =
+      textCol: String, minWidth: Int, chunks: Int = 0): DataFrame =
     resolveDuplicatesTagged(
       df1.select(col(idCol), col(textCol), lit(0).as("__src"))
         .union(df2.select(col(idCol), col(textCol), lit(1).as("__src"))),

@@ -292,6 +292,64 @@ object Funcs extends QueryPack {
       |      INTERVAL 1 MONTH), x -> CAST(CAST(x AS DATE) AS VARCHAR)), ',') AS mo_seq
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Center padding (strings/padding.hpp:46, side_type::BOTH =
+    * str.center). Two widths so BOTH branches hash into the gate:
+    * p_name (20–50 chars) at width 40 exercises pad and pass-through;
+    * p_brand (8 chars) at width 13 always pads, odd/even pad splits
+    * both occur. */
+  def strPadCenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.padCenter
+    Tables.part(s, dir).select($"p_partkey",
+        padCenter($"p_name", 40, "*").as("name_c40"),
+        padCenter($"p_brand", 13, ".").as("brand_c13"))
+      .orderBy($"p_partkey")
+  }
+
+  val strPadCenterSql: String = {
+    def centerSql(c: String, w: Int, f: String) =
+      s"""CASE WHEN length($c) >= $w THEN $c
+         |     ELSE rpad(lpad($c,
+         |            CAST(length($c) + ($w - length($c)) // 2 AS INT),
+         |            '$f'), $w, '$f') END""".stripMargin
+    s"""SELECT p_partkey,
+       |  ${centerSql("p_name", 40, "*")} AS name_c40,
+       |  ${centerSql("p_brand", 13, ".")} AS brand_c13
+       |FROM part ORDER BY p_partkey""".stripMargin
+  }
+
+  /** Calendar-edge predicates (pandas .dt.is_month_start/_end,
+    * is_quarter_start/_end, is_year_start/_end; cudf datetime.hpp
+    * day_of_year:258) — each a pure codegen comparison against
+    * trunc/last_day anchors, pushed-down-scan friendly. */
+  def dtMonthEdges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val d = $"o_orderdate"
+    Tables.orders(s, dir).select($"o_orderkey",
+        (dayofmonth(d) === 1).as("mo_start"),
+        (d === last_day(d)).as("mo_end"),
+        (d === trunc(d, "quarter")).as("q_start"),
+        (d === last_day(add_months(trunc(d, "quarter"), 2))).as("q_end"),
+        (d === trunc(d, "year")).as("y_start"),
+        ((month(d) === 12) && (dayofmonth(d) === 31)).as("y_end"),
+        dayofyear(d).as("doy"))
+      .orderBy($"o_orderkey")
+  }
+
+  val dtMonthEdgesSql: String =
+    """SELECT o_orderkey,
+      |  dayofmonth(o_orderdate) = 1 AS mo_start,
+      |  o_orderdate = last_day(o_orderdate) AS mo_end,
+      |  o_orderdate = CAST(date_trunc('quarter', o_orderdate) AS DATE)
+      |    AS q_start,
+      |  o_orderdate = last_day(CAST(date_trunc('quarter', o_orderdate)
+      |    AS DATE) + INTERVAL 2 MONTH) AS q_end,
+      |  o_orderdate = CAST(date_trunc('year', o_orderdate) AS DATE)
+      |    AS y_start,
+      |  month(o_orderdate) = 12 AND dayofmonth(o_orderdate) = 31 AS y_end,
+      |  dayofyear(o_orderdate) AS doy
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Null utilities (replace.hpp:48-212): coalesce / nullif / greatest /
     * least / clamp. */
   def nullHandling(s: SparkSession, dir: String): DataFrame = {
@@ -939,6 +997,8 @@ object Funcs extends QueryPack {
     "str_sorted_neighborhood" -> strSortedNeighborhood,
     "str_durations" -> strDurations,
     "str_case_convert" -> strCaseConvert,
+    "str_pad_center" -> strPadCenter,
+    "dt_month_edges" -> dtMonthEdges,
     "str_numeric_convert" -> strNumericConvert,
     "str_attributes" -> strAttributes,
     "math_normalize" -> mathNormalize,
@@ -972,6 +1032,8 @@ object Funcs extends QueryPack {
     "str_sorted_neighborhood" -> strSortedNeighborhoodSql,
     "str_durations" -> strDurationsSql,
     "str_case_convert" -> strCaseConvertSql,
+    "str_pad_center" -> strPadCenterSql,
+    "dt_month_edges" -> dtMonthEdgesSql,
     "str_numeric_convert" -> strNumericConvertSql,
     "str_attributes" -> strAttributesSql,
     "math_normalize" -> mathNormalizeSql,

@@ -526,7 +526,49 @@ object Windows extends QueryPack {
       |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS cumprod
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** GFrame façade grouped scans end-to-end (pandas-style
+    * cumsum/cumcount/diff/pct_change — groupby scan/shift,
+    * groupby.hpp:237,293; dataframe.py GroupBy.cumsum/cumcount):
+    * the façade's window plans proven cross-engine, not just in
+    * GFrameSpec. The feed: per-user event sequences ordered by the
+    * UNIQUE event_id (the façade takes one order column, so the order
+    * key must be total by itself — lineitem's l_linenumber is NOT
+    * unique per order in the synthetic data). qty = round(value·100)+1
+    * is an integer-valued positive double, so running sums/diffs are
+    * exact and pct_change's one IEEE division matches DuckDB
+    * bit-for-bit (never 0/0); NaN values are filtered on both sides
+    * (engine-divergent division semantics). */
+  def winFacadeScans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.events(s, dir)
+      .filter(!isnan($"value"))
+      .select($"user_id", $"event_id",
+        (round($"value" * 100) + 1).as("qty"))
+    graft.api.GFrame(base)
+      .cumsum("qty", Seq("user_id"), "event_id")
+      .cumcount(Seq("user_id"), "event_id")
+      .diff("qty", Seq("user_id"), "event_id")
+      .pctChange("qty", Seq("user_id"), "event_id")
+      .df
+      .select($"user_id", $"event_id", $"qty_cumsum", $"cumcount",
+        $"qty_diff", $"qty_pct_change")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val winFacadeScansSql: String =
+    """SELECT user_id, event_id,
+      |  sum(qty) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |    AS qty_cumsum,
+      |  CAST(row_number() OVER w - 1 AS INT) AS cumcount,
+      |  qty - lag(qty, 1) OVER w AS qty_diff,
+      |  (qty - lag(qty, 1) OVER w) / lag(qty, 1) OVER w AS qty_pct_change
+      |FROM (SELECT user_id, event_id, round(value * 100) + 1 AS qty
+      |      FROM events WHERE NOT isnan(value))
+      |WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_facade_scans" -> winFacadeScans,
     "win_cumprod" -> winCumprod,
     "win_count_distinct" -> winCountDistinct,
     "win_nth_value" -> winNth,
@@ -545,6 +587,7 @@ object Windows extends QueryPack {
     "win_scan_minmax" -> winScanMinMax)
 
   override def oracle: Map[String, String] = Map(
+    "win_facade_scans" -> winFacadeScansSql,
     "win_cumprod" -> winCumprodSql,
     "win_count_distinct" -> winCountDistinctSql,
     "win_nth_value" -> winNthSql,

@@ -240,7 +240,19 @@ class DedupSpec extends AnyFunSuite {
     val one = run(1) // single chunk = the reference's global semantics
     assert(run(3) == one, "3-chunk result differs from global")
     assert(run(5) == one, "5-chunk result differs from global")
+    // chunks <= 0 = corpus-adaptive (autoChunks): same output again
+    assert(run(0) == one, "adaptive-chunk result differs from global")
     assert(one.exists(_.contains(phraseA)) && one.exists(_.contains(phraseB)))
+  }
+
+  test("autoChunks: ~4M chars per chunk, floor 4, bounded") {
+    import graft.operators.SubstringDedup.autoChunks
+    assert(autoChunks(0) == 4)
+    assert(autoChunks(3999999) == 4) // below floor*target stays at floor
+    assert(autoChunks(16000000) == 4)
+    assert(autoChunks(16000001) == 5)
+    assert(autoChunks(400000000L) == 100)
+    assert(autoChunks(Long.MaxValue / 4) == 1000000) // cap
   }
 
   test("winnowChars guarantees a shared fingerprint for >= minWidth overlaps") {
