@@ -69,36 +69,73 @@ object SubstringDedup {
     else autoChunks(Option(df.agg(sum(length(col(textCol)))).head().get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L))
 
-  /** Prefix-doubling suffix array, O(n log² n) — exact and allocation-
-    * light; n is bounded by the chunk's character count. */
+  /** Prefix-doubling suffix array with two stable counting-sort passes
+    * per round — O(n log n) on primitive int arrays (the round-13
+    * rewrite of the original comparison-sort doubling, whose boxed
+    * sortWith paid an O(log n) factor AND heavy per-compare constants;
+    * this is the textbook radix formulation: order by the second key
+    * by walking the previous SA, then a stable counting sort by the
+    * first key). Exact; n is bounded by the chunk's character count
+    * (autoChunks keeps it executor-sized). */
   private[graft] def suffixArray(s: String): Array[Int] = {
     val n = s.length
     if (n == 0) return Array.empty
     var rank = new Array[Int](n)
     var i = 0
     while (i < n) { rank(i) = s.charAt(i).toInt; i += 1 }
-    var sa = Array.range(0, n)
-    val next = new Array[Int](n)
+    val sa = new Array[Int](n)
+    val tmp = new Array[Int](n)
+    var newRank = new Array[Int](n)
+    // initial counting sort by char code (16-bit domain)
+    val K0 = 65536
+    val cnt = new Array[Int](math.max(n, K0) + 1)
+    i = 0; while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+    i = 0; while (i < K0) { cnt(i + 1) += cnt(i); i += 1 }
+    i = 0; while (i < n) { sa(cnt(rank(i))) = i; cnt(rank(i)) += 1; i += 1 }
+    // densify: the k-loop's counting sort assumes ranks < n, but the
+    // initial ranks are raw 16-bit char codes
+    newRank(sa(0)) = 0
+    var r0 = 0
+    i = 1
+    while (i < n) {
+      if (s.charAt(sa(i)) != s.charAt(sa(i - 1))) r0 += 1
+      newRank(sa(i)) = r0
+      i += 1
+    }
+    val sw0 = rank; rank = newRank; newRank = sw0
+    if (r0 == n - 1) return sa
     var k = 1
-    var done = false
-    while (!done && k < n) {
-      def cmp(a: Int, b: Int): Int = {
-        if (rank(a) != rank(b)) Integer.compare(rank(a), rank(b))
-        else {
-          val ra = if (a + k < n) rank(a + k) else -1
-          val rb = if (b + k < n) rank(b + k) else -1
-          Integer.compare(ra, rb)
-        }
+    while (k < n) {
+      // order by the SECOND key without sorting: suffixes with an
+      // empty second key (i >= n-k) come first, then every sa(j)-k in
+      // current SA order — stable by rank(i+k) by construction
+      var p = 0
+      i = n - k
+      while (i < n) { tmp(p) = i; p += 1; i += 1 }
+      var j = 0
+      while (j < n) { if (sa(j) >= k) { tmp(p) = sa(j) - k; p += 1 }; j += 1 }
+      // stable counting sort by the FIRST key (ranks < n)
+      java.util.Arrays.fill(cnt, 0, n + 1, 0)
+      i = 0; while (i < n) { cnt(rank(i) + 1) += 1; i += 1 }
+      i = 0; while (i < n) { cnt(i + 1) += cnt(i); i += 1 }
+      i = 0
+      while (i < n) {
+        val x = tmp(i); sa(cnt(rank(x))) = x; cnt(rank(x)) += 1; i += 1
       }
-      sa = sa.sortWith((a, b) => cmp(a, b) < 0)
-      next(sa(0)) = 0
+      // dense re-rank over the new order
+      newRank(sa(0)) = 0
+      var r = 0
       i = 1
       while (i < n) {
-        next(sa(i)) = next(sa(i - 1)) + (if (cmp(sa(i - 1), sa(i)) < 0) 1 else 0)
+        val a = sa(i - 1); val b = sa(i)
+        val ra2 = if (a + k < n) rank(a + k) else -1
+        val rb2 = if (b + k < n) rank(b + k) else -1
+        if (rank(a) != rank(b) || ra2 != rb2) r += 1
+        newRank(b) = r
         i += 1
       }
-      Array.copy(next, 0, rank, 0, n)
-      done = rank(sa(n - 1)) == n - 1
+      val sw = rank; rank = newRank; newRank = sw
+      if (r == n - 1) return sa // all ranks distinct — fully ordered
       k <<= 1
     }
     sa

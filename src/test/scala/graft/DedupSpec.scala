@@ -245,6 +245,27 @@ class DedupSpec extends AnyFunSuite {
     assert(one.exists(_.contains(phraseA)) && one.exists(_.contains(phraseB)))
   }
 
+  test("suffixArray matches brute-force suffix sort on random strings") {
+    import graft.operators.SubstringDedup
+    val rnd = new scala.util.Random(1313)
+    // small alphabets force deep doubling rounds and heavy rank ties —
+    // the regime where the counting-sort rewrite can break
+    for (trial <- 0 until 60) {
+      val n = 1 + rnd.nextInt(if (trial % 3 == 0) 12 else 300)
+      val alpha = 1 + rnd.nextInt(4)
+      val s = new String(Array.fill(n)(('a' + rnd.nextInt(alpha)).toChar))
+      val brute = (0 until n).sortBy(i => s.substring(i))
+      val got = SubstringDedup.suffixArray(s)
+      assert(got.toSeq == brute,
+        s"trial $trial: s=$s got=${got.mkString(",")} " +
+          s"want=${brute.mkString(",")}")
+    }
+    // non-ASCII + repeated-block worst case
+    val rep = "αβγ" * 50 + "αβ"
+    assert(SubstringDedup.suffixArray(rep).toSeq ==
+      (0 until rep.length).sortBy(i => rep.substring(i)))
+  }
+
   test("autoChunks: ~4M chars per chunk, floor 4, bounded") {
     import graft.operators.SubstringDedup.autoChunks
     assert(autoChunks(0) == 4)
