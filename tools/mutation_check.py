@@ -133,6 +133,15 @@ MUTATIONS = [
      "val nProbes = math.min(probes, populated)",
      "val nProbes = math.min(1, populated)",
      "embed_hier_assign"),
+    # Round-13: the counting-sort suffix array's dense re-rank must
+    # split on the SECOND key too — dropping the ra2/rb2 comparison
+    # collapses distinct suffixes into one rank class and the SA comes
+    # out wrong (gate row drops from 254 grams to 19).
+    ("sa-rerank-second-key-dropped",
+     "src/main/scala/graft/operators/SubstringDedup.scala",
+     "if (rank(a) != rank(b) || ra2 != rb2) r += 1",
+     "if (rank(a) != rank(b)) r += 1",
+     "doc_substring_dups"),
 ]
 
 
