@@ -1263,7 +1263,11 @@ object TextOps extends QueryPack {
     // tagged single-scan form: filtering even/odd into two frames and
     // unioning them would scan documents twice
     graft.operators.SubstringDedup.resolveDuplicatesTagged(
-        Tables.documents(s, dir).filter(col("doc_id") < 60)
+        // % 10M (the stress-copy key offset, which is even, so parity
+        // is copy-stable): plain sf dirs unchanged, stress/detwin
+        // corpora grow N x - same round-13 treatment as substringDups,
+        // giving the PAIR mode real scale evidence too
+        Tables.documents(s, dir).filter(col("doc_id") % 10000000L < 60)
           .withColumn("src", pmod(col("doc_id"), lit(2))),
         "doc_id", "text", "src", minWidth = 15, chunks = 2)
       .select(explode(expr(
@@ -1279,7 +1283,7 @@ object TextOps extends QueryPack {
       |  SELECT doc_id % 2 AS src,
       |    unnest(list_transform(generate_series(1, greatest(len(text) - 14, 0)),
       |      s -> substr(text, s, 15))) AS gram
-      |  FROM documents WHERE doc_id < 60)
+      |  FROM documents WHERE doc_id % 10000000 < 60)
       |GROUP BY gram HAVING count(DISTINCT src) = 2 ORDER BY gram""".stripMargin
 
   /** PII redaction (training-data scrub pass). The synthetic corpus

@@ -53,7 +53,6 @@ FIXED_INPUT = {
     "corpus_leakage_report": "doc_id < 1000; minhash-pair oracle",
     "doc_neardup_clusters": "doc_id < 150; recursive-CTE closure oracle",
     "doc_dedup_delta_near": "base < 250, delta 250..400; O(base*delta) oracle",
-    "doc_contamination": "doc_id < 60; brute-force gram oracle",
     "doc_sentences": "doc_id < 50; per-sentence compare volume",
     "doc_bm25": "doc_id < 100; per-(doc,term) compare volume",
     "doc_tfidf": "doc_id < 100; per-(doc,term) compare volume",
