@@ -63,13 +63,21 @@ object Bench {
         Thread.sleep(5000)
       (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_ONLY=<regex>: time just the matching queries (local
+    // iteration aid; the driver never sets it). Resolved BEFORE the
+    // start cooldown so a scoped run doesn't block up to 360 s on a
+    // busy machine (round-13 advice) — scoped timings are iteration
+    // feedback, not committed evidence.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+
     // Round-12 lesson (BENCH_r12: load_10x=2.80 -> a contaminated
     // 38.0 s 10x axis): the r12 cooldown gated only the AXIS BOUNDARY;
     // the driver runs Verify immediately before Bench, so the session
     // can START hot. Gate here, BEFORE the warmups, so the 10x axis
     // inherits an idle machine (the warmups themselves are seconds and
-    // barely move a 1-min EMA).
-    val cooldownStartSec = awaitIdle()
+    // barely move a 1-min EMA). Skipped in scoped (SPARK_GRAFT_ONLY)
+    // mode.
+    val cooldownStartSec = if (only.isDefined) 0.0 else awaitIdle()
 
     // One JVM/codegen warmup pass on the smallest SF so the first timed
     // query doesn't absorb cold-start (classloading, Janino, shuffle init).
@@ -94,9 +102,6 @@ object Bench {
     Seq("lineitem", "orders", "customer", "part", "supplier",
       "documents", "embeddings", "events").foreach(warmTable)
 
-    // SPARK_GRAFT_ONLY=<regex>: time just the matching queries (local
-    // iteration aid; the driver never sets it).
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.pattern.matcher(n).matches())
     }
@@ -132,6 +137,7 @@ object Bench {
     // and when the min-of-2 spread exceeds 2x (contention signature) a
     // third pass runs and the min is kept.
     val tenXLoad = loadavg()
+    var reruns10x = 0
     val tenX: Seq[(String, Double)] =
       if (only.isDefined || sys.env.get("SPARK_GRAFT_10X").contains("0")) Nil
       else try {
@@ -202,23 +208,47 @@ object Bench {
             -1.0
           }
         }
+        // Burst-proofing (round-13 lesson): BENCH_r13's start gate fired
+        // correctly and the axis STILL got hit by a mid-axis co-tenant
+        // burst (two contiguous 4-11x inflated stretches; min-of-2 can't
+        // help when both samples sit inside the same burst). Rule: a
+        // query's timing is accepted only when its two FASTEST samples
+        // agree within 1.5x — otherwise recheck the loadavg (wait out a
+        // live burst, bounded) and take another sample, up to 2 extras,
+        // sharing one axis-wide 600 s cooldown budget so sustained load
+        // degrades to best-effort min instead of stalling the bench.
+        // Extra samples are counted in reruns_10x.
+        val cooldownTarget = sys.env.get("SPARK_GRAFT_COOLDOWN_LOAD")
+          .map(_.toDouble).getOrElse(2.0)
+        var axisCooldownBudgetSec = 600.0
         tpch.map { case (name, fn) =>
-          val t1 = run10(name, fn)
-          if (t1 < 0) name -> t1
+          val samples = scala.collection.mutable.ArrayBuffer.empty[Double]
+          def sample(): Double = {
+            val t = run10(name, fn)
+            if (t >= 0) samples += t
+            t
+          }
+          if (sample() < 0) name -> -1.0
           else {
-            // min-of-2 (same contention-immunity rule as the main loop);
-            // a >2x spread between the two runs is the contention
-            // signature (plan cost is the reproducible minimum) — take a
-            // third pass rather than trust either sample.
-            val t2 = run10(name, fn)
-            val best2 = if (t2 < 0) t1 else math.min(t1, t2)
-            val spread = if (t2 > 0) math.max(t1, t2) / math.min(t1, t2) else 1.0
-            val best =
-              if (spread > 2.0) {
-                val t3 = run10(name, fn)
-                if (t3 < 0) best2 else math.min(best2, t3)
-              } else best2
-            name -> best
+            sample()
+            def converged: Boolean = {
+              val s = samples.sorted
+              s.size >= 2 && s(1) / s(0) <= 1.5
+            }
+            var extras = 0
+            while (!converged && extras < 2) {
+              if (loadavg() > cooldownTarget && axisCooldownBudgetSec > 0) {
+                val t0 = System.nanoTime()
+                while (loadavg() > cooldownTarget &&
+                    (System.nanoTime() - t0) / 1e9 < axisCooldownBudgetSec)
+                  Thread.sleep(5000)
+                axisCooldownBudgetSec -= (System.nanoTime() - t0) / 1e9
+              }
+              sample()
+              extras += 1
+              reruns10x += 1
+            }
+            name -> (if (samples.isEmpty) -1.0 else samples.min)
           }
         }
       } catch { case e: Throwable =>
@@ -299,6 +329,7 @@ object Bench {
       s""","n":${results.size},"failed":${failedNames.size},"reruns":$reruns""" +
       s""","reruns_stream":$rerunsStream,"reruns_batch":$rerunsBatch""" +
       s""","load_10x":${fmt(tenXLoad)},"load_main":${fmt(mainLoad)}""" +
+      s""","reruns_10x":$reruns10x""" +
       s""","cooldown_sec":${fmt(cooldownSec)}""" +
       s""","cooldown_start_sec":${fmt(cooldownStartSec)}""" +
       s""","tpch_sec":${fmt(headline.map(_._2).filter(_ >= 0).sum)}""" +

@@ -647,9 +647,9 @@ final case class GFrame(df: DataFrame) {
         seed)))
   /** SemDeDup-style semantic near-dup pairs (k-means cell blocking). */
   def semanticDedupPairs(idCol: String, vecCol: String, threshold: Double,
-      nCells: Int): GFrame =
+      nCells: Int, superProbes: Int = 0): GFrame =
     GFrame(graft.operators.Similarity.semanticDedupPairs(df, idCol, vecCol,
-      threshold, nCells))
+      threshold, nCells, superProbes = superProbes))
   /** Diverse coreset: one exemplar per k-means cell + cell population
     * (SemDeDup's dual). */
   def semanticExemplars(idCol: String, vecCol: String,

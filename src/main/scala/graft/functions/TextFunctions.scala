@@ -191,16 +191,22 @@ object TextFunctions {
     rtrim(regexp_replace(c, s"(\\S.{0,${width - 1}})(\\s+|$$)", "$1\n"), "\n")
 
   /** Center-pad to `width` with `fill` (strings/padding.hpp:46 pad with
-    * side_type::BOTH = Python str.center): total pad splits
-    * left = ⌊pad/2⌋, right gets the extra char on odd pads; strings
-    * already ≥ width pass through unchanged. lpad/rpad take the length
-    * as an EXPRESSION here (per-row left target), which the typed
-    * functions API doesn't expose — call_function reaches the same
-    * codegen'd StringLPad/StringRPad. */
+    * side_type::BOTH = Python str.center): the split keys on the
+    * parity of WIDTH, not of the pad — "an odd width will
+    * right-justify" (pad_impl.cuh), i.e. odd width puts the odd extra
+    * fill char on the LEFT (right = ⌊pad/2⌋), even width on the RIGHT
+    * (left = ⌊pad/2⌋); e.g. center("foxx", 7, '+') = "++foxx+".
+    * Strings already ≥ width pass through unchanged. lpad/rpad take
+    * the length as an EXPRESSION here (per-row left target), which the
+    * typed functions API doesn't expose — call_function reaches the
+    * same codegen'd StringLPad/StringRPad. */
   def padCenter(c: Column, width: Int, fill: String): Column = {
     require(fill.length == 1, "center pad takes a single fill char")
     val len = length(c)
-    val left = floor((lit(width) - len) / 2).cast("int")
+    val pad = lit(width) - len
+    val left =
+      if (width % 2 == 1) (pad - floor(pad / 2)).cast("int")
+      else floor(pad / 2).cast("int")
     when(len >= width, c).otherwise(
       call_function("rpad",
         call_function("lpad", c, (len + left).cast("int"), lit(fill)),

@@ -686,7 +686,8 @@ object Similarity {
     * cross-key pair dedup is needed; the verify joins vectors back by
     * id (a plain scan + norm, not the assignment subtree). */
   def semanticDedupPairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int = 0, iters: Int = 2): DataFrame = {
+      threshold: Double, nCells: Int = 0, iters: Int = 2,
+      superProbes: Int = 0): DataFrame = {
     // nCells <= 0 = corpus-adaptive (default): ~250 vectors per cell
     // keeps within-cell pair work ∝ n, not ∝ n²/K (see autoCells).
     val k = if (nCells > 0) nCells else autoCells(df.count())
@@ -703,8 +704,22 @@ object Similarity {
     // missed, the same tradeoff SemDeDup already accepts at cell
     // boundaries. Below the threshold the flat argmax is kept —
     // bit-reproducible and oracle-gated.
-    val assigned = (if (k >= HierKThreshold)
-        assignCellsHierarchical(rows, "vec", cents, superProbes = 2)
+    //
+    // superProbes governs the switch explicitly: > 0 forces the
+    // hierarchical descent at that probe width; < 0 forces the exact
+    // flat argmax at any K; 0 (default) auto-switches ONLY on the
+    // adaptive nCells<=0 path — a caller who pins nCells keeps flat
+    // semantics rather than having recall silently change at
+    // HierKThreshold (an explicit K is a statement about the blocking,
+    // not an opt-in to approximation).
+    val useHier =
+      if (superProbes > 0) true
+      else if (superProbes < 0) false
+      else nCells <= 0 && k >= HierKThreshold
+    val probeWidth = if (superProbes > 0) superProbes else 2
+    val assigned = (if (useHier)
+        assignCellsHierarchical(rows, "vec", cents,
+          superProbes = probeWidth)
       else assignNearestCells(rows, "vec", collectModel(cents)))
       .select(col("id"), col("cell_id"))
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),

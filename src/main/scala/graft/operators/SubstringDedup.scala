@@ -336,10 +336,16 @@ object SubstringDedup {
         winnowCharsPos(t, k, w).map { case (pos, fp) =>
           (id, ch, src, pos, fp) } }
       .toDF("__id", "__chunk", "__src", "pos", "fp")
-    // fp values with a single occurrence can never pair — drop their
-    // occurrences before any text is shipped (on a mostly-unique
-    // corpus this leaves only the true duplicate structure)
-    val hot = fps.groupBy($"fp").agg(count(lit(1)).as("__n"))
+    // fp values seen in fewer than two DISTINCT (id, chunk, src) units
+    // can never pair — candidate pairs are keyed on those units, so a
+    // fp repeated only within one chunk (self-repetitive doc) must not
+    // count as hot: plain count(*) >= 2 would extract and shuffle its
+    // gram text for nothing. Drop such occurrences before any text
+    // ships (on a mostly-unique corpus this leaves only the true
+    // duplicate structure).
+    val hot = fps.groupBy($"fp")
+      .agg(count_distinct(struct($"__id", $"__chunk", $"__src"))
+        .as("__n"))
       .filter($"__n" >= 2).select($"fp")
     val hotOcc = fps.join(hot, "fp")
       .groupBy($"__id", $"__chunk", $"__src")

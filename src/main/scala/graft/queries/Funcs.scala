@@ -307,11 +307,17 @@ object Funcs extends QueryPack {
   }
 
   val strPadCenterSql: String = {
-    def centerSql(c: String, w: Int, f: String) =
+    // Reference split (pad_impl.cuh side_type::BOTH): odd WIDTH
+    // right-justifies → left = pad - pad//2; even width → left = pad//2.
+    def centerSql(c: String, w: Int, f: String) = {
+      val leftExpr =
+        if (w % 2 == 1) s"(($w - length($c)) - ($w - length($c)) // 2)"
+        else s"(($w - length($c)) // 2)"
       s"""CASE WHEN length($c) >= $w THEN $c
          |     ELSE rpad(lpad($c,
-         |            CAST(length($c) + ($w - length($c)) // 2 AS INT),
+         |            CAST(length($c) + $leftExpr AS INT),
          |            '$f'), $w, '$f') END""".stripMargin
+    }
     s"""SELECT p_partkey,
        |  ${centerSql("p_name", 40, "*")} AS name_c40,
        |  ${centerSql("p_brand", 13, ".")} AS brand_c13

@@ -246,13 +246,25 @@ class EmbeddingsSpec extends AnyFunSuite {
     // they must co-locate and pair regardless of assignment path
     val planted = base.take(15).map { case (id, v) => (id + 500000L, v) }
     val df = (base ++ planted).toDF("vec_id", "embedding")
-    // requesting nCells >= HierKThreshold flips semanticDedupPairs onto
-    // assignCellsHierarchical (superProbes = 2); the tiny corpus keeps
-    // the spec fast — the switch keys on the REQUESTED cell count
+    // superProbes = 2 opts into the hierarchical production regime
+    // explicitly (an explicit nCells now KEEPS flat semantics — the
+    // auto-switch keys only on the adaptive nCells<=0 path); the tiny
+    // corpus keeps the spec fast
     assert(Similarity.HierKThreshold == 4096)
     val pairs = Similarity.semanticDedupPairs(df, "vec_id", "embedding",
-        threshold = 0.999, nCells = Similarity.HierKThreshold)
+        threshold = 0.999, nCells = Similarity.HierKThreshold,
+        superProbes = 2)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    // and the explicit-nCells default stays on the exact flat path
+    // (no silent approximation): planted dups all recovered there too
+    val flatPairs = Similarity.semanticDedupPairs(df, "vec_id",
+        "embedding", threshold = 0.999,
+        nCells = Similarity.HierKThreshold)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    base.take(15).foreach { case (id, _) =>
+      assert(flatPairs.contains((id, id + 500000L)),
+        s"planted duplicate ($id, ${id + 500000L}) lost by flat path")
+    }
     base.take(15).foreach { case (id, _) =>
       assert(pairs.contains((id, id + 500000L)),
         s"planted duplicate ($id, ${id + 500000L}) lost by the switch")

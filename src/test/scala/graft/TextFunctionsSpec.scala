@@ -310,6 +310,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(bpe == Seq(2, 1, 3, 4, 5, 0))
   }
 
+  test("padCenter splits by width parity: odd width puts the extra fill LEFT") {
+    import graft.functions.TextFunctions.padCenter
+    // Reference example (pad_impl.cuh side_type::BOTH): width=7 on
+    // "foxx" (pad=3) right-justifies -> "++foxx+".
+    def center(s: String, w: Int, f: String): String =
+      Seq(s).toDF("s").select(padCenter($"s", w, f)).as[String].head()
+    assert(center("foxx", 7, "+") == "++foxx+")       // odd width, odd pad: extra LEFT
+    assert(center("fox", 7, "+") == "++fox++")        // odd width, even pad: symmetric
+    assert(center("fox", 6, "+") == "+fox++")         // even width, odd pad: extra RIGHT
+    assert(center("foxx", 6, "+") == "+foxx+")        // even width, even pad
+    assert(center("abcdefgh", 6, "+") == "abcdefgh")  // >= width: pass-through
+    // Python parity: "ab".center(5,'-') == "--ab-"; "ab".center(4,'-') == "-ab-"
+    assert(center("ab", 5, "-") == "--ab-")
+    assert(center("ab", 4, "-") == "-ab-")
+    // null propagates
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(padCenter($"s", 5, "*")).collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("dominantScript classifies real scripts with priority tie-break") {
     import graft.functions.TextFunctions.dominantScript
     val got = Seq(
