@@ -450,4 +450,128 @@ object SubstringDedup {
       df1.select(col(idCol), col(textCol), lit(0).as("__src"))
         .union(df2.select(col(idCol), col(textCol), lit(1).as("__src"))),
       idCol, textCol, "__src", minWidth, chunks)
+
+  /** Distributed GLOBAL suffix ranking, depth-truncated at `minWidth` —
+    * the hot-duplicate-clique remedy (the reference's single-GPU global
+    * suffix array, nvtext/deduplicate.hpp:40 build_suffix_array, pays
+    * O(occurrences) where [[resolveDuplicates]]'s cross-chunk posting
+    * lists pay C(m,2) verify pairs on a gram shared by m documents).
+    *
+    * Output: every duplicated minWidth-gram (each substring of EXACTLY
+    * `minWidth` chars occurring at ≥ 2 positions corpus-wide, within-
+    * doc repeats included) as `dup_text`, with its occurrence count.
+    * This is the gram CANONICALIZATION of resolve_duplicates output —
+    * the same projection the doc_substring_dups oracle gate uses, and
+    * the two sets coincide (see [[substringDups]]' ⊇/⊆ argument): a
+    * gram-level consumer (dedup weighting, contamination screens) loses
+    * nothing, and no pair of occurrences is ever materialized.
+    *
+    * Algorithm — prefix doubling over DataFrames (Manber-Myers
+    * formulated as log rounds of distributed re-ranking, the same
+    * doubling the in-memory [[suffixArray]] runs per chunk):
+    * every character position starts ranked by its packed 2-char code
+    * (width-2 base case); each round keys positions on
+    * (rank[p], rank[p+2^k]) — computed with a per-document `lead`
+    * window, no self-join — and re-ranks the distinct key pairs. After ⌈log₂ w⌉ rounds (w = the largest power
+    * of two ≤ minWidth) two positions share rank iff their first w
+    * chars are equal; the final key (rank_w[p], rank_w[p+minWidth−w])
+    * decides equality of the full minWidth-gram (the classic
+    * overlapping-halves trick, valid because w ≥ minWidth − w). Ranks
+    * only ever feed EQUALITY tests, so re-ranking uses order-free
+    * injective ids (zipWithUniqueId — one distinct shuffle) instead of
+    * a lexicographic global sort; a full SA would sort the final
+    * (rank, rank₂) pairs once more.
+    *
+    * 100 TB shape: every stage is a linear shuffle of fixed-width rows
+    * (~24 bytes/position vs the reference's 8-byte/char single-GPU
+    * bound which caps it at 2 GB corpora); rounds are log₂(minWidth),
+    * NOT log(corpus); a gram shared by m docs is ONE m-row group —
+    * count + one representative, no pair fan-out (min/count are
+    * map-side partial aggregates, so even the m-row group never
+    * gathers on one reducer). Text ships exactly once per DISTINCT
+    * duplicated gram (the representative substring fetch). The lead
+    * window partitions by document — per-task memory is one doc's
+    * positions (fine for web/code corpora; a multi-GB single document
+    * would need range-partitioned positions with a w-char halo, noted
+    * in SCALING.md). Each round is localCheckpoint'ed: lineage stays
+    * O(1) and the injective rank assignment is pinned against
+    * recomputation. */
+  def duplicatedGrams(df: DataFrame, idCol: String, textCol: String,
+      minWidth: Int): DataFrame = {
+    require(minWidth >= 2, "minWidth must be >= 2")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // largest power of two <= minWidth; w >= minWidth/2 guarantees the
+    // overlapping-halves pairing covers the gram exactly
+    val w = Integer.highestOneBit(minWidth)
+    val texts = df
+      .select(col(idCol).cast("string").as("__d"), col(textCol).as("__t"))
+      .filter(col("__t").isNotNull && length(col("__t")) >= minWidth)
+    // one row per character position; __ok marks positions that start
+    // a FULL minWidth-gram (rank rounds keep every position — ranks of
+    // tail positions feed earlier positions' keys — but only __ok rows
+    // reach the final grouping). Initial ranks pack TWO UTF-16 units
+    // into one Long — (c1 << 17) | (c2 << 1 | 1), low bit = "second
+    // char exists" so a truncated doc-final pack can never collide
+    // with a real 2-gram — which starts the doubling at width 2 and
+    // saves one full re-rank round (distinct + join + checkpoint).
+    var cur = texts.as[(String, String)]
+      .flatMap { case (d, t) =>
+        val lastOk = t.length - minWidth
+        (0 until t.length).iterator.map { p =>
+          val c2 = if (p + 1 < t.length)
+            (t.charAt(p + 1).toLong << 1) | 1L else 0L
+          (d, p, p <= lastOk, (t.charAt(p).toLong << 17) | c2)
+        }
+      }
+      .toDF("__d", "pos", "__ok", "r")
+    var width = 2
+    while (width < w) {
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy($"__d").orderBy($"pos")
+      val led = cur.withColumn("r2",
+        coalesce(lead($"r", width).over(byDoc), lit(-1L)))
+      cur = led.join(rerankIds(led), Seq("r", "r2"))
+        .select($"__d", $"pos", $"__ok", $"__nr".as("r"))
+        .localCheckpoint()
+      width *= 2
+    }
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"__d").orderBy($"pos")
+    val keyed = (if (minWidth == w) cur.withColumn("r2", $"r")
+      else cur.withColumn("r2",
+        coalesce(lead($"r", minWidth - w).over(byDoc), lit(-1L))))
+      .filter($"__ok")
+    // representative text fetch stays JVM-side (String.substring), the
+    // same UTF-16 position space charAt indexed — mixing in Spark SQL
+    // substring (code-point semantics) would shift grams on any
+    // surrogate-pair content. Rows here = distinct duplicated grams.
+    keyed.groupBy($"r", $"r2")
+      .agg(count(lit(1)).as("n_occurrences"),
+        min(struct($"__d", $"pos")).as("rep"))
+      .filter($"n_occurrences" >= 2)
+      .join(texts, col("rep.__d") === col("__d"))
+      .select(col("rep.pos").as("__p"), col("__t"), col("n_occurrences"))
+      .as[(Int, String, Long)]
+      .map { case (p, t, n) => (t.substring(p, p + minWidth), n) }
+      .toDF("dup_text", "n_occurrences")
+  }
+
+  /** Order-free injective re-ranking for one doubling round: distinct
+    * (r, r2) pairs get fresh Long ids via zipWithUniqueId (a
+    * partition-strided assignment — injective with NO global sort,
+    * which suffices because downstream only tests rank EQUALITY; ids
+    * are arbitrary but consistent: the caller localCheckpoints the
+    * joined result, pinning one assignment). */
+  private def rerankIds(led: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val keys = led.select(col("r"), col("r2")).distinct()
+    led.sparkSession.createDataFrame(
+      keys.rdd.zipWithUniqueId().map { case (row, i) =>
+        Row(row.getLong(0), row.getLong(1), i) },
+      StructType(Seq(StructField("r", LongType, nullable = false),
+        StructField("r2", LongType, nullable = false),
+        StructField("__nr", LongType, nullable = false))))
+  }
 }

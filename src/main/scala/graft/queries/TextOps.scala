@@ -1200,6 +1200,42 @@ object TextOps extends QueryPack {
       |  FROM documents WHERE doc_id % 10000000 < 30)
       |GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin
 
+  /** Hot-duplicate-clique substring dedup via the distributed GLOBAL
+    * suffix ranking ([[graft.operators.SubstringDedup.duplicatedGrams]]
+    * — depth-truncated prefix doubling; nvtext/deduplicate.hpp:40's
+    * global-suffix-array bound, O(occurrences) on a gram shared by m
+    * documents, where the posting-list cross-chunk path pays C(m,2)
+    * verify pairs). The clique is PLANTED deterministically: every
+    * doc_id % 10M < 500 document gets a fixed 24-char sentinel appended,
+    * so one run of 15-grams is shared by all 500 docs at a plain sf dir
+    * (C(500,2) = 125k pairs on the pair path; ONE 500-row group here) —
+    * and by 500·N docs at an N× stress/detwin copy, making envelope
+    * time ratios direct hot-clique scale evidence. Output is the full
+    * duplicated-gram set WITH exact occurrence counts (a stronger check
+    * than the set-only substring gate: the brute-force oracle must
+    * agree on every count). */
+  def hotCliqueDups(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10000000L < 500 && col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), lit(HotCliqueSentinel)).as("text"))
+    graft.operators.SubstringDedup
+      .duplicatedGrams(corpus, "doc_id", "text", minWidth = 15)
+      .select(col("dup_text").as("gram"), col("n_occurrences").as("n_occ"))
+      .orderBy(col("gram"))
+  }
+
+  private val HotCliqueSentinel = "##GLOBAL*SA*HOT*CLIQUE##"
+
+  val hotCliqueDupsSql: String =
+    s"""SELECT gram, CAST(count(*) AS BIGINT) AS n_occ FROM (
+       |  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 14, 0)),
+       |    s -> substr(t, s, 15))) AS gram
+       |  FROM (SELECT text || ' ' || '$HotCliqueSentinel' AS t
+       |        FROM documents
+       |        WHERE doc_id % 10000000 < 500 AND text IS NOT NULL))
+       |GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin
+
   /** END-TO-END curation pipeline — the flagship composition: score →
     * language filter → quality filter → normalized exact dedup (keep
     * first) → token-budget packing, all in one plan (three shuffles:
@@ -2646,6 +2682,7 @@ object TextOps extends QueryPack {
     "doc_minhash_ngram_pairs" -> minhashNgramPairs,
     "doc_simhash_pairs" -> simhashPairs,
     "doc_substring_dups" -> substringDups,
+    "doc_hotclique_dups" -> hotCliqueDups,
     "doc_contamination" -> contamination,
     "doc_curation" -> curation,
     "doc_redact_pii" -> redactPii,
@@ -2691,6 +2728,7 @@ object TextOps extends QueryPack {
     "doc_chunks" -> chunksSql,
     "doc_chunk_dedup" -> chunkDedupSql,
     "doc_substring_dups" -> substringDupsSql,
+    "doc_hotclique_dups" -> hotCliqueDupsSql,
     "doc_contamination" -> contaminationSql,
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,

@@ -245,6 +245,72 @@ class DedupSpec extends AnyFunSuite {
     assert(one.exists(_.contains(phraseA)) && one.exists(_.contains(phraseB)))
   }
 
+  test("duplicatedGrams matches brute force on random corpora " +
+    "(small alphabet, heavy rank ties)") {
+    import graft.operators.SubstringDedup
+    val rnd = new scala.util.Random(4114)
+    for (trial <- 0 until 6) {
+      val minWidth = Seq(5, 8, 9, 15, 16, 17)(trial)
+      val nDocs = 8 + rnd.nextInt(12)
+      val docs = (0 until nDocs).map { i =>
+        val len = rnd.nextInt(80) // includes docs shorter than minWidth
+        (i.toLong, new String(Array.fill(len)(('a' + rnd.nextInt(3)).toChar)))
+      }
+      val brute = docs
+        .flatMap { case (_, t) => (0 to t.length - minWidth)
+          .map(p => t.substring(p, p + minWidth)) }
+        .groupBy(identity).collect { case (g, occ) if occ.size >= 2 =>
+          g -> occ.size.toLong }
+        .toMap
+      val got = SubstringDedup
+        .duplicatedGrams(docs.toDF("doc_id", "text"), "doc_id", "text",
+          minWidth)
+        .as[(String, Long)].collect().toMap
+      assert(got == brute,
+        s"trial $trial minWidth=$minWidth: " +
+          s"missing=${(brute.keySet -- got.keySet).take(3)} " +
+          s"extra=${(got.keySet -- brute.keySet).take(3)}")
+    }
+  }
+
+  test("duplicatedGrams handles a hot clique without pair fan-out " +
+    "and agrees with gram-canonicalized resolveDuplicates") {
+    import graft.operators.SubstringDedup
+    val sentinel = "HOT-CLIQUE-SENTINEL-GRAM" // 24 chars -> 10 15-grams
+    val m = 500
+    val rnd = new scala.util.Random(99)
+    val docs = (0 until m).map { i =>
+      val own = new String(Array.fill(40)(('a' + rnd.nextInt(26)).toChar))
+      (i.toLong, s"$own $sentinel")
+    }.toDF("doc_id", "text")
+    val got = SubstringDedup
+      .duplicatedGrams(docs, "doc_id", "text", minWidth = 15)
+      .as[(String, Long)].collect().toMap
+    // every 15-gram of the sentinel occurs in all m docs; the random
+    // 40-char prefixes are (overwhelmingly) unique. The clique is ONE
+    // group of m rows — count says m, and no pair row ever existed.
+    val sentinelGrams = (0 to sentinel.length - 15)
+      .map(p => sentinel.substring(p, p + 15))
+    sentinelGrams.foreach { g =>
+      assert(got.get(g).contains(m.toLong), s"gram '$g': ${got.get(g)}")
+    }
+    // cross-check the canonicalization equivalence on a small corpus:
+    // resolveDuplicates' emitted dup_texts, projected to 15-grams,
+    // equal duplicatedGrams' key set
+    val small = docs.filter($"doc_id" < 40)
+    val viaResolve = SubstringDedup
+      .resolveDuplicates(small, "doc_id", "text", minWidth = 15, chunks = 3)
+      .as[String].collect()
+      .flatMap(t => (0 to t.length - 15).map(p => t.substring(p, p + 15)))
+      .toSet
+    val viaGlobal = SubstringDedup
+      .duplicatedGrams(small, "doc_id", "text", minWidth = 15)
+      .as[(String, Long)].collect().map(_._1).toSet
+    assert(viaGlobal == viaResolve,
+      s"missing=${(viaResolve -- viaGlobal).take(3)} " +
+        s"extra=${(viaGlobal -- viaResolve).take(3)}")
+  }
+
   test("suffixArray matches brute-force suffix sort on random strings") {
     import graft.operators.SubstringDedup
     val rnd = new scala.util.Random(1313)
