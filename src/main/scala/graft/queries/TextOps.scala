@@ -2305,6 +2305,55 @@ object TextOps extends QueryPack {
     s"""WITH $kmeans8Cte
        |SELECT n_id AS vec_id, cell_id FROM af ORDER BY vec_id""".stripMargin
 
+  /** Planted-duplicate recall through the hierarchical assignment's
+    * LOSSY production regime (superProbes = 2 at K = 4096 — the exact
+    * parameters [[Similarity.semanticDedupPairs]] auto-switches to at
+    * ~1M vectors; embed_hier_assign proves the full-probe-width ≡ flat
+    * identity, THIS gate measures the approximate regime's duplicate
+    * recall instead of arguing it). Corpus: the 500 base vectors
+    * (dim-16 slice) are inflated 16× with per-copy perturbations —
+    * n = 8,000 ≥ K so the k-means seeds fill all 4,096 cells — and 20
+    * exact duplicates are planted under negative ids
+    * (-(16·vec_id) - 1, collision-free at any stress multiple).
+    * Identical vectors score identically at EVERY descent level, so
+    * all 20 planted pairs must survive any probe width — the gate
+    * output is exactly that pair list, and the oracle is its closed
+    * form. A dead or impure production path (assignment not a pure
+    * function of the vector, pair stage dropping rows) loses planted
+    * pairs → red. Near-dup (non-identical) recall vs the flat path is
+    * measured in EmbeddingsSpec on the same construction. */
+  def embedHierRecall(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.embeddings(s, dir)
+      .filter(col("vec_id") % 10000000L < 500 && col("embedding").isNotNull)
+      .select(col("vec_id"), slice(col("embedding"), 1, 16).as("emb"))
+    // 16 deterministically perturbed copies per base vector (copy 0 is
+    // the original); perturbation magnitude keeps same-base copies
+    // near-dup (harmless extra pairs, filtered below) and cross-base
+    // sims unaffected
+    val inflated = base
+      .select(col("vec_id"), col("emb"),
+        explode(sequence(lit(0), lit(15))).as("c"))
+      .select((col("vec_id") * 16 + col("c")).as("id"),
+        expr("""transform(emb, (x, j) ->
+                x + CAST(c AS FLOAT) * CAST(0.01 AS FLOAT) *
+                    CAST((j * 7 + c) % 5 - 2 AS FLOAT))""").as("emb"))
+    val planted = base.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") * -16 - 1).as("id"), col("emb"))
+    val corpus = inflated.union(planted)
+    Similarity.semanticDedupPairs(corpus, "id", "emb",
+        threshold = 0.995, nCells = 4096, superProbes = 2)
+      .filter(col("id_a") < 0 && col("id_b") === -col("id_a") - 1)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"))
+  }
+
+  val embedHierRecallSql: String =
+    """SELECT vec_id * -16 - 1 AS id_a, vec_id * 16 AS id_b
+      |FROM embeddings
+      |WHERE vec_id % 10000000 < 500 AND vec_id % 25 = 0
+      |  AND embedding IS NOT NULL
+      |ORDER BY id_a""".stripMargin
+
   /** Diverse coreset: one exemplar per k-means cell (SemDeDup's dual —
     * Similarity.semanticExemplars). Oracle replays the identical
     * fixed-point model; sim doubles and the (sim desc, id) exemplar
@@ -2707,6 +2756,7 @@ object TextOps extends QueryPack {
     "embed_project" -> embedProject,
     "embed_semdedup" -> embedSemDedup,
     "embed_hier_assign" -> embedHierAssign,
+    "embed_hier_recall" -> embedHierRecall,
     "embed_exemplars" -> embedExemplars,
     "doc_dedup_delta" -> dedupDelta,
     "doc_dedup_delta_near" -> dedupDeltaNear)
@@ -2768,6 +2818,7 @@ object TextOps extends QueryPack {
     "embed_ann_recall" -> embedAnnRecallSql,
     "embed_semdedup" -> embedSemDedupSql,
     "embed_hier_assign" -> embedHierAssignSql,
+    "embed_hier_recall" -> embedHierRecallSql,
     "embed_exemplars" -> embedExemplarsSql,
     "embed_neardup_lsh" -> embedNearDupLshSql,
     "embed_auto_granularity" -> embedAutoGranularitySql,

@@ -281,6 +281,46 @@ class EmbeddingsSpec extends AnyFunSuite {
     }
   }
 
+  test("hierarchical regime at K = 4096: planted recall 100%, " +
+    "near-dup recall vs flat measured >= 0.9") {
+    // the production regime semanticDedupPairs auto-switches to at
+    // ~1M vectors, shrunk: n = 4160 >= K = 4096 so every cell seeds.
+    // 260 Gaussian bases x 16 perturbed copies; copies of one base are
+    // near-dups (the structure recall is measured on), 20 EXACT dups
+    // planted under negative ids (recall must be 100% by purity).
+    val rnd = new scala.util.Random(23)
+    val bases = Array.fill(260)(Array.fill(8)(rnd.nextGaussian().toFloat))
+    val inflated = for (b <- bases.indices; c <- 0 until 16) yield {
+      val v = bases(b).zipWithIndex.map { case (x, j) =>
+        x + c * 0.01f * ((j * 7 + c) % 5 - 2) }
+      (b.toLong * 16 + c, v)
+    }
+    // copy-0 perturbation is the identity, so this IS an exact dup of
+    // inflated id b*16
+    val planted = (0 until 260 by 13).map(b =>
+      (b.toLong * -16 - 1, bases(b)))
+    val df = (inflated ++ planted).toDF("id", "emb")
+    def pairsOf(probes: Int) = Similarity
+      .semanticDedupPairs(df, "id", "emb", threshold = 0.995,
+        nCells = 4096, superProbes = probes)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val hier = pairsOf(2)
+    val flat = pairsOf(-1) // forced exact flat at the same K
+    (0 until 260 by 13).foreach { b =>
+      assert(hier.contains((b.toLong * -16 - 1, b.toLong * 16)),
+        s"planted exact dup for base $b lost by the lossy regime")
+    }
+    // near-dup recall: of the pairs the exact flat path emits, how
+    // many survive the superProbes=2 descent (precision is 1.0 on
+    // both sides — every emitted pair is cosine-verified)
+    val recall = (hier & flat).size.toDouble / flat.size
+    info(f"hier-vs-flat near-dup recall at K=4096: $recall%.4f " +
+      s"(flat ${flat.size} pairs, hier ${hier.size})")
+    assert(recall >= 0.9, f"near-dup recall $recall%.3f below 0.9")
+    // (hier may also emit pairs flat's blocking split — both sides are
+    // cosine-verified, so precision vs ground truth is 1.0 regardless)
+  }
+
   test("ngramLmScore matches hand-computed smoothed bigram means") {
     val ref = Seq((0L, "a b a"), (1L, "b a")).toDF("id", "text")
     val docs = Seq((10L, "a b c"), (11L, "a"), (12L, "")).toDF("id", "text")

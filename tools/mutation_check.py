@@ -142,6 +142,32 @@ MUTATIONS = [
      "if (rank(a) != rank(b) || ra2 != rb2) r += 1",
      "if (rank(a) != rank(b)) r += 1",
      "doc_substring_dups"),
+    # Round-14: the lossy-regime recall gate (embed_hier_recall runs
+    # semanticDedupPairs at K=4096, superProbes=2) must notice the
+    # production path going DEAD — cell assignment degenerating to
+    # row-unique cells (the realistic wiring failure: joining the
+    # assignment back on the wrong key) kills every candidate pair, so
+    # all 20 planted exact-duplicate pairs vanish and the closed-form
+    # oracle row turns red. (Probe-width mutations are UNOBSERVABLE by
+    # planted-dup recall by construction: identical vectors co-locate
+    # under ANY pure vector->cell function — the r12 expressibility
+    # lesson; width sensitivity is embed_hier_assign's job.)
+    ("hier-assignment-cells-degenerate",
+     "src/main/scala/graft/operators/Similarity.scala",
+     ".select(col(\"id\"), col(\"cell_id\"))",
+     ".select(col(\"id\"), col(\"id\").as(\"cell_id\"))",
+     "embed_hier_recall"),
+    # Round-14: the global-suffix-ranking gate must be sensitive to
+    # the overlapping-halves final key — dropping its second half
+    # (rank[p + minWidth - w]) groups positions by their first-w-char
+    # prefix only, merging distinct 15-grams that share an 8-char
+    # prefix: grams and counts both come out wrong on the hot-clique
+    # corpus.
+    ("global-sa-second-half-dropped",
+     "src/main/scala/graft/operators/SubstringDedup.scala",
+     "else cur.withColumn(\"r2\",\n        coalesce(lead($\"r\", minWidth - w).over(byDoc), lit(-1L))))",
+     "else cur.withColumn(\"r2\", lit(0L)))",
+     "doc_hotclique_dups"),
 ]
 
 
