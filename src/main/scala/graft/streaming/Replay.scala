@@ -35,17 +35,42 @@ object Replay {
     * (with RocksDB: a native instance each). At the session default
     * (= cores = 32) a bounded ≤100k-row replay feed pays 32 store
     * visits per stateful op per trigger for ~600 rows each — pure
-    * fixed cost, 4x what the feed needs. 8 keeps the operators
+    * fixed cost, 4-8x what the feed needs. 4 keeps the operators
     * genuinely distributed (multi-partition shuffles, cross-partition
-    * watermark min) while sizing rig overhead to the feed; production
-    * streams size this to load, not to the verification rig. */
-  private val RigPartitions = "8"
+    * watermark min) while sizing rig overhead to the feed (round-14
+    * sweep at sf0.1: interval_join 5.9 s at 8 partitions -> 4.4 s at
+    * 4; RocksDB provider measured 34% SLOWER than the HDFS-backed
+    * store here — per-partition native instances are pure overhead on
+    * a bounded feed); production streams size this to load, not to
+    * the verification rig. */
+  private val RigPartitions = "4"
 
-  private def withRigPartitions[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, RigPartitions)
-    try body finally spark.conf.set(key, prev)
+  /** Rig-scoped session conf, restored after the replay:
+    *  - shuffle partitions sized to the feed (see [[RigPartitions]]);
+    *  - no-data micro-batches OFF: processAllAvailable otherwise runs
+    *    an EXTRA empty batch after nearly every data trigger to fire
+    *    event-time bookkeeping, nearly doubling the per-trigger fixed
+    *    cost that dominates a bounded replay (measured: stream axis
+    *    66 -> 43 s at sf0.1). Correctness is schedule-independent by
+    *    the twins' replay contract, and every watermark-draining gate
+    *    feeds explicit SENTINEL data batches, so eviction/emission
+    *    still happens on data triggers — the oracle compare re-proves
+    *    the final table either way;
+    *  - one batch of state retained (default 2): the replay never
+    *    restarts from a checkpointed version mid-run (stream_restart
+    *    builds a FRESH query on a new checkpoint for its second leg),
+    *    so version-2 snapshot retention is pure commit-path cost. */
+  private def withRigConf[A](spark: SparkSession)(body: => A): A = {
+    val keys = Seq(
+      "spark.sql.shuffle.partitions" -> RigPartitions,
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false",
+      "spark.sql.streaming.minBatchesToRetain" -> "1")
+    val prev = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   /** Chunk a pre-ordered row seq into `n` contiguous micro-batches
@@ -67,7 +92,7 @@ object Replay {
     * watermark-advance-only batches (event-time timers) drain. */
   def run[In: Encoder](spark: SparkSession, batches: Seq[Seq[In]],
       outputMode: String)(build: Dataset[In] => DataFrame): DataFrame =
-    withRigPartitions(spark) {
+    withRigConf(spark) {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[In]
     val out = build(input.toDS())
@@ -105,7 +130,7 @@ object Replay {
     * reuse contract the gate is proving. */
   def runForeachBatch[In: Encoder](spark: SparkSession,
       batches: Seq[Seq[In]])(f: DataFrame => DataFrame): DataFrame =
-    withRigPartitions(spark) {
+    withRigConf(spark) {
     require(batches.exists(_.nonEmpty), "need at least one non-empty batch")
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = MemoryStream[In]
@@ -148,7 +173,7 @@ object Replay {
   def runWithRestart[In: Encoder](spark: SparkSession,
       firstBatches: Seq[Seq[In]], secondBatches: Seq[Seq[In]])(
       build: Dataset[In] => DataFrame): DataFrame =
-    withRigPartitions(spark) {
+    withRigConf(spark) {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("graft_replay_rs")
       .toString
