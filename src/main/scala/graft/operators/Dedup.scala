@@ -32,6 +32,22 @@ object Dedup {
     df.groupBy(md5(normalizeText(col(textCol))).as("digest"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Row-distinct under nan_equality::UNEQUAL
+    * (stream_compaction.hpp:227 `distinct` with nans unequal — IEEE
+    * semantics: NaN compares equal to nothing, itself included, so a
+    * row holding a NaN in any of the floating `nanCols` can never
+    * equal another row and ALWAYS survives). Spark's `dropDuplicates`
+    * implements the reference's default ALL_EQUAL policy (grouping
+    * normalizes NaN); this is the other policy, composed as
+    * NaN-carrying rows passing through + dropDuplicates on the rest —
+    * two scans of one shuffle-free filter plus the one distinct
+    * shuffle, no row comparator customization needed. */
+  def distinctNanUnequal(df: DataFrame, nanCols: Seq[String]): DataFrame = {
+    require(nanCols.nonEmpty, "need at least one floating column")
+    val hasNan = nanCols.map(c => isnan(col(c))).reduce(_ || _)
+    df.filter(hasNan).unionByName(df.filter(!hasNan).dropDuplicates())
+  }
+
   /** Bag-of-words fingerprint dedup: documents with the same distinct
     * token set collapse into one group. */
   def fingerprintGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -650,6 +650,41 @@ object MiscPack extends QueryPack {
       |  true AS p50_in_band, true AS p99_in_band
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** RE-KEYED digest merge — the grouped-map variant of
+    * [[tdigestMergeRollup]]: the same fine-grained (returnflag,
+    * linestatus) sketch table answers quantiles for a key that is NOT
+    * a prefix of the sketch key (per-linestatus), i.e. the sketches
+    * re-shuffle under a new grouping before merging. This is the
+    * property that lets one daily sketch table serve ANY dimension's
+    * quantiles at 100 TB — merge is algebraic under arbitrary
+    * re-keying, not just hierarchical rollup. Same hash-gated rank-
+    * band accuracy contract against the raw column. */
+  def tdigestRekeyed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.plans.TDigestSketch
+    val li = Tables.lineitem(s, dir)
+    val sketches = li
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(TDigestSketch.of($"l_extendedprice").as("td"),
+        count(lit(1)).as("n"))
+    val rekeyed = sketches.groupBy($"l_linestatus")
+      .agg(TDigestSketch.mergeQuantile($"td", 0.5).as("td_p50"),
+        TDigestSketch.mergeQuantile($"td", 0.99).as("td_p99"),
+        sum($"n").as("n"))
+    val bandAggs = rankBandAggs("l_extendedprice")
+    val bands = li.groupBy($"l_linestatus")
+      .agg(bandAggs.head, bandAggs.tail: _*)
+    rekeyed.join(broadcast(bands), "l_linestatus")
+      .select(Seq($"l_linestatus", $"n") ++
+        inBand($"td_p50", $"td_p99"): _*)
+      .orderBy($"l_linestatus")
+  }
+
+  val tdigestRekeyedSql: String =
+    """SELECT l_linestatus, count(*) AS n,
+      |  true AS p50_in_band, true AS p99_in_band
+      |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
   /** HLL distinct-count sketch rollup — the cardinality twin of
     * [[tdigestMergeRollup]] over Spark's built-in DataSketches HLL
     * (hll_sketch_agg → binary column → hll_union_agg → estimate): the
@@ -1155,6 +1190,7 @@ object MiscPack extends QueryPack {
     "search_sorted" -> searchSorted,
     "agg_tdigest" -> tdigestQuantiles,
     "agg_tdigest_merge" -> tdigestMergeRollup,
+    "agg_tdigest_rekeyed" -> tdigestRekeyed,
     "agg_hll_rollup" -> hllRollup,
     "agg_cms_freq" -> cmsFrequencies,
     "dq_rule_audit" -> dqRuleAudit,
@@ -1214,6 +1250,7 @@ object MiscPack extends QueryPack {
     "agg_approx" -> aggApproxSql,
     "agg_tdigest" -> tdigestQuantilesSql,
     "agg_tdigest_merge" -> tdigestMergeRollupSql,
+    "agg_tdigest_rekeyed" -> tdigestRekeyedSql,
     "agg_hll_rollup" -> hllRollupSql,
     "agg_cms_freq" -> cmsFrequenciesSql,
     "doc_stems" -> docStemsSql)

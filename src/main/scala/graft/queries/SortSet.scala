@@ -127,6 +127,49 @@ object SortSet extends QueryPack {
     """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Row-distinct under the reference's OTHER NaN policy
+    * (stream_compaction.hpp:227 nan_equality::UNEQUAL — IEEE NaN ≠
+    * NaN, so every NaN-carrying row survives distinct;
+    * [[graft.operators.Dedup.distinctNanUnequal]]). Every 7th order's
+    * price becomes NaN and the rest bucket to 10k so real (priority,
+    * bucket) duplicates exist; the output summarizes the SURVIVOR
+    * multiset per priority — under the default ALL_EQUAL policy the
+    * NaN rows would collapse to one per priority, turning both
+    * columns red. Counts (not raw NaN doubles) keep the compare free
+    * of engine NaN-sort placement. */
+  def distinctNanUnequalQ(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val t = Tables.orders(s, dir).select($"o_orderpriority",
+      when(pmod($"o_orderkey", lit(7)) === 0, lit(Double.NaN))
+        .otherwise(floor($"o_totalprice".cast("double") / 10000.0)
+          * 10000.0).as("v"))
+    graft.operators.Dedup.distinctNanUnequal(t, Seq("v"))
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(isnan($"v"), 1L).otherwise(0L)).as("n_nan_rows"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val distinctNanUnequalSql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN isnan(v) THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nan_rows
+      |FROM (
+      |  SELECT o_orderpriority, v FROM (
+      |    SELECT o_orderpriority,
+      |      CASE WHEN o_orderkey % 7 = 0 THEN 'NaN'::DOUBLE
+      |           ELSE floor(CAST(o_totalprice AS DOUBLE) / 10000.0)
+      |                * 10000.0 END AS v
+      |    FROM orders) WHERE isnan(v)
+      |  UNION ALL
+      |  SELECT DISTINCT o_orderpriority, v FROM (
+      |    SELECT o_orderpriority,
+      |      CASE WHEN o_orderkey % 7 = 0 THEN 'NaN'::DOUBLE
+      |           ELSE floor(CAST(o_totalprice AS DOUBLE) / 10000.0)
+      |                * 10000.0 END AS v
+      |    FROM orders) WHERE NOT isnan(v))
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** CONSECUTIVE-duplicate removal (cudf `unique`,
     * stream_compaction.hpp:248 — std::unique semantics, distinct from
     * `distinct`): collapse each run of equal event_type per user in
@@ -212,6 +255,7 @@ object SortSet extends QueryPack {
     "set_intersect" -> intersectKeys,
     "set_except" -> exceptKeys,
     "distinct_rows" -> distinctRows,
+    "distinct_nan_unequal" -> distinctNanUnequalQ,
     "dedup_keep_first" -> dedupKeepFirst,
     "unique_consecutive" -> uniqueConsecutive)
 
@@ -224,6 +268,7 @@ object SortSet extends QueryPack {
     "set_intersect" -> intersectKeysSql,
     "set_except" -> exceptKeysSql,
     "distinct_rows" -> distinctRowsSql,
+    "distinct_nan_unequal" -> distinctNanUnequalSql,
     "dedup_keep_first" -> dedupKeepFirstSql,
     "unique_consecutive" -> uniqueConsecutiveSql)
 }
