@@ -168,6 +168,15 @@ MUTATIONS = [
      "else cur.withColumn(\"r2\",\n        coalesce(lead($\"r\", minWidth - w).over(byDoc), lit(-1L))))",
      "else cur.withColumn(\"r2\", lit(0L)))",
      "doc_hotclique_dups"),
+    # Round-14: the NaN-equality policy itself — silently reverting
+    # distinctNanUnequal to Spark's default ALL_EQUAL distinct
+    # collapses every per-priority NaN group to one surviving row;
+    # both count columns go red.
+    ("nan-unequal-policy-flipped",
+     "src/main/scala/graft/operators/Dedup.scala",
+     "df.filter(hasNan).unionByName(df.filter(!hasNan).dropDuplicates())",
+     "df.dropDuplicates()",
+     "distinct_nan_unequal"),
 ]
 
 
