@@ -497,15 +497,51 @@ object SubstringDedup {
     * O(1) and the injective rank assignment is pinned against
     * recomputation. */
   def duplicatedGrams(df: DataFrame, idCol: String, textCol: String,
-      minWidth: Int): DataFrame = {
+      minWidth: Int): DataFrame =
+    gramGroups(
+      df.select(col(idCol).cast("string").as("__d"),
+          lit(0).as("__s"), col(textCol).as("__t")),
+      minWidth)
+      .filter(col("n_occurrences") >= 2)
+      .select(col("dup_text"), col("n_occurrences"))
+
+  /** Cross-corpus (pair-mode) global suffix ranking —
+    * resolve_duplicates_pair (nvtext/deduplicate.hpp:95) at the same
+    * O(occurrences) hot-clique bound as [[duplicatedGrams]]: every
+    * minWidth-gram present in BOTH sources (srcCol ∈ {0, 1}), with the
+    * exact per-source occurrence counts — a contamination screen whose
+    * cost never touches train×eval pair space (the posting-list pair
+    * path's C(n_train·n_eval) hot-gram caveat). One tagged scan; the
+    * source tag rides each position row (doc-constant, 4 bytes) into
+    * the final group's two conditional counts. Documents are keyed by
+    * (src, id) internally so an id reused across sources can never
+    * attach the wrong text. */
+  def duplicatedGramsPair(df1: DataFrame, df2: DataFrame, idCol: String,
+      textCol: String, minWidth: Int): DataFrame =
+    gramGroups(
+      df1.select(col(idCol), col(textCol), lit(0).as("__src"))
+        .union(df2.select(col(idCol), col(textCol), lit(1).as("__src")))
+        .select(concat(col("__src"), lit("#"), col(idCol).cast("string"))
+            .as("__d"),
+          col("__src").as("__s"), col(textCol).as("__t")),
+      minWidth)
+      .filter(col("n_src0") >= 1 && col("n_src1") >= 1)
+      .select(col("dup_text"), col("n_src0"), col("n_src1"))
+
+  /** Shared depth-truncated global ranking core: input is a tagged
+    * (__d unique doc key, __s source tag, __t text) frame; output one
+    * row per minWidth-gram occurring at ≥ 2 positions corpus-wide —
+    * (dup_text, n_occurrences, n_src0, n_src1) — callers refine to
+    * their policy (cross-source presence implies ≥ 2 occurrences, so
+    * the pre-text-join singleton drop loses nothing in pair mode). */
+  private def gramGroups(tagged: DataFrame, minWidth: Int): DataFrame = {
     require(minWidth >= 2, "minWidth must be >= 2")
-    val spark = df.sparkSession
+    val spark = tagged.sparkSession
     import spark.implicits._
     // largest power of two <= minWidth; w >= minWidth/2 guarantees the
     // overlapping-halves pairing covers the gram exactly
     val w = Integer.highestOneBit(minWidth)
-    val texts = df
-      .select(col(idCol).cast("string").as("__d"), col(textCol).as("__t"))
+    val texts = tagged
       .filter(col("__t").isNotNull && length(col("__t")) >= minWidth)
     // one row per character position; __ok marks positions that start
     // a FULL minWidth-gram (rank rounds keep every position — ranks of
@@ -515,16 +551,16 @@ object SubstringDedup {
     // char exists" so a truncated doc-final pack can never collide
     // with a real 2-gram — which starts the doubling at width 2 and
     // saves one full re-rank round (distinct + join + checkpoint).
-    var cur = texts.as[(String, String)]
-      .flatMap { case (d, t) =>
+    var cur = texts.select($"__d", $"__s", $"__t").as[(String, Int, String)]
+      .flatMap { case (d, s, t) =>
         val lastOk = t.length - minWidth
         (0 until t.length).iterator.map { p =>
           val c2 = if (p + 1 < t.length)
             (t.charAt(p + 1).toLong << 1) | 1L else 0L
-          (d, p, p <= lastOk, (t.charAt(p).toLong << 17) | c2)
+          (d, s, p, p <= lastOk, (t.charAt(p).toLong << 17) | c2)
         }
       }
-      .toDF("__d", "pos", "__ok", "r")
+      .toDF("__d", "__s", "pos", "__ok", "r")
     var width = 2
     while (width < w) {
       val byDoc = org.apache.spark.sql.expressions.Window
@@ -532,7 +568,7 @@ object SubstringDedup {
       val led = cur.withColumn("r2",
         coalesce(lead($"r", width).over(byDoc), lit(-1L)))
       cur = led.join(rerankIds(led), Seq("r", "r2"))
-        .select($"__d", $"pos", $"__ok", $"__nr".as("r"))
+        .select($"__d", $"__s", $"pos", $"__ok", $"__nr".as("r"))
         .localCheckpoint()
       width *= 2
     }
@@ -545,16 +581,23 @@ object SubstringDedup {
     // representative text fetch stays JVM-side (String.substring), the
     // same UTF-16 position space charAt indexed — mixing in Spark SQL
     // substring (code-point semantics) would shift grams on any
-    // surrogate-pair content. Rows here = distinct duplicated grams.
+    // surrogate-pair content. Rows here = distinct candidate grams.
     keyed.groupBy($"r", $"r2")
       .agg(count(lit(1)).as("n_occurrences"),
+        sum(when($"__s" === 0, 1L).otherwise(0L)).as("n_src0"),
+        sum(when($"__s" === 1, 1L).otherwise(0L)).as("n_src1"),
         min(struct($"__d", $"pos")).as("rep"))
+      // singleton grams drop BEFORE any text ships (cross-source
+      // presence implies >= 2 occurrences, so this is a pure superset
+      // of both callers' policies)
       .filter($"n_occurrences" >= 2)
       .join(texts, col("rep.__d") === col("__d"))
-      .select(col("rep.pos").as("__p"), col("__t"), col("n_occurrences"))
-      .as[(Int, String, Long)]
-      .map { case (p, t, n) => (t.substring(p, p + minWidth), n) }
-      .toDF("dup_text", "n_occurrences")
+      .select(col("rep.pos").as("__p"), col("__t"), col("n_occurrences"),
+        col("n_src0"), col("n_src1"))
+      .as[(Int, String, Long, Long, Long)]
+      .map { case (p, t, n, n0, n1) =>
+        (t.substring(p, p + minWidth), n, n0, n1) }
+      .toDF("dup_text", "n_occurrences", "n_src0", "n_src1")
   }
 
   /** Order-free injective re-ranking for one doubling round: distinct

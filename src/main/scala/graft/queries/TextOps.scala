@@ -1227,6 +1227,45 @@ object TextOps extends QueryPack {
 
   private val HotCliqueSentinel = "##GLOBAL*SA*HOT*CLIQUE##"
 
+  /** Cross-corpus contamination at the hot-clique bound
+    * ([[graft.operators.SubstringDedup.duplicatedGramsPair]],
+    * resolve_duplicates_pair deduplicate.hpp:95 via the global suffix
+    * ranking): the SAME planted-sentinel corpus as doc_hotclique_dups,
+    * split train/eval on doc_id parity — the sentinel grams are a
+    * contamination clique present in every doc of BOTH sources, where
+    * the posting-list pair path would verify ~n_train·n_eval pairs.
+    * Output: every gram in both sources WITH exact per-source counts
+    * (stronger than doc_contamination's set-only projection). */
+  def hotCliqueContamination(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10000000L < 500 && col("text").isNotNull)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" "), lit(HotCliqueSentinel)).as("text"))
+    graft.operators.SubstringDedup.duplicatedGramsPair(
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 0),
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", minWidth = 15)
+      .select(col("dup_text").as("gram"),
+        col("n_src0").as("n_train"), col("n_src1").as("n_eval"))
+      .orderBy(col("gram"))
+  }
+
+  val hotCliqueContaminationSql: String =
+    s"""SELECT gram,
+       |  CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_train,
+       |  CAST(sum(CASE WHEN src = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_eval
+       |FROM (
+       |  SELECT doc_id % 2 AS src,
+       |    unnest(list_transform(generate_series(1, greatest(len(t) - 14, 0)),
+       |      s -> substr(t, s, 15))) AS gram
+       |  FROM (SELECT doc_id, text || ' ' || '$HotCliqueSentinel' AS t
+       |        FROM documents
+       |        WHERE doc_id % 10000000 < 500 AND text IS NOT NULL))
+       |GROUP BY gram
+       |HAVING count(DISTINCT src) = 2 ORDER BY gram""".stripMargin
+
   val hotCliqueDupsSql: String =
     s"""SELECT gram, CAST(count(*) AS BIGINT) AS n_occ FROM (
        |  SELECT unnest(list_transform(generate_series(1, greatest(len(t) - 14, 0)),
@@ -2732,6 +2771,7 @@ object TextOps extends QueryPack {
     "doc_simhash_pairs" -> simhashPairs,
     "doc_substring_dups" -> substringDups,
     "doc_hotclique_dups" -> hotCliqueDups,
+    "doc_hotclique_contamination" -> hotCliqueContamination,
     "doc_contamination" -> contamination,
     "doc_curation" -> curation,
     "doc_redact_pii" -> redactPii,
@@ -2779,6 +2819,7 @@ object TextOps extends QueryPack {
     "doc_chunk_dedup" -> chunkDedupSql,
     "doc_substring_dups" -> substringDupsSql,
     "doc_hotclique_dups" -> hotCliqueDupsSql,
+    "doc_hotclique_contamination" -> hotCliqueContaminationSql,
     "doc_contamination" -> contaminationSql,
     "doc_dedup_exact" -> dedupExactSql,
     "doc_dedup_fingerprint" -> dedupFingerprintSql,

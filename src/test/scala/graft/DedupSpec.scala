@@ -311,6 +311,35 @@ class DedupSpec extends AnyFunSuite {
         s"extra=${(viaGlobal -- viaResolve).take(3)}")
   }
 
+  test("duplicatedGramsPair matches brute force cross-source grams " +
+    "and survives id reuse across sources") {
+    import graft.operators.SubstringDedup
+    val rnd = new scala.util.Random(77)
+    def corpus(n: Int) = (0 until n).map(i => (i.toLong,
+      new String(Array.fill(30 + rnd.nextInt(40))(
+        ('a' + rnd.nextInt(3)).toChar))))
+    // deliberately REUSE ids 0..9 in both sources with different text
+    val train = corpus(12)
+    val eval = corpus(10)
+    val m = 7
+    def grams(t: String) =
+      (0 to t.length - m).map(p => t.substring(p, p + m))
+    val cnt0 = train.flatMap(d => grams(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val cnt1 = eval.flatMap(d => grams(d._2)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    val brute = (cnt0.keySet & cnt1.keySet)
+      .map(g => g -> (cnt0(g), cnt1(g))).toMap
+    val got = SubstringDedup.duplicatedGramsPair(
+        train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+        "doc_id", "text", m)
+      .as[(String, Long, Long)].collect()
+      .map { case (g, a, b) => g -> (a, b) }.toMap
+    assert(got == brute,
+      s"missing=${(brute.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- brute.keySet).take(3)}")
+  }
+
   test("suffixArray matches brute-force suffix sort on random strings") {
     import graft.operators.SubstringDedup
     val rnd = new scala.util.Random(1313)

@@ -177,6 +177,15 @@ MUTATIONS = [
      "df.filter(hasNan).unionByName(df.filter(!hasNan).dropDuplicates())",
      "df.dropDuplicates()",
      "distinct_nan_unequal"),
+    # Round-14: pair-mode global ranking must require presence in BOTH
+    # sources — weakening the cross-source predicate to plain
+    # duplication admits every single-source duplicated gram into the
+    # contamination report.
+    ("pair-grams-cross-source-dropped",
+     "src/main/scala/graft/operators/SubstringDedup.scala",
+     ".filter(col(\"n_src0\") >= 1 && col(\"n_src1\") >= 1)",
+     ".filter(col(\"n_occurrences\") >= 2)",
+     "doc_hotclique_contamination"),
 ]
 
 
