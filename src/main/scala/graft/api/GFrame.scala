@@ -221,6 +221,22 @@ final case class GFrame(df: DataFrame) {
   def nearDupPairsNgrams(idCol: String, textCol: String, n: Int = 3,
       threshold: Double = 0.8): GFrame =
     GFrame(Dedup.minhashNgramPairs(df, idCol, textCol, n, threshold = threshold))
+  /** Every duplicated minWidth-gram corpus-wide with its exact
+    * occurrence count — the distributed global-suffix-ranking screen
+    * (nvtext resolve_duplicates canonicalized to grams;
+    * O(occurrences) on hot duplicate cliques where the pair paths pay
+    * C(m,2)). */
+  def duplicatedGrams(idCol: String, textCol: String,
+      minWidth: Int = 15): GFrame =
+    GFrame(graft.operators.SubstringDedup.duplicatedGrams(
+      df, idCol, textCol, minWidth))
+  /** Cross-corpus contamination grams: every minWidth-gram present in
+    * BOTH this frame and `other`, with exact per-source counts
+    * (resolve_duplicates_pair at the same hot-clique bound). */
+  def contaminationGrams(other: GFrame, idCol: String, textCol: String,
+      minWidth: Int = 15): GFrame =
+    GFrame(graft.operators.SubstringDedup.duplicatedGramsPair(
+      df, other.df, idCol, textCol, minWidth))
   /** All unordered co-occurring (id_a, id_b) pairs sharing a key —
     * market baskets, band buckets, cluster cells. One posting-list
     * groupBy, pairs per key = (size choose 2); `distinctIds` dedupes

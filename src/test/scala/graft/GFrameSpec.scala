@@ -475,6 +475,22 @@ class GFrameSpec extends AnyFunSuite {
       "event_id").toDF.count() == 1)
   }
 
+  test("r14 facades: duplicatedGrams and contaminationGrams") {
+    val a = Seq((0L, "xxSHARED-RUN-HERExx padding text aa"),
+      (1L, "yySHARED-RUN-HEREyy other words bb")).toDF("doc_id", "text")
+    val b = Seq((0L, "zzSHARED-RUN-HEREzz eval side cc")).toDF("doc_id", "text")
+    val dup = GFrame(a).duplicatedGrams("doc_id", "text", minWidth = 14)
+      .toDF.as[(String, Long)].collect().toMap
+    assert(dup.get("SHARED-RUN-HERE".take(14)).contains(2L))
+    val cont = GFrame(a).contaminationGrams(GFrame(b), "doc_id", "text",
+        minWidth = 14)
+      .toDF.as[(String, Long, Long)].collect()
+      .map { case (g, x, y) => g -> (x, y) }.toMap
+    assert(cont.get("SHARED-RUN-HERE".take(14)).contains((2L, 1L)))
+    // single-source-only duplication must NOT appear in contamination
+    assert(!cont.keySet.exists(_.contains("padding")))
+  }
+
   test("r7 facades: weighted sampling and weighted percentiles") {
     val d = (0L until 100L).map(i => (i, s"g${i % 2}", i + 1.0)).toDF("id", "g", "w")
     assert(GFrame(d).sampleWeighted("id", "w", 10, "s").toDF.count() == 10)
