@@ -541,8 +541,15 @@ object SubstringDedup {
     // largest power of two <= minWidth; w >= minWidth/2 guarantees the
     // overlapping-halves pairing covers the gram exactly
     val w = Integer.highestOneBit(minWidth)
+    // Pre-filter note: Spark SQL length() counts CODE POINTS while the
+    // whole pipeline (positions, packed ranks, substring extraction)
+    // indexes UTF-16 units — a `length >= minWidth` filter would drop
+    // a doc whose UTF-16 length qualifies via surrogate pairs (found
+    // by the DedupSpec surrogate spec). UTF-16 length <= 2 * code
+    // points, so `2 * length >= minWidth` is the safe superset; the
+    // exact full-gram gate is the per-position __ok flag below.
     val texts = tagged
-      .filter(col("__t").isNotNull && length(col("__t")) >= minWidth)
+      .filter(col("__t").isNotNull && length(col("__t")) * 2 >= minWidth)
     // one row per character position; __ok marks positions that start
     // a FULL minWidth-gram (rank rounds keep every position — ranks of
     // tail positions feed earlier positions' keys — but only __ok rows

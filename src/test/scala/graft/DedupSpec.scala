@@ -311,6 +311,29 @@ class DedupSpec extends AnyFunSuite {
         s"extra=${(viaGlobal -- viaResolve).take(3)}")
   }
 
+  test("duplicatedGrams is UTF-16-consistent on surrogate-pair content") {
+    import graft.operators.SubstringDedup
+    // "a😀b😀c😀d😀e😀" = 5 BMP chars + 5 astral chars = 15 UTF-16
+    // units; positions, the packed base ranks, and the representative
+    // substring extraction all index UTF-16 units, so a gram whose
+    // boundary would split a surrogate pair under code-point
+    // arithmetic must still round-trip byte-identically
+    val emoji = "a😀b😀c😀d😀e😀"
+    assert(emoji.length == 15)
+    val docs = Seq((0L, "xx" + emoji + "yy"), (1L, "zz" + emoji + "ww"))
+      .toDF("doc_id", "text")
+    val got = SubstringDedup
+      .duplicatedGrams(docs, "doc_id", "text", minWidth = 15)
+      .as[(String, Long)].collect().toMap
+    // brute force in the same UTF-16 space
+    val brute = Seq("xx" + emoji + "yy", "zz" + emoji + "ww")
+      .flatMap(t => (0 to t.length - 15).map(p => t.substring(p, p + 15)))
+      .groupBy(identity).collect { case (g, o) if o.size >= 2 =>
+        g -> o.size.toLong }.toMap
+    assert(got == brute)
+    assert(got.get(emoji).contains(2L))
+  }
+
   test("duplicatedGramsPair matches brute force cross-source grams " +
     "and survives id reuse across sources") {
     import graft.operators.SubstringDedup
