@@ -185,7 +185,9 @@ object Dedup {
     * labels are compressed through themselves (label := label(label)),
     * which doubles the propagation distance per round → O(log diameter)
     * rounds, not O(diameter). Lineage is truncated with an eager
-    * localCheckpoint each round and superseded label frames are
+    * lineage cut (Checkpoints.cut — reliable checkpoint when
+    * spark.graft.checkpointDir is set) each round and superseded label
+    * frames are
     * unpersisted, so plan size and executor storage stay constant over
     * iterations. Returns ((id, cluster), converged); cluster is the
     * minimum id of the component. */
@@ -193,10 +195,10 @@ object Dedup {
       maxIter: Int = 10): (DataFrame, Boolean, Int) = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint() // eager: computed once, lineage cut, stays cached
+      .transform(Checkpoints.cut) // eager: computed once, lineage cut, stays cached
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -213,7 +215,7 @@ object Dedup {
         .select(col("id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       // Pointer jumping: labels are themselves ids, so re-resolving each
       // label through the label table halves the remaining path length.
       val jumped = propagated.as("x")
@@ -221,7 +223,7 @@ object Dedup {
           col("x.cluster") === col("jid"), "left")
         .select(col("x.id").as("id"),
           coalesce(col("jc"), col("x.cluster")).as("cluster"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       converged = jumped.as("u").join(labels.as("l"), "id")
         .filter(col("u.cluster") =!= col("l.cluster")).isEmpty
       // Dataset.unpersist is a NO-OP for localCheckpoint storage — free

@@ -57,7 +57,9 @@ object LinkAnalysis {
     * (|V| rows, two columns), never the edge set (|E| ≫ |V|). Per
     * iteration: one rank-side shuffle into the contribution join, one
     * dst-keyed aggregation, one broadcast of the 1-row dangling mass.
-    * The rank vector is localCheckpoint-ed EVERY iteration (it is |V|
+    * The rank vector is lineage-cut (Checkpoints.cut: localCheckpoint by
+    * default, reliable checkpoint() when spark.graft.checkpointDir is
+    * set) EVERY iteration (it is |V|
     * rows — small next to |E|): each iteration references the previous
     * vector TWICE (contribution join + dangling mass), so an uncut
     * lineage doubles per step — measured 13.7 s for 5 lazy iterations
@@ -103,7 +105,7 @@ object LinkAnalysis {
       .persist()
     val n = nodes.count()
     if (n == 0) {
-      val empty = nodes.withColumn("r", lit(0.0)).localCheckpoint()
+      val empty = nodes.withColumn("r", lit(0.0)).transform(Checkpoints.cut)
       e.unpersist(); nodes.unpersist()
       return empty
     }
@@ -144,7 +146,7 @@ object LinkAnalysis {
       // uncut plans double per step); free the superseded vector —
       // Dataset.unpersist is a no-op for localCheckpoint storage
       // (the nearDupClusters lesson)
-      ranks = ranks.localCheckpoint()
+      ranks = ranks.transform(Checkpoints.cut)
       if (lastCkpt != null)
         org.apache.spark.sql.graftshim.CheckpointUtil.free(lastCkpt)
       lastCkpt = ranks
@@ -170,7 +172,8 @@ object LinkAnalysis {
     * count per round — one tiny action on a frontier-sized frame, the
     * legitimate kind of driver decision). `maxLevels` bounds adversarial
     * diameters the same way pageRank fixes its iteration count.
-    * Visited/frontier frames are localCheckpoint-ed per round: each is
+    * Visited/frontier frames are lineage-cut (Checkpoints.cut) per
+    * round: each is
     * referenced by the next round's anti-join AND the final union, so
     * uncut lineage would double per level (the pageRank lesson).
     *
@@ -188,7 +191,7 @@ object LinkAnalysis {
       .distinct()
       .repartition(col("src"))
       .persist()
-    var visited = Seq((sourceId, 0)).toDF("id", "level").localCheckpoint()
+    var visited = Seq((sourceId, 0)).toDF("id", "level").transform(Checkpoints.cut)
     var frontier = visited
     var lvl = 0
     var frontierSize = 1L
@@ -199,10 +202,10 @@ object LinkAnalysis {
         .join(visited.select($"id".as("__seen")), $"id" === $"__seen",
           "left_anti")
         .withColumn("level", lit(lvl))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       frontierSize = next.count()
       if (frontierSize > 0) {
-        val merged = visited.union(next).localCheckpoint()
+        val merged = visited.union(next).transform(Checkpoints.cut)
         if (frontier ne visited)
           org.apache.spark.sql.graftshim.CheckpointUtil.free(frontier)
         org.apache.spark.sql.graftshim.CheckpointUtil.free(visited)

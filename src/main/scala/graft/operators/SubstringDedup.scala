@@ -290,7 +290,7 @@ object SubstringDedup {
       .withColumn("__chunk", pmod(hash(col("__id")), lit(chunks)))
       .repartition(chunks, col("__chunk"))
       .sortWithinPartitions(col("__chunk"), col("__id")) // fixed concat order
-      .localCheckpoint()
+      .transform(Checkpoints.cut)
 
   /** Pass 2: winnow-fingerprint discovery → EXACT gram-text
     * verification → candidate doc pairs spanning ≥2 chunks → exact
@@ -493,7 +493,9 @@ object SubstringDedup {
     * window partitions by document — per-task memory is one doc's
     * positions (fine for web/code corpora; a multi-GB single document
     * would need range-partitioned positions with a w-char halo, noted
-    * in SCALING.md). Each round is localCheckpoint'ed: lineage stays
+    * in SCALING.md). Each round is lineage-cut via Checkpoints.cut
+    * (spark.graft.checkpointDir switches the cut to a reliable
+    * checkpoint() for cluster fault tolerance): lineage stays
     * O(1) and the injective rank assignment is pinned against
     * recomputation. */
   def duplicatedGrams(df: DataFrame, idCol: String, textCol: String,
@@ -576,7 +578,7 @@ object SubstringDedup {
         coalesce(lead($"r", width).over(byDoc), lit(-1L)))
       cur = led.join(rerankIds(led), Seq("r", "r2"))
         .select($"__d", $"__s", $"pos", $"__ok", $"__nr".as("r"))
-        .localCheckpoint()
+        .transform(Checkpoints.cut)
       width *= 2
     }
     val byDoc = org.apache.spark.sql.expressions.Window

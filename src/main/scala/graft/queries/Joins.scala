@@ -20,7 +20,7 @@ object Joins extends QueryPack {
   def joinInner(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter($"p_size" > 45)),
+      .join(Tables.part(s, dir).filter($"p_size" > 45),
         $"l_partkey" === $"p_partkey")
       .select($"l_orderkey", $"l_linenumber", $"p_name", $"p_size",
         $"l_extendedprice")
@@ -120,9 +120,13 @@ object Joins extends QueryPack {
       |ORDER BY r_name, n_name""".stripMargin
 
   /** Conditional (non-equi, AST-predicate) join (conditional_join.hpp:72):
-    * pure inequality condition → BroadcastNestedLoopJoin. Supplier side is
-    * small and broadcast; at cluster scale this stays bounded because the
-    * broadcast side is a dimension. */
+    * pure inequality condition → BroadcastNestedLoopJoin. The hint is kept
+    * HERE (unlike the equi-join gates, which let AQE size-check) because a
+    * pure-inequality join has no hash strategy — without a broadcast side
+    * Spark falls back to a CartesianProduct. Supplier DOES scale with SF,
+    * so at large SF this band predicate should route through the interval
+    * bucketing in [[graft.plans.RangeJoin]] (see join_range_* gates), which
+    * turns the band into an equi-join on overlapping buckets. */
   def joinNonEqui(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val sup = Tables.supplier(s, dir)

@@ -1250,6 +1250,15 @@ object TextOps extends QueryPack {
       .orderBy(col("gram"))
   }
 
+  // ORACLE SEMANTICS NOTE (both hot-clique SQLs): DuckDB substr/len
+  // index CODE POINTS while the engine (SubstringDedup.gramGroups)
+  // indexes UTF-16 units — the two gram sets coincide only on BMP-only
+  // text. The testdata corpus is BMP-only (asserted by
+  // DedupSpec "gate corpus is BMP-only"), so the gates are exact; an
+  // astral-plane corpus would need a UTF-16-faithful oracle. The
+  // engine's own astral correctness is pinned by the DedupSpec
+  // surrogate-pair specs + the pre-filter mutation in
+  // tools/mutation_check.py (relapse of commit 49939a1 goes red).
   val hotCliqueContaminationSql: String =
     s"""SELECT gram,
        |  CAST(sum(CASE WHEN src = 0 THEN 1 ELSE 0 END) AS BIGINT)

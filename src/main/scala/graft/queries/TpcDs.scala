@@ -31,7 +31,7 @@ object TpcDs extends QueryPack {
         .cast(DecimalType(18, 6))).as("ord_rev"))
     val rev = ordRev
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"c_custkey")
       .agg(sum($"ord_rev").cast("double").as("cust_rev"))
@@ -327,7 +327,7 @@ object TpcDs extends QueryPack {
   def dsRollupRanking(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rolled = Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
       .rollup($"p_type", $"p_brand")
       .agg(dsum($"l_extendedprice", 2).as("revenue"))
       .withColumn("lvl",
@@ -647,7 +647,7 @@ object TpcDs extends QueryPack {
   def dsMarketShareWindow(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rev = Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy(year($"o_orderdate").as("o_year"), $"n_name")
       .agg(sum(floor($"o_totalprice" * 100 + 0.5)).as("rev_cents"))
@@ -698,7 +698,7 @@ object TpcDs extends QueryPack {
       .agg(countDistinct($"ch").as("n_ch"))
       .filter($"n_ch" === 3)
     allThree
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(count(lit(1)).as("n_customers"))
@@ -772,7 +772,7 @@ object TpcDs extends QueryPack {
       .agg(min(when(isExpress, $"o_orderdate")).as("first_express"),
         min(when(!isExpress, $"o_orderdate")).as("first_standard"))
       .filter($"first_express" < $"first_standard")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy($"c_mktsegment")
@@ -805,7 +805,7 @@ object TpcDs extends QueryPack {
       .groupBy($"o_custkey")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6)
         .as("ret_rev"))
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
     val byNation = Window.partitionBy($"n_name")
     perCust
@@ -881,7 +881,7 @@ object TpcDs extends QueryPack {
       .filter(year($"o_orderdate") === yr)
       .select($"o_custkey").distinct()
     custsOf(1995).intersect(custsOf(1996)).intersect(custsOf(1997))
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy($"c_mktsegment")
@@ -944,7 +944,7 @@ object TpcDs extends QueryPack {
     import s.implicits._
     def base = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
     val sales = base
       .groupBy(year($"o_orderdate").as("o_year"), $"n_name")
@@ -1244,7 +1244,7 @@ object TpcDs extends QueryPack {
       (c * lit(1000000L)).cast(DecimalType(19, 0))
     val q = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .filter(year($"l_shipdate") === 1997)
       .groupBy($"n_name", quarter($"l_shipdate").as("qtr"))
@@ -1320,7 +1320,7 @@ object TpcDs extends QueryPack {
     }
     Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .filter(year($"l_shipdate") === 1996)
       .groupBy($"n_name")
@@ -1529,7 +1529,7 @@ object TpcDs extends QueryPack {
       .except(leg($"l_discount" >= 0.10))
       .except(leg($"l_tax" >= 0.08))
     only
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(count(lit(1)).as("n_customers"))
@@ -1728,8 +1728,8 @@ object TpcDs extends QueryPack {
     val resale = side(1997, inUrgent = false, "resale")
     first.join(resale, Seq("l_partkey"))
       .filter($"resale_n" >= $"sale_n")
-      .join(broadcast(Tables.part(s, dir)
-        .select($"p_partkey", $"p_brand", $"p_type")),
+      .join(Tables.part(s, dir)
+        .select($"p_partkey", $"p_brand", $"p_type"),
         $"l_partkey" === $"p_partkey")
       .select($"l_partkey".as("partkey"), $"p_brand", $"p_type",
         $"sale_n", $"sale_qty", $"sale_rev",

@@ -59,7 +59,7 @@ object Tpch extends QueryPack {
     val li = Tables.lineitem(s, dir)
       .filter($"l_shipdate" > lit("1998-03-15").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
       .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
@@ -86,8 +86,8 @@ object Tpch extends QueryPack {
       .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
               $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
     li.join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
-      .join(broadcast(Tables.supplier(s, dir)),
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, dir),
         $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, dir)), $"n_regionkey" === $"r_regionkey")
@@ -138,7 +138,7 @@ object Tpch extends QueryPack {
               $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
     Tables.lineitem(s, dir).filter($"l_returnflag" === "R")
       .join(ord, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(Tables.nation(s, dir)), $"c_nationkey" === $"n_nationkey")
       .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"))
@@ -215,7 +215,7 @@ object Tpch extends QueryPack {
     Tables.lineitem(s, dir)
       .filter($"l_shipdate" >= lit("1997-06-01").cast("timestamp") &&
               $"l_shipdate" < lit("1997-07-01").cast("timestamp"))
-      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
       .agg((lit(100.0) *
         dsum(when($"p_type" === "ECONOMY",
           $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(0.0), 6) /
@@ -241,7 +241,7 @@ object Tpch extends QueryPack {
       .agg(dsum($"l_quantity", 2).as("total_qty"))
       .filter($"total_qty" > 150)
     big.join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
         $"o_totalprice", $"total_qty")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
@@ -269,7 +269,7 @@ object Tpch extends QueryPack {
       ($"p_brand" === "Brand#3" && $"p_size".between(1, 50) &&
         $"l_quantity".between(20, 30))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
+      .join(Tables.part(s, dir), $"l_partkey" === $"p_partkey")
       .filter(cond)
       .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"), 6).as("revenue"),
         count(lit(1)).as("n_lines"))
@@ -293,9 +293,9 @@ object Tpch extends QueryPack {
   def q9(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter($"p_name".contains("o"))),
+      .join(Tables.part(s, dir).filter($"p_name".contains("o")),
         $"l_partkey" === $"p_partkey")
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
       .groupBy($"n_name", year($"o_orderdate").as("o_year"))
@@ -354,7 +354,7 @@ object Tpch extends QueryPack {
     import org.apache.spark.sql.types.DecimalType
     val w = Window.partitionBy($"l_partkey")
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter($"p_brand" === "Brand#3")),
+      .join(Tables.part(s, dir).filter($"p_brand" === "Brand#3"),
         $"l_partkey" === $"p_partkey")
       .withColumn("half_avg_qty",
         (sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast("double") /

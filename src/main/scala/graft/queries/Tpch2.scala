@@ -25,9 +25,9 @@ object Tpch2 extends QueryPack {
     val n2 = Tables.nation(s, dir)
       .select($"n_nationkey".as("n2_key"), $"n_name".as("cust_nation"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(n1), $"s_nationkey" === $"n1_key")
       .join(broadcast(n2), $"c_nationkey" === $"n2_key")
       .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
@@ -61,11 +61,11 @@ object Tpch2 extends QueryPack {
     val suppNation = Tables.nation(s, dir)
       .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir).filter($"p_type" === "STANDARD")),
+      .join(Tables.part(s, dir).filter($"p_type" === "STANDARD"),
         $"l_partkey" === $"p_partkey")
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(Tables.customer(s, dir)), $"o_custkey" === $"c_custkey")
+      .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
       .join(broadcast(custNation), $"c_nationkey" === $"cn_key")
       .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
         $"cn_region" === $"r_regionkey")
@@ -106,7 +106,7 @@ object Tpch2 extends QueryPack {
     val maxRev = revenue.agg(max($"total_revenue").as("max_revenue"))
     revenue.crossJoin(broadcast(maxRev))
       .filter($"total_revenue" === $"max_revenue")
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .select($"s_suppkey", $"s_name", $"total_revenue")
       .orderBy($"s_suppkey")
   }
@@ -131,9 +131,9 @@ object Tpch2 extends QueryPack {
     val complaints = Tables.supplier(s, dir)
       .filter($"s_suppkey" % 13 === 0).select($"s_suppkey".as("bad_key"))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)
+      .join(Tables.part(s, dir)
           .filter($"p_brand" =!= "Brand#1" && !$"p_type".startsWith("PROMO") &&
-            $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29))),
+            $"p_size".isin(1, 5, 9, 13, 17, 21, 25, 29)),
         $"l_partkey" === $"p_partkey")
       .join(complaints, $"l_suppkey" === $"bad_key", "left_anti")
       .groupBy($"p_brand", $"p_type", $"p_size")
@@ -178,7 +178,7 @@ object Tpch2 extends QueryPack {
       .withColumn("supp_late", sum($"late").over(wOS))
       .filter($"late" === 1L && $"ord_lines" > $"supp_lines" &&
         $"ord_late" === $"supp_late")
-      .join(broadcast(Tables.supplier(s, dir)), $"l_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"l_suppkey" === $"s_suppkey")
       .groupBy($"s_name")
       .agg(count(lit(1)).as("numwait"))
       .orderBy($"numwait".desc, $"s_name")

@@ -57,10 +57,10 @@ object Tpch3 extends QueryPack {
   def q2(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val eligible = partsupp(s, dir)
-      .join(broadcast(Tables.part(s, dir)
-        .filter($"p_size" === 15 && $"p_type" === "STANDARD")),
+      .join(Tables.part(s, dir)
+        .filter($"p_size" === 15 && $"p_type" === "STANDARD"),
         $"ps_partkey" === $"p_partkey")
-      .join(broadcast(Tables.supplier(s, dir)), $"ps_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"ps_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(s, dir)), $"s_nationkey" === $"n_nationkey")
       .join(broadcast(Tables.region(s, dir).filter($"r_name" === "EUROPE")),
         $"n_regionkey" === $"r_regionkey")
@@ -106,7 +106,7 @@ object Tpch3 extends QueryPack {
     // pattern, LinkAnalysis.scala). Headroom: Σ|value|·1e4 < 2^63
     // ≈ 9e14 units per part, far above any SF
     val byPart = partsupp(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), $"ps_suppkey" === $"s_suppkey")
+      .join(Tables.supplier(s, dir), $"ps_suppkey" === $"s_suppkey")
       .join(broadcast(Tables.nation(s, dir).filter($"n_name" === "NATION_3")),
         $"s_nationkey" === $"n_nationkey")
       .groupBy($"ps_partkey")
@@ -137,7 +137,7 @@ object Tpch3 extends QueryPack {
 
   /** Q20 potential part promotion: suppliers in one nation holding more
     * than half of what they shipped of 'small%'-named parts in 1997.
-    * Shape: broadcast part filter → per-(part,supp) shipped-quantity
+    * Shape: part filter (AQE broadcasts when small) → per-(part,supp)
     * aggregate (inner join = the original's correlated EXISTS; a pair
     * with no 1997 shipments fails the NULL comparison and drops) →
     * threshold filter → LEFT SEMI join onto supplier. */
@@ -156,7 +156,7 @@ object Tpch3 extends QueryPack {
         sum(when(year($"l_shipdate") === 1997, $"l_quantity").cast("long"))
           .cast("double").as("qty_1997"))
     val eligible = pairAgg
-      .join(broadcast(smallParts), $"ps_partkey" === $"p_partkey")
+      .join(smallParts, $"ps_partkey" === $"p_partkey")
       .filter($"ps_availqty" > lit(0.5) * $"qty_1997")
       .select($"ps_suppkey")
     Tables.supplier(s, dir)

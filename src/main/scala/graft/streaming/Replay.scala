@@ -56,10 +56,14 @@ object Replay {
     *    feeds explicit SENTINEL data batches, so eviction/emission
     *    still happens on data triggers — the oracle compare re-proves
     *    the final table either way;
-    *  - one batch of state retained (default 2): the replay never
-    *    restarts from a checkpointed version mid-run (stream_restart
-    *    builds a FRESH query on a new checkpoint for its second leg),
-    *    so version-2 snapshot retention is pure commit-path cost. */
+    *  - one batch of state retained (Spark default 100): restarts in
+    *    this rig only ever happen after a CLEAN stop with every batch
+    *    committed (stream_restart's runWithRestart DOES reuse the same
+    *    checkpoint dir for q2, but only after q1.processAllAvailable +
+    *    stop), so recovery loads exactly the latest committed state
+    *    version — retaining older versions is pure commit-path cost
+    *    here. A rig extended to crash-mid-batch restarts would need
+    *    the retention back. */
   private def withRigConf[A](spark: SparkSession)(body: => A): A = {
     val keys = Seq(
       "spark.sql.shuffle.partitions" -> RigPartitions,
