@@ -334,6 +334,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got.get(emoji).contains(2L))
   }
 
+  test("gate corpus is BMP-only (hot-clique oracle exactness assumption)") {
+    // The doc_hotclique_* oracles index grams with DuckDB substr/len
+    // (CODE POINTS) while the engine indexes UTF-16 units; the two
+    // agree exactly iff the corpus has no astral-plane characters.
+    // Pin that assumption on the gate feed — if the testdata generator
+    // ever plants astral chars, this fails before the gate can go
+    // spuriously red. Engine astral correctness itself is covered by
+    // the surrogate-pair specs above + the utf16-prefilter mutation.
+    import org.apache.spark.sql.functions.col
+    val astral = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)].collect()
+      .filter { case (_, t) => t.exists(Character.isSurrogate) }
+    assert(astral.isEmpty,
+      s"astral-plane chars in gate corpus docs ${astral.take(3).map(_._1).toSeq}")
+  }
+
   test("duplicatedGramsPair matches brute force cross-source grams " +
     "and survives id reuse across sources") {
     import graft.operators.SubstringDedup

@@ -186,6 +186,19 @@ MUTATIONS = [
      ".filter(col(\"n_src0\") >= 1 && col(\"n_src1\") >= 1)",
      ".filter(col(\"n_occurrences\") >= 2)",
      "doc_hotclique_contamination"),
+    # Round-15: relapse of the r14 code-point/UTF-16 pre-filter fix
+    # (commit 49939a1) — `length()` counts code points, the pipeline
+    # indexes UTF-16 units, so a plain `length >= minWidth` filter
+    # silently drops astral-char docs whose UTF-16 length qualifies.
+    # The gate corpus is BMP-only BY CONTRACT (DedupSpec "gate corpus
+    # is BMP-only" pins it; the DuckDB oracle is code-point-indexed,
+    # so an astral gate feed would diverge spuriously) — the detector
+    # is the surrogate-pair unit spec, a `test:` gate.
+    ("utf16-prefilter-codepoint-relapse",
+     "src/main/scala/graft/operators/SubstringDedup.scala",
+     ".filter(col(\"__t\").isNotNull && length(col(\"__t\")) * 2 >= minWidth)",
+     ".filter(col(\"__t\").isNotNull && length(col(\"__t\")) >= minWidth)",
+     "test:graft.DedupSpec:surrogate"),
 ]
 
 
@@ -200,7 +213,22 @@ def run(cmd, env=None, timeout=900):
 def compare_red(query):
     """Run Verify + compare for one query; return True if the gate row
     is RED (mutation caught) — a Verify crash also counts as caught
-    (the gate records errors as failures)."""
+    (the gate records errors as failures).
+
+    A `test:<Suite>[:<substring>]` gate instead runs the named ScalaTest
+    suite (optionally filtered with -z) and is red on any test failure —
+    for bugs the BMP-only oracle corpus cannot express (e.g. UTF-16
+    surrogate handling)."""
+    if query.startswith("test:"):
+        parts = query.split(":", 2)
+        cmd = f"testOnly {parts[1]}"
+        if len(parts) == 3:
+            cmd += f' -- -z "{parts[2]}"'
+        r = run(["sbt", "-batch", cmd])
+        red = r.returncode != 0 or "*** FAILED ***" in r.stdout
+        line = next((l for l in r.stdout.splitlines()
+                     if "Tests:" in l or "FAILED" in l), "?")
+        return red, line.strip()[:200]
     out_dir = "/tmp/mutcheck"
     r = run(["sbt", "-batch", f"runMain graft.Verify {SF} {out_dir}"],
             env={"SPARK_GRAFT_ONLY": query, "SPARK_GRAFT_CPUS": "8"})
