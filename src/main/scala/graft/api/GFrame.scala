@@ -661,7 +661,13 @@ final case class GFrame(df: DataFrame) {
     GFrame(df.withColumn(outCol,
       graft.operators.Embeddings.randomProject(col(vecCol), inDim, outDim,
         seed)))
-  /** SemDeDup-style semantic near-dup pairs (k-means cell blocking). */
+  /** SemDeDup-style semantic near-dup pairs (k-means cell blocking).
+    *
+    * Contract note: an EXPLICIT `nCells` always runs the exact flat
+    * argmax assignment — O(nCells·n) distance evaluations. Big-K
+    * callers (nCells ≥ ~4096) who want the O(n·√K) hierarchical
+    * descent must pass `superProbes > 0` (recall-gated lossy regime);
+    * `nCells <= 0` stays corpus-adaptive and picks the path itself. */
   def semanticDedupPairs(idCol: String, vecCol: String, threshold: Double,
       nCells: Int, superProbes: Int = 0): GFrame =
     GFrame(graft.operators.Similarity.semanticDedupPairs(df, idCol, vecCol,

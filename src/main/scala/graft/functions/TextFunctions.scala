@@ -432,6 +432,23 @@ object TextFunctions {
   def scriptCount(c: Column, range: String): Column =
     length(regexp_replace(c, s"[^$range]", ""))
 
+  /** List → string representation (strings/convert/convert_lists.hpp
+    * format_list_column): "[e1,e2,...]", null elements rendered as
+    * `nullToken` (the reference's na_rep). Codegen'd built-ins —
+    * array_join carries the null replacement natively. */
+  def listRepr(c: Column, nullToken: String = "NULL"): Column =
+    concat(lit("["),
+      array_join(c.cast("array<string>"), ",", nullToken), lit("]"))
+
+  /** Nested (depth-2) list → string: "[[..],[..]]" — each inner list
+    * renders via [[listRepr]] rules (convert_lists.hpp handles
+    * arbitrary nesting; depth-2 covers the common shape, deeper nests
+    * compose the same transform). */
+  def listReprNested(c: Column, nullToken: String = "NULL"): Column =
+    concat(lit("["),
+      array_join(transform(c, inner => listRepr(inner, nullToken)), ","),
+      lit("]"))
+
   /** Dominant script label: argmax over [[ScriptRanges]] counts, ties
     * resolved by range order; "other" when no listed script matches. */
   def dominantScript(c: Column): Column = {

@@ -12,10 +12,24 @@ object Reshape {
     * one indicator column per category value. Values must be enumerated
     * (or discovered first) — at scale pass them explicitly to avoid a
     * discovery pass. */
-  def oneHot(df: DataFrame, col0: String, values: Seq[String]): DataFrame =
+  /** Plan-width guard for the column-exploding reshapes ([[oneHot]],
+    * [[crosstab]]): each listed value becomes a PHYSICAL COLUMN, so the
+    * category domain must be schema-bounded (get_dummies' contract in
+    * the reference too — a 1M-category column is a join against a code
+    * table, not a reshape). Past ~4k columns Spark's codegen and
+    * optimizer walk the schema superlinearly; fail loudly instead. */
+  val MaxReshapeWidth = 4096
+
+  def oneHot(df: DataFrame, col0: String, values: Seq[String],
+      maxWidth: Int = MaxReshapeWidth): DataFrame = {
+    require(values.size <= maxWidth,
+      s"oneHot would add ${values.size} columns (> $maxWidth): a domain " +
+        "this wide should be encoded (joined against a code table), not " +
+        "widened into the schema; raise maxWidth only for bounded domains")
     values.foldLeft(df) { (d, v) =>
       d.withColumn(s"${col0}_$v", when(col(col0) === v, 1).otherwise(0))
     }
+  }
 
   /** crosstab (reshape.py:1543) — counts of a × b with the b-values
     * enumerated explicitly, like [[oneHot]]. `stat.crosstab` was rejected
@@ -24,11 +38,16 @@ object Reshape {
     * values this is one hash-shuffled groupBy + a codegen'd pivot —
     * fully distributed, column count fixed up front. */
   def crosstab(df: DataFrame, a: String, b: String,
-      bValues: Seq[String]): DataFrame =
+      bValues: Seq[String], maxWidth: Int = MaxReshapeWidth): DataFrame = {
+    require(bValues.size <= maxWidth,
+      s"crosstab would pivot ${bValues.size} columns (> $maxWidth): " +
+        "keep the b-domain schema-bounded (group by (a, b) and keep it " +
+        "long otherwise); raise maxWidth only for bounded domains")
     df.groupBy(col(a).cast("string").as(s"${a}_$b"))
       .pivot(b, bValues)
       .count()
       .na.fill(0L, bValues)
+  }
 
   /** interleave_columns (cudf/reshape.hpp:51): columns a,b,… become one
     * column with values alternating row-wise (a₀,b₀,a₁,b₁,…). The

@@ -490,10 +490,12 @@ object SubstringDedup {
     * map-side partial aggregates, so even the m-row group never
     * gathers on one reducer). Text ships exactly once per DISTINCT
     * duplicated gram (the representative substring fetch). The lead
-    * window partitions by document — per-task memory is one doc's
-    * positions (fine for web/code corpora; a multi-GB single document
-    * would need range-partitioned positions with a w-char halo, noted
-    * in SCALING.md). Each round is lineage-cut via Checkpoints.cut
+    * windows are BLOCKED ([[leadByPos]]): positions range-partition
+    * into fixed blocks with a width-sized halo, so per-task memory is
+    * min(doc, block) positions — a multi-GB single document spreads
+    * over len/block tasks instead of serializing into one (the former
+    * SCALING.md caveat, closed round 15). Each round is lineage-cut
+    * via Checkpoints.cut
     * (spark.graft.checkpointDir switches the cut to a reliable
     * checkpoint() for cluster fault tolerance): lineage stays
     * O(1) and the injective rank assignment is pinned against
@@ -570,27 +572,32 @@ object SubstringDedup {
         }
       }
       .toDF("__d", "__s", "pos", "__ok", "r")
+    val block = math.max(spark.conf.getOption(BlockCharsKey)
+      .map(_.toInt).getOrElse(DefaultBlockChars), w)
     var width = 2
     while (width < w) {
-      val byDoc = org.apache.spark.sql.expressions.Window
-        .partitionBy($"__d").orderBy($"pos")
-      val led = cur.withColumn("r2",
-        coalesce(lead($"r", width).over(byDoc), lit(-1L)))
-      cur = led.join(rerankIds(led), Seq("r", "r2"))
+      val led = leadByPos(cur, width, block)
+      // The rerank join's BOTH sides are corpus-positions-sized by
+      // construction — never broadcastable. Pin sort-merge: a
+      // LocalRelation-sourced corpus (unit probes; schema-default byte
+      // estimates, 20 B/string) otherwise under-estimates `led` and
+      // Spark attempts a multi-GiB broadcast of the position frame.
+      cur = led.join(rerankIds(led).hint("merge"), Seq("r", "r2"))
         .select($"__d", $"__s", $"pos", $"__ok", $"__nr".as("r"))
         .transform(Checkpoints.cut)
       width *= 2
     }
-    val byDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"__d").orderBy($"pos")
     val keyed = (if (minWidth == w) cur.withColumn("r2", $"r")
-      else cur.withColumn("r2",
-        coalesce(lead($"r", minWidth - w).over(byDoc), lit(-1L))))
+      else leadByPos(cur, minWidth - w, block))
       .filter($"__ok")
     // representative text fetch stays JVM-side (String.substring), the
     // same UTF-16 position space charAt indexed — mixing in Spark SQL
     // substring (code-point semantics) would shift grams on any
     // surrogate-pair content. Rows here = distinct candidate grams.
+    // Output projection: a gram whose boundary splits a surrogate pair
+    // carries a lone half, which the UTF-8 string layer renders as '?'
+    // in dup_text — grouping and counts happen in UTF-16 rank space
+    // and are exact regardless (DedupSpec halo-parity spec pins this).
     keyed.groupBy($"r", $"r2")
       .agg(count(lit(1)).as("n_occurrences"),
         sum(when($"__s" === 0, 1L).otherwise(0L)).as("n_src0"),
@@ -607,6 +614,45 @@ object SubstringDedup {
       .map { case (p, t, n, n0, n1) =>
         (t.substring(p, p + minWidth), n, n0, n1) }
       .toDF("dup_text", "n_occurrences", "n_src0", "n_src1")
+  }
+
+  /** Conf key: positions per ranking block (UTF-16 units). Default 4 M
+    * (the chunk-SA per-task bound); lower it only in tests. */
+  val BlockCharsKey = "spark.graft.substring.blockChars"
+  val DefaultBlockChars: Int = 1 << 22
+
+  /** `r2(p) := r(p + width)` (−1 past doc end) WITHOUT a per-document
+    * window: positions are range-partitioned into fixed blocks of
+    * `block` units — window key (__d, pos div block) — and each block's
+    * first `width` positions are ALSO copied to the previous block as a
+    * read-only halo, so every in-block `lead` sees its +width neighbor.
+    * Positions are dense per doc (the initial flatMap emits every
+    * index and rank rounds keep all of them), so row-lead == position
+    * -lead inside the contiguous main+halo span, and a missing lead
+    * (doc end) is exactly the old per-doc window's null.
+    *
+    * A doc shorter than `block` occupies ONE block — identical frame,
+    * empty halo, same plan shape as the old per-doc window. A multi-GB
+    * document (which the reference's ≤2 GB single-device corpus cap
+    * cannot even hold — nvtext/deduplicate.hpp:40) spreads over
+    * len/block tasks instead of serializing into one; per-task memory
+    * is block+width positions regardless of document size. Halo
+    * overhead: width/block ≤ minWidth/4M extra rows per round. */
+  private def leadByPos(cur: DataFrame, width: Int, block: Int)
+      : DataFrame = {
+    require(block >= width, s"block $block < width $width")
+    val main = cur
+      .withColumn("__blk", expr(s"CAST(pos DIV $block AS LONG)"))
+      .withColumn("__keep", lit(true))
+    val halo = cur.filter(col("pos") >= block && col("pos") % block < width)
+      .withColumn("__blk", expr(s"CAST(pos DIV $block AS LONG) - 1"))
+      .withColumn("__keep", lit(false))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__d"), col("__blk")).orderBy(col("pos"))
+    main.unionByName(halo)
+      .withColumn("r2", coalesce(lead(col("r"), width).over(win), lit(-1L)))
+      .filter(col("__keep"))
+      .drop("__blk", "__keep")
   }
 
   /** Order-free injective re-ranking for one doubling round: distinct

@@ -820,6 +820,39 @@ object Funcs extends QueryPack {
        |ORDER BY event_id""".stripMargin
   }
 
+  /** List → string repr (strings/convert/convert_lists.hpp
+    * format_list_column): a REAL array column (per-order collected
+    * line numbers) rendered "[e1,e2,..]", a nested depth-2 render
+    * "[[min],[max]]", and the null-element policy (na_rep "NULL")
+    * exercised through a planted nullable element. */
+  def strListRepr(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.functions.TextFunctions.{listRepr, listReprNested}
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 101 < 12)
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_list($"l_linenumber")).as("lns"),
+        min($"l_linenumber").as("mn"), max($"l_linenumber").as("mx"))
+      .select($"l_orderkey",
+        listRepr($"lns").as("lst_repr"),
+        listReprNested(array(array($"mn"), array($"mx"))).as("nested_repr"),
+        listRepr(array($"mn", nullif($"mx", $"mn"))).as("null_repr"))
+      .orderBy($"l_orderkey")
+  }
+
+  val strListReprSql: String =
+    """SELECT l_orderkey,
+      |  '[' || array_to_string(list_sort(list(l_linenumber)), ',') || ']'
+      |    AS lst_repr,
+      |  '[[' || CAST(min(l_linenumber) AS VARCHAR) || '],[' ||
+      |    CAST(max(l_linenumber) AS VARCHAR) || ']]' AS nested_repr,
+      |  '[' || CAST(min(l_linenumber) AS VARCHAR) || ',' ||
+      |    CASE WHEN max(l_linenumber) = min(l_linenumber) THEN 'NULL'
+      |         ELSE CAST(max(l_linenumber) AS VARCHAR) END || ']'
+      |    AS null_repr
+      |FROM lineitem WHERE l_orderkey % 101 < 12
+      |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
+
   /** Edit-distance similarity join (edit_distance.hpp:57 lifted to a
     * JOIN): every (sampled customer, customer) name pair within
     * Levenshtein distance 1, via SymSpell deletion-neighborhood
@@ -1002,6 +1035,7 @@ object Funcs extends QueryPack {
     "str_record_linkage" -> strRecordLinkage,
     "str_sorted_neighborhood" -> strSortedNeighborhood,
     "str_durations" -> strDurations,
+    "str_list_repr" -> strListRepr,
     "str_case_convert" -> strCaseConvert,
     "str_pad_center" -> strPadCenter,
     "dt_month_edges" -> dtMonthEdges,
@@ -1037,6 +1071,7 @@ object Funcs extends QueryPack {
     "str_record_linkage" -> strRecordLinkageSql,
     "str_sorted_neighborhood" -> strSortedNeighborhoodSql,
     "str_durations" -> strDurationsSql,
+    "str_list_repr" -> strListReprSql,
     "str_case_convert" -> strCaseConvertSql,
     "str_pad_center" -> strPadCenterSql,
     "dt_month_edges" -> dtMonthEdgesSql,

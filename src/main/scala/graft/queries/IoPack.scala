@@ -267,7 +267,53 @@ object IoPack extends QueryPack {
        |FROM lineitem WHERE l_quantity <= 5
        |GROUP BY 1 ORDER BY qty""".stripMargin
 
+  /** Footer-metadata-as-a-table (parquet_metadata.hpp; DuckDB's
+    * parquet_metadata() twin): write a deterministic orders slice (with
+    * a planted nullable column) as ONE parquet file, read back ONLY its
+    * footer via [[Layout.parquetMetadata]], and reduce the metadata
+    * rows to data-derivable facts — row counts, per-column value/null
+    * counts, min/max stats cast back to their types. The oracle
+    * computes the same facts from the DATA, so the gate proves the
+    * footer stats ARE the data's truth (and that no data page needed
+    * reading to get them). */
+  def parquetMetadataGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch("meta_orders")
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" % 97 < 30)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
+        when($"o_orderstatus" =!= "O", $"o_orderstatus").as("o_nullable"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(path)
+    val m = Layout.parquetMetadata(s, path)
+    def forCol(c: String, expr: org.apache.spark.sql.Column) =
+      max(when($"path_in_schema" === c, expr))
+    m.agg(
+      countDistinct($"file_name").cast("int").as("n_files"),
+      (max($"row_group_id") + 1).cast("int").as("n_row_groups"),
+      max($"row_group_num_rows").as("n_rows"),
+      forCol("o_orderkey", $"num_values").as("okey_values"),
+      forCol("o_orderkey", $"stats_min".cast("long")).as("okey_min"),
+      forCol("o_orderkey", $"stats_max".cast("long")).as("okey_max"),
+      forCol("o_totalprice", $"stats_min".cast("double")).as("price_min"),
+      forCol("o_totalprice", $"stats_max".cast("double")).as("price_max"),
+      forCol("o_orderstatus", $"stats_min").as("status_min"),
+      forCol("o_orderstatus", $"stats_max").as("status_max"),
+      forCol("o_nullable", $"null_count").as("nullable_nulls"))
+  }
+
+  val parquetMetadataGateSql: String =
+    """SELECT CAST(1 AS INT) AS n_files, CAST(1 AS INT) AS n_row_groups,
+      |  count(*) AS n_rows, count(*) AS okey_values,
+      |  min(o_orderkey) AS okey_min, max(o_orderkey) AS okey_max,
+      |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max,
+      |  min(o_orderstatus) AS status_min, max(o_orderstatus) AS status_max,
+      |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nullable_nulls
+      |FROM orders WHERE o_orderkey % 97 < 30""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "io_parquet_metadata" -> parquetMetadataGate,
     "io_csv_roundtrip" -> csvRoundTrip,
     "io_json_roundtrip" -> jsonRoundTrip,
     "io_orc_roundtrip" -> orcRoundTrip,
@@ -281,6 +327,7 @@ object IoPack extends QueryPack {
     "io_zorder3_prune" -> zorder3Prune)
 
   override def oracle: Map[String, String] = Map(
+    "io_parquet_metadata" -> parquetMetadataGateSql,
     "io_csv_roundtrip" -> csvRoundTripSql,
     "io_json_roundtrip" -> jsonRoundTripSql,
     "io_orc_roundtrip" -> orcRoundTripSql,

@@ -98,6 +98,61 @@ object Layout {
     df.sparkSession.read.parquet(path)
   }
 
+  /** Parquet footer metadata AS A TABLE (parquet_metadata.hpp — the
+    * reference exposes footer schema/stats/row-group structure as
+    * readable data; DuckDB's parquet_metadata() is the same idea): one
+    * row per (file, row group, column chunk) with counts, byte sizes
+    * and min/max/null-count statistics, read from FOOTERS ONLY — no
+    * data pages are touched. min/max render via parquet-mr's
+    * Statistics#minAsString (Double.toString / Long.toString / UTF-8,
+    * lossless to cast back).
+    *
+    * Footer reads happen on the driver (one seek per file — the same
+    * metadata-sized listing [[compact]] already does); for a lake with
+    * many thousands of files, parallelize by mapping this over
+    * per-directory partitions instead of one giant glob. */
+  def parquetMetadata(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val statuses =
+      (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
+       else Seq(fs.getFileStatus(root)))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+    val rows = statuses.flatMap { st =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromStatus(st, conf))
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+          case (bg, rg) =>
+            bg.getColumns.asScala.toSeq.map { cc =>
+              val stats = cc.getStatistics
+              val hasMinMax = stats != null && stats.hasNonNullValue
+              (st.getPath.getName, rg, bg.getRowCount,
+                cc.getPath.toDotString,
+                cc.getPrimitiveType.getPrimitiveTypeName.name,
+                cc.getValueCount,
+                if (stats != null && !stats.isNumNullsSet) -1L
+                else if (stats != null) stats.getNumNulls else -1L,
+                cc.getTotalSize, cc.getTotalUncompressedSize,
+                if (hasMinMax) stats.minAsString else null,
+                if (hasMinMax) stats.maxAsString else null)
+            }
+        }
+      } finally reader.close()
+    }
+    import spark.implicits._
+    rows.toDF("file_name", "row_group_id", "row_group_num_rows",
+      "path_in_schema", "type", "num_values", "null_count",
+      "total_compressed_size", "total_uncompressed_size",
+      "stats_min", "stats_max")
+  }
+
   /** Compact a parquet directory into ~`targetFileBytes` output files —
     * the small-files maintenance job (a streaming sink or an
     * over-parallel write leaves thousands of KB-sized files whose

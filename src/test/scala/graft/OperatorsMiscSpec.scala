@@ -39,6 +39,20 @@ class OperatorsMiscSpec extends AnyFunSuite {
     assert(got.getLong(0) == 2L && got.getLong(1) == 1L)
   }
 
+  test("oneHot/crosstab refuse unbounded category domains loudly") {
+    val df = Seq(("a", "x")).toDF("c", "d")
+    val wide = (0 until Reshape.MaxReshapeWidth + 1).map(_.toString)
+    val e1 = intercept[IllegalArgumentException](
+      Reshape.oneHot(df, "c", wide))
+    assert(e1.getMessage.contains("columns"))
+    val e2 = intercept[IllegalArgumentException](
+      Reshape.crosstab(df, "c", "d", wide))
+    assert(e2.getMessage.contains("columns"))
+    // explicit opt-in still works for genuinely bounded wide domains
+    assert(Reshape.oneHot(df, "c", Seq("a", "b"), maxWidth = 2)
+      .columns.length == 4)
+  }
+
   test("transpose flips a bounded frame") {
     val df = Seq(("r1", 1.0, 2.0), ("r2", 3.0, 4.0)).toDF("id", "m1", "m2")
     val t = Reshape.transpose(df, "id").orderBy("metric").collect()
