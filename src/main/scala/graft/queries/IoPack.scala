@@ -312,8 +312,51 @@ object IoPack extends QueryPack {
       |    AS nullable_nulls
       |FROM orders WHERE o_orderkey % 97 < 30""".stripMargin
 
+  /** ORC twin of [[parquetMetadataGate]] (orc_metadata.hpp): same
+    * slice written as ONE orc file, footer statistics reduced to
+    * data-derivable facts. ORC's num_values counts NON-null values
+    * (parquet counts all), so the nullable column's value count is the
+    * null-policy probe here. */
+  def orcMetadataGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch("meta_orders_orc")
+    Tables.orders(s, dir)
+      .filter($"o_orderkey" % 97 < 30)
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
+        when($"o_orderstatus" =!= "O", $"o_orderstatus").as("o_nullable"))
+      .coalesce(1)
+      .write.mode("overwrite").orc(path)
+    val m = Layout.orcMetadata(s, path)
+    def forCol(c: String, expr: org.apache.spark.sql.Column) =
+      max(when($"column_name" === c, expr))
+    m.agg(
+      countDistinct($"file_name").cast("int").as("n_files"),
+      max($"file_rows").as("n_rows"),
+      forCol("o_orderkey", $"num_values").as("okey_values"),
+      forCol("o_orderkey", $"stats_min".cast("long")).as("okey_min"),
+      forCol("o_orderkey", $"stats_max".cast("long")).as("okey_max"),
+      forCol("o_totalprice", $"stats_min".cast("double")).as("price_min"),
+      forCol("o_totalprice", $"stats_max".cast("double")).as("price_max"),
+      forCol("o_orderstatus", $"stats_min").as("status_min"),
+      forCol("o_orderstatus", $"stats_max").as("status_max"),
+      forCol("o_nullable", $"num_values").as("nullable_nonnull"),
+      forCol("o_nullable", $"has_null".cast("boolean")).as("nullable_has_null"))
+  }
+
+  val orcMetadataGateSql: String =
+    """SELECT CAST(1 AS INT) AS n_files, count(*) AS n_rows,
+      |  count(*) AS okey_values,
+      |  min(o_orderkey) AS okey_min, max(o_orderkey) AS okey_max,
+      |  min(o_totalprice) AS price_min, max(o_totalprice) AS price_max,
+      |  min(o_orderstatus) AS status_min, max(o_orderstatus) AS status_max,
+      |  CAST(sum(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nullable_nonnull,
+      |  max(o_orderstatus = 'O') AS nullable_has_null
+      |FROM orders WHERE o_orderkey % 97 < 30""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_parquet_metadata" -> parquetMetadataGate,
+    "io_orc_metadata" -> orcMetadataGate,
     "io_csv_roundtrip" -> csvRoundTrip,
     "io_json_roundtrip" -> jsonRoundTrip,
     "io_orc_roundtrip" -> orcRoundTrip,
@@ -328,6 +371,7 @@ object IoPack extends QueryPack {
 
   override def oracle: Map[String, String] = Map(
     "io_parquet_metadata" -> parquetMetadataGateSql,
+    "io_orc_metadata" -> orcMetadataGateSql,
     "io_csv_roundtrip" -> csvRoundTripSql,
     "io_json_roundtrip" -> jsonRoundTripSql,
     "io_orc_roundtrip" -> orcRoundTripSql,

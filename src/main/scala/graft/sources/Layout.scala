@@ -153,6 +153,52 @@ object Layout {
       "stats_min", "stats_max")
   }
 
+  /** ORC footer metadata as a table (orc_metadata.hpp twin of
+    * [[parquetMetadata]]): one row per (file, top-level column) with
+    * the footer's value count (ORC counts NON-null values, unlike
+    * parquet), null flag, min/max statistics (rendered to string —
+    * lossless for long/double/string), plus file row and stripe
+    * counts. Footers only; same driver-side metadata listing. */
+  def orcMetadata(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    import org.apache.orc.{ColumnStatistics, OrcFile}
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(conf)
+    val statuses =
+      (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
+       else Seq(fs.getFileStatus(root)))
+        .filter(_.getPath.getName.endsWith(".orc"))
+        .sortBy(_.getPath.getName)
+    def mm(cs: ColumnStatistics): (String, String) = cs match {
+      case i: org.apache.orc.IntegerColumnStatistics =>
+        (i.getMinimum.toString, i.getMaximum.toString)
+      case d: org.apache.orc.DoubleColumnStatistics =>
+        (d.getMinimum.toString, d.getMaximum.toString)
+      case s: org.apache.orc.StringColumnStatistics =>
+        (s.getMinimum, s.getMaximum)
+      case _ => (null, null)
+    }
+    val rows = statuses.flatMap { st =>
+      val reader = OrcFile.createReader(st.getPath,
+        OrcFile.readerOptions(conf).filesystem(fs))
+      val names = reader.getSchema.getFieldNames.asScala.toSeq
+      val stats = reader.getStatistics
+      val (nRows, nStripes) =
+        (reader.getNumberOfRows, reader.getStripes.size)
+      names.zipWithIndex.map { case (name, i) =>
+        val cs = stats(i + 1) // 0 is the root struct
+        val (mn, mx) = mm(cs)
+        (st.getPath.getName, name, cs.getNumberOfValues, cs.hasNull,
+          mn, mx, nRows, nStripes)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("file_name", "column_name", "num_values", "has_null",
+      "stats_min", "stats_max", "file_rows", "file_stripes")
+  }
+
   /** Compact a parquet directory into ~`targetFileBytes` output files —
     * the small-files maintenance job (a streaming sink or an
     * over-parallel write leaves thousands of KB-sized files whose
