@@ -165,9 +165,20 @@ MUTATIONS = [
     # corpus.
     ("global-sa-second-half-dropped",
      "src/main/scala/graft/operators/SubstringDedup.scala",
-     "else cur.withColumn(\"r2\",\n        coalesce(lead($\"r\", minWidth - w).over(byDoc), lit(-1L))))",
+     "else leadByPos(cur, minWidth - w, block))",
      "else cur.withColumn(\"r2\", lit(0L)))",
      "doc_hotclique_dups"),
+    # Round-15: the blocked lead's HALO — dropping the copy of each
+    # block's first `width` positions into the previous block starves
+    # every cross-block lead, so ranks near block boundaries collapse
+    # to -1 and boundary-straddling duplicated grams disappear. Caught
+    # by the block=32 halo-parity spec (the sf gate corpus never has a
+    # doc above one 4M block, so the oracle cannot see it).
+    ("halo-copy-dropped",
+     "src/main/scala/graft/operators/SubstringDedup.scala",
+     "val halo = cur.filter(col(\"pos\") >= block && col(\"pos\") % block < width)",
+     "val halo = cur.filter(lit(false))",
+     "test:graft.DedupSpec:halo"),
     # Round-14: the NaN-equality policy itself — silently reverting
     # distinctNanUnequal to Spark's default ALL_EQUAL distinct
     # collapses every per-priority NaN group to one surviving row;
