@@ -290,6 +290,51 @@ class IoSpec extends AnyFunSuite {
     assert(pruned.count() == 100)
   }
 
+  test("parquet/orc footer metadata tables: multi-file layout, " +
+    "per-file stats, null counting policies") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_meta").toString
+    // 3 files, disjoint id ranges per file (repartitionByRange), one
+    // nullable column with a known null count
+    val df = spark.range(0, 3000)
+      .selectExpr("id", "CAST(id AS DOUBLE) / 4 AS v",
+        "CASE WHEN id % 3 = 0 THEN NULL ELSE CONCAT('s', id) END AS s")
+      .repartitionByRange(3, col("id"))
+    df.write.parquet(s"$base/p")
+    df.write.orc(s"$base/o")
+
+    val pm = graft.sources.Layout.parquetMetadata(spark, s"$base/p")
+    assert(pm.select("file_name").distinct().count() == 3)
+    // per-file id stats are disjoint and collectively exact: global
+    // min/max over per-file footer stats equal the data's min/max,
+    // and each file's [min,max] ranges do not overlap
+    val idStats = pm.filter(col("path_in_schema") === "id")
+      .select(col("file_name"), col("stats_min").cast("long").as("mn"),
+        col("stats_max").cast("long").as("mx"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(idStats.length == 3)
+    assert(idStats.head._1 == 0L && idStats.last._2 == 2999L)
+    assert(idStats.sliding(2).forall { case Array(a, b) => a._2 < b._1 })
+    // parquet num_values counts ALL values (incl. nulls); null_count
+    // totals the planted 1000
+    val sRow = pm.filter(col("path_in_schema") === "s")
+      .agg(sum("num_values"), sum("null_count")).head()
+    assert(sRow.getLong(0) == 3000L && sRow.getLong(1) == 1000L)
+
+    val om = graft.sources.Layout.orcMetadata(spark, s"$base/o")
+    assert(om.select("file_name").distinct().count() == 3)
+    // ORC num_values counts NON-null values only
+    val oRow = om.filter(col("column_name") === "s")
+      .agg(sum("num_values"), max(col("has_null").cast("int"))).head()
+    assert(oRow.getLong(0) == 2000L && oRow.getInt(1) == 1)
+    // double stats round-trip through minAsString losslessly
+    val vm = om.filter(col("column_name") === "v")
+      .agg(min(col("stats_min").cast("double")),
+        max(col("stats_max").cast("double"))).head()
+    assert(vm.getDouble(0) == 0.0 && vm.getDouble(1) == 2999.0 / 4)
+  }
+
   test("InterleaveBits is the Morton code (hand fixtures + clamping)") {
     import graft.plans.ZOrderImpl.interleave
     assert(interleave(2, Array(0L, 0L)) == 0L)
