@@ -446,7 +446,11 @@ object TextFunctions {
     * compose the same transform). */
   def listReprNested(c: Column, nullToken: String = "NULL"): Column =
     concat(lit("["),
-      array_join(transform(c, inner => listRepr(inner, nullToken)), ","),
+      // outer null replacement too: a NULL inner list renders as the
+      // nullToken (the reference emits na_rep at every depth), not
+      // silently dropped.
+      array_join(transform(c, inner => listRepr(inner, nullToken)), ",",
+        nullToken),
       lit("]"))
 
   /** Dominant script label: argmax over [[ScriptRanges]] counts, ties

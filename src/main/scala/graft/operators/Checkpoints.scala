@@ -23,10 +23,22 @@ import org.apache.spark.sql.graftshim.CheckpointUtil
   *
   * Both regimes are eager (computed once, lineage cut, result pinned);
   * outputs are bit-identical — the knob changes WHERE the cut frame
-  * lives, never WHAT it holds.
+  * lives, never WHAT it holds. The reliable regime caches the frame
+  * around the cut: `Dataset.checkpoint` runs TWO jobs over the plan
+  * (the eager materializing count, then the DFS partition write), so
+  * without the persist every round would compute twice.
   */
 object Checkpoints {
   val DirKey = "spark.graft.checkpointDir"
+
+  // setCheckpointDir is NOT idempotent: each call mkdirs a fresh
+  // <dir>/<randomUUID> subdirectory (and getCheckpointDir returns that
+  // UUID-suffixed path, never the configured parent). Cache the dir we
+  // last set per context so per-iteration cut() calls touch the driver
+  // filesystem once, and all of a loop's rounds share one UUID dir.
+  private val lastSetDir =
+    new java.util.concurrent.ConcurrentHashMap[
+      org.apache.spark.SparkContext, String]()
 
   /** Cut lineage on `df` per the session's checkpoint policy. */
   def cut(df: DataFrame): DataFrame = {
@@ -34,10 +46,12 @@ object Checkpoints {
     spark.conf.getOption(DirKey) match {
       case Some(dir) if dir.nonEmpty =>
         val sc = spark.sparkContext
-        // setCheckpointDir is idempotent for the same path; set lazily so
-        // sessions that never opt in pay nothing.
-        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
-        df.checkpoint()
+        if (lastSetDir.put(sc, dir) != dir) sc.setCheckpointDir(dir)
+        // Cache so the count job populates blocks and the write job
+        // reads them back instead of re-executing the plan.
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try df.checkpoint() // eager: both jobs done on return
+        finally df.unpersist()
       case _ => df.localCheckpoint()
     }
   }

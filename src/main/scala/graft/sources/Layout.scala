@@ -183,12 +183,18 @@ object Layout {
     val rows = statuses.flatMap { st =>
       val reader = OrcFile.createReader(st.getPath,
         OrcFile.readerOptions(conf).filesystem(fs))
-      val names = reader.getSchema.getFieldNames.asScala.toSeq
+      val schema = reader.getSchema
+      val names = schema.getFieldNames.asScala.toSeq
       val stats = reader.getStatistics
       val (nRows, nStripes) =
         (reader.getNumberOfRows, reader.getStripes.size)
-      names.zipWithIndex.map { case (name, i) =>
-        val cs = stats(i + 1) // 0 is the root struct
+      // The statistics array is indexed by the TypeDescription's
+      // pre-order type id (root struct = 0). A nested top-level column
+      // (struct/array/map) expands into several flattened entries, so
+      // `i + 1` only aligns for flat schemas — the child's own id is
+      // the correct index regardless of nesting.
+      names.zip(schema.getChildren.asScala).map { case (name, child) =>
+        val cs = stats(child.getId.toInt)
         val (mn, mx) = mm(cs)
         (st.getPath.getName, name, cs.getNumberOfValues, cs.hasNull,
           mn, mx, nRows, nStripes)

@@ -54,6 +54,13 @@ class CheckpointsSpec extends AnyFunSuite {
     assert(rdds(new java.io.File(tmp)).nonEmpty,
       s"no reliable checkpoint files under $tmp — knob did not engage")
 
+    // setCheckpointDir mkdirs a fresh <dir>/<UUID> on EVERY call, so a
+    // naive per-cut set would scatter each loop iteration into its own
+    // UUID dir (ADVICE r15). All cuts above — across three multi-round
+    // operators — must share exactly one.
+    assert(new java.io.File(tmp).listFiles().count(_.isDirectory) == 1,
+      "cut() re-created a UUID checkpoint dir per call")
+
     // and with the knob unset the cut must NOT write to that dir
     val before = rdds(new java.io.File(tmp)).size
     components()

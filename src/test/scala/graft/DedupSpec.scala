@@ -391,7 +391,9 @@ class DedupSpec extends AnyFunSuite {
     // spuriously red. Engine astral correctness itself is covered by
     // the surrogate-pair specs above + the utf16-prefilter mutation.
     import org.apache.spark.sql.functions.col
-    val astral = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+    assume(TestData.available("0.01"),
+      s"gate corpus absent at ${TestData.sf("0.01")}")
+    val astral = graft.Tables.documents(spark, TestData.sf("0.01"))
       .filter(col("text").isNotNull)
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)].collect()

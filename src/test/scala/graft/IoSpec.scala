@@ -335,6 +335,29 @@ class IoSpec extends AnyFunSuite {
     assert(vm.getDouble(0) == 0.0 && vm.getDouble(1) == 2999.0 / 4)
   }
 
+  test("orcMetadata stats stay aligned past nested top-level columns") {
+    // A nested column expands into several flattened statistics
+    // entries; columns AFTER it must still index their own stats
+    // (ADVICE r15: a flat i+1 walk mis-attributes every later column)
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_meta_nested").toString + "/o"
+    spark.range(10, 20)
+      .selectExpr("id",
+        "named_struct('a', id * 2, 'b', CONCAT('x', id)) AS st",
+        "array(id, id + 1) AS ar",
+        "id * 100 AS tail")
+      .coalesce(1).write.orc(base)
+    val om = graft.sources.Layout.orcMetadata(spark, base)
+      .select("column_name", "stats_min", "stats_max").collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(om("id") == (("10", "19")))
+    assert(om("tail") == (("1000", "1900")),
+      s"tail stats mis-aligned: ${om("tail")}")
+    // struct/list containers carry no min/max of their own
+    assert(om("st") == ((null, null)) && om("ar") == ((null, null)))
+  }
+
   test("InterleaveBits is the Morton code (hand fixtures + clamping)") {
     import graft.plans.ZOrderImpl.interleave
     assert(interleave(2, Array(0L, 0L)) == 0L)

@@ -218,7 +218,9 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("knnIvf equals the former crossJoin+window assignment formulation") {
     import org.apache.spark.sql.expressions.Window
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assume(TestData.available("0.001"),
+      s"testdata absent at ${TestData.sf("0.001")}")
+    val emb = Tables.embeddings(spark, TestData.sf("0.001"))
     val queries = emb.filter($"vec_id" < 10)
     val got = Similarity.knnIvf(emb, queries, k = 5, nCells = 8, nprobe = 3)
       .orderBy("q_id", "rank").collect().toSeq
@@ -304,7 +306,9 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("knnIvf recall vs brute force on real embeddings") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assume(TestData.available("0.001"),
+      s"testdata absent at ${TestData.sf("0.001")}")
+    val emb = Tables.embeddings(spark, TestData.sf("0.001"))
     val queries = emb.filter($"vec_id" < 10)
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
@@ -322,7 +326,9 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("cosineNearDupPairs recall vs exact all-pairs (multi-table LSH)") {
-    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    assume(TestData.available("0.001"),
+      s"testdata absent at ${TestData.sf("0.001")}")
+    val emb = Tables.embeddings(spark, TestData.sf("0.001"))
     def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
     val exact = pairs(Similarity.cosineNearDupPairsExact(

@@ -12,8 +12,10 @@ class PipelineSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
   test("training pipeline runs end-to-end with sane stage invariants") {
+    assume(TestData.available("0.001"),
+      s"testdata absent at ${TestData.sf("0.001")}")
     val (stages, packed) = graft.examples.TrainingPipeline.run(
-      spark, "/root/testdata/sf0.001")
+      spark, TestData.sf("0.001"))
     val s = stages.toMap
     assert(s("raw") == 500)
     // map-only stages never change cardinality

@@ -9,7 +9,13 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
-  private val dir = "/root/testdata/sf0.001"
+  private val dir = TestData.sf("0.001")
+
+  // every test here reads the gate corpus — cancel the suite (not
+  // fail) on machines without the testdata layout
+  override def withFixture(test: NoArgTest): org.scalatest.Outcome =
+    if (TestData.available("0.001")) super.withFixture(test)
+    else org.scalatest.Canceled(s"testdata absent at $dir")
 
   private def plan(name: String): String = {
     import org.apache.spark.sql.execution.ExplainMode

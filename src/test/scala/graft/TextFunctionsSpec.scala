@@ -347,4 +347,23 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(got == Seq("latin", "cyrillic", "cjk", "cjk", "arabic",
       "greek", "latin", "digit", "other", "cyrillic"))
   }
+
+  test("listRepr renders null elements and null inner lists as na_rep") {
+    // convert_lists.hpp format_list_column: na_rep applies at EVERY
+    // depth — a NULL inner list must render, not silently vanish
+    val flat = Seq(1).toDF("x")
+      .select(listRepr(array(lit(1), lit(null).cast("int"), lit(3))))
+      .as[String].head
+    assert(flat == "[1,NULL,3]")
+    val nested = Seq(1).toDF("x")
+      .select(listReprNested(
+        array(array(lit(1)), lit(null).cast("array<int>"), array(lit(2)))))
+      .as[String].head
+    assert(nested == "[[1],NULL,[2]]")
+    val custom = Seq(1).toDF("x")
+      .select(listReprNested(
+        array(lit(null).cast("array<int>")), nullToken = "NA"))
+      .as[String].head
+    assert(custom == "[NA]")
+  }
 }
