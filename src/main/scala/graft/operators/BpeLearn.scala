@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * aggregation plus a single-row top-1 collect (argmax only — never the
   * vocabulary itself). The re-segmented vocabulary is re-materialized
   * per iteration and the previous one released; every
-  * `checkpointEvery`-th iteration cuts lineage with an eager
-  * localCheckpoint so plan depth stays bounded over thousands of
-  * merges.
+  * `checkpointEvery`-th iteration cuts lineage via [[Checkpoints.cut]]
+  * (localCheckpoint by default, reliable checkpoint() under the
+  * spark.graft.checkpointDir knob — an hours-long vocab learn on a
+  * cluster survives executor loss) so plan depth stays bounded over
+  * thousands of merges.
   */
 object BpeLearn {
 
@@ -89,7 +91,7 @@ object BpeLearn {
           // checkpoint frame, unpersist alone is a no-op on its blocks
           // and one orphaned vocabulary frame would leak per
           // checkpointEvery iterations.
-          val cp = next.localCheckpoint(true)
+          val cp = Checkpoints.cut(next)
           words.unpersist()
           org.apache.spark.sql.graftshim.CheckpointUtil.free(words)
           words = cp

@@ -323,7 +323,17 @@ object IoPack extends QueryPack {
     Tables.orders(s, dir)
       .filter($"o_orderkey" % 97 < 30)
       .select($"o_orderkey", $"o_totalprice", $"o_orderstatus",
-        when($"o_orderstatus" =!= "O", $"o_orderstatus").as("o_nullable"))
+        when($"o_orderstatus" =!= "O", $"o_orderstatus").as("o_nullable"),
+        // typed-statistics probes: date / timestamp / decimal / boolean
+        // footer min/max all render data-derivably (ISO date, UTC epoch
+        // millis, decimal-as-double, true/false)
+        to_date($"o_orderdate").as("o_date"),
+        // cast NTZ → instant timestamp: Spark maps TimestampNTZType to
+        // a plain ORC bigint (micros), which would exercise the integer
+        // stats path instead of the timestamp one
+        $"o_orderdate".cast("timestamp").as("o_ts"),
+        $"o_totalprice".cast("decimal(12,2)").as("o_dec"),
+        ($"o_orderkey" % 2 === 0).as("o_flag"))
       .coalesce(1)
       .write.mode("overwrite").orc(path)
     val m = Layout.orcMetadata(s, path)
@@ -340,7 +350,15 @@ object IoPack extends QueryPack {
       forCol("o_orderstatus", $"stats_min").as("status_min"),
       forCol("o_orderstatus", $"stats_max").as("status_max"),
       forCol("o_nullable", $"num_values").as("nullable_nonnull"),
-      forCol("o_nullable", $"has_null".cast("boolean")).as("nullable_has_null"))
+      forCol("o_nullable", $"has_null".cast("boolean")).as("nullable_has_null"),
+      forCol("o_date", $"stats_min").as("date_min"),
+      forCol("o_date", $"stats_max").as("date_max"),
+      forCol("o_ts", $"stats_min".cast("long")).as("ts_min_ms"),
+      forCol("o_ts", $"stats_max".cast("long")).as("ts_max_ms"),
+      forCol("o_dec", $"stats_min".cast("double")).as("dec_min"),
+      forCol("o_dec", $"stats_max".cast("double")).as("dec_max"),
+      forCol("o_flag", $"stats_min").as("flag_min"),
+      forCol("o_flag", $"stats_max").as("flag_max"))
   }
 
   val orcMetadataGateSql: String =
@@ -351,12 +369,71 @@ object IoPack extends QueryPack {
       |  min(o_orderstatus) AS status_min, max(o_orderstatus) AS status_max,
       |  CAST(sum(CASE WHEN o_orderstatus <> 'O' THEN 1 ELSE 0 END) AS BIGINT)
       |    AS nullable_nonnull,
-      |  max(o_orderstatus = 'O') AS nullable_has_null
+      |  max(o_orderstatus = 'O') AS nullable_has_null,
+      |  CAST(CAST(min(o_orderdate) AS DATE) AS VARCHAR) AS date_min,
+      |  CAST(CAST(max(o_orderdate) AS DATE) AS VARCHAR) AS date_max,
+      |  epoch_ms(min(o_orderdate)) AS ts_min_ms,
+      |  epoch_ms(max(o_orderdate)) AS ts_max_ms,
+      |  min(o_totalprice) AS dec_min, max(o_totalprice) AS dec_max,
+      |  CAST(min(o_orderkey % 2 = 0) AS VARCHAR) AS flag_min,
+      |  CAST(max(o_orderkey % 2 = 0) AS VARCHAR) AS flag_max
       |FROM orders WHERE o_orderkey % 97 < 30""".stripMargin
+
+  /** Per-stripe ORC statistics (orc_metadata.hpp stripe structure —
+    * [[orcMetadataGate]] at row-group grain): the lineitem slice is
+    * written with a small stripe size so several stripes exist, then
+    * the per-stripe stats are reduced to STRIPE-COUNT-INVARIANT facts
+    * (sums of value counts, global extrema over stripe extrema) the
+    * oracle recomputes from data — stripe boundaries themselves depend
+    * on writer memory estimates and are not pinned. */
+  def orcStripeMetadataGate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val path = scratch("meta_lineitem_stripes")
+    Tables.lineitem(s, dir)
+      .filter($"l_orderkey" % 13 < 6)
+      .select($"l_orderkey", $"l_quantity", $"l_returnflag",
+        when($"l_linenumber" =!= 1, $"l_extendedprice").as("l_nullable"))
+      .coalesce(1)
+      .write.mode("overwrite")
+      .option("orc.stripe.size", "65536").option("orc.compress", "NONE")
+      .orc(path)
+    val m = Layout.orcStripeMetadata(s, path)
+    def forCol(c: String, expr: org.apache.spark.sql.Column) =
+      max(when($"column_name" === c, expr))
+    def sumCol(c: String, expr: org.apache.spark.sql.Column) =
+      sum(when($"column_name" === c, expr))
+    m.agg(
+      sumCol("l_orderkey", $"num_values").as("okey_values"),
+      // one row per (stripe, column): summing stripe_rows over a single
+      // column's rows counts each stripe exactly once
+      sumCol("l_orderkey", $"stripe_rows").as("n_rows"),
+      min(when($"column_name" === "l_orderkey",
+        $"stats_min".cast("long"))).as("okey_min"),
+      forCol("l_orderkey", $"stats_max".cast("long")).as("okey_max"),
+      min(when($"column_name" === "l_quantity",
+        $"stats_min".cast("double"))).as("qty_min"),
+      forCol("l_quantity", $"stats_max".cast("double")).as("qty_max"),
+      min(when($"column_name" === "l_returnflag", $"stats_min"))
+        .as("flag_min"),
+      forCol("l_returnflag", $"stats_max").as("flag_max"),
+      sumCol("l_nullable", $"num_values").as("nullable_nonnull"),
+      forCol("l_nullable", $"has_null".cast("boolean")).as("nullable_has_null"))
+  }
+
+  val orcStripeMetadataGateSql: String =
+    """SELECT count(*) AS okey_values, count(*) AS n_rows,
+      |  min(l_orderkey) AS okey_min, max(l_orderkey) AS okey_max,
+      |  min(l_quantity) AS qty_min, max(l_quantity) AS qty_max,
+      |  min(l_returnflag) AS flag_min, max(l_returnflag) AS flag_max,
+      |  CAST(sum(CASE WHEN l_linenumber <> 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS nullable_nonnull,
+      |  max(l_linenumber = 1) AS nullable_has_null
+      |FROM lineitem WHERE l_orderkey % 13 < 6""".stripMargin
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "io_parquet_metadata" -> parquetMetadataGate,
     "io_orc_metadata" -> orcMetadataGate,
+    "io_orc_stripe_metadata" -> orcStripeMetadataGate,
     "io_csv_roundtrip" -> csvRoundTrip,
     "io_json_roundtrip" -> jsonRoundTrip,
     "io_orc_roundtrip" -> orcRoundTrip,
@@ -372,6 +449,7 @@ object IoPack extends QueryPack {
   override def oracle: Map[String, String] = Map(
     "io_parquet_metadata" -> parquetMetadataGateSql,
     "io_orc_metadata" -> orcMetadataGateSql,
+    "io_orc_stripe_metadata" -> orcStripeMetadataGateSql,
     "io_csv_roundtrip" -> csvRoundTripSql,
     "io_json_roundtrip" -> jsonRoundTripSql,
     "io_orc_roundtrip" -> orcRoundTripSql,

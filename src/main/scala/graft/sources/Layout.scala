@@ -107,84 +107,125 @@ object Layout {
     * Statistics#minAsString (Double.toString / Long.toString / UTF-8,
     * lossless to cast back).
     *
-    * Footer reads happen on the driver (one seek per file — the same
-    * metadata-sized listing [[compact]] already does); for a lake with
-    * many thousands of files, parallelize by mapping this over
-    * per-directory partitions instead of one giant glob. */
+    * The listing RECURSES into subdirectories (a hive-partitioned
+    * `key=value` layout yields one row set per leaf file; `file_name`
+    * is the path relative to `path`, so partition values stay
+    * visible), skipping `_`/`.`-prefixed names (_SUCCESS, .crc).
+    * Footer reads run on the DRIVER only below `driverFileLimit`
+    * files (one seek each — fine for a handful); above it the file
+    * list becomes a Dataset and footers are opened in `mapPartitions`
+    * on EXECUTORS, so a 100k-file lake reads its metadata at cluster
+    * parallelism instead of serializing through the driver. */
   def parquetMetadata(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, driverFileLimit: Int = 64): DataFrame = {
+    import spark.implicits._
+    footerScan(spark, path, ".parquet", driverFileLimit,
+      parquetFooterRows)
+      .toDF("file_name", "row_group_id", "row_group_num_rows",
+        "path_in_schema", "type", "num_values", "null_count",
+        "total_compressed_size", "total_uncompressed_size",
+        "stats_min", "stats_max")
+  }
+
+  private def parquetFooterRows(
+      conf: org.apache.hadoop.conf.Configuration, rel: String,
+      p: org.apache.hadoop.fs.Path): Seq[(String, Int, Long, String,
+      String, Long, Long, Long, Long, String, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val statuses =
-      (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
-       else Seq(fs.getFileStatus(root)))
-        .filter(_.getPath.getName.endsWith(".parquet"))
-        .sortBy(_.getPath.getName)
-    val rows = statuses.flatMap { st =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromStatus(st, conf))
-      try {
-        reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
-          case (bg, rg) =>
-            bg.getColumns.asScala.toSeq.map { cc =>
-              val stats = cc.getStatistics
-              val hasMinMax = stats != null && stats.hasNonNullValue
-              (st.getPath.getName, rg, bg.getRowCount,
-                cc.getPath.toDotString,
-                cc.getPrimitiveType.getPrimitiveTypeName.name,
-                cc.getValueCount,
-                if (stats != null && !stats.isNumNullsSet) -1L
-                else if (stats != null) stats.getNumNulls else -1L,
-                cc.getTotalSize, cc.getTotalUncompressedSize,
-                if (hasMinMax) stats.minAsString else null,
-                if (hasMinMax) stats.maxAsString else null)
-            }
-        }
-      } finally reader.close()
-    }
-    import spark.implicits._
-    rows.toDF("file_name", "row_group_id", "row_group_num_rows",
-      "path_in_schema", "type", "num_values", "null_count",
-      "total_compressed_size", "total_uncompressed_size",
-      "stats_min", "stats_max")
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      reader.getFooter.getBlocks.asScala.toSeq.zipWithIndex.flatMap {
+        case (bg, rg) =>
+          bg.getColumns.asScala.toSeq.map { cc =>
+            val stats = cc.getStatistics
+            val hasMinMax = stats != null && stats.hasNonNullValue
+            (rel, rg, bg.getRowCount,
+              cc.getPath.toDotString,
+              cc.getPrimitiveType.getPrimitiveTypeName.name,
+              cc.getValueCount,
+              if (stats != null && !stats.isNumNullsSet) -1L
+              else if (stats != null) stats.getNumNulls else -1L,
+              cc.getTotalSize, cc.getTotalUncompressedSize,
+              if (hasMinMax) stats.minAsString else null,
+              if (hasMinMax) stats.maxAsString else null)
+          }
+      }
+    } finally reader.close()
   }
 
   /** ORC footer metadata as a table (orc_metadata.hpp twin of
     * [[parquetMetadata]]): one row per (file, top-level column) with
     * the footer's value count (ORC counts NON-null values, unlike
     * parquet), null flag, min/max statistics (rendered to string —
-    * lossless for long/double/string), plus file row and stripe
-    * counts. Footers only; same driver-side metadata listing. */
+    * lossless for long/double/string; dates as ISO yyyy-MM-dd,
+    * timestamps as UTC epoch millis, decimals via plain unscaled
+    * rendering, booleans as true/false), plus file row and stripe
+    * counts. Footers only; same recursive listing and
+    * driver-vs-executor split as [[parquetMetadata]]. */
   def orcMetadata(spark: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
-    import org.apache.orc.{ColumnStatistics, OrcFile}
-    import scala.jdk.CollectionConverters._
-    val conf = spark.sessionState.newHadoopConf()
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(conf)
-    val statuses =
-      (if (fs.getFileStatus(root).isDirectory) fs.listStatus(root).toSeq
-       else Seq(fs.getFileStatus(root)))
-        .filter(_.getPath.getName.endsWith(".orc"))
-        .sortBy(_.getPath.getName)
-    def mm(cs: ColumnStatistics): (String, String) = cs match {
-      case i: org.apache.orc.IntegerColumnStatistics =>
+      path: String, driverFileLimit: Int = 64): DataFrame = {
+    import spark.implicits._
+    footerScan(spark, path, ".orc", driverFileLimit, orcFooterRows)
+      .toDF("file_name", "column_name", "num_values", "has_null",
+        "stats_min", "stats_max", "file_rows", "file_stripes")
+  }
+
+  /** Per-STRIPE ORC statistics (the reference's orc_metadata exposes
+    * stripe structure; this is [[orcMetadata]] at parquet's row-group
+    * grain): one row per (file, stripe, top-level column). */
+  def orcStripeMetadata(spark: org.apache.spark.sql.SparkSession,
+      path: String, driverFileLimit: Int = 64): DataFrame = {
+    import spark.implicits._
+    footerScan(spark, path, ".orc", driverFileLimit, orcStripeRows)
+      .toDF("file_name", "stripe_id", "stripe_rows", "column_name",
+        "num_values", "has_null", "stats_min", "stats_max")
+  }
+
+  /** min/max of an ORC ColumnStatistics, rendered to strings the
+    * matching DuckDB/Spark cast can read back (numerics via
+    * toString, dates ISO, timestamps as UTC epoch millis, booleans
+    * reconstructed from the true/false counts). Containers
+    * (struct/list/map/binary) and empty columns yield nulls. */
+  private def orcMinMax(cs: org.apache.orc.ColumnStatistics)
+      : (String, String) = {
+    import org.apache.orc._
+    def s(a: Any): String = if (a == null) null else a.toString
+    if (cs.getNumberOfValues == 0) (null, null)
+    else cs match {
+      case i: IntegerColumnStatistics =>
         (i.getMinimum.toString, i.getMaximum.toString)
-      case d: org.apache.orc.DoubleColumnStatistics =>
+      case d: DoubleColumnStatistics =>
         (d.getMinimum.toString, d.getMaximum.toString)
-      case s: org.apache.orc.StringColumnStatistics =>
-        (s.getMinimum, s.getMaximum)
+      case st: StringColumnStatistics => (st.getMinimum, st.getMaximum)
+      case d: DateColumnStatistics =>
+        // via epoch days: getMinimumLocalDate is a hybrid-chronology
+        // date whose toString renders "Hybrid AD yyyy-MM-dd"
+        (java.time.LocalDate.ofEpochDay(d.getMinimumDayOfEpoch).toString,
+         java.time.LocalDate.ofEpochDay(d.getMaximumDayOfEpoch).toString)
+      case t: TimestampColumnStatistics =>
+        (if (t.getMinimumUTC == null) null
+         else t.getMinimumUTC.getTime.toString,
+         if (t.getMaximumUTC == null) null
+         else t.getMaximumUTC.getTime.toString)
+      case d: DecimalColumnStatistics =>
+        (s(d.getMinimum), s(d.getMaximum))
+      case b: BooleanColumnStatistics =>
+        (if (b.getFalseCount > 0) "false" else "true",
+         if (b.getTrueCount > 0) "true" else "false")
       case _ => (null, null)
     }
-    val rows = statuses.flatMap { st =>
-      val reader = OrcFile.createReader(st.getPath,
-        OrcFile.readerOptions(conf).filesystem(fs))
+  }
+
+  private def orcFooterRows(conf: org.apache.hadoop.conf.Configuration,
+      rel: String, p: org.apache.hadoop.fs.Path)
+      : Seq[(String, String, Long, Boolean, String, String, Long, Int)] = {
+    import org.apache.orc.OrcFile
+    import scala.jdk.CollectionConverters._
+    val reader = OrcFile.createReader(p, OrcFile.readerOptions(conf))
+    try {
       val schema = reader.getSchema
-      val names = schema.getFieldNames.asScala.toSeq
       val stats = reader.getStatistics
       val (nRows, nStripes) =
         (reader.getNumberOfRows, reader.getStripes.size)
@@ -193,16 +234,113 @@ object Layout {
       // (struct/array/map) expands into several flattened entries, so
       // `i + 1` only aligns for flat schemas — the child's own id is
       // the correct index regardless of nesting.
-      names.zip(schema.getChildren.asScala).map { case (name, child) =>
-        val cs = stats(child.getId.toInt)
-        val (mn, mx) = mm(cs)
-        (st.getPath.getName, name, cs.getNumberOfValues, cs.hasNull,
-          mn, mx, nRows, nStripes)
+      schema.getFieldNames.asScala.toSeq
+        .zip(schema.getChildren.asScala).map { case (name, child) =>
+          val cs = stats(child.getId.toInt)
+          val (mn, mx) = orcMinMax(cs)
+          (rel, name, cs.getNumberOfValues, cs.hasNull, mn, mx,
+            nRows, nStripes)
+        }
+    } finally reader.close()
+  }
+
+  private def orcStripeRows(conf: org.apache.hadoop.conf.Configuration,
+      rel: String, p: org.apache.hadoop.fs.Path)
+      : Seq[(String, Int, Long, String, Long, Boolean, String, String)] = {
+    import org.apache.orc.OrcFile
+    import scala.jdk.CollectionConverters._
+    val reader = OrcFile.createReader(p, OrcFile.readerOptions(conf))
+    try {
+      val schema = reader.getSchema
+      val names = schema.getFieldNames.asScala.toSeq
+        .zip(schema.getChildren.asScala.map(_.getId.toInt))
+      val stripes = reader.getStripes.asScala.toSeq
+      reader.getStripeStatistics.asScala.toSeq.zipWithIndex.flatMap {
+        case (ss, i) =>
+          val colStats = ss.getColumnStatistics
+          names.map { case (name, id) =>
+            val cs = colStats(id)
+            val (mn, mx) = orcMinMax(cs)
+            (rel, i, stripes(i).getNumberOfRows, name,
+              cs.getNumberOfValues, cs.hasNull, mn, mx)
+          }
       }
+    } finally reader.close()
+  }
+
+  /** Recursively list the data files under `root` ending in `suffix`,
+    * as (path relative to root, absolute path), sorted; hidden
+    * `_`/`.`-prefixed files and directories are skipped everywhere on
+    * the path (the hadoop convention Spark's own listing follows). */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      suffix: String): Seq[(String, String)] = {
+    val qRoot = fs.makeQualified(root)
+    if (!fs.getFileStatus(qRoot).isDirectory)
+      Seq((qRoot.getName, qRoot.toString)).filter(_._1.endsWith(suffix))
+    else {
+      val prefix = qRoot.toString + "/"
+      val it = fs.listFiles(qRoot, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      while (it.hasNext) {
+        val full = it.next().getPath.toString
+        val rel = full.stripPrefix(prefix)
+        val segs = rel.split('/')
+        if (segs.last.endsWith(suffix) &&
+            !segs.exists(n => n.startsWith("_") || n.startsWith(".")))
+          buf += ((rel, full))
+      }
+      buf.sortBy(_._1).toSeq
     }
+  }
+
+  /** Java-serializable Configuration box (hadoop's Configuration
+    * isn't Serializable; Spark's own wrapper is private[spark]). */
+  private class ConfBox(
+      @transient private var c: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = c
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); c.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      c = new org.apache.hadoop.conf.Configuration(false)
+      c.readFields(in)
+    }
+  }
+
+  /** Shared footer-scan harness: recursive listing, then per-file
+    * `read` either in a driver loop (≤ `driverFileLimit` files — one
+    * metadata seek each, no job) or distributed over executors (file
+    * list as a Dataset, footers opened in mapPartitions, hadoop conf
+    * broadcast) — the path a 100k-file lake takes. */
+  private def footerScan[T <: Product : org.apache.spark.sql.Encoder](
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      suffix: String, driverFileLimit: Int,
+      read: (org.apache.hadoop.conf.Configuration, String,
+        org.apache.hadoop.fs.Path) => Seq[T])
+      : org.apache.spark.sql.Dataset[T] = {
     import spark.implicits._
-    rows.toDF("file_name", "column_name", "num_values", "has_null",
-      "stats_min", "stats_max", "file_rows", "file_stripes")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(path)
+    val files = listDataFiles(root.getFileSystem(conf), root, suffix)
+    if (files.size <= driverFileLimit)
+      spark.createDataset(files.flatMap { case (rel, full) =>
+        read(conf, rel, new org.apache.hadoop.fs.Path(full))
+      })
+    else {
+      val bc = spark.sparkContext.broadcast(new ConfBox(conf))
+      val parts = math.min(math.max(files.size / 8, 1),
+        math.max(1, spark.sparkContext.defaultParallelism))
+      spark.createDataset(files).repartition(parts)
+        .mapPartitions { it =>
+          val c = bc.value.value
+          it.flatMap { case (rel, full) =>
+            read(c, rel, new org.apache.hadoop.fs.Path(full))
+          }
+        }
+    }
   }
 
   /** Compact a parquet directory into ~`targetFileBytes` output files —

@@ -67,4 +67,28 @@ class CheckpointsSpec extends AnyFunSuite {
     assert(rdds(new java.io.File(tmp)).size == before,
       "localCheckpoint regime wrote reliable files")
   }
+
+  test("BPE merge learning honors the checkpoint knob with identical " +
+    "merge sequences") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, explode, lit, split}
+    import graft.operators.BpeLearn
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-bpe").toString
+    val corpus = Seq("low lower lowest", "new newer newest",
+      "wide wider widest", "low low new new").toDF("text")
+    // checkpointEvery = 2 forces several lineage cuts inside 12 merges
+    def merges() = BpeLearn.learnMerges(
+      corpus.select(explode(split($"text", " ")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("w")),
+      "tok", "w", numMerges = 12, checkpointEvery = 2)
+    val local = merges()
+    val reliable = withKnob(tmp) { merges() }
+    assert(reliable == local,
+      "merge sequence differs under reliable checkpoints")
+    assert(local.size == 12, s"fixture learned only ${local.size} merges")
+    def files(p: java.io.File): Int =
+      p.listFiles().map(f => if (f.isDirectory) files(f) else 1).sum
+    assert(files(new java.io.File(tmp)) > 0,
+      "BPE loop never wrote a reliable checkpoint — knob bypassed")
+  }
 }

@@ -335,6 +335,83 @@ class IoSpec extends AnyFunSuite {
     assert(vm.getDouble(0) == 0.0 && vm.getDouble(1) == 2999.0 / 4)
   }
 
+  test("metadata readers recurse into hive-partitioned layouts and " +
+    "the executor path matches the driver path") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_meta_part").toString
+    val df = spark.range(0, 900)
+      .selectExpr("id", "CAST(id % 3 AS INT) AS part")
+    df.write.partitionBy("part").parquet(s"$base/p")
+    df.write.partitionBy("part").orc(s"$base/o")
+
+    // nested key=value dirs must be entered (a flat listing sees 0 rows)
+    val pm = graft.sources.Layout.parquetMetadata(spark, s"$base/p")
+    assert(pm.count() > 0, "partitioned parquet layout yielded no rows")
+    val names = pm.select("file_name").as[String].collect()
+    assert(names.forall(_.startsWith("part=")),
+      s"file_name should be root-relative (partition dirs visible): " +
+        s"${names.take(2).toSeq}")
+    assert(names.map(_.split('/').head).distinct.sorted.toSeq ==
+      Seq("part=0", "part=1", "part=2"))
+    // per-partition id stats reflect that partition's rows only
+    val p1max = pm.filter($"file_name".startsWith("part=1") &&
+        $"path_in_schema" === "id")
+      .agg(max($"stats_max".cast("long"))).head.getLong(0)
+    assert(p1max == 898L, s"part=1 max id was $p1max")
+    val om = graft.sources.Layout.orcMetadata(spark, s"$base/o")
+    assert(om.count() > 0 &&
+      om.select("file_name").as[String].collect()
+        .forall(_.startsWith("part=")))
+
+    // driverFileLimit = 0 forces the distributed (mapPartitions) path;
+    // identical rows to the driver loop
+    def sortedRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    assert(sortedRows(graft.sources.Layout.parquetMetadata(
+        spark, s"$base/p", driverFileLimit = 0)) == sortedRows(pm))
+    assert(sortedRows(graft.sources.Layout.orcMetadata(
+        spark, s"$base/o", driverFileLimit = 0)) == sortedRows(om))
+  }
+
+  test("orcStripeMetadata: stripe rows sum to file rows, stripe stats " +
+    "bound file stats") {
+    import java.nio.file.Files
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft_meta_stripe").toString + "/o"
+    spark.range(0, 200000)
+      .selectExpr("id", "CAST(id AS DOUBLE) / 2 AS v")
+      .coalesce(1)
+      .write.option("orc.stripe.size", "65536")
+      .option("orc.compress", "NONE").orc(base)
+    val sm = graft.sources.Layout.orcStripeMetadata(spark, base)
+    val fm = graft.sources.Layout.orcMetadata(spark, base)
+    val nStripes = fm.agg(max("file_stripes")).head.getInt(0)
+    assert(nStripes > 1, s"fixture produced only $nStripes stripe(s)")
+    assert(sm.select("stripe_id").distinct().count() == nStripes)
+    // per-stripe row counts sum to the file's
+    val fileRows = fm.agg(max("file_rows")).head.getLong(0)
+    val stripeRowSum = sm.filter($"column_name" === "id")
+      .agg(sum("stripe_rows")).head.getLong(0)
+    assert(stripeRowSum == fileRows)
+    // min over stripe minima == file min; same for max
+    val (fMin, fMax) = fm.filter($"column_name" === "id")
+      .select($"stats_min".cast("long"), $"stats_max".cast("long"))
+      .as[(Long, Long)].head
+    val (sMin, sMax) = sm.filter($"column_name" === "id")
+      .agg(min($"stats_min".cast("long")), max($"stats_max".cast("long")))
+      .as[(Long, Long)].head
+    assert((sMin, sMax) == ((fMin, fMax)))
+    // stripes partition the id range disjointly (written sorted)
+    val ranges = sm.filter($"column_name" === "id")
+      .select($"stripe_id", $"stats_min".cast("long"),
+        $"stats_max".cast("long"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(ranges.sliding(2).forall {
+      case Array(a, b) => a._3 < b._2; case _ => true })
+  }
+
   test("orcMetadata stats stay aligned past nested top-level columns") {
     // A nested column expands into several flattened statistics
     // entries; columns AFTER it must still index their own stats
