@@ -47,6 +47,15 @@ final case class GFrame(df: DataFrame) {
   // ---- joins (core/join/join.py merge) ----
   def merge(other: GFrame, on: Seq[String], how: String = "inner"): GFrame =
     GFrame(df.join(other.df, on, how))
+  /** Band join: all pairs with |this.`leftCol` − other.`rightCol`| <
+    * `width` (conditional_join.hpp's inequality pair), planned as a
+    * bucketed hash equi-join — never a broadcast nested loop or
+    * cartesian product, so BOTH sides may be fact-sized. Optional
+    * `keys` are exact-match preconditions (same-user bands etc.). */
+  def bandJoin(other: GFrame, leftCol: String, rightCol: String,
+      width: Double, keys: Seq[String] = Nil): GFrame =
+    GFrame(graft.operators.IntervalJoin.bandJoin(
+      df, leftCol, other.df, rightCol, width, keys))
 
   // ---- groupby (core/groupby/groupby.py) ----
   def groupby(keys: String*): GGroupBy = GGroupBy(df, keys)

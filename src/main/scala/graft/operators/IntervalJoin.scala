@@ -42,4 +42,36 @@ object IntervalJoin {
       .filter(col(pCol) >= col(loCol) && col(pCol) < col(hiCol))
       .drop("__cell")
   }
+
+  /** Band join — all (left, right) pairs with |left.`lCol` −
+    * right.`rCol`| < `width` (strict, conditional_join.hpp's
+    * inequality-pair use-case) as a SCALE-SAFE bucketed equi-join:
+    * both sides bucket by floor(value/width); a qualifying pair's
+    * buckets differ by at most 1, so the left side replicates into
+    * its bucket ±1 (fixed 3× fan-out regardless of data), the right
+    * keeps its single bucket, and the join hashes on
+    * (keys…, bucket) with the exact band predicate as a residual
+    * filter — shuffle-hash/sort-merge, never a nested loop, with
+    * both sides free to be arbitrarily large. Each qualifying pair
+    * appears exactly once (the right row owns one bucket; the left's
+    * three are distinct).
+    *
+    * Boundary caveat: buckets come from floating-point division, so a
+    * value within 1 ulp of a bucket edge can land one bucket off its
+    * exact position. A missed pair would need BOTH rows to round
+    * across edges in opposite directions simultaneously; integer
+    * inputs or power-of-two widths are fully exact. */
+  def bandJoin(left: DataFrame, lCol: String, right: DataFrame,
+      rCol: String, width: Double, keyCols: Seq[String] = Nil): DataFrame = {
+    require(width > 0, "width must be positive")
+    val lb = floor(col(lCol) / width).cast("long")
+    val l = left.withColumn("__band",
+      explode(array(lb - 1, lb, lb + 1)))
+    val r = right.withColumn("__band",
+      floor(col(rCol) / width).cast("long"))
+    l.join(r, (keyCols :+ "__band").toSeq)
+      .filter(col(rCol) > col(lCol) - width &&
+        col(rCol) < col(lCol) + width)
+      .drop("__band")
+  }
 }

@@ -143,6 +143,27 @@ object Joins extends QueryPack {
       |  ON s_acctbal > c_acctbal - 0.5 AND s_acctbal < c_acctbal + 0.5
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  /** [[joinNonEqui]]'s band predicate through the SCALE path:
+    * [[graft.operators.IntervalJoin.bandJoin]] buckets both sides by
+    * floor(acctbal/width) and hashes on the bucket — no broadcast
+    * hint, no nested loop, both sides free to scale with SF (PlanSpec
+    * asserts the plan). Wider band (2.0) than join_nonequi so the two
+    * gates don't share a result by accident. */
+  def joinBandBucketed(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.IntervalJoin.bandJoin(
+        Tables.customer(s, dir), "c_acctbal",
+        Tables.supplier(s, dir), "s_acctbal", width = 2.0)
+      .select($"c_custkey", $"s_suppkey", $"c_acctbal", $"s_acctbal")
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  val joinBandBucketedSql: String =
+    """SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+      |FROM customer JOIN supplier
+      |  ON s_acctbal > c_acctbal - 2.0 AND s_acctbal < c_acctbal + 2.0
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   /** Mixed join (mixed_join.hpp:92): equi keys + residual inequality —
     * Catalyst splits into hash-join keys plus post-join filter. */
   def joinMixed(s: SparkSession, dir: String): DataFrame = {
@@ -301,6 +322,7 @@ object Joins extends QueryPack {
     "join_anti" -> joinAnti,
     "join_cross" -> joinCross,
     "join_nonequi" -> joinNonEqui,
+    "join_band_bucketed" -> joinBandBucketed,
     "join_mixed" -> joinMixed,
     "join_nullsafe" -> joinNullSafe)
 
@@ -316,6 +338,7 @@ object Joins extends QueryPack {
     "join_anti" -> joinAntiSql,
     "join_cross" -> joinCrossSql,
     "join_nonequi" -> joinNonEquiSql,
+    "join_band_bucketed" -> joinBandBucketedSql,
     "join_mixed" -> joinMixedSql,
     "join_nullsafe" -> joinNullSafeSql)
 }

@@ -634,4 +634,40 @@ class OperatorsMiscSpec extends AnyFunSuite {
       .orderBy("id").collect().toSeq
     assert(rep.map(_.getLong(2)).toSet == Set(3L))
   }
+
+  test("bandJoin matches brute-force |l-r| < width incl. negatives, " +
+    "bucket edges, and key preconditions") {
+    import graft.operators.IntervalJoin
+    val rnd = new scala.util.Random(31)
+    // values straddle 0 and land ON bucket edges (multiples of width)
+    val width = 2.5
+    def vals(n: Int, seed: Int) = (0 until n).map { i =>
+      val v = if (i % 5 == 0) (i % 7 - 3) * width // exact edge
+              else rnd.nextDouble() * 40 - 20
+      (i.toLong, i % 2, v)
+    }
+    val l = vals(60, 1)
+    val r = vals(45, 2)
+    val brute = (for {
+      (li, lk, lv) <- l; (ri, rk, rv) <- r
+      if lk == rk && rv > lv - width && rv < lv + width
+    } yield (li, ri)).toSet
+    val got = IntervalJoin.bandJoin(
+        l.toDF("l_id", "k", "lv"), "lv",
+        r.toDF("r_id", "k", "rv"), "rv", width, keyCols = Seq("k"))
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    assert(got.length == got.toSet.size, "duplicate pairs emitted")
+    assert(got.toSet == brute,
+      s"missing=${(brute -- got.toSet).take(3)} extra=${(got.toSet -- brute).take(3)}")
+    // keyless variant
+    val bruteAll = (for {
+      (li, _, lv) <- l; (ri, _, rv) <- r
+      if rv > lv - width && rv < lv + width
+    } yield (li, ri)).toSet
+    val gotAll = IntervalJoin.bandJoin(
+        l.toDF("l_id", "k1", "lv"), "lv",
+        r.toDF("r_id", "k2", "rv"), "rv", width)
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    assert(gotAll.length == gotAll.toSet.size && gotAll.toSet == bruteAll)
+  }
 }

@@ -30,6 +30,18 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("LessThan(l_quantity,24.0)"), "quantity filter not pushed")
   }
 
+  test("band join plans a bucketed EQUI-join — no nested loop, no " +
+    "cartesian product, no broadcast requirement") {
+    val p = plan("join_band_bucketed")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "band bucketing must remove the nested-loop join")
+    assert(!p.contains("CartesianProduct"), "no cartesian product")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      "band buckets must join as a HASH equi-join")
+    assert(p.contains("Generate"), "left-side ±1 bucket fan-out is a map stage")
+  }
+
   test("interval-grid join plans a hash EQUI-join — no nested loop, " +
     "no cartesian product") {
     val p = plan("join_interval_grid")
