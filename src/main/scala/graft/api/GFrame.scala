@@ -861,4 +861,16 @@ object GFrame {
     GFrame(spark.read.orc(path))
   def concat(frames: Seq[GFrame]): GFrame =
     GFrame(frames.map(_.df).reduce(_.unionByName(_, allowMissingColumns = true)))
+
+  // ---- footer metadata AS TABLES (io/parquet_metadata.hpp,
+  // io/orc_metadata.hpp): counts, sizes, min/max/null statistics read
+  // from footers only — recursive over partitioned layouts, footer
+  // reads distributed over executors past a small-directory threshold
+  def parquetMetadata(spark: SparkSession, path: String): GFrame =
+    GFrame(graft.sources.Layout.parquetMetadata(spark, path))
+  def orcMetadata(spark: SparkSession, path: String): GFrame =
+    GFrame(graft.sources.Layout.orcMetadata(spark, path))
+  /** [[orcMetadata]] at per-stripe grain (parquet's row-group analog). */
+  def orcStripeMetadata(spark: SparkSession, path: String): GFrame =
+    GFrame(graft.sources.Layout.orcStripeMetadata(spark, path))
 }

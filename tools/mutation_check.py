@@ -210,6 +210,43 @@ MUTATIONS = [
      ".filter(col(\"__t\").isNotNull && length(col(\"__t\")) * 2 >= minWidth)",
      ".filter(col(\"__t\").isNotNull && length(col(\"__t\")) >= minWidth)",
      "test:graft.DedupSpec:surrogate"),
+    # Round-16: the band join, metadata readers, list repr, and the
+    # checkpoint-dir caching each get a relapse probe.
+    # Bucket fan-out dropped: left rows stop replicating into bucket
+    # +/-1, so every cross-bucket band pair vanishes from the gate.
+    ("bandjoin-fanout-dropped",
+     "src/main/scala/graft/operators/IntervalJoin.scala",
+     "explode(array(lb - 1, lb, lb + 1)))",
+     "explode(array(lb)))",
+     "join_band_bucketed"),
+    # Flat i+1 stats indexing relapse: columns after a nested column
+    # read the wrong statistics entry (r15 ADVICE bug re-planted).
+    ("orc-stats-index-relapse",
+     "src/main/scala/graft/sources/Layout.scala",
+     "val cs = stats(child.getId.toInt)",
+     "val cs = stats(schema.getChildren.asScala.indexOf(child) + 1)",
+     "test:graft.IoSpec:aligned"),
+    # Outer na_rep dropped: a NULL inner list silently vanishes from
+    # the nested repr instead of rendering as the null token.
+    ("listrepr-null-inner-dropped",
+     "src/main/scala/graft/functions/TextFunctions.scala",
+     "listRepr(inner, nullToken)), \",\",\n        nullToken),",
+     "listRepr(inner, nullToken)), \",\"),",
+     "test:graft.TextFunctionsSpec:na_rep"),
+    # Per-cut setCheckpointDir relapse: every loop iteration mkdirs a
+    # fresh UUID dir again (r15 ADVICE medium re-planted).
+    ("ckptdir-churn-relapse",
+     "src/main/scala/graft/operators/Checkpoints.scala",
+     "if (lastSetDir.put(sc, dir) != dir) sc.setCheckpointDir(dir)",
+     "sc.setCheckpointDir(dir)",
+     "test:graft.CheckpointsSpec:knob"),
+    # Recursion dropped: hive-partitioned layouts return zero
+    # metadata rows again (the pre-r16 behavior re-planted).
+    ("metadata-recursion-dropped",
+     "src/main/scala/graft/sources/Layout.scala",
+     "if (st.isDirectory) walk(st.getPath)",
+     "if (st.isDirectory) Nil",
+     "test:graft.IoSpec:recurse"),
 ]
 
 
