@@ -65,6 +65,8 @@ object PlanDump {
         "Scalar-threshold vs per-group aggregate: the threshold branch's ReusedExchange picks up the per-part value exchange at runtime (AQE stage reuse), so lineitem is scanned and pair-aggregated ONCE even though the frame is consumed twice; the 1-row threshold rides an IdentityBroadcast. (Executed adaptive plan — static explain shows the pre-reuse doubled tree.)",
       "q20_potential_promotion" ->
         "Correlated-EXISTS chain in one fact pass: availqty and the 1997 shipped quantity are two sums of ONE (part,supp) HashAggregate over a single lineitem scan (BIGINT fixed-point, map-side partial); the threshold filter then semi-joins supplier — no second scan, no window.",
+      "join_band_bucketed" ->
+        "Band join at fact×fact scale: the |l−r| < width predicate plans as a hash EQUI-join on floor(value/width) buckets (left side fans out ±1 bucket via one Generate), the exact band check is a post-join Filter — no BroadcastNestedLoopJoin, no CartesianProduct, neither side needs to fit in a broadcast.",
       "graph_triangles" ->
         "Degree-oriented triangle counting: the wedge close is an equi-SortMergeJoin on (x, y) against the undirected edge set — no CartesianProduct or nested loop; orientation bounds each pivot's fan-out by its oriented out-degree, so a hot node cannot explode the wedge join.",
       "corpus_drift" ->
