@@ -246,6 +246,21 @@ final case class GFrame(df: DataFrame) {
       minWidth: Int = 15): GFrame =
     GFrame(graft.operators.SubstringDedup.duplicatedGramsPair(
       df, other.df, idCol, textCol, minWidth))
+  /** Maximal duplicated spans per document — the deletion list a
+    * training-data dedup pass cuts: every maximal [start, end) range
+    * covered by corpus-duplicated minWidth-grams (adjacent covers
+    * merged). */
+  def duplicatedSpans(idCol: String, textCol: String,
+      minWidth: Int = 15): GFrame =
+    GFrame(graft.operators.SubstringDedup.duplicatedSpans(
+      df, idCol, textCol, minWidth))
+  /** Decontamination deletion list: maximal ranges of THIS frame's
+    * documents covered by minWidth-grams also present in `other` —
+    * cut them and no minWidth-gram bridges into `other`. */
+  def contaminatedSpans(other: GFrame, idCol: String, textCol: String,
+      minWidth: Int = 15): GFrame =
+    GFrame(graft.operators.SubstringDedup.contaminatedSpans(
+      df, other.df, idCol, textCol, minWidth))
   /** All unordered co-occurring (id_a, id_b) pairs sharing a key —
     * market baskets, band buckets, cluster cells. One posting-list
     * groupBy, pairs per key = (size choose 2); `distinctIds` dedupes

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Exact duplicate-substring detection — the reference's flagship dedup
@@ -539,6 +539,43 @@ object SubstringDedup {
     * their policy (cross-source presence implies ≥ 2 occurrences, so
     * the pre-text-join singleton drop loses nothing in pair mode). */
   private def gramGroups(tagged: DataFrame, minWidth: Int): DataFrame = {
+    val spark = tagged.sparkSession
+    import spark.implicits._
+    val (keyed, texts) = rankedKeyed(tagged, minWidth)
+    // representative text fetch stays JVM-side (String.substring), the
+    // same UTF-16 position space charAt indexed — mixing in Spark SQL
+    // substring (code-point semantics) would shift grams on any
+    // surrogate-pair content. Rows here = distinct candidate grams.
+    // Output projection: a gram whose boundary splits a surrogate pair
+    // carries a lone half, which the UTF-8 string layer renders as '?'
+    // in dup_text — grouping and counts happen in UTF-16 rank space
+    // and are exact regardless (DedupSpec halo-parity spec pins this).
+    keyed.groupBy($"r", $"r2")
+      .agg(count(lit(1)).as("n_occurrences"),
+        sum(when($"__s" === 0, 1L).otherwise(0L)).as("n_src0"),
+        sum(when($"__s" === 1, 1L).otherwise(0L)).as("n_src1"),
+        min(struct($"__d", $"pos")).as("rep"))
+      // singleton grams drop BEFORE any text ships (cross-source
+      // presence implies >= 2 occurrences, so this is a pure superset
+      // of both callers' policies)
+      .filter($"n_occurrences" >= 2)
+      .join(texts, col("rep.__d") === col("__d"))
+      .select(col("rep.pos").as("__p"), col("__t"), col("n_occurrences"),
+        col("n_src0"), col("n_src1"))
+      .as[(Int, String, Long, Long, Long)]
+      .map { case (p, t, n, n0, n1) =>
+        (t.substring(p, p + minWidth), n, n0, n1) }
+      .toDF("dup_text", "n_occurrences", "n_src0", "n_src1")
+  }
+
+  /** Shared depth-truncated ranking pipeline behind the gram-level
+    * ([[gramGroups]]) and span-level ([[duplicatedSpans]] /
+    * [[contaminatedSpans]]) surfaces: returns (`keyed`, `texts`) where
+    * `keyed` has one row per FULL-gram lead position — (__d, __s, pos,
+    * r, r2), (r, r2) the gram's injective group key — and `texts` is
+    * the filtered tagged input for representative-text joins. */
+  private def rankedKeyed(tagged: DataFrame, minWidth: Int)
+      : (DataFrame, DataFrame) = {
     require(minWidth >= 2, "minWidth must be >= 2")
     val spark = tagged.sparkSession
     import spark.implicits._
@@ -590,30 +627,80 @@ object SubstringDedup {
     val keyed = (if (minWidth == w) cur.withColumn("r2", $"r")
       else leadByPos(cur, minWidth - w, block))
       .filter($"__ok")
-    // representative text fetch stays JVM-side (String.substring), the
-    // same UTF-16 position space charAt indexed — mixing in Spark SQL
-    // substring (code-point semantics) would shift grams on any
-    // surrogate-pair content. Rows here = distinct candidate grams.
-    // Output projection: a gram whose boundary splits a surrogate pair
-    // carries a lone half, which the UTF-8 string layer renders as '?'
-    // in dup_text — grouping and counts happen in UTF-16 rank space
-    // and are exact regardless (DedupSpec halo-parity spec pins this).
-    keyed.groupBy($"r", $"r2")
-      .agg(count(lit(1)).as("n_occurrences"),
-        sum(when($"__s" === 0, 1L).otherwise(0L)).as("n_src0"),
-        sum(when($"__s" === 1, 1L).otherwise(0L)).as("n_src1"),
-        min(struct($"__d", $"pos")).as("rep"))
-      // singleton grams drop BEFORE any text ships (cross-source
-      // presence implies >= 2 occurrences, so this is a pure superset
-      // of both callers' policies)
-      .filter($"n_occurrences" >= 2)
-      .join(texts, col("rep.__d") === col("__d"))
-      .select(col("rep.pos").as("__p"), col("__t"), col("n_occurrences"),
-        col("n_src0"), col("n_src1"))
-      .as[(Int, String, Long, Long, Long)]
-      .map { case (p, t, n, n0, n1) =>
-        (t.substring(p, p + minWidth), n, n0, n1) }
-      .toDF("dup_text", "n_occurrences", "n_src0", "n_src1")
+    (keyed, texts)
+  }
+
+  /** Maximal duplicated spans per document — the gram surface lifted
+    * to RUNS (nvtext/deduplicate.hpp's removal use-case, and the
+    * shape training-data dedup actually deletes): one row per maximal
+    * [span_start, span_end) UTF-16 range whose every position is
+    * covered by some minWidth-gram occurring ≥ 2 times corpus-wide.
+    * Adjacent/overlapping gram intervals merge (the events_interval
+    * _union sweep: a break only where a lead clears the running
+    * covered peak), so each emitted span is as long as the duplicated
+    * evidence supports and two spans never touch. Output: (idCol as
+    * string, span_start, span_end, span_len). The sweep partitions by
+    * document over DUPLICATED lead positions only — sparse for real
+    * corpora; a pathological fully-duplicated multi-GB single doc
+    * re-serializes its sweep into one task (gram counting itself
+    * stays halo-blocked). */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+      minWidth: Int): DataFrame = {
+    val tagged = df.select(col(idCol).cast("string").as("__d"),
+      lit(0).as("__s"), col(textCol).as("__t"))
+    spansOf(tagged, minWidth, col("__n") >= 2)
+      .withColumnRenamed("__d", idCol)
+  }
+
+  /** Cross-corpus contamination spans: maximal ranges of `df1`
+    * documents covered by minWidth-grams that ALSO occur in `df2` —
+    * the decontamination deletion list (cut these spans from the
+    * training corpus and no minWidth-gram bridges into the eval set).
+    * Same O(occurrences) ranking as [[duplicatedGramsPair]]. */
+  def contaminatedSpans(df1: DataFrame, df2: DataFrame, idCol: String,
+      textCol: String, minWidth: Int): DataFrame = {
+    val tagged = df1.select(col(idCol), col(textCol), lit(0).as("__src"))
+      .union(df2.select(col(idCol), col(textCol), lit(1).as("__src")))
+      .select(concat(col("__src"), lit("#"), col(idCol).cast("string"))
+          .as("__d"),
+        col("__src").as("__s"), col(textCol).as("__t"))
+    spansOf(tagged, minWidth,
+        col("__s") === 0 && col("__n1") >= 1)
+      .withColumn(idCol, expr("substring(__d, 3)"))
+      .select(col(idCol), col("span_start"), col("span_end"),
+        col("span_len"))
+  }
+
+  /** Span assembly shared by [[duplicatedSpans]] / [[contaminatedSpans]]:
+    * per-gram-group occurrence counts ride a window over the ranked
+    * lead positions (__n total, __n1 source-1), `keep` selects the
+    * lead positions that count as duplicated evidence, and the
+    * interval-union sweep merges their [pos, pos+minWidth) covers into
+    * maximal spans. */
+  private def spansOf(tagged: DataFrame, minWidth: Int,
+      keep: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (keyed, _) = rankedKeyed(tagged, minWidth)
+    val g = Window.partitionBy(col("r"), col("r2"))
+    val leads = keyed
+      .withColumn("__n", count(lit(1)).over(g))
+      .withColumn("__n1",
+        sum(when(col("__s") === 1, 1L).otherwise(0L)).over(g))
+      .filter(keep)
+      .select(col("__d"), col("pos"))
+    val byDoc = Window.partitionBy(col("__d")).orderBy(col("pos"))
+    val peak = max(col("pos") + minWidth)
+      .over(byDoc.rowsBetween(Window.unboundedPreceding, -1))
+    leads
+      .withColumn("__new",
+        when(peak.isNull || col("pos") > peak, 1).otherwise(0))
+      .withColumn("__island", sum(col("__new"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("__d"), col("__island"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + minWidth).as("span_end"))
+      .select(col("__d"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start")).as("span_len"))
   }
 
   /** Conf key: positions per ranking block (UTF-16 units). Default 4 M

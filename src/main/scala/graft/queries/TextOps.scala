@@ -1200,6 +1200,97 @@ object TextOps extends QueryPack {
       |  FROM documents WHERE doc_id % 10000000 < 30)
       |GROUP BY gram HAVING count(*) >= 2 ORDER BY gram""".stripMargin
 
+  /** Maximal duplicated SPANS (substringDups lifted from grams to
+    * runs — the deletion list a training-data dedup pass actually
+    * cuts): per document, every maximal [start, end) range covered by
+    * 15-grams occurring ≥ 2 times corpus-wide; adjacent/overlapping
+    * gram covers merge via the interval-union sweep. Same stress-
+    * growing 30-doc slice as doc_substring_dups. */
+  def duplicatedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstringDedup.duplicatedSpans(
+        Tables.documents(s, dir).filter(col("doc_id") % 10000000L < 30),
+        "doc_id", "text", minWidth = 15)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("span_start"), col("span_end"), col("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+
+  /** Brute-force oracle: duplicated-gram lead positions → per-doc
+    * gaps-and-islands (a new island only where a lead clears the
+    * running covered peak) → min/max span bounds. 0-based positions
+    * (DuckDB substr is 1-based). */
+  val duplicatedSpansSql: String =
+    """WITH docs AS (SELECT doc_id, text FROM documents
+      |              WHERE doc_id % 10000000 < 30 AND text IS NOT NULL),
+      |grams AS (
+      |  SELECT doc_id, s - 1 AS pos, substr(text, s, 15) AS g
+      |  FROM (SELECT doc_id, text,
+      |          unnest(generate_series(1, greatest(len(text) - 14, 0))) AS s
+      |        FROM docs)),
+      |leads AS (
+      |  SELECT doc_id, pos FROM grams
+      |  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2)),
+      |sweep AS (
+      |  SELECT doc_id, pos,
+      |    max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS peak
+      |  FROM leads),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN peak IS NULL OR pos > peak THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM sweep)
+      |SELECT doc_id, min(pos) AS span_start,
+      |  max(pos) + 15 AS span_end,
+      |  max(pos) + 15 - min(pos) AS span_len
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
+  /** Cross-corpus contamination SPANS: maximal ranges of the even-id
+    * (train) documents covered by 15-grams also present in the odd-id
+    * (eval) documents — cut these and no 15-gram bridges train→eval.
+    * Pair-mode ranking (duplicatedGramsPair's O(occurrences) bound). */
+  def contaminatedSpans(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Tables.documents(s, dir)
+      .filter(col("doc_id") % 10000000L < 60 && col("text").isNotNull)
+    graft.operators.SubstringDedup.contaminatedSpans(
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 0),
+        corpus.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "doc_id", "text", minWidth = 15)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("span_start"), col("span_end"), col("span_len"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val contaminatedSpansSql: String =
+    """WITH docs AS (SELECT doc_id, doc_id % 2 AS src, text FROM documents
+      |              WHERE doc_id % 10000000 < 60 AND text IS NOT NULL),
+      |grams AS (
+      |  SELECT doc_id, src, s - 1 AS pos, substr(text, s, 15) AS g
+      |  FROM (SELECT doc_id, src, text,
+      |          unnest(generate_series(1, greatest(len(text) - 14, 0))) AS s
+      |        FROM docs)),
+      |leads AS (
+      |  SELECT doc_id, pos FROM grams
+      |  WHERE src = 0
+      |    AND g IN (SELECT DISTINCT g FROM grams WHERE src = 1)),
+      |sweep AS (
+      |  SELECT doc_id, pos,
+      |    max(pos + 15) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS peak
+      |  FROM leads),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    sum(CASE WHEN peak IS NULL OR pos > peak THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY pos
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM sweep)
+      |SELECT doc_id, min(pos) AS span_start,
+      |  max(pos) + 15 AS span_end,
+      |  max(pos) + 15 - min(pos) AS span_len
+      |FROM isl GROUP BY doc_id, island
+      |ORDER BY doc_id, span_start""".stripMargin
+
   /** Hot-duplicate-clique substring dedup via the distributed GLOBAL
     * suffix ranking ([[graft.operators.SubstringDedup.duplicatedGrams]]
     * — depth-truncated prefix doubling; nvtext/deduplicate.hpp:40's
@@ -2779,6 +2870,8 @@ object TextOps extends QueryPack {
     "doc_minhash_ngram_pairs" -> minhashNgramPairs,
     "doc_simhash_pairs" -> simhashPairs,
     "doc_substring_dups" -> substringDups,
+    "doc_duplicated_spans" -> duplicatedSpans,
+    "doc_contaminated_spans" -> contaminatedSpans,
     "doc_hotclique_dups" -> hotCliqueDups,
     "doc_hotclique_contamination" -> hotCliqueContamination,
     "doc_contamination" -> contamination,
@@ -2827,6 +2920,8 @@ object TextOps extends QueryPack {
     "doc_chunks" -> chunksSql,
     "doc_chunk_dedup" -> chunkDedupSql,
     "doc_substring_dups" -> substringDupsSql,
+    "doc_duplicated_spans" -> duplicatedSpansSql,
+    "doc_contaminated_spans" -> contaminatedSpansSql,
     "doc_hotclique_dups" -> hotCliqueDupsSql,
     "doc_hotclique_contamination" -> hotCliqueContaminationSql,
     "doc_contamination" -> contaminationSql,

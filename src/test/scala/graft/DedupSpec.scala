@@ -478,4 +478,102 @@ class DedupSpec extends AnyFunSuite {
     assert(fa.size < a.length)
     assert(shared.length >= minWidth) // test wiring
   }
+
+  // brute-force maximal duplicated spans: duplicated-gram lead
+  // positions -> merge [p, p+m) covers (touching intervals merge —
+  // the engine breaks only where a lead clears the running peak)
+  private def bruteSpans(leadsByDoc: Map[String, Seq[Int]], m: Int)
+      : Set[(String, Int, Int, Int)] =
+    leadsByDoc.toSeq.flatMap { case (id, leads) =>
+      leads.sorted.foldLeft(List.empty[(Int, Int)]) {
+        case ((s, e) :: tail, p) if p <= e => (s, math.max(e, p + m)) :: tail
+        case (acc, p) => (p, p + m) :: acc
+      }.map { case (s, e) => (id, s, e, e - s) }
+    }.toSet
+
+  test("duplicatedSpans matches brute force incl. surrogate pairs and " +
+    "within-doc overlapping repeats") {
+    import graft.operators.SubstringDedup
+    val rnd = new scala.util.Random(41)
+    val astral = "😀😁" // 2 astral chars, 4 UTF-16 units
+    def blob(n: Int) =
+      new String(Array.fill(n)(('a' + rnd.nextInt(4)).toChar))
+    val shared = "the quick brown fox jumps over it"
+    val corpus = Seq(
+      (0L, blob(60) + shared + blob(40)),
+      (1L, blob(50) + shared + astral + shared.reverse),
+      (2L, "zz" + ("abcabcabc" * 6) + "qq"), // within-doc overlap only
+      (3L, blob(70)))
+    val m = 9
+    val counts = corpus
+      .flatMap { case (_, t) =>
+        (0 to t.length - m).map(p => t.substring(p, p + m)) }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val leads = corpus.map { case (id, t) =>
+      id.toString -> (0 to t.length - m)
+        .filter(p => counts(t.substring(p, p + m)) >= 2)
+    }.toMap
+    val expect = bruteSpans(leads, m)
+    val got = SubstringDedup.duplicatedSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", m)
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(expect.exists(_._1 == "2"), "fixture must cover within-doc runs")
+  }
+
+  test("contaminatedSpans matches brute force and survives id reuse " +
+    "across sources") {
+    import graft.operators.SubstringDedup
+    val rnd = new scala.util.Random(43)
+    def blob(n: Int) =
+      new String(Array.fill(n)(('a' + rnd.nextInt(3)).toChar))
+    val m = 7
+    // ids 0..4 reused in both sources with different text
+    val train = (0L until 10L).map(i => (i, blob(40 + rnd.nextInt(30))))
+    val eval = (0L until 5L).map(i => (i, blob(40 + rnd.nextInt(30))))
+    val evalGrams = eval.flatMap { case (_, t) =>
+      (0 to t.length - m).map(p => t.substring(p, p + m)) }.toSet
+    val leads = train.map { case (id, t) =>
+      id.toString -> (0 to t.length - m)
+        .filter(p => evalGrams(t.substring(p, p + m)))
+    }.toMap
+    val expect = bruteSpans(leads, m)
+    val got = SubstringDedup.contaminatedSpans(
+        train.toDF("doc_id", "text"), eval.toDF("doc_id", "text"),
+        "doc_id", "text", m)
+      .as[(String, Int, Int, Int)].collect().toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(expect.nonEmpty, "fixture produced no contaminated spans")
+    // deletion-list contract: cutting the spans removes every bridge —
+    // no m-gram of the residual train text appears in eval
+    val spansById = got.groupBy(_._1)
+    train.foreach { case (id, t) =>
+      val cut = spansById.getOrElse(id.toString, Set())
+        .toSeq.sortBy(_._2)
+      val kept = new StringBuilder
+      var at = 0
+      cut.foreach { case (_, s, e, _) =>
+        kept.append(t.substring(at, s)); at = e }
+      kept.append(t.substring(at))
+      // grams fully inside kept segments must be clean; grams that
+      // straddled a cut were destroyed with it
+      val residual = (0 to kept.length - m)
+        .map(p => kept.substring(p, p + m))
+      // a residual gram may still appear in eval if it was FORMED by
+      // concatenating across a cut — the deletion contract is about
+      // original-text grams, so check those instead
+      val survivingOriginal = {
+        val covered = Array.fill(t.length)(false)
+        cut.foreach { case (_, s, e, _) =>
+          (s until e).foreach(covered(_) = true) }
+        (0 to t.length - m).filter(p => !(p until p + m).exists(covered))
+          .map(p => t.substring(p, p + m))
+      }
+      assert(!survivingOriginal.exists(evalGrams),
+        s"doc $id still bridges into eval after cutting spans")
+      assert(residual.nonEmpty || t.length < m || cut.nonEmpty)
+    }
+  }
 }

@@ -247,6 +247,21 @@ MUTATIONS = [
      "if (st.isDirectory) walk(st.getPath)",
      "if (st.isDirectory) Nil",
      "test:graft.IoSpec:recurse"),
+    # Round-16 session 2: the span surfaces.
+    # Span end shrunk by one: every emitted span under-covers its last
+    # gram position -> doc_duplicated_spans red on span_end/span_len.
+    ("span-end-shrunk",
+     "src/main/scala/graft/operators/SubstringDedup.scala",
+     '.agg(min(col("pos")).as("span_start"),\n        (max(col("pos")) + minWidth).as("span_end"))',
+     '.agg(min(col("pos")).as("span_start"),\n        (max(col("pos")) + minWidth - 1).as("span_end"))',
+     "doc_duplicated_spans"),
+    # Contamination keep-threshold raised: bridges whose gram occurs
+    # exactly once in eval stop being cut -> spans shrink or vanish.
+    ("contam-keep-threshold-raised",
+     "src/main/scala/graft/operators/SubstringDedup.scala",
+     'col("__s") === 0 && col("__n1") >= 1)',
+     'col("__s") === 0 && col("__n1") >= 2)',
+     "doc_contaminated_spans"),
 ]
 
 
