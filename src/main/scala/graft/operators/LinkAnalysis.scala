@@ -99,46 +99,59 @@ object LinkAnalysis {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .persist() // setup reads e three times (nodes, outdeg, ed)
-    val nodes = e.select(col("src").as("id"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // The DANGLING SET is static — only the mass changes per iteration.
+    // It rides as a boolean FLAG on the rank vector (set once by this
+    // left join, carried through every iteration's projection), so the
+    // per-iteration mass is a plain filter+aggregate over the already-
+    // checkpointed vector: the former per-iteration semi-join against a
+    // persisted dangling frame (one shuffle + sort of the rank vector
+    // per round) is gone entirely. Same rows feed the same exact sum.
+    val nf = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct()
+      .join(outdeg.select(col("src").as("id"), lit(true).as("__o")),
+        Seq("id"), "left")
+      .select(col("id"), col("__o").isNull.as("dang"))
       .persist()
-    val n = nodes.count()
+    val n = nf.count()
     if (n == 0) {
-      val empty = nodes.withColumn("r", lit(0.0)).transform(Checkpoints.cut)
-      e.unpersist(); nodes.unpersist()
+      val empty = nf.select(col("id")).withColumn("r", lit(0.0))
+        .transform(Checkpoints.cut)
+      e.unpersist(); nf.unpersist()
       return empty
     }
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // the DANGLING SET is static — only the mass changes per iteration;
-    // without this a naive formulation recomputes the whole distinct-
-    // edge build inside every iteration's anti-join (measured 3× the
-    // total runtime at sf0.1)
-    val danglingNodes = nodes
-      .join(outdeg, nodes("id") === outdeg("src"), "left_anti")
-      .persist()
-    // degree-annotated edges, partitioned by the join key ONCE: every
-    // iteration's contribution join reuses this layout and shuffles
-    // only the rank vector
-    val ed = e.join(outdeg, "src").repartition(col("src")).persist()
+    // degree-annotated edges, partitioned by the join key ONCE (the
+    // e⋈outdeg equi-join already leaves its output hash-partitioned on
+    // src — the former explicit repartition(src) re-exchanged the whole
+    // annotated edge set a second time for nothing): every iteration's
+    // contribution join reuses this layout and shuffles only the rank
+    // vector
+    val ed = e.join(outdeg, "src").persist()
     ed.count() // materialize before the loop so iterations share it
-    danglingNodes.count()
-    e.unpersist() // nodes/danglingNodes/ed now stand on their own
+    e.unpersist() // nf/ed now stand on their own
     val base = (1.0 - damping) / n
-    var ranks = nodes.withColumn("r", lit(1.0 / n))
+    var ranks = nf.withColumn("r", lit(1.0 / n))
     var lastCkpt: DataFrame = null
     for (i <- 1 to iters) {
-      val dangling = ranks
-        .join(danglingNodes, Seq("id"), "left_semi")
+      val dangling = ranks.filter(col("dang"))
         .agg(coalesce(sumFn(col("r")), lit(0.0)).as("mass"))
+      // No join hints, deliberately: the rank-vector exchange is tiny
+      // next to |E|, and AQE reads its REAL size each iteration and
+      // converts the contribution join to a runtime broadcast when the
+      // vector fits (no |E| sort, no rank shuffle) — a same-JVM
+      // interleaved A/B at sf0.1 measured forced SHUFFLE_HASH hints
+      // ~10% slower than letting AQE decide (min 7.50 s vs 8.43 s for
+      // 5 exact iterations), and the adaptive choice degrades correctly
+      // when |V| outgrows the broadcast threshold at scale.
       val contribs = ed
         .join(ranks, ed("src") === ranks("id"))
         .select(col("dst"), (col("r") / col("deg")).as("c"))
         .groupBy(col("dst")).agg(sumFn(col("c")).as("contrib"))
-      ranks = nodes
-        .join(contribs, nodes("id") === contribs("dst"), "left")
+      ranks = ranks
+        .join(contribs, ranks("id") === contribs("dst"), "left")
         .crossJoin(broadcast(dangling))
-        .select(nodes("id"),
+        .select(ranks("id"), ranks("dang"),
           (lit(base) + lit(damping) *
             (coalesce(col("contrib"), lit(0.0)) +
               col("mass") / lit(n.toDouble))).as("r"))
@@ -153,10 +166,9 @@ object LinkAnalysis {
     }
     // the final frame is checkpointed (i == iters above), so the
     // operator's working set can be released before returning
-    nodes.unpersist()
-    danglingNodes.unpersist()
+    nf.unpersist()
     ed.unpersist()
-    ranks
+    ranks.select(col("id"), col("r"))
   }
 
   /** Single-source BFS levels (unweighted shortest-path distance) over
@@ -197,6 +209,15 @@ object LinkAnalysis {
     var frontierSize = 1L
     while (frontierSize > 0 && lvl < maxLevels) {
       lvl += 1
+      // No join hints and no explicit broadcast here, deliberately —
+      // both were measured SLOWER in a same-JVM interleaved A/B at
+      // sf0.1: an explicit broadcast() of the checkpointed frontier is
+      // a collect + rebroadcast driver round trip per round (~35%
+      // slower), and a SHUFFLE_HASH hint blocks AQE's runtime
+      // SMJ→broadcast conversion, which already serves the frontier to
+      // the persisted edge set without sorting |E| (min 2.73 s vs
+      // 3.67 s hinted). AQE sees the REAL frontier exchange size each
+      // round, so the strategy stays adaptive at any scale.
       val next = frontier.join(ed, $"id" === $"src")
         .select($"dst".as("id")).distinct()
         .join(visited.select($"id".as("__seen")), $"id" === $"__seen",
