@@ -56,6 +56,25 @@ object Checkpoints {
     }
   }
 
+  /** Lineage cut that DEFERS materialization to the caller's next
+    * action over the frame — one job instead of two when an aggregate
+    * or count immediately follows (that action's job computes and pins
+    * the cut blocks as it runs). The returned plan is already the flat
+    * LogicalRDD, so per-iteration ANALYSIS cost stays constant either
+    * way. Use only when (a) an action on the frame runs before any
+    * free() of its inputs — an unmaterialized lazy cut still depends on
+    * its parents' blocks — and (b) the frame is not self-joined before
+    * materializing (concurrent tasks could double-compute the backing
+    * RDD). Reliable regime delegates to [[cut]]: the DFS write there
+    * needs the eager cached-frame dance. */
+  def lazyCut(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    spark.conf.getOption(DirKey) match {
+      case Some(dir) if dir.nonEmpty => cut(df)
+      case _ => df.localCheckpoint(eager = false)
+    }
+  }
+
   /** Release the executor storage behind a consumed `cut` frame (no-op
     * for reliable checkpoints, whose blocks live on DFS; essential for
     * local ones, which `unpersist()` never touches). Only call once every

@@ -235,6 +235,11 @@ object Dedup {
         .transform(Checkpoints.cut)
       // Pointer jumping: labels are themselves ids, so re-resolving each
       // label through the label table halves the remaining path length.
+      // jumped stays an EAGER cut: the convergence check below is
+      // isEmpty (executeTake — a partial action that may compute only
+      // some partitions), so a lazy cut could be half-materialized when
+      // the round's frees run and the next round would recompute
+      // through released blocks
       val jumped = propagated.as("x")
         .join(propagated.select(col("id").as("jid"), col("cluster").as("jc"))
             .hint("shuffle_hash"),

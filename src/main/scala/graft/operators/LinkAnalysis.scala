@@ -218,12 +218,15 @@ object LinkAnalysis {
       // the persisted edge set without sorting |E| (min 2.73 s vs
       // 3.67 s hinted). AQE sees the REAL frontier exchange size each
       // round, so the strategy stays adaptive at any scale.
+      // lazy cut: the count() right below materializes the frontier in
+      // the same job the eager cut would have spent on it (one job per
+      // level, not two); nothing is freed before that count runs
       val next = frontier.join(ed, $"id" === $"src")
         .select($"dst".as("id")).distinct()
         .join(visited.select($"id".as("__seen")), $"id" === $"__seen",
           "left_anti")
         .withColumn("level", lit(lvl))
-        .transform(Checkpoints.cut)
+        .transform(Checkpoints.lazyCut)
       frontierSize = next.count()
       if (frontierSize > 0) {
         val merged = visited.union(next).transform(Checkpoints.cut)
