@@ -18,6 +18,18 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalescing is BYTES-based; its default 1 MB minPartitionSize
+      // floor collapses CPU-dense/byte-light shuffles (LSH candidate
+      // verify, token/pair kernels: ~1 MB of ids carrying seconds of
+      // per-row CPU) to ONE task while every other core idles —
+      // measured: doc_minhash_pairs wall 6.2 s -> 1.7 s at a 64 KB
+      // floor, verify stage 1 task -> 13. 64 KB still amortizes task
+      // launch (~ms) thousands-fold; parallelismFirst (default true)
+      // keeps byte-dense stages sized by cluster parallelism as before.
+      // Env-tunable so a cluster deploy can restore a larger floor for
+      // byte-dense-only workloads.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Spark's ContextCleaner frees shuffle/broadcast state only when

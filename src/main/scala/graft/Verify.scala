@@ -10,6 +10,10 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // See Bench: un-collapse CPU-dense/byte-light shuffle stages that
+      // AQE's 1 MB coalescing floor would serialize onto one core.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // See Bench: keep ContextCleaner alive on large heaps across a

@@ -81,7 +81,9 @@ object Dedup {
     * candidate stage so the two exact operators cannot diverge. */
   private def sharedTokenCounts(df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
+    // tokenize is the CPU-dense stage: guard against unsplittable
+    // single-row-group inputs serializing it (Spread scaladoc)
+    val toks = Spread.spread(df).select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
     val inv = toks.select(
       struct(col("id"), size(col("toks")).as("n")).as("p"),
@@ -145,7 +147,9 @@ object Dedup {
     * threshold's candidate density. */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 32, bands: Int = 8, threshold: Double = 0.8): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
+    // the per-token MD5 + k-remix signature kernel is CPU-dense: guard
+    // against unsplittable single-row-group inputs (Spread scaladoc)
+    val docs = Spread.spread(df).select(col(idCol).as("id"),
       array_distinct(tokens(col(textCol))).as("toks"))
     // Band rows carry ONLY (id, band): the bucket shuffle moves ids,
     // never token arrays (bands× lighter at corpus scale), and the
@@ -169,7 +173,8 @@ object Dedup {
   def minhashNgramPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val docs = Spread.spread(df) // signature kernel: see minhashPairs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("sh", shingles("toks", n))
     val banded = docs.select(col("id"),
       explode(minhashBandKeys(col("sh"), numHashes, bands)).as("band"))
@@ -359,7 +364,8 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxDist: Int = 3): DataFrame = {
     require(maxDist <= 3, "4-band pigeonhole covers Hamming distance <= 3")
-    val docs = df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+    val docs = Spread.spread(df) // signature kernel: see minhashPairs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
       .withColumn("sh", simhash60("toks"))
     // the 60-bit signature rides inside the posting-list struct, so the
     // Hamming verify needs no join back (and the simhash computes once)

@@ -56,11 +56,16 @@ object FuzzyJoin {
   def editDistanceJoin(left: DataFrame, leftId: String, leftKey: String,
       right: DataFrame, rightId: String, rightKey: String,
       k: Int): DataFrame = {
-    val lv = left.select(col(leftId).as("__lid"), col(leftKey).as("__lkey"),
-      explode(neighborhood(col(leftKey), k)).as("__vs"))
+    // Variant generation is the CPU-dense stage; an unsplittable input
+    // (single parquet row group) would otherwise serialize it onto one
+    // core (Spread scaladoc — no-op on well-split inputs).
+    val lv = Spread.spread(left)
+      .select(col(leftId).as("__lid"), col(leftKey).as("__lkey"),
+        explode(neighborhood(col(leftKey), k)).as("__vs"))
       .select(col("__lid"), col("__lkey"), xxhash64(col("__vs")).as("__v"))
-    val rv = right.select(col(rightId).as("__rid"), col(rightKey).as("__rkey"),
-      explode(neighborhood(col(rightKey), k)).as("__vs"))
+    val rv = Spread.spread(right)
+      .select(col(rightId).as("__rid"), col(rightKey).as("__rkey"),
+        explode(neighborhood(col(rightKey), k)).as("__vs"))
       .select(col("__rid"), col("__rkey"), xxhash64(col("__vs")).as("__v"))
     // Same-schema inputs (the natural dedup/linkage call) would yield
     // DUPLICATE output column names and make every by-name reference

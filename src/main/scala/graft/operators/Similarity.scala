@@ -691,8 +691,16 @@ object Similarity {
     // nCells <= 0 = corpus-adaptive (default): ~250 vectors per cell
     // keeps within-cell pair work ∝ n, not ∝ n²/K (see autoCells).
     val k = if (nCells > 0) nCells else autoCells(df.count())
-    val cents = kmeansCentroids(df, k, iters, idCol, vecCol)
-    val rows = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    // assignment + k-means scoring are O(n·K)/O(n·√K) dot-product
+    // kernels: guard against an unsplittable single-row-group input
+    // serializing them onto one core (Spread scaladoc)
+    // Spread only when the per-row kernel is heavy enough to repay an
+    // input exchange (~K dots/row): the K=8 SemDeDup gate measured 21%
+    // SLOWER spread (exchange overhead > 8 dots), the K=4096
+    // hierarchical gate ~15% faster. At k >= 64 the kernel dominates.
+    val dfS = if (k >= 64) Spread.spread(df) else df
+    val cents = kmeansCentroids(dfS, k, iters, idCol, vecCol)
+    val rows = dfS.select(col(idCol).as("id"), col(vecCol).as("vec"))
     // row-local broadcast-model assignment — zero shuffle, runs ONCE.
     // Above HierKThreshold cells, the flat O(n·K) scoring dominates the
     // whole op (the SCALING.md SemDeDup asymptote: autoCells reaches
@@ -722,7 +730,7 @@ object Similarity {
           superProbes = probeWidth)
       else assignNearestCells(rows, "vec", collectModel(cents)))
       .select(col("id"), col("cell_id"))
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
+    val vecs = dfS.select(col(idCol).as("id"), col(vecCol).as("vec"),
       l2norm(col(vecCol)).as("norm"))
     // the pair frame carries candidatePairs' merge hint (see
     // PostingLists: its static size estimate is pre-explode, which
@@ -854,8 +862,10 @@ object Similarity {
     // grows. The count is a planning action (like AQE's runtime
     // stats), not a per-row driver loop.
     val nbits = if (bits > 0) bits else autoLshBits(df.count())
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("vec"),
-      l2norm(col(vecCol)).as("norm"))
+    // the tables×bits hyperplane-dot signature kernel is CPU-dense:
+    // guard against unsplittable single-row-group inputs (Spread)
+    val vecs = Spread.spread(df).select(col(idCol).as("id"),
+      col(vecCol).as("vec"), l2norm(col(vecCol)).as("norm"))
     val banded = vecs.select(col("id"),
       explode(lshTableBuckets(col("vec"), nbits, tables)).as("tb"))
     val cand = PostingLists.candidatePairs(banded, "id", "tb")

@@ -589,8 +589,12 @@ object SubstringDedup {
     // by the DedupSpec surrogate spec). UTF-16 length <= 2 * code
     // points, so `2 * length >= minWidth` is the safe superset; the
     // exact full-gram gate is the per-position __ok flag below.
-    val texts = tagged
-      .filter(col("__t").isNotNull && length(col("__t")) * 2 >= minWidth)
+    // position explode + initial rank pack are CPU-dense map work on
+    // the raw scan: guard against unsplittable single-row-group inputs
+    // serializing them (Spread scaladoc; measured doc_substring_dups
+    // 1.42 s -> 1.11 s, hot-clique rows unchanged)
+    val texts = Spread.spread(tagged
+      .filter(col("__t").isNotNull && length(col("__t")) * 2 >= minWidth))
     // one row per character position; __ok marks positions that start
     // a FULL minWidth-gram (rank rounds keep every position — ranks of
     // tail positions feed earlier positions' keys — but only __ok rows

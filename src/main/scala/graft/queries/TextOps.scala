@@ -1575,8 +1575,10 @@ object TextOps extends QueryPack {
   def mediaDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.MediaCodec
-    val ids = Tables.documents(s, dir)
-      .select(col("doc_id").cast("long")).as[Long]
+    // media synthesis + decode are CPU-dense map kernels: guard against
+    // the single-row-group scan serializing them onto one core
+    val ids = graft.operators.Spread.spread(Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"))).as[Long]
     def solid(w: Int, h: Int, r: Long, g: Long, b: Long): Array[Byte] =
       Array.tabulate(w * h * 3)(i => (i % 3 match {
         case 0 => r
@@ -1664,8 +1666,10 @@ object TextOps extends QueryPack {
   def mediaResize(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.operators.{MediaCodec, Multimodal}
-    val ids = Tables.documents(s, dir)
-      .select(col("doc_id").cast("long")).as[Long]
+    // media synthesis + decode are CPU-dense map kernels: guard against
+    // the single-row-group scan serializing them onto one core
+    val ids = graft.operators.Spread.spread(Tables.documents(s, dir)
+      .select(col("doc_id").cast("long"))).as[Long]
     def grad(w: Int, h: Int, m: Long): Array[Byte] =
       Array.tabulate(w * h * 3) { i =>
         val px = i / 3
