@@ -30,6 +30,9 @@ object Bench {
       // byte-dense-only workloads.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      // operators.Spread kill-switch (A/B + well-split-input deploys)
+      .config("spark.graft.spread",
+        sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Spark's ContextCleaner frees shuffle/broadcast state only when

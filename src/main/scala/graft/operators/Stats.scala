@@ -82,7 +82,11 @@ object Stats {
             yield msum(col(cols(i)).cast("double") * col(cols(j)).cast("double"))
               .as(s"__p_${i}_$j"))
     }
-    val m = df.agg(n, (sums ++ prods): _*)
+    // the k(k+1)/2 exact-decimal product sums are heavy per-row CPU
+    // (BigDecimal multiplies) in the PARTIAL aggregate, which runs on
+    // the scan's splits: guard against a single-row-group input
+    // serializing it onto one core (Spread scaladoc)
+    val m = Spread.spread(df).agg(n, (sums ++ prods): _*)
     def cov(i: Int, j: Int) = {
       val (a, b) = (math.min(i, j), math.max(i, j))
       col("__n") * col(s"__p_${a}_$b") -

@@ -277,7 +277,10 @@ object TextPipeline {
   def winnowFingerprints(df: DataFrame, idCol: String, textCol: String,
       k: Int = 3, w: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val grams = df
+    // tokenize + per-gram MD5 are the CPU-dense stage and run BEFORE
+    // the per-doc window exchange: guard against unsplittable
+    // single-row-group inputs serializing them (Spread scaladoc)
+    val grams = Spread.spread(df)
       .select(col(idCol), tokens(col(textCol)).as("t"))
       .select(col(idCol), posexplode(expr(
         s"""transform(sequence(1, greatest(size(t) - ${k - 1}, 0)),
