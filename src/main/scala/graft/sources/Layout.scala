@@ -90,6 +90,11 @@ object Layout {
       case other => throw new IllegalArgumentException(
         s"unknown curve '$other' (morton | hilbert)")
     }
+    // NOTE: operators.Spread was measured HERE and rejected (1.25 s ->
+    // 1.84 s on io_zorder_prune): repartitionByRange executes its child
+    // twice (range-boundary sampling pass + the shuffle itself), so an
+    // injected pre-exchange runs twice and costs more than the
+    // single-task curve-key evaluation it parallelizes.
     df.withColumn("__z", key)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
