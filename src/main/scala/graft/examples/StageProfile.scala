@@ -26,6 +26,12 @@ object StageProfile {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // mirror Bench's session so profiles reflect bench plans
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_COALESCE", "64k"))
+      .config("spark.graft.spread",
+        sys.env.getOrElse("SPARK_GRAFT_SPREAD", "true"))
+      .config("spark.sql.codegen.cache.maxEntries", "4000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
     val spark = extra.foldLeft(b0) { case (b, (k, v)) => b.config(k, v) }

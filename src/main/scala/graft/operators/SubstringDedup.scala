@@ -603,6 +603,11 @@ object SubstringDedup {
     // char exists" so a truncated doc-final pack can never collide
     // with a real 2-gram — which starts the doubling at width 2 and
     // saves one full re-rank round (distinct + join + checkpoint).
+    // The initial position frame is EAGER-cut: leadByPos scans its
+    // input twice (main + halo branches of the block union), so an
+    // unmaterialized frame would run the per-char flatMap once per
+    // branch (StageProfile on the hot-clique gate showed the 37 MB
+    // position subtree executing 3x in round 1 before this cut).
     var cur = texts.select($"__d", $"__s", $"__t").as[(String, Int, String)]
       .flatMap { case (d, s, t) =>
         val lastOk = t.length - minWidth
@@ -613,19 +618,28 @@ object SubstringDedup {
         }
       }
       .toDF("__d", "__s", "pos", "__ok", "r")
+      .transform(Checkpoints.cut)
     val block = math.max(spark.conf.getOption(BlockCharsKey)
       .map(_.toInt).getOrElse(DefaultBlockChars), w)
     var width = 2
     while (width < w) {
-      val led = leadByPos(cur, width, block)
+      // led is consumed TWICE — the rerank join's left side and
+      // rerankIds' RDD pass (an RDD boundary, so exchange reuse can
+      // never dedup it): cut it so each round's doc-window lead pass
+      // computes once, not twice. Superseded round frames are freed as
+      // soon as their successor is materialized (eager cuts).
+      val led = leadByPos(cur, width, block).transform(Checkpoints.cut)
       // The rerank join's BOTH sides are corpus-positions-sized by
       // construction — never broadcastable. Pin sort-merge: a
       // LocalRelation-sourced corpus (unit probes; schema-default byte
       // estimates, 20 B/string) otherwise under-estimates `led` and
       // Spark attempts a multi-GiB broadcast of the position frame.
-      cur = led.join(rerankIds(led).hint("merge"), Seq("r", "r2"))
+      val next = led.join(rerankIds(led).hint("merge"), Seq("r", "r2"))
         .select($"__d", $"__s", $"pos", $"__ok", $"__nr".as("r"))
         .transform(Checkpoints.cut)
+      org.apache.spark.sql.graftshim.CheckpointUtil.free(led)
+      org.apache.spark.sql.graftshim.CheckpointUtil.free(cur)
+      cur = next
       width *= 2
     }
     val keyed = (if (minWidth == w) cur.withColumn("r2", $"r")
