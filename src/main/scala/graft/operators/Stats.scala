@@ -24,8 +24,12 @@ object Stats {
   // 38,6 holds products up to 1e32. Profiled: decimal precision does
   // not change aggregation cost (the decimal path itself is ~10× a
   // plain double sum either way — that is the exact-mode price).
+  // fast_decimal ≡ cast(DecimalType) bit for bit (FastDoubleToDecimal
+  // proof, FastDecimalSpec) without the per-row Double.toString/
+  // BigDecimal churn — the moment sums were ~400 ns/row/agg, dominated
+  // by the cast, not the decimal add (guide §4).
   private def dsum(c: org.apache.spark.sql.Column, scale: Int) =
-    sum(c.cast(DecimalType(38, scale))).cast("double")
+    sum(graft.plans.GraftExpressions.fastDecimal(c, 38, scale)).cast("double")
 
   /** Pairwise Pearson correlation of `cols` as rows (col_a, col_b, corr)
     * for col_a < col_b, from one aggregation over the input.
@@ -71,7 +75,11 @@ object Stats {
     // the cast is a no-op, so oracle arithmetic is unchanged)
     val (sums, prods) = inputScale match {
       case Some(sc) if exact =>
-        def q(c: String) = col(c).cast(DecimalType(18, sc))
+        // fast_decimal ≡ cast (FastDoubleToDecimal proof); the product
+        // itself stays a compact-decimal multiply, the per-row
+        // toString/BigDecimal parse of BOTH factors is what this removes
+        def q(c: String) = graft.plans.GraftExpressions.fastDecimal(
+          col(c).cast("double"), 18, sc)
         (cols.map(c => sum(q(c)).cast("double").as(s"__s_$c")),
           for { i <- cols.indices; j <- i until cols.size }
             yield sum(q(cols(i)) * q(cols(j))).cast("double")

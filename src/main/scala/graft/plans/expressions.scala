@@ -982,6 +982,10 @@ object GraftExpressions {
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
 
   def normalizeNanZero(c: Column): Column = column(NormalizeNaNZero(expression(c)))
+  /** Allocation-light DOUBLE→DECIMAL(p,s) quantization, bit-identical to
+    * `c.cast(DecimalType(p, s))` — see [[FastDoubleToDecimal]]. */
+  def fastDecimal(c: Column, precision: Int, scale: Int): Column =
+    column(FastDoubleToDecimal(expression(c), precision, scale))
   def porterStem(c: Column): Column = column(PorterStem(expression(c)))
   def wrapText(c: Column, width: Int): Column =
     column(WrapText(expression(c), width))

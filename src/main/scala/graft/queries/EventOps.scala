@@ -287,7 +287,7 @@ object EventOps extends QueryPack {
       .withColumn("days_old", expr(
         "least(29L, greatest(0L, (t_max - unix_micros(ts)) div 86400000000))"))
       .withColumn("num",
-        $"value".cast(org.apache.spark.sql.types.DecimalType(18, 2)) *
+        graft.plans.GraftExpressions.fastDecimal($"value", 18, 2) *
           expr("shiftleft(cast(1 as bigint), 29 - cast(days_old as int))"))
       .groupBy($"user_id")
       .agg((sum($"num").cast("double") / lit(536870912.0)).as("decayed_sum"),
@@ -488,10 +488,9 @@ object EventOps extends QueryPack {
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(-9, -1)
     val n = count(lit(1)).over(w).cast("double")
-    val sx = sum($"value".cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+    val sx = sum(graft.plans.GraftExpressions.fastDecimal($"value", 38, 6))
       .over(w).cast("double")
-    val sxx = sum(($"value" * $"value")
-      .cast(org.apache.spark.sql.types.DecimalType(38, 6)))
+    val sxx = sum(graft.plans.GraftExpressions.fastDecimal($"value" * $"value", 38, 6))
       .over(w).cast("double")
     Tables.events(s, dir)
       .withColumn("base_n", n)

@@ -26,9 +26,14 @@ trait QueryPack {
   */
 object QueryPack {
   /** Order-independent exact sum of a double column: cast each value to
-    * DECIMAL(18,scale), sum exactly, cast the total back to double. */
+    * DECIMAL(18,scale), sum exactly, cast the total back to double.
+    * The per-row quantization runs through [[graft.plans.FastDoubleToDecimal]]
+    * — bit-identical to `cast(DecimalType(18, scale))` (proof in its
+    * scaladoc, locked by FastDecimalSuite) but without the
+    * Double.toString/BigDecimal churn that made exact sums ~10× a plain
+    * double sum (guide §4; OPTIMIZATION_r17.md "exact-decimal kernels"). */
   def dsum(c: Column, scale: Int = 4): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
+    sum(graft.plans.GraftExpressions.fastDecimal(c, 18, scale)).cast("double")
 
   /** SQL text of [[dsum]] for the DuckDB oracle. The DECIMAL→DOUBLE
     * conversion goes through VARCHAR because DuckDB's direct

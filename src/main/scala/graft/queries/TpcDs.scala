@@ -27,8 +27,8 @@ object TpcDs extends QueryPack {
     // bit-identical to the single groupBy the oracle runs.
     val ordRev = Tables.lineitem(s, dir)
       .groupBy($"l_orderkey")
-      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-        .cast(DecimalType(18, 6))).as("ord_rev"))
+      .agg(sum(graft.plans.GraftExpressions.fastDecimal(
+          $"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 6)).as("ord_rev"))
     val rev = ordRev
       .join(Tables.orders(s, dir), $"l_orderkey" === $"o_orderkey")
       .join(Tables.customer(s, dir), $"o_custkey" === $"c_custkey")
@@ -444,7 +444,7 @@ object TpcDs extends QueryPack {
     import s.implicits._
     val daily = Tables.orders(s, dir)
       .groupBy($"o_orderpriority", $"o_orderdate".cast("date").as("day"))
-      .agg(sum($"o_totalprice".cast(DecimalType(18, 2))).as("day_rev"))
+      .agg(sum(graft.plans.GraftExpressions.fastDecimal($"o_totalprice", 18, 2)).as("day_rev"))
     val w = Window.partitionBy($"o_orderpriority").orderBy($"day")
       .rowsBetween(-6, Window.currentRow)
     daily
@@ -487,7 +487,7 @@ object TpcDs extends QueryPack {
     // scale-in-double-space .5 boundary a few times per million rows
     // (caught by the 5× stress: syy off by 1 ulp ⇒ r² off by 5). Same
     // restructure-to-exact-decimal template as events_decayed_sum.
-    def d2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+    def d2(c: org.apache.spark.sql.Column) = graft.plans.GraftExpressions.fastDecimal(c, 18, 2)
     def dmom(c: org.apache.spark.sql.Column) = sum(c).cast("double")
     val d = Tables.lineitem(s, dir).select($"l_returnflag",
       $"l_quantity".as("x"), $"l_extendedprice".as("y"))
@@ -1004,7 +1004,7 @@ object TpcDs extends QueryPack {
     val byPart = Window.partitionBy($"l_partkey")
     slice
       .withColumn("avg_disc",
-        sum($"l_discount".cast(DecimalType(18, 6))).over(byPart)
+        sum(graft.plans.GraftExpressions.fastDecimal($"l_discount", 18, 6)).over(byPart)
           .cast("double") / count(lit(1)).over(byPart))
       .filter($"l_discount" > lit(1.3) * $"avg_disc")
       .agg(dsum($"l_extendedprice", 6).as("excess_rev"),
@@ -1036,8 +1036,8 @@ object TpcDs extends QueryPack {
     val monthly = Tables.lineitem(s, dir)
       .groupBy(($"l_suppkey" % 10).as("brand"),
         year($"l_shipdate").as("y"), month($"l_shipdate").as("m"))
-      .agg(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-        .cast(DecimalType(18, 6))).as("rev_dec"))
+      .agg(sum(graft.plans.GraftExpressions.fastDecimal(
+          $"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 6)).as("rev_dec"))
       .withColumn("rev", $"rev_dec".cast("double"))
     val byYear = Window.partitionBy($"brand", $"y")
     val seq0 = Window.partitionBy($"brand").orderBy($"y", $"m")
@@ -1137,9 +1137,9 @@ object TpcDs extends QueryPack {
     val rolled = Tables.lineitem(s, dir)
       .rollup($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .cast(DecimalType(18, 6))).as("disc_dec"),
-        sum($"l_extendedprice".cast(DecimalType(18, 6))).as("gross_dec"),
+        sum(graft.plans.GraftExpressions.fastDecimal(
+            $"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 6)).as("disc_dec"),
+        sum(graft.plans.GraftExpressions.fastDecimal($"l_extendedprice", 18, 6)).as("gross_dec"),
         grouping_id().as("lochierarchy"))
       .select($"l_returnflag", $"l_linestatus",
         $"lochierarchy".cast("long").as("lochierarchy"),
@@ -1182,8 +1182,8 @@ object TpcDs extends QueryPack {
     import s.implicits._
     def chan(k: Int) =
       sum(when($"l_linenumber" % 3 === k,
-        ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .cast(DecimalType(18, 6))).otherwise(lit(null)))
+        graft.plans.GraftExpressions.fastDecimal(
+            $"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 6)).otherwise(lit(null)))
     val perPart = Tables.lineitem(s, dir)
       .groupBy($"l_partkey")
       .agg(coalesce(chan(0), lit(0).cast(DecimalType(18, 6))).as("r0"),
@@ -1250,12 +1250,12 @@ object TpcDs extends QueryPack {
       .groupBy($"n_name", quarter($"l_shipdate").as("qtr"))
       .agg(
         coalesce(sum(when($"l_linenumber" % 2 === 0,
-          ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast(DecimalType(18, 6)))), lit(0).cast(DecimalType(18, 6)))
+          graft.plans.GraftExpressions.fastDecimal(
+              $"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 6))), lit(0).cast(DecimalType(18, 6)))
           .as("web"),
         coalesce(sum(when($"l_linenumber" % 2 === 1,
-          ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-            .cast(DecimalType(18, 6)))), lit(0).cast(DecimalType(18, 6)))
+          graft.plans.GraftExpressions.fastDecimal(
+              $"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 6))), lit(0).cast(DecimalType(18, 6)))
           .as("store"))
     val w = Window.partitionBy($"n_name").orderBy($"qtr")
     q.withColumn("web_prev", lag($"web", 1).over(w))
@@ -1311,8 +1311,8 @@ object TpcDs extends QueryPack {
     def m(mo: Int, lowQty: Boolean) = {
       val base = month($"l_shipdate") === mo &&
         (if (lowQty) $"l_quantity" < 26 else $"l_quantity" >= 26)
-      sum(when(base, ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-        .cast(DecimalType(18, 6)))).cast("double")
+      sum(when(base, graft.plans.GraftExpressions.fastDecimal(
+          $"l_extendedprice" * (lit(1.0) - $"l_discount"), 18, 6))).cast("double")
     }
     val cols = (1 to 12).flatMap { mo =>
       Seq(m(mo, lowQty = true).as(f"low_m$mo%02d"),

@@ -357,7 +357,7 @@ object Tpch extends QueryPack {
       .join(Tables.part(s, dir).filter($"p_brand" === "Brand#3"),
         $"l_partkey" === $"p_partkey")
       .withColumn("half_avg_qty",
-        (sum($"l_quantity".cast(DecimalType(18, 2))).over(w).cast("double") /
+        (sum(graft.plans.GraftExpressions.fastDecimal($"l_quantity", 18, 2)).over(w).cast("double") /
           count($"l_quantity").over(w).cast("double")) * 0.5)
       .filter($"l_quantity" < $"half_avg_qty")
       .agg((dsum($"l_extendedprice", 2) / 7.0).as("avg_yearly"),

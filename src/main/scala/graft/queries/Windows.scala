@@ -144,7 +144,7 @@ object Windows extends QueryPack {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .select($"user_id", $"event_id",
-        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+        sum(graft.plans.GraftExpressions.fastDecimal($"value", 18, 2)).over(w).cast("double")
           .as("run_sum"),
         min($"value").over(w).as("run_min"),
         max($"value").over(w).as("run_max"),
@@ -172,7 +172,7 @@ object Windows extends QueryPack {
     Tables.events(s, dir)
       .select($"user_id", $"event_id",
         count(lit(1)).over(w).as("n_in_range"),
-        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+        sum(graft.plans.GraftExpressions.fastDecimal($"value", 18, 2)).over(w).cast("double")
           .as("sum_in_range"))
       .orderBy($"user_id", $"event_id")
   }
@@ -198,7 +198,7 @@ object Windows extends QueryPack {
     Tables.events(s, dir)
       .select($"user_id", $"event_id",
         count(lit(1)).over(w).as("n_open"),
-        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+        sum(graft.plans.GraftExpressions.fastDecimal($"value", 18, 2)).over(w).cast("double")
           .as("sum_open"))
       .orderBy($"user_id", $"event_id")
   }
@@ -222,7 +222,7 @@ object Windows extends QueryPack {
     Tables.events(s, dir)
       .select($"user_id", $"event_id",
         count(lit(1)).over(w).as("n_last_hour"),
-        sum($"value".cast(DecimalType(18, 2))).over(w).cast("double")
+        sum(graft.plans.GraftExpressions.fastDecimal($"value", 18, 2)).over(w).cast("double")
           .as("sum_last_hour"))
       .orderBy($"user_id", $"event_id")
   }
@@ -268,8 +268,8 @@ object Windows extends QueryPack {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
       .rowsBetween(-4, Window.currentRow)
-    val sx = sum($"value".cast(DecimalType(38, 6))).over(w).cast("double")
-    val sxx = sum(($"value" * $"value").cast(DecimalType(38, 6))).over(w)
+    val sx = sum(graft.plans.GraftExpressions.fastDecimal($"value", 38, 6)).over(w).cast("double")
+    val sxx = sum(graft.plans.GraftExpressions.fastDecimal($"value" * $"value", 38, 6)).over(w)
       .cast("double")
     val n = count(lit(1)).over(w).cast("double")
     Tables.events(s, dir)
@@ -313,7 +313,7 @@ object Windows extends QueryPack {
     def dec(c: org.apache.spark.sql.Column) = c.cast(DecimalType(28, 2))
     Tables.events(s, dir)
       .withColumn("x", row_number().over(ord).cast("long"))
-      .withColumn("yd", $"value".cast(DecimalType(18, 2)))
+      .withColumn("yd", graft.plans.GraftExpressions.fastDecimal($"value", 18, 2))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("sx", sum($"x").over(w))
       .withColumn("sxx", sum($"x" * $"x").over(w))
